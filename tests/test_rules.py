@@ -1,0 +1,230 @@
+"""Per-rule exact-count tests.
+
+Each test re-expresses one reference test
+(/root/reference/tests/test_006_rulelib.py) as a DataFrame assertion with
+the reference's exact expected counts — the correctness spec for every
+rule kernel (SURVEY.md §5). Where the rule runs on multiple series at
+once, a second series is added to prove per-series isolation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import make_series_df
+from traval_spark.operators import rules as R
+
+
+def code_counts(df, out="r"):
+    rows = df.groupBy(f"{out}_code").count().collect()
+    return {r[0]: r[1] for r in rows}
+
+
+def test_rule_ufunc_threshold_float(daily10):
+    c = R.rule_ufunc_threshold(
+        daily10, "value", "r", ufunc="greater_equal", threshold=5
+    )
+    assert code_counts(c).get(2, 0) == 5  # test_006:13
+
+
+def test_rule_ufunc_threshold_series(spark, daily10):
+    idx = pd.date_range("2020-01-01", freq="D", periods=10)
+    thr_idx = idx[:3].tolist() + idx[-4:-1].tolist()
+    thr = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": thr_idx, "value": 5.0})
+    )
+    c = R.rule_ufunc_threshold(
+        daily10, "value", "r", ufunc="greater_equal", threshold=thr
+    )
+    assert code_counts(c).get(2, 0) == 5  # test_006:23
+
+
+def test_rule_diff_ufunc_threshold(spark):
+    v = np.arange(10, dtype=float)
+    v[4] += 1
+    df = make_series_df(spark, v)
+    c = R.rule_diff_ufunc_threshold(
+        df, "value", "r", ufunc="greater_equal", threshold=1.1
+    )
+    assert code_counts(c).get(2, 0) == 1  # test_006:31
+
+
+def test_rule_other_ufunc_threshold(spark, daily10):
+    other = make_series_df(spark, np.arange(10))
+    c = R.rule_other_ufunc_threshold(
+        daily10, "value", "r", other=other, ufunc="less", threshold=5
+    )
+    assert code_counts(c).get(-2, 0) == 5  # test_006:40
+
+
+def test_rule_max_gradient(spark):
+    v = np.arange(10, dtype=float)
+    v[4] += 1
+    c = R.rule_max_gradient(
+        make_series_df(spark, v), "value", "r", max_step=1.0, max_timestep="1D"
+    )
+    assert code_counts(c).get(2, 0) == 1  # test_006:49
+
+
+def test_rule_spike_detection(spark):
+    v = np.arange(10, dtype=float)
+    v[4] += 3
+    c = R.rule_spike_detection(
+        make_series_df(spark, v), "value", "r", threshold=2, spike_tol=2
+    )
+    assert code_counts(c).get(99, 0) == 1  # test_006:59
+
+
+def test_rule_offset_detection(spark):
+    v = np.arange(10, dtype=float)
+    v[3:7] += 10
+    c = R.rule_offset_detection(
+        make_series_df(spark, v), "value", "r", threshold=5, updown_diff=2.0
+    )
+    assert code_counts(c).get(99, 0) == 4  # test_006:68
+
+
+def test_rule_outside_n_sigma(daily10):
+    c = R.rule_outside_n_sigma(daily10, "value", "r", n=1.0)
+    counts = code_counts(c)
+    assert counts.get(-2, 0) == 2 and counts.get(2, 0) == 2  # test_006:75-76
+
+
+def test_rule_diff_outside_of_n_sigma(spark):
+    v = np.arange(10, dtype=float)
+    v[5:] += np.arange(5)
+    c = R.rule_diff_outside_of_n_sigma(make_series_df(spark, v), "value", "r", n=2.0)
+    assert code_counts(c).get(2, 0) == 4  # test_006:85
+
+
+def test_rule_outside_bandwidth(spark, daily10):
+    idx = pd.date_range("2020-01-01", freq="D", periods=10)
+    lb = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": idx[[0, -1]], "value": [1.0, 2.0]})
+    )
+    ub = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": idx[[0, -1]], "value": [7.0, 8.0]})
+    )
+    c = R.rule_outside_bandwidth(daily10, "value", "r", lowerbound=lb, upperbound=ub)
+    counts = code_counts(c)
+    assert counts.get(-2, 0) == 2 and counts.get(2, 0) == 2  # test_006:96-97
+
+
+def test_rule_compare_to_manual_obs(spark, daily10):
+    idx = pd.date_range("2020-01-01", freq="D", periods=10)
+    h = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": idx[[1, -1]], "value": [2.0, 7.0]})
+    )
+    c = R.rule_compare_to_manual_obs(
+        daily10, "value", "r", manual_obs=h, threshold=1.0, max_dt="2D",
+        method="linear",
+    )
+    assert code_counts(c).get(-2, 0) == 3  # test_006:108
+
+
+def test_rule_shift_to_manual_obs(spark, daily10):
+    idx = pd.date_range("2020-01-01", freq="D", periods=10)
+    h = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": idx[[1, -1]], "value": [2.0, 10.0]})
+    )
+    c = R.rule_shift_to_manual_obs(daily10, "value", "r", hseries=h, max_dt="2D")
+    adj = [r["r_corr"] for r in c.orderBy("ts").collect()]
+    # test_006:116-118: first value unshifted, rest shifted by +1
+    assert adj[0] == 0.0
+    assert adj[1:] == [float(v) + 1 for v in range(1, 10)]
+
+
+def test_rule_funcdict(daily10):
+    fdict = {"lt_3": lambda s: s < 3.0, "gt_7": lambda s: s > 7.0}
+    c = R.rule_funcdict(daily10, "value", "r", funcdict=fdict)
+    assert code_counts(c).get(99, 0) == 5  # test_006:172
+
+
+def test_rule_keep_comments(spark):
+    comments = ["keep"] * 4 + [""] * 3 + ["discard"] * 3
+    df = make_series_df(spark, np.arange(10), comments=comments)
+    c = R.rule_keep_comments(
+        df, "value", "r", keep_comments=["keep"], comment_series="comment"
+    )
+    counts = code_counts(c)
+    assert counts.get(99, 0) == 4  # test_006:186
+    n_cval = c.filter(F.col("r_cval") == "keep").count()
+    assert n_cval == 4  # test_006:187
+
+
+def test_rule_flat_signal_matches_pandas(spark):
+    vals = np.concatenate([np.arange(5, dtype=float), np.full(5, 4.0)])
+    df = make_series_df(spark, vals)
+    c = R.rule_flat_signal(
+        df, "value", "r", window=3, min_obs=2, std_threshold=0.1
+    )
+    got = code_counts(c).get(99, 0)
+    # pandas oracle (rulelib.py:916-918 semantics)
+    s = pd.Series(vals, index=pd.date_range("2020-01-01", freq="D", periods=10))
+    expected = int((s.dropna().rolling("3D", min_periods=2).std() < 0.1).sum())
+    assert got == expected == 4
+
+
+def test_rules_are_per_series_isolated(spark):
+    """Two series in one frame: window rules must not leak across ids."""
+    v = np.arange(10, dtype=float)
+    v[4] += 3
+    a = make_series_df(spark, v, sid="a")
+    # series b is flat, no spikes
+    b = make_series_df(spark, np.zeros(10), sid="b")
+    df = a.unionByName(b)
+    c = R.rule_spike_detection(df, "value", "r", threshold=2, spike_tol=2)
+    per_sid = {
+        r["series_id"]: r["n"]
+        for r in c.filter(F.col("r_code") == 99)
+        .groupBy("series_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_sid == {"a": 1}
+
+
+def test_combine_rules(spark):
+    v1 = np.arange(10, dtype=float)
+    v1[0] = np.nan
+    v2 = np.arange(10, dtype=float)
+    v2[-1] = np.nan
+    df = make_series_df(spark, v1).withColumnRenamed("value", "s1")
+    df2 = make_series_df(spark, v2).select("series_id", "ts",
+                                           F.col("value").alias("s2"))
+    j = df.join(df2, on=["series_id", "ts"])
+    # OR: NULL where any input NULL (test_006:129-130)
+    c = R.rule_combine_nan_or(j, ["s1", "s2"], "r")
+    assert c.filter(F.col("r_res").isNull()).count() == 2
+    # AND: NULL where all inputs NULL (test_006:151-152)
+    v3 = np.arange(10, dtype=float)
+    v3[0:2] = np.nan
+    v4 = np.arange(10, dtype=float)
+    v4[1:3] = np.nan
+    j2 = (
+        make_series_df(spark, v3).withColumnRenamed("value", "s1")
+        .join(make_series_df(spark, v4).select(
+            "series_id", "ts", F.col("value").alias("s2")),
+            on=["series_id", "ts"])
+    )
+    # result copies s1 (incl. its own NaNs) and NaNs where ALL inputs NaN:
+    # s1 NaN at {0,1}, all-NaN at {1} -> 2 NULLs total (test_006:151-152)
+    c2 = R.rule_combine_nan_and(j2, ["s1", "s2"], "r")
+    assert c2.filter(F.col("r_res").isNull()).count() == 2
+
+
+def test_combine_corrections(spark):
+    base = make_series_df(spark, np.arange(10))
+    codes1 = F.when(F.col("ts") == F.lit("2020-01-01").cast("timestamp"),
+                    99).otherwise(0)
+    codes2 = F.when(F.col("ts") == F.lit("2020-01-10").cast("timestamp"),
+                    -2).otherwise(0)
+    j = base.withColumn("c1", codes1).withColumn("c2", codes2)
+    c_or = R.rule_combine_corrections_or(j, ["c1", "c2"], "r")
+    assert c_or.filter(F.col("r_res") == 99).count() == 2  # test_006:140
+    # overlap on one ts -> AND
+    codes3 = F.when(F.col("ts").isin("2020-01-01", "2020-01-02"), 99).otherwise(0)
+    codes4 = F.when(F.col("ts").isin("2020-01-02", "2020-01-03"), -2).otherwise(0)
+    j2 = base.withColumn("c1", codes3).withColumn("c2", codes4)
+    c_and = R.rule_combine_corrections_and(j2, ["c1", "c2"], "r")
+    assert c_and.filter(F.col("r_res") == 99).count() == 1  # test_006:163

@@ -1,0 +1,272 @@
+"""Per-series Arrow-batched pandas kernels.
+
+Only two rule families genuinely resist window/join formulations
+(SURVEY.md §7.1 step 5):
+
+- greedy offset-jump pairing (/root/reference/traval/rulelib.py:334-371) —
+  order-dependent state within a series;
+- pandas time-interpolation onto manual-obs times with nearest-distance
+  masking (/root/reference/traval/rulelib.py:661-777) — kept as a pandas
+  kernel for bit-exact ``interpolate(method='time')``/``reindex`` edge
+  behavior.
+
+Both run via ``applyInPandas``/``cogroup().applyInPandas`` grouped by
+``series_id``: Arrow batch transfer, one pandas call per series group,
+fully parallel across series, never parallel within one (order matters).
+The kernels return only (series_id, ts, result cols) and are joined back
+to the wide step table on the co-partitioned (series_id, ts) key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from traval_spark.codes import CorrectionCode
+from traval_spark.functions.ts import SID, TS, ensure_ntz
+
+
+def _find_offset_periods(
+    jumps: pd.Series, search_method: str, updown_diff: float
+) -> list:
+    """Greedily pair up/down jumps; returns flat [start, end, start, end...].
+
+    Semantics of /root/reference/traval/rulelib.py:330-371: iterate jumps in
+    time order; for each unmatched jump dh, candidates are all other
+    unmatched jumps; 'match' picks the candidate minimizing |cand + dh|
+    (accepted iff <= updown_diff), 'time' picks the first candidate in time
+    order with |cand + dh| <= updown_diff.
+    """
+    periods: list = []
+    for i in jumps.index:
+        if i in periods:
+            continue
+        dh = jumps.loc[i]
+        cand_idx = jumps.index.difference(periods + [i])  # sorted by time
+        if cand_idx.empty:
+            continue
+        idiff = jumps.loc[cand_idx] + dh
+        if search_method == "match":
+            best = idiff.abs().idxmin()
+            if np.abs(idiff.loc[best]) <= updown_diff:
+                periods += [i, best]
+        elif search_method == "time":
+            ok = idiff.abs() <= updown_diff
+            matches = idiff.loc[ok]
+            if matches.empty:
+                continue
+            periods += [i, matches.index[0]]
+        else:
+            raise ValueError(f"Unknown search_method: {search_method}")
+    return periods
+
+
+def _offset_kernel(
+    pdf: pd.DataFrame,
+    value_col: str,
+    threshold: float,
+    updown_diff: float,
+    max_gap: str,
+    search_method: str,
+) -> pd.DataFrame:
+    """Offset detection for ONE series (rulelib.py:265-399 semantics)."""
+    pdf = pdf.sort_values(TS)
+    ts = pd.DatetimeIndex(pdf[TS])
+    vals = pdf[value_col].to_numpy(dtype=float)
+
+    # gap-aware first difference (ts_utils.py:264-287)
+    diff = np.diff(vals, prepend=np.nan)
+    if len(ts) > 1:
+        gaps = (ts[1:] - ts[:-1]) > pd.Timedelta(max_gap)
+        diff[1:][np.asarray(gaps)] = np.nan
+
+    d = pd.Series(diff, index=ts)
+    up = d[(d >= threshold)].dropna()
+    down = d[(d <= -threshold)].dropna()
+    jumps = pd.concat([up, down]).sort_index()
+
+    code = np.zeros(len(ts), dtype=np.int32)
+    if len(jumps) > 1:
+        periods = _find_offset_periods(jumps, search_method, updown_diff)
+    elif len(jumps) == 1:
+        # single jump: flag from the jump to the end of the series
+        # (rulelib.py:372-381)
+        periods = [jumps.index[0], ts[-1]]
+    else:
+        periods = []
+
+    for j in range(0, len(periods), 2):
+        start = periods[j]
+        end = periods[j + 1] - pd.Timedelta(seconds=30)
+        # pandas .loc[start:end] slice: inclusive both ends, empty if
+        # end < start (rulelib.py:392-395)
+        sel = (ts >= start) & (ts <= end)
+        code[sel] = int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
+
+    return pd.DataFrame(
+        {
+            SID: pdf[SID].to_numpy(),
+            TS: pdf[TS].to_numpy(),
+            "code": code,
+            "sval": np.full(len(ts), np.nan),  # reference keeps NaN svals
+            "cval": np.full(len(ts), np.nan),  # (rulelib.py:384-391)
+        }
+    )
+
+
+def apply_offset_detection(
+    df: DataFrame,
+    in_col: str,
+    out: str,
+    *,
+    threshold: float,
+    updown_diff: float,
+    max_gap: str,
+    search_method: str,
+) -> DataFrame:
+    """Run the offset kernel per series and join corrections back."""
+    df = ensure_ntz(df)
+    proj = df.select(SID, TS, F.col(in_col).cast("double").alias("__v"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _offset_kernel(
+            pdf, "__v", threshold, updown_diff, max_gap, search_method
+        )
+
+    schema = f"{SID} string, {TS} timestamp_ntz, code int, sval double, cval double"
+    corr = proj.groupBy(SID).applyInPandas(run, schema=schema)
+    corr = corr.select(
+        SID,
+        TS,
+        F.col("code").alias(f"{out}_code"),
+        F.col("sval").alias(f"{out}_sval"),
+        F.col("cval").alias(f"{out}_cval"),
+    )
+    return df.join(corr, on=[SID, TS], how="left")
+
+
+# ---------------------------------------------------------------------------
+# manual-observation kernels (rules 15/16)
+# ---------------------------------------------------------------------------
+
+
+def _manual_obs_diff(
+    s: pd.Series,
+    manual: pd.Series,
+    method: str,
+    max_dt: str,
+    reset_dates=None,
+) -> pd.Series:
+    """Interpolated (manual - series) diff on the full series index.
+
+    Shared machinery of rulelib.py:661-704 and 707-777: time-interpolate
+    the series onto manual-obs times, keep diffs within max_dt of a series
+    observation, optionally zero at reset dates, then re-interpolate the
+    sparse diffs to the full index (linear or reindex-fill) with NaN->0.
+    """
+    max_dt_s = pd.Timedelta(max_dt) / pd.Timedelta("1s")
+    nearest = s.index.get_indexer(manual.index, method="nearest")
+    within = (
+        np.abs((s.index[nearest] - manual.index).total_seconds()) <= max_dt_s
+    )
+
+    union_idx = s.index.join(manual.index, how="outer")
+    s_at_manual = s.reindex(union_idx).interpolate(method="time").loc[manual.index]
+    diff = manual - s_at_manual
+    diff = diff.loc[within]
+
+    if reset_dates is not None:
+        for d in reset_dates:
+            diff.loc[pd.Timestamp(d)] = 0.0
+
+    if method == "linear":
+        full = (
+            diff.reindex(s.index.join(diff.index, how="outer"))
+            .interpolate(method="linear")
+            .fillna(0.0)
+        )
+    else:
+        full = diff.reindex(s.index, method=method).fillna(0.0)
+    return full.loc[s.index]
+
+
+def apply_manual_obs_kernel(
+    df: DataFrame,
+    in_col: str,
+    out: str,
+    *,
+    manual_obs: DataFrame,
+    mode: str,
+    threshold: float = 0.05,
+    method: str = "linear",
+    max_dt: str = "1D",
+    reset_dates=None,
+) -> DataFrame:
+    """Cogrouped kernel for rule_compare_to_manual_obs / rule_shift_to_manual_obs.
+
+    mode='compare': corrections on the diff series, codes +/-2 beyond
+    +/-threshold (rulelib.py:695-704).
+    mode='shift': emits the reference's return value (the adjusted series,
+    rulelib.py:775-777) as the additive correction column.
+    """
+    df = ensure_ntz(df)
+    proj = df.select(SID, TS, F.col(in_col).cast("double").alias("__v"))
+    aux = ensure_ntz(manual_obs).select(
+        SID, TS, F.col("value").cast("double").alias("__m")
+    )
+
+    if mode == "compare":
+        schema = f"{SID} string, {TS} timestamp_ntz, code int, sval double, cval double"
+    else:
+        schema = f"{SID} string, {TS} timestamp_ntz, corr double"
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(TS)
+        s = pd.Series(
+            left["__v"].to_numpy(dtype=float), index=pd.DatetimeIndex(left[TS])
+        )
+        right = right.sort_values(TS)
+        manual = pd.Series(
+            right["__m"].to_numpy(dtype=float), index=pd.DatetimeIndex(right[TS])
+        )
+        base = {SID: left[SID].to_numpy(), TS: left[TS].to_numpy()}
+        if manual.empty or s.empty:
+            if mode == "compare":
+                n = len(s)
+                return pd.DataFrame(
+                    base | {"code": np.zeros(n, dtype=np.int32),
+                            "sval": np.full(n, np.nan),
+                            "cval": np.full(n, np.nan)}
+                )
+            return pd.DataFrame(base | {"corr": s.to_numpy()})
+
+        d = _manual_obs_diff(s, manual, method, max_dt, reset_dates)
+        if mode == "compare":
+            above = (d > threshold).to_numpy()
+            below = (d < -threshold).to_numpy()
+            code = np.zeros(len(s), dtype=np.int32)
+            code[above] = int(CorrectionCode.ABOVE_THRESHOLD)
+            code[below] = int(CorrectionCode.BELOW_THRESHOLD)
+            sval = np.where(above | below, d.to_numpy(), np.nan)
+            cval = np.where(above, threshold, np.where(below, -threshold, np.nan))
+            return pd.DataFrame(base | {"code": code, "sval": sval, "cval": cval})
+        # shift mode: reference returns adjusted = series + diff
+        return pd.DataFrame(base | {"corr": (s + d).to_numpy()})
+
+    corr = (
+        proj.groupBy(SID)
+        .cogroup(aux.groupBy(SID))
+        .applyInPandas(run, schema=schema)
+    )
+    if mode == "compare":
+        corr = corr.select(
+            SID, TS,
+            F.col("code").alias(f"{out}_code"),
+            F.col("sval").alias(f"{out}_sval"),
+            F.col("cval").alias(f"{out}_cval"),
+        )
+    else:
+        corr = corr.select(SID, TS, F.col("corr").alias(f"{out}_corr"))
+    return df.join(corr, on=[SID, TS], how="left")

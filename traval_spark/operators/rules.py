@@ -1,0 +1,579 @@
+"""Detection / adjustment / combination rules as Spark plans.
+
+Each rule re-expresses one reference rule
+(/root/reference/traval/rulelib.py) as declarative DataFrame operations:
+window lag/lead for diffs, unbounded windows for per-series scalars,
+range-frame windows for time-based rolling stats, broadcast as-of joins
+for sparse aux series. Only the order-dependent greedy kernel
+(rule_offset_detection) and exact pandas-interpolation rules run as
+Arrow-batched ``applyInPandas`` kernels (see operators/kernels.py).
+
+Contract (mirrors /root/reference/traval/ruleset.py:94-100, 305-367):
+
+- ``code`` rules add ``{out}_code``/``{out}_sval``/``{out}_cval`` columns;
+  the executor computes ``step_i = when(code==0, step_in)`` (NULL = flagged).
+- ``series`` rules add ``{out}_corr``; the executor computes
+  ``step_i = step_in + corr`` with NULL propagation.
+- ``direct`` (multi-input combine) rules add ``{out}_res`` which *is*
+  the next step.
+
+Rules operate on the canonical long frame (series_id, ts, <value cols>).
+Numeric parameters accept floats or Columns (per-series parameters join
+in via a broadcast params table, see plans/params.py). Sparse aux series
+are DataFrames with columns (series_id, ts, value).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from traval_spark.codes import CorrectionCode
+from traval_spark.functions.masks import mask_above_below, mask_corrections
+from traval_spark.functions.ts import (
+    SID,
+    TS,
+    US,
+    align_interpolate,
+    align_resample_ffill_bfill,
+    diff_with_gap_awareness,
+    gap_micros,
+    ensure_ntz,
+    series_window,
+    unix_us,
+)
+
+CODE = "code"
+SERIES = "series"
+DIRECT = "direct"
+
+#: registry: rule name -> (callable, kind); populated by @_register
+RULES: dict[str, tuple[Callable, str]] = {}
+
+
+def _register(kind: str):
+    def deco(fn):
+        RULES[fn.__name__] = (fn, kind)
+        return fn
+
+    return deco
+
+
+def _lit(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(float(v))
+
+
+# ---------------------------------------------------------------------------
+# ufunc dispatch — rulelib.py:25-33. ufuncs are passed by *name* here
+# ("greater", "less", "greater_equal", "less_equal", "equal", "not_equal"),
+# matching the reference's JSON serialization of numpy ufuncs
+# (/root/reference/traval/ruleset.py:49-59).
+# ---------------------------------------------------------------------------
+
+_UFUNCS: dict[str, Callable[[Column, Column], Column]] = {
+    "greater": lambda a, b: a > b,
+    "greater_equal": lambda a, b: a >= b,
+    "less": lambda a, b: a < b,
+    "less_equal": lambda a, b: a <= b,
+    "equal": lambda a, b: a == b,
+    "not_equal": lambda a, b: a != b,
+}
+
+
+def _ufunc_name(ufunc) -> str:
+    """Accept a name, a (name,) tuple, or a numpy ufunc (by __name__)."""
+    if isinstance(ufunc, (tuple, list)):
+        ufunc = ufunc[0]
+    return ufunc if isinstance(ufunc, str) else ufunc.__name__
+
+
+def _ufunc_code(name: str) -> int:
+    """Dispatch ufunc name -> correction code (rulelib.py:25-33)."""
+    if "greater" in name:
+        return int(CorrectionCode.ABOVE_THRESHOLD)
+    if "less" in name:
+        return int(CorrectionCode.BELOW_THRESHOLD)
+    if name == "equal":
+        return int(CorrectionCode.EQUAL_VALUE)
+    return int(CorrectionCode.NOT_EQUAL_VALUE)
+
+
+# ---------------------------------------------------------------------------
+# threshold rules
+# ---------------------------------------------------------------------------
+
+
+@_register(CODE)
+def rule_ufunc_threshold(
+    df: DataFrame, in_col: str, out: str, *, ufunc, threshold, offset=0.0
+) -> DataFrame:
+    """Flag where ``ufunc(value, threshold + offset)`` (rulelib.py:112-150).
+
+    ``threshold`` may be a float, a Column (per-series parameter), or a
+    sparse aux DataFrame(series_id, ts, value) which is first resampled to
+    the series index with ffill+bfill placement semantics
+    (ts_utils.py:234-261) — an as-of alignment, not a Python loop.
+    """
+    name = _ufunc_name(ufunc)
+    cmp_fn = _UFUNCS[name]
+    if isinstance(threshold, DataFrame):
+        thr_col = f"{out}_thr"
+        df = align_resample_ffill_bfill(df, threshold, "value", thr_col)
+        thr = F.col(thr_col) + _lit(offset)
+    else:
+        thr = _lit(threshold) + _lit(offset)
+    mask = cmp_fn(F.col(in_col), thr)
+    return mask_corrections(df, in_col, out, mask, _ufunc_code(name), cval=thr)
+
+
+@_register(CODE)
+def rule_hardmax(df, in_col, out, *, threshold, offset=0.0):
+    """Flag values greater than threshold (rulelib.py:102-104)."""
+    return rule_ufunc_threshold(
+        df, in_col, out, ufunc="greater", threshold=threshold, offset=offset
+    )
+
+
+@_register(CODE)
+def rule_hardmin(df, in_col, out, *, threshold, offset=0.0):
+    """Flag values lower than threshold (rulelib.py:107-109)."""
+    return rule_ufunc_threshold(
+        df, in_col, out, ufunc="less", threshold=threshold, offset=offset
+    )
+
+
+@_register(CODE)
+def rule_max_gradient(df, in_col, out, *, max_step=0.5, max_timestep="1D"):
+    """Flag where gradient between consecutive obs exceeds max_step.
+
+    rulelib.py:67-99: grad = diff(v) / diff(t_seconds) * conversion where
+    conversion = max_timestep in seconds. Negative max_step flags negative
+    gradients. Pure lag-window expressions.
+    """
+    conversion = pd.Timedelta(max_timestep) / pd.Timedelta("1s")
+    w = series_window()
+    dv = F.col(in_col) - F.lag(F.col(in_col)).over(w)
+    dt_s = (
+        unix_us(TS) - unix_us(F.lag(F.col(TS)).over(w))
+    ).cast("double") / F.lit(float(US))
+    grad = dv / dt_s * F.lit(float(conversion))
+    if isinstance(max_step, Column) or max_step > 0.0:
+        mask = grad > _lit(max_step)
+        return mask_corrections(
+            df, in_col, out, mask, int(CorrectionCode.ABOVE_THRESHOLD),
+            cval=_lit(max_step),
+        )
+    mask = grad < -_lit(max_step)
+    return mask_corrections(
+        df, in_col, out, mask, int(CorrectionCode.BELOW_THRESHOLD),
+        cval=_lit(max_step),
+    )
+
+
+@_register(CODE)
+def rule_diff_ufunc_threshold(
+    df, in_col, out, *, ufunc, threshold, max_gap="7D"
+):
+    """Gap-aware diff compared against a threshold (rulelib.py:153-190)."""
+    name = _ufunc_name(ufunc)
+    diff = diff_with_gap_awareness(df, in_col, max_gap)
+    mask = _UFUNCS[name](diff, _lit(threshold))
+    return mask_corrections(
+        df, in_col, out, mask, _ufunc_code(name), cval=_lit(threshold)
+    )
+
+
+@_register(CODE)
+def rule_other_ufunc_threshold(
+    df, in_col, out, *, other: DataFrame, ufunc, threshold
+):
+    """Flag timestamps where *another* series violates a threshold.
+
+    rulelib.py:193-228: the mask is evaluated on the other series, the
+    corrections carry the OTHER series' values (``_ufunc_corrections``
+    receives ``other_values``), restricted to timestamps present in both.
+    Broadcast left join on (series_id, ts).
+    """
+    name = _ufunc_name(ufunc)
+    df = ensure_ntz(df)
+    oth = ensure_ntz(other).select(
+        F.col(SID), F.col(TS), F.col("value").alias(f"{out}_other")
+    )
+    df = df.join(F.broadcast(oth), on=[SID, TS], how="left")
+    ov = F.col(f"{out}_other")
+    mask = ov.isNotNull() & _UFUNCS[name](ov, _lit(threshold))
+    return mask_corrections(
+        df, f"{out}_other", out, mask, _ufunc_code(name), cval=_lit(threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# diff / spike / offset rules
+# ---------------------------------------------------------------------------
+
+
+@_register(CODE)
+def rule_spike_detection(
+    df, in_col, out, *, threshold=0.15, spike_tol=0.15, max_gap="7D"
+):
+    """Flag 1-timestep spikes (rulelib.py:231-262 + ts_utils.py:290-340).
+
+    Derivation: with gap-aware diff d_i, up-diff du = d where d >= 0 else
+    NULL, down-diff dd = d where d <= 0 else NULL:
+
+    - up-spike at i  iff |du_i + dd_{i+1}| <= spike_tol and d_i >  threshold
+    - down-spike at i iff |dd_i + du_{i+1}| <= spike_tol and d_i < -threshold
+
+    The reference's positional trim (ts_utils.py:328-331, iloc[1:-1] with
+    values[2:]) is implicit here: d_0 is NULL (no lag) and lead() is NULL on
+    the last row, and NULL propagates through the sums.
+    """
+    w = series_window()
+    d = diff_with_gap_awareness(df, in_col, max_gap)
+    df = df.withColumn(f"{out}_d", d)
+    dcol = F.col(f"{out}_d")
+    du = F.when(dcol < 0.0, F.lit(None)).otherwise(dcol)  # keeps d >= 0 and NULL
+    dd = F.when(dcol > 0.0, F.lit(None)).otherwise(dcol)  # keeps d <= 0 and NULL
+    df = df.withColumn(f"{out}_du", du).withColumn(f"{out}_dd", dd)
+    du_next = F.lead(F.col(f"{out}_du")).over(w)
+    dd_next = F.lead(F.col(f"{out}_dd")).over(w)
+    spike_up = F.abs(F.col(f"{out}_du") + dd_next)
+    spike_down = F.abs(F.col(f"{out}_dd") + du_next)
+    up = (spike_up <= _lit(spike_tol)) & (dcol > _lit(threshold))
+    down = (spike_down <= _lit(spike_tol)) & (dcol < -_lit(threshold))
+    mask = F.coalesce(up, F.lit(False)) | F.coalesce(down, F.lit(False))
+    df = mask_corrections(
+        df, in_col, out, mask, int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
+    )
+    return df.drop(f"{out}_d", f"{out}_du", f"{out}_dd")
+
+
+@_register(CODE)
+def rule_offset_detection(
+    df,
+    in_col,
+    out,
+    *,
+    threshold=0.15,
+    updown_diff=0.1,
+    max_gap="7D",
+    search_method="time",
+):
+    """Detect offset periods via greedy jump pairing (rulelib.py:265-399).
+
+    The pairing loop is inherently sequential per series, so it runs as an
+    Arrow-batched per-series pandas kernel inside ``applyInPandas``
+    (SURVEY.md §2.2 rule 8); never parallelized within a series, fully
+    parallel across series.
+    """
+    from traval_spark.operators.kernels import apply_offset_detection
+
+    return apply_offset_detection(
+        df,
+        in_col,
+        out,
+        threshold=threshold,
+        updown_diff=updown_diff,
+        max_gap=max_gap,
+        search_method=search_method,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sigma / bandwidth rules
+# ---------------------------------------------------------------------------
+
+def _w_unbounded() -> Window:
+    """Whole-series window: per-series scalar broadcast (mean/std/quantile)."""
+    return Window.partitionBy(SID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+
+@_register(CODE)
+def rule_outside_n_sigma(df, in_col, out, *, n=2.0):
+    """Flag outside mean +/- n*std over the whole series (rulelib.py:402-430).
+
+    Per-series scalars via unbounded windows; stddev_samp (ddof=1) matches
+    pandas ``Series.std()``.
+    """
+    mean = F.avg(F.col(in_col)).over(_w_unbounded())
+    std = F.stddev_samp(F.col(in_col)).over(_w_unbounded())
+    thr_above = mean + _lit(n) * std
+    thr_below = mean - _lit(n) * std
+    return mask_above_below(
+        df, in_col, out,
+        F.col(in_col) > thr_above, thr_above,
+        F.col(in_col) < thr_below, thr_below,
+    )
+
+
+@_register(CODE)
+def rule_diff_outside_of_n_sigma(df, in_col, out, *, n=2.0, max_gap="7D"):
+    """Flag where |gap-aware diff| > n*std(diff) (rulelib.py:433-459).
+
+    Note the reference emits the corrections on the *diff* series
+    (``mask_corrections_above_threshold(diff, ...)``), so sval carries diff
+    values, and the code is always ABOVE_THRESHOLD (abs comparison).
+    """
+    diff = diff_with_gap_awareness(df, in_col, max_gap)
+    df = df.withColumn(f"{out}_diff", diff)
+    nsigma = _lit(n) * F.stddev_samp(F.col(f"{out}_diff")).over(_w_unbounded())
+    mask = F.abs(F.col(f"{out}_diff")) > nsigma
+    df = mask_corrections(
+        df, f"{out}_diff", out, mask, int(CorrectionCode.ABOVE_THRESHOLD),
+        cval=nsigma,
+    )
+    return df.drop(f"{out}_diff")
+
+
+@_register(CODE)
+def rule_outside_bandwidth(
+    df, in_col, out, *, lowerbound: DataFrame, upperbound: DataFrame
+):
+    """Flag outside [lower, upper] bound series (rulelib.py:462-491).
+
+    Bounds sparser than the series are linearly interpolated to the series
+    index with np.interp hull semantics (ts_utils.py:368-388) — expressed
+    as prev/next-bound windows + linear weight, no Python.
+    """
+    df = align_interpolate(df, lowerbound, "value", f"{out}_lb")
+    df = align_interpolate(df, upperbound, "value", f"{out}_ub")
+    df = mask_above_below(
+        df, in_col, out,
+        F.col(in_col) > F.col(f"{out}_ub"), F.col(f"{out}_ub"),
+        F.col(in_col) < F.col(f"{out}_lb"), F.col(f"{out}_lb"),
+    )
+    return df.drop(f"{out}_lb", f"{out}_ub")
+
+
+@_register(CODE)
+def rule_flat_signal(
+    df,
+    in_col,
+    out,
+    *,
+    window,
+    min_obs,
+    std_threshold=7.5e-3,
+    qbelow=None,
+    qabove=None,
+    hbelow=None,
+    habove=None,
+):
+    """Flag flat/dead signal stretches (rulelib.py:867-941).
+
+    pandas ``rolling("{window}D", min_periods=min_obs).std()`` over the
+    non-NaN subset maps to a per-series range-frame window over unix
+    microseconds with the pandas left-open interval (t-window, t]:
+    rangeBetween(-(window*86400e6 - 1), 0). stddev_samp/count/percentile
+    ignore NULLs, so computing over all rows equals the dropna() subset.
+    Quantile gates use exact ``percentile`` (pandas-default linear
+    interpolation), never approx_percentile (SURVEY.md §4.2).
+    """
+    win_us = int(window) * 86400 * US - 1
+    w_range = (
+        Window.partitionBy(SID)
+        .orderBy(unix_us(TS))
+        .rangeBetween(-win_us, 0)
+    )
+    v = F.col(in_col)
+    roll_std = F.stddev_samp(v).over(w_range)
+    roll_cnt = F.count(v).over(w_range)
+    stdmask = (roll_cnt >= F.lit(int(min_obs))) & (roll_std < _lit(std_threshold))
+
+    if qabove is None and qbelow is not None:
+        qmask = v < F.percentile(v, F.lit(float(qbelow))).over(_w_unbounded())
+    elif qabove is not None and qbelow is None:
+        qmask = v > F.percentile(v, F.lit(float(qabove))).over(_w_unbounded())
+    elif qabove is not None and qbelow is not None:
+        qmask = (v > F.percentile(v, F.lit(float(qabove))).over(_w_unbounded())) | (
+            v < F.percentile(v, F.lit(float(qbelow))).over(_w_unbounded())
+        )
+    else:
+        qmask = F.lit(True)
+
+    if habove is None and hbelow is not None:
+        hmask = v < _lit(hbelow)
+    elif habove is not None and hbelow is None:
+        hmask = v > _lit(habove)
+    elif habove is not None and hbelow is not None:
+        hmask = (v > _lit(habove)) | (v < _lit(hbelow))
+    else:
+        hmask = F.lit(True)
+
+    mask = v.isNotNull() & F.coalesce(stdmask & qmask & hmask, F.lit(False))
+    return mask_corrections(
+        df, in_col, out, mask, int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# comment / manual-obs rules
+# ---------------------------------------------------------------------------
+
+
+@_register(CODE)
+def rule_keep_comments(
+    df, in_col, out, *, keep_comments: list[str], comment_series: DataFrame | str
+):
+    """Flag (code 99) where the comment contains any keep_comment.
+
+    rulelib.py:624-658: iterates keep_comments in order, later matches
+    overwrite earlier ones; comparison value = the matched comment.
+    ``comment_series`` may be a column name in df or an aux
+    DataFrame(series_id, ts, comment).
+    """
+    if isinstance(comment_series, DataFrame):
+        df = ensure_ntz(df)
+        aux = ensure_ntz(comment_series).select(
+            SID, TS, F.col(comment_series.columns[-1]).alias(f"{out}_comment")
+        )
+        df = df.join(F.broadcast(aux), on=[SID, TS], how="left")
+        com = F.col(f"{out}_comment")
+    else:
+        com = F.col(comment_series)
+
+    code = F.lit(0)
+    cval = F.lit("")
+    sval = F.lit(None).cast("double")
+    for comment in keep_comments:  # later comments overwrite earlier matches
+        m = com.isNotNull() & com.contains(comment)
+        code = F.when(m, F.lit(int(CorrectionCode.UNKNOWN_COMPARISON_VALUE))).otherwise(code)
+        cval = F.when(m, F.lit(comment)).otherwise(cval)
+        sval = F.when(m, F.col(in_col)).otherwise(sval)
+    df = (
+        df.withColumn(f"{out}_code", code)
+        .withColumn(f"{out}_sval", sval)
+        .withColumn(f"{out}_cval", cval)
+    )
+    if isinstance(comment_series, DataFrame):
+        df = df.drop(f"{out}_comment")
+    return df
+
+
+@_register(CODE)
+def rule_compare_to_manual_obs(
+    df, in_col, out, *, manual_obs: DataFrame, threshold=0.05,
+    method="linear", max_dt="1D",
+):
+    """Flag where interpolated (manual - series) diff exceeds threshold.
+
+    rulelib.py:661-704. Exact pandas time-interpolation + nearest-distance
+    masking + linear re-interpolation semantics run as a per-series pandas
+    kernel (SURVEY.md §2.2 rule 15); the corrections are emitted on the
+    *diff* series (sval carries diff values).
+    """
+    from traval_spark.operators.kernels import apply_manual_obs_kernel
+
+    return apply_manual_obs_kernel(
+        df, in_col, out, manual_obs=manual_obs, mode="compare",
+        threshold=threshold, method=method, max_dt=max_dt,
+    )
+
+
+@_register(SERIES)
+def rule_shift_to_manual_obs(
+    df, in_col, out, *, hseries: DataFrame, method="linear", max_dt="1D",
+    reset_dates=None,
+):
+    """Adjustment rule: shift series onto manual observations.
+
+    rulelib.py:707-777. Returns the *adjusted series* (series + interpolated
+    diff) as the correction column, matching the reference which returns the
+    adjusted series directly (the RuleSet additive contract then applies it
+    as ``d[i] = d[in] + corr`` — replicated, not 'fixed').
+    """
+    from traval_spark.operators.kernels import apply_manual_obs_kernel
+
+    return apply_manual_obs_kernel(
+        df, in_col, out, manual_obs=hseries, mode="shift",
+        method=method, max_dt=max_dt, reset_dates=reset_dates,
+    )
+
+
+@_register(CODE)
+def rule_funcdict(df, in_col, out, *, funcdict: dict[str, Callable]):
+    """Flag where any user predicate is True (rulelib.py:36-64).
+
+    Arbitrary Python predicates over values -> vectorized Arrow pandas_udf
+    (the reference applies them element-wise via ``series.apply``; our
+    predicates receive the whole pandas Series batch and may be vectorized).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    funcs = list(funcdict.values())
+
+    @pandas_udf("boolean")
+    def _any_flag(v: pd.Series) -> pd.Series:
+        mask = None
+        for fn in funcs:
+            res = fn(v)
+            if not isinstance(res, pd.Series):
+                res = v.apply(fn)  # element-wise predicate fallback
+            mask = res if mask is None else (mask | res)
+        return mask.fillna(False)
+
+    mask = _any_flag(F.col(in_col))
+    return mask_corrections(
+        df, in_col, out, mask, int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# combination rules (multi-input; apply_to tuple -> result IS the next step)
+# ---------------------------------------------------------------------------
+
+
+@_register(DIRECT)
+def rule_combine_nan_or(df, in_cols: list[str], out: str) -> DataFrame:
+    """NULL where ANY input is NULL, else first input (rulelib.py:780-798)."""
+    any_null = None
+    for c in in_cols:
+        n = F.col(c).isNull()
+        any_null = n if any_null is None else (any_null | n)
+    res = F.when(any_null, F.lit(None)).otherwise(F.col(in_cols[0]))
+    return df.withColumn(f"{out}_res", res)
+
+
+@_register(DIRECT)
+def rule_combine_nan_and(df, in_cols: list[str], out: str) -> DataFrame:
+    """NULL where ALL inputs are NULL, else first input (rulelib.py:821-841)."""
+    all_null = None
+    for c in in_cols:
+        n = F.col(c).isNull()
+        all_null = n if all_null is None else (all_null & n)
+    res = F.when(all_null, F.lit(None)).otherwise(F.col(in_cols[0]))
+    return df.withColumn(f"{out}_res", res)
+
+
+@_register(DIRECT)
+def rule_combine_corrections_or(df, in_cols: list[str], out: str) -> DataFrame:
+    """Code 99 where ANY input code != 0 (rulelib.py:801-818).
+
+    in_cols are correction-code columns of earlier steps.
+    """
+    any_c = None
+    for c in in_cols:
+        n = F.coalesce(F.col(c), F.lit(0)) != 0
+        any_c = n if any_c is None else (any_c | n)
+    res = F.when(any_c, F.lit(int(CorrectionCode.UNKNOWN_COMPARISON_VALUE))).otherwise(
+        F.lit(0)
+    )
+    return df.withColumn(f"{out}_res", res)
+
+
+@_register(DIRECT)
+def rule_combine_corrections_and(df, in_cols: list[str], out: str) -> DataFrame:
+    """Code 99 where ALL input codes != 0 (rulelib.py:844-864)."""
+    all_c = None
+    for c in in_cols:
+        n = F.coalesce(F.col(c), F.lit(0)) != 0
+        all_c = n if all_c is None else (all_c & n)
+    res = F.when(all_c, F.lit(int(CorrectionCode.UNKNOWN_COMPARISON_VALUE))).otherwise(
+        F.lit(0)
+    )
+    return df.withColumn(f"{out}_res", res)

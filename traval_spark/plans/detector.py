@@ -1,0 +1,239 @@
+"""Detector: per-fleet orchestration of ruleset application + evaluation.
+
+Re-expresses /root/reference/traval/detector.py:17-587 over the long frame:
+where the reference holds OrderedDicts of pandas series for ONE series, this
+Detector holds lazy DataFrames covering the whole fleet — the reference's
+user-side "for each location" loop (ex02 notebook) disappears into
+``groupBy(series_id)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from traval_spark.comparison import (
+    binary_classification,
+    compare_series_relative,
+    compare_to_base_by_comment,
+    summarize_relative,
+    with_classifier_stats,
+)
+from traval_spark.functions.masks import (
+    corrections_as_float,
+    corrections_as_nan,
+)
+from traval_spark.functions.ts import SID, TS
+from traval_spark.plans.ruleset import SparkRuleSet, apply_ruleset
+
+
+class Detector:
+    """Apply a RuleSet to a fleet of series and compare against truth.
+
+    Parameters
+    ----------
+    series : DataFrame
+        long frame (series_id, ts, value[, comment]).
+    truth : DataFrame, optional
+        same shape; the validation benchmark (detector.py:50-72).
+    """
+
+    def __init__(self, series: DataFrame, truth: DataFrame | None = None):
+        self.series = series
+        self.truth = truth
+        self.ruleset: SparkRuleSet | None = None
+        self.results: DataFrame | None = None
+
+    def set_truth(self, truth: DataFrame) -> None:
+        self.truth = truth
+
+    def reset(self) -> None:
+        self.ruleset = None
+        self.results = None
+
+    # ------------------------------------------------------------------
+
+    def apply_ruleset(
+        self, ruleset: SparkRuleSet, params: DataFrame | None = None
+    ) -> DataFrame:
+        """Run the ruleset; returns (and stores) the lazy wide step table.
+
+        Unlike the reference (detector.py:115-165) comparisons are not
+        precomputed eagerly for every step — they are lazy aggregations
+        fetched via :meth:`comparison` on demand.
+        """
+        self.ruleset = ruleset
+        self.results = apply_ruleset(self.series, ruleset, params=params)
+        return self.results
+
+    def _require_results(self) -> DataFrame:
+        if self.results is None:
+            raise RuntimeError("Call apply_ruleset first")
+        return self.results
+
+    def _resolve_step(self, step: int) -> int:
+        n = len(self.ruleset.rules)
+        return n + 1 + step if step < 0 else step
+
+    def step_series(self, step: int) -> DataFrame:
+        """Long frame of one step's series (detector.py:430-442 for -1)."""
+        step = self._resolve_step(step)
+        return self._require_results().select(
+            SID, TS, F.col(f"step_{step}").alias("value")
+        )
+
+    def get_final_result(self) -> DataFrame:
+        return self.step_series(len(self.ruleset.rules))
+
+    # ------------------------------------------------------------------
+
+    def comparison(self, step: int = -1) -> DataFrame:
+        """Relative comparison of a step vs truth and base (detector.py:142-165)."""
+        if self.truth is None:
+            raise ValueError("No truth series set")
+        return compare_series_relative(
+            self.step_series(step), self.truth, self.step_series(0)
+        )
+
+    def confusion_matrix(self, steps: list[int] | None = None) -> DataFrame:
+        """Per-step TP/FP/FN/TN vs truth (detector.py:181-240).
+
+        One row per step with the rule name; counts overlap across rules
+        exactly as in the reference ("overlapping counts" note).
+        """
+        n = len(self.ruleset.rules)
+        steps = steps if steps is not None else list(range(1, n + 1))
+        frames = []
+        for k in steps:
+            k = self._resolve_step(k)
+            if k == 0:
+                continue
+            bc = binary_classification(self.comparison(k))
+            frames.append(
+                bc.select(
+                    F.lit(k).alias("step"),
+                    F.lit(self.ruleset.get_step_name(k)).alias("rule"),
+                    "tp", "fp", "fn", "tn",
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def uniqueness(self) -> DataFrame:
+        """Unique contribution per rule (detector.py:242-303).
+
+        For each step k (excluding the last), NULLs unique to step k vs ALL
+        other steps (incl. step 0, excl. the last step) stay NULL; non-unique
+        NULLs are patched to the reference's -9999.0 sentinel before the
+        relative comparison.
+        """
+        res = self._require_results()
+        n = len(self.ruleset.rules)
+        steps = list(range(1, n))  # reference drops the last step
+        others_all = [0] + steps
+        frames = []
+        for k in steps:
+            others = [j for j in others_all if j != k]
+            s = F.col(f"step_{k}")
+            unique_null = s.isNull()
+            for j in others:
+                unique_null = unique_null & F.col(f"step_{j}").isNotNull()
+            patched = F.when(
+                s.isNull() & ~unique_null, F.lit(-9999.0)
+            ).otherwise(s)
+            s1 = res.select(SID, TS, patched.alias("value"))
+            rel = compare_series_relative(s1, self.truth, self.step_series(0))
+            bc = binary_classification(rel)
+            frames.append(
+                bc.select(
+                    F.lit(k).alias("step"),
+                    F.lit(self.ruleset.get_step_name(k)).alias("rule"),
+                    "tp", "fp", "fn", "tn",
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def stats_per_comment(self, step: int = -1) -> DataFrame:
+        """Relative-comparison counts split by truth comment (detector.py:305-335)."""
+        rel = self.comparison(step)
+        return compare_to_base_by_comment(rel)
+
+    def get_indices(self, category: str, step: int = -1) -> DataFrame:
+        """Rows in a tp/fp/fn/tn category (detector.py:337-379)."""
+        catmap = {
+            "tp": "flagged_in_both", "true_positives": "flagged_in_both",
+            "fp": "flagged_in_s1", "false_positives": "flagged_in_s1",
+            "fn": "flagged_in_s2", "false_negatives": "flagged_in_s2",
+            "tn": "kept_in_both", "true_negatives": "kept_in_both",
+        }
+        key = category.lower()
+        if key not in catmap:
+            raise ValueError(
+                f"Category '{category}' not recognized, must be tp/fp/fn/tn"
+            )
+        rel = self.comparison(step)
+        return rel.filter(F.col("rel_category") == catmap[key]).select(SID, TS)
+
+    def get_comment_series(self) -> DataFrame:
+        """Comma-joined rule names per flagged timestamp (detector.py:381-416)."""
+        res = self._require_results()
+        names = list(self.ruleset.rules.keys())
+        parts = [
+            F.when(F.coalesce(F.col(f"r{i}_code"), F.lit(0)) != 0, F.lit(nm))
+            for i, nm in enumerate(names, start=1)
+            if f"r{i}_code" in res.columns
+        ]
+        comment = F.concat_ws(",", F.array(*parts)) if parts else F.lit("")
+        return res.select(SID, TS, comment.alias("comment"))
+
+    def get_corrections_dataframe(self, as_addable_df: bool = False) -> DataFrame:
+        """Per-rule correction codes, or addable float corrections.
+
+        detector.py:444-493: code-rule steps emit their correction code
+        (coalesced to 0); series-rule steps are re-encoded (99 for NULL
+        results, 4 for nonzero shifts); as_addable_df applies
+        corrections_as_nan + corrections_as_float (reference quirk included).
+        """
+        res = self._require_results()
+        cols = [F.col(SID), F.col(TS)]
+        for i, nm in enumerate(self.ruleset.rules.keys(), start=1):
+            if f"r{i}_code" in res.columns:
+                code = F.coalesce(F.col(f"r{i}_code"), F.lit(0))
+                if as_addable_df:
+                    cols.append(
+                        (
+                            corrections_as_nan(code)
+                            + corrections_as_float(
+                                code,
+                                F.col(f"r{i}_sval"),
+                                F.col(f"r{i}_cval").cast("double"),
+                            )
+                        ).alias(nm)
+                    )
+                else:
+                    cols.append(code.alias(nm))
+            elif f"r{i}_corr" in res.columns:
+                corr = F.col(f"r{i}_corr")
+                if as_addable_df:
+                    cols.append(corr.alias(nm))
+                else:
+                    # series corrections re-encoded (detector.py:475-487):
+                    # NULL -> 99, nonzero shift -> 4, else 0
+                    cols.append(
+                        F.when(corr.isNull(), F.lit(99))
+                        .when(corr != 0.0, F.lit(4))
+                        .otherwise(F.lit(0))
+                        .alias(nm)
+                    )
+            else:
+                cols.append(F.lit(0).alias(nm))  # combine-rule sentinel
+        return res.select(*cols)
+
+    def classifier_stats(self, step: int = -1) -> DataFrame:
+        """All 18 binary-classification stats for a step (one row)."""
+        return with_classifier_stats(binary_classification(self.comparison(step)))
