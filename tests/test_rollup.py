@@ -1,0 +1,166 @@
+"""Rollup cascade, salting, gap-fill, compression, tier-store tests.
+
+These are the graft-engine invariants (BASELINE.json north_rule):
+cascade identity (tier N+1 from tier N == from raw), salted == unsalted,
+Gorilla round-trip bit-exactness, checkpoint/resume partition skipping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from traval_spark.compress import (
+    pack_tier,
+    pack_timestamps,
+    pack_values,
+    unpack_tier,
+    unpack_timestamps,
+    unpack_values,
+)
+from traval_spark.rollup import build_cascade, gap_fill, rollup_cascade, rollup_raw, salted_rollup
+from traval_spark.sources.synth import synth_sequences
+from traval_spark.sources.tierstore import TierStore, partition_fingerprints
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    return synth_sequences(spark, 5000, seed=42, span_days=2).cache()
+
+
+def _collect_tier(df):
+    return {
+        (r["source"], r["bucket"]): (
+            r["n_points"], r["sum_tok"], r["min_tok"], r["max_tok"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_synth_determinism_and_skew(spark, seqs):
+    again = synth_sequences(spark, 5000, seed=42, span_days=2)
+    assert seqs.exceptAll(again).count() == 0
+    assert again.exceptAll(seqs).count() == 0
+    counts = {r["source"]: r["n"] for r in
+              seqs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # source_00 holds ~half of all rows (skew target, FIXTURES.md F6)
+    assert counts["source_00"] / 5000 == pytest.approx(0.5, abs=0.05)
+    # n_tok invariant: n_tok == size(tokens)
+    bad = seqs.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+
+
+def test_rollup_cascade_identity(seqs):
+    """1h from 1m must equal 1h from raw; same for 1d (partial+final agg)."""
+    t1m = rollup_raw(seqs, "1m")
+    via_cascade = _collect_tier(rollup_cascade(t1m, "1h"))
+    direct = _collect_tier(rollup_raw(seqs, "1h"))
+    assert via_cascade == direct
+    t1d_cascade = _collect_tier(rollup_cascade(rollup_cascade(t1m, "1h"), "1d"))
+    t1d_direct = _collect_tier(rollup_raw(seqs, "1d"))
+    assert t1d_cascade == t1d_direct
+
+
+def test_salted_rollup_equals_unsalted(seqs):
+    plain = _collect_tier(rollup_raw(seqs, "1h"))
+    salted = _collect_tier(salted_rollup(seqs, "1h", n_salt=8))
+    assert plain == salted
+
+
+def test_rollup_skips_null_values(spark, seqs):
+    """Rule-flagged rows (NULL n_tok) are excluded like pandas NaN."""
+    flagged = seqs.withColumn(
+        "n_tok",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0, None)
+        .otherwise(F.col("n_tok")),
+    )
+    t = rollup_raw(flagged, "1d")
+    full = rollup_raw(seqs, "1d")
+    n_flagged = flagged.filter(F.col("n_tok").isNull()).count()
+    assert n_flagged > 0
+    total_t = sum(v[0] for v in _collect_tier(t).values())
+    total_full = sum(v[0] for v in _collect_tier(full).values())
+    assert total_full - total_t == n_flagged
+
+
+def test_gap_fill_ffill_and_linear(spark):
+    rows = [
+        ("a", "2024-01-01 00:00:00", 2, 10.0, 1, 9),
+        ("a", "2024-01-01 00:03:00", 4, 40.0, 5, 15),
+    ]
+    t = spark.createDataFrame(
+        rows, "source string, bucket string, n_points long, sum_tok double,"
+        " min_tok int, max_tok int"
+    ).withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
+    dense = gap_fill(t, "1m", method="ffill").orderBy("bucket").collect()
+    assert len(dense) == 4  # 00:00 .. 00:03
+    assert [r["sum_tok"] for r in dense] == [10.0, 10.0, 10.0, 40.0]
+    assert [r["gap_filled"] for r in dense] == [False, True, True, False]
+    lin = gap_fill(t, "1m", method="linear").orderBy("bucket").collect()
+    assert [r["sum_tok"] for r in lin] == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_gorilla_roundtrip_property():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = int(rng.integers(1, 2000))
+        ts = np.cumsum(
+            rng.choice([60_000_000, 61_000_000, 3_600_000_000], n)
+        ).astype(np.int64) + 1_700_000_000_000_000
+        vals = np.cumsum(rng.normal(0, 1, n))
+        vals[rng.integers(0, n, 3)] = np.nan
+        assert (unpack_timestamps(pack_timestamps(ts)) == ts).all()
+        out = unpack_values(pack_values(vals))
+        assert np.array_equal(vals.view(np.uint64), out.view(np.uint64))
+
+
+def test_pack_tier_roundtrip(spark, seqs):
+    t1m = rollup_raw(seqs, "1m")
+    packed = pack_tier(t1m, measures=["sum_tok"])
+    unpacked = unpack_tier(packed).filter(F.col("measure") == "sum_tok")
+    orig = {(r["source"], r["bucket"]): r["sum_tok"] for r in t1m.collect()}
+    got = {(r["source"], r["bucket"]): r["value"] for r in unpacked.collect()}
+    assert {k: float(v) for k, v in orig.items()} == got
+    comp = packed.agg(F.sum("raw_bytes").alias("r"),
+                      F.sum("packed_bytes").alias("p")).collect()[0]
+    assert comp["p"] < comp["r"]  # regular minute buckets must compress
+
+
+def test_tierstore_resume(spark, seqs, tmp_path):
+    root = str(tmp_path / "tiers")
+    store = TierStore(root)
+    t1d = rollup_raw(seqs, "1d").withColumn(
+        "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+    )
+    fps = partition_fingerprints(t1d)
+    res1 = store.write_tier("1d", t1d.drop("day"), fps)
+    assert len(res1["written_partitions"]) == len(fps) > 0
+    # unchanged input -> nothing stale
+    assert store.stale_days("1d", fps) == []
+    # perturb one day's fingerprint -> only that day stale
+    day0 = sorted(fps)[0]
+    fps2 = {d: (dict(v, rows=v["rows"] + 1) if d == day0 else v)
+            for d, v in fps.items()}
+    assert store.stale_days("1d", fps2) == [day0]
+    # idempotent partial rewrite of just that day
+    res2 = store.write_tier("1d", t1d.drop("day"), fps2, days=[day0])
+    assert res2["written_partitions"] == [day0]
+    back = store.read_tier("1d", spark)
+    assert back.count() == t1d.count()
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    from traval_spark.pipeline import default_ruleset, run
+
+    out = str(tmp_path / "pipe")
+    m1 = run(spark, out, synth_rows=3000, resume=False,
+             ruleset=default_ruleset())
+    assert m1["rows"]["1m"] > 0 and m1["rows"]["1d"] > 0
+    assert m1["compression_ratio"] > 1.0
+    # resume with identical input: every partition skipped
+    m2 = run(spark, out, synth_rows=3000, resume=True,
+             ruleset=default_ruleset())
+    for tier in ("1m", "1h", "1d"):
+        assert m2["partitions"][tier] == []
+        assert m2["skipped"][tier] == m1["partitions"][tier]

@@ -1,0 +1,167 @@
+"""End-to-end rollup/retention job — the ``spark-submit --py-files`` entry.
+
+    spark-submit --py-files traval_spark.zip traval_spark/pipeline.py \
+        --synth-rows 1000000 --output /data/tiers --resume
+
+Flow (north_rule): tokenized sequences -> rule-based cleaning (flagged
+points excluded from aggregates, exactly traval's NaN semantics) ->
+salted tumbling rollups raw->1m->1h->1d -> gap-fill -> Gorilla-packed
+blocks -> TierStore partitions with lineage manifests; resumable per
+partition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# when executed as a plain script (python .../pipeline.py) rather than via
+# spark-submit --py-files, make the package importable from its location
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traval_spark.compress import pack_tier
+from traval_spark.plans.ruleset import SparkRuleSet, apply_ruleset
+from traval_spark.rollup import build_cascade, gap_fill
+from traval_spark.session import get_spark
+from traval_spark.sources.synth import synth_sequences
+from traval_spark.sources.tierstore import TierStore, partition_fingerprints
+
+
+def default_ruleset() -> SparkRuleSet:
+    """Cleaning rules applied to the n_tok-per-source series before rollup:
+    hard token-length cap + spike screen (traval rules on the graft input)."""
+    rs = SparkRuleSet("sequence-cleaning")
+    rs.add_rule("toklen_max", "rule_hardmax", apply_to=0,
+                kwargs={"threshold": 100_000.0})
+    rs.add_rule("toklen_spike", "rule_spike_detection", apply_to=0,
+                kwargs={"threshold": 1e7, "spike_tol": 1e7})
+    rs.add_rule("final", "rule_combine_nan_or", apply_to=(1, 2))
+    return rs
+
+
+def clean_sequences(df: DataFrame, ruleset: SparkRuleSet | None) -> DataFrame:
+    """Run the ruleset over (source, ts, n_tok) series; flagged points get
+    NULL n_tok (kept as rows — SURVEY.md §1.4) so aggregates skip them."""
+    if ruleset is None:
+        return df
+    series = df.select(
+        F.col("source").alias("series_id"),
+        "ts",
+        F.col("n_tok").cast("double").alias("value"),
+        "doc_id",
+        "tokens",
+        "n_tok",
+    )
+    wide = apply_ruleset(series, ruleset)
+    last = f"step_{len(ruleset.rules)}"
+    return wide.select(
+        "doc_id",
+        "tokens",
+        F.col("series_id").alias("source"),
+        "ts",
+        F.when(F.col(last).isNotNull(), F.col("n_tok")).alias("n_tok"),
+    )
+
+
+def run(
+    spark: SparkSession,
+    out_root: str,
+    input_path: str | None = None,
+    synth_rows: int = 100_000,
+    resume: bool = False,
+    gapfill_method: str = "ffill",
+    n_salt: int = 16,
+    ruleset: SparkRuleSet | None = None,
+) -> dict:
+    """Execute the cascade; returns a metrics dict (also written to the
+    store root as run_metrics.json)."""
+    t0 = time.time()
+    if input_path:
+        raw = spark.read.parquet(input_path)
+        if "ts" not in raw.columns:
+            raise ValueError("input must carry a ts column (see synth_sequences)")
+    else:
+        raw = synth_sequences(spark, synth_rows)
+
+    cleaned = clean_sequences(raw, ruleset)
+    tiers = build_cascade(cleaned, salted=True, n_salt=n_salt)
+
+    store = TierStore(out_root)
+    metrics: dict = {"partitions": {}, "rows": {}, "skipped": {}}
+    n_input = None
+    for tier_name, tier_df in tiers.items():
+        with_day = tier_df.withColumn(
+            "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+        )
+        fps = partition_fingerprints(with_day)
+        todo = store.stale_days(tier_name, fps) if resume else sorted(fps)
+        skipped = sorted(set(fps) - set(todo))
+        res = store.write_tier(tier_name, tier_df, fps, days=todo)
+        metrics["partitions"][tier_name] = res["written_partitions"]
+        metrics["rows"][tier_name] = res["rows"]
+        metrics["skipped"][tier_name] = skipped
+
+    # gap-filled + packed views of the 1m tier
+    t1m = store.read_tier("1m", spark)
+    dense = gap_fill(t1m.drop("day"), "1m", method=gapfill_method)
+    dense.write.mode("overwrite").parquet(f"{out_root}/1m_dense")
+    packed = pack_tier(t1m.drop("day"), measures=["sum_tok", "n_points"])
+    packed.write.mode("overwrite").parquet(f"{out_root}/1m_gorilla")
+    comp = packed.agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("packed_bytes").alias("packed")
+    ).collect()[0]
+    if n_input is None:
+        n_input = cleaned.count()
+
+    metrics.update(
+        {
+            "input_rows": n_input,
+            "gorilla_raw_bytes": comp["raw"],
+            "gorilla_packed_bytes": comp["packed"],
+            "compression_ratio": (comp["raw"] / comp["packed"])
+            if comp["packed"]
+            else None,
+            "wall_seconds": round(time.time() - t0, 3),
+            "points_per_sec": round(n_input / (time.time() - t0), 1),
+        }
+    )
+    with open(f"{out_root}/run_metrics.json", "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", default=None, help="parquet input path")
+    ap.add_argument("--synth-rows", type=int, default=100_000)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--gapfill", default="ffill", choices=["ffill", "linear"])
+    ap.add_argument("--n-salt", type=int, default=16)
+    ap.add_argument("--no-clean", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("traval-spark-pipeline", master=args.master)
+    rs = None if args.no_clean else default_ruleset()
+    metrics = run(
+        spark,
+        args.output,
+        input_path=args.input,
+        synth_rows=args.synth_rows,
+        resume=args.resume,
+        gapfill_method=args.gapfill,
+        n_salt=args.n_salt,
+        ruleset=rs,
+    )
+    print(json.dumps(metrics, default=str))
+
+
+if __name__ == "__main__":
+    main()

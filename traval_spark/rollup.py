@@ -1,0 +1,205 @@
+"""Continuous-aggregate rollup cascade + gap-fill + explicit skew salting.
+
+The north-rule engine core (BASELINE.json): tumbling-window rollups of
+``n_tok`` per ``source`` materialized as cascading retention tiers
+raw -> 1m -> 1h -> 1d. Design points for 100 TB:
+
+- **Cascade composes partial aggregates.** Tier N+1 aggregates tier N's
+  (count, sum, min, max) — the partial+final-aggregation identity — so a
+  coarser tier never rescans raw data: 1d reads 1h, not 10^12 raw rows.
+- **Map-side combine is automatic** (Spark hash partial aggregation), but
+  the Zipfian ``source`` key makes the *final* agg skewed: source_00 holds
+  ~50% of rows, so one reducer would own half the shuffle. ``salted_rollup``
+  makes the two-phase explicit: partial agg on (source, bucket, salt) —
+  K-way fan-out of the hot key — then final agg on (source, bucket) over
+  the tiny partial result. AQE skew handling stays on as the backstop.
+- **Gap-fill never leaves the DataFrame API**: the bucket spine is
+  ``sequence() + explode`` per source, fill is ``last(ignorenulls)``
+  (ffill) or prev/next linear interpolation via the same window machinery
+  as the rule engine — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import ensure_ntz
+
+#: tier name -> (truncation unit for date_trunc, seconds per bucket)
+TIERS = {
+    "1m": ("minute", 60),
+    "1h": ("hour", 3600),
+    "1d": ("day", 86400),
+}
+
+MEASURES = ["n_points", "sum_tok", "min_tok", "max_tok"]
+
+
+def _agg_exprs_raw() -> list[Column]:
+    return [
+        F.count(F.col("n_tok")).alias("n_points"),
+        F.sum(F.col("n_tok")).alias("sum_tok"),
+        F.min(F.col("n_tok")).alias("min_tok"),
+        F.max(F.col("n_tok")).alias("max_tok"),
+    ]
+
+
+def _agg_exprs_cascade() -> list[Column]:
+    """Re-aggregation of an existing tier: counts/sums add, min/max nest."""
+    return [
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_tok").alias("sum_tok"),
+        F.min("min_tok").alias("min_tok"),
+        F.max("max_tok").alias("max_tok"),
+    ]
+
+
+def rollup_raw(df: DataFrame, tier: str = "1m", value_col: str = "n_tok",
+               ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window rollup of the raw sequence table.
+
+    Returns (source, bucket, n_points, sum_tok, min_tok, max_tok). NULL
+    values (rule-flagged rows) are excluded from count/sum/min/max exactly
+    as pandas aggregation skips NaN.
+    """
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    if value_col != "n_tok":
+        df = df.withColumn("n_tok", F.col(value_col))
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    return (
+        df.groupBy(F.col("source"), bucket.alias("bucket"))
+        .agg(*_agg_exprs_raw())
+    )
+
+
+def rollup_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
+    """Aggregate a finer tier into a coarser one (1m -> 1h -> 1d).
+
+    count/sum/min/max compose exactly, so this is tier-by-tier identical to
+    aggregating raw data directly (proven by test_rollup_cascade_identity).
+    """
+    unit, _ = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+    return (
+        tier_df.groupBy(F.col("source"), bucket.alias("bucket"))
+        .agg(*_agg_exprs_cascade())
+    )
+
+
+def salted_rollup(
+    df: DataFrame,
+    tier: str = "1m",
+    n_salt: int = 16,
+    salt_on: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Explicit two-phase salted rollup for skewed source keys.
+
+    Phase 1 fans the hot (source, bucket) groups across ``n_salt``
+    reducers (salt = hash of the row key, uniform within a group); phase 2
+    merges the tiny per-salt partials. Result is exactly ``rollup_raw``
+    (asserted in tests) — the salt changes the shuffle layout, never the
+    answer.
+    """
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salt))
+    partial = (
+        df.groupBy(F.col("source"), bucket.alias("bucket"), salt.alias("__salt"))
+        .agg(*_agg_exprs_raw())
+    )
+    return (
+        partial.groupBy("source", "bucket").agg(*_agg_exprs_cascade())
+    )
+
+
+def gap_fill(
+    tier_df: DataFrame,
+    tier: str,
+    method: str = "ffill",
+    mark: bool = True,
+) -> DataFrame:
+    """Densify a rollup tier onto its full bucket spine per source.
+
+    Spine = every bucket between each source's min and max bucket
+    (``sequence`` + ``explode`` — generated distributed, one row per
+    bucket, no driver materialization). Missing buckets are filled:
+
+    - method='ffill': carry the last observed measure forward
+      (``last(ignorenulls)`` over the per-source bucket order);
+    - method='linear': linear interpolation between the surrounding
+      observed buckets (prev/next windows + time weight), ffill semantics
+      at the trailing edge, bfill at the leading edge are NOT applied —
+      outside the observed hull values stay NULL.
+
+    mark=True adds ``gap_filled`` boolean lineage.
+    """
+    _, step_s = TIERS[tier]
+    spine = (
+        tier_df.groupBy("source")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.col("b0"), F.col("b1"),
+                    F.expr(f"INTERVAL {step_s} SECONDS"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(tier_df, on=["source", "bucket"], how="left")
+    # pin observedness BEFORE measures are overwritten by the fill
+    dense = dense.withColumn("__observed", F.col("n_points").isNotNull())
+    observed = F.col("__observed")
+
+    if method == "ffill":
+        w = (
+            Window.partitionBy("source")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for m in MEASURES:
+            dense = dense.withColumn(m, F.last(m, ignorenulls=True).over(w))
+    elif method == "linear":
+        us = F.unix_micros(F.col("bucket").cast("timestamp")).cast("double")
+        dense = dense.withColumn("__us", us)
+        w_prev = (
+            Window.partitionBy("source")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_next = (
+            Window.partitionBy("source")
+            .orderBy("bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        prev_us = F.last(F.when(observed, F.col("__us")), ignorenulls=True).over(w_prev)
+        next_us = F.first(F.when(observed, F.col("__us")), ignorenulls=True).over(w_next)
+        for m in MEASURES:
+            pv = F.last(m, ignorenulls=True).over(w_prev)
+            nv = F.first(m, ignorenulls=True).over(w_next)
+            ratio = (F.col("__us") - prev_us) / (next_us - prev_us)
+            interp = F.when(observed, F.col(m)).otherwise(
+                pv + (nv - pv) * ratio
+            )
+            dense = dense.withColumn(m, interp)
+        dense = dense.drop("__us")
+    else:
+        raise ValueError(f"Unknown gap-fill method: {method}")
+
+    if mark:
+        dense = dense.withColumn("gap_filled", ~observed)
+    return dense.drop("__observed")
+
+
+def build_cascade(raw: DataFrame, salted: bool = True,
+                  n_salt: int = 16) -> dict[str, DataFrame]:
+    """raw -> {'1m', '1h', '1d'} lazy tier frames, each fed by the previous."""
+    t1m = salted_rollup(raw, "1m", n_salt=n_salt) if salted else rollup_raw(raw, "1m")
+    t1h = rollup_cascade(t1m, "1h")
+    t1d = rollup_cascade(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}

