@@ -1,38 +1,999 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the
+equivalent DuckDB SQL over the same parquet views. Column names and types
+are aligned pairwise (the driver hashes values after sorting columns by
+name). Floating aggregates are rounded (6dp sums, 4dp cosines, 9dp stats)
+in BOTH engines so summation-order differences cannot flip the hash;
+hashes (md5, the fold hash) are bit-portable and parity-tested.
+
+Series model for the traval-core queries: the ``events`` table as the
+long frame with series_id = event_type (5 series, ~2k points each at
+sf=0.01; FIXTURES.md F7).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark + oracle SQL)
+# ---------------------------------------------------------------------------
+
+HARDMAX_THR = 12.0
+HARDMIN_THR = 2.0
+GRAD_STEP = 20.0
+DIFF_THR = 50.0
+DIFF_GAP_US = 3_600_000_000  # 1h
+SPIKE_THR = 40.0
+SPIKE_TOL = 20.0
+SPIKE_GAP_US = 7_200_000_000  # 2h
+NSIGMA = 2.0
+FLAT_WINDOW_US = 86_400_000_000 - 1
+FLAT_STD = 35.0
+FLAT_MIN_OBS = 5
+KEEP_PATTERN = '"k": 6'
+JACCARD_THR = 0.5
+COS_DUP_THR = 0.35
+TOPK = 10
+N_PLANES = 6
+LSH_SEED = 42
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _flagged(corr: DataFrame, out: str = "r") -> DataFrame:
+    """Project a corrections frame to flagged (series_id, ts, code) rows."""
+    return corr.filter(F.col(f"{out}_code") != 0).select(
+        "series_id", "ts", F.col(f"{out}_code").cast("int").alias("code")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: clean events with a ruleset, roll up 1m -> 1h, on sf0.001.
+
+    Exercises the full spine: parquet scan -> window rules -> NULL-flag
+    semantics -> tumbling rollup -> cascade re-aggregation.
+    """
+    from traval_spark.plans.ruleset import SparkRuleSet, apply_ruleset
+    from traval_spark.rollup import rollup_cascade, rollup_raw
+
+    series = _series(spark, "/root/testdata/sf0.001")
+    rs = SparkRuleSet("flagship")
+    rs.add_rule("hardmax", "rule_hardmax", apply_to=0,
+                kwargs={"threshold": 150.0})
+    rs.add_rule("spike", "rule_spike_detection", apply_to=1,
+                kwargs={"threshold": 100.0, "spike_tol": 50.0, "max_gap": "2h"})
+    wide = apply_ruleset(series, rs)
+    cleaned = wide.select(
+        F.col("series_id").alias("source"), "ts",
+        F.col("step_2").alias("n_tok"),
+    )
+    t1m = rollup_raw(cleaned, "1m")
+    t1h = rollup_cascade(t1m, "1h")
+    return t1h.select(
+        "source", "bucket", "n_points",
+        F.round("sum_tok", 6).alias("sum_val"),
+        F.col("min_tok").alias("min_val"),
+        F.col("max_tok").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_hardmax(spark, sf_dir):
+    from traval_spark.operators.rules import rule_hardmax
+
+    return _flagged(rule_hardmax(_series(spark, sf_dir), "value", "r",
+                                 threshold=HARDMAX_THR))
+
+
+def q_hardmin(spark, sf_dir):
+    from traval_spark.operators.rules import rule_hardmin
+
+    return _flagged(rule_hardmin(_series(spark, sf_dir), "value", "r",
+                                 threshold=HARDMIN_THR))
+
+
+def q_max_gradient(spark, sf_dir):
+    from traval_spark.operators.rules import rule_max_gradient
+
+    return _flagged(rule_max_gradient(_series(spark, sf_dir), "value", "r",
+                                      max_step=GRAD_STEP, max_timestep="1D"))
+
+
+def q_diff_threshold(spark, sf_dir):
+    from traval_spark.operators.rules import rule_diff_ufunc_threshold
+
+    return _flagged(
+        rule_diff_ufunc_threshold(_series(spark, sf_dir), "value", "r",
+                                  ufunc="greater_equal", threshold=DIFF_THR,
+                                  max_gap="1h")
+    )
+
+
+def q_spike(spark, sf_dir):
+    from traval_spark.operators.rules import rule_spike_detection
+
+    return _flagged(
+        rule_spike_detection(_series(spark, sf_dir), "value", "r",
+                             threshold=SPIKE_THR, spike_tol=SPIKE_TOL,
+                             max_gap="2h")
+    )
+
+
+def q_outside_nsigma(spark, sf_dir):
+    from traval_spark.operators.rules import rule_outside_n_sigma
+
+    return _flagged(rule_outside_n_sigma(_series(spark, sf_dir), "value", "r",
+                                         n=NSIGMA))
+
+
+def q_diff_nsigma(spark, sf_dir):
+    from traval_spark.operators.rules import rule_diff_outside_of_n_sigma
+
+    return _flagged(
+        rule_diff_outside_of_n_sigma(_series(spark, sf_dir), "value", "r",
+                                     n=NSIGMA, max_gap="1h")
+    )
+
+
+def q_flat_signal(spark, sf_dir):
+    from traval_spark.operators.rules import rule_flat_signal
+
+    return _flagged(
+        rule_flat_signal(_series(spark, sf_dir), "value", "r",
+                         window=1, min_obs=FLAT_MIN_OBS, std_threshold=FLAT_STD)
+    )
+
+
+def q_keep_comments(spark, sf_dir):
+    from traval_spark.operators.rules import rule_keep_comments
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value",
+        F.col("props").alias("comment"),
+    )
+    c = rule_keep_comments(ev, "value", "r", keep_comments=[KEEP_PATTERN],
+                           comment_series="comment")
+    return c.filter(F.col("r_code") != 0).select(
+        "series_id", "ts",
+        F.col("r_code").cast("int").alias("code"),
+        F.col("r_cval").alias("matched"),
+    )
+
+
+def q_asof_resample(spark, sf_dir):
+    """resample_short_series_to_long_series semantics: the sparse 'view'
+    series as a threshold aligned onto the 'click' series index."""
+    from traval_spark.functions.ts import align_resample_ffill_bfill
+
+    ev = _events(spark, sf_dir)
+    main = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("series_id"), "ts", "value"
+    )
+    aux = ev.filter(F.col("event_type") == "view").select(
+        F.lit("click").alias("series_id"), "ts", "value"
+    )
+    out = align_resample_ffill_bfill(main, aux, "value", "thr")
+    return out.select("ts", "thr")
+
+
+def q_comparison_summary(spark, sf_dir):
+    from traval_spark.comparison import compare_series, summarize_comparison
+
+    ev = _events(spark, sf_dir)
+    s1 = ev.filter(F.col("event_id") % 13 != 0).select(
+        F.col("event_type").alias("series_id"), "ts",
+        F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("value"))
+        .alias("value"),
+    )
+    s2 = ev.filter(F.col("event_id") % 17 != 0).select(
+        F.col("event_type").alias("series_id"), "ts",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value")
+                   + F.when(F.col("event_id") % 7 == 0, 1.0).otherwise(0.0))
+        .alias("value"),
+    )
+    return summarize_comparison(compare_series(s1, s2), per_series=True)
+
+
+def _relative_frames(ev):
+    base = ev.filter(F.col("event_id") % 19 != 0).select(
+        F.col("event_type").alias("series_id"), "ts",
+        F.when(F.col("event_id") % 23 == 0, None).otherwise(F.col("value"))
+        .alias("value"),
+    )
+    s1 = ev.filter(F.col("event_id") % 17 != 0).select(
+        F.col("event_type").alias("series_id"), "ts",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+        .alias("value"),
+    )
+    s2 = ev.filter(F.col("event_id") % 13 != 0).select(
+        F.col("event_type").alias("series_id"), "ts",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return s1, s2, base
+
+
+def q_relative_summary(spark, sf_dir):
+    from traval_spark.comparison import (
+        compare_series_relative,
+        summarize_relative,
+    )
+
+    s1, s2, base = _relative_frames(_events(spark, sf_dir))
+    return summarize_relative(compare_series_relative(s1, s2, base))
+
+
+def q_binary_classifier(spark, sf_dir):
+    from traval_spark.comparison import (
+        binary_classification,
+        compare_series_relative,
+        with_classifier_stats,
+    )
+
+    s1, s2, base = _relative_frames(_events(spark, sf_dir))
+    bc = with_classifier_stats(
+        binary_classification(compare_series_relative(s1, s2, base))
+    )
+    stats = ["sensitivity", "tpr", "fnr", "specificity", "tnr", "fpr", "ppv",
+             "npv", "fdr", "for", "acc", "prev", "informedness", "mcc"]
+    return bc.select(
+        "tp", "fp", "tn", "fn",
+        *[F.round(F.col(s), 9).alias(s) for s in stats],
+    )
+
+
+def _rollup_events(spark, sf_dir, tier):
+    from traval_spark.rollup import rollup_raw
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    t = rollup_raw(src, tier)
+    return t.select(
+        "source", "bucket", "n_points",
+        F.round("sum_tok", 6).alias("sum_val"),
+        F.col("min_tok").alias("min_val"),
+        F.col("max_tok").alias("max_val"),
+    )
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _rollup_events(spark, sf_dir, "1m")
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    """1h tier computed FROM the 1m tier (cascade identity vs the oracle,
+    which aggregates raw rows directly)."""
+    from traval_spark.rollup import rollup_cascade, rollup_raw
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    t = rollup_cascade(rollup_raw(src, "1m"), "1h")
+    return t.select(
+        "source", "bucket", "n_points",
+        F.round("sum_tok", 6).alias("sum_val"),
+        F.col("min_tok").alias("min_val"),
+        F.col("max_tok").alias("max_val"),
+    )
+
+
+def q_rollup_1d_salted(spark, sf_dir):
+    """1d tier via the explicit two-phase salted aggregation (oracle is a
+    plain GROUP BY: salting must never change the answer)."""
+    from traval_spark.rollup import salted_rollup
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+        F.col("event_id").alias("doc_id"),
+    )
+    t = salted_rollup(src, "1d", n_salt=8, salt_on="doc_id")
+    return t.select(
+        "source", "bucket", "n_points",
+        F.round("sum_tok", 6).alias("sum_val"),
+        F.col("min_tok").alias("min_val"),
+        F.col("max_tok").alias("max_val"),
+    )
+
+
+def q_gapfill_ffill(spark, sf_dir):
+    from traval_spark.rollup import gap_fill, rollup_raw
+
+    src = _events(spark, sf_dir).filter(F.col("event_type") == "purchase").select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    dense = gap_fill(rollup_raw(src, "1h"), "1h", method="ffill")
+    return dense.select("source", "bucket", "n_points", "gap_filled")
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    """pack -> unpack identity over the 1m tier: the compression path gets
+    a full value-level oracle (the plain rollup the blocks encode)."""
+    from traval_spark.compress import pack_tier, unpack_tier
+    from traval_spark.rollup import rollup_raw
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    t1m = rollup_raw(src, "1m")
+    packed = pack_tier(t1m, measures=["sum_tok"])
+    out = unpack_tier(packed).filter(F.col("measure") == "sum_tok")
+    return out.select(
+        "source", "bucket", F.round("value", 6).alias("sum_val")
+    )
+
+
+def q_offset_detection(spark, sf_dir):
+    """Greedy offset pairing — inherently sequential per series, no SQL
+    oracle (rows-only check; SURVEY.md §5)."""
+    from traval_spark.operators.rules import rule_offset_detection
+
+    return _flagged(
+        rule_offset_detection(_series(spark, sf_dir), "value", "r",
+                              threshold=150.0, updown_diff=20.0, max_gap="7D")
+    )
+
+
+# -- training-data pipeline operators ---------------------------------------
+
+
+def q_token_counts(spark, sf_dir):
+    from traval_spark.operators.text import token_count_bpe, token_count_ws
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    from traval_spark.operators.text import quality_columns
+
+    d = _docs(spark, sf_dir)
+    cols = quality_columns(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def q_lang_id(spark, sf_dir):
+    from traval_spark.operators.text import lang_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from traval_spark.operators.text import doc_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents + synthetic exact duplicates (every 25th doc re-appended
+    with a shifted id) — the testdata has no natural exact dups, and a
+    0-row result would make the dedup oracle trivially green."""
+    d = _docs(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(dups)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from traval_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_minhash_sig(spark, sf_dir):
+    from traval_spark.operators.dedup import minhash_signature
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", *minhash_signature(F.col("text"), n_hashes=4, k=3)
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    from traval_spark.operators.dedup import lsh_buckets
+
+    return lsh_buckets(_docs(spark, sf_dir), n_hashes=4, k=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from traval_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THR, k=3)
+
+
+def q_simhash(spark, sf_dir):
+    from traval_spark.operators.dedup import with_simhash16
+
+    return with_simhash16(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def _query_vec(spark, sf_dir):
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
+        "embedding"
+    ).collect()[0]
+    return [float(x) for x in row[0]]
+
+
+def q_ann_scores(spark, sf_dir):
+    from traval_spark.operators.similarity import cosine_to_query
+
+    q = _query_vec(spark, sf_dir)
+    return cosine_to_query(_emb(spark, sf_dir), q).select("vec_id", "cos")
+
+
+def q_ann_topk(spark, sf_dir):
+    from traval_spark.operators.similarity import cosine_topk
+
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk(_emb(spark, sf_dir), q, k=TOPK)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from traval_spark.operators.similarity import lsh_topk
+
+    q = _query_vec(spark, sf_dir)
+    return lsh_topk(_emb(spark, sf_dir), q, k=TOPK, n_planes=N_PLANES,
+                    seed=LSH_SEED)
+
+
+def q_cos_dup_pairs(spark, sf_dir):
+    from traval_spark.operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=COS_DUP_THR,
+                            bucketed=False)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from traval_spark.operators.multimodal import attach_payload, extract_features
+
+    d = attach_payload(_docs(spark, sf_dir))
+    return extract_features(d).select("doc_id", "n_bytes", "format")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "hardmax": q_hardmax,
+        "hardmin": q_hardmin,
+        "max_gradient": q_max_gradient,
+        "diff_threshold": q_diff_threshold,
+        "spike_detection": q_spike,
+        "outside_nsigma": q_outside_nsigma,
+        "diff_nsigma": q_diff_nsigma,
+        "flat_signal": q_flat_signal,
+        "keep_comments": q_keep_comments,
+        "asof_resample": q_asof_resample,
+        "comparison_summary": q_comparison_summary,
+        "relative_summary": q_relative_summary,
+        "binary_classifier": q_binary_classifier,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_salted": q_rollup_1d_salted,
+        "gapfill_ffill": q_gapfill_ffill,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "offset_detection": q_offset_detection,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "lsh_buckets": q_lsh_buckets,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_scores": q_ann_scores,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "cos_dup_pairs": q_cos_dup_pairs,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+_WINDOW_SERIES = "partition by event_type order by ts"
+
+_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[CAST(ascii(c) AS BIGINT) for c in string_split({col}, '')]), "
+    "(acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+_TOKS = "regexp_split_to_array(text, '\\s+')"
+
+_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, greatest(len(toks) - 2, 1) + 1)])"
+)
+
+
+def _stopword_sql(lang: str) -> str:
+    from traval_spark.operators.text import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+def _lang_id_sql() -> str:
+    from traval_spark.operators.text import STOPWORDS
+
+    # mirror the strict-'>' in-order argmax of text.lang_id
+    parts = [f"{_stopword_sql(lang)} AS s_{lang}" for lang in STOPWORDS]
+    langs = list(STOPWORDS)
+    case = "CASE "
+    # best = first lang with score strictly greater than all previous bests:
+    # equivalent formulation — pick the first lang whose score equals the
+    # running max and the max > 0, with earlier langs winning ties
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    for lang in langs:
+        case += f"WHEN s_{lang} = {greatest} AND s_{lang} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    with t as (select doc_id, {_TOKS} toks from documents),
+    s as (select doc_id, {", ".join(parts)} from t)
+    select doc_id, {case} AS lang_pred from s
     """
-    return {}
+
+
+def _rollup_sql(unit: str) -> str:
+    return f"""
+    select event_type AS source,
+           date_trunc('{unit}', ts) AS bucket,
+           count(value) AS n_points,
+           round(sum(value), 6) AS sum_val,
+           min(value) AS min_val,
+           max(value) AS max_val
+    from events group by 1, 2
+    """
+
+
+def _relative_sql_frames() -> str:
+    return """
+    base as (select event_type series_id, ts,
+                    case when event_id % 23 = 0 then NULL else value end v
+             from events where event_id % 19 != 0),
+    s1 as (select event_type series_id, ts,
+                  case when event_id % 5 = 0 then NULL else value end v
+           from events where event_id % 17 != 0),
+    s2 as (select event_type series_id, ts,
+                  case when event_id % 3 = 0 then NULL else value end v
+           from events where event_id % 13 != 0),
+    j as (select coalesce(s1.series_id, s2.series_id, base.series_id) series_id,
+                 coalesce(s1.ts, s2.ts, base.ts) ts,
+                 s1.v v1, s2.v v2, base.v vb,
+                 s1.series_id is not null p1,
+                 s2.series_id is not null p2,
+                 base.series_id is not null pb
+          from s1
+          full outer join s2 using (series_id, ts)
+          full outer join base using (series_id, ts)),
+    cat as (select *,
+            case when pb and vb is not null then
+                   case when p1 and v1 is not null and p2 and v2 is not null
+                          then 'kept_in_both'
+                        when p2 and v2 is not null then 'flagged_in_s1'
+                        when p1 and v1 is not null then 'flagged_in_s2'
+                        else 'flagged_in_both' end
+                 when p1 and v1 is not null and p2 and v2 is not null
+                   then 'introduced_in_both'
+                 when p1 and v1 is not null then 'introduced_in_s1'
+                 when p2 and v2 is not null then 'introduced_in_s2'
+                 when pb then 'in_all_nan'
+                 else NULL end AS rel_category
+            from j)
+    """
+
+
+_BC_STATS_SQL = """
+    select tp, fp, tn, fn,
+      round(case when tp + fn > 0 then tp / (tp + fn + 0.0) end, 9) sensitivity,
+      round(case when tp + fn > 0 then tp / (tp + fn + 0.0) end, 9) tpr,
+      round(case when fn + tp > 0 then fn / (fn + tp + 0.0) end, 9) fnr,
+      round(case when tn + fp > 0 then tn / (tn + fp + 0.0) end, 9) specificity,
+      round(case when tn + fp > 0 then tn / (tn + fp + 0.0) end, 9) tnr,
+      round(case when fp + tn > 0 then fp / (fp + tn + 0.0) end, 9) fpr,
+      round(case when tp + fp > 0 then tp / (tp + fp + 0.0) end, 9) ppv,
+      round(case when tn + fn > 0 then tn / (tn + fn + 0.0) end, 9) npv,
+      round(case when fp + tp > 0 then fp / (fp + tp + 0.0) end, 9) fdr,
+      round(case when fn + tn > 0 then fn / (fn + tn + 0.0) end, 9) "for",
+      round(case when tp+fp+fn+tn > 0 then (tp + tn) / (tp+fp+fn+tn+0.0) end, 9) acc,
+      round(case when tp+fp+fn+tn > 0 then (tp + fn) / (tp+fp+fn+tn+0.0) end, 9) prev,
+      round(case when tn + fp > 0 then tn / (tn + fp + 0.0) end
+            + case when tp + fn > 0 then tp / (tp + fn + 0.0) end - 1.0, 9)
+        informedness,
+      round(case when sqrt((tp+fp+0.0)*(tp+fn)*(tn+fp)*(tn+fn)) > 0
+                 then (tp*tn - fp*fn) / sqrt((tp+fp+0.0)*(tp+fn)*(tn+fp)*(tn+fn))
+            end, 9) mcc
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from traval_spark.operators.similarity import hyperplanes
+    from traval_spark.operators.text import BPE_PATTERN, STOPWORDS
+
+    sql: dict[str, str] = {}
+
+    sql["hardmax"] = f"""
+    select event_type AS series_id, ts, CAST(2 AS INTEGER) AS code
+    from events where value > {HARDMAX_THR}
     """
-    return {}
+    sql["hardmin"] = f"""
+    select event_type AS series_id, ts, CAST(-2 AS INTEGER) AS code
+    from events where value < {HARDMIN_THR}
+    """
+    sql["max_gradient"] = f"""
+    with d as (
+      select event_type, ts, value,
+             (value - lag(value) over w)
+               / ((epoch_us(ts) - lag(epoch_us(ts)) over w) / 1000000.0)
+               * 86400.0 AS grad
+      from events window w as ({_WINDOW_SERIES}))
+    select event_type AS series_id, ts, CAST(2 AS INTEGER) AS code
+    from d where grad > {GRAD_STEP}
+    """
+    sql["diff_threshold"] = f"""
+    with d as (
+      select event_type, ts,
+             case when epoch_us(ts) - lag(epoch_us(ts)) over w > {DIFF_GAP_US}
+                  then NULL else value - lag(value) over w end AS dd
+      from events window w as ({_WINDOW_SERIES}))
+    select event_type AS series_id, ts, CAST(2 AS INTEGER) AS code
+    from d where dd >= {DIFF_THR}
+    """
+    sql["spike_detection"] = f"""
+    with d as (
+      select event_type, ts,
+             case when epoch_us(ts) - lag(epoch_us(ts)) over w > {SPIKE_GAP_US}
+                  then NULL else value - lag(value) over w end AS dd
+      from events window w as ({_WINDOW_SERIES})),
+    e as (
+      select event_type, ts, dd,
+             case when dd < 0 then NULL else dd end AS du,
+             case when dd > 0 then NULL else dd end AS dn
+      from d),
+    f as (
+      select event_type, ts, dd, du, dn,
+             lead(du) over w AS du_next,
+             lead(dn) over w AS dn_next
+      from e window w as ({_WINDOW_SERIES}))
+    select event_type AS series_id, ts, CAST(99 AS INTEGER) AS code
+    from f
+    where coalesce(abs(du + dn_next) <= {SPIKE_TOL} and dd > {SPIKE_THR}, false)
+       or coalesce(abs(dn + du_next) <= {SPIKE_TOL} and dd < -{SPIKE_THR}, false)
+    """
+    sql["outside_nsigma"] = f"""
+    with s as (
+      select event_type, ts, value,
+             avg(value) over w AS m, stddev_samp(value) over w AS sd
+      from events
+      window w as (partition by event_type))
+    select event_type AS series_id, ts,
+           CAST(case when value > m + {NSIGMA} * sd then 2 else -2 end
+                AS INTEGER) AS code
+    from s
+    where value > m + {NSIGMA} * sd or value < m - {NSIGMA} * sd
+    """
+    sql["diff_nsigma"] = f"""
+    with d as (
+      select event_type, ts,
+             case when epoch_us(ts) - lag(epoch_us(ts)) over w > {DIFF_GAP_US}
+                  then NULL else value - lag(value) over w end AS dd
+      from events window w as ({_WINDOW_SERIES})),
+    s as (select event_type, ts, dd,
+                 stddev_samp(dd) over (partition by event_type) AS sd
+          from d)
+    select event_type AS series_id, ts, CAST(2 AS INTEGER) AS code
+    from s where abs(dd) > {NSIGMA} * sd
+    """
+    sql["flat_signal"] = f"""
+    with s as (
+      select event_type, ts, value,
+             stddev_samp(value) over w AS rstd,
+             count(value) over w AS rcnt
+      from events
+      window w as (partition by event_type order by epoch_us(ts)
+                   range between {FLAT_WINDOW_US} preceding and current row))
+    select event_type AS series_id, ts, CAST(99 AS INTEGER) AS code
+    from s
+    where value is not null and rcnt >= {FLAT_MIN_OBS} and rstd < {FLAT_STD}
+    """
+    sql["keep_comments"] = f"""
+    select event_type AS series_id, ts, CAST(99 AS INTEGER) AS code,
+           '{KEEP_PATTERN}' AS matched
+    from events where contains(props, '{KEEP_PATTERN}')
+    """
+    sql["asof_resample"] = """
+    with main as (select ts from events where event_type = 'click'),
+    aux as (select ts, value from events where event_type = 'view'),
+    u as (
+      select ts, 1 AS is_main, CAST(NULL AS DOUBLE) AS aux_v from main
+      union all
+      select ts, 0, value from aux),
+    f as (
+      select ts, is_main,
+             last_value(aux_v ignore nulls)
+               over (order by ts, is_main
+                     rows between unbounded preceding and current row) AS fwd
+      from u),
+    m as (select ts, fwd from f where is_main = 1)
+    select ts,
+           coalesce(fwd, first_value(fwd ignore nulls)
+             over (order by ts
+                   rows between current row and unbounded following)) AS thr
+    from m
+    """
+    sql["comparison_summary"] = """
+    with s1 as (select event_type series_id, ts,
+                       case when event_id % 11 = 0 then NULL else value end v
+                from events where event_id % 13 != 0),
+    s2 as (select event_type series_id, ts,
+                  case when event_id % 5 = 0 then NULL
+                       else value + case when event_id % 7 = 0
+                                         then 1.0 else 0.0 end end v
+           from events where event_id % 17 != 0),
+    j as (select coalesce(s1.series_id, s2.series_id) series_id,
+                 s1.v v1, s2.v v2,
+                 s1.series_id is not null p1, s2.series_id is not null p2
+          from s1 full outer join s2 using (series_id, ts)),
+    cat as (select series_id,
+            case when p1 and v1 is not null and p2 and v2 is not null then
+                   case when abs(v1 - v2) <= 0.0 then 'in_both_identical'
+                        else 'in_both_different' end
+                 when p1 and v1 is not null then 'in_s1'
+                 when p2 and v2 is not null then 'in_s2'
+                 else 'in_both_nan' end AS category
+            from j)
+    select series_id,
+           count(*) filter (where category = 'in_both_identical') AS in_both_identical,
+           count(*) filter (where category = 'in_both_different') AS in_both_different,
+           count(*) filter (where category = 'in_s1') AS in_s1,
+           count(*) filter (where category = 'in_s2') AS in_s2,
+           count(*) filter (where category = 'in_both_nan') AS in_both_nan
+    from cat group by series_id
+    """
+    sql["relative_summary"] = f"""
+    with {_relative_sql_frames()}
+    select
+      count(*) filter (where rel_category = 'kept_in_both') AS kept_in_both,
+      count(*) filter (where rel_category = 'flagged_in_s1') AS flagged_in_s1,
+      count(*) filter (where rel_category = 'flagged_in_s2') AS flagged_in_s2,
+      count(*) filter (where rel_category = 'flagged_in_both') AS flagged_in_both,
+      count(*) filter (where rel_category = 'in_all_nan') AS in_all_nan,
+      count(*) filter (where rel_category = 'introduced_in_s1') AS introduced_in_s1,
+      count(*) filter (where rel_category = 'introduced_in_s2') AS introduced_in_s2,
+      count(*) filter (where rel_category = 'introduced_in_both') AS introduced_in_both
+    from cat
+    """
+    sql["binary_classifier"] = f"""
+    with {_relative_sql_frames()},
+    counts as (select
+      count(*) filter (where rel_category = 'flagged_in_both') AS tp,
+      count(*) filter (where rel_category = 'flagged_in_s1') AS fp,
+      count(*) filter (where rel_category = 'kept_in_both') AS tn,
+      count(*) filter (where rel_category = 'flagged_in_s2') AS fn
+      from cat)
+    {_BC_STATS_SQL}
+    from counts
+    """
+    sql["rollup_1m"] = _rollup_sql("minute")
+    sql["rollup_1h_cascade"] = _rollup_sql("hour")
+    sql["rollup_1d_salted"] = _rollup_sql("day")
+    sql["gapfill_ffill"] = """
+    with t as (
+      select event_type AS source, date_trunc('hour', ts) AS bucket,
+             count(value) AS n_points
+      from events where event_type = 'purchase' group by 1, 2),
+    bounds as (select source, min(bucket) b0, max(bucket) b1 from t group by 1),
+    spine as (
+      select source, unnest(generate_series(b0, b1, interval 1 hour)) AS bucket
+      from bounds),
+    dense as (select spine.source, spine.bucket, t.n_points,
+                     t.n_points is null AS gap_filled
+              from spine left join t using (source, bucket))
+    select source, bucket,
+           last_value(n_points ignore nulls)
+             over (partition by source order by bucket
+                   rows between unbounded preceding and current row) AS n_points,
+           gap_filled
+    from dense
+    """
+    sql["gorilla_roundtrip"] = """
+    select event_type AS source, date_trunc('minute', ts) AS bucket,
+           round(sum(value), 6) AS sum_val
+    from events group by 1, 2
+    """
+    # offset_detection: no oracle (order-dependent greedy kernel)
+
+    sql["token_counts"] = f"""
+    select doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_ws,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
+    from documents
+    """
+    en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    sql["quality_score"] = f"""
+    with t as (select doc_id, text, regexp_split_to_array(text, '\\s+') toks
+               from documents)
+    select doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           round(length(text) / (len(toks) + 0.0), 6) AS avg_token_len,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / greatest(length(text) + 0.0, 1.0), 6) AS punct_ratio,
+           round(len(list_filter(toks, t -> list_contains([{en_words}], t)))
+                 / greatest(len(toks) + 0.0, 1.0), 6) AS stopword_ratio
+    from t
+    """
+    sql["lang_id"] = _lang_id_sql()
+    sql["fingerprint"] = f"""
+    select doc_id, {_FOLD.format(col='text')} AS fp from documents
+    """
+    sql["dedup_exact"] = """
+    with d as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000, text from documents where doc_id % 25 = 0)
+    select md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    from d group by 1 having count(*) > 1
+    """
+    minhash_cols = ", ".join(
+        f"list_min([md5('{b}|' || s) for s in sh]) AS sig_{b}" for b in range(4)
+    )
+    sql["minhash_sig"] = f"""
+    with t as (select doc_id, {_TOKS} toks from documents),
+    s as (select doc_id, {_SHINGLES} sh from t)
+    select doc_id, {minhash_cols} from s
+    """
+    sql["lsh_buckets"] = f"""
+    with t as (select doc_id, {_TOKS} toks from documents),
+    s as (select doc_id, {_SHINGLES} sh from t),
+    sig as (select doc_id, {minhash_cols} from s)
+    select md5(sig_0 || '|' || sig_1 || '|' || sig_2 || '|' || sig_3) AS bucket,
+           count(*) AS n_docs, min(doc_id) AS min_doc_id
+    from sig group by 1 having count(*) > 1
+    """
+    sql["ngram_jaccard"] = f"""
+    with t as (select doc_id, {_TOKS} toks from documents),
+    s as (select doc_id, {_SHINGLES} sh from t),
+    inv as (select doc_id, len(sh) n_sh, unnest(sh) AS shingle from s),
+    pairs as (
+      select a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb,
+             count(*) AS inter
+      from inv a join inv b using (shingle)
+      where a.doc_id < b.doc_id
+      group by 1, 2, 3, 4)
+    select a, b, inter,
+           round(inter / (na + nb - inter + 0.0), 6) AS jaccard
+    from pairs
+    where round(inter / (na + nb - inter + 0.0), 6) >= {JACCARD_THR}
+    """
+    fold_tok = _FOLD.format(col="w")
+    bit_cols = " + ".join(
+        f"(case when list_sum([case when (h >> {j}) & 1 = 1 then 1 else -1 end "
+        f"for h in hs]) > 0 then {1 << j} else 0 end)"
+        for j in range(16)
+    )
+    sql["simhash"] = f"""
+    with t as (select doc_id, {_TOKS} toks from documents),
+    h as (select doc_id, [{fold_tok} for w in toks] hs from t)
+    select doc_id, CAST({bit_cols} AS BIGINT) AS simhash from h
+    """
+    sql["ann_scores"] = """
+    with q as (select embedding::DOUBLE[] qe from embeddings where vec_id = 0)
+    select vec_id,
+           round(list_dot_product(embedding::DOUBLE[], qe)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qe, qe))), 4) AS cos
+    from embeddings, q
+    """
+    sql["ann_topk"] = f"""
+    with q as (select embedding::DOUBLE[] qe from embeddings where vec_id = 0),
+    scored as (
+      select vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qe)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qe, qe))), 4) AS cos
+      from embeddings, q),
+    ranked as (select vec_id, cos,
+                      CAST(row_number() over (order by cos desc, vec_id)
+                           AS INTEGER) AS rank
+               from scored)
+    select vec_id, cos, rank from ranked where rank <= {TOPK}
+    """
+    planes = hyperplanes(N_PLANES, 64, LSH_SEED)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    )
+    bucket_expr = " + ".join(
+        f"(case when list_dot_product(embedding::DOUBLE[], planes[{p + 1}]) > 0 "
+        f"then {1 << p} else 0 end)"
+        for p in range(N_PLANES)
+    )
+    qbucket_expr = " + ".join(
+        f"(case when list_dot_product(qe, planes[{p + 1}]) > 0 "
+        f"then {1 << p} else 0 end)"
+        for p in range(N_PLANES)
+    )
+    sql["ann_lsh_topk"] = f"""
+    with p as (select [{plane_lits}]::DOUBLE[][] AS planes),
+    q as (select embedding::DOUBLE[] qe from embeddings where vec_id = 0),
+    cand as (
+      select vec_id, embedding::DOUBLE[] v
+      from embeddings, p, q
+      where {bucket_expr} = {qbucket_expr}),
+    scored as (
+      select vec_id,
+             round(list_dot_product(v, qe)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qe, qe))), 4) AS cos
+      from cand, q),
+    ranked as (select vec_id, cos,
+                      CAST(row_number() over (order by cos desc, vec_id)
+                           AS INTEGER) AS rank
+               from scored)
+    select vec_id, cos, rank from ranked where rank <= {TOPK}
+    """
+    sql["cos_dup_pairs"] = f"""
+    with e as (select vec_id, embedding::DOUBLE[] v,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) n
+               from embeddings)
+    select a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+    from e a, e b
+    where a.vec_id < b.vec_id
+      and round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COS_DUP_THR}
+    """
+    sql["multimodal_meta"] = """
+    select doc_id, octet_length(encode(text)) AS n_bytes,
+           'unknown' AS format
+    from documents
+    """
+    return sql

@@ -1,0 +1,102 @@
+"""Headline benchmark: engine throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline set = the engine's load-bearing paths: rule-window pipeline over
+events, comparison+classifier join/agg, the salted rollup cascade +
+gap-fill + Gorilla pack over synthetic tokenized sequences (rows scale
+with sf), and the dedup/similarity operators over documents/embeddings.
+Each query is executed to completion via the noop sink (no collect, no
+driver materialization).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_SYNTH_ROWS (default 2_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_rows = int(os.environ.get("BENCH_SYNTH_ROWS", "2000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from traval_spark.session import get_spark
+
+    spark = get_spark("traval-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM + parquet footer caches outside the timings
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    qs = entrymod.queries()
+    headline = [
+        "hardmax", "spike_detection", "outside_nsigma", "flat_signal",
+        "asof_resample", "relative_summary", "binary_classifier",
+        "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted",
+        "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
+        "token_counts", "quality_score", "fingerprint",
+        "minhash_sig", "lsh_buckets", "simhash",
+        "ann_topk", "ann_lsh_topk", "multimodal_meta",
+    ]
+    for name in headline:
+        timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))
+
+    # the north-rule job: synthetic tokenized sequences -> cleaned ->
+    # salted cascade -> 1d tier (count measures rows actually aggregated)
+    from traval_spark.pipeline import clean_sequences, default_ruleset
+    from traval_spark.rollup import build_cascade
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, synth_rows, partitions=cpus * 2)
+    t0 = time.time()
+    cleaned = clean_sequences(seqs, default_ruleset())
+    tiers = build_cascade(cleaned, salted=True, n_salt=16)
+    _noop(tiers["1d"])
+    wall = time.time() - t0
+    timings["rollup_pipeline_synth"] = round(wall, 3)
+    extras["rollup_rows"] = synth_rows
+    extras["rollup_points_per_sec"] = round(synth_rows / wall, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine scoring/top-k: the exactness baseline — one pass,
+  JVM-side ``zip_with``/``aggregate`` arithmetic in double precision, no
+  UDFs, embarrassingly parallel.
+- LSH-bucketed variant: the 100 TB path — sign-bit random-hyperplane
+  bucketing (hyperplanes derived deterministically from a seed, inlined as
+  literals so the DuckDB oracle can embed the identical planes), candidates
+  restricted to the probe's bucket, exact re-rank inside. Bucket count
+  2^n_planes bounds each join side; skewed buckets fall to AQE.
+- embedding-cosine near-dup pairs: bucket-join + exact threshold filter.
+
+Scores are rounded (default 4dp) before ranking so Spark/DuckDB float
+summation-order differences can't flip the order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from traval_spark.operators.text import FOLD_MOD
+
+
+def _fold_hash_py(s: str) -> int:
+    """Driver-side twin of text.fold_hash (same constants)."""
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % FOLD_MOD
+    return acc
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1], from the portable
+    fold hash of 'seed_plane_dim' — reproducible in any engine or language."""
+    return [
+        [
+            (_fold_hash_py(f"{seed}_{p}_{d}") % 2001 - 1000) / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_to_query(
+    emb: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    out: str = "cos",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Brute-force cosine of every row against a literal query vector."""
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(sum(x * x for x in query)) ** 0.5
+    cos = _dot(v, q) / (_norm(v) * F.lit(qn))
+    return emb.withColumn(out, F.round(cos, ndigits))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact top-k by rounded cosine (rank ties broken by id: deterministic)."""
+    scored = cosine_to_query(emb, query, vec_col=vec_col, ndigits=ndigits)
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "cos", "rank")
+    )
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(_dot(v, pl) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket, exact re-rank.
+
+    At scale the bucket filter prunes ~(1 - 2^-n_planes) of candidates
+    before any dot product; the scan itself is partition-prunable when the
+    table is written bucketed/partitioned by the bucket id.
+    """
+    dim = len(query)
+    planes = hyperplanes(n_planes, dim, seed)
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query, plane)) > 0:
+            qbucket |= 1 << p
+    cand = emb.withColumn("__bucket", lsh_bucket_col(vec_col, planes)).filter(
+        F.col("__bucket") == qbucket
+    )
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col,
+                       ndigits=ndigits)
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+    bucketed: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    bucketed=True joins only within LSH buckets (misses cross-bucket pairs
+    — the standard recall/cost trade); bucketed=False is the exact
+    quadratic baseline for small inputs and oracles.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        _norm(v).alias("n"),
+    )
+    if bucketed:
+        planes = hyperplanes(n_planes, len(emb.select(vec_col).first()[0]), seed)
+        base = base.withColumn(
+            "bucket", lsh_bucket_col("v", planes)
+        )
+        join_keys = ["bucket"]
+        a = base.select(
+            *join_keys, F.col("id").alias("a"), F.col("v").alias("va"),
+            F.col("n").alias("na"),
+        )
+        b = base.select(
+            *join_keys, F.col("id").alias("b"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"),
+        )
+        pairs = a.join(b, on=join_keys).filter(F.col("a") < F.col("b"))
+    else:
+        a = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                        F.col("n").alias("na"))
+        b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                        F.col("n").alias("nb"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

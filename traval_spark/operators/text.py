@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column builders (JVM-side, codegen'd — no Python in the hot
+path): token counting, quality scoring, stopword language-ID, document
+fingerprinting. Each has a matching ANSI-SQL oracle in __spark_entry__.py;
+the cross-engine-portable primitives (whitespace split, char fold-hash,
+md5) are parity-tested against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: portable polynomial char hash modulus (fits int64 under acc*31+127)
+FOLD_MOD = 1_000_000_007
+
+#: BPE-ish token pattern: letter runs | single digits | punctuation marks
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: tiny stopword profiles for the language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "avec", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no", "con", "para"],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (regex split, matches DuckDB
+    regexp_split_to_array(text, '\\s+'))."""
+    return F.split(text, r"\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text)).cast("bigint")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via regexp_extract_all over BPE_PATTERN."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def fold_hash(s: Column) -> Column:
+    """Portable polynomial rolling hash: fold (acc*31 + ascii(ch)) % FOLD_MOD
+    over the characters. Identical in Spark (aggregate/split) and DuckDB
+    (list_reduce/string_split) — parity-tested."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(FOLD_MOD),
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Document fingerprint: rolling char hash of the whole text."""
+    return fold_hash(text)
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring metrics: length, token stats, punctuation/stopword
+    ratios. Ratios rounded to 6dp for cross-engine float stability."""
+    toks = ws_tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("double")
+    en_set = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_set, t))).cast(
+        "double"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok.cast("bigint"),
+        "avg_token_len": F.round(n_chars.cast("double") / n_tok, 6),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars.cast("double"), F.lit(1.0)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tok, F.lit(1.0)), 6),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language stopword hits,
+    'und' (undetermined) when no profile scores > 0. Ties break by the
+    profile order in STOPWORDS (en, de, fr, es) — deterministic."""
+    toks = ws_tokens(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # strict '>' with in-order iteration: ties keep the earlier profile
+    for lang in STOPWORDS:
+        wset = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(wset, t)))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
