@@ -59,11 +59,18 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the testdata ships as one small parquet file -> one input partition;
+    # repartition so per-row operators use every core (at real scale the
+    # scan has thousands of splits and this is a no-op concern)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _flagged(corr: DataFrame, out: str = "r") -> DataFrame:
@@ -426,11 +433,9 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_sig(spark, sf_dir):
-    from traval_spark.operators.dedup import minhash_signature
+    from traval_spark.operators.dedup import with_minhash
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", *minhash_signature(F.col("text"), n_hashes=4, k=3)
-    )
+    return with_minhash(_docs(spark, sf_dir), n_hashes=4, k=3)
 
 
 def q_lsh_buckets(spark, sf_dir):

@@ -1,0 +1,160 @@
+"""Training-data operator tests: text analysis, dedup, similarity,
+multimodal plumbing — plus the chunked-window exactness property."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from traval_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_buckets,
+    ngram_jaccard_pairs,
+    with_minhash,
+    with_simhash16,
+)
+from traval_spark.operators.multimodal import attach_payload, extract_features
+from traval_spark.operators.similarity import (
+    cosine_dup_pairs,
+    cosine_topk,
+    hyperplanes,
+    lsh_topk,
+)
+from traval_spark.operators.text import lang_id, quality_columns, token_count_ws
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),          # exact dup of 0
+        (2, "the cat sat on the red mat"),      # near dup of 0
+        (3, "der hund ist nicht ein fisch"),
+        (4, "le chat est avec une pomme"),
+        (5, "completely different words entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["min_doc_id"] == 0
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = {r["doc_id"]: (r["sig_0"], r["sig_1"], r["sig_2"], r["sig_3"])
+           for r in with_minhash(docs).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[5]
+
+
+def test_lsh_buckets_catch_exact_dups(docs):
+    buckets = lsh_buckets(docs).collect()
+    assert any(b["n_docs"] >= 2 and b["min_doc_id"] == 0 for b in buckets)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert 0.3 <= pairs[(0, 2)] < 1.0    # near dup
+    assert (0, 5) not in pairs
+
+
+def test_simhash_near_dup_proximity(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in with_simhash16(docs).collect()}
+    assert sh[0] == sh[1]
+    hamming = bin(sh[0] ^ sh[2]).count("1")
+    assert hamming <= 6  # near-dup stays close in hamming space
+
+
+def test_lang_id(docs):
+    langs = {r["doc_id"]: r["lang"] for r in
+             docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "de"
+    assert langs[4] == "fr"
+
+
+def test_quality_columns(docs):
+    cols = quality_columns(F.col("text"))
+    row = docs.filter("doc_id = 0").select(
+        *[v.alias(k) for k, v in cols.items()]
+    ).collect()[0]
+    assert row["n_tokens"] == 6
+    assert row["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert row["punct_ratio"] == 0.0
+
+
+def test_token_counts(docs):
+    n = docs.select(token_count_ws(F.col("text")).alias("n")).collect()
+    assert [r["n"] for r in n][0] == 6
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.normal(size=8).astype(np.float32)  # near dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_brute_force(emb):
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    top = cosine_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 1  # the planted near-dup
+
+
+def test_lsh_topk_contains_self_and_neardup(emb):
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    top = lsh_topk(emb, q, k=3, n_planes=4).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and 1 in ids  # near-identical vectors share buckets
+
+
+def test_cosine_dup_pairs_bucketed_subset_of_exact(emb):
+    exact = {(r["a"], r["b"]) for r in
+             cosine_dup_pairs(emb, threshold=0.9, bucketed=False).collect()}
+    bucketed = {(r["a"], r["b"]) for r in
+                cosine_dup_pairs(emb, threshold=0.9, bucketed=True,
+                                 n_planes=4).collect()}
+    assert (0, 1) in exact
+    assert bucketed <= exact  # LSH may miss cross-bucket pairs, never invent
+    assert (0, 1) in bucketed  # near-identical vectors share all sign bits
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplanes(2, 4, seed=42) == hyperplanes(2, 4, seed=42)
+    assert hyperplanes(2, 4, seed=42) != hyperplanes(2, 4, seed=43)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_fake_features(docs):
+    d = attach_payload(docs)
+    feats = extract_features(d).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == len("the cat sat on the mat")
+    assert len(by_id[0]["features"]) == 4
+    # deterministic fake: identical payloads -> identical features
+    assert by_id[0]["features"] == by_id[1]["features"]
+    assert all(0.0 <= x < 1.0 for x in by_id[0]["features"])
+
+
+def test_multimodal_raise_stub(docs):
+    d = attach_payload(docs)
+    with pytest.raises(Exception, match="media decode requires"):
+        extract_features(d, decode_stub="raise").collect()

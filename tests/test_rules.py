@@ -228,3 +228,40 @@ def test_combine_corrections(spark):
     j2 = base.withColumn("c1", codes3).withColumn("c2", codes4)
     c_and = R.rule_combine_corrections_and(j2, ["c1", "c2"], "r")
     assert c_and.filter(F.col("r_res") == 99).count() == 1  # test_006:163
+
+
+def test_chunked_equals_unchunked(spark):
+    """Chunked (series, time-chunk)+halo evaluation is EXACT for gap-aware
+    rules: rows farther than max_gap can never influence a diff, so a
+    max_gap halo preserves semantics while multiplying parallelism."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.cumsum(rng.integers(10, 4000, n)), unit="s"
+    )
+    vals = np.cumsum(rng.normal(0, 1.0, n))
+    vals[rng.integers(0, n, 40)] += 25  # planted spikes
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "ts": ts, "value": vals})
+    )
+    kw = dict(threshold=10.0, spike_tol=10.0, max_gap="30m")
+    plain = R.rule_spike_detection(df, "value", "r", **kw)
+    chunked = R.rule_spike_detection(df, "value", "r", chunk="2h", **kw)
+    fa = plain.filter(F.col("r_code") != 0).select("ts")
+    fb = chunked.filter(F.col("r_code") != 0).select("ts")
+    assert fa.count() == fb.count() > 0
+    assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0
+
+    d_plain = R.rule_diff_ufunc_threshold(
+        df, "value", "r", ufunc="greater_equal", threshold=5.0, max_gap="30m"
+    )
+    d_chunk = R.rule_diff_ufunc_threshold(
+        df, "value", "r", ufunc="greater_equal", threshold=5.0, max_gap="30m",
+        chunk="2h",
+    )
+    ca = d_plain.filter(F.col("r_code") != 0).select("ts")
+    cb = d_chunk.filter(F.col("r_code") != 0).select("ts")
+    assert ca.count() == cb.count() > 0
+    assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0

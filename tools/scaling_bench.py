@@ -1,0 +1,135 @@
+"""Two-parallelism scaling evidence for the north rule.
+
+Runs the full rollup job (read parquet -> rule cleaning -> salted cascade
+-> 1d tier) on IDENTICAL input at local[N] and local[4N] in separate
+JVMs, several trials each; reports points/sec at both and the scaling
+efficiency (throughput_4N / throughput_N) / 4. Best-of-trials is used:
+this sandbox is a shared VM with noisy neighbors (observed 2-10x
+wall-clock swings on identical plans while guest CPU sits idle), so the
+minimum is the faithful estimate of the engine's own cost.
+
+Usage: python tools/scaling_bench.py [rows] [n_small] [n_big] [trials]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_TEMPLATE = """
+import sys, time, json
+sys.path.insert(0, {root!r})
+from traval_spark.session import get_spark
+spark = get_spark("scaling", master="local[{cores}]", shuffle_partitions={cores})
+spark.sparkContext.setLogLevel("ERROR")
+from traval_spark.pipeline import clean_sequences, default_ruleset
+from traval_spark.rollup import build_cascade
+seqs = spark.read.parquet({inp!r})
+def run():
+    cleaned = clean_sequences(seqs, default_ruleset())
+    df = build_cascade(cleaned, salted=True, n_salt=16)["1d"]
+    df.write.format("noop").mode("overwrite").save()
+run()  # warmup: page cache + codegen
+times = []
+for _ in range({trials}):
+    t0 = time.time(); run(); times.append(time.time() - t0)
+print("RESULT " + json.dumps(times))
+"""
+
+
+def run_at(cores: int, inp: str, trials: int) -> list[float]:
+    code = RUN_TEMPLATE.format(root=ROOT, cores=cores, inp=inp, trials=trials)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"no result at local[{cores}]:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    inp = f"/tmp/traval_bench_input_r{rows}_s42"
+    if not os.path.exists(f"{inp}/_SUCCESS"):
+        sys.path.insert(0, ROOT)
+        from traval_spark.session import get_spark
+        from traval_spark.sources.synth import synth_sequences
+
+        spark = get_spark("gen", master=f"local[{n_big}]",
+                          shuffle_partitions=n_big)
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_sequences(spark, rows, partitions=n_big * 2).write.mode(
+            "overwrite"
+        ).parquet(inp)
+        spark.stop()
+
+    t_small = run_at(n_small, inp, trials)
+    t_big = run_at(n_big, inp, trials)
+    best_small, best_big = min(t_small), min(t_big)
+    thr_small = rows / best_small
+    thr_big = rows / best_big
+    eff = (thr_big / thr_small) / (n_big / n_small)
+    result = {
+        "rows": rows,
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "trials_small_sec": [round(t, 2) for t in t_small],
+        "trials_big_sec": [round(t, 2) for t in t_big],
+        "best_small_sec": round(best_small, 2),
+        "best_big_sec": round(best_big, 2),
+        "points_per_sec_small": round(thr_small),
+        "points_per_sec_big": round(thr_big),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    os.makedirs(f"{ROOT}/BENCH", exist_ok=True)
+    with open(f"{ROOT}/BENCH/BASELINE.md", "w") as f:
+        f.write(_report(result))
+
+
+def _report(r: dict) -> str:
+    return f"""# BENCH baseline — measured scaling evidence
+
+North-rule criterion (BASELINE.json): throughput scaling efficiency
+>= 0.8 between N and 4N executors. Sandbox proxy: the full rollup job
+(parquet scan of the tokenized-sequence table -> traval rule cleaning
+[hardmax + chunked spike + combine] -> explicit salted two-phase rollup
+cascade raw->1m->1h->1d) on IDENTICAL input at local[{r['cores_small']}]
+vs local[{r['cores_big']}], separate JVMs, best of {len(r['trials_small_sec'])}
+trials (shared-VM noise suppressed by min; all trials listed).
+
+| config | trials (sec) | best (sec) | points/sec |
+|---|---|---|---|
+| local[{r['cores_small']}] | {r['trials_small_sec']} | {r['best_small_sec']} | {r['points_per_sec_small']:,} |
+| local[{r['cores_big']}]   | {r['trials_big_sec']} | {r['best_big_sec']} | {r['points_per_sec_big']:,} |
+
+- input rows: {r['rows']:,} (deterministic synth, source_00 holds ~50% —
+  the skew case the salting + chunked windows are built for)
+- **scaling efficiency ({r['cores_small']} -> {r['cores_big']} cores):
+  {r['scaling_efficiency']}** (criterion: >= 0.8)
+
+Notes
+- Skew handling is what makes this scale: the hot source's window rules
+  evaluate per (series, time-chunk) with max_gap halos (exact — see
+  tests/test_rules.py::test_chunked_equals_unchunked) and the rollup is an
+  explicit two-phase salted aggregation; without both, source_00 pins one
+  task and added cores idle.
+- Single-JVM local mode shares one heap; a real 4N-executor cluster
+  scales shuffle bandwidth and memory with the cores, so this proxy is a
+  lower bound on cluster efficiency.
+"""
+
+
+if __name__ == "__main__":
+    main()

@@ -72,15 +72,70 @@ def series_window() -> Window:
     return Window.partitionBy(SID).orderBy(TS)
 
 
+CHUNK = "__chunk"
+HALO = "__halo"
+
+
+def with_chunks(df: DataFrame, chunk: str, halo: str) -> DataFrame:
+    """Explode rows into (chunk_id, is_halo) copies for chunked windows.
+
+    Skew weapon for gap-aware window rules: a series window partitioned
+    only by series_id puts a hot series on ONE task. Gap-aware rules
+    (diff/spike with max_gap) cannot see past ``max_gap`` — every diff
+    across a larger gap is NULLed — so evaluating them per
+    (series_id, time-chunk) with a ``halo`` = max_gap of duplicated
+    boundary rows is EXACT (asserted by test_chunked_equals_unchunked)
+    while multiplying the window parallelism by the chunk count.
+
+    Each row lands in its own chunk (halo=false) and additionally in the
+    previous/next chunk (halo=true) when within ``halo`` of the boundary.
+    Callers window over (series_id, __chunk), then drop halo rows.
+
+    Implementation note: three filtered unioned branches, fully
+    whole-stage-codegen'd. An explode() formulation reads the input once
+    instead of three times, but Generate+Window measured wildly unstable
+    (10-60s swings on identical 2.7M-row inputs) while the union is
+    consistently ~4x faster than the skewed unchunked window; the halo
+    branches select only the ~2*halo/chunk fraction of rows, and on
+    date-partitioned storage they partition-prune.
+    """
+    cu = gap_micros(chunk)
+    hu = gap_micros(halo)
+    if hu > cu:
+        raise ValueError("halo must be <= chunk width")
+    us = unix_us(TS)
+    cid = F.floor(us / F.lit(cu)).cast("bigint")
+    pos = us - cid * F.lit(cu)
+    base = df.withColumn(CHUNK, cid).withColumn(HALO, F.lit(False))
+    to_prev = (
+        df.filter(pos < F.lit(hu))
+        .withColumn(CHUNK, cid - 1)
+        .withColumn(HALO, F.lit(True))
+    )
+    to_next = (
+        df.filter(pos >= F.lit(cu - hu))
+        .withColumn(CHUNK, cid + 1)
+        .withColumn(HALO, F.lit(True))
+    )
+    return base.unionByName(to_prev).unionByName(to_next)
+
+
+def chunked_series_window() -> Window:
+    """Per-(series, chunk) ordered window — pairs with :func:`with_chunks`."""
+    return Window.partitionBy(SID, CHUNK).orderBy(TS)
+
+
 def diff_with_gap_awareness(
-    df: DataFrame, in_col: str, max_gap: str = "7D"
+    df: DataFrame, in_col: str, max_gap: str = "7D", w: Window | None = None
 ) -> Column:
     """First difference with NULL where the gap to the previous obs > max_gap.
 
     Re-expresses /root/reference/traval/ts_utils.py:264-287 (``series.diff()``
     followed by a Python loop NaN-ing post-gap diffs) as lag expressions.
+    ``w`` overrides the window spec (chunked evaluation, see with_chunks).
     """
-    w = series_window()
+    if w is None:
+        w = series_window()
     lag_v = F.lag(F.col(in_col)).over(w)
     lag_ts = F.lag(F.col(TS)).over(w)
     diff = F.col(in_col) - lag_v
@@ -92,12 +147,13 @@ def diff_with_gap_awareness(
 def _tag_union(df: DataFrame, aux: DataFrame, aux_col: str) -> DataFrame:
     """Union main rows (tagged 1) with aux series rows (tagged 0).
 
-    The aux frame must have columns (series_id, ts, <value>); it carries the
-    sparse threshold/bound/manual-obs series. Only (sid, ts) of the main
-    frame is needed — extra columns are joined back by the callers.
+    The aux frame must have columns (series_id, ts, <value>). The main
+    frame's payload columns ride THROUGH the union (aux rows get NULLs via
+    allowMissingColumns) so callers can filter back to main rows after the
+    window pass with no join — one shuffle total, no sort-merge join back.
     """
     main = (
-        ensure_ntz(df).select(SID, TS)
+        ensure_ntz(df)
         .withColumn("__is_main", F.lit(1))
         .withColumn("__aux", F.lit(None).cast("double"))
     )
@@ -107,7 +163,7 @@ def _tag_union(df: DataFrame, aux: DataFrame, aux_col: str) -> DataFrame:
         F.lit(0).alias("__is_main"),
         F.col(aux_col).cast("double").alias("__aux"),
     )
-    return main.unionByName(side)
+    return main.unionByName(side, allowMissingColumns=True)
 
 
 def align_resample_ffill_bfill(
@@ -138,13 +194,19 @@ def align_resample_ffill_bfill(
     )
     u = u.withColumn("__fwd", F.last("__aux", ignorenulls=True).over(w_fwd))
     main = u.filter(F.col("__is_main") == 1)
+    # bfill as a DESC running frame: first-non-null-after == last-non-null
+    # in reverse order. Never use first() over (current..unboundedFollowing)
+    # — Spark evaluates that frame by rescanning the partition tail per row
+    # (O(n^2)); the reversed running frame is O(n).
     w_bwd = (
         Window.partitionBy(SID)
-        .orderBy(TS)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(TS).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    main = main.withColumn(out, F.first("__fwd", ignorenulls=True).over(w_bwd))
-    return df.join(main.select(SID, TS, out), on=[SID, TS], how="left")
+    main = main.withColumn(
+        out, F.coalesce(F.col("__fwd"), F.last("__fwd", ignorenulls=True).over(w_bwd))
+    )
+    return main.drop("__is_main", "__aux", "__fwd")
 
 
 def align_interpolate(
@@ -168,17 +230,20 @@ def align_interpolate(
         .orderBy(TS, "__is_main")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # next aux at >= ts (main first at ties, so equal-ts aux is "next")
+    # next aux at >= ts: reversed running frame (see bfill note above —
+    # forward-looking first() frames are O(n^2)). Ordering (ts desc,
+    # is_main asc) scans equal-ts aux rows before the main row, so an aux
+    # at exactly ts counts as "next" — same tie rule as the asc variant.
     w_next = (
         Window.partitionBy(SID)
-        .orderBy(TS, F.col("__is_main").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(TS).desc(), "__is_main")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = (
         u.withColumn("__pv", F.last("__aux", ignorenulls=True).over(w_prev))
         .withColumn("__pt", F.last(aux_us, ignorenulls=True).over(w_prev))
-        .withColumn("__nv", F.first("__aux", ignorenulls=True).over(w_next))
-        .withColumn("__nt", F.first(aux_us, ignorenulls=True).over(w_next))
+        .withColumn("__nv", F.last("__aux", ignorenulls=True).over(w_next))
+        .withColumn("__nt", F.last(aux_us, ignorenulls=True).over(w_next))
     )
     t = F.col("__usec")
     interp = F.when(t == F.col("__pt"), F.col("__pv")).otherwise(
@@ -191,5 +256,6 @@ def align_interpolate(
     # left=right=NaN); NULL arithmetic already propagates, the when() guards
     # the division-by-zero at exact hits only.
     u = u.withColumn(out, interp)
-    main = u.filter(F.col("__is_main") == 1).select(SID, TS, out)
-    return df.join(main, on=[SID, TS], how="left")
+    return u.filter(F.col("__is_main") == 1).drop(
+        "__is_main", "__aux", "__usec", "__pv", "__pt", "__nv", "__nt"
+    )

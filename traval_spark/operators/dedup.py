@@ -55,7 +55,12 @@ def minhash_signature(text: Column, n_hashes: int = 4, k: int = 3) -> list[Colum
     """MinHash signature: per hash-family member b, min over shingles of
     md5(b || '|' || shingle). md5-hex string order is a fixed pseudo-random
     permutation of the shingle space — the textbook construction with a
-    portable hash."""
+    portable hash.
+
+    Prefer :func:`with_minhash` — it materializes the shingle array once;
+    these raw columns each re-derive the shingles (fine for one column,
+    4x redundant work for a full signature).
+    """
     sh = shingles(text, k)
     return [
         F.array_min(
@@ -65,12 +70,33 @@ def minhash_signature(text: Column, n_hashes: int = 4, k: int = 3) -> list[Colum
     ]
 
 
+def with_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n_hashes: int = 4, k: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): shingles computed ONCE into a real column so
+    the n per-band mins share it (higher-order funcs are interpreted, not
+    codegen'd — recomputing the shingle array per band costs n_hashes x;
+    CollapseProject keeps the two projections separate because the shingle
+    expression is non-cheap and multiply referenced)."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__sh")
+    )
+
+    def band_min(b: int):
+        # strictly 1-ary lambda: a default arg would make PySpark treat it
+        # as the (element, index) form and bind the index to b
+        prefix = F.lit(f"{b}|")
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(prefix, s)))
+        ).alias(f"sig_{b}")
+
+    return sh.select(F.col(id_col), *[band_min(b) for b in range(n_hashes)])
+
+
 def lsh_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 n_hashes: int = 4, k: int = 3) -> DataFrame:
     """LSH candidate buckets: docs grouped by the full minhash signature
     (one band of n_hashes rows); buckets with > 1 doc are dup candidates."""
-    sigs = minhash_signature(F.col(text_col), n_hashes, k)
-    with_sig = docs.select(F.col(id_col), *sigs)
+    with_sig = with_minhash(docs, text_col, id_col, n_hashes, k)
     bucket = F.md5(F.concat_ws("|", *[F.col(f"sig_{b}") for b in range(n_hashes)]))
     return (
         with_sig.groupBy(bucket.alias("bucket"))

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
 from traval_spark.codes import CorrectionCode
 from traval_spark.functions.ts import SID, TS, ensure_ntz
 
@@ -126,25 +128,34 @@ def apply_offset_detection(
     max_gap: str,
     search_method: str,
 ) -> DataFrame:
-    """Run the offset kernel per series and join corrections back."""
+    """Run the offset kernel per series.
+
+    The full row payload rides through the kernel (dynamic output schema =
+    input schema + corrections columns) so no join-back is needed — the
+    groupBy(series_id) shuffle is the only data movement.
+    """
     df = ensure_ntz(df)
-    proj = df.select(SID, TS, F.col(in_col).cast("double").alias("__v"))
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(f"{out}_code", IntegerType()),
+            StructField(f"{out}_sval", DoubleType()),
+            StructField(f"{out}_cval", DoubleType()),
+        ]
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _offset_kernel(
-            pdf, "__v", threshold, updown_diff, max_gap, search_method
+        corr = _offset_kernel(
+            pdf.assign(__v=pdf[in_col].astype(float)),
+            "__v", threshold, updown_diff, max_gap, search_method,
         )
+        pdf = pdf.sort_values(TS)
+        pdf[f"{out}_code"] = corr["code"].to_numpy()
+        pdf[f"{out}_sval"] = corr["sval"].to_numpy()
+        pdf[f"{out}_cval"] = corr["cval"].to_numpy()
+        return pdf
 
-    schema = f"{SID} string, {TS} timestamp_ntz, code int, sval double, cval double"
-    corr = proj.groupBy(SID).applyInPandas(run, schema=schema)
-    corr = corr.select(
-        SID,
-        TS,
-        F.col("code").alias(f"{out}_code"),
-        F.col("sval").alias(f"{out}_sval"),
-        F.col("cval").alias(f"{out}_cval"),
-    )
-    return df.join(corr, on=[SID, TS], how="left")
+    return df.groupBy(SID).applyInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -212,61 +223,59 @@ def apply_manual_obs_kernel(
     rulelib.py:775-777) as the additive correction column.
     """
     df = ensure_ntz(df)
-    proj = df.select(SID, TS, F.col(in_col).cast("double").alias("__v"))
     aux = ensure_ntz(manual_obs).select(
         SID, TS, F.col("value").cast("double").alias("__m")
     )
 
-    if mode == "compare":
-        schema = f"{SID} string, {TS} timestamp_ntz, code int, sval double, cval double"
-    else:
-        schema = f"{SID} string, {TS} timestamp_ntz, corr double"
+    extra = (
+        [
+            StructField(f"{out}_code", IntegerType()),
+            StructField(f"{out}_sval", DoubleType()),
+            StructField(f"{out}_cval", DoubleType()),
+        ]
+        if mode == "compare"
+        else [StructField(f"{out}_corr", DoubleType())]
+    )
+    schema = StructType(list(df.schema.fields) + extra)
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         left = left.sort_values(TS)
         s = pd.Series(
-            left["__v"].to_numpy(dtype=float), index=pd.DatetimeIndex(left[TS])
+            left[in_col].to_numpy(dtype=float), index=pd.DatetimeIndex(left[TS])
         )
         right = right.sort_values(TS)
         manual = pd.Series(
             right["__m"].to_numpy(dtype=float), index=pd.DatetimeIndex(right[TS])
         )
-        base = {SID: left[SID].to_numpy(), TS: left[TS].to_numpy()}
+        n = len(s)
         if manual.empty or s.empty:
             if mode == "compare":
-                n = len(s)
-                return pd.DataFrame(
-                    base | {"code": np.zeros(n, dtype=np.int32),
-                            "sval": np.full(n, np.nan),
-                            "cval": np.full(n, np.nan)}
-                )
-            return pd.DataFrame(base | {"corr": s.to_numpy()})
+                left[f"{out}_code"] = np.zeros(n, dtype=np.int32)
+                left[f"{out}_sval"] = np.full(n, np.nan)
+                left[f"{out}_cval"] = np.full(n, np.nan)
+            else:
+                left[f"{out}_corr"] = s.to_numpy()
+            return left
 
         d = _manual_obs_diff(s, manual, method, max_dt, reset_dates)
         if mode == "compare":
             above = (d > threshold).to_numpy()
             below = (d < -threshold).to_numpy()
-            code = np.zeros(len(s), dtype=np.int32)
+            code = np.zeros(n, dtype=np.int32)
             code[above] = int(CorrectionCode.ABOVE_THRESHOLD)
             code[below] = int(CorrectionCode.BELOW_THRESHOLD)
-            sval = np.where(above | below, d.to_numpy(), np.nan)
-            cval = np.where(above, threshold, np.where(below, -threshold, np.nan))
-            return pd.DataFrame(base | {"code": code, "sval": sval, "cval": cval})
-        # shift mode: reference returns adjusted = series + diff
-        return pd.DataFrame(base | {"corr": (s + d).to_numpy()})
+            left[f"{out}_code"] = code
+            left[f"{out}_sval"] = np.where(above | below, d.to_numpy(), np.nan)
+            left[f"{out}_cval"] = np.where(
+                above, threshold, np.where(below, -threshold, np.nan)
+            )
+        else:
+            # shift mode: reference returns adjusted = series + diff
+            left[f"{out}_corr"] = (s + d).to_numpy()
+        return left
 
-    corr = (
-        proj.groupBy(SID)
+    return (
+        df.groupBy(SID)
         .cogroup(aux.groupBy(SID))
         .applyInPandas(run, schema=schema)
     )
-    if mode == "compare":
-        corr = corr.select(
-            SID, TS,
-            F.col("code").alias(f"{out}_code"),
-            F.col("sval").alias(f"{out}_sval"),
-            F.col("cval").alias(f"{out}_cval"),
-        )
-    else:
-        corr = corr.select(SID, TS, F.col("corr").alias(f"{out}_corr"))
-    return df.join(corr, on=[SID, TS], how="left")

@@ -34,16 +34,19 @@ from pyspark.sql import functions as F
 from traval_spark.codes import CorrectionCode
 from traval_spark.functions.masks import mask_above_below, mask_corrections
 from traval_spark.functions.ts import (
+    HALO,
     SID,
     TS,
     US,
     align_interpolate,
     align_resample_ffill_bfill,
+    chunked_series_window,
     diff_with_gap_awareness,
-    gap_micros,
     ensure_ntz,
+    gap_micros,
     series_window,
     unix_us,
+    with_chunks,
 )
 
 CODE = "code"
@@ -175,15 +178,28 @@ def rule_max_gradient(df, in_col, out, *, max_step=0.5, max_timestep="1D"):
 
 @_register(CODE)
 def rule_diff_ufunc_threshold(
-    df, in_col, out, *, ufunc, threshold, max_gap="7D"
+    df, in_col, out, *, ufunc, threshold, max_gap="7D", chunk=None
 ):
-    """Gap-aware diff compared against a threshold (rulelib.py:153-190)."""
+    """Gap-aware diff compared against a threshold (rulelib.py:153-190).
+
+    ``chunk``: exact skew-safe chunked evaluation (see rule_spike_detection).
+    """
     name = _ufunc_name(ufunc)
-    diff = diff_with_gap_awareness(df, in_col, max_gap)
+    if chunk is not None:
+        df = with_chunks(df, chunk, max_gap)
+        diff = diff_with_gap_awareness(df, in_col, max_gap,
+                                       w=chunked_series_window())
+    else:
+        diff = diff_with_gap_awareness(df, in_col, max_gap)
     mask = _UFUNCS[name](diff, _lit(threshold))
-    return mask_corrections(
+    df = mask_corrections(
         df, in_col, out, mask, _ufunc_code(name), cval=_lit(threshold)
     )
+    if chunk is not None:
+        from traval_spark.functions.ts import CHUNK
+
+        df = df.filter(~F.col(HALO)).drop(CHUNK, HALO)
+    return df
 
 
 @_register(CODE)
@@ -217,7 +233,8 @@ def rule_other_ufunc_threshold(
 
 @_register(CODE)
 def rule_spike_detection(
-    df, in_col, out, *, threshold=0.15, spike_tol=0.15, max_gap="7D"
+    df, in_col, out, *, threshold=0.15, spike_tol=0.15, max_gap="7D",
+    chunk=None,
 ):
     """Flag 1-timestep spikes (rulelib.py:231-262 + ts_utils.py:290-340).
 
@@ -230,9 +247,17 @@ def rule_spike_detection(
     The reference's positional trim (ts_utils.py:328-331, iloc[1:-1] with
     values[2:]) is implicit here: d_0 is NULL (no lag) and lead() is NULL on
     the last row, and NULL propagates through the sums.
+
+    ``chunk`` (e.g. "1d", must be >= max_gap): evaluate per
+    (series, time-chunk) with a max_gap halo — exact (gap-aware diffs
+    cannot see past max_gap) and immune to hot-series skew (SURVEY.md §4.2).
     """
-    w = series_window()
-    d = diff_with_gap_awareness(df, in_col, max_gap)
+    if chunk is not None:
+        df = with_chunks(df, chunk, max_gap)
+        w = chunked_series_window()
+    else:
+        w = series_window()
+    d = diff_with_gap_awareness(df, in_col, max_gap, w=w)
     df = df.withColumn(f"{out}_d", d)
     dcol = F.col(f"{out}_d")
     du = F.when(dcol < 0.0, F.lit(None)).otherwise(dcol)  # keeps d >= 0 and NULL
@@ -248,7 +273,12 @@ def rule_spike_detection(
     df = mask_corrections(
         df, in_col, out, mask, int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
     )
-    return df.drop(f"{out}_d", f"{out}_du", f"{out}_dd")
+    df = df.drop(f"{out}_d", f"{out}_du", f"{out}_dd")
+    if chunk is not None:
+        from traval_spark.functions.ts import CHUNK
+
+        df = df.filter(~F.col(HALO)).drop(CHUNK, HALO)
+    return df
 
 
 @_register(CODE)

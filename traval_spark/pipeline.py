@@ -39,8 +39,12 @@ def default_ruleset() -> SparkRuleSet:
     rs = SparkRuleSet("sequence-cleaning")
     rs.add_rule("toklen_max", "rule_hardmax", apply_to=0,
                 kwargs={"threshold": 100_000.0})
+    # chunked evaluation: exact for gap-aware rules and immune to the
+    # hot-source skew (source_00 = 50% of rows would otherwise run its
+    # whole window on ONE task — SURVEY.md §4.2)
     rs.add_rule("toklen_spike", "rule_spike_detection", apply_to=0,
-                kwargs={"threshold": 1e7, "spike_tol": 1e7})
+                kwargs={"threshold": 1e7, "spike_tol": 1e7,
+                        "max_gap": "10m", "chunk": "1h"})
     rs.add_rule("final", "rule_combine_nan_or", apply_to=(1, 2))
     return rs
 

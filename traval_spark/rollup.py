@@ -172,16 +172,17 @@ def gap_fill(
             .orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # reversed running frame: forward-looking first() frames are O(n^2)
         w_next = (
             Window.partitionBy("source")
-            .orderBy("bucket")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("bucket").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         prev_us = F.last(F.when(observed, F.col("__us")), ignorenulls=True).over(w_prev)
-        next_us = F.first(F.when(observed, F.col("__us")), ignorenulls=True).over(w_next)
+        next_us = F.last(F.when(observed, F.col("__us")), ignorenulls=True).over(w_next)
         for m in MEASURES:
             pv = F.last(m, ignorenulls=True).over(w_prev)
-            nv = F.first(m, ignorenulls=True).over(w_next)
+            nv = F.last(m, ignorenulls=True).over(w_next)
             ratio = (F.col("__us") - prev_us) / (next_us - prev_us)
             interp = F.when(observed, F.col(m)).otherwise(
                 pv + (nv - pv) * ratio

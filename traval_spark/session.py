@@ -70,7 +70,7 @@ def get_spark(
         # generous broadcast threshold: params/bounds/manual-obs tables are
         # tiny dimensions and must broadcast, never sort-merge
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
