@@ -366,6 +366,94 @@ def q_gorilla_roundtrip(spark, sf_dir):
     )
 
 
+def q_other_threshold(spark, sf_dir):
+    """rule_other_ufunc_threshold: flag where a second aligned series
+    (here: the same index shifted by +10) violates the threshold."""
+    from traval_spark.operators.rules import rule_other_ufunc_threshold
+
+    s = _series(spark, sf_dir)
+    other = s.select("series_id", "ts", (F.col("value") + 10.0).alias("value"))
+    c = rule_other_ufunc_threshold(s, "value", "r", other=other,
+                                   ufunc="greater", threshold=100.0)
+    return _flagged(c)
+
+
+def q_outside_bandwidth(spark, sf_dir):
+    """rule_outside_bandwidth with same-index bounds (value +/- margin
+    around the per-series mean) — the no-interpolation path."""
+    from traval_spark.operators.rules import rule_outside_bandwidth
+
+    s = _series(spark, sf_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("series_id")
+    m = F.avg("value").over(w)
+    lb = s.select("series_id", "ts", (m - 20.0).alias("value"))
+    ub = s.select("series_id", "ts", (m + 60.0).alias("value"))
+    c = rule_outside_bandwidth(s, "value", "r", lowerbound=lb, upperbound=ub)
+    return _flagged(c)
+
+
+def q_combine_nan_or(spark, sf_dir):
+    """Branching ruleset: two threshold rules OR-combined (union of flags)."""
+    from traval_spark.plans.ruleset import SparkRuleSet, apply_ruleset
+
+    rs = SparkRuleSet("combine")
+    rs.add_rule("hi", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater",), "threshold": HARDMAX_THR})
+    rs.add_rule("lo", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("less",), "threshold": HARDMIN_THR})
+    rs.add_rule("both", "rule_combine_nan_or", apply_to=(1, 2))
+    wide = apply_ruleset(_series(spark, sf_dir), rs)
+    return wide.filter(F.col("step_3").isNull()).select("series_id", "ts")
+
+
+def q_comparison_series(spark, sf_dir):
+    """Per-timestamp status codes (the code-not-docstring quirk)."""
+    from traval_spark.comparison import compare_series, comparison_series
+
+    ev = _events(spark, sf_dir)
+    s1 = ev.filter(F.col("event_id") % 13 != 0).select(
+        F.col("event_type").alias("series_id"), "ts",
+        F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("value"))
+        .alias("value"),
+    )
+    s2 = ev.filter(F.col("event_id") % 17 != 0).select(
+        F.col("event_type").alias("series_id"), "ts",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value")
+                   + F.when(F.col("event_id") % 7 == 0, 1.0).otherwise(0.0))
+        .alias("value"),
+    )
+    return comparison_series(compare_series(s1, s2))
+
+
+def q_linear_interp(spark, sf_dir):
+    """interpolate_series_to_new_index (np.interp hull semantics): the
+    'view' series linearly interpolated onto the 'click' index."""
+    from traval_spark.functions.ts import align_interpolate
+
+    ev = _events(spark, sf_dir)
+    main = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("series_id"), "ts", "value"
+    )
+    aux = ev.filter(F.col("event_type") == "view").select(
+        F.lit("click").alias("series_id"), "ts", "value"
+    )
+    out = align_interpolate(main.drop("value"), aux, "value", "interp")
+    return out.select("ts", F.round("interp", 6).alias("interp"))
+
+
+def q_funcdict(spark, sf_dir):
+    """rule_funcdict: arbitrary Python predicates via Arrow pandas_udf —
+    no SQL oracle (rows-only check)."""
+    from traval_spark.operators.rules import rule_funcdict
+
+    c = rule_funcdict(_series(spark, sf_dir), "value", "r",
+                      funcdict={"low": lambda s: s < 1.0,
+                                "high": lambda s: s > 200.0})
+    return _flagged(c)
+
+
 def q_offset_detection(spark, sf_dir):
     """Greedy offset pairing — inherently sequential per series, no SQL
     oracle (rows-only check; SURVEY.md §5)."""
@@ -520,6 +608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "offset_detection": q_offset_detection,
+        "other_threshold": q_other_threshold,
+        "outside_bandwidth": q_outside_bandwidth,
+        "combine_nan_or": q_combine_nan_or,
+        "comparison_series": q_comparison_series,
+        "linear_interp": q_linear_interp,
+        "funcdict": q_funcdict,
         "token_counts": q_token_counts,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -852,7 +946,78 @@ def oracle_sql() -> dict[str, str]:
            round(sum(value), 6) AS sum_val
     from events group by 1, 2
     """
-    # offset_detection: no oracle (order-dependent greedy kernel)
+    # offset_detection, funcdict: no oracle (greedy kernel / Python preds)
+
+    sql["other_threshold"] = """
+    select event_type AS series_id, ts, CAST(2 AS INTEGER) AS code
+    from events where value + 10.0 > 100.0
+    """
+    sql["outside_bandwidth"] = """
+    with s as (select event_type, ts, value,
+                      avg(value) over (partition by event_type) AS m
+               from events)
+    select event_type AS series_id, ts,
+           CAST(case when value > m + 60.0 then 2 else -2 end AS INTEGER)
+             AS code
+    from s where value > m + 60.0 or value < m - 20.0
+    """
+    sql["combine_nan_or"] = f"""
+    select event_type AS series_id, ts from events
+    where value > {HARDMAX_THR} or value < {HARDMIN_THR}
+    """
+    sql["comparison_series"] = """
+    with s1 as (select event_type series_id, ts,
+                       case when event_id % 11 = 0 then NULL else value end v
+                from events where event_id % 13 != 0),
+    s2 as (select event_type series_id, ts,
+                  case when event_id % 5 = 0 then NULL
+                       else value + case when event_id % 7 = 0
+                                         then 1.0 else 0.0 end end v
+           from events where event_id % 17 != 0),
+    j as (select coalesce(s1.series_id, s2.series_id) series_id,
+                 coalesce(s1.ts, s2.ts) ts, s1.v v1, s2.v v2,
+                 s1.series_id is not null p1, s2.series_id is not null p2
+          from s1 full outer join s2 using (series_id, ts))
+    select series_id, ts,
+           case when p1 and v1 is not null and p2 and v2 is not null then
+                  case when abs(v1 - v2) <= 0.0 then -1.0 else 0.0 end
+                when p1 and v1 is not null then 1.0
+                when p2 and v2 is not null then 2.0
+                else -9999.0 end AS status
+    from j
+    """
+    sql["linear_interp"] = """
+    with main as (select ts from events where event_type = 'click'),
+    aux as (select ts, value from events where event_type = 'view'),
+    u as (
+      select ts, 1 AS is_main, CAST(NULL AS DOUBLE) AS aux_v from main
+      union all select ts, 0, value from aux),
+    fwd as (
+      select *, epoch_us(ts) * 1.0 AS usec,
+        last_value(aux_v ignore nulls) over
+          (order by ts, is_main
+           rows between unbounded preceding and current row) AS pv,
+        last_value(case when is_main = 0 then epoch_us(ts) * 1.0 end
+                   ignore nulls) over
+          (order by ts, is_main
+           rows between unbounded preceding and current row) AS pt
+      from u),
+    bwd as (
+      select *, 
+        last_value(aux_v ignore nulls) over
+          (order by ts desc, is_main
+           rows between unbounded preceding and current row) AS nv,
+        last_value(case when is_main = 0 then epoch_us(ts) * 1.0 end
+                   ignore nulls) over
+          (order by ts desc, is_main
+           rows between unbounded preceding and current row) AS nt
+      from fwd)
+    select ts,
+           round(case when usec = pt then pv
+                      else pv + (nv - pv) * (usec - pt) / (nt - pt) end,
+                 6) AS interp
+    from bwd where is_main = 1
+    """
 
     sql["token_counts"] = f"""
     select doc_id,
