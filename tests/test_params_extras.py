@@ -1,0 +1,155 @@
+"""TravalParameters round-trips (test_008 analog), ruleset pickle,
+bandwidth/synthetic-raw utilities, Detector audit methods, comment pivots."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_series_df
+from traval_spark.comparison import (
+    compare_by_comment,
+    compare_series,
+    compare_series_relative,
+    compare_to_base_by_comment,
+)
+from traval_spark.functions.ts import (
+    bandwidth_moving_avg_n_sigma,
+    create_synthetic_raw_time_series,
+)
+from traval_spark.plans.detector import Detector
+from traval_spark.plans.params import TravalParameters
+from traval_spark.plans.ruleset import SparkRuleSet
+
+
+def _params():
+    return TravalParameters(
+        pd.DataFrame(
+            [
+                ("default", "gt", "threshold", 5.0),
+                ("loc1", "gt", "threshold", 8.0),
+            ],
+            columns=["location", "rulename", "parameter", "value"],
+        )
+    )
+
+
+def test_params_get_set_delete():
+    tp = _params()
+    assert tp.get("gt", "threshold") == 5.0
+    assert tp.get("gt", "threshold", location="loc1") == 8.0
+    assert tp.get("gt", "threshold", location="unknown") == 5.0  # fallback
+    tp.set("gt", "threshold", 9.0, location="loc1")
+    assert tp.get("gt", "threshold", location="loc1") == 9.0
+    tp.delete("gt", "threshold", location="loc1")
+    assert tp.get("gt", "threshold", location="loc1") == 5.0
+    with pytest.raises(KeyError):
+        tp.delete("gt", "threshold", location="loc1")
+    with pytest.raises(KeyError):
+        tp.get("nope", "threshold")
+
+
+def test_params_serde_roundtrips(tmp_path):
+    tp = _params()
+    tp.to_csv(str(tmp_path / "p.csv"))
+    assert TravalParameters.from_csv(str(tmp_path / "p.csv")) == tp
+    tp.to_json(str(tmp_path / "p.json"))
+    assert TravalParameters.from_json(str(tmp_path / "p.json")) == tp
+    tp.to_pickle(str(tmp_path / "p.pkl"))
+    assert TravalParameters.from_pickle(str(tmp_path / "p.pkl")) == tp
+
+
+def test_params_from_ruleset():
+    rs = SparkRuleSet("r")
+    rs.add_rule("gt", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater",), "threshold": 7.0})
+    tp = TravalParameters.from_ruleset(rs, locations=["a"])
+    assert tp.get("gt", "threshold") == 7.0
+    assert tp.get("gt", "threshold", location="a") == 7.0
+
+
+def test_ruleset_pickle_roundtrip(tmp_path, spark):
+    rs = SparkRuleSet("p")
+    rs.add_rule("gt10", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater_equal",), "threshold": 10.0})
+    p = str(tmp_path / "rs.pkl")
+    rs.to_pickle(p)
+    rs2 = SparkRuleSet.from_pickle(p)
+    assert list(rs2.rules) == ["gt10"]
+    assert rs2.rules["gt10"]["kwargs"]["threshold"] == 10.0
+
+
+def test_bandwidth_moving_avg_n_sigma(spark):
+    df = make_series_df(spark, np.arange(10, dtype=float))
+    out = bandwidth_moving_avg_n_sigma(df, "value", window=3, n=1.0)
+    rows = out.orderBy("ts").collect()
+    # pandas oracle (ts_utils.py:343-365)
+    s = pd.Series(np.arange(10, dtype=float))
+    expected_avg = s.rolling(3).mean()
+    nstd = s.std()
+    for i, r in enumerate(rows):
+        if np.isnan(expected_avg[i]):
+            assert r["lower_1.0_sigma"] is None
+        else:
+            assert r["lower_1.0_sigma"] == pytest.approx(expected_avg[i] - nstd)
+            assert r["upper_1.0_sigma"] == pytest.approx(expected_avg[i] + nstd)
+
+
+def test_create_synthetic_raw(spark):
+    raw = make_series_df(spark, [10.0, 11.0, 12.0, 13.0])
+    truth_vals = [0.0, 1.0, 2.0, 3.0]
+    comments = ["", "bad", "", "bad"]
+    truth = make_series_df(spark, truth_vals, comments=comments)
+    out = create_synthetic_raw_time_series(
+        raw, truth.select("series_id", "ts", "value"),
+        comments=truth.select("series_id", "ts", "comment"),
+    )
+    vals = [r["value"] for r in out.orderBy("ts").collect()]
+    # commented rows take raw, uncommented keep truth (ts_utils.py:444-451)
+    assert vals == [0.0, 11.0, 2.0, 13.0]
+
+
+def test_comment_pivots(spark):
+    s1 = make_series_df(spark, [1.0, np.nan, 3.0, np.nan])
+    truth = make_series_df(spark, [1.0, np.nan, np.nan, 4.0],
+                           comments=["", "drop", "drop", "keep"])
+    cmp = compare_series(s1, truth)
+    piv = compare_by_comment(cmp).collect()
+    assert len(piv) > 0
+    base = make_series_df(spark, [1.0, 2.0, 3.0, 4.0])  # all present
+    rel = compare_series_relative(s1, truth, base)
+    piv2 = {r["rel_category"]: r for r in compare_to_base_by_comment(rel).collect()}
+    assert piv2["flagged_in_both"]["drop"] == 1  # ts2: both NaN, base ok
+
+
+def test_detector_get_series_and_audit(spark):
+    vals = np.arange(-5, 23, 3, dtype=float)
+    series = make_series_df(spark, vals)
+    truth_vals = vals.copy()
+    truth_vals[vals >= 10] = np.nan
+    truth = make_series_df(
+        spark, truth_vals,
+        comments=["" if v < 10 else "too high" for v in vals],
+    )
+    rs = SparkRuleSet("t")
+    rs.add_rule("gt13", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater_equal",), "threshold": 13.0})
+    det = Detector(series, truth=truth)
+    det.apply_ruleset(rs)
+
+    tp_rows = det.get_series(1, category="tp")
+    assert tp_rows.count() == 4  # >=13: 13,16,19,22
+
+    audit = det.get_corrections_comparison()
+    rows = {r["ts"]: r for r in audit.collect()}
+    # union of flagged-by-rule (>=13) and truth-flagged (>=10): 5 rows
+    assert len(rows) == 5
+    labels = {r["comparison_label"] for r in rows.values()}
+    # rule+truth both flag -> both NULL -> status -9999 -> "NaN in both"
+    # (the comparison_series quirk; "Flagged in both" = status 0 means
+    # both PRESENT but different — reference label map detector.py:509-515)
+    assert "NaN in both" in labels
+    # value 10: truth flags it, rule (>=13) keeps it
+    assert "Only flagged in 'truth' series" in labels

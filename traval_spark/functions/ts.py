@@ -259,3 +259,57 @@ def align_interpolate(
     return u.filter(F.col("__is_main") == 1).drop(
         "__is_main", "__aux", "__usec", "__pv", "__pt", "__nv", "__nt"
     )
+
+
+def bandwidth_moving_avg_n_sigma(
+    df: DataFrame, in_col: str, window: int, n: float
+) -> DataFrame:
+    """Rolling(window).mean() +/- n * global std bandwidth columns.
+
+    Re-expresses /root/reference/traval/ts_utils.py:343-365: the rolling
+    mean uses a rows-frame of exactly ``window`` observations (pandas
+    min_periods defaults to the window size -> NULL until filled); the
+    sigma term is the whole-series std (ddof=1).
+    """
+    w_roll = (
+        Window.partitionBy(SID).orderBy(TS).rowsBetween(-(window - 1), 0)
+    )
+    w_all = Window.partitionBy(SID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cnt = F.count(F.col(in_col)).over(w_roll)
+    avg = F.when(cnt >= window, F.avg(F.col(in_col)).over(w_roll))
+    nstd = F.stddev_samp(F.col(in_col)).over(w_all) * F.lit(float(n))
+    return df.withColumn(f"lower_{n}_sigma", avg - nstd).withColumn(
+        f"upper_{n}_sigma", avg + nstd
+    )
+
+
+def create_synthetic_raw_time_series(
+    raw: DataFrame, truth: DataFrame, comments: DataFrame | None = None
+) -> DataFrame:
+    """Truth values replaced by raw values wherever a comment labels them.
+
+    Re-expresses /root/reference/traval/ts_utils.py:417-453: restrict to
+    timestamps where raw is present non-NULL AND truth has a row (index
+    intersection of raw.dropna() with truth); where the comment is
+    non-empty take the raw value, else the truth value. ``comments`` may
+    be a separate (series_id, ts, comment) frame or already a ``comment``
+    column of truth.
+    """
+    t = ensure_ntz(truth)
+    if comments is not None:
+        t = t.join(
+            ensure_ntz(comments).select(
+                SID, TS, F.col(comments.columns[-1]).alias("comment")
+            ),
+            on=[SID, TS],
+            how="left",
+        )
+    r = ensure_ntz(raw).filter(F.col("value").isNotNull()).select(
+        SID, TS, F.col("value").alias("__raw")
+    )
+    j = t.join(r, on=[SID, TS], how="inner")  # index intersection
+    commented = F.coalesce(F.col("comment"), F.lit("")) != ""
+    out = F.when(commented, F.col("__raw")).otherwise(F.col("value"))
+    return j.select(SID, TS, out.alias("value"), "comment")

@@ -237,3 +237,69 @@ class Detector:
     def classifier_stats(self, step: int = -1) -> DataFrame:
         """All 18 binary-classification stats for a step (one row)."""
         return with_classifier_stats(binary_classification(self.comparison(step)))
+
+    def get_series(self, step: int, category: str | None = None) -> DataFrame:
+        """Base + step (+ truth) values, optionally one tp/fp/fn/tn category
+        (detector.py:337-357)."""
+        res = self._require_results()
+        step = self._resolve_step(step)
+        cols = [SID, TS, F.col("step_0").alias("base_series"),
+                F.col(f"step_{step}").alias("result")]
+        out = res.select(*cols)
+        if self.truth is not None:
+            out = out.join(
+                self.truth.select(SID, TS, F.col("value").alias("truth")),
+                on=[SID, TS], how="left",
+            )
+        if category is not None:
+            idx = self.get_indices(category, step)
+            out = out.join(idx, on=[SID, TS], how="left_semi")
+        return out
+
+    def get_corrections_comparison(self) -> DataFrame:
+        """Flagged-rows audit table: raw/result values, per-rule comment,
+        truth (value + comment) and the comparison label
+        (detector.py:495-537, label map at 509-515 — replicating the
+        comparison_series code semantics, not its docstring).
+        """
+        if self.truth is None:
+            raise ValueError("Supply a time series for 'truth'!")
+        from traval_spark.comparison import compare_series, comparison_series
+
+        res = self._require_results()
+        n = len(self.ruleset.rules)
+        comments = self.get_comment_series().withColumnRenamed(
+            "comment", "traval_comment"
+        )
+        flagged_traval = comments.filter(F.col("traval_comment") != "")
+        truth_cols = [SID, TS, F.col("value").alias("truth_series")]
+        if "comment" in self.truth.columns:
+            truth_cols.append(F.col("comment").alias("truth_comment"))
+        truth = self.truth.select(*truth_cols)
+        flagged_truth = truth.filter(F.col("truth_series").isNull())
+
+        idx = flagged_traval.select(SID, TS).unionByName(
+            flagged_truth.select(SID, TS)).distinct()
+
+        status = comparison_series(
+            compare_series(self.step_series(n), self.truth)
+        )
+        label = (
+            F.when(F.col("status") == -1.0, "Value modified")
+            .when(F.col("status") == 0.0, "Flagged in both")
+            .when(F.col("status") == 1.0, "Only flagged in 'truth' series")
+            .when(F.col("status") == 2.0, "Only flagged in 'traval' series")
+            .when(F.col("status") == -9999.0, "NaN in both")
+        )
+        out = (
+            idx.join(res.select(SID, TS, F.col("step_0").alias("raw"),
+                                F.col(f"step_{n}").alias("traval_series")),
+                     on=[SID, TS], how="left")
+            .join(comments, on=[SID, TS], how="left")
+            .join(truth, on=[SID, TS], how="left")
+            .join(status.withColumn("comparison_label", label)
+                  .drop("status"), on=[SID, TS], how="left")
+        )
+        return out
+
+

@@ -155,6 +155,25 @@ class SparkRuleSet:
             return None
         return payload
 
+    def to_pickle(self, fname: str) -> None:
+        """Pickle the plan (reference ruleset.py:392-415; unlike JSON this
+        keeps non-registry python objects in kwargs intact)."""
+        import pickle
+
+        payload = {"name": self.name, "rules": self.rules}
+        with open(fname, "wb") as f:
+            pickle.dump(payload, f)
+
+    @classmethod
+    def from_pickle(cls, fname: str) -> "SparkRuleSet":
+        import pickle
+
+        with open(fname, "rb") as f:
+            payload = pickle.load(f)
+        rs = cls(name=payload["name"])
+        rs.rules.update(payload["rules"])
+        return rs
+
     @classmethod
     def from_json(cls, fname_or_str: str) -> "SparkRuleSet":
         if fname_or_str.lstrip().startswith("{"):
