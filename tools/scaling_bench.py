@@ -68,9 +68,11 @@ def main() -> None:
         spark = get_spark("gen", master=f"local[{n_big}]",
                           shuffle_partitions=n_big)
         spark.sparkContext.setLogLevel("ERROR")
-        synth_sequences(spark, rows, partitions=n_big * 2).write.mode(
-            "overwrite"
-        ).parquet(inp)
+        # max_tok=16: the measured job prunes the tokens column at the scan,
+        # so short arrays keep the input REAL (same schema/row count/skew)
+        # while generation stays minutes, not hours
+        synth_sequences(spark, rows, partitions=n_big * 2,
+                        max_tok=16).write.mode("overwrite").parquet(inp)
         spark.stop()
 
     t_small = run_at(n_small, inp, trials)
