@@ -265,3 +265,15 @@ def test_chunked_equals_unchunked(spark):
     cb = d_chunk.filter(F.col("r_code") != 0).select("ts")
     assert ca.count() == cb.count() > 0
     assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+
+def test_nsigma_via_join_equal(spark):
+    """via_join (agg + broadcast join) == unbounded-window n-sigma."""
+    rng = np.random.default_rng(3)
+    df = make_series_df(spark, rng.normal(0, 1, 500), freq="h")
+    a = R.rule_outside_n_sigma(df, "value", "r", n=1.5)
+    b = R.rule_outside_n_sigma(df, "value", "r", n=1.5, via_join=True)
+    fa = a.filter(F.col("r_code") != 0).select("ts", "r_code")
+    fb = b.filter(F.col("r_code") != 0).select("ts", "r_code")
+    assert fa.count() == fb.count() > 0
+    assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0

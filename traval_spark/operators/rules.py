@@ -324,21 +324,40 @@ def _w_unbounded() -> Window:
 
 
 @_register(CODE)
-def rule_outside_n_sigma(df, in_col, out, *, n=2.0):
+def rule_outside_n_sigma(df, in_col, out, *, n=2.0, via_join=False):
     """Flag outside mean +/- n*std over the whole series (rulelib.py:402-430).
 
-    Per-series scalars via unbounded windows; stddev_samp (ddof=1) matches
-    pandas ``Series.std()``.
+    Default: per-series scalars via unbounded windows (stddev_samp, ddof=1,
+    matches pandas ``Series.std()``) — one pass, but the window forces a
+    full sort-by-series that a hot series serializes.
+
+    via_join=True: the 100TB path — groupBy(series).agg(avg, stddev) then a
+    broadcast join back. Aggregation does map-side partial combine, so the
+    hot series never concentrates on one task; the per-series stats table
+    is tiny and broadcasts. Same values (test_nsigma_via_join_equal);
+    trade-off is a second scan of the input lineage.
     """
-    mean = F.avg(F.col(in_col)).over(_w_unbounded())
-    std = F.stddev_samp(F.col(in_col)).over(_w_unbounded())
+    if via_join:
+        stats = df.groupBy(SID).agg(
+            F.avg(F.col(in_col)).alias(f"{out}_mean"),
+            F.stddev_samp(F.col(in_col)).alias(f"{out}_std"),
+        )
+        df = df.join(F.broadcast(stats), on=SID, how="left")
+        mean = F.col(f"{out}_mean")
+        std = F.col(f"{out}_std")
+    else:
+        mean = F.avg(F.col(in_col)).over(_w_unbounded())
+        std = F.stddev_samp(F.col(in_col)).over(_w_unbounded())
     thr_above = mean + _lit(n) * std
     thr_below = mean - _lit(n) * std
-    return mask_above_below(
+    df = mask_above_below(
         df, in_col, out,
         F.col(in_col) > thr_above, thr_above,
         F.col(in_col) < thr_below, thr_below,
     )
+    if via_join:
+        df = df.drop(f"{out}_mean", f"{out}_std")
+    return df
 
 
 @_register(CODE)

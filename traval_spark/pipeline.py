@@ -45,7 +45,10 @@ def default_ruleset() -> SparkRuleSet:
     rs.add_rule("toklen_spike", "rule_spike_detection", apply_to=0,
                 kwargs={"threshold": 1e7, "spike_tol": 1e7,
                         "max_gap": "10m", "chunk": "1h"})
-    rs.add_rule("final", "rule_combine_nan_or", apply_to=(1, 2))
+    # skew-free per-series stats: agg + broadcast join, not a window sort
+    rs.add_rule("toklen_sigma", "rule_outside_n_sigma", apply_to=0,
+                kwargs={"n": 8.0, "via_join": True})
+    rs.add_rule("final", "rule_combine_nan_or", apply_to=(1, 2, 3))
     return rs
 
 
