@@ -48,7 +48,39 @@ N_PLANES = 6
 LSH_SEED = 42
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make traval_spark importable inside Python workers regardless of the
+    driver session's cwd/PYTHONPATH: zip the package once and addPyFile it.
+    Needed by the applyInPandas/mapInPandas queries (offset kernel, Gorilla
+    blocks, multimodal features); equivalent to spark-submit --py-files.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = "/tmp/traval_spark_pkg.zip"
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            pkg = os.path.join(root, "traval_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, root))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    _SHIPPED.add(key)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -62,6 +94,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the testdata ships as one small parquet file -> one input partition;
     # repartition so per-row operators use every core (at real scale the
     # scan has thousands of splits and this is a no-op concern)
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
