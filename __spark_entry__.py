@@ -476,6 +476,16 @@ def q_linear_interp(spark, sf_dir):
     return out.select("ts", F.round("interp", 6).alias("interp"))
 
 
+def q_hampel(spark, sf_dir):
+    """Hampel filter: rolling median +/- k*MAD outliers (north-star op)."""
+    from traval_spark.operators.rules import rule_hampel
+
+    return _flagged(
+        rule_hampel(_series(spark, sf_dir), "value", "r",
+                    window="1D", k=5.0, min_obs=5)
+    )
+
+
 def q_funcdict(spark, sf_dir):
     """rule_funcdict: arbitrary Python predicates via Arrow pandas_udf —
     no SQL oracle (rows-only check)."""
@@ -645,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outside_bandwidth": q_outside_bandwidth,
         "combine_nan_or": q_combine_nan_or,
         "comparison_series": q_comparison_series,
+        "hampel": q_hampel,
         "linear_interp": q_linear_interp,
         "funcdict": q_funcdict,
         "token_counts": q_token_counts,
@@ -997,6 +1008,27 @@ def oracle_sql() -> dict[str, str]:
     sql["combine_nan_or"] = f"""
     select event_type AS series_id, ts from events
     where value > {HARDMAX_THR} or value < {HARDMIN_THR}
+    """
+    sql["hampel"] = f"""
+    with m as (
+      select event_type, ts, value,
+             quantile_cont(value, 0.5) over w AS med,
+             count(value) over w AS cnt
+      from events
+      window w as (partition by event_type order by epoch_us(ts)
+                   range between {FLAT_WINDOW_US} preceding and current row)),
+    d as (select event_type, ts, value, cnt, abs(value - med) AS dev,
+                 epoch_us(ts) AS us
+          from m),
+    md as (
+      select event_type, ts, dev, cnt,
+             quantile_cont(dev, 0.5) over w AS mad
+      from d
+      window w as (partition by event_type order by us
+                   range between {FLAT_WINDOW_US} preceding and current row))
+    select event_type AS series_id, ts, CAST(99 AS INTEGER) AS code
+    from md
+    where cnt >= 5 and dev > 5.0 * 1.4826 * mad
     """
     sql["comparison_series"] = """
     with s1 as (select event_type series_id, ts,

@@ -277,3 +277,20 @@ def test_nsigma_via_join_equal(spark):
     fb = b.filter(F.col("r_code") != 0).select("ts", "r_code")
     assert fa.count() == fb.count() > 0
     assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0
+
+
+def test_rule_hampel(spark):
+    """Hampel filter flags planted outliers; clean sine stays untouched."""
+    rng_vals = np.sin(np.arange(50) / 5.0) * 2
+    rng_vals[20] += 15
+    rng_vals[35] -= 12
+    idx = pd.date_range("2020-01-01", freq="h", periods=50)
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "ts": idx, "value": rng_vals})
+    )
+    c = R.rule_hampel(df, "value", "r", window="12h", k=3.0, min_obs=4)
+    flagged = sorted(
+        (r["ts"] - idx[0].to_pydatetime()).total_seconds() / 3600
+        for r in c.filter(F.col("r_code") != 0).collect()
+    )
+    assert flagged == [20.0, 35.0]

@@ -460,6 +460,45 @@ def rule_flat_signal(
     )
 
 
+@_register(CODE)
+def rule_hampel(
+    df, in_col, out, *, window="1D", k=3.0, min_obs=3,
+):
+    """Hampel filter: flag |v - rolling_median| > k * 1.4826 * rolling_MAD.
+
+    Not in the reference library (the north_star names it alongside
+    flat-line filtering); standard two-stage streaming formulation:
+    med_i = median over the trailing time window, dev_i = |v_i - med_i|,
+    MAD_i = median of dev over the same window (deviations are taken
+    against each point's own window median — the usual vectorized
+    approximation of the textbook filter). 1.4826 is the Gaussian
+    consistency constant. Exact percentiles (never approx), left-open
+    pandas-style time window, needs >= min_obs points.
+    """
+    win_us = gap_micros(window) - 1
+    w_range = (
+        Window.partitionBy(SID)
+        .orderBy(unix_us(TS))
+        .rangeBetween(-win_us, 0)
+    )
+    v = F.col(in_col)
+    med = F.percentile(v, F.lit(0.5)).over(w_range)
+    df = df.withColumn(f"{out}_med", med)
+    dev = F.abs(v - F.col(f"{out}_med"))
+    df = df.withColumn(f"{out}_dev", dev)
+    mad = F.percentile(F.col(f"{out}_dev"), F.lit(0.5)).over(w_range)
+    cnt = F.count(v).over(w_range)
+    mask = (
+        (cnt >= F.lit(int(min_obs)))
+        & (F.col(f"{out}_dev") > _lit(k) * F.lit(1.4826) * mad)
+    )
+    df = mask_corrections(
+        df, in_col, out, mask, int(CorrectionCode.UNKNOWN_COMPARISON_VALUE),
+        cval=F.col(f"{out}_med"),
+    )
+    return df.drop(f"{out}_med", f"{out}_dev")
+
+
 # ---------------------------------------------------------------------------
 # comment / manual-obs rules
 # ---------------------------------------------------------------------------
