@@ -10,7 +10,9 @@ hashes (md5, the fold hash) are bit-portable and parity-tested.
 
 Series model for the traval-core queries: the ``events`` table as the
 long frame with series_id = event_type (5 series, ~2k points each at
-sf=0.01; FIXTURES.md F7).
+sf=0.01; FIXTURES.md F7). 40 queries, 38 with full value-level oracles
+(offset_detection and funcdict are rows-only: greedy kernel / Python
+predicates).
 """
 
 from __future__ import annotations

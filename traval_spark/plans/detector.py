@@ -88,9 +88,13 @@ class Detector:
     # ------------------------------------------------------------------
 
     def comparison(self, step: int = -1) -> DataFrame:
-        """Relative comparison of a step vs truth and base (detector.py:142-165)."""
+        """Comparison of a step: relative (vs truth + base) when a truth is
+        set, plain SeriesComparison vs the base otherwise
+        (detector.py:158-165)."""
         if self.truth is None:
-            raise ValueError("No truth series set")
+            from traval_spark.comparison import compare_series
+
+            return compare_series(self.step_series(step), self.step_series(0))
         return compare_series_relative(
             self.step_series(step), self.truth, self.step_series(0)
         )
