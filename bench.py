@@ -59,6 +59,7 @@ def main() -> None:
     qs = entrymod.queries()
     headline = [
         "hardmax", "spike_detection", "outside_nsigma", "flat_signal",
+        "hampel", "linear_interp",
         "asof_resample", "relative_summary", "binary_classifier",
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
