@@ -62,18 +62,26 @@ def _ship_package(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
+    import hashlib
     import zipfile
 
     root = os.path.dirname(os.path.abspath(__file__))
-    zpath = "/tmp/traval_spark_pkg.zip"
+    pkg = os.path.join(root, "traval_spark")
+    sources = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                sources.append((full, st.st_mtime_ns, st.st_size))
+    # key the zip on package content state: editing traval_spark must never
+    # leave workers importing a stale zip (addPyFile shadows PYTHONPATH)
+    h = hashlib.md5(repr(sorted(sources)).encode()).hexdigest()[:12]
+    zpath = f"/tmp/traval_spark_pkg_{h}.zip"
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as zf:
-            pkg = os.path.join(root, "traval_spark")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        zf.write(full, os.path.relpath(full, root))
+            for full, _mt, _sz in sources:
+                zf.write(full, os.path.relpath(full, root))
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

@@ -294,3 +294,25 @@ def test_rule_hampel(spark):
         for r in c.filter(F.col("r_code") != 0).collect()
     )
     assert flagged == [20.0, 35.0]
+
+
+def test_rule_max_gradient_column_negative_step(spark):
+    """Per-series (Column) max_step with a NEGATIVE value must take the
+    negative-gradient branch row-wise (rulelib.py:90-98) — regression for
+    the always-positive-branch bug with Column parameters."""
+    v = np.arange(10, dtype=float)
+    v[4] -= 2  # one gradient of -3/day, then +3/day back
+    df = make_series_df(spark, v).withColumn("ms", F.lit(-1.0))
+    c = R.rule_max_gradient(df, "value", "r", max_step=F.col("ms"),
+                            max_timestep="1D")
+    counts = code_counts(c)
+    assert counts.get(-2, 0) == 1  # only the falling gradient
+    assert counts.get(2, 0) == 0
+
+    # positive Column max_step must equal the scalar path
+    df2 = make_series_df(spark, v).withColumn("ms", F.lit(1.0))
+    c2 = R.rule_max_gradient(df2, "value", "r", max_step=F.col("ms"),
+                             max_timestep="1D")
+    c2s = R.rule_max_gradient(make_series_df(spark, v), "value", "r",
+                              max_step=1.0, max_timestep="1D")
+    assert code_counts(c2) == code_counts(c2s)

@@ -173,3 +173,23 @@ def test_detector_uniqueness(spark, series10):
     assert uq["gt19"]["tp"] == 0
     # gt10 uniquely flags {10, 13, 16} (19, 22 shared with gt19)
     assert uq["gt10"]["tp"] == 3
+
+
+def test_detector_single_rule_empty_confusion(spark, series10):
+    """A single-rule ruleset makes uniqueness()'s step list empty and
+    confusion_matrix(steps=[0]) filters everything out: both must return
+    an EMPTY frame with the confusion schema, like the reference's empty
+    DataFrame, not raise."""
+    vals = np.arange(-5, 23, 3, dtype=float)
+    truth = make_series_df(spark, vals)
+    rs = SparkRuleSet("one")
+    rs.add_rule("gt10", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater_equal",), "threshold": 10.0})
+    det = Detector(series10, truth=truth)
+    det.apply_ruleset(rs)
+    uq = det.uniqueness()
+    assert uq.count() == 0
+    assert uq.columns == ["step", "rule", "tp", "fp", "fn", "tn"]
+    cm = det.confusion_matrix(steps=[0])
+    assert cm.count() == 0
+    assert cm.columns == ["step", "rule", "tp", "fp", "fn", "tn"]

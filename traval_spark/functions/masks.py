@@ -26,16 +26,19 @@ def mask_corrections(
     in_col: str,
     out: str,
     mask: Column,
-    code: int,
+    code: int | Column,
     cval: Column | None = None,
 ) -> DataFrame:
     """Add corrections columns: set ``code`` where mask, copy series/cmp values.
 
     Mirrors ``_mask_corrections`` (/root/reference/traval/ts_utils.py:38-47).
     NULL-valued masks count as False (pandas NaN comparisons are False).
+    ``code`` may be a Column for rules whose code depends on a per-series
+    parameter (rule_max_gradient with a per-series signed max_step).
     """
     m = F.coalesce(mask, F.lit(False))
-    df = df.withColumn(f"{out}_code", F.when(m, F.lit(code)).otherwise(F.lit(0)))
+    code_col = code if isinstance(code, Column) else F.lit(code)
+    df = df.withColumn(f"{out}_code", F.when(m, code_col).otherwise(F.lit(0)))
     df = df.withColumn(f"{out}_sval", F.when(m, F.col(in_col)).otherwise(F.lit(None)))
     if cval is None:
         cv = F.lit(None).cast("double")

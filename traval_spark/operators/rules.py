@@ -122,14 +122,17 @@ def rule_ufunc_threshold(
     """
     name = _ufunc_name(ufunc)
     cmp_fn = _UFUNCS[name]
+    helper = None
     if isinstance(threshold, DataFrame):
-        thr_col = f"{out}_thr"
-        df = align_resample_ffill_bfill(df, threshold, "value", thr_col)
-        thr = F.col(thr_col) + _lit(offset)
+        helper = f"{out}_thr"
+        df = align_resample_ffill_bfill(df, threshold, "value", helper)
+        thr = F.col(helper) + _lit(offset)
     else:
         thr = _lit(threshold) + _lit(offset)
     mask = cmp_fn(F.col(in_col), thr)
-    return mask_corrections(df, in_col, out, mask, _ufunc_code(name), cval=thr)
+    df = mask_corrections(df, in_col, out, mask, _ufunc_code(name), cval=thr)
+    # drop the join helper so it never rides through the wide step table
+    return df.drop(helper) if helper else df
 
 
 @_register(CODE)
@@ -163,16 +166,25 @@ def rule_max_gradient(df, in_col, out, *, max_step=0.5, max_timestep="1D"):
         unix_us(TS) - unix_us(F.lag(F.col(TS)).over(w))
     ).cast("double") / F.lit(float(US))
     grad = dv / dt_s * F.lit(float(conversion))
-    if isinstance(max_step, Column) or max_step > 0.0:
-        mask = grad > _lit(max_step)
+    ms = _lit(max_step)
+    if isinstance(max_step, Column):
+        # per-series max_step: the sign (and thus the rule branch,
+        # rulelib.py:90-98) must be decided row-wise in-expression
+        mask = F.when(ms > 0.0, grad > ms).otherwise(grad < -ms)
+        code = F.when(
+            ms > 0.0, F.lit(int(CorrectionCode.ABOVE_THRESHOLD))
+        ).otherwise(F.lit(int(CorrectionCode.BELOW_THRESHOLD)))
+        return mask_corrections(df, in_col, out, mask, code, cval=ms)
+    if max_step > 0.0:
+        mask = grad > ms
         return mask_corrections(
             df, in_col, out, mask, int(CorrectionCode.ABOVE_THRESHOLD),
-            cval=_lit(max_step),
+            cval=ms,
         )
-    mask = grad < -_lit(max_step)
+    mask = grad < -ms
     return mask_corrections(
         df, in_col, out, mask, int(CorrectionCode.BELOW_THRESHOLD),
-        cval=_lit(max_step),
+        cval=ms,
     )
 
 
@@ -221,9 +233,10 @@ def rule_other_ufunc_threshold(
     df = df.join(F.broadcast(oth), on=[SID, TS], how="left")
     ov = F.col(f"{out}_other")
     mask = ov.isNotNull() & _UFUNCS[name](ov, _lit(threshold))
-    return mask_corrections(
+    df = mask_corrections(
         df, f"{out}_other", out, mask, _ufunc_code(name), cval=_lit(threshold)
     )
+    return df.drop(f"{out}_other")
 
 
 # ---------------------------------------------------------------------------

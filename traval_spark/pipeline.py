@@ -124,10 +124,17 @@ def run(
         F.sum("raw_bytes").alias("raw"), F.sum("packed_bytes").alias("packed")
     ).collect()[0]
     if n_input is None:
-        n_input = cleaned.count()
+        # rolled-up (non-flagged) point count read back from the tiny
+        # written 1m tier — never re-execute the full cleaning plan just
+        # for a metrics field (it is the dominant stage of the job)
+        n_input = int(
+            t1m.agg(F.sum("n_points").alias("n")).collect()[0]["n"] or 0
+        )
 
     metrics.update(
         {
+            # points aggregated into the 1m tier (flagged rows excluded);
+            # sourced from the written tier, not a second plan execution
             "input_rows": n_input,
             "gorilla_raw_bytes": comp["raw"],
             "gorilla_packed_bytes": comp["packed"],

@@ -9,7 +9,7 @@ user-side "for each location" loop (ex02 notebook) disappears into
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from traval_spark.comparison import (
@@ -99,6 +99,76 @@ class Detector:
             self.step_series(step), self.truth, self.step_series(0)
         )
 
+    _CONFUSION_SCHEMA = (
+        "step int, rule string, tp bigint, fp bigint, fn bigint, tn bigint"
+    )
+
+    def _steps_confusion(self, specs: list[tuple[int, str, Column]]) -> DataFrame:
+        """Single-pass per-step TP/FP/FN/TN vs truth.
+
+        One full-outer join of the wide step table with the truth series,
+        then ONE aggregation carrying 4 conditional counters per step,
+        reshaped to rows with ``stack`` — n steps cost one job, not n
+        (the reference recomputes a SeriesComparisonRelative per step,
+        detector.py:181-303; the category algebra here is identical to
+        comparison.compare_series_relative, with p1 == pb == "row exists
+        in the step table" since every step lives in the same frame).
+        """
+        res = self._require_results()
+        if not specs:
+            return self.series.sparkSession.createDataFrame(
+                [], self._CONFUSION_SCHEMA
+            )
+        truth = self.truth.select(
+            F.col(SID),
+            F.col(TS).cast("timestamp_ntz").alias(TS),
+            F.col("value").cast("double").alias("__v2"),
+            F.lit(True).alias("__p2"),
+        )
+        j = res.withColumn("__pr", F.lit(True)).join(
+            truth, on=[SID, TS], how="full_outer"
+        )
+        pr = F.col("__pr").isNotNull()
+        okb = pr & F.col("step_0").isNotNull()
+        base_nan = pr & F.col("step_0").isNull()
+        ok2 = F.col("__p2").isNotNull() & F.col("__v2").isNotNull()
+
+        aggs = []
+        for k, _name, s1 in specs:
+            ok1 = pr & s1.isNotNull()
+            rel = (
+                F.when(okb,
+                       F.when(ok1 & ok2, F.lit("kept_in_both"))
+                       .when(~ok1 & ok2, F.lit("flagged_in_s1"))
+                       .when(ok1 & ~ok2, F.lit("flagged_in_s2"))
+                       .otherwise(F.lit("flagged_in_both")))
+                .when(ok1 & ok2, F.lit("introduced_in_both"))
+                .when(ok1, F.lit("introduced_in_s1"))
+                .when(ok2, F.lit("introduced_in_s2"))
+                .when(base_nan, F.lit("in_all_nan"))
+            )
+            for cat, col in (
+                ("flagged_in_both", f"tp_{k}"),
+                ("flagged_in_s1", f"fp_{k}"),
+                ("flagged_in_s2", f"fn_{k}"),
+                ("kept_in_both", f"tn_{k}"),
+            ):
+                aggs.append(
+                    F.sum(F.when(rel == cat, 1).otherwise(0)).alias(col)
+                )
+        one = j.agg(*aggs)
+        parts = []
+        for k, name, _s1 in specs:
+            lit_name = "'" + name.replace("'", "''") + "'"
+            parts += [str(k), lit_name,
+                      f"tp_{k}", f"fp_{k}", f"fn_{k}", f"tn_{k}"]
+        return one.select(
+            F.expr(
+                f"stack({len(specs)}, {', '.join(parts)})"
+                " as (step, rule, tp, fp, fn, tn)"
+            )
+        )
+
     def confusion_matrix(self, steps: list[int] | None = None) -> DataFrame:
         """Per-step TP/FP/FN/TN vs truth (detector.py:181-240).
 
@@ -107,23 +177,13 @@ class Detector:
         """
         n = len(self.ruleset.rules)
         steps = steps if steps is not None else list(range(1, n + 1))
-        frames = []
+        specs = []
         for k in steps:
             k = self._resolve_step(k)
             if k == 0:
                 continue
-            bc = binary_classification(self.comparison(k))
-            frames.append(
-                bc.select(
-                    F.lit(k).alias("step"),
-                    F.lit(self.ruleset.get_step_name(k)).alias("rule"),
-                    "tp", "fp", "fn", "tn",
-                )
-            )
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+            specs.append((k, self.ruleset.get_step_name(k), F.col(f"step_{k}")))
+        return self._steps_confusion(specs)
 
     def uniqueness(self) -> DataFrame:
         """Unique contribution per rule (detector.py:242-303).
@@ -133,11 +193,10 @@ class Detector:
         NULLs are patched to the reference's -9999.0 sentinel before the
         relative comparison.
         """
-        res = self._require_results()
         n = len(self.ruleset.rules)
         steps = list(range(1, n))  # reference drops the last step
         others_all = [0] + steps
-        frames = []
+        specs = []
         for k in steps:
             others = [j for j in others_all if j != k]
             s = F.col(f"step_{k}")
@@ -147,20 +206,8 @@ class Detector:
             patched = F.when(
                 s.isNull() & ~unique_null, F.lit(-9999.0)
             ).otherwise(s)
-            s1 = res.select(SID, TS, patched.alias("value"))
-            rel = compare_series_relative(s1, self.truth, self.step_series(0))
-            bc = binary_classification(rel)
-            frames.append(
-                bc.select(
-                    F.lit(k).alias("step"),
-                    F.lit(self.ruleset.get_step_name(k)).alias("rule"),
-                    "tp", "fp", "fn", "tn",
-                )
-            )
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+            specs.append((k, self.ruleset.get_step_name(k), patched))
+        return self._steps_confusion(specs)
 
     def stats_per_comment(self, step: int = -1) -> DataFrame:
         """Relative-comparison counts split by truth comment (detector.py:305-335)."""
