@@ -220,7 +220,8 @@ def q_flat_signal(spark, sf_dir):
 
     return _flagged(
         rule_flat_signal(_series(spark, sf_dir), "value", "r",
-                         window=1, min_obs=FLAT_MIN_OBS, std_threshold=FLAT_STD)
+                         window=1, min_obs=FLAT_MIN_OBS, std_threshold=FLAT_STD,
+                         chunk="4D")
     )
 
 
@@ -492,7 +493,7 @@ def q_hampel(spark, sf_dir):
 
     return _flagged(
         rule_hampel(_series(spark, sf_dir), "value", "r",
-                    window="1D", k=5.0, min_obs=5)
+                    window="1D", k=5.0, min_obs=5, chunk="4D")
     )
 
 

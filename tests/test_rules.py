@@ -316,3 +316,51 @@ def test_rule_max_gradient_column_negative_step(spark):
     c2s = R.rule_max_gradient(make_series_df(spark, v), "value", "r",
                               max_step=1.0, max_timestep="1D")
     assert code_counts(c2) == code_counts(c2s)
+
+
+def _irregular_series(spark, seed=7, n=1500):
+    """Two series, irregular minute-level steps, NaNs and a big gap."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for sid in ("a", "b"):
+        steps = rng.integers(60, 1800, size=n).cumsum()
+        steps[n // 2:] += 3 * 86400  # a multi-day gap mid-series
+        ts = pd.Timestamp("2021-03-01") + pd.to_timedelta(steps, unit="s")
+        v = rng.normal(50.0, 10.0, size=n)
+        v[rng.random(n) < 0.03] = np.nan  # flagged points ride through
+        v[rng.random(n) < 0.01] += 120.0  # outliers for hampel to find
+        frames.append(pd.DataFrame({"series_id": sid, "ts": ts, "value": v}))
+    return spark.createDataFrame(pd.concat(frames))
+
+
+def _corr_rows(df, out="r"):
+    rows = df.select("series_id", "ts", f"{out}_code", f"{out}_sval",
+                     f"{out}_cval").collect()
+    return sorted(
+        (r[0], r[1], r[2],
+         None if r[3] is None else round(r[3], 9),
+         None if r[4] is None else round(float(r[4]), 9))
+        for r in rows
+    )
+
+
+def test_hampel_chunked_equals_window(spark):
+    """The O(n log w) chunked pandas kernel must reproduce the exact
+    percentile-range-frame formulation bit-for-bit on irregular data with
+    NaNs and gaps (2*window halo exactness argument)."""
+    df = _irregular_series(spark)
+    base = R.rule_hampel(df, "value", "r", window="1D", k=2.0, min_obs=3)
+    fast = R.rule_hampel(df, "value", "r", window="1D", k=2.0, min_obs=3,
+                         chunk="2D")
+    assert _corr_rows(base) == _corr_rows(fast)
+    assert base.columns == fast.columns
+
+
+def test_flat_signal_chunked_equals_window(spark):
+    df = _irregular_series(spark, seed=11)
+    kw = dict(window=1, min_obs=5, std_threshold=8.0, qbelow=0.9,
+              hbelow=-1e9)
+    base = R.rule_flat_signal(df, "value", "r", **kw)
+    fast = R.rule_flat_signal(df, "value", "r", chunk="3D", **kw)
+    assert _corr_rows(base) == _corr_rows(fast)
+    assert base.columns == fast.columns

@@ -76,7 +76,9 @@ CHUNK = "__chunk"
 HALO = "__halo"
 
 
-def with_chunks(df: DataFrame, chunk: str, halo: str) -> DataFrame:
+def with_chunks(
+    df: DataFrame, chunk: str, halo: str, trailing_only: bool = False
+) -> DataFrame:
     """Explode rows into (chunk_id, is_halo) copies for chunked windows.
 
     Skew weapon for gap-aware window rules: a series window partitioned
@@ -107,14 +109,19 @@ def with_chunks(df: DataFrame, chunk: str, halo: str) -> DataFrame:
     cid = F.floor(us / F.lit(cu)).cast("bigint")
     pos = us - cid * F.lit(cu)
     base = df.withColumn(CHUNK, cid).withColumn(HALO, F.lit(False))
-    to_prev = (
-        df.filter(pos < F.lit(hu))
-        .withColumn(CHUNK, cid - 1)
-        .withColumn(HALO, F.lit(True))
-    )
     to_next = (
         df.filter(pos >= F.lit(cu - hu))
         .withColumn(CHUNK, cid + 1)
+        .withColumn(HALO, F.lit(True))
+    )
+    if trailing_only:
+        # trailing-window consumers (rolling median/std over (t-w, t]) only
+        # need history BEFORE each chunk: skip the forward-halo branch and
+        # its extra input scan entirely
+        return base.unionByName(to_next)
+    to_prev = (
+        df.filter(pos < F.lit(hu))
+        .withColumn(CHUNK, cid - 1)
         .withColumn(HALO, F.lit(True))
     )
     return base.unionByName(to_prev).unionByName(to_next)

@@ -279,3 +279,102 @@ def apply_manual_obs_kernel(
         .cogroup(aux.groupBy(SID))
         .applyInPandas(run, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# chunked rolling time-window statistics (hampel / flat_signal hot path)
+# ---------------------------------------------------------------------------
+
+#: supported rolling statistics (all skip NULL/NaN values, like Spark
+#: window aggregates): median/count/std are single-stage, mad is two-stage
+#: (median of |v - rolling_median| over the same trailing window)
+ROLLING_STATS = ("median", "mad", "std", "count")
+
+
+def rolling_time_stats(
+    df: DataFrame,
+    in_col: str,
+    window: str,
+    stats: dict[str, str],
+    chunk: str | None = None,
+) -> DataFrame:
+    """Trailing time-window rolling stats as a chunked pandas kernel.
+
+    Exact replacement for ``F.percentile/stddev_samp/count`` over a
+    ``rangeBetween(-(window_us - 1), 0)`` frame — Spark evaluates
+    non-incremental aggregates over bounded frames by *recomputing the
+    frame per row* (O(n*w) per series, the round-1 hampel bottleneck),
+    while pandas' skiplist rolling kernels are O(n log w) and the
+    (series, time-chunk) grouping parallelizes within hot series.
+
+    ``stats`` maps new column names to one of ``ROLLING_STATS``. The pandas
+    window is ``(t - window, t]`` (closed='right'), identical to the
+    microsecond-quantized Spark range frame; NaN values are skipped by
+    pandas rolling aggregations exactly as Spark aggregates skip NULLs
+    (asserted by test_rolling_kernel_equals_window).
+
+    ``chunk``: evaluate per (series, time-chunk) with a trailing halo of
+    duplicated history rows — EXACT for trailing windows because a row's
+    window never reaches further back than the halo: ``window`` for
+    single-stage stats, ``2 * window`` when ``mad`` is requested (the
+    deviations feeding an output row's MAD window need their OWN full
+    median window). Requires chunk >= halo. With chunk=None the kernel
+    runs once per series (still O(n log w), no extra parallelism).
+
+    Precondition: at most one row per (series_id, ts) — pandas variable
+    windows end at the current *position* while Spark RANGE frames include
+    all equal-ts peers. Holds for the engine's long-frame model (one
+    reference pd.Series point per timestamp).
+    """
+    for stat in stats.values():
+        if stat not in ROLLING_STATS:
+            raise ValueError(f"unknown rolling stat: {stat}")
+    from traval_spark.functions.ts import CHUNK, HALO, gap_micros, with_chunks
+
+    df = ensure_ntz(df)
+    two_stage = "mad" in stats.values()
+    win_td = pd.Timedelta(window)
+
+    group_cols = [SID]
+    chunked = chunk is not None
+    if chunked:
+        halo_us = gap_micros(window) * (2 if two_stage else 1)
+        halo = f"{halo_us}us"
+        if gap_micros(chunk) < halo_us:
+            raise ValueError(
+                f"chunk ({chunk}) must be >= halo ({halo}) for window {window}"
+            )
+        df = with_chunks(df, chunk, halo, trailing_only=True)
+        group_cols = [SID, CHUNK]
+
+    out_fields = [StructField(name, DoubleType()) for name in stats]
+    schema = StructType(list(df.schema.fields) + out_fields)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TS, kind="mergesort")
+        s = pd.Series(
+            pdf[in_col].to_numpy(dtype=float), index=pd.DatetimeIndex(pdf[TS])
+        )
+        r = s.rolling(win_td, closed="right")
+        med = None
+        if two_stage or "median" in stats.values():
+            med = r.quantile(0.5, interpolation="linear")
+        for name, stat in stats.items():
+            if stat == "median":
+                vals = med
+            elif stat == "count":
+                vals = r.count()
+            elif stat == "std":
+                vals = r.std(ddof=1)
+            else:  # mad
+                dev = (s - med).abs()
+                vals = dev.rolling(win_td, closed="right").quantile(
+                    0.5, interpolation="linear"
+                )
+            pdf[name] = vals.to_numpy()
+        return pdf
+
+    out = df.groupBy(*group_cols).applyInPandas(run, schema=schema)
+    if chunked:
+        out = out.filter(~F.col(HALO)).drop(CHUNK, HALO)
+    return out

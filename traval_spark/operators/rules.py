@@ -425,6 +425,7 @@ def rule_flat_signal(
     qabove=None,
     hbelow=None,
     habove=None,
+    chunk=None,
 ):
     """Flag flat/dead signal stretches (rulelib.py:867-941).
 
@@ -435,16 +436,33 @@ def rule_flat_signal(
     ignore NULLs, so computing over all rows equals the dropna() subset.
     Quantile gates use exact ``percentile`` (pandas-default linear
     interpolation), never approx_percentile (SURVEY.md §4.2).
+
+    ``chunk`` (e.g. "4D", must be >= window): compute the rolling std/count
+    via the chunked pandas rolling kernel instead of a Spark range frame —
+    Spark recomputes bounded-frame aggregates per row (O(n*w) per series),
+    the kernel is O(n log w) and parallel within hot series. Exact
+    (test_flat_signal_chunked_equals_window); the unbounded quantile gates
+    stay as window expressions either way.
     """
-    win_us = int(window) * 86400 * US - 1
-    w_range = (
-        Window.partitionBy(SID)
-        .orderBy(unix_us(TS))
-        .rangeBetween(-win_us, 0)
-    )
     v = F.col(in_col)
-    roll_std = F.stddev_samp(v).over(w_range)
-    roll_cnt = F.count(v).over(w_range)
+    if chunk is not None:
+        from traval_spark.operators.kernels import rolling_time_stats
+
+        df = rolling_time_stats(
+            df, in_col, f"{int(window)}D",
+            {f"{out}_rstd": "std", f"{out}_rcnt": "count"}, chunk=chunk,
+        )
+        roll_std = F.col(f"{out}_rstd")
+        roll_cnt = F.col(f"{out}_rcnt")
+    else:
+        win_us = int(window) * 86400 * US - 1
+        w_range = (
+            Window.partitionBy(SID)
+            .orderBy(unix_us(TS))
+            .rangeBetween(-win_us, 0)
+        )
+        roll_std = F.stddev_samp(v).over(w_range)
+        roll_cnt = F.count(v).over(w_range)
     stdmask = (roll_cnt >= F.lit(int(min_obs))) & (roll_std < _lit(std_threshold))
 
     if qabove is None and qbelow is not None:
@@ -468,14 +486,17 @@ def rule_flat_signal(
         hmask = F.lit(True)
 
     mask = v.isNotNull() & F.coalesce(stdmask & qmask & hmask, F.lit(False))
-    return mask_corrections(
+    df = mask_corrections(
         df, in_col, out, mask, int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
     )
+    if chunk is not None:
+        df = df.drop(f"{out}_rstd", f"{out}_rcnt")
+    return df
 
 
 @_register(CODE)
 def rule_hampel(
-    df, in_col, out, *, window="1D", k=3.0, min_obs=3,
+    df, in_col, out, *, window="1D", k=3.0, min_obs=3, chunk=None,
 ):
     """Hampel filter: flag |v - rolling_median| > k * 1.4826 * rolling_MAD.
 
@@ -487,20 +508,40 @@ def rule_hampel(
     approximation of the textbook filter). 1.4826 is the Gaussian
     consistency constant. Exact percentiles (never approx), left-open
     pandas-style time window, needs >= min_obs points.
+
+    ``chunk`` (e.g. "4D", must be >= 2*window): the scale path. Spark
+    evaluates ``percentile`` over a bounded frame by recomputing per row —
+    O(n*w) per series, TWICE here (median then MAD) — and a hot series
+    runs its whole window on one task. The chunked pandas rolling kernel
+    (operators/kernels.py:rolling_time_stats) is O(n log w) and fans each
+    series across its time chunks; a 2*window trailing halo makes it exact
+    (the deviations feeding an output row's MAD window need their own full
+    median window — see the kernel docstring).
     """
-    win_us = gap_micros(window) - 1
-    w_range = (
-        Window.partitionBy(SID)
-        .orderBy(unix_us(TS))
-        .rangeBetween(-win_us, 0)
-    )
     v = F.col(in_col)
-    med = F.percentile(v, F.lit(0.5)).over(w_range)
-    df = df.withColumn(f"{out}_med", med)
-    dev = F.abs(v - F.col(f"{out}_med"))
-    df = df.withColumn(f"{out}_dev", dev)
-    mad = F.percentile(F.col(f"{out}_dev"), F.lit(0.5)).over(w_range)
-    cnt = F.count(v).over(w_range)
+    if chunk is not None:
+        from traval_spark.operators.kernels import rolling_time_stats
+
+        df = rolling_time_stats(
+            df, in_col, window,
+            {f"{out}_med": "median", f"{out}_mad": "mad", f"{out}_cnt": "count"},
+            chunk=chunk,
+        )
+        df = df.withColumn(f"{out}_dev", F.abs(v - F.col(f"{out}_med")))
+        mad = F.col(f"{out}_mad")
+        cnt = F.col(f"{out}_cnt")
+    else:
+        win_us = gap_micros(window) - 1
+        w_range = (
+            Window.partitionBy(SID)
+            .orderBy(unix_us(TS))
+            .rangeBetween(-win_us, 0)
+        )
+        med = F.percentile(v, F.lit(0.5)).over(w_range)
+        df = df.withColumn(f"{out}_med", med)
+        df = df.withColumn(f"{out}_dev", F.abs(v - F.col(f"{out}_med")))
+        mad = F.percentile(F.col(f"{out}_dev"), F.lit(0.5)).over(w_range)
+        cnt = F.count(v).over(w_range)
     mask = (
         (cnt >= F.lit(int(min_obs)))
         & (F.col(f"{out}_dev") > _lit(k) * F.lit(1.4826) * mad)
@@ -509,7 +550,10 @@ def rule_hampel(
         df, in_col, out, mask, int(CorrectionCode.UNKNOWN_COMPARISON_VALUE),
         cval=F.col(f"{out}_med"),
     )
-    return df.drop(f"{out}_med", f"{out}_dev")
+    helpers = [f"{out}_med", f"{out}_dev"]
+    if chunk is not None:
+        helpers += [f"{out}_mad", f"{out}_cnt"]
+    return df.drop(*helpers)
 
 
 # ---------------------------------------------------------------------------
