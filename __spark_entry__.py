@@ -43,6 +43,9 @@ FLAT_WINDOW_US = 86_400_000_000 - 1
 FLAT_STD = 35.0
 FLAT_MIN_OBS = 5
 KEEP_PATTERN = '"k": 6'
+MOBS_SAMPLE = 97           # every 97th view event is a "manual observation"
+MOBS_MAX_DT_US = 1_800_000_000  # 30m nearest-obs mask
+MOBS_THR = 20.0
 JACCARD_THR = 0.5
 COS_DUP_THR = 0.35
 TOPK = 10
@@ -498,14 +501,114 @@ def q_hampel(spark, sf_dir):
 
 
 def q_funcdict(spark, sf_dir):
-    """rule_funcdict: arbitrary Python predicates via Arrow pandas_udf —
-    no SQL oracle (rows-only check)."""
+    """rule_funcdict: arbitrary Python predicates via Arrow pandas_udf.
+    The rule accepts ANY Python callable; this query instance uses
+    SQL-expressible predicates so the full value-level oracle applies
+    while the Spark side still exercises the pandas_udf dispatch path."""
     from traval_spark.operators.rules import rule_funcdict
 
     c = rule_funcdict(_series(spark, sf_dir), "value", "r",
                       funcdict={"low": lambda s: s < 1.0,
                                 "high": lambda s: s > 200.0})
     return _flagged(c)
+
+
+def _manual_frames(spark, sf_dir):
+    """Main series = 'click'; manual observations = every MOBS_SAMPLE-th
+    'view' event inside the click hull (kept distributed: the 1-row hull
+    bounds broadcast-cross-join instead of a driver collect)."""
+    ev = _events(spark, sf_dir)
+    main = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("series_id"), "ts", "value"
+    )
+    bounds = ev.filter(F.col("event_type") == "click").agg(
+        F.min("ts").alias("__t0"), F.max("ts").alias("__t1")
+    )
+    manual = (
+        ev.filter(
+            (F.col("event_type") == "view")
+            & (F.col("event_id") % MOBS_SAMPLE == 0)
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("ts") >= F.col("__t0")) & (F.col("ts") <= F.col("__t1")))
+        .select(F.lit("click").alias("series_id"), "ts", "value")
+    )
+    return main, manual
+
+
+def q_manual_obs_compare(spark, sf_dir):
+    """rule_compare_to_manual_obs (rulelib.py:661-704): time-interpolate
+    the series onto manual-obs times, nearest-distance max_dt mask,
+    positional re-interpolation of the diffs, flag |diff| > threshold."""
+    from traval_spark.operators.rules import rule_compare_to_manual_obs
+
+    main, manual = _manual_frames(spark, sf_dir)
+    c = rule_compare_to_manual_obs(
+        main, "value", "r", manual_obs=manual, threshold=MOBS_THR,
+        max_dt="30m",
+    )
+    return c.filter(F.col("r_code") != 0).select(
+        "series_id", "ts", F.col("r_code").cast("int").alias("code"),
+        F.round("r_sval", 6).alias("diff_val"),
+    )
+
+
+def q_manual_obs_shift(spark, sf_dir):
+    """rule_shift_to_manual_obs (rulelib.py:707-777): the adjusted series
+    (series + interpolated manual diff) over the full index."""
+    from traval_spark.operators.rules import rule_shift_to_manual_obs
+
+    main, manual = _manual_frames(spark, sf_dir)
+    c = rule_shift_to_manual_obs(
+        main, "value", "r", hseries=manual, max_dt="30m"
+    )
+    # 4dp: the pandas-kernel vs DuckDB interpolation chains differ in the
+    # last ulp; 6dp left ~1e-7-scale values sitting ON a rounding boundary
+    return c.select(
+        "series_id", "ts", F.round("r_corr", 4).alias("adjusted")
+    )
+
+
+def _combine_ruleset(comb_rule):
+    from traval_spark.plans.ruleset import SparkRuleSet
+
+    rs = SparkRuleSet("combine")
+    rs.add_rule("hi", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater",), "threshold": HARDMAX_THR})
+    rs.add_rule("sig", "rule_outside_n_sigma", apply_to=0,
+                kwargs={"n": NSIGMA})
+    rs.add_rule("comb", comb_rule, apply_to=(1, 2))
+    return rs
+
+
+def q_combine_nan_and(spark, sf_dir):
+    """rule_combine_nan_and (rulelib.py:821-841): NULL where ALL inputs
+    flagged — intersection of the hardmax and n-sigma masks."""
+    from traval_spark.plans.ruleset import apply_ruleset
+
+    wide = apply_ruleset(_series(spark, sf_dir),
+                         _combine_ruleset("rule_combine_nan_and"))
+    return wide.filter(F.col("step_3").isNull()).select("series_id", "ts")
+
+
+def q_combine_corr_or(spark, sf_dir):
+    """rule_combine_corrections_or (rulelib.py:801-818): code 99 where ANY
+    input step's correction code != 0."""
+    from traval_spark.plans.ruleset import apply_ruleset
+
+    wide = apply_ruleset(_series(spark, sf_dir),
+                         _combine_ruleset("rule_combine_corrections_or"))
+    return wide.filter(F.col("step_3") == 99.0).select("series_id", "ts")
+
+
+def q_combine_corr_and(spark, sf_dir):
+    """rule_combine_corrections_and (rulelib.py:844-864): code 99 where ALL
+    input steps' correction codes != 0."""
+    from traval_spark.plans.ruleset import apply_ruleset
+
+    wide = apply_ruleset(_series(spark, sf_dir),
+                         _combine_ruleset("rule_combine_corrections_and"))
+    return wide.filter(F.col("step_3") == 99.0).select("series_id", "ts")
 
 
 def q_offset_detection(spark, sf_dir):
@@ -669,6 +772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel": q_hampel,
         "linear_interp": q_linear_interp,
         "funcdict": q_funcdict,
+        "manual_obs_compare": q_manual_obs_compare,
+        "manual_obs_shift": q_manual_obs_shift,
+        "combine_nan_and": q_combine_nan_and,
+        "combine_corr_or": q_combine_corr_or,
+        "combine_corr_and": q_combine_corr_and,
         "token_counts": q_token_counts,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -1019,6 +1127,110 @@ def oracle_sql() -> dict[str, str]:
     sql["combine_nan_or"] = f"""
     select event_type AS series_id, ts from events
     where value > {HARDMAX_THR} or value < {HARDMIN_THR}
+    """
+    _NSIG_FRAME = f"""
+    s as (select event_type, ts, value,
+                 avg(value) over w AS m, stddev_samp(value) over w AS sd
+          from events window w as (partition by event_type)),
+    flags as (select event_type, ts,
+                     value > {HARDMAX_THR} AS f1,
+                     value > m + {NSIGMA} * sd or value < m - {NSIGMA} * sd AS f2
+              from s)
+    """
+    # reference quirk (rulelib.py:838-840): result = s1.copy() with NaN
+    # where ALL inputs are NaN — s1's own NaNs ride through the copy, so
+    # the NULL set is exactly s1's NULL set (f1), not the intersection
+    sql["combine_nan_and"] = f"""
+    with {_NSIG_FRAME}
+    select event_type AS series_id, ts from flags where f1
+    """
+    sql["combine_corr_or"] = f"""
+    with {_NSIG_FRAME}
+    select event_type AS series_id, ts from flags where f1 or f2
+    """
+    sql["combine_corr_and"] = f"""
+    with {_NSIG_FRAME}
+    select event_type AS series_id, ts from flags where f1 and f2
+    """
+    sql["funcdict"] = """
+    select event_type AS series_id, ts, CAST(99 AS INTEGER) AS code
+    from events where value < 1.0 or value > 200.0
+    """
+    # manual-obs rules: the exact pandas-kernel semantics
+    # (interpolate-at-manual, nearest-distance mask, positional
+    # re-interpolation with fillna(0) leading / clamp trailing) expressed
+    # with the same union+window tricks as linear_interp — verified
+    # 0-mismatch against the reference kernel at sf0.01
+    _MOBS_FRAMES = f"""
+    main as (select ts, value v from events where event_type='click'),
+    bounds as (select min(ts) t0, max(ts) t1 from main),
+    man as (
+      select e.ts, e.value mv from events e, bounds b
+      where e.event_type='view' and e.event_id % {MOBS_SAMPLE} = 0
+        and e.ts between b.t0 and b.t1),
+    kept as (
+      select man.ts, man.mv from man
+      where (select min(abs(epoch_us(man.ts) - epoch_us(main.ts))) from main)
+            <= {MOBS_MAX_DT_US}),
+    u as (
+      select ts, 1 AS is_main, CAST(NULL AS DOUBLE) AS mv, v from main
+      union all select ts, 0, mv, CAST(NULL AS DOUBLE) from kept),
+    w1 as (
+      select *, epoch_us(ts) * 1.0 AS usec,
+        last_value(case when is_main=1 then v end ignore nulls) over
+          (order by ts, is_main
+           rows between unbounded preceding and current row) AS pv,
+        last_value(case when is_main=1 then usec end ignore nulls) over
+          (order by ts, is_main
+           rows between unbounded preceding and current row) AS pt
+      from u),
+    w2 as (
+      select *,
+        last_value(case when is_main=1 then v end ignore nulls) over
+          (order by ts desc, is_main
+           rows between unbounded preceding and current row) AS nv,
+        last_value(case when is_main=1 then usec end ignore nulls) over
+          (order by ts desc, is_main
+           rows between unbounded preceding and current row) AS nt
+      from w1),
+    d as (
+      select ts, is_main, v,
+             case when is_main=0
+                  then mv - (pv + (nv - pv) * (usec - pt) / (nt - pt)) end AS dd
+      from w2),
+    pos as (select *, row_number() over (order by ts) AS rn from d),
+    p2 as (
+      select *,
+        last_value(dd ignore nulls) over
+          (order by rn rows between unbounded preceding and current row) AS prev_d,
+        last_value(case when dd is not null then rn end ignore nulls) over
+          (order by rn rows between unbounded preceding and current row) AS prev_rn,
+        last_value(dd ignore nulls) over
+          (order by rn desc rows between unbounded preceding and current row) AS next_d,
+        last_value(case when dd is not null then rn end ignore nulls) over
+          (order by rn desc rows between unbounded preceding and current row) AS next_rn
+      from pos),
+    full_d as (
+      select ts, v,
+        case when prev_d is null then 0.0
+             when next_d is null then prev_d
+             when next_rn = prev_rn then prev_d
+             else prev_d + (next_d - prev_d) * (rn - prev_rn)
+                           / (next_rn - prev_rn)
+        end AS fd
+      from p2 where is_main = 1)
+    """
+    sql["manual_obs_compare"] = f"""
+    with {_MOBS_FRAMES}
+    select 'click' AS series_id, ts,
+           CAST(case when fd > {MOBS_THR} then 2 else -2 end AS INTEGER) AS code,
+           round(fd, 6) AS diff_val
+    from full_d where fd > {MOBS_THR} or fd < -{MOBS_THR}
+    """
+    sql["manual_obs_shift"] = f"""
+    with {_MOBS_FRAMES}
+    select 'click' AS series_id, ts, round(v + fd, 4) AS adjusted
+    from full_d
     """
     sql["hampel"] = f"""
     with m as (

@@ -686,7 +686,12 @@ def rule_combine_nan_or(df, in_cols: list[str], out: str) -> DataFrame:
 
 @_register(DIRECT)
 def rule_combine_nan_and(df, in_cols: list[str], out: str) -> DataFrame:
-    """NULL where ALL inputs are NULL, else first input (rulelib.py:821-841)."""
+    """NULL where ALL inputs are NULL, else first input (rulelib.py:821-841).
+
+    Reference quirk replicated: ``result = args[0].copy()`` means the first
+    input's OWN NULLs ride through the 'otherwise' branch, so the output
+    NULL set is exactly the first input's NULL set (all-NULL is a subset).
+    """
     all_null = None
     for c in in_cols:
         n = F.col(c).isNull()
