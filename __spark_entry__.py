@@ -46,6 +46,8 @@ KEEP_PATTERN = '"k": 6'
 MOBS_SAMPLE = 97           # every 97th view event is a "manual observation"
 MOBS_MAX_DT_US = 1_800_000_000  # 30m nearest-obs mask
 MOBS_THR = 20.0
+PI_OFF = 20.0              # synthetic prediction interval: hourly avg +/- PI_OFF
+PI_MIN_CI = 120.0          # binding: mean smoothed width ~91 < 120 -> widen
 JACCARD_THR = 0.5
 COS_DUP_THR = 0.35
 TOPK = 10
@@ -569,6 +571,30 @@ def q_manual_obs_shift(spark, sf_dir):
     )
 
 
+def q_pastas_pi(spark, sf_dir):
+    """rule_pastas_outside_pi (rulelib.py:494-601) without pastas: a
+    synthetic precomputed PI (hourly avg +/- PI_OFF) drives the full
+    adapter — smoothfreq bound smoothing, binding min_ci widening, and
+    the outside-bandwidth delegation."""
+    from traval_spark.operators.rules import rule_pastas_outside_pi
+
+    ev = _events(spark, sf_dir)
+    click = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("series_id"), "ts", "value"
+    )
+    b = click.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("ts")
+    ).agg(F.avg("value").alias("av"))
+    bounds = b.select(
+        F.lit("click").alias("series_id"), "ts",
+        (F.col("av") - PI_OFF).alias("lower"),
+        (F.col("av") + PI_OFF).alias("upper"),
+    )
+    c = rule_pastas_outside_pi(click, "value", "r", bounds=bounds,
+                               min_ci=PI_MIN_CI, smoothfreq="1D")
+    return _flagged(c)
+
+
 def _combine_ruleset(comb_rule):
     from traval_spark.plans.ruleset import SparkRuleSet
 
@@ -774,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funcdict": q_funcdict,
         "manual_obs_compare": q_manual_obs_compare,
         "manual_obs_shift": q_manual_obs_shift,
+        "pastas_pi_bounds": q_pastas_pi,
         "combine_nan_and": q_combine_nan_and,
         "combine_corr_or": q_combine_corr_or,
         "combine_corr_and": q_combine_corr_and,
@@ -1231,6 +1258,96 @@ def oracle_sql() -> dict[str, str]:
     with {_MOBS_FRAMES}
     select 'click' AS series_id, ts, round(v + fd, 4) AS adjusted
     from full_d
+    """
+    # pastas-PI adapter: the +/-PI_OFF offsets commute through the linear
+    # positional interpolation and the max/min smoothing, so the oracle
+    # smooths the BASE hourly average once with max and once with min and
+    # offsets afterwards; min_ci widening is binding by construction
+    sql["pastas_pi_bounds"] = f"""
+    with b as (
+      select date_trunc('hour', ts) AS bts, avg(value) AS av
+      from events where event_type='click' group by 1),
+    shift as (
+      select bts - interval 1 day AS bts, av, 0 AS k from b
+      union all select bts, av, 1 from b
+      union all select bts + interval 1 day, av, 2 from b),
+    piv as (
+      select bts,
+             max(case when k = 0 then av end) AS bwd,
+             max(case when k = 1 then av end) AS orig,
+             max(case when k = 2 then av end) AS fwd
+      from shift group by bts),
+    pos as (select *, row_number() over (order by bts) AS rn from piv),
+    itp as (
+      select bts, orig,
+        last_value(bwd ignore nulls) over wf AS b_pv,
+        last_value(case when bwd is not null then rn end ignore nulls)
+          over wf AS b_pr,
+        last_value(bwd ignore nulls) over wb AS b_nv,
+        last_value(case when bwd is not null then rn end ignore nulls)
+          over wb AS b_nr,
+        last_value(fwd ignore nulls) over wf AS f_pv,
+        last_value(case when fwd is not null then rn end ignore nulls)
+          over wf AS f_pr,
+        last_value(fwd ignore nulls) over wb AS f_nv,
+        last_value(case when fwd is not null then rn end ignore nulls)
+          over wb AS f_nr,
+        rn
+      from pos
+      window
+        wf as (order by rn rows between unbounded preceding and current row),
+        wb as (order by rn desc rows between unbounded preceding and current row)),
+    sm as (
+      select bts, orig,
+        case when b_pv is null then NULL
+             when b_nv is null then b_pv
+             when b_nr = b_pr then b_pv
+             else b_pv + (b_nv - b_pv) * (rn - b_pr) / (b_nr - b_pr) end AS bi,
+        case when f_pv is null then NULL
+             when f_nv is null then f_pv
+             when f_nr = f_pr then f_pv
+             else f_pv + (f_nv - f_pv) * (rn - f_pr) / (f_nr - f_pr) end AS fi
+      from itp where orig is not null),
+    bnds as (
+      select bts,
+        greatest(coalesce(bi, -1e308), orig, coalesce(fi, -1e308))
+          + {PI_OFF} + {PI_MIN_CI} / 2.0 AS ub,
+        least(coalesce(bi, 1e308), orig, coalesce(fi, 1e308))
+          - {PI_OFF} - {PI_MIN_CI} / 2.0 AS lb
+      from sm),
+    main as (select ts, value v from events where event_type='click'),
+    u as (
+      select ts, 1 AS is_main, v, CAST(NULL AS DOUBLE) AS lb,
+             CAST(NULL AS DOUBLE) AS ub from main
+      union all select bts, 0, NULL, lb, ub from bnds),
+    a1 as (
+      select *, epoch_us(ts) * 1.0 AS usec,
+        last_value(lb ignore nulls) over wf AS lb_pv,
+        last_value(ub ignore nulls) over wf AS ub_pv,
+        last_value(case when is_main = 0 then epoch_us(ts) * 1.0 end
+                   ignore nulls) over wf AS pt
+      from u
+      window wf as (order by ts, is_main
+                    rows between unbounded preceding and current row)),
+    a2 as (
+      select *,
+        last_value(lb ignore nulls) over wb AS lb_nv,
+        last_value(ub ignore nulls) over wb AS ub_nv,
+        last_value(case when is_main = 0 then epoch_us(ts) * 1.0 end
+                   ignore nulls) over wb AS nt
+      from a1
+      window wb as (order by ts desc, is_main
+                    rows between unbounded preceding and current row)),
+    ib as (
+      select ts, v,
+        case when usec = pt then lb_pv
+             else lb_pv + (lb_nv - lb_pv) * (usec - pt) / (nt - pt) end AS lbi,
+        case when usec = pt then ub_pv
+             else ub_pv + (ub_nv - ub_pv) * (usec - pt) / (nt - pt) end AS ubi
+      from a2 where is_main = 1)
+    select 'click' AS series_id, ts,
+           CAST(case when v > ubi then 2 else -2 end AS INTEGER) AS code
+    from ib where v > ubi or v < lbi
     """
     sql["hampel"] = f"""
     with m as (

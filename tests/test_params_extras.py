@@ -153,3 +153,73 @@ def test_detector_get_series_and_audit(spark):
     assert "NaN in both" in labels
     # value 10: truth flags it, rule (>=13) keeps it
     assert "Only flagged in 'truth' series" in labels
+
+
+def _ref_ts_utils():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ts_utils", "/root/reference/traval/ts_utils.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_smooth_bounds_match_reference(spark):
+    """smooth_upper_bound / smooth_lower_bound vs the reference functions
+    (ts_utils.py:456-475) on an irregular hourly-ish series where shifted
+    timestamps only partially align (exercises the positional
+    interpolation + trailing clamp + leading NaN paths)."""
+    import importlib
+
+    ref = _ref_ts_utils()
+    rng = np.random.default_rng(3)
+    idx = pd.date_range("2021-01-01", periods=120, freq="7h")
+    keep = rng.random(120) > 0.15  # missing points -> misaligned shifts
+    s = pd.Series(rng.normal(10.0, 4.0, 120), index=idx)[keep]
+
+    from traval_spark.functions.ts import smooth_lower_bound, smooth_upper_bound
+
+    b = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": s.index, "value": s.to_numpy()})
+    )
+    for fn_spark, fn_ref in (
+        (smooth_upper_bound, ref.smooth_upper_bound),
+        (smooth_lower_bound, ref.smooth_lower_bound),
+    ):
+        got = (
+            fn_spark(b, "value", "1D")
+            .toPandas()
+            .sort_values("ts")
+            .set_index("ts")["value"]
+        )
+        want = fn_ref(s, smoothfreq="1D")
+        assert len(got) == len(want)
+        assert np.allclose(got.to_numpy(), want.to_numpy(), atol=1e-12)
+
+
+def test_rule_pastas_outside_pi(spark):
+    """Adapter end-to-end: precomputed bounds + smoothing + min_ci widening
+    -> rule_outside_bandwidth delegation."""
+    from traval_spark.operators import rules as R
+
+    idx = pd.date_range("2021-01-01", periods=50, freq="D")
+    vals = np.zeros(50)
+    vals[10] = 5.0   # above upper
+    vals[20] = -5.0  # below lower
+    series = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": idx, "value": vals})
+    )
+    bounds = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": idx,
+                      "lower": -1.0, "upper": 1.0})
+    )
+    c = R.rule_pastas_outside_pi(series, "value", "r", bounds=bounds)
+    codes = {r[0]: r[1] for r in c.groupBy("r_code").count().collect()}
+    assert codes.get(2, 0) == 1 and codes.get(-2, 0) == 1
+
+    # min_ci wider than the spikes swallows them
+    c2 = R.rule_pastas_outside_pi(series, "value", "r", bounds=bounds,
+                                  min_ci=20.0, smoothfreq="1D")
+    assert c2.filter(F.col("r_code") != 0).count() == 0

@@ -320,3 +320,106 @@ def create_synthetic_raw_time_series(
     commented = F.coalesce(F.col("comment"), F.lit("")) != ""
     out = F.when(commented, F.col("__raw")).otherwise(F.col("value"))
     return j.select(SID, TS, out.alias("value"), "comment")
+
+
+# ---------------------------------------------------------------------------
+# bound smoothing (pastas-PI adapter helpers)
+# ---------------------------------------------------------------------------
+
+
+def shift_series_forward_backward(
+    b: DataFrame, col: str = "value", freqstr: str = "1D"
+) -> DataFrame:
+    """Three-column (bwd, orig, fwd) frame on the union of shifted indices.
+
+    Re-expresses /root/reference/traval/ts_utils.py:456-461: the backward
+    column holds s[t + delta] at time t, the forward column s[t - delta];
+    rows exist at every shifted timestamp. ``freqstr`` follows pandas
+    Timedelta semantics ("2h" = 2 hours) — NOTE the reference's own parser
+    (ts_utils.py:457-458) degenerates any numeric prefix to DAYS ("2h" ->
+    2 days); for the canonical "1D"/"nD" usage both agree.
+
+    One union + one partial-agg pivot per series; no driver work.
+    """
+    us = gap_micros(freqstr)
+    b = ensure_ntz(b)
+    iv = F.expr(f"INTERVAL {us} MICROSECONDS")
+    v = F.col(col).cast("double")
+    tagged = (
+        b.select(SID, (F.col(TS) - iv).alias(TS), F.lit(0).alias("__k"),
+                 v.alias("__v"))
+        .unionByName(b.select(SID, F.col(TS).alias(TS), F.lit(1).alias("__k"),
+                              v.alias("__v")))
+        .unionByName(b.select(SID, (F.col(TS) + iv).alias(TS),
+                              F.lit(2).alias("__k"), v.alias("__v")))
+    )
+    return tagged.groupBy(SID, TS).agg(
+        F.max(F.when(F.col("__k") == 0, F.col("__v"))).alias("bwd"),
+        F.max(F.when(F.col("__k") == 1, F.col("__v"))).alias("orig"),
+        F.max(F.when(F.col("__k") == 2, F.col("__v"))).alias("fwd"),
+    )
+
+
+def positional_interpolate(df: DataFrame, col: str, out: str) -> DataFrame:
+    """pandas ``Series.interpolate(method='linear')`` semantics per series:
+    interior NULL runs linearly interpolated by POSITION (row rank, not
+    time), leading NULLs stay NULL, trailing NULLs clamp to the last value
+    (np.interp right-edge + forward fill direction — asserted against
+    pandas in tests)."""
+    w_ord = Window.partitionBy(SID).orderBy(TS)
+    w_fwd = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_bwd = (
+        Window.partitionBy(SID)
+        .orderBy(F.col(TS).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn("__rn", F.row_number().over(w_ord))
+    v = F.col(col)
+    rn_if = F.when(v.isNotNull(), F.col("__rn"))
+    df = (
+        df.withColumn("__pv", F.last(v, ignorenulls=True).over(w_fwd))
+        .withColumn("__pr", F.last(rn_if, ignorenulls=True).over(w_fwd))
+        .withColumn("__nv", F.last(v, ignorenulls=True).over(w_bwd))
+        .withColumn("__nr", F.last(rn_if, ignorenulls=True).over(w_bwd))
+    )
+    rn = F.col("__rn").cast("double")
+    interp = (
+        F.when(F.col("__pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))  # trailing clamp
+        .when(F.col("__nr") == F.col("__pr"), F.col("__pv"))
+        .otherwise(
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (rn - F.col("__pr"))
+            / (F.col("__nr") - F.col("__pr"))
+        )
+    )
+    return df.withColumn(out, interp).drop(
+        "__rn", "__pv", "__pr", "__nv", "__nr"
+    )
+
+
+def _smooth_bound(b: DataFrame, col: str, smoothfreq: str, upper: bool) -> DataFrame:
+    t = shift_series_forward_backward(b, col, smoothfreq)
+    t = positional_interpolate(t, "bwd", "__bi")
+    t = positional_interpolate(t, "fwd", "__fi")
+    agg = (F.greatest if upper else F.least)(
+        F.col("__bi"), F.col("orig"), F.col("__fi")
+    )  # greatest/least skip NULLs exactly like pandas max/min(axis=1)
+    return (
+        t.filter(F.col("orig").isNotNull())  # .loc[orig.dropna().index]
+        .select(SID, TS, agg.alias(col))
+    )
+
+
+def smooth_upper_bound(b: DataFrame, col: str = "value",
+                       smoothfreq: str = "1D") -> DataFrame:
+    """Row-wise max of the +/-smoothfreq-shifted bound and itself
+    (/root/reference/traval/ts_utils.py:464-468)."""
+    return _smooth_bound(b, col, smoothfreq, upper=True)
+
+
+def smooth_lower_bound(b: DataFrame, col: str = "value",
+                       smoothfreq: str = "1D") -> DataFrame:
+    """Row-wise min counterpart (/root/reference/traval/ts_utils.py:471-475)."""
+    return _smooth_bound(b, col, smoothfreq, upper=False)

@@ -556,6 +556,57 @@ def rule_hampel(
     return df.drop(*helpers)
 
 
+@_register(CODE)
+def rule_pastas_outside_pi(
+    df, in_col, out, *, bounds: DataFrame, min_ci=None, smoothfreq=None,
+):
+    """Flag outside a model prediction interval (rulelib.py:494-601).
+
+    The pastas model itself is out of scope (SURVEY.md §2.2 rule 12 —
+    optional plugin); this adapter takes the model's PRECOMPUTED prediction
+    interval as a bounds DataFrame (series_id, ts, lower, upper) — exactly
+    what ``ml.solver.prediction_interval(...)`` produces per series — and
+    applies the rest of the reference rule:
+
+    - ``smoothfreq``: time-shift smoothing of each bound
+      (smooth_upper_bound / smooth_lower_bound, ts_utils.py:464-475);
+    - ``min_ci``: per-series widening by min_ci/2 on each side when the
+      MEAN interval width is below min_ci (rulelib.py:585-590);
+    - delegation to :func:`rule_outside_bandwidth` (rulelib.py:592).
+    """
+    from traval_spark.functions.ts import smooth_lower_bound, smooth_upper_bound
+
+    bounds = ensure_ntz(bounds)
+    lower = bounds.select(SID, TS, F.col("lower").alias("value"))
+    upper = bounds.select(SID, TS, F.col("upper").alias("value"))
+    if smoothfreq is not None:
+        lower = smooth_lower_bound(lower, "value", smoothfreq)
+        upper = smooth_upper_bound(upper, "value", smoothfreq)
+    if min_ci is not None:
+        width = (
+            upper.withColumnRenamed("value", "__u")
+            .join(lower.withColumnRenamed("value", "__l"), on=[SID, TS])
+            .groupBy(SID)
+            .agg(F.avg(F.col("__u") - F.col("__l")).alias("__mean_w"))
+        )
+        half = F.lit(float(min_ci) / 2.0)
+        narrow = F.col("__mean_w") < F.lit(float(min_ci))
+        upper = (
+            upper.join(F.broadcast(width), on=SID, how="left")
+            .withColumn("value", F.when(narrow, F.col("value") + half)
+                        .otherwise(F.col("value")))
+            .drop("__mean_w")
+        )
+        lower = (
+            lower.join(F.broadcast(width), on=SID, how="left")
+            .withColumn("value", F.when(narrow, F.col("value") - half)
+                        .otherwise(F.col("value")))
+            .drop("__mean_w")
+        )
+    return rule_outside_bandwidth(df, in_col, out,
+                                  lowerbound=lower, upperbound=upper)
+
+
 # ---------------------------------------------------------------------------
 # comment / manual-obs rules
 # ---------------------------------------------------------------------------
