@@ -703,6 +703,19 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(_docs_with_dups(spark, sf_dir))
 
 
+def _docs_with_near_dups(spark, sf_dir):
+    """documents + NEAR duplicates: every 25th doc re-appended with two
+    extra tokens — high Jaccard / low Hamming pairs for the banded
+    near-dup operators (exact dups alone would make banding trivial)."""
+    d = _docs(spark, sf_dir)
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" qq zz")))
+    )
+    return d.unionByName(dups)
+
+
 def q_minhash_sig(spark, sf_dir):
     from traval_spark.operators.dedup import with_minhash
 
@@ -725,6 +738,33 @@ def q_simhash(spark, sf_dir):
     from traval_spark.operators.dedup import with_simhash16
 
     return with_simhash16(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_simhash64(spark, sf_dir):
+    """64-bit SimHash (two 32-bit halves) — the web-scale fingerprint
+    config (16 bits = 65k buckets is useless at 10^10 docs)."""
+    from traval_spark.operators.dedup import with_simhash64
+
+    return with_simhash64(_docs(spark, sf_dir))
+
+
+def q_simhash64_dups(spark, sf_dir):
+    """Banded Hamming near-dup search: 4x16-bit bands (pigeonhole-exact
+    for hamming <= 3), xor+bit_count verification. The oracle is the
+    brute-force all-pairs Hamming filter — banding must find exactly the
+    same pairs."""
+    from traval_spark.operators.dedup import simhash64_dup_pairs
+
+    return simhash64_dup_pairs(_docs_with_near_dups(spark, sf_dir),
+                               max_hamming=3)
+
+
+def q_lsh_banded(spark, sf_dir):
+    """MinHash LSH with explicit (b=4, r=2) banding — the recall knob the
+    single-band lsh_buckets config lacks."""
+    from traval_spark.operators.dedup import lsh_banded_pairs
+
+    return lsh_banded_pairs(_docs_with_near_dups(spark, sf_dir), b=4, r=2)
 
 
 def _query_vec(spark, sf_dir):
@@ -761,6 +801,17 @@ def q_cos_dup_pairs(spark, sf_dir):
 
     return cosine_dup_pairs(_emb(spark, sf_dir), threshold=COS_DUP_THR,
                             bucketed=False)
+
+
+def q_cos_dup_pairs_lsh(spark, sf_dir):
+    """The scale path of cosine_dup_pairs: hyperplane-bucketed join (only
+    within-bucket pairs materialize); oracle embeds the same plane
+    literals, so the recall trade is value-level checked, not assumed."""
+    from traval_spark.operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=COS_DUP_THR,
+                            n_planes=N_PLANES, seed=LSH_SEED,
+                            bucketed=True, dim=64)
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -813,10 +864,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
+        "simhash64_dups": q_simhash64_dups,
+        "lsh_banded": q_lsh_banded,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cos_dup_pairs": q_cos_dup_pairs,
+        "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1565,6 +1620,90 @@ def oracle_sql() -> dict[str, str]:
     from e a, e b
     where a.vec_id < b.vec_id
       and round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COS_DUP_THR}
+    """
+    sql["cos_dup_pairs_lsh"] = f"""
+    with p as (select [{plane_lits}]::DOUBLE[][] AS planes),
+    e as (select vec_id, embedding::DOUBLE[] v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) n,
+                 {bucket_expr} AS bucket
+          from embeddings, p)
+    select a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+    from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id
+    where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COS_DUP_THR}
+    """
+
+    # 64-bit SimHash: bit j of a token = bit (3 - j%4) of hex digit j//4 of
+    # md5(token); fingerprint bit = majority vote — identical arithmetic to
+    # dedup.with_simhash64
+    _ND_DOCS = (
+        "nd as (select doc_id, text from documents union all "
+        "select doc_id + 1000000, text || ' qq zz' from documents "
+        "where doc_id % 25 = 0)"
+    )
+
+    def _sh64_votes() -> str:
+        votes = []
+        for j in range(64):
+            nib = (f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1))"
+                   " - 1)")
+            bit = f"(({nib} // {1 << (3 - j % 4)}) % 2)"
+            votes.append(
+                f"sum(case when {bit} = 1 then 1 else -1 end) AS v{j}"
+            )
+        return ", ".join(votes)
+
+    _sh64_lo = " + ".join(
+        f"(case when v{j} > 0 then {1 << j} else 0 end)" for j in range(32)
+    )
+    _sh64_hi = " + ".join(
+        f"(case when v{j + 32} > 0 then {1 << j} else 0 end)"
+        for j in range(32)
+    )
+    _SH64_FP = f"""
+    tok as (select doc_id, unnest({_TOKS}) AS t from {{src}}),
+    hx as (select doc_id, md5(t) AS h from tok),
+    vt as (select doc_id, {_sh64_votes()} from hx group by doc_id),
+    fp as (select doc_id, CAST({_sh64_lo} AS BIGINT) AS fp_lo,
+                  CAST({_sh64_hi} AS BIGINT) AS fp_hi from vt)
+    """
+    sql["simhash64"] = f"""
+    with {_SH64_FP.format(src="documents")}
+    select doc_id, fp_lo, fp_hi from fp
+    """
+    # oracle = brute-force all-pairs Hamming: the 4x16 banding is
+    # pigeonhole-EXACT for hamming <= 3, so the bucketed join must return
+    # the identical pair set
+    sql["simhash64_dups"] = f"""
+    with {_ND_DOCS},
+    {_SH64_FP.format(src="nd")}
+    select a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)) AS INTEGER) AS hamming
+    from fp a, fp b
+    where a.doc_id < b.doc_id
+      and bit_count(xor(a.fp_lo, b.fp_lo))
+          + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+    minhash8_cols = ", ".join(
+        f"list_min([md5('{b}|' || s) for s in sh]) AS sig_{b}"
+        for b in range(8)
+    )
+    _band_rows = " union all ".join(
+        f"select doc_id, {i} AS band, "
+        f"md5(sig_{2 * i} || '|' || sig_{2 * i + 1}) AS key from sig"
+        for i in range(4)
+    )
+    sql["lsh_banded"] = f"""
+    with {_ND_DOCS},
+    t as (select doc_id, {_TOKS} toks from nd),
+    s as (select doc_id, {_SHINGLES} sh from t),
+    sig as (select doc_id, {minhash8_cols} from s),
+    bands as ({_band_rows})
+    select distinct a.doc_id AS a, b.doc_id AS b
+    from bands a join bands b on a.band = b.band and a.key = b.key
+    where a.doc_id < b.doc_id
     """
     sql["multimodal_meta"] = """
     select doc_id, octet_length(encode(text)) AS n_bytes,

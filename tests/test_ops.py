@@ -158,3 +158,64 @@ def test_multimodal_raise_stub(docs):
     d = attach_payload(docs)
     with pytest.raises(Exception, match="media decode requires"):
         extract_features(d, decode_stub="raise").collect()
+
+
+def test_ngram_jaccard_skew_cap(spark):
+    """A single ultra-hot shingle (present in EVERY doc) must be droppable
+    from the inverted index via max_shingle_df without losing true dup
+    pairs: the hot shingle alone would contribute n^2 join rows — the
+    whole job at web scale."""
+    from traval_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    n = 60
+    rows = []
+    for i in range(n):
+        # every doc opens with the same 3-token (hot) shingle
+        rows.append((i, f"hot hot hot uniq{i} mid{i} tail{i}"))
+    for i in range(5):  # true duplicates of docs 0..4
+        rows.append((1000 + i, f"hot hot hot uniq{i} mid{i} tail{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the hot shingle really is hot: df == n + 5 docs
+    inv = docs.select(
+        F.explode(shingles(F.col("text"), 3)).alias("s")
+    ).groupBy("s").count()
+    assert inv.agg(F.max("count")).collect()[0][0] == n + 5
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, k=3,
+                                 max_shingle_df=10)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert pairs == {(i, 1000 + i) for i in range(5)}
+
+    # with the cap, no surviving shingle exceeds the df bound: the join's
+    # largest per-key bucket is provably <= max_shingle_df
+    surviving = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+        .groupBy("s").count().filter(F.col("count") <= 10)
+    )
+    assert surviving.agg(F.max("count")).collect()[0][0] <= 10
+
+
+def test_simhash64_banding_equals_bruteforce(spark):
+    """4x16 banding is pigeonhole-exact for hamming <= 3: bucketed search
+    returns the identical pair set as the quadratic Hamming filter."""
+    from traval_spark.operators.dedup import simhash64_dup_pairs, with_simhash64
+
+    rows = [(i, f"alpha beta gamma delta w{i} x{i} y{i} z{i}")
+            for i in range(40)]
+    rows += [(2000 + i, f"alpha beta gamma delta w{i} x{i} y{i} z{i} qq")
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {(r["a"], r["b"], r["hamming"])
+              for r in simhash64_dup_pairs(docs, max_hamming=3).collect()}
+
+    fp = with_simhash64(docs).collect()
+    brute = set()
+    for i, ra in enumerate(fp):
+        for rb in fp[i + 1:]:
+            a, b = sorted((ra["doc_id"], rb["doc_id"]))
+            ham = bin((ra["fp_lo"] ^ rb["fp_lo"])).count("1") + bin(
+                (ra["fp_hi"] ^ rb["fp_hi"])).count("1")
+            if ham <= 3:
+                brute.add((a, b, ham))
+    assert banded == brute and len(brute) > 0

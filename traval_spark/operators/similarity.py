@@ -81,12 +81,17 @@ def cosine_topk(
     vec_col: str = "embedding",
     ndigits: int = 4,
 ) -> DataFrame:
-    """Exact top-k by rounded cosine (rank ties broken by id: deterministic)."""
+    """Exact top-k by rounded cosine (rank ties broken by id: deterministic).
+
+    Implemented as orderBy().limit(k) — Spark plans TakeOrderedAndProject
+    (per-partition heap top-k, merged on the driver), NOT a global
+    single-reducer window sort; the rank column is then assigned over the
+    k-row result only (k << n)."""
     scored = cosine_to_query(emb, query, vec_col=vec_col, ndigits=ndigits)
+    topk = scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("cos").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(id_col, "cos", "rank")
     )
 
@@ -139,12 +144,14 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     ndigits: int = 6,
     bucketed: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
     bucketed=True joins only within LSH buckets (misses cross-bucket pairs
     — the standard recall/cost trade); bucketed=False is the exact
-    quadratic baseline for small inputs and oracles.
+    quadratic baseline for small inputs and oracles. Pass ``dim`` to avoid
+    the one-row ``first()`` probe for the embedding dimension.
     """
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(
@@ -153,7 +160,9 @@ def cosine_dup_pairs(
         _norm(v).alias("n"),
     )
     if bucketed:
-        planes = hyperplanes(n_planes, len(emb.select(vec_col).first()[0]), seed)
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        planes = hyperplanes(n_planes, dim, seed)
         base = base.withColumn(
             "bucket", lsh_bucket_col("v", planes)
         )
