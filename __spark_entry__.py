@@ -10,9 +10,9 @@ hashes (md5, the fold hash) are bit-portable and parity-tested.
 
 Series model for the traval-core queries: the ``events`` table as the
 long frame with series_id = event_type (5 series, ~2k points each at
-sf=0.01; FIXTURES.md F7). 40 queries, 38 with full value-level oracles
-(offset_detection and funcdict are rows-only: greedy kernel / Python
-predicates).
+sf=0.01; FIXTURES.md F7). 50 queries, all with full value-level oracles
+(offset_detection's greedy pairing is re-expressed as a DuckDB recursive
+CTE over per-series jump lists).
 """
 
 from __future__ import annotations
@@ -638,8 +638,9 @@ def q_combine_corr_and(spark, sf_dir):
 
 
 def q_offset_detection(spark, sf_dir):
-    """Greedy offset pairing — inherently sequential per series, no SQL
-    oracle (rows-only check; SURVEY.md §5)."""
+    """Greedy offset pairing — sequential per series in the engine
+    (applyInPandas kernel); the oracle re-runs the same greedy loop as a
+    DuckDB recursive CTE (see oracle_sql)."""
     from traval_spark.operators.rules import rule_offset_detection
 
     return _flagged(
@@ -1191,7 +1192,69 @@ def oracle_sql() -> dict[str, str]:
            round(sum(value), 6) AS sum_val
     from events group by 1, 2
     """
-    # offset_detection, funcdict: no oracle (greedy kernel / Python preds)
+    # Offset detection: the greedy jump-pairing loop (reference
+    # rulelib.py:330-371, search_method='time') re-expressed as a DuckDB
+    # recursive CTE. State per step = (matched timestamps, emitted pairs);
+    # each iteration processes jump js[pos]: skip if already matched, else
+    # pair with the FIRST unmatched other jump whose |dh_i + dh_j| <=
+    # updown_diff. list_filter preserves the time order of js, so "[1]"
+    # is exactly the reference's matches.index[0]. The single-jump branch
+    # (rulelib.py:372-381) flags from the jump to end-of-series. Constants
+    # match q_offset_detection: threshold=150, updown_diff=20, max_gap=7D,
+    # end of each period is exclusive of the closing jump by 30 seconds.
+    sql["offset_detection"] = """
+    WITH RECURSIVE
+    base AS (
+      SELECT event_type AS sid, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 7 DAY
+                  THEN value - lag(value) OVER w END AS d
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    jumps AS (
+      SELECT sid, list(struct_pack(jts := ts, dh := d) ORDER BY ts) AS js
+      FROM base WHERE d >= 150.0 OR d <= -150.0 GROUP BY sid
+    ),
+    pairing AS (
+      SELECT sid, js, 1 AS pos,
+             []::TIMESTAMP[] AS matched,
+             []::STRUCT(s TIMESTAMP, e TIMESTAMP)[] AS pairs
+      FROM jumps WHERE len(js) > 1
+      UNION ALL
+      SELECT sid, js, pos + 1,
+             CASE WHEN hit IS NULL THEN matched
+                  ELSE list_append(list_append(matched, cur.jts), hit.jts)
+                  END,
+             CASE WHEN hit IS NULL THEN pairs
+                  ELSE list_append(pairs, struct_pack(s := cur.jts,
+                                                      e := hit.jts)) END
+      FROM (
+        SELECT sid, js, pos, matched, pairs, cur,
+               CASE WHEN list_contains(matched, cur.jts) THEN NULL
+                    ELSE list_filter(js, x -> x.jts <> cur.jts
+                                          AND NOT list_contains(matched,
+                                                                x.jts)
+                                          AND abs(x.dh + cur.dh) <= 20.0)[1]
+               END AS hit
+        FROM (SELECT *, js[pos] AS cur FROM pairing WHERE pos <= len(js))
+      )
+    ),
+    final_pairs AS (
+      SELECT sid, unnest(pairs) AS p FROM pairing WHERE pos = len(js) + 1
+      UNION ALL
+      SELECT j.sid, struct_pack(s := j.js[1].jts, e := m.last_ts) AS p
+      FROM jumps j
+      JOIN (SELECT sid, max(ts) AS last_ts FROM base GROUP BY sid) m
+        USING (sid)
+      WHERE len(j.js) = 1
+    ),
+    flagged AS (
+      SELECT DISTINCT b.sid, b.ts
+      FROM base b JOIN final_pairs f
+        ON b.sid = f.sid
+       AND b.ts >= f.p.s AND b.ts <= f.p.e - INTERVAL 30 SECOND
+    )
+    SELECT sid AS series_id, ts, CAST(99 AS INTEGER) AS code FROM flagged
+    """
 
     sql["other_threshold"] = """
     select event_type AS series_id, ts, CAST(2 AS INTEGER) AS code
