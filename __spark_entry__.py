@@ -53,6 +53,8 @@ COS_DUP_THR = 0.35
 TOPK = 10
 N_PLANES = 6
 LSH_SEED = 42
+IVF_NLIST = 8
+IVF_NPROBE = 2
 
 
 _SHIPPED: set[int] = set()
@@ -797,6 +799,17 @@ def q_ann_lsh_topk(spark, sf_dir):
                     seed=LSH_SEED)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF scale path: deterministic md5-seeded coarse centroids, JVM
+    argmax assignment, nprobe-of-n_list probing, exact re-rank inside the
+    probed lists. Oracle replicates seeding/assignment/probing verbatim."""
+    from traval_spark.operators.similarity import ivf_topk
+
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(_emb(spark, sf_dir), q, k=TOPK, n_list=IVF_NLIST,
+                    nprobe=IVF_NPROBE)
+
+
 def q_cos_dup_pairs(spark, sf_dir):
     from traval_spark.operators.similarity import cosine_dup_pairs
 
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "multimodal_meta": q_multimodal_meta,
@@ -1695,6 +1709,52 @@ def oracle_sql() -> dict[str, str]:
            round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
     from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id
     where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COS_DUP_THR}
+    """
+
+    # IVF: centroids = IVF_NLIST rows with smallest md5(vec_id) (cid =
+    # rank in that order); every vector assigned to argmax round(cos, 9)
+    # centroid, ties to smallest cid; query probes the IVF_NPROBE nearest
+    # centroids; exact rounded-cosine top-k within the probed lists —
+    # identical arithmetic to similarity.ivf_topk.
+    sql["ann_ivf_topk"] = f"""
+    with cent as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings order by md5(CAST(vec_id AS VARCHAR))
+      limit {IVF_NLIST}),
+    q as (select embedding::DOUBLE[] qe from embeddings where vec_id = 0),
+    e as (select vec_id, embedding::DOUBLE[] v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) n
+          from embeddings),
+    probes as (
+      select cid from cent, q
+      order by round(list_dot_product(ce, qe)
+                     / (sqrt(list_dot_product(ce, ce))
+                        * sqrt(list_dot_product(qe, qe))), 9) desc, cid
+      limit {IVF_NPROBE}),
+    assign as (
+      select vec_id, cid from (
+        select e.vec_id, c.cid,
+               row_number() over (
+                 partition by e.vec_id
+                 order by round(list_dot_product(e.v, c.ce)
+                                / (e.n * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from e, cent c)
+      where rn = 1),
+    scored as (
+      select e.vec_id,
+             round(list_dot_product(e.v, qe)
+                   / (e.n * sqrt(list_dot_product(qe, qe))), 4) AS cos
+      from e join assign a using (vec_id), q
+      where a.cid in (select cid from probes)),
+    ranked as (select vec_id, cos,
+                      CAST(row_number() over (order by cos desc, vec_id)
+                           AS INTEGER) AS rank
+               from scored)
+    select vec_id, cos, rank from ranked where rank <= {TOPK}
     """
 
     # 64-bit SimHash: bit j of a token = bit (3 - j%4) of hex digit j//4 of

@@ -121,6 +121,35 @@ def test_lsh_topk_contains_self_and_neardup(emb):
     assert ids[0] == 0 and 1 in ids  # near-identical vectors share buckets
 
 
+def test_ivf_full_probe_equals_exact(emb):
+    """nprobe = n_list searches every inverted list -> identical to the
+    brute-force top-k (the recall knob only drops lists, never re-ranks)."""
+    from traval_spark.operators.similarity import ivf_seed_centroids, ivf_topk
+
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    exact = [(r["vec_id"], r["cos"]) for r in cosine_topk(emb, q, k=5).collect()]
+    full = ivf_topk(emb, q, k=5, n_list=4, nprobe=4)
+    assert [(r["vec_id"], r["cos"]) for r in full.collect()] == exact
+    # assignment covers every row exactly once
+    cents = ivf_seed_centroids(emb, n_list=4)
+    from traval_spark.operators.similarity import ivf_assign_col
+
+    assigned = emb.withColumn("cid", ivf_assign_col("embedding", cents))
+    assert assigned.filter("cid IS NULL").count() == 0
+    assert assigned.count() == emb.count()
+
+
+def test_ivf_probe_finds_near_dup(emb):
+    """The planted near-dup of vec 0 lands in the same list, so even a
+    1-probe search returns it."""
+    from traval_spark.operators.similarity import ivf_topk
+
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    top = ivf_topk(emb, q, k=3, n_list=4, nprobe=1).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and 1 in ids
+
+
 def test_cosine_dup_pairs_bucketed_subset_of_exact(emb):
     exact = {(r["a"], r["b"]) for r in
              cosine_dup_pairs(emb, threshold=0.9, bucketed=False).collect()}

@@ -8,6 +8,9 @@
   literals so the DuckDB oracle can embed the identical planes), candidates
   restricted to the probe's bucket, exact re-rank inside. Bucket count
   2^n_planes bounds each join side; skewed buckets fall to AQE.
+- IVF variant: deterministic coarse centroids (md5-ordered seed rows),
+  JVM-side argmax assignment, nprobe-list probing with exact re-rank —
+  the partition-prunable scale path (lists persist as partition columns).
 - embedding-cosine near-dup pairs: bucket-join + exact threshold filter.
 
 Scores are rounded (default 4dp) before ranking so Spark/DuckDB float
@@ -130,6 +133,90 @@ def lsh_topk(
             qbucket |= 1 << p
     cand = emb.withColumn("__bucket", lsh_bucket_col(vec_col, planes)).filter(
         F.col("__bucket") == qbucket
+    )
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col,
+                       ndigits=ndigits)
+
+
+def ivf_seed_centroids(
+    emb: DataFrame,
+    n_list: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse centroids: the ``n_list`` rows with the
+    smallest md5(id) are the list seeds (cid = rank in that order).
+
+    One-pass seeding (k-means with zero Lloyd iterations): at 100 TB the
+    centroid fetch is a TakeOrderedAndProject over the table (per-partition
+    heap of n_list rows, merged on the driver — n_list rows ever move);
+    production would refine the seeds offline with a few Lloyd passes, the
+    query/assignment plumbing below is unchanged by that.
+    """
+    rows = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+        .limit(n_list)
+        .collect()
+    )
+    return [(cid, list(r["v"])) for cid, r in enumerate(rows)]
+
+
+def ivf_assign_col(
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    ndigits: int = 9,
+) -> Column:
+    """Coarse-list id for each vector: argmax rounded cosine over the
+    centroid literals, ties to the smallest cid.
+
+    Pure JVM expression (array_max over (cos, -cid) structs inlined from
+    the centroid literals): assignment adds NO shuffle and no Python — at
+    scale you persist it as a partition column so probes prune at scan
+    time.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    vn = _norm(v)
+    entries = []
+    for cid, c in centroids:
+        ce = F.array(*[F.lit(float(x)) for x in c])
+        cn = float(sum(x * x for x in c)) ** 0.5
+        cos = F.round(_dot(v, ce) / (vn * F.lit(cn)), ndigits)
+        entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("n")))
+    return (-F.array_max(F.array(*entries))["n"]).alias("cid")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_list: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, exact cosine re-rank inside those inverted lists only.
+
+    nprobe = n_list degrades to exact search (asserted in
+    tests/test_similarity_extras.py); smaller nprobe trades recall for a
+    scan of ~nprobe/n_list of the data — with the assignment persisted as
+    a partition column the untouched lists are never read at all.
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(emb, n_list, id_col, vec_col)
+    qn = float(sum(x * x for x in query)) ** 0.5
+
+    def qcos(c: list[float]) -> float:
+        cn = float(sum(x * x for x in c)) ** 0.5
+        return round(sum(a * b for a, b in zip(query, c)) / (qn * cn), 9)
+
+    probes = [cid for cid, c in
+              sorted(centroids, key=lambda e: (-qcos(e[1]), e[0]))[:nprobe]]
+    cand = emb.withColumn("cid", ivf_assign_col(vec_col, centroids)).filter(
+        F.col("cid").isin(probes)
     )
     return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col,
                        ndigits=ndigits)
