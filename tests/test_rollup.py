@@ -150,6 +150,66 @@ def test_tierstore_resume(spark, seqs, tmp_path):
     assert back.count() == t1d.count()
 
 
+def test_retention_drops_and_tombstones(spark, seqs, tmp_path):
+    """TTL drops old day partitions; the cutoff is durable: stale_days and
+    write_tier refuse to resurrect aged-out days on resume."""
+    import os
+
+    root = str(tmp_path / "tiers")
+    store = TierStore(root)
+    t1d = rollup_raw(seqs, "1d").withColumn(
+        "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+    )
+    fps = partition_fingerprints(t1d)
+    store.write_tier("1d", t1d.drop("day"), fps)
+    days = sorted(fps)
+    assert len(days) >= 2
+    as_of = days[-1]
+    keep = 0  # cutoff = as_of: only the newest day survives
+    res = store.apply_retention("1d", keep, as_of=as_of)
+    assert res["dropped"] == [d for d in days if d < res["cutoff"]]
+    assert len(res["dropped"]) >= 1
+    # data + manifests physically gone, survivors intact
+    for d in res["dropped"]:
+        assert not os.path.isdir(os.path.join(root, "1d", f"day={d}"))
+        assert store.read_manifest("1d", d) is None
+    kept = [d for d in days if d >= res["cutoff"]]
+    back = store.read_tier("1d", spark)
+    assert sorted(
+        r["day"] for r in
+        back.select(F.col("day").cast("string").alias("day")).distinct().collect()
+    ) == kept
+    # tombstone: resume does not resurrect, write_tier skips aged-out days
+    assert store.stale_days("1d", fps) == []
+    res2 = store.write_tier("1d", t1d.drop("day"), fps)
+    assert res2["written_partitions"] == kept
+    # keep_days=None (keep forever) is a no-op
+    assert store.apply_retention("1d", None, as_of=as_of)["dropped"] == []
+    # a longer TTL applied later cannot move the cutoff backwards
+    res3 = store.apply_retention("1d", 365, as_of=as_of)
+    assert res3["cutoff"] == res["cutoff"]
+
+
+def test_pipeline_retention(spark, tmp_path):
+    from traval_spark.pipeline import run
+
+    out = str(tmp_path / "pipe_ret")
+    m = run(spark, out, synth_rows=3000, resume=False, ruleset=None,
+            retention={"1m": 1, "1d": None})
+    assert "retention" in m
+    m1_ret = m["retention"]["1m"]
+    # synth spans 3 days -> the fine tier must have aged something out
+    assert m1_ret["cutoff"] is not None and len(m1_ret["dropped"]) >= 1
+    store = TierStore(out)
+    assert store.retention_cutoff("1m") == m1_ret["cutoff"]
+    assert store.retention_cutoff("1d") is None
+    # coarser tier keeps the history the fine tier dropped
+    d1 = store.read_tier("1d", spark)
+    t1m = store.read_tier("1m", spark)
+    assert d1.select(F.min("bucket")).collect()[0][0] < \
+        t1m.select(F.min("bucket")).collect()[0][0]
+
+
 def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     from traval_spark.pipeline import default_ruleset, run
 

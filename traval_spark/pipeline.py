@@ -85,6 +85,7 @@ def run(
     gapfill_method: str = "ffill",
     n_salt: int = 16,
     ruleset: SparkRuleSet | None = None,
+    retention: dict[str, int | None] | None = None,
 ) -> dict:
     """Execute the cascade; returns a metrics dict (also written to the
     store root as run_metrics.json)."""
@@ -102,11 +103,14 @@ def run(
     store = TierStore(out_root)
     metrics: dict = {"partitions": {}, "rows": {}, "skipped": {}}
     n_input = None
+    max_day = None
     for tier_name, tier_df in tiers.items():
         with_day = tier_df.withColumn(
             "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
         )
         fps = partition_fingerprints(with_day)
+        if fps:
+            max_day = max(max(fps), max_day or "")
         todo = store.stale_days(tier_name, fps) if resume else sorted(fps)
         skipped = sorted(set(fps) - set(todo))
         res = store.write_tier(tier_name, tier_df, fps, days=todo)
@@ -130,6 +134,16 @@ def run(
         n_input = int(
             t1m.agg(F.sum("n_points").alias("n")).collect()[0]["n"] or 0
         )
+
+    if retention and max_day:
+        # Last step of the job: TTL per tier, anchored on the newest data
+        # day (not wall clock: deterministic, replayable); cutoffs
+        # tombstone so --resume never resurrects aged-out partitions.
+        metrics["retention"] = {
+            t: store.apply_retention(t, keep, as_of=max_day)
+            for t, keep in retention.items()
+            if t in tiers
+        }
 
     metrics.update(
         {
@@ -160,7 +174,23 @@ def main() -> None:
     ap.add_argument("--n-salt", type=int, default=16)
     ap.add_argument("--no-clean", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--retention", default=None,
+        help="per-tier TTL in days, e.g. 'raw=7,1m=30,1h=365' or 'default' "
+             "(= tierstore.DEFAULT_RETENTION); omitted tiers keep forever",
+    )
     args = ap.parse_args()
+
+    retention = None
+    if args.retention == "default":
+        from traval_spark.sources.tierstore import DEFAULT_RETENTION
+
+        retention = DEFAULT_RETENTION
+    elif args.retention:
+        retention = {
+            k: int(v) for k, v in
+            (kv.split("=", 1) for kv in args.retention.split(","))
+        }
 
     spark = get_spark("traval-spark-pipeline", master=args.master)
     rs = None if args.no_clean else default_ruleset()
@@ -173,6 +203,7 @@ def main() -> None:
         gapfill_method=args.gapfill,
         n_salt=args.n_salt,
         ruleset=rs,
+        retention=retention,
     )
     print(json.dumps(metrics, default=str))
 

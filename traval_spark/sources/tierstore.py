@@ -21,8 +21,10 @@ Checkpoint/resume contract (north_rule):
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame
@@ -31,6 +33,12 @@ from pyspark.sql import functions as F
 from traval_spark.functions.ts import ensure_ntz
 
 MANIFEST_DIR = "_manifests"
+
+#: days of history each tier keeps (None = forever) — the downsample
+#: story: raw ages out fast, coarser tiers keep (cheaper) history longer.
+DEFAULT_RETENTION: dict[str, int | None] = {
+    "raw": 7, "1m": 30, "1h": 365, "1d": None,
+}
 
 
 def partition_fingerprints(df: DataFrame, day_col: str = "day") -> dict[str, dict]:
@@ -106,6 +114,9 @@ class TierStore:
             "day", F.date_trunc("day", F.col("bucket")).cast("date")
         )
         todo = sorted(input_fps if days is None else days)
+        cutoff = self.retention_cutoff(tier)
+        if cutoff is not None:  # aged-out days are tombstoned, never rewritten
+            todo = [d for d in todo if d >= cutoff]
         if not todo:
             return {"written_partitions": [], "rows": 0}
         sub = df.filter(F.col("day").cast("string").isin(todo))
@@ -148,13 +159,80 @@ class TierStore:
         return {"written_partitions": todo, "rows": total_rows}
 
     def stale_days(self, tier: str, input_fps: dict[str, dict]) -> list[str]:
-        """Partitions whose manifest is missing or whose input changed."""
+        """Partitions whose manifest is missing or whose input changed.
+
+        Days behind the tier's retention cutoff are never stale: a resumed
+        run must not resurrect partitions that retention dropped (the
+        cutoff is a durable tombstone, see ``apply_retention``).
+        """
         have = self.manifests(tier)
+        cutoff = self.retention_cutoff(tier)
         return sorted(
             day
             for day, fp in input_fps.items()
-            if day not in have or have[day].get("input") != fp
+            if (cutoff is None or day >= cutoff)
+            and (day not in have or have[day].get("input") != fp)
         )
+
+    # -- retention ----------------------------------------------------------
+
+    def _retention_path(self, tier: str) -> str:
+        return os.path.join(self.root, tier, MANIFEST_DIR, "_retention.json")
+
+    def _retention_state(self, tier: str) -> dict:
+        p = self._retention_path(tier)
+        if not os.path.exists(p):
+            return {"cutoff": None, "events": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def retention_cutoff(self, tier: str) -> str | None:
+        """First day (YYYY-MM-DD) still retained, or None if no TTL applied."""
+        return self._retention_state(tier).get("cutoff")
+
+    def apply_retention(
+        self, tier: str, keep_days: int | None, as_of: str | dt.date
+    ) -> dict:
+        """Drop day partitions older than ``as_of - keep_days`` (TTL).
+
+        ``as_of`` is explicit (callers pass the max data day, not wall
+        clock) so retention is deterministic and testable. Deletion =
+        removing the partition directory + its manifest — the parquet
+        equivalent of Iceberg's ``DELETE WHERE day < cutoff`` +
+        ``expireSnapshots``. The cutoff persists in the tier's retention
+        state: ``stale_days``/``write_tier`` treat it as a tombstone, so
+        resumed runs do not recompute aged-out partitions.
+        """
+        if keep_days is None:
+            return {"tier": tier, "cutoff": None, "dropped": []}
+        if isinstance(as_of, str):
+            as_of = dt.date.fromisoformat(as_of)
+        cutoff = (as_of - dt.timedelta(days=keep_days)).isoformat()
+        drop = sorted(d for d in self.manifests(tier) if d < cutoff)
+        for day in drop:
+            part_dir = os.path.join(self.tier_path(tier), f"day={day}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+            os.remove(self._manifest_path(tier, day))
+        state = self._retention_state(tier)
+        # cutoffs only move forward (late re-apply with a longer TTL must
+        # not resurrect already-dropped history)
+        state["cutoff"] = max(cutoff, state["cutoff"] or cutoff)
+        state["events"].append(
+            {
+                "as_of": as_of.isoformat(),
+                "keep_days": keep_days,
+                "cutoff": cutoff,
+                "dropped": drop,
+                "applied_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }
+        )
+        os.makedirs(os.path.dirname(self._retention_path(tier)), exist_ok=True)
+        with open(self._retention_path(tier), "w") as f:
+            json.dump(state, f, indent=2)
+        return {"tier": tier, "cutoff": state["cutoff"], "dropped": drop}
 
     def read_tier(self, tier: str, spark=None) -> DataFrame:
         from pyspark.sql import SparkSession
