@@ -63,9 +63,11 @@ def main() -> None:
         "asof_resample", "relative_summary", "binary_classifier",
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
+        "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "quality_score", "fingerprint",
-        "minhash_sig", "lsh_buckets", "simhash",
-        "ann_topk", "ann_lsh_topk", "multimodal_meta",
+        "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
+        "simhash64_dups", "cos_dup_pairs_lsh",
+        "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "multimodal_meta",
     ]
     for name in headline:
         timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))

@@ -1,6 +1,6 @@
 """Two-parallelism scaling evidence for the north rule.
 
-Runs the full rollup job (cached tokenized-sequence table -> traval rule
+Runs the full rollup job (parquet tokenized-sequence table -> traval rule
 cleaning -> explicit salted cascade raw->1m->1h->1d) on IDENTICAL input
 at local[N] and local[4N], interleaved fresh-JVM trials, and reports:
 
@@ -12,10 +12,10 @@ at local[N] and local[4N], interleaved fresh-JVM trials, and reports:
   constant, and cpu/wall gives the effective parallelism each config
   actually achieved.
 
-Shuffle dirs on tmpfs + cached input: this VM has ONE fixed-bandwidth
-disk; on a real N->4N cluster storage/shuffle bandwidth scales with
-nodes, so charging the single disk to the engine would measure the
-sandbox, not the plan.
+Shuffle dirs on tmpfs + page-cache-warmed parquet input: this VM has
+ONE fixed-bandwidth disk; on a real N->4N cluster storage/shuffle
+bandwidth scales with nodes, so charging the single disk to the engine
+would measure the sandbox, not the plan.
 
 Usage: python tools/scaling_bench.py [rows] [n_small] [n_big] [trials]
 Writes BENCH/BASELINE.md and prints one JSON line.
@@ -41,8 +41,11 @@ spark = get_spark("scaling", master="local[{cores}]",
 spark.sparkContext.setLogLevel("ERROR")
 from traval_spark.pipeline import clean_sequences, default_ruleset
 from traval_spark.rollup import build_cascade
-seqs = spark.read.parquet({inp!r}).cache()
-seqs.count()  # materialize the cache
+seqs = spark.read.parquet({inp!r})
+seqs.count()  # warm the OS page cache + parquet footers
+# NO .cache(): the job needs 3 of 5 columns and parquet column
+# pruning at the scan is the honest 100 TB read path; a full-width
+# deserialized cache costs more memory bandwidth than it saves
 
 jvm_pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
 CLK = os.sysconf("SC_CLK_TCK")
@@ -136,7 +139,7 @@ def _report(r: dict) -> str:
 
 North-rule criterion (BASELINE.json): throughput scaling efficiency
 >= 0.8 between N and 4N executors. Sandbox proxy: the full rollup job
-(cached tokenized-sequence table -> traval rule cleaning [hardmax +
+(pruned parquet scan -> traval rule cleaning [hardmax +
 chunked spike + via-join n-sigma + combine] -> explicit salted two-phase
 rollup cascade raw->1m->1h->1d) on IDENTICAL input at
 local[{r['cores_small']}] vs local[{r['cores_big']}], fresh JVM per
@@ -162,7 +165,7 @@ Measurement caveats (shared-VM sandbox)
   seconds (immune to neighbor wall noise) are listed to show total work
   is constant across configs — added cores change the layout, not the
   work.
-- Input cached + shuffle on tmpfs: a single fixed-bandwidth virtio disk
+- Input parquet warm in the OS page cache + shuffle on tmpfs: a single fixed-bandwidth virtio disk
   does not model an N->4N cluster whose storage/shuffle bandwidth scales
   with nodes.
 - Skew handling is what makes the hot key scale at all: without the

@@ -32,12 +32,14 @@ spark = get_spark("stage-profile", master="local[{cores}]",
                       "spark.local.dir": "/dev/shm/spark-scaling-tmp",
                       "spark.eventLog.enabled": "true",
                       "spark.eventLog.dir": "file://{evdir}",
+                      "spark.eventLog.compress": "false",
+                      "spark.eventLog.rolling.enabled": "false",
                   }})
 spark.sparkContext.setLogLevel("ERROR")
 from traval_spark.pipeline import clean_sequences, default_ruleset
 from traval_spark.rollup import build_cascade
-seqs = spark.read.parquet({inp!r}).cache()
-seqs.count()
+seqs = spark.read.parquet({inp!r})
+seqs.count()  # warm page cache; no .cache() — parquet prunes to 3 of 5 cols
 
 def run():
     cleaned = clean_sequences(seqs, default_ruleset())
@@ -55,8 +57,9 @@ def main() -> None:
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 64_000_000
     inp = f"/tmp/traval_bench_input_r{rows}_s42"
     evdir = f"/tmp/stage_profile_ev_{cores}"
-    for f in glob.glob(f"{evdir}/*"):
-        os.remove(f)
+    import shutil
+    if os.path.isdir(evdir):
+        shutil.rmtree(evdir)
     code = RUN.format(root=ROOT, cores=cores, inp=inp, evdir=evdir)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True)
@@ -64,7 +67,9 @@ def main() -> None:
         print(r.stderr[-3000:])
         sys.exit(1)
 
-    logf = max(glob.glob(f"{evdir}/*"), key=os.path.getmtime)
+    cands = [p for p in glob.glob(f"{evdir}/**/*", recursive=True)
+             if os.path.isfile(p) and "appstatus" not in p]
+    logf = max(cands, key=os.path.getsize)
     stages: dict[int, dict] = {}
     measured_jobs: set[int] = set()
     job_stages: dict[int, list[int]] = {}
@@ -90,9 +95,19 @@ def main() -> None:
             elif t == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 ti = ev["Task Info"]
-                tasks.setdefault(sid, []).append(
-                    (ti["Finish Time"] - ti["Launch Time"]) / 1e3
-                )
+                tm = ev.get("Task Metrics") or {}
+                sr = tm.get("Shuffle Read Metrics") or {}
+                sw = tm.get("Shuffle Write Metrics") or {}
+                im = tm.get("Input Metrics") or {}
+                tasks.setdefault(sid, []).append({
+                    "dur": (ti["Finish Time"] - ti["Launch Time"]) / 1e3,
+                    "gc": tm.get("JVM GC Time", 0) / 1e3,
+                    "cpu": tm.get("Executor CPU Time", 0) / 1e9,
+                    "srb": (sr.get("Local Bytes Read", 0)
+                            + sr.get("Remote Bytes Read", 0)) / 1e6,
+                    "swb": sw.get("Shuffle Bytes Written", 0) / 1e6,
+                    "inb": im.get("Bytes Read", 0) / 1e6,
+                })
 
     keep = {s for j in measured_jobs for s in job_stages.get(j, [])}
     rows_out = []
@@ -101,20 +116,29 @@ def main() -> None:
             continue  # skipped stage (reused shuffle output)
         st = stages[sid]
         ts = tasks.get(sid, [])
-        tsum, tmax = sum(ts), max(ts, default=0.0)
+        durs = [t["dur"] for t in ts]
+        tsum, tmax = sum(durs), max(durs, default=0.0)
+        gc = sum(t["gc"] for t in ts)
+        cpu = sum(t["cpu"] for t in ts)
+        srb = sum(t["srb"] for t in ts)
+        swb = sum(t["swb"] for t in ts)
+        inb = sum(t["inb"] for t in ts)
         rows_out.append((sid, st["ntask"], st["wall"], tsum, tmax,
                          tsum / st["wall"] if st["wall"] > 0 else 0.0,
-                         st["name"]))
+                         gc, cpu, srb, swb, inb, st["name"]))
     total_wall = sum(r[2] for r in rows_out)
     print(f"cores={cores} measured stages={len(rows_out)} "
           f"stage-wall total={total_wall:.1f}s")
-    print(f"{'sid':>4} {'ntask':>6} {'wall':>7} {'tsum':>8} {'tmax':>7} "
-          f"{'par':>5}  name")
-    for sid, ntask, wall, tsum, tmax, par, name in rows_out:
+    print(f"{'sid':>4} {'ntask':>6} {'wall':>7} {'tsum':>8} {'cpu':>8} "
+          f"{'gc':>6} {'tmax':>7} {'par':>5} {'inMB':>7} {'srMB':>7} "
+          f"{'swMB':>7}")
+    for (sid, ntask, wall, tsum, tmax, par, gc, cpu, srb, swb, inb,
+         name) in rows_out:
         flag = " <== ceiling" if wall > 0.05 * total_wall and (
             par < cores * 0.5 or ntask < cores) else ""
-        print(f"{sid:>4} {ntask:>6} {wall:>7.2f} {tsum:>8.1f} {tmax:>7.2f} "
-              f"{par:>5.1f}  {name}{flag}")
+        print(f"{sid:>4} {ntask:>6} {wall:>7.2f} {tsum:>8.1f} {cpu:>8.1f} "
+              f"{gc:>6.1f} {tmax:>7.2f} {par:>5.1f} {inb:>7.0f} {srb:>7.0f} "
+              f"{swb:>7.0f}{flag}")
 
 
 if __name__ == "__main__":
