@@ -40,28 +40,41 @@ def _find_offset_periods(
     unmatched jumps; 'match' picks the candidate minimizing |cand + dh|
     (accepted iff <= updown_diff), 'time' picks the first candidate in time
     order with |cand + dh| <= updown_diff.
+
+    Vectorized per step (boolean candidate mask + argmin/argmax over the
+    float adds, both first-hit-in-time-order like the reference's
+    ``idxmin``/``.index[0]``): O(j²) cheap numpy ops instead of the
+    reference's O(j² log j) index-difference rebuilds — same pairs
+    bit-for-bit (float64 adds identical; exactness pinned by
+    tests/test_rules.py and the recursive-CTE oracle).
     """
+    if search_method not in ("match", "time"):
+        raise ValueError(f"Unknown search_method: {search_method}")
+    idx = jumps.index  # time-sorted, unique (reference model)
+    dh = jumps.to_numpy(dtype=float)
+    n = len(dh)
+    unmatched = np.ones(n, dtype=bool)
     periods: list = []
-    for i in jumps.index:
-        if i in periods:
+    for i in range(n):
+        if not unmatched[i]:
             continue
-        dh = jumps.loc[i]
-        cand_idx = jumps.index.difference(periods + [i])  # sorted by time
-        if cand_idx.empty:
+        cand = unmatched.copy()
+        cand[i] = False
+        if not cand.any():
             continue
-        idiff = jumps.loc[cand_idx] + dh
+        absdiff = np.abs(dh + dh[i])
         if search_method == "match":
-            best = idiff.abs().idxmin()
-            if np.abs(idiff.loc[best]) <= updown_diff:
-                periods += [i, best]
-        elif search_method == "time":
-            ok = idiff.abs() <= updown_diff
-            matches = idiff.loc[ok]
-            if matches.empty:
-                continue
-            periods += [i, matches.index[0]]
-        else:
-            raise ValueError(f"Unknown search_method: {search_method}")
+            masked = np.where(cand, absdiff, np.inf)
+            best = int(np.argmin(masked))  # first min in time order
+            if masked[best] <= updown_diff:
+                periods += [idx[i], idx[best]]
+                unmatched[i] = unmatched[best] = False
+        else:  # "time": first candidate within tolerance
+            ok = cand & (absdiff <= updown_diff)
+            if ok.any():
+                first = int(np.argmax(ok))
+                periods += [idx[i], idx[first]]
+                unmatched[i] = unmatched[first] = False
     return periods
 
 
