@@ -1,0 +1,171 @@
+"""Stateful streaming rule evaluation via ``applyInPandasWithState``.
+
+Batch rules that need neighbor points (spike detection: flag at i needs
+points i-1 and i+1 — reference rulelib.py:231-262) cannot run as plain
+stateless stream maps: a micro-batch boundary would sever the lookback /
+lookahead. This module carries the per-source boundary across
+micro-batches as explicit group state:
+
+- state per source = the last two raw points (second-last already
+  emitted downstream; last still *pending* because its successor hasn't
+  arrived);
+- each micro-batch prepends the carried points, evaluates the identical
+  gap-aware spike predicate as the batch rule (same float arithmetic),
+  emits every point that now has its successor, and carries the new
+  tail.
+
+Parity with the batch plan: an emitted point's flag is bit-identical to
+``rule_spike_detection`` (asserted in tests/test_streaming.py with
+maxFilesPerTrigger=1 forcing cross-batch boundaries). The only
+difference is the stream's pending final point per source, which emits
+on the next point's arrival — exactly the latency a lookahead rule must
+pay. Input is assumed in-order per source (file-source ingestion of
+time-partitioned drops); rows older than the carried tail are late data
+and are dropped (counted nowhere — the batch rebuild remains the source
+of truth, as with the streaming rollup tier).
+
+Scale shape: state is O(1) per source (two points), the RocksDB/HDFS
+state store holds |sources| entries, and each micro-batch shuffles only
+by source — the same key the rollup already groups by.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from traval_spark.codes import CorrectionCode
+from traval_spark.streaming.rollup_stream import SEQUENCE_SCHEMA
+
+#: emitted rows: the input point + its correction code (0 = kept)
+OUTPUT_SCHEMA = "source string, ts timestamp, value double, code int"
+#: carried boundary: last two points as (ts micros, value) pairs;
+#: tsa/va may be -1/NaN when only one point has been seen
+STATE_SCHEMA = "tsa long, va double, tsb long, vb double"
+
+_CODE = int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
+
+
+def _spike_flags(
+    ts_us: np.ndarray, vals: np.ndarray,
+    threshold: float, spike_tol: float, max_gap_us: int,
+) -> np.ndarray:
+    """The batch spike predicate (rules.rule_spike_detection derivation)
+    on position-aligned numpy arrays; NaN propagates exactly like NULL."""
+    n = len(vals)
+    d = np.full(n, np.nan)
+    if n > 1:
+        d[1:] = vals[1:] - vals[:-1]
+        d[1:][(ts_us[1:] - ts_us[:-1]) > max_gap_us] = np.nan
+    du = np.where(d < 0.0, np.nan, d)  # keeps d >= 0 and NaN
+    dd = np.where(d > 0.0, np.nan, d)
+    du_next = np.full(n, np.nan)
+    dd_next = np.full(n, np.nan)
+    du_next[:-1] = du[1:]
+    dd_next[:-1] = dd[1:]
+    with np.errstate(invalid="ignore"):
+        up = (np.abs(du + dd_next) <= spike_tol) & (d > threshold)
+        down = (np.abs(dd + du_next) <= spike_tol) & (d < -threshold)
+    return np.nan_to_num(up.astype(float) + down.astype(float)) > 0
+
+
+def make_spike_state_func(
+    threshold: float, spike_tol: float, max_gap_us: int
+):
+    """Build the applyInPandasWithState kernel (closure over the params)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.sort_values("ts")
+        b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        b_vals = batch["value"].to_numpy(dtype=float)
+
+        carried_ts: list[int] = []
+        carried_vals: list[float] = []
+        if state.exists:
+            tsa, va, tsb, vb = state.get
+            if tsa >= 0:
+                carried_ts.append(tsa)
+                carried_vals.append(va)
+            carried_ts.append(tsb)
+            carried_vals.append(vb)
+            # late rows (at or before the pending point) were already
+            # emitted or superseded: drop them
+            fresh = b_ts > carried_ts[-1]
+            b_ts, b_vals = b_ts[fresh], b_vals[fresh]
+        if len(b_ts) == 0:
+            return
+
+        ts_us = np.concatenate([np.array(carried_ts, dtype="int64"), b_ts])
+        vals = np.concatenate([np.array(carried_vals, dtype=float), b_vals])
+        flags = _spike_flags(ts_us, vals, threshold, spike_tol, max_gap_us)
+
+        # emit: the pending carried point (now has a successor) + every
+        # new point except the last (which becomes the new pending tail)
+        start = len(carried_ts) - 1 if carried_ts else 0
+        end = len(ts_us) - 1  # exclusive: tail stays pending
+        if end > start:
+            sel = slice(start, end)
+            yield pd.DataFrame(
+                {
+                    "source": key[0],
+                    "ts": ts_us[sel].astype("datetime64[us]"),
+                    "value": vals[sel],
+                    "code": np.where(flags[sel], _CODE, 0).astype("int32"),
+                }
+            )
+
+        n = len(ts_us)
+        state.update((
+            int(ts_us[n - 2]) if n >= 2 else -1,
+            float(vals[n - 2]) if n >= 2 else float("nan"),
+            int(ts_us[n - 1]),
+            float(vals[n - 1]),
+        ))
+
+    return fn
+
+
+def stream_spike_clean(
+    spark: SparkSession,
+    input_path: str,
+    threshold: float = 0.15,
+    spike_tol: float = 0.15,
+    max_gap: str = "7D",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming spike-flagger over tokenized-sequence file drops.
+
+    Returns the unbounded DataFrame of (source, ts, value, code); write it
+    with ``.writeStream`` (append mode) — each input point appears exactly
+    once, flagged identically to the batch rule.
+    """
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source",
+            # state/watermark machinery wants TIMESTAMP, not NTZ
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("n_tok").cast("double").alias("value"),
+        )
+    )
+    max_gap_us = int(pd.Timedelta(max_gap).value // 1_000)
+    return stream.groupBy("source").applyInPandasWithState(
+        make_spike_state_func(threshold, spike_tol, max_gap_us),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
