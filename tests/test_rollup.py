@@ -150,6 +150,30 @@ def test_tierstore_resume(spark, seqs, tmp_path):
     assert back.count() == t1d.count()
 
 
+def test_cleaning_preserves_token_arrays(spark, seqs):
+    """input_hint invariant (BASELINE.json): cleaning masks n_tok on
+    flagged rows but every row's token ARRAY rides through bit-identical
+    — no row lost, no array touched."""
+    from traval_spark.pipeline import clean_sequences
+    from traval_spark.plans.ruleset import SparkRuleSet
+
+    rs = SparkRuleSet("strict")  # threshold that actually bites at max_tok=256
+    rs.add_rule("cap", "rule_hardmax", apply_to=0, kwargs={"threshold": 200.0})
+    cleaned = clean_sequences(seqs, rs)
+    assert cleaned.count() == seqs.count()  # flagged rows kept, not dropped
+    j = cleaned.alias("c").join(seqs.alias("r"), on="doc_id", how="full")
+    # full join has no dangling side and every token array matches exactly
+    assert j.filter(
+        F.col("c.tokens").isNull() | F.col("r.tokens").isNull()
+        | (F.col("c.tokens") != F.col("r.tokens"))
+    ).count() == 0
+    # the mask only ever NULLs n_tok; unflagged rows keep the exact value
+    assert cleaned.filter(
+        F.col("n_tok").isNotNull() & (F.col("n_tok") != F.size("tokens"))
+    ).count() == 0
+    assert cleaned.filter(F.col("n_tok").isNull()).count() > 0  # rules fired
+
+
 def test_retention_drops_and_tombstones(spark, seqs, tmp_path):
     """TTL drops old day partitions; the cutoff is durable: stale_days and
     write_tier refuse to resurrect aged-out days on resume."""
