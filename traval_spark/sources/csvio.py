@@ -1,0 +1,88 @@
+"""CSV series source/sink (reference examples ex01 cell 2 format).
+
+The reference loads observation series from wide CSVs shaped
+``index,<name1>[,<name2>...]`` with a timestamp index column and one
+float column per series (examples/data/raw_series.csv). This module
+maps that format onto the engine's long frame
+``(series_id, ts, value)`` and back:
+
+- :func:`read_series_csv` — distributed ``spark.read.csv`` scan with an
+  explicit timestamp-first schema (no inferSchema: schema inference
+  reads the file twice and guesses; at 100 TB the scan must be
+  single-pass with a declared schema), then an ``unpivot`` (Spark's
+  native melt — one Generate node, no per-column union) to long form.
+- :func:`write_series_csv` — partitioned long-form CSV sink; the wide
+  single-file form the reference writes is a driver-side convenience
+  for small exports only (``to_wide_pandas``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import SID, TS, ensure_ntz
+
+
+def read_series_csv(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "index",
+    ts_format: str | None = None,
+) -> DataFrame:
+    """Read a reference-format wide series CSV into the long frame.
+
+    All non-index columns become one series each (column name =
+    series_id); empty cells become NULL values (the reference's NaN —
+    SURVEY §1.4 missing-vs-NaN distinction is preserved because a row
+    absent from the CSV is absent from the frame, while an empty cell
+    is a NULL value at an existing timestamp).
+    """
+    header = spark.read.csv(path, header=True).schema.fieldNames()
+    if ts_col not in header:
+        raise ValueError(f"CSV at {path} has no {ts_col!r} column")
+    value_cols = [c for c in header if c != ts_col]
+    ddl = ", ".join(
+        [f"`{ts_col}` STRING"] + [f"`{c}` DOUBLE" for c in value_cols]
+    )
+    df = spark.read.csv(path, header=True, schema=ddl)
+    ts = (
+        F.to_timestamp(F.col(ts_col), ts_format)
+        if ts_format
+        else F.to_timestamp(F.col(ts_col))
+    )
+    df = df.withColumn(ts_col, ts.cast("timestamp_ntz"))
+    long = df.unpivot(
+        ids=[ts_col],
+        values=value_cols,
+        variableColumnName=SID,
+        valueColumnName="value",
+    )
+    return long.select(
+        F.col(SID), F.col(ts_col).alias(TS), F.col("value")
+    )
+
+
+def write_series_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Long-form CSV sink, partitioned by series_id for parallel writes
+    and partition-pruned reads of single series."""
+    (
+        ensure_ntz(df)
+        .repartition(SID)
+        .write.mode(mode)
+        .partitionBy(SID)
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def to_wide_pandas(df: DataFrame) -> pd.DataFrame:
+    """Driver-side wide pivot matching the reference CSV shape — for
+    SMALL exports only (the reference's whole data model is one pandas
+    frame; here the collect is explicit and opt-in)."""
+    pdf = ensure_ntz(df).select(SID, TS, "value").toPandas()
+    wide = pdf.pivot(index=TS, columns=SID, values="value").sort_index()
+    wide.index.name = "index"
+    wide.columns.name = None
+    return wide
