@@ -1,0 +1,141 @@
+"""Physical-plan audits: the scale behaviors SURVEY §4.2 promises must be
+visible in `explain("formatted")`, not just claimed — column pruning and
+filter pushdown reaching the parquet scan, small dimensions broadcast,
+whole-stage codegen covering the expression pipeline."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_series_df
+from traval_spark.plans.ruleset import SparkRuleSet, apply_ruleset
+from traval_spark.rollup import build_cascade
+
+
+def fmt_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def seq_parquet(spark, tmp_path_factory):
+    """Full-width graft-input table on disk (doc_id, tokens, n_tok,
+    source, ts) — pruning is only observable through a real scan."""
+    path = str(tmp_path_factory.mktemp("plans") / "seqs")
+    n = 500
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(n)],
+        "tokens": [np.arange(i % 7 + 1, dtype=np.int32) for i in range(n)],
+        "n_tok": np.int32(1) + np.arange(n, dtype=np.int32) % 7,
+        "source": ["source_%02d" % (i % 3) for i in range(n)],
+        "ts": pd.date_range("2024-01-01", freq="min", periods=n),
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_cascade_prunes_tokens_and_docid(spark, seq_parquet):
+    """The rollup cascade over the cleaned full-width table must read
+    ONLY (n_tok, source, ts) at the scan: tokens (the wide payload
+    column — at 100 TB virtually all the bytes) and doc_id must be
+    pruned by Catalyst through the cleaning plan (commit-b138518
+    invariant; regression guard)."""
+    from traval_spark.pipeline import clean_sequences, default_ruleset
+
+    raw = spark.read.parquet(seq_parquet)
+    cleaned = clean_sequences(raw, default_ruleset())
+    t1d = build_cascade(cleaned, salted=True, n_salt=4)["1d"]
+    plan = fmt_plan(t1d)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    # every scan reads a subset of the 3 needed narrow columns (the
+    # via-join sigma-stats branch legitimately reads only n_tok+source);
+    # at least one branch carries all 3
+    for ln in scan:
+        assert "tokens" not in ln, ln
+        assert "doc_id" not in ln, ln
+    assert any("n_tok" in ln and "source" in ln and "ts" in ln
+               for ln in scan), plan
+
+
+def test_filter_pushdown_reaches_scan(spark, seq_parquet):
+    """A time-range + source predicate lands in PushedFilters at the
+    parquet scan (partition/row-group pruning at scale)."""
+    df = (
+        spark.read.parquet(seq_parquet)
+        .filter((F.col("source") == "source_01")
+                & (F.col("ts") >= "2024-01-01 02:00:00"))
+        .select("source", "ts", "n_tok")
+    )
+    plan = fmt_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert "IsNotNull(source)" in pushed[0] or "EqualTo(source" in pushed[0], pushed[0]
+    assert "GreaterThanOrEqual(ts" in pushed[0], pushed[0]
+
+
+def test_per_series_params_join_is_broadcast(spark):
+    """ParamRef per-series thresholds resolve via a broadcast hash join —
+    a shuffled sort-merge join on the fleet for a tiny dimension would
+    be the classic scale bug."""
+    from traval_spark.plans.params import TravalParameters
+    from traval_spark.plans.ruleset import ParamRef
+
+    series = make_series_df(spark, np.arange(20.0))
+    rs = SparkRuleSet("p")
+    rs.add_rule("hm", "rule_hardmax", apply_to=0,
+                kwargs={"threshold": ParamRef("hm", "threshold")})
+    tp = TravalParameters(
+        pd.DataFrame(
+            [("default", "hm", "threshold", 10.0)],
+            columns=["location", "rulename", "parameter", "value"],
+        )
+    )
+    params = tp.to_spark(spark, series.select("series_id").distinct())
+    wide = apply_ruleset(series, rs, params=params)
+    plan = fmt_plan(wide)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_window_rules_share_one_exchange(spark):
+    """Stacked lag/window rules on the same series all plan over ONE
+    hashpartitioning(series_id) exchange — the canonical-window-spec
+    promise (functions/ts.py:series_window)."""
+    series = make_series_df(spark, np.arange(30.0))
+    rs = SparkRuleSet("w")
+    rs.add_rule("grad", "rule_max_gradient", apply_to=0,
+                kwargs={"max_step": 2.0})
+    rs.add_rule("diff", "rule_diff_ufunc_threshold", apply_to=1,
+                kwargs={"ufunc": ("greater",), "threshold": 1.5})
+    wide = apply_ruleset(series, rs)
+    plan = fmt_plan(wide)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"{n_exchanges} series exchanges:\n{plan}"
+
+
+def test_whole_stage_codegen_covers_mask_pipeline(spark, seq_parquet):
+    """Threshold-rule mask evaluation stays inside WholeStageCodegen
+    (JVM, vectorizable) — no Python/BatchEvalPython node anywhere.
+    Driven from a parquet scan: a driver-local relation constant-folds
+    to LocalTableScan and shows no codegen at all."""
+    series = spark.read.parquet(seq_parquet).select(
+        F.col("source").alias("series_id"), "ts",
+        F.col("n_tok").cast("double").alias("value"),
+    )
+    rs = SparkRuleSet("c")
+    rs.add_rule("hm", "rule_hardmax", apply_to=0, kwargs={"threshold": 10.0})
+    rs.add_rule("both", "rule_combine_nan_or", apply_to=(0, 1))
+    wide = apply_ruleset(series, rs)
+    plan = fmt_plan(wide)
+    # formatted mode marks whole-stage-codegen operators with a '*'
+    assert "* Project" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
