@@ -126,3 +126,40 @@ def test_streaming_resume_is_incremental(spark, tmp_path):
     run_incremental_rollup(spark, inp, out, ckpt, watermark="1 minute")
     n2 = spark.read.parquet(out).count()
     assert n2 >= n1  # second drain appended newly finalized windows only
+
+
+def test_streaming_cascade_matches_batch(spark, tmp_path):
+    """foreachBatch continuous aggregates: after draining multiple
+    micro-batches, the stored 1h/1d tiers must equal a batch
+    rollup_cascade over the streamed 1m tier — the incremental
+    partition-overwrite maintenance is invisible in the result."""
+    import time as _time
+
+    from traval_spark.rollup import rollup_cascade
+    from traval_spark.streaming.rollup_stream import run_streaming_cascade
+
+    inp = str(tmp_path / "cin")
+    root = str(tmp_path / "cstore")
+    ckpt = str(tmp_path / "cckpt")
+
+    seqs = synth_sequences(spark, 4000, seed=11, span_days=2)
+    a = seqs.filter(F.xxhash64("doc_id") % 2 == 0).coalesce(1)
+    b = seqs.exceptAll(a).coalesce(1)
+    a.write.mode("append").parquet(inp)
+    _time.sleep(1.1)  # distinct mtimes: two separate micro-batches
+    b.write.mode("append").parquet(inp)
+
+    run_streaming_cascade(spark, inp, root, ckpt, watermark="1 minute",
+                          available_now=True, max_files_per_trigger=1)
+
+    t1m = spark.read.parquet(f"{root}/1m").drop("day")
+    t1h = spark.read.parquet(f"{root}/1h").drop("day")
+    t1d = spark.read.parquet(f"{root}/1d").drop("day")
+    assert t1m.count() > 0 and t1h.count() > 0 and t1d.count() > 0
+
+    want_1h = rollup_cascade(t1m, "1h")
+    want_1d = rollup_cascade(want_1h, "1d")
+    assert t1h.exceptAll(want_1h).count() == 0
+    assert want_1h.exceptAll(t1h).count() == 0
+    assert t1d.exceptAll(want_1d).count() == 0
+    assert want_1d.exceptAll(t1d).count() == 0

@@ -29,13 +29,14 @@ def stream_rollup_1m(
     spark: SparkSession,
     input_path: str,
     watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
 ) -> DataFrame:
     """Streaming 1m tier: file-source readStream -> watermark -> tumbling
     window agg. Same measures as the batch tier (count/sum/min/max n_tok).
     """
     stream = (
         spark.readStream.schema(SEQUENCE_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
     # watermark requires TIMESTAMP; window start is cast back to NTZ to
@@ -78,6 +79,87 @@ def run_incremental_rollup(
     writer = (
         agg.writeStream.format("parquet")
         .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def run_streaming_cascade(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint_path: str,
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int = 64,
+):
+    """Continuous aggregates: keep the FULL 1m->1h->1d cascade current as
+    sequence files arrive, TimescaleDB-continuous-aggregate style.
+
+    Per micro-batch of watermark-finalized 1m windows (append-mode
+    semantics: each window arrives exactly once):
+
+    1. append the 1m rows to ``{store_root}/1m``, day-partitioned;
+    2. recompute the 1h tier for ONLY the days touched by this batch by
+       re-aggregating the (partition-pruned) 1m tier, and replace just
+       those day partitions via dynamic partition overwrite;
+    3. same for 1d from 1h.
+
+    Exactly-once without a transaction log: the file source replays an
+    interrupted batch from the checkpoint, step 1 may then duplicate 1m
+    rows for the interrupted batch's days — but steps 2/3 are full
+    recomputes of their day partitions, so the coarse tiers self-heal,
+    and a batch-mode ``rollup_cascade`` over the day re-establishes the
+    1m tier itself (the batch job stays the source of truth for
+    full-history rebuilds; documented lambda split as in
+    :func:`run_incremental_rollup`).
+
+    At 100 TB the per-batch work is bounded by (touched days x sources):
+    the coarse-tier recomputes scan the pruned 1m/1h day partitions
+    (thousands of rows), never the raw sequence table.
+    """
+    from traval_spark.rollup import rollup_cascade
+
+    agg = stream_rollup_1m(spark, input_path, watermark,
+                           max_files_per_trigger=max_files_per_trigger)
+    day = F.date_trunc("day", F.col("bucket")).cast("date").alias("day")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch_df = batch_df.withColumn("day", day)
+        batch_df.write.mode("append").partitionBy("day").parquet(
+            f"{store_root}/1m"
+        )
+        days = [r["day"] for r in batch_df.select("day").distinct().collect()]
+        t1m = (
+            s.read.parquet(f"{store_root}/1m")
+            .filter(F.col("day").isin(days))
+        )
+        t1h = rollup_cascade(t1m.drop("day"), "1h").withColumn("day", day)
+        # dynamic partitionOverwriteMode (session default, session.py):
+        # only the touched day directories are replaced
+        t1h.write.mode("overwrite").partitionBy("day").parquet(
+            f"{store_root}/1h"
+        )
+        t1h_all = (
+            s.read.parquet(f"{store_root}/1h")
+            .filter(F.col("day").isin(days))
+        )
+        t1d = rollup_cascade(t1h_all.drop("day"), "1d").withColumn("day", day)
+        t1d.write.mode("overwrite").partitionBy("day").parquet(
+            f"{store_root}/1d"
+        )
+
+    writer = (
+        agg.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
