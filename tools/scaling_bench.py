@@ -159,6 +159,7 @@ def main() -> None:
 
 
 def _report(r: dict) -> str:
+    verdict = "MET" if r["scaling_efficiency"] >= 0.8 else "NOT met"
     return f"""# BENCH baseline — measured scaling evidence
 
 North-rule criterion (BASELINE.json): throughput scaling efficiency
@@ -173,6 +174,9 @@ trial, configs interleaved in time.
 |---|---|---|---|---|
 | local[{r['cores_small']}] | {r['wall_small_sec']} | {r['cpu_small_sec']} | {r['best_small_sec']} | {r['points_per_sec_small']:,} |
 | local[{r['cores_big']}]   | {r['wall_big_sec']} | {r['cpu_big_sec']} | {r['best_big_sec']} | {r['points_per_sec_big']:,} |
+
+**Criterion {verdict}:
+{r['scaling_efficiency']} vs the >= 0.8 bar.**
 
 - input rows: {r['rows']:,} (deterministic synth; source_00 holds ~50% of
   rows — the skew case the salting + chunked windows exist for)
