@@ -1335,7 +1335,11 @@ def oracle_sql() -> dict[str, str]:
       select ts, 1 AS is_main, CAST(NULL AS DOUBLE) AS mv, v from main
       union all select ts, 0, mv, CAST(NULL AS DOUBLE) from kept),
     w1 as (
-      select *, epoch_us(ts) * 1.0 AS usec,
+      -- NANOSECOND epoch as float64, exactly like pandas method='time':
+      -- the index is viewed as int64 ns and np.interp converts to double
+      -- (ns epochs exceed 2^53, so this conversion ROUNDS — replicating
+      -- that rounding is required for bit-identical slopes)
+      select *, CAST(epoch_ns(ts) AS DOUBLE) AS usec,
         last_value(case when is_main=1 then v end ignore nulls) over
           (order by ts, is_main
            rows between unbounded preceding and current row) AS pv,
@@ -1353,9 +1357,13 @@ def oracle_sql() -> dict[str, str]:
            rows between unbounded preceding and current row) AS nt
       from w1),
     d as (
+      -- np.interp evaluates slope FIRST: ((dy/dx) * (x-x0)) + y0; the
+      -- naive pv + (nv-pv)*(usec-pt)/(nt-pt) association differs in the
+      -- last ulp and flips round()'s 6th decimal on ~0.01% of rows
       select ts, is_main, v,
              case when is_main=0
-                  then mv - (pv + (nv - pv) * (usec - pt) / (nt - pt)) end AS dd
+                  then mv - (((nv - pv) / (nt - pt)) * (usec - pt) + pv)
+             end AS dd
       from w2),
     pos as (select *, row_number() over (order by ts) AS rn from d),
     p2 as (
@@ -1374,8 +1382,10 @@ def oracle_sql() -> dict[str, str]:
         case when prev_d is null then 0.0
              when next_d is null then prev_d
              when next_rn = prev_rn then prev_d
-             else prev_d + (next_d - prev_d) * (rn - prev_rn)
-                           / (next_rn - prev_rn)
+             -- np.interp association again (pandas method='linear' is
+             -- positional np.interp over row ranks)
+             else ((next_d - prev_d) / (next_rn - prev_rn))
+                  * (rn - prev_rn) + prev_d
         end AS fd
       from p2 where is_main = 1)
     """
