@@ -27,11 +27,24 @@ BURN = (
     "print(time.process_time()-t0)"
 )
 
+#: memory-bandwidth-bound twin: each process sweeps a 256 MB array 8x
+#: (DRAM-resident, way past LLC). Sort/shuffle-heavy Spark stages are
+#: bound by THIS ceiling, not the integer one — a single socket's memory
+#: controllers are shared by all 32 cores, while a real N->4N cluster
+#: adds a socket's worth of bandwidth with every node.
+BURN_MEM = (
+    "import time, numpy as np\n"
+    "a = np.zeros(32 * 1024 * 1024, dtype=np.int64)\n"
+    "t0 = time.process_time()\n"
+    "for _ in range(8): a += 1\n"
+    "print(time.process_time() - t0)"
+)
 
-def run(nproc: int) -> tuple[float, float]:
+
+def run(nproc: int, code: str = BURN) -> tuple[float, float]:
     t0 = time.time()
     ps = [
-        subprocess.Popen([sys.executable, "-c", BURN],
+        subprocess.Popen([sys.executable, "-c", code],
                          stdout=subprocess.PIPE, text=True)
         for _ in range(nproc)
     ]
@@ -40,10 +53,10 @@ def run(nproc: int) -> tuple[float, float]:
     return wall, sum(cpus) / len(cpus)
 
 
-def measure(levels: list[int], trials: int = 3) -> dict:
+def measure(levels: list[int], trials: int = 3, code: str = BURN) -> dict:
     out: dict = {"levels": {}}
     for n in levels:
-        wall, cpu = min(run(n) for _ in range(trials))
+        wall, cpu = min(run(n, code) for _ in range(trials))
         out["levels"][n] = {
             "wall_sec": round(wall, 2),
             "per_proc_cpu_sec": round(cpu, 2),
@@ -65,5 +78,9 @@ def measure(levels: list[int], trials: int = 3) -> dict:
 
 
 if __name__ == "__main__":
-    levels = [int(x) for x in sys.argv[1:]] or [2, 8, 32]
-    print(json.dumps(measure(levels)))
+    args = sys.argv[1:]
+    kind = BURN
+    if args and args[0] == "mem":
+        kind, args = BURN_MEM, args[1:]
+    levels = [int(x) for x in args] or [2, 8, 32]
+    print(json.dumps(measure(levels, code=kind)))

@@ -34,10 +34,12 @@ RUN_TEMPLATE = """
 import sys, time, json, os
 sys.path.insert(0, {root!r})
 os.makedirs("/dev/shm/spark-scaling-tmp", exist_ok=True)
+import pyspark
+os.environ.setdefault("SPARK_HOME", pyspark.__path__[0])
 from traval_spark.session import get_spark
-spark = get_spark("scaling", master="local[{cores}]",
+spark = get_spark("scaling", master={master!r},
                   shuffle_partitions={cores} * 3,
-                  extra_conf={{"spark.local.dir": "/dev/shm/spark-scaling-tmp"}})
+                  extra_conf={extra!r})
 spark.sparkContext.setLogLevel("ERROR")
 from traval_spark.pipeline import clean_sequences, default_ruleset
 from traval_spark.rollup import build_cascade
@@ -47,34 +49,73 @@ seqs.count()  # warm the OS page cache + parquet footers
 # pruning at the scan is the honest 100 TB read path; a full-width
 # deserialized cache costs more memory bandwidth than it saves
 
-jvm_pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
 CLK = os.sysconf("SC_CLK_TCK")
-def jvm_cpu():
-    with open(f"/proc/{{jvm_pid}}/stat") as f:
-        parts = f.read().rsplit(")", 1)[1].split()
-    return (int(parts[11]) + int(parts[12])) / CLK  # utime+stime
+def tree_cpu():
+    # utime+stime summed over THIS process and every live descendant:
+    # covers the driver JVM and, in local-cluster mode, the separate
+    # worker/executor JVMs and python workers
+    me = os.getpid()
+    procs = {{}}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{d}}/stat") as f:
+                head, tail = f.read().rsplit(")", 1)
+            parts = tail.split()
+            procs[int(d)] = (int(parts[1]),
+                             (int(parts[11]) + int(parts[12])) / CLK)
+        except OSError:
+            continue
+    total, frontier = 0.0, {{me}}
+    seen = set()
+    while frontier:
+        nxt = set()
+        for pid, (ppid, cpu) in procs.items():
+            if ppid in frontier and pid not in seen:
+                nxt.add(pid); seen.add(pid); total += cpu
+        frontier = nxt
+    return total + procs[me][1]
 
 def run():
     cleaned = clean_sequences(seqs, default_ruleset())
     df = build_cascade(cleaned, salted=True, n_salt=16)["1d"]
     df.write.format("noop").mode("overwrite").save()
 run()  # warmup: codegen + cache touch
-t0, c0 = time.time(), jvm_cpu()
+t0, c0 = time.time(), tree_cpu()
 run()
-wall, cpu = time.time() - t0, jvm_cpu() - c0
+wall, cpu = time.time() - t0, tree_cpu() - c0
 print("RESULT " + json.dumps({{"wall": wall, "cpu": cpu}}))
 """
 
+#: executor-mode layout: real separate executor JVMs (local-cluster),
+#: 8 cores and a fixed heap each — growing the cluster N -> 4N adds
+#: executors (the north rule's own wording), it does NOT grow a shared heap
+EXEC_CORES = 8
+EXEC_MEM_MB = 10240
 
-def run_once(cores: int, inp: str) -> dict:
-    code = RUN_TEMPLATE.format(root=ROOT, cores=cores, inp=inp)
+
+def run_once(cores: int, inp: str, mode: str = "threads") -> dict:
+    if mode == "executors":
+        n_exec = cores // EXEC_CORES
+        master = f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]"
+        extra = {
+            "spark.local.dir": "/dev/shm/spark-scaling-tmp",
+            "spark.executor.memory": f"{EXEC_MEM_MB - 2048}m",
+        }
+    else:
+        master = f"local[{cores}]"
+        extra = {"spark.local.dir": "/dev/shm/spark-scaling-tmp"}
+    code = RUN_TEMPLATE.format(
+        root=ROOT, cores=cores, inp=inp, master=master, extra=extra
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
-    raise RuntimeError(f"no result at local[{cores}]:\n{out.stderr[-2000:]}")
+    raise RuntimeError(f"no result at {master}:\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
@@ -82,6 +123,12 @@ def main() -> None:
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     trials = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    # "threads": local[N] (one shared JVM heap — pessimistic at 32);
+    # "executors": local-cluster[N/8, 8, mem] — REAL separate executor
+    # JVMs, the faithful model of the north rule's N -> 4N executors
+    mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
+    if mode == "executors" and (n_small % EXEC_CORES or n_big % EXEC_CORES):
+        raise SystemExit(f"executor mode needs multiples of {EXEC_CORES} cores")
 
     inp = f"/tmp/traval_bench_input_r{rows}_s42"
     if not os.path.exists(f"{inp}/_SUCCESS"):
@@ -108,9 +155,9 @@ def main() -> None:
             else [(n_big, big), (n_small, small)]
         )
         for cores, bucket in order:
-            bucket.append(run_once(cores, inp))
+            bucket.append(run_once(cores, inp, mode))
             print(
-                f"trial {i} local[{cores}]: wall={bucket[-1]['wall']:.1f}s "
+                f"trial {i} {mode}[{cores}]: wall={bucket[-1]['wall']:.1f}s "
                 f"cpu={bucket[-1]['cpu']:.0f}s",
                 file=sys.stderr,
             )
@@ -131,6 +178,7 @@ def main() -> None:
     work_ratio = cpu_big / cpu_small
     result = {
         "rows": rows,
+        "mode": mode,
         "cores_small": n_small,
         "cores_big": n_big,
         "wall_small_sec": [round(t["wall"], 2) for t in small],
@@ -160,6 +208,16 @@ def main() -> None:
 
 def _report(r: dict) -> str:
     verdict = "MET" if r["scaling_efficiency"] >= 0.8 else "NOT met"
+    if r.get("mode") == "executors":
+        cs = f"local-cluster[{r['cores_small'] // EXEC_CORES}x{EXEC_CORES}c]"
+        cb = f"local-cluster[{r['cores_big'] // EXEC_CORES}x{EXEC_CORES}c]"
+        layout = (f"{cs} vs {cb} — REAL separate executor JVMs "
+                  f"({EXEC_CORES} cores, {EXEC_MEM_MB - 2048}m heap each), "
+                  "the faithful model of N -> 4N executors")
+    else:
+        cs = f"local[{r['cores_small']}]"
+        cb = f"local[{r['cores_big']}]"
+        layout = f"{cs} vs {cb} (single shared JVM heap)"
     return f"""# BENCH baseline — measured scaling evidence
 
 North-rule criterion (BASELINE.json): throughput scaling efficiency
@@ -167,13 +225,13 @@ North-rule criterion (BASELINE.json): throughput scaling efficiency
 (pruned parquet scan -> traval rule cleaning [hardmax +
 chunked spike + via-join n-sigma + combine] -> explicit salted two-phase
 rollup cascade raw->1m->1h->1d) on IDENTICAL input at
-local[{r['cores_small']}] vs local[{r['cores_big']}], fresh JVM per
+{layout}, fresh JVMs per
 trial, configs interleaved in time.
 
-| config | wall per trial (sec) | JVM CPU per trial (sec) | best wall | points/sec |
+| config | wall per trial (sec) | CPU per trial (sec, all JVMs) | best wall | points/sec |
 |---|---|---|---|---|
-| local[{r['cores_small']}] | {r['wall_small_sec']} | {r['cpu_small_sec']} | {r['best_small_sec']} | {r['points_per_sec_small']:,} |
-| local[{r['cores_big']}]   | {r['wall_big_sec']} | {r['cpu_big_sec']} | {r['best_big_sec']} | {r['points_per_sec_big']:,} |
+| {cs} | {r['wall_small_sec']} | {r['cpu_small_sec']} | {r['best_small_sec']} | {r['points_per_sec_small']:,} |
+| {cb}   | {r['wall_big_sec']} | {r['cpu_big_sec']} | {r['best_big_sec']} | {r['points_per_sec_big']:,} |
 
 **Criterion {verdict}:
 {r['scaling_efficiency']} vs the >= 0.8 bar.**
@@ -182,15 +240,15 @@ trial, configs interleaved in time.
   rows — the skew case the salting + chunked windows exist for)
 - **throughput scaling efficiency ({r['cores_small']} -> {r['cores_big']}
   cores, best-of-trials wall): {r['scaling_efficiency']}**
-- **work constancy (min JVM CPU-sec across trials, noise-immune):
-  {r['cpu_work_small_sec']}s at local[{r['cores_small']}] vs
-  {r['cpu_work_big_sec']}s at local[{r['cores_big']}] — ratio
+- **work constancy (min CPU-sec across trials, noise-immune):
+  {r['cpu_work_small_sec']}s at {cs} vs
+  {r['cpu_work_big_sec']}s at {cb} — ratio
   {r['cpu_work_ratio']}** (1.0 = the {r['cores_big'] // r['cores_small']}x
   layout does identical work; no serialization point, no duplicated
   compute, CPU-sec per point is flat across layouts)
-- effective parallelism in the best trial (JVM cpu/wall):
-  {r['parallelism_small']}x at local[{r['cores_small']}],
-  {r['parallelism_big']}x at local[{r['cores_big']}]
+- effective parallelism in the best trial (cpu/wall):
+  {r['parallelism_small']}x at {cs},
+  {r['parallelism_big']}x at {cb}
 
 Measurement caveats (shared-VM sandbox)
 - Wall clock on this box swings 2-4x between identical runs (neighbor
