@@ -112,6 +112,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by exact k-gram Jaccard, via inverted-index join.
 
@@ -130,12 +131,22 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), k).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    if materialize:
+        # the shingled corpus feeds the df-count aggregation AND (via the
+        # self-join below) TWO probe sides; without this the tokenize +
+        # shingle pass runs 3x (self-joins duplicate their input subtree
+        # in the physical plan — see simhash64_dup_pairs)
+        base = base.persist()
     inv = base.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
         inv = inv.join(
             df_counts.filter(F.col("df") <= max_shingle_df), on="shingle"
         )
+        if materialize:
+            # the capped inverted index is probed by BOTH pair sides;
+            # caching it runs the df-cap shuffle join once instead of twice
+            inv = inv.persist()
     a = inv.select(
         F.col("shingle"),
         F.col("doc_id").alias("a"),
