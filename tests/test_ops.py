@@ -248,3 +248,45 @@ def test_simhash64_banding_equals_bruteforce(spark):
             if ham <= 3:
                 brute.add((a, b, ham))
     assert banded == brute and len(brute) > 0
+
+
+def test_multimodal_resize(docs):
+    from traval_spark.operators.multimodal import resize_images
+
+    d = attach_payload(docs)
+    out = resize_images(d, width=8, height=4).collect()
+    assert len(out) == docs.count()
+    by_id = {r["doc_id"]: r for r in out}
+    assert all(len(r["payload"]) == 8 * 4 for r in out)
+    assert (by_id[0]["width"], by_id[0]["height"]) == (8, 4)
+    # deterministic keystream: identical payloads -> identical resized bytes
+    assert bytes(by_id[0]["payload"]) == bytes(by_id[1]["payload"])
+
+
+def test_multimodal_frame_sampling(docs):
+    from traval_spark.operators.multimodal import sample_frames
+
+    d = attach_payload(docs)
+    out = sample_frames(d, every_ms=1000, max_frames=5).collect()
+    # 1 -> N expansion: more frame rows than docs, each doc >= 1 frame
+    assert len(out) >= docs.count()
+    import collections
+
+    per_doc = collections.Counter(r["doc_id"] for r in out)
+    assert set(per_doc) == set(range(docs.count()))
+    assert all(1 <= c <= 5 for c in per_doc.values())
+    frames0 = sorted((r for r in out if r["doc_id"] == 0),
+                     key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in frames0] == [i * 1000 for i in
+                                             range(len(frames0))]
+    assert all(len(r["frame"]) == 16 for r in out)
+
+
+def test_multimodal_resize_raise_stub(docs):
+    from traval_spark.operators.multimodal import resize_images, sample_frames
+
+    d = attach_payload(docs)
+    with pytest.raises(Exception, match="image decode"):
+        resize_images(d, decode_stub="raise").collect()
+    with pytest.raises(Exception, match="video demux"):
+        sample_frames(d, decode_stub="raise").collect()

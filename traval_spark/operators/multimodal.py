@@ -102,3 +102,109 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 32,
+    height: int = 32,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Batch image resize over binary payloads via ``mapInPandas``.
+
+    Real pipeline shape: decode -> resample to (width, height) -> re-encode;
+    1 output row per input row, payload replaced. The decode/resample step
+    is the stub point (same contract as extract_features):
+
+    - 'fake': output payload = md5 keystream of the input bytes, cycled to
+      exactly width*height bytes — deterministic, size-correct, exercises
+      the binary-out schema and Arrow batch shapes end-to-end.
+    - 'raise': NotImplementedError at the decoder integration point.
+    """
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "image decode/resample requires PIL/opencv; plug in here"
+                )
+            out = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload)
+                stream = b""
+                seed = raw
+                while len(stream) < n_out:
+                    seed = hashlib.md5(seed).digest()
+                    stream += seed
+                out.append(stream[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "payload": out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Video frame sampling via ``mapInPandas`` — the 1 -> N row-expansion
+    shape (one output row per sampled frame, unlike the 1:1 kernels above).
+
+    - 'fake': the payload's first 4 md5 bytes fix a deterministic
+      'duration'; frames at 0, every_ms, 2*every_ms, ... (capped at
+      max_frames) each carry a hash-derived 16-byte frame blob. Proves the
+      exploded schema, per-frame timestamps, and batch-size amplification
+      without a codec.
+    - 'raise': NotImplementedError at the ffmpeg/pyav integration point.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "video demux/decode requires ffmpeg/pyav; plug in here"
+                )
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                digest = hashlib.md5(raw).digest()
+                duration_ms = int.from_bytes(digest[:4], "big") % 10_000
+                n = min(duration_ms // every_ms + 1, max_frames)
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(
+                        hashlib.md5(digest + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "ts_ms": np.asarray(tss, dtype=np.int64),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
