@@ -835,6 +835,18 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_features(d).select("doc_id", "n_bytes", "format")
 
 
+def q_frame_sample(spark, sf_dir):
+    """sample_frames: 1->N mapInPandas frame sampling. The fake decoder's
+    duration is md5-derived, so DuckDB replays the sampling logic exactly
+    (doc_id/frame_idx/ts_ms; frame bytes excluded — binary md5 chaining
+    is not portably expressible in the oracle dialect)."""
+    from traval_spark.operators.multimodal import attach_payload, sample_frames
+
+    d = attach_payload(_docs(spark, sf_dir))
+    f = sample_frames(d, every_ms=1000, max_frames=8)
+    return f.select("doc_id", "frame_idx", "ts_ms")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -888,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1842,5 +1855,19 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, octet_length(encode(text)) AS n_bytes,
            'unknown' AS format
     from documents
+    """
+    # sample_frames fake decoder: duration_ms = first 4 md5 bytes of the
+    # utf-8 payload (big-endian) % 10000; frames at 0,1000,... capped at 8
+    sql["frame_sample"] = """
+    with d as (
+      select doc_id,
+             cast(('0x' || substr(md5(text), 1, 8)) as bigint) % 10000
+               AS dur
+      from documents),
+    n as (select doc_id, least(dur // 1000 + 1, 8) AS nf from d)
+    select doc_id,
+           cast(unnest(range(0, nf)) as integer) AS frame_idx,
+           cast(unnest(range(0, nf)) * 1000 as bigint) AS ts_ms
+    from n
     """
     return sql
