@@ -328,7 +328,7 @@ def create_synthetic_raw_time_series(
 
 
 def shift_series_forward_backward(
-    b: DataFrame, col: str = "value", freqstr: str = "1D"
+    b: DataFrame, col: str | list[str] = "value", freqstr: str = "1D"
 ) -> DataFrame:
     """Three-column (bwd, orig, fwd) frame on the union of shifted indices.
 
@@ -340,24 +340,40 @@ def shift_series_forward_backward(
     2 days); for the canonical "1D"/"nD" usage both agree.
 
     One union + one partial-agg pivot per series; no driver work.
+
+    ``col`` may also be a LIST of columns: all are shifted in the SAME
+    union+pivot pass (output columns ``{c}_bwd/{c}_orig/{c}_fwd``) —
+    per-column results are identical to separate calls (same row set,
+    same pivot), but a caller holding N columns on one time grid (e.g.
+    both prediction-interval bounds) re-executes its source plan once
+    instead of N times.
     """
     us = gap_micros(freqstr)
     b = ensure_ntz(b)
     iv = F.expr(f"INTERVAL {us} MICROSECONDS")
-    v = F.col(col).cast("double")
+    cols = [col] if isinstance(col, str) else list(col)
+
+    def leg(ts_expr, k):
+        return b.select(
+            SID, ts_expr.alias(TS), F.lit(k).alias("__k"),
+            *[F.col(c).cast("double").alias(f"__v_{c}") for c in cols],
+        )
+
     tagged = (
-        b.select(SID, (F.col(TS) - iv).alias(TS), F.lit(0).alias("__k"),
-                 v.alias("__v"))
-        .unionByName(b.select(SID, F.col(TS).alias(TS), F.lit(1).alias("__k"),
-                              v.alias("__v")))
-        .unionByName(b.select(SID, (F.col(TS) + iv).alias(TS),
-                              F.lit(2).alias("__k"), v.alias("__v")))
+        leg(F.col(TS) - iv, 0)
+        .unionByName(leg(F.col(TS), 1))
+        .unionByName(leg(F.col(TS) + iv, 2))
     )
-    return tagged.groupBy(SID, TS).agg(
-        F.max(F.when(F.col("__k") == 0, F.col("__v"))).alias("bwd"),
-        F.max(F.when(F.col("__k") == 1, F.col("__v"))).alias("orig"),
-        F.max(F.when(F.col("__k") == 2, F.col("__v"))).alias("fwd"),
-    )
+    aggs = []
+    for c in cols:
+        v = F.col(f"__v_{c}")
+        prefix = "" if isinstance(col, str) else f"{c}_"
+        aggs += [
+            F.max(F.when(F.col("__k") == 0, v)).alias(f"{prefix}bwd"),
+            F.max(F.when(F.col("__k") == 1, v)).alias(f"{prefix}orig"),
+            F.max(F.when(F.col("__k") == 2, v)).alias(f"{prefix}fwd"),
+        ]
+    return tagged.groupBy(SID, TS).agg(*aggs)
 
 
 def positional_interpolate(df: DataFrame, col: str, out: str) -> DataFrame:

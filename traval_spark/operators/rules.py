@@ -569,42 +569,57 @@ def rule_pastas_outside_pi(
     applies the rest of the reference rule:
 
     - ``smoothfreq``: time-shift smoothing of each bound
-      (smooth_upper_bound / smooth_lower_bound, ts_utils.py:464-475);
+      (smooth_upper_bound / smooth_lower_bound semantics,
+      ts_utils.py:464-475) — evaluated JOINTLY: both bounds share one
+      time grid, so one 3-way shift union + pivot + interpolation frame
+      covers them. Separate smooth_*_bound calls would re-execute the
+      caller's bounds plan ~6x (and the widening joins ~4x more) — the
+      plan-size bottleneck of round-2 benches; per-column results are
+      bit-identical (same rows, same expressions).
     - ``min_ci``: per-series widening by min_ci/2 on each side when the
-      MEAN interval width is below min_ci (rulelib.py:585-590);
+      MEAN interval width is below min_ci (rulelib.py:585-590) — an
+      unbounded per-series window on the joint frame instead of an
+      upper x lower join + broadcast-back.
     - delegation to :func:`rule_outside_bandwidth` (rulelib.py:592).
     """
-    from traval_spark.functions.ts import smooth_lower_bound, smooth_upper_bound
+    from traval_spark.functions.ts import (
+        positional_interpolate,
+        shift_series_forward_backward,
+    )
 
-    bounds = ensure_ntz(bounds)
-    lower = bounds.select(SID, TS, F.col("lower").alias("value"))
-    upper = bounds.select(SID, TS, F.col("upper").alias("value"))
+    joint = ensure_ntz(bounds).select(SID, TS, "lower", "upper")
     if smoothfreq is not None:
-        lower = smooth_lower_bound(lower, "value", smoothfreq)
-        upper = smooth_upper_bound(upper, "value", smoothfreq)
+        t = shift_series_forward_backward(joint, ["lower", "upper"],
+                                          smoothfreq)
+        for c in ("lower", "upper"):
+            t = positional_interpolate(t, f"{c}_bwd", f"__{c}_bi")
+            t = positional_interpolate(t, f"{c}_fwd", f"__{c}_fi")
+        joint = t.filter(F.col("lower_orig").isNotNull()).select(
+            SID,
+            TS,
+            # greatest/least skip NULLs exactly like pandas max/min(axis=1)
+            F.least(F.col("__lower_bi"), F.col("lower_orig"),
+                    F.col("__lower_fi")).alias("lower"),
+            F.greatest(F.col("__upper_bi"), F.col("upper_orig"),
+                       F.col("__upper_fi")).alias("upper"),
+        )
     if min_ci is not None:
-        width = (
-            upper.withColumnRenamed("value", "__u")
-            .join(lower.withColumnRenamed("value", "__l"), on=[SID, TS])
-            .groupBy(SID)
-            .agg(F.avg(F.col("__u") - F.col("__l")).alias("__mean_w"))
-        )
+        w = _w_unbounded()
+        mean_w = F.avg(F.col("upper") - F.col("lower")).over(w)
         half = F.lit(float(min_ci) / 2.0)
-        narrow = F.col("__mean_w") < F.lit(float(min_ci))
-        upper = (
-            upper.join(F.broadcast(width), on=SID, how="left")
-            .withColumn("value", F.when(narrow, F.col("value") + half)
-                        .otherwise(F.col("value")))
-            .drop("__mean_w")
+        narrow = mean_w < F.lit(float(min_ci))
+        joint = joint.select(
+            SID, TS,
+            F.when(narrow, F.col("lower") - half)
+            .otherwise(F.col("lower")).alias("lower"),
+            F.when(narrow, F.col("upper") + half)
+            .otherwise(F.col("upper")).alias("upper"),
         )
-        lower = (
-            lower.join(F.broadcast(width), on=SID, how="left")
-            .withColumn("value", F.when(narrow, F.col("value") - half)
-                        .otherwise(F.col("value")))
-            .drop("__mean_w")
-        )
-    return rule_outside_bandwidth(df, in_col, out,
-                                  lowerbound=lower, upperbound=upper)
+    return rule_outside_bandwidth(
+        df, in_col, out,
+        lowerbound=joint.select(SID, TS, F.col("lower").alias("value")),
+        upperbound=joint.select(SID, TS, F.col("upper").alias("value")),
+    )
 
 
 # ---------------------------------------------------------------------------
