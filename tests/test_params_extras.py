@@ -223,3 +223,80 @@ def test_rule_pastas_outside_pi(spark):
     c2 = R.rule_pastas_outside_pi(series, "value", "r", bounds=bounds,
                                   min_ci=20.0, smoothfreq="1D")
     assert c2.filter(F.col("r_code") != 0).count() == 0
+
+    # tmin/tmax clip the PI before delegation (rulelib.py:556-561): with
+    # the interval restricted to days 15..25 only the t=20 dip lies inside
+    # the bounds hull; the t=10 spike is outside the clipped PI -> unflagged
+    c3 = R.rule_pastas_outside_pi(series, "value", "r", bounds=bounds,
+                                  tmin=idx[15], tmax=idx[25])
+    codes3 = {r[0]: r[1] for r in c3.groupBy("r_code").count().collect()}
+    assert codes3.get(-2, 0) == 1 and codes3.get(2, 0) == 0
+
+
+def test_pastas_smoothing_asymmetric_nulls_match_separate_path(spark):
+    """The joint smoothing pass must reproduce the reference's SEPARATE
+    smooth_lower_bound/smooth_upper_bound calls when the two bounds live on
+    different time grids: each smoothed bound keeps exactly its own orig
+    index (ts_utils.py:464-475 `.loc[orig.dropna().index]`). The separate
+    path below is itself pinned to the reference by
+    test_smooth_bounds_match_reference."""
+    from traval_spark.functions.ts import (
+        smooth_lower_bound,
+        smooth_upper_bound,
+    )
+    from traval_spark.operators import rules as R
+
+    rng = np.random.default_rng(11)
+    idx = pd.date_range("2021-01-01", periods=80, freq="D")
+    keep_lo = rng.random(80) > 0.3
+    keep_up = rng.random(80) > 0.3
+    lower = pd.Series(rng.normal(-2.0, 0.5, 80), index=idx)[keep_lo]
+    upper = pd.Series(rng.normal(2.0, 0.5, 80), index=idx)[keep_up]
+    series = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "ts": idx,
+                      "value": rng.normal(0.0, 3.0, 80)})
+    )
+    # joint frame with asymmetric NULLs (outer-join of the two grids)
+    joint_pdf = pd.DataFrame({"lower": lower, "upper": upper})
+    joint_pdf.index.name = "ts"
+    joint = spark.createDataFrame(
+        joint_pdf.reset_index().assign(series_id="s1")
+    )
+    got = R.rule_pastas_outside_pi(
+        series, "value", "r", bounds=joint, smoothfreq="1D"
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+
+    lo_f = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": lower.index, "value": lower.to_numpy()}))
+    up_f = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": upper.index, "value": upper.to_numpy()}))
+    want = R.rule_outside_bandwidth(
+        series, "value", "r",
+        lowerbound=smooth_lower_bound(lo_f, "value", "1D"),
+        upperbound=smooth_upper_bound(up_f, "value", "1D"),
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_outside_bandwidth_joint_equals_separate(spark):
+    """bounds= (joint frame) and lowerbound=/upperbound= (reference
+    signature) are the same operator."""
+    from tests.conftest import make_series_df
+    from traval_spark.operators import rules as R
+
+    series = make_series_df(spark, np.arange(10.0))
+    idx = pd.date_range("2020-01-01", freq="D", periods=10)
+    lb = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": idx[[0, -1]], "value": [1.0, 2.0]}))
+    ub = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": idx[[0, -1]], "value": [7.0, 8.0]}))
+    joint = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": idx[[0, -1]],
+         "lower": [1.0, 2.0], "upper": [7.0, 8.0]}))
+    a = R.rule_outside_bandwidth(
+        series, "value", "r", lowerbound=lb, upperbound=ub
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    b = R.rule_outside_bandwidth(
+        series, "value", "r", bounds=joint
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -122,6 +122,39 @@ def test_window_rules_share_one_exchange(spark):
     assert n_exchanges <= 1, f"{n_exchanges} series exchanges:\n{plan}"
 
 
+def test_pastas_bounds_subtree_executes_once(spark, seq_parquet, tmp_path):
+    """The full pastas-PI adapter (smoothing + min_ci widening + bandwidth
+    delegation) must scan its bounds source exactly ONCE in the physical
+    plan — round 2 left a residual 2x re-execution (one alignment pass per
+    bound); the joint bounds= path collapses it."""
+    from traval_spark.operators import rules as R
+
+    bpath = str(tmp_path / "bounds")
+    idx = pd.date_range("2024-01-01", freq="h", periods=200)
+    pd_b = pd.DataFrame({
+        "series_id": "s1", "ts": idx,
+        "lower": np.sin(np.arange(200) / 10.0) - 2.0,
+        "upper": np.sin(np.arange(200) / 10.0) + 2.0,
+    })
+    spark.createDataFrame(pd_b).write.mode("overwrite").parquet(bpath)
+    series = make_series_df(spark, np.zeros(200), start="2024-01-01",
+                            freq="h")
+    out = R.rule_pastas_outside_pi(
+        series, "value", "r",
+        bounds=spark.read.parquet(bpath),
+        smoothfreq="1D", min_ci=0.5,
+    )
+    plan = fmt_plan(out)
+    # the series side is an in-memory relation, so every parquet scan node
+    # in the plan is the bounds table ("(N) Scan parquet" detail headers)
+    n_scans = sum(
+        1 for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+        and ln.strip().split(")")[0].lstrip("(").isdigit()
+    )
+    assert n_scans == 1, f"bounds scanned {n_scans}x:\n{plan}"
+
+
 def test_whole_stage_codegen_covers_mask_pipeline(spark, seq_parquet):
     """Threshold-rule mask evaluation stays inside WholeStageCodegen
     (JVM, vectorizable) — no Python/BatchEvalPython node anywhere.

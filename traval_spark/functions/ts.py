@@ -216,20 +216,39 @@ def align_resample_ffill_bfill(
     return main.drop("__is_main", "__aux", "__fwd")
 
 
-def align_interpolate(
-    df: DataFrame, aux: DataFrame, aux_col: str, out: str
+def align_interpolate_specs(
+    df: DataFrame, specs: list[tuple[DataFrame, list[tuple[str, str]]]]
 ) -> DataFrame:
-    """Linearly interpolate a sparse aux series to the main index.
+    """Linearly interpolate N sparse aux series to the main index in ONE pass.
 
-    Semantics of /root/reference/traval/ts_utils.py:368-388
-    (``np.interp`` on int64-ns index with left=right=NaN): NULL strictly
-    outside the aux hull, exact aux value at coinciding timestamps, linear
-    in time between the surrounding aux points.
+    ``specs`` is ``[(aux_df, [(aux_col, out), ...]), ...]``: each aux frame
+    contributes one union leg; each (aux_col, out) pair becomes an output
+    column on the main frame. A caller holding BOTH interval bounds on one
+    frame passes a single spec with two column pairs — the bounds plan then
+    executes exactly once (one union leg) instead of once per bound, and all
+    prev/next tracking shares one exchange + two sorts. Semantics per column
+    match :func:`align_interpolate` (np.interp with left=right=NaN,
+    ts_utils.py:368-388); a NULL aux value in a leg means "no observation of
+    that column at this timestamp" (rows contributed by the other column of
+    a joint frame), tracked per column via ignorenulls.
     """
     df = ensure_ntz(df)
-    u = _tag_union(df, aux, aux_col)
+    slots = [out for _, pairs in specs for _, out in pairs]
+    u = df.withColumn("__is_main", F.lit(1))
+    for s in slots:
+        u = u.withColumn(f"__aux_{s}", F.lit(None).cast("double"))
+    for aux, pairs in specs:
+        leg = ensure_ntz(aux).select(
+            F.col(SID),
+            F.col(TS),
+            F.lit(0).alias("__is_main"),
+            *[
+                F.col(c).cast("double").alias(f"__aux_{out}")
+                for c, out in pairs
+            ],
+        )
+        u = u.unionByName(leg, allowMissingColumns=True)
     u = u.withColumn("__usec", unix_us(TS).cast("double"))
-    aux_us = F.when(F.col("__is_main") == 0, F.col("__usec"))
 
     # previous aux at <= ts (aux first at ties)
     w_prev = (
@@ -246,26 +265,45 @@ def align_interpolate(
         .orderBy(F.col(TS).desc(), "__is_main")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = (
-        u.withColumn("__pv", F.last("__aux", ignorenulls=True).over(w_prev))
-        .withColumn("__pt", F.last(aux_us, ignorenulls=True).over(w_prev))
-        .withColumn("__nv", F.last("__aux", ignorenulls=True).over(w_next))
-        .withColumn("__nt", F.last(aux_us, ignorenulls=True).over(w_next))
-    )
+    helpers = ["__is_main", "__usec"]
+    for s in slots:
+        a = F.col(f"__aux_{s}")
+        a_us = F.when((F.col("__is_main") == 0) & a.isNotNull(),
+                      F.col("__usec"))
+        u = (
+            u.withColumn(f"__pv_{s}", F.last(a, ignorenulls=True).over(w_prev))
+            .withColumn(f"__pt_{s}", F.last(a_us, ignorenulls=True).over(w_prev))
+            .withColumn(f"__nv_{s}", F.last(a, ignorenulls=True).over(w_next))
+            .withColumn(f"__nt_{s}", F.last(a_us, ignorenulls=True).over(w_next))
+        )
+        helpers += [f"__aux_{s}", f"__pv_{s}", f"__pt_{s}",
+                    f"__nv_{s}", f"__nt_{s}"]
     t = F.col("__usec")
-    interp = F.when(t == F.col("__pt"), F.col("__pv")).otherwise(
-        F.col("__pv")
-        + (F.col("__nv") - F.col("__pv"))
-        * (t - F.col("__pt"))
-        / (F.col("__nt") - F.col("__pt"))
-    )
-    # outside the hull either prev or next is missing -> NULL (np.interp
-    # left=right=NaN); NULL arithmetic already propagates, the when() guards
-    # the division-by-zero at exact hits only.
-    u = u.withColumn(out, interp)
-    return u.filter(F.col("__is_main") == 1).drop(
-        "__is_main", "__aux", "__usec", "__pv", "__pt", "__nv", "__nt"
-    )
+    for s in slots:
+        pv, pt = F.col(f"__pv_{s}"), F.col(f"__pt_{s}")
+        nv, nt = F.col(f"__nv_{s}"), F.col(f"__nt_{s}")
+        interp = F.when(t == pt, pv).otherwise(
+            pv + (nv - pv) * (t - pt) / (nt - pt)
+        )
+        # outside the hull either prev or next is missing -> NULL (np.interp
+        # left=right=NaN); NULL arithmetic already propagates, the when()
+        # guards the division-by-zero at exact hits only.
+        u = u.withColumn(s, interp)
+    return u.filter(F.col("__is_main") == 1).drop(*helpers)
+
+
+def align_interpolate(
+    df: DataFrame, aux: DataFrame, aux_col: str, out: str
+) -> DataFrame:
+    """Linearly interpolate a sparse aux series to the main index.
+
+    Semantics of /root/reference/traval/ts_utils.py:368-388
+    (``np.interp`` on int64-ns index with left=right=NaN): NULL strictly
+    outside the aux hull, exact aux value at coinciding timestamps, linear
+    in time between the surrounding aux points. Single-series convenience
+    wrapper over :func:`align_interpolate_specs`.
+    """
+    return align_interpolate_specs(df, [(aux, [(aux_col, out)])])
 
 
 def bandwidth_moving_avg_n_sigma(
@@ -339,10 +377,13 @@ def shift_series_forward_backward(
     (ts_utils.py:457-458) degenerates any numeric prefix to DAYS ("2h" ->
     2 days); for the canonical "1D"/"nD" usage both agree.
 
-    One union + one partial-agg pivot per series; no driver work.
+    One explode + one partial-agg pivot per series; no driver work. Each
+    input row generates its three (shifted-ts, tag) copies via a single
+    ``explode`` — the source plan (at scale: the bounds table scan)
+    executes ONCE, where a 3-leg union would read it three times.
 
     ``col`` may also be a LIST of columns: all are shifted in the SAME
-    union+pivot pass (output columns ``{c}_bwd/{c}_orig/{c}_fwd``) —
+    explode+pivot pass (output columns ``{c}_bwd/{c}_orig/{c}_fwd``) —
     per-column results are identical to separate calls (same row set,
     same pivot), but a caller holding N columns on one time grid (e.g.
     both prediction-interval bounds) re-executes its source plan once
@@ -353,16 +394,19 @@ def shift_series_forward_backward(
     iv = F.expr(f"INTERVAL {us} MICROSECONDS")
     cols = [col] if isinstance(col, str) else list(col)
 
-    def leg(ts_expr, k):
-        return b.select(
-            SID, ts_expr.alias(TS), F.lit(k).alias("__k"),
-            *[F.col(c).cast("double").alias(f"__v_{c}") for c in cols],
+    shifted = F.explode(
+        F.array(
+            F.struct((F.col(TS) - iv).alias(TS), F.lit(0).alias("__k")),
+            F.struct(F.col(TS).alias(TS), F.lit(1).alias("__k")),
+            F.struct((F.col(TS) + iv).alias(TS), F.lit(2).alias("__k")),
         )
-
-    tagged = (
-        leg(F.col(TS) - iv, 0)
-        .unionByName(leg(F.col(TS), 1))
-        .unionByName(leg(F.col(TS) + iv, 2))
+    )
+    tagged = b.select(
+        SID, shifted.alias("__e"),
+        *[F.col(c).cast("double").alias(f"__v_{c}") for c in cols],
+    ).select(
+        SID, F.col(f"__e.{TS}").alias(TS), F.col("__e.__k").alias("__k"),
+        *[f"__v_{c}" for c in cols],
     )
     aggs = []
     for c in cols:

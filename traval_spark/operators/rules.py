@@ -38,7 +38,6 @@ from traval_spark.functions.ts import (
     SID,
     TS,
     US,
-    align_interpolate,
     align_resample_ffill_bfill,
     chunked_series_window,
     diff_with_gap_awareness,
@@ -394,16 +393,41 @@ def rule_diff_outside_of_n_sigma(df, in_col, out, *, n=2.0, max_gap="7D"):
 
 @_register(CODE)
 def rule_outside_bandwidth(
-    df, in_col, out, *, lowerbound: DataFrame, upperbound: DataFrame
+    df, in_col, out, *,
+    lowerbound: DataFrame | None = None,
+    upperbound: DataFrame | None = None,
+    bounds: DataFrame | None = None,
 ):
     """Flag outside [lower, upper] bound series (rulelib.py:462-491).
 
     Bounds sparser than the series are linearly interpolated to the series
     index with np.interp hull semantics (ts_utils.py:368-388) — expressed
     as prev/next-bound windows + linear weight, no Python.
+
+    Two call shapes, both ONE union + one window pass over the series:
+
+    - ``lowerbound=`` / ``upperbound=``: separate (series_id, ts, value)
+      frames, the reference's signature — each becomes its own union leg.
+    - ``bounds=``: a single joint frame (series_id, ts, lower, upper) —
+      the bounds plan executes exactly once (the round-2 shape ran two
+      separate alignment passes, re-executing a shared bounds subtree
+      twice). A NULL in one column means that bound has no observation at
+      that timestamp (interpolated across per column).
     """
-    df = align_interpolate(df, lowerbound, "value", f"{out}_lb")
-    df = align_interpolate(df, upperbound, "value", f"{out}_ub")
+    from traval_spark.functions.ts import align_interpolate_specs
+
+    if bounds is not None:
+        specs = [(bounds, [("lower", f"{out}_lb"), ("upper", f"{out}_ub")])]
+    else:
+        if lowerbound is None or upperbound is None:
+            raise ValueError(
+                "pass either bounds= or both lowerbound= and upperbound="
+            )
+        specs = [
+            (lowerbound, [("value", f"{out}_lb")]),
+            (upperbound, [("value", f"{out}_ub")]),
+        ]
+    df = align_interpolate_specs(df, specs)
     df = mask_above_below(
         df, in_col, out,
         F.col(in_col) > F.col(f"{out}_ub"), F.col(f"{out}_ub"),
@@ -559,6 +583,7 @@ def rule_hampel(
 @_register(CODE)
 def rule_pastas_outside_pi(
     df, in_col, out, *, bounds: DataFrame, min_ci=None, smoothfreq=None,
+    tmin=None, tmax=None,
 ):
     """Flag outside a model prediction interval (rulelib.py:494-601).
 
@@ -580,7 +605,14 @@ def rule_pastas_outside_pi(
       MEAN interval width is below min_ci (rulelib.py:585-590) — an
       unbounded per-series window on the joint frame instead of an
       upper x lower join + broadcast-back.
-    - delegation to :func:`rule_outside_bandwidth` (rulelib.py:592).
+    - ``tmin``/``tmax``: clip the prediction interval's time range before
+      smoothing/widening — the adapter-side equivalent of the reference
+      passing tmin/tmax into ``ml.solver.prediction_interval``
+      (rulelib.py:556-561); series points outside the clipped hull get no
+      bounds and are never flagged, exactly as with a shorter simulation.
+    - delegation to :func:`rule_outside_bandwidth` (rulelib.py:592) via
+      its joint ``bounds=`` path — the whole adapter executes the caller's
+      bounds plan ONCE.
     """
     from traval_spark.functions.ts import (
         positional_interpolate,
@@ -588,20 +620,35 @@ def rule_pastas_outside_pi(
     )
 
     joint = ensure_ntz(bounds).select(SID, TS, "lower", "upper")
+    if tmin is not None:
+        joint = joint.filter(F.col(TS) >= F.lit(pd.Timestamp(tmin)))
+    if tmax is not None:
+        joint = joint.filter(F.col(TS) <= F.lit(pd.Timestamp(tmax)))
     if smoothfreq is not None:
         t = shift_series_forward_backward(joint, ["lower", "upper"],
                                           smoothfreq)
         for c in ("lower", "upper"):
             t = positional_interpolate(t, f"{c}_bwd", f"__{c}_bi")
             t = positional_interpolate(t, f"{c}_fwd", f"__{c}_fi")
-        joint = t.filter(F.col("lower_orig").isNotNull()).select(
+        # Each smoothed bound keeps exactly its OWN orig index
+        # (smooth_*_bound does .loc[orig.dropna().index] per bound,
+        # ts_utils.py:464-475): a row survives if either orig is present,
+        # and a bound whose own orig is NULL there stays NULL — with
+        # asymmetric nulls the per-bound semantics match the reference's
+        # separate smoothing calls.
+        lo, uo = F.col("lower_orig"), F.col("upper_orig")
+        joint = t.filter(lo.isNotNull() | uo.isNotNull()).select(
             SID,
             TS,
             # greatest/least skip NULLs exactly like pandas max/min(axis=1)
-            F.least(F.col("__lower_bi"), F.col("lower_orig"),
-                    F.col("__lower_fi")).alias("lower"),
-            F.greatest(F.col("__upper_bi"), F.col("upper_orig"),
-                       F.col("__upper_fi")).alias("upper"),
+            F.when(
+                lo.isNotNull(),
+                F.least(F.col("__lower_bi"), lo, F.col("__lower_fi")),
+            ).alias("lower"),
+            F.when(
+                uo.isNotNull(),
+                F.greatest(F.col("__upper_bi"), uo, F.col("__upper_fi")),
+            ).alias("upper"),
         )
     if min_ci is not None:
         w = _w_unbounded()
@@ -615,11 +662,7 @@ def rule_pastas_outside_pi(
             F.when(narrow, F.col("upper") + half)
             .otherwise(F.col("upper")).alias("upper"),
         )
-    return rule_outside_bandwidth(
-        df, in_col, out,
-        lowerbound=joint.select(SID, TS, F.col("lower").alias("value")),
-        upperbound=joint.select(SID, TS, F.col("upper").alias("value")),
-    )
+    return rule_outside_bandwidth(df, in_col, out, bounds=joint)
 
 
 # ---------------------------------------------------------------------------
