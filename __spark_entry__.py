@@ -828,6 +828,19 @@ def q_cos_dup_pairs_lsh(spark, sf_dir):
                             bucketed=True, dim=64)
 
 
+def q_cos_dup_pairs_multi(spark, sf_dir):
+    """Multi-table LSH recall knob: 2 independent plane sets (seeds
+    LSH_SEED, LSH_SEED+1), a pair counts if ANY table buckets it together
+    (OR across tables, distinct pairs) — recall strictly a superset of
+    the single-table path; the oracle embeds both plane sets and unions
+    the bucket joins."""
+    from traval_spark.operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=COS_DUP_THR,
+                            n_planes=N_PLANES, seed=LSH_SEED,
+                            bucketed=True, dim=64, n_tables=2)
+
+
 def q_multimodal_meta(spark, sf_dir):
     from traval_spark.operators.multimodal import attach_payload, extract_features
 
@@ -899,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
+        "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -1732,6 +1746,38 @@ def oracle_sql() -> dict[str, str]:
            round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
     from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id
     where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COS_DUP_THR}
+    """
+
+    # multi-table LSH: second plane set from seed LSH_SEED+1; a pair
+    # qualifies if EITHER table buckets it together (UNION dedups)
+    planes_t1 = hyperplanes(N_PLANES, 64, LSH_SEED + 1)
+    plane_lits_t1 = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes_t1
+    )
+    bucket2_expr = " + ".join(
+        f"(case when list_dot_product(embedding::DOUBLE[], planes2[{p + 1}]) > 0 "
+        f"then {1 << p} else 0 end)"
+        for p in range(N_PLANES)
+    )
+    sql["cos_dup_pairs_multi"] = f"""
+    with p as (select [{plane_lits}]::DOUBLE[][] AS planes,
+                      [{plane_lits_t1}]::DOUBLE[][] AS planes2),
+    e as (select vec_id, embedding::DOUBLE[] v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) n,
+                 {bucket_expr} AS b0,
+                 {bucket2_expr} AS b1
+          from embeddings, p),
+    pr as (
+      select a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+      from e a join e b on a.b0 = b.b0 and a.vec_id < b.vec_id
+      union
+      select a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+      from e a join e b on a.b1 = b.b1 and a.vec_id < b.vec_id
+    )
+    select a, b, cos from pr where cos >= {COS_DUP_THR}
     """
 
     # IVF: centroids = IVF_NLIST rows with smallest md5(vec_id) (cid =

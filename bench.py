@@ -66,7 +66,7 @@ def main() -> None:
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "quality_score", "fingerprint",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
-        "simhash64_dups", "cos_dup_pairs_lsh",
+        "simhash64_dups", "cos_dup_pairs_lsh", "cos_dup_pairs_multi",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "multimodal_meta",
     ]
     for name in headline:

@@ -155,10 +155,33 @@ def test_cosine_dup_pairs_bucketed_subset_of_exact(emb):
              cosine_dup_pairs(emb, threshold=0.9, bucketed=False).collect()}
     bucketed = {(r["a"], r["b"]) for r in
                 cosine_dup_pairs(emb, threshold=0.9, bucketed=True,
-                                 n_planes=4).collect()}
+                                 n_planes=4, dim=8).collect()}
     assert (0, 1) in exact
     assert bucketed <= exact  # LSH may miss cross-bucket pairs, never invent
     assert (0, 1) in bucketed  # near-identical vectors share all sign bits
+
+
+def test_cosine_dup_pairs_bucketed_requires_dim(emb):
+    with pytest.raises(ValueError, match="dim"):
+        cosine_dup_pairs(emb, bucketed=True)
+
+
+def test_cos_dup_multi_table_recall_superset(emb):
+    """L independent plane sets OR'd together: pairs(single) <= pairs(L=3)
+    <= pairs(exact) — the standard multi-table recall knob, with no
+    invented pairs and no duplicates."""
+    thr = 0.5  # low threshold: plenty of cross-bucket pairs to recover
+    exact = {(r["a"], r["b"]) for r in
+             cosine_dup_pairs(emb, threshold=thr, bucketed=False).collect()}
+    single = {(r["a"], r["b"]) for r in
+              cosine_dup_pairs(emb, threshold=thr, bucketed=True,
+                               n_planes=8, dim=8).collect()}
+    multi_rows = cosine_dup_pairs(emb, threshold=thr, bucketed=True,
+                                  n_planes=8, dim=8, n_tables=3).collect()
+    multi = {(r["a"], r["b"]) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # OR across tables, distinct pairs
+    assert single <= multi <= exact
+    assert len(multi) > len(single)  # extra tables recovered real pairs
 
 
 def test_hyperplanes_deterministic():

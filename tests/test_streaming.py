@@ -152,7 +152,7 @@ def test_streaming_cascade_matches_batch(spark, tmp_path):
     run_streaming_cascade(spark, inp, root, ckpt, watermark="1 minute",
                           available_now=True, max_files_per_trigger=1)
 
-    t1m = spark.read.parquet(f"{root}/1m").drop("day")
+    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
     t1h = spark.read.parquet(f"{root}/1h").drop("day")
     t1d = spark.read.parquet(f"{root}/1d").drop("day")
     assert t1m.count() > 0 and t1h.count() > 0 and t1d.count() > 0
@@ -161,6 +161,38 @@ def test_streaming_cascade_matches_batch(spark, tmp_path):
     want_1d = rollup_cascade(want_1h, "1d")
     assert t1h.exceptAll(want_1h).count() == 0
     assert want_1h.exceptAll(t1h).count() == 0
+    assert t1d.exceptAll(want_1d).count() == 0
+    assert want_1d.exceptAll(t1d).count() == 0
+
+
+def test_cascade_upsert_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch replay (same batch_id, same content — what the
+    checkpoint guarantees after a crash) must not duplicate 1m rows or
+    double-count any tier: the batch_id-keyed 1m write skips on its
+    _SUCCESS marker and the coarse tiers recompute from the
+    duplicate-free 1m tier."""
+    from traval_spark.rollup import rollup_cascade, rollup_raw
+    from traval_spark.streaming.rollup_stream import cascade_upsert_batch
+
+    root = str(tmp_path / "istore")
+    seqs = synth_sequences(spark, 2000, seed=5, span_days=2)
+    t1m_batch = rollup_raw(
+        seqs.select(F.col("source"), "ts",
+                    F.col("n_tok").cast("double").alias("n_tok"))
+    , "1m")
+
+    cascade_upsert_batch(t1m_batch, 0, root)
+    once = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
+    n_once = once.count()
+    # replay the exact same batch (crash-after-commit scenario)
+    cascade_upsert_batch(t1m_batch, 0, root)
+
+    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
+    assert t1m.count() == n_once
+    assert t1m.groupBy("source", "bucket").count().filter(
+        F.col("count") > 1).count() == 0
+    t1d = spark.read.parquet(f"{root}/1d").drop("day")
+    want_1d = rollup_cascade(rollup_cascade(t1m, "1h"), "1d")
     assert t1d.exceptAll(want_1d).count() == 0
     assert want_1d.exceptAll(t1d).count() == 0
 
@@ -196,7 +228,7 @@ def test_streaming_cascade_resumes_across_runs(spark, tmp_path):
     run_streaming_cascade(spark, inp, root, ckpt, watermark="1 minute",
                           available_now=True)
 
-    t1m = spark.read.parquet(f"{root}/1m").drop("day")
+    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
     # second run appended strictly new 1m rows (no reprocessing of A)
     assert t1m.count() > rows_after_a
     # an identical (source,bucket) window emitted twice would be a

@@ -51,9 +51,14 @@ seqs.count()  # warm the OS page cache + parquet footers
 
 CLK = os.sysconf("SC_CLK_TCK")
 def tree_cpu():
-    # utime+stime summed over THIS process and every live descendant:
-    # covers the driver JVM and, in local-cluster mode, the separate
-    # worker/executor JVMs and python workers
+    # utime+stime+cutime+cstime summed over THIS process and every live
+    # descendant: covers the driver JVM and, in local-cluster mode, the
+    # separate worker/executor JVMs and python workers. cutime/cstime
+    # (stat fields 16/17) fold in descendants REAPED between samples —
+    # without them a short-lived python worker's CPU would vanish from
+    # the delta and understate the CPU-work-constancy metric. Live
+    # children are never double-counted: cutime only covers waited-on
+    # (dead) children.
     me = os.getpid()
     procs = {{}}
     for d in os.listdir("/proc"):
@@ -64,7 +69,8 @@ def tree_cpu():
                 head, tail = f.read().rsplit(")", 1)
             parts = tail.split()
             procs[int(d)] = (int(parts[1]),
-                             (int(parts[11]) + int(parts[12])) / CLK)
+                             (int(parts[11]) + int(parts[12])
+                              + int(parts[13]) + int(parts[14])) / CLK)
         except OSError:
             continue
     total, frontier = 0.0, {{me}}

@@ -232,46 +232,76 @@ def cosine_dup_pairs(
     ndigits: int = 6,
     bucketed: bool = True,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
     bucketed=True joins only within LSH buckets (misses cross-bucket pairs
     — the standard recall/cost trade); bucketed=False is the exact
-    quadratic baseline for small inputs and oracles. Pass ``dim`` to avoid
-    the one-row ``first()`` probe for the embedding dimension.
-    """
+    quadratic baseline for small inputs and oracles. ``dim`` (the
+    embedding dimension) is required on the bucketed path: the plane
+    literals are built from it at plan time, with no driver-side data
+    probe during plan construction.
+
+    ``n_tables`` > 1 is the standard multi-table LSH recall knob: L
+    independent plane sets (seeds ``seed .. seed+L-1``), a pair
+    materializes if ANY table buckets it together (OR across tables,
+    distinct pairs) — recall 1-(1-p)^L for per-table collision
+    probability p, at L bucket joins of cost. The bucketed frame carries
+    all L bucket ids from one pass and is persisted before the
+    self-joins (a self-join duplicates its input subtree — the round-2
+    dedup lesson)."""
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         _norm(v).alias("n"),
     )
-    if bucketed:
-        if dim is None:
-            dim = len(emb.select(vec_col).first()[0])
-        planes = hyperplanes(n_planes, dim, seed)
-        base = base.withColumn(
-            "bucket", lsh_bucket_col("v", planes)
-        )
-        join_keys = ["bucket"]
-        a = base.select(
-            *join_keys, F.col("id").alias("a"), F.col("v").alias("va"),
-            F.col("n").alias("na"),
-        )
-        b = base.select(
-            *join_keys, F.col("id").alias("b"), F.col("v").alias("vb"),
-            F.col("n").alias("nb"),
-        )
-        pairs = a.join(b, on=join_keys).filter(F.col("a") < F.col("b"))
-    else:
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits
+    )
+    if not bucketed:
         a = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
                         F.col("n").alias("na"))
         b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
                         F.col("n").alias("nb"))
         pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits
-    )
+        return (
+            pairs.withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("a", "b", "cos")
+        )
+
+    if dim is None:
+        raise ValueError(
+            "bucketed cosine_dup_pairs requires dim= (embedding dimension):"
+            " plane literals are built at plan time, no data probe"
+        )
+    for t in range(int(n_tables)):
+        planes = hyperplanes(n_planes, dim, seed + t)
+        base = base.withColumn(f"bucket_{t}", lsh_bucket_col("v", planes))
+    if n_tables > 1:
+        base = base.persist()
+    per_table = []
+    for t in range(int(n_tables)):
+        key = f"bucket_{t}"
+        a = base.select(
+            key, F.col("id").alias("a"), F.col("v").alias("va"),
+            F.col("n").alias("na"),
+        )
+        b = base.select(
+            key, F.col("id").alias("b"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"),
+        )
+        per_table.append(
+            a.join(b, on=key).filter(F.col("a") < F.col("b")).drop(key)
+        )
+    pairs = per_table[0]
+    for t_pairs in per_table[1:]:
+        pairs = pairs.unionByName(t_pairs)
+    if n_tables > 1:
+        # OR across tables: a pair found by several tables counts once
+        pairs = pairs.dropDuplicates(["a", "b"])
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)

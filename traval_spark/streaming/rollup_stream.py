@@ -90,6 +90,69 @@ def run_incremental_rollup(
     return q
 
 
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FS API (works for any store the
+    session can write to, not just the local filesystem)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def cascade_upsert_batch(
+    batch_df: DataFrame, batch_id: int, store_root: str
+) -> None:
+    """One idempotent micro-batch step of the continuous-aggregate cascade.
+
+    1. write this batch's 1m rows under ``{store_root}/1m/batch_id=N``
+       (day-partitioned inside). The write is **idempotent**: a replayed
+       batch (same checkpointed batch_id, same deterministic content)
+       finds the batch directory's ``_SUCCESS`` marker and skips; a
+       partial directory from a crashed attempt (no marker) is
+       overwritten wholesale. The 1m tier therefore never holds
+       duplicate rows, no matter how often a batch replays.
+    2. recompute the 1h tier for ONLY the days touched by this batch by
+       re-aggregating the (partition-pruned) 1m tier, and replace just
+       those day partitions via dynamic partition overwrite;
+    3. same for 1d from 1h.
+
+    A replay that crashed between steps 1 and 3 re-runs 2/3 as full
+    recomputes of their day partitions over the duplicate-free 1m tier,
+    so every tier converges to the exact batch-cascade result.
+    """
+    from traval_spark.rollup import rollup_cascade
+
+    if batch_df.isEmpty():
+        return
+    day = F.date_trunc("day", F.col("bucket")).cast("date").alias("day")
+    s = batch_df.sparkSession
+    batch_df = batch_df.withColumn("day", day)
+    bdir = f"{store_root}/1m/batch_id={batch_id}"
+    if not _hadoop_exists(s, f"{bdir}/_SUCCESS"):
+        batch_df.write.mode("overwrite").partitionBy("day").parquet(bdir)
+    days = [r["day"] for r in batch_df.select("day").distinct().collect()]
+    t1m = (
+        s.read.parquet(f"{store_root}/1m")
+        .filter(F.col("day").isin(days))
+    )
+    t1h = rollup_cascade(t1m.drop("day", "batch_id"), "1h").withColumn(
+        "day", day
+    )
+    # dynamic partitionOverwriteMode (session default, session.py):
+    # only the touched day directories are replaced
+    t1h.write.mode("overwrite").partitionBy("day").parquet(
+        f"{store_root}/1h"
+    )
+    t1h_all = (
+        s.read.parquet(f"{store_root}/1h")
+        .filter(F.col("day").isin(days))
+    )
+    t1d = rollup_cascade(t1h_all.drop("day"), "1d").withColumn("day", day)
+    t1d.write.mode("overwrite").partitionBy("day").parquet(
+        f"{store_root}/1d"
+    )
+
+
 def run_streaming_cascade(
     spark: SparkSession,
     input_path: str,
@@ -103,63 +166,25 @@ def run_streaming_cascade(
     sequence files arrive, TimescaleDB-continuous-aggregate style.
 
     Per micro-batch of watermark-finalized 1m windows (append-mode
-    semantics: each window arrives exactly once):
-
-    1. append the 1m rows to ``{store_root}/1m``, day-partitioned;
-    2. recompute the 1h tier for ONLY the days touched by this batch by
-       re-aggregating the (partition-pruned) 1m tier, and replace just
-       those day partitions via dynamic partition overwrite;
-    3. same for 1d from 1h.
-
-    Exactly-once without a transaction log: the file source replays an
-    interrupted batch from the checkpoint, step 1 may then duplicate 1m
-    rows for the interrupted batch's days — but steps 2/3 are full
-    recomputes of their day partitions, so the coarse tiers self-heal,
-    and a batch-mode ``rollup_cascade`` over the day re-establishes the
-    1m tier itself (the batch job stays the source of truth for
-    full-history rebuilds; documented lambda split as in
+    semantics: each window arrives exactly once), runs
+    :func:`cascade_upsert_batch` — idempotent under checkpoint replay
+    (batch_id-keyed 1m writes + full day-partition recomputes of the
+    coarse tiers), so an interrupted-and-replayed batch cannot
+    double-count in any tier. The batch-mode ``rollup_cascade`` remains
+    the source of truth for full-history rebuilds (lambda split as in
     :func:`run_incremental_rollup`).
 
     At 100 TB the per-batch work is bounded by (touched days x sources):
     the coarse-tier recomputes scan the pruned 1m/1h day partitions
     (thousands of rows), never the raw sequence table.
     """
-    from traval_spark.rollup import rollup_cascade
-
     agg = stream_rollup_1m(spark, input_path, watermark,
                            max_files_per_trigger=max_files_per_trigger)
-    day = F.date_trunc("day", F.col("bucket")).cast("date").alias("day")
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        s = batch_df.sparkSession
-        batch_df = batch_df.withColumn("day", day)
-        batch_df.write.mode("append").partitionBy("day").parquet(
-            f"{store_root}/1m"
-        )
-        days = [r["day"] for r in batch_df.select("day").distinct().collect()]
-        t1m = (
-            s.read.parquet(f"{store_root}/1m")
-            .filter(F.col("day").isin(days))
-        )
-        t1h = rollup_cascade(t1m.drop("day"), "1h").withColumn("day", day)
-        # dynamic partitionOverwriteMode (session default, session.py):
-        # only the touched day directories are replaced
-        t1h.write.mode("overwrite").partitionBy("day").parquet(
-            f"{store_root}/1h"
-        )
-        t1h_all = (
-            s.read.parquet(f"{store_root}/1h")
-            .filter(F.col("day").isin(days))
-        )
-        t1d = rollup_cascade(t1h_all.drop("day"), "1d").withColumn("day", day)
-        t1d.write.mode("overwrite").partitionBy("day").parquet(
-            f"{store_root}/1d"
-        )
 
     writer = (
-        agg.writeStream.foreachBatch(upsert)
+        agg.writeStream.foreachBatch(
+            lambda df, bid: cascade_upsert_batch(df, bid, store_root)
+        )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
