@@ -313,3 +313,57 @@ def test_multimodal_resize_raise_stub(docs):
         resize_images(d, decode_stub="raise").collect()
     with pytest.raises(Exception, match="video demux"):
         sample_frames(d, decode_stub="raise").collect()
+
+
+def test_multimodal_auto_mode_contract(docs):
+    """'auto' probes for the real decoder per worker: without PIL/PyAV
+    (this image) every kernel equals its deterministic fake; with the
+    libs installed it decodes real media and still falls back to the
+    fake for payloads that are not decodable media (our text payloads),
+    so the equality below holds in BOTH environments."""
+    from traval_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    d = attach_payload(docs)
+    fake = {r["doc_id"]: r for r in extract_features(d).collect()}
+    auto = {r["doc_id"]: r for r in
+            extract_features(d, decode_stub="auto").collect()}
+    assert fake.keys() == auto.keys()
+    for k in fake:
+        assert list(fake[k]["features"]) == list(auto[k]["features"])
+
+    fake_r = {r["doc_id"]: bytes(r["payload"])
+              for r in resize_images(d, width=8, height=4).collect()}
+    auto_r = {r["doc_id"]: bytes(r["payload"])
+              for r in resize_images(d, width=8, height=4,
+                                     decode_stub="auto").collect()}
+    assert fake_r == auto_r
+
+    fake_f = {(r["doc_id"], r["frame_idx"]): r["ts_ms"]
+              for r in sample_frames(d).collect()}
+    auto_f = {(r["doc_id"], r["frame_idx"]): r["ts_ms"]
+              for r in sample_frames(d, decode_stub="auto").collect()}
+    assert fake_f == auto_f
+
+
+def test_multimodal_real_decoders_when_libs_exist():
+    """Unit-cover the real decode helpers — skipped where the media libs
+    are absent (this sandbox), exercised for real off-sandbox."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from traval_spark.operators.multimodal import (
+        pil_image_features,
+        pil_resize_payload,
+    )
+
+    img = PIL.new("L", (10, 6), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    raw = buf.getvalue()
+    feats = pil_image_features(raw, 4)
+    assert list(feats[:3]) == [10.0, 6.0, 128.0]
+    resized = pil_resize_payload(raw, 4, 3)
+    assert len(resized) == 12 and set(resized) == {128}

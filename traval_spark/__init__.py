@@ -18,6 +18,16 @@ from traval_spark.comparison import (  # noqa: F401
     summarize_relative,
     with_classifier_stats,
 )
+from traval_spark.plans.comparison_plots import (  # noqa: F401
+    ComparisonPlots,
+    det_plot,
+    plot_relative_comparison,
+    plot_series_comparison,
+    plot_validation_result,
+    relative_comparison_frame,
+    roc_plot,
+    series_comparison_frame,
+)
 from traval_spark.plans.detector import Detector  # noqa: F401
 from traval_spark.plans.params import TravalParameters  # noqa: F401
 from traval_spark.plans.ruleset import ParamRef, SparkRuleSet, apply_ruleset  # noqa: F401

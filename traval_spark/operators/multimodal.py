@@ -7,7 +7,12 @@ media decode is STUBBED (no image/audio libraries ship in this container):
 Spark-side plumbing — schema, batch iteration, partitioning, UDF
 signatures — is real and tested end-to-end; ``decode_stub='raise'``
 raises NotImplementedError exactly where a real decoder (PIL/ffmpeg/...)
-would plug in.
+would plug in; ``decode_stub='auto'`` probes for the real library inside
+the worker (PIL for images, PyAV for video) and uses it when present,
+falling back to the deterministic fake otherwise — the sandbox stays
+green, a real deployment with the libs installed decodes for real. The
+probe result is per-worker; on a homogeneous cluster (the only sane
+deployment) every task takes the same branch.
 """
 
 from __future__ import annotations
@@ -19,6 +24,80 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def probe_pil():
+    """PIL.Image if pillow is importable, else None (worker-side probe)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def probe_av():
+    """The PyAV module if importable, else None (worker-side probe)."""
+    try:
+        import av
+        return av
+    except ImportError:
+        return None
+
+
+def pil_image_features(raw: bytes, n_features: int) -> np.ndarray:
+    """Real image features via PIL: [width, height, mean, std] of the
+    grayscale pixels, zero-padded/truncated to ``n_features`` floats.
+    Unit-covered when pillow is installed (skipped in this image)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(raw)).convert("L")
+    px = np.asarray(img, dtype=np.float32)
+    feats = np.array(
+        [img.width, img.height, float(px.mean()), float(px.std())],
+        dtype=np.float32,
+    )
+    out = np.zeros(n_features, dtype=np.float32)
+    out[: min(n_features, 4)] = feats[: min(n_features, 4)]
+    return out
+
+
+def pil_resize_payload(raw: bytes, width: int, height: int) -> bytes:
+    """Real resize via PIL: decode -> bilinear resample -> raw grayscale
+    bytes (width*height, matching the fake twin's output size)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(raw)).convert("L").resize((width, height))
+    return img.tobytes()
+
+
+def av_sample_frames(
+    raw: bytes, every_ms: int, max_frames: int
+) -> list[tuple[int, int, bytes]]:
+    """Real video frame sampling via PyAV: demux, decode, keep the first
+    frame at/after each every_ms boundary (capped at max_frames); each
+    kept frame is re-encoded as PNG bytes. Returns (idx, ts_ms, blob)."""
+    import io
+
+    import av
+
+    out: list[tuple[int, int, bytes]] = []
+    with av.open(io.BytesIO(raw)) as container:
+        stream = container.streams.video[0]
+        next_ts = 0
+        for frame in container.decode(stream):
+            if len(out) >= max_frames:
+                break
+            ts_ms = int(float(frame.pts * stream.time_base) * 1000)
+            if ts_ms >= next_ts:
+                buf = io.BytesIO()
+                frame.to_image().save(buf, format="PNG")
+                out.append((len(out), len(out) * every_ms, buf.getvalue()))
+                next_ts = (ts_ms // every_ms + 1) * every_ms
+    return out
 
 #: magic-byte prefixes -> media format sniff
 MAGIC = {
@@ -72,9 +151,12 @@ def extract_features(
       schema-correct, lets every downstream consumer (ANN, dedup) be tested.
     - 'raise': NotImplementedError('media decode requires ...') — marks the
       integration point for a real decoder.
+    - 'auto': :func:`pil_image_features` per payload when pillow imports
+      on the worker AND the payload decodes as an image; fake otherwise.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = probe_pil() is not None if decode_stub == "auto" else False
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError(
@@ -84,12 +166,21 @@ def extract_features(
             feats, nbytes, fmts = [], [], []
             for payload in pdf[payload_col]:
                 raw = bytes(payload)
-                digest = hashlib.md5(raw).digest()
-                feats.append(
-                    np.frombuffer(digest[: n_features * 2], dtype=np.uint16)
-                    .astype(np.float32)
-                    / np.float32(65536.0)
-                )
+                f = None
+                if real:
+                    try:
+                        f = pil_image_features(raw, n_features)
+                    except Exception:
+                        f = None  # not an image: deterministic fake below
+                if f is None:
+                    digest = hashlib.md5(raw).digest()
+                    f = (
+                        np.frombuffer(digest[: n_features * 2],
+                                      dtype=np.uint16)
+                        .astype(np.float32)
+                        / np.float32(65536.0)
+                    )
+                feats.append(f)
                 nbytes.append(len(raw))
                 fmts.append(sniff_format(raw[:8]))
             yield pd.DataFrame(
@@ -125,10 +216,13 @@ def resize_images(
       exactly width*height bytes — deterministic, size-correct, exercises
       the binary-out schema and Arrow batch shapes end-to-end.
     - 'raise': NotImplementedError at the decoder integration point.
+    - 'auto': :func:`pil_resize_payload` when pillow imports on the
+      worker AND the payload decodes as an image; fake otherwise.
     """
     n_out = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = probe_pil() is not None if decode_stub == "auto" else False
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError(
@@ -137,12 +231,20 @@ def resize_images(
             out = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload)
-                stream = b""
-                seed = raw
-                while len(stream) < n_out:
-                    seed = hashlib.md5(seed).digest()
-                    stream += seed
-                out.append(stream[:n_out])
+                blob = None
+                if real:
+                    try:
+                        blob = pil_resize_payload(raw, width, height)
+                    except Exception:
+                        blob = None
+                if blob is None:
+                    stream = b""
+                    seed = raw
+                    while len(stream) < n_out:
+                        seed = hashlib.md5(seed).digest()
+                        stream += seed
+                    blob = stream[:n_out]
+                out.append(blob)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
@@ -177,9 +279,12 @@ def sample_frames(
       exploded schema, per-frame timestamps, and batch-size amplification
       without a codec.
     - 'raise': NotImplementedError at the ffmpeg/pyav integration point.
+    - 'auto': :func:`av_sample_frames` when PyAV imports on the worker
+      AND the payload demuxes as video; fake otherwise.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = probe_av() is not None if decode_stub == "auto" else False
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError(
@@ -188,16 +293,26 @@ def sample_frames(
             ids, idxs, tss, frames = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                digest = hashlib.md5(raw).digest()
-                duration_ms = int.from_bytes(digest[:4], "big") % 10_000
-                n = min(duration_ms // every_ms + 1, max_frames)
-                for i in range(n):
+                sampled = None
+                if real:
+                    try:
+                        sampled = av_sample_frames(raw, every_ms, max_frames)
+                    except Exception:
+                        sampled = None
+                if sampled is None:
+                    digest = hashlib.md5(raw).digest()
+                    duration_ms = int.from_bytes(digest[:4], "big") % 10_000
+                    n = min(duration_ms // every_ms + 1, max_frames)
+                    sampled = [
+                        (i, i * every_ms,
+                         hashlib.md5(digest + i.to_bytes(4, "big")).digest())
+                        for i in range(n)
+                    ]
+                for i, ts_ms, blob in sampled:
                     ids.append(doc_id)
                     idxs.append(i)
-                    tss.append(i * every_ms)
-                    frames.append(
-                        hashlib.md5(digest + i.to_bytes(4, "big")).digest()
-                    )
+                    tss.append(ts_ms)
+                    frames.append(blob)
             yield pd.DataFrame(
                 {
                     "doc_id": np.asarray(ids, dtype=np.int64),

@@ -77,6 +77,43 @@ def write_series_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_wide_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+    single_file: bool = True,
+    series_ids: list[str] | None = None,
+) -> None:
+    """Distributed wide-CSV sink in the reference's exact file shape
+    (``index,<name1>[,<name2>...]``).
+
+    The pivot is a ``groupBy(ts).pivot(series_id)`` aggregation — executors
+    do the reshaping, the driver never materializes the long frame (the
+    earlier ``to_wide_pandas`` export collected it wholesale). Pass
+    ``series_ids`` to skip pivot's values-discovery job when the column
+    set is known. ``single_file=True`` coalesces to one part file (the
+    reference's one-file export convention — only sensible for exports
+    that fit a file); False keeps one file per shuffle partition for bulk
+    exports. Cells with no row at that (ts, series) and cells with NULL
+    values both render empty, exactly like the reference's NaN cells.
+    """
+    piv = ensure_ntz(df).select(
+        F.col(TS).alias("index"), F.col(SID), F.col("value")
+    ).groupBy("index")
+    piv = piv.pivot(SID, series_ids) if series_ids else piv.pivot(SID)
+    wide = piv.agg(F.first("value"))
+    if single_file:
+        wide = wide.coalesce(1)
+    (
+        wide.sortWithinPartitions("index")
+        .write.mode(mode)
+        .option("header", True)
+        .option("timestampNTZFormat", ts_format)
+        .csv(path)
+    )
+
+
 def to_wide_pandas(df: DataFrame) -> pd.DataFrame:
     """Driver-side wide pivot matching the reference CSV shape — for
     SMALL exports only (the reference's whole data model is one pandas
