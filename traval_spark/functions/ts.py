@@ -420,12 +420,20 @@ def shift_series_forward_backward(
     return tagged.groupBy(SID, TS).agg(*aggs)
 
 
-def positional_interpolate(df: DataFrame, col: str, out: str) -> DataFrame:
-    """pandas ``Series.interpolate(method='linear')`` semantics per series:
-    interior NULL runs linearly interpolated by POSITION (row rank, not
-    time), leading NULLs stay NULL, trailing NULLs clamp to the last value
-    (np.interp right-edge + forward fill direction — asserted against
-    pandas in tests)."""
+def positional_interpolate_specs(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """pandas ``Series.interpolate(method='linear')`` semantics per series
+    for N columns in ONE pass: interior NULL runs linearly interpolated by
+    POSITION (row rank, not time), leading NULLs stay NULL, trailing NULLs
+    clamp to the last value (np.interp right-edge + forward fill direction
+    — asserted against pandas in tests).
+
+    ``pairs`` = [(in_col, out_col), ...]. All forward scans share one
+    Window node and all backward scans another (identical specs), so the
+    plan carries exactly one asc and one desc sorted pass regardless of N
+    — N separate calls would stack 2N alternating sort chains.
+    """
     w_ord = Window.partitionBy(SID).orderBy(TS)
     w_fwd = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_bwd = (
@@ -434,35 +442,44 @@ def positional_interpolate(df: DataFrame, col: str, out: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     df = df.withColumn("__rn", F.row_number().over(w_ord))
-    v = F.col(col)
-    rn_if = F.when(v.isNotNull(), F.col("__rn"))
-    df = (
-        df.withColumn("__pv", F.last(v, ignorenulls=True).over(w_fwd))
-        .withColumn("__pr", F.last(rn_if, ignorenulls=True).over(w_fwd))
-        .withColumn("__nv", F.last(v, ignorenulls=True).over(w_bwd))
-        .withColumn("__nr", F.last(rn_if, ignorenulls=True).over(w_bwd))
-    )
-    rn = F.col("__rn").cast("double")
-    interp = (
-        F.when(F.col("__pv").isNull(), F.lit(None).cast("double"))
-        .when(F.col("__nv").isNull(), F.col("__pv"))  # trailing clamp
-        .when(F.col("__nr") == F.col("__pr"), F.col("__pv"))
-        .otherwise(
-            F.col("__pv")
-            + (F.col("__nv") - F.col("__pv"))
-            * (rn - F.col("__pr"))
-            / (F.col("__nr") - F.col("__pr"))
+    helpers = ["__rn"]
+    for col, out in pairs:
+        v = F.col(col)
+        rn_if = F.when(v.isNotNull(), F.col("__rn"))
+        df = (
+            df.withColumn(f"__pv_{out}", F.last(v, ignorenulls=True).over(w_fwd))
+            .withColumn(f"__pr_{out}", F.last(rn_if, ignorenulls=True).over(w_fwd))
         )
-    )
-    return df.withColumn(out, interp).drop(
-        "__rn", "__pv", "__pr", "__nv", "__nr"
-    )
+    for col, out in pairs:
+        v = F.col(col)
+        rn_if = F.when(v.isNotNull(), F.col("__rn"))
+        df = (
+            df.withColumn(f"__nv_{out}", F.last(v, ignorenulls=True).over(w_bwd))
+            .withColumn(f"__nr_{out}", F.last(rn_if, ignorenulls=True).over(w_bwd))
+        )
+    rn = F.col("__rn").cast("double")
+    for _col, out in pairs:
+        pv, pr = F.col(f"__pv_{out}"), F.col(f"__pr_{out}")
+        nv, nr = F.col(f"__nv_{out}"), F.col(f"__nr_{out}")
+        interp = (
+            F.when(pv.isNull(), F.lit(None).cast("double"))
+            .when(nv.isNull(), pv)  # trailing clamp
+            .when(nr == pr, pv)
+            .otherwise(pv + (nv - pv) * (rn - pr) / (nr - pr))
+        )
+        df = df.withColumn(out, interp)
+        helpers += [f"__pv_{out}", f"__pr_{out}", f"__nv_{out}", f"__nr_{out}"]
+    return df.drop(*helpers)
+
+
+def positional_interpolate(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Single-column wrapper over :func:`positional_interpolate_specs`."""
+    return positional_interpolate_specs(df, [(col, out)])
 
 
 def _smooth_bound(b: DataFrame, col: str, smoothfreq: str, upper: bool) -> DataFrame:
     t = shift_series_forward_backward(b, col, smoothfreq)
-    t = positional_interpolate(t, "bwd", "__bi")
-    t = positional_interpolate(t, "fwd", "__fi")
+    t = positional_interpolate_specs(t, [("bwd", "__bi"), ("fwd", "__fi")])
     agg = (F.greatest if upper else F.least)(
         F.col("__bi"), F.col("orig"), F.col("__fi")
     )  # greatest/least skip NULLs exactly like pandas max/min(axis=1)

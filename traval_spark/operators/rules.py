@@ -615,7 +615,7 @@ def rule_pastas_outside_pi(
       bounds plan ONCE.
     """
     from traval_spark.functions.ts import (
-        positional_interpolate,
+        positional_interpolate_specs,
         shift_series_forward_backward,
     )
 
@@ -627,9 +627,12 @@ def rule_pastas_outside_pi(
     if smoothfreq is not None:
         t = shift_series_forward_backward(joint, ["lower", "upper"],
                                           smoothfreq)
-        for c in ("lower", "upper"):
-            t = positional_interpolate(t, f"{c}_bwd", f"__{c}_bi")
-            t = positional_interpolate(t, f"{c}_fwd", f"__{c}_fi")
+        # all four shifted columns interpolate in ONE asc + one desc
+        # window pass (separate calls would stack 8 alternating sorts)
+        t = positional_interpolate_specs(t, [
+            ("lower_bwd", "__lower_bi"), ("lower_fwd", "__lower_fi"),
+            ("upper_bwd", "__upper_bi"), ("upper_fwd", "__upper_fi"),
+        ])
         # Each smoothed bound keeps exactly its OWN orig index
         # (smooth_*_bound does .loc[orig.dropna().index] per bound,
         # ts_utils.py:464-475): a row survives if either orig is present,
