@@ -208,8 +208,17 @@ def main() -> None:
     }
     print(json.dumps(result))
     os.makedirs(f"{ROOT}/BENCH", exist_ok=True)
-    with open(f"{ROOT}/BENCH/BASELINE.md", "w") as f:
-        f.write(_report(result))
+    # preserve any manually-curated sections (e.g. the larger-N
+    # corroboration campaign) appended after the generated report
+    tail = ""
+    path = f"{ROOT}/BENCH/BASELINE.md"
+    if os.path.exists(path):
+        prev = open(path).read()
+        marker = "\n## "
+        if marker in prev:
+            tail = prev[prev.index(marker):]
+    with open(path, "w") as f:
+        f.write(_report(result) + tail)
 
 
 def _report(r: dict) -> str:
