@@ -155,6 +155,27 @@ def test_pastas_bounds_subtree_executes_once(spark, seq_parquet, tmp_path):
     assert n_scans == 1, f"bounds scanned {n_scans}x:\n{plan}"
 
 
+def test_unpack_tier_adds_no_exchange(spark, tmp_path):
+    """Gorilla blocks are self-contained rows: decode must be row-local
+    mapInPandas over the scan's own partitioning — any Exchange between
+    the packed scan and the decode would re-shuffle 100 TB for nothing."""
+    from traval_spark.compress import pack_tier, unpack_tier
+    from traval_spark.rollup import rollup_raw
+
+    src = spark.createDataFrame(
+        pd.DataFrame({
+            "source": "s0",
+            "ts": pd.date_range("2024-01-01", freq="min", periods=500),
+            "n_tok": np.arange(500, dtype=float),
+        })
+    )
+    ppath = str(tmp_path / "packed")
+    pack_tier(rollup_raw(src, "1m")).write.parquet(ppath)
+    plan = fmt_plan(unpack_tier(spark.read.parquet(ppath)))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
 def test_whole_stage_codegen_covers_mask_pipeline(spark, seq_parquet):
     """Threshold-rule mask evaluation stays inside WholeStageCodegen
     (JVM, vectorizable) — no Python/BatchEvalPython node anywhere.
