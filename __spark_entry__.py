@@ -828,6 +828,29 @@ def q_cos_dup_pairs_lsh(spark, sf_dir):
                             bucketed=True, dim=64)
 
 
+ROC_THRESHOLDS = [4.0, 8.0, 12.0, 16.0, 20.0]
+
+
+def q_roc_sweep(spark, sf_dir):
+    """threshold_sweep: classifier counts for 5 candidate thresholds in
+    ONE scan (posexplode + partial agg), chained through
+    with_classifier_stats for the tpr/fpr arrays roc_plot consumes.
+    Synthetic truth: values above HARDMAX_THR are the 'real' errors."""
+    from traval_spark.comparison import threshold_sweep, with_classifier_stats
+
+    s = _series(spark, sf_dir)
+    truth = s.withColumn(
+        "value",
+        F.when(F.col("value") > HARDMAX_THR, F.lit(None)).otherwise(
+            F.col("value")),
+    )
+    sw = with_classifier_stats(threshold_sweep(s, truth, ROC_THRESHOLDS))
+    return sw.select(
+        "threshold", "tp", "fp", "tn", "fn",
+        F.round("tpr", 9).alias("tpr"), F.round("fpr", 9).alias("fpr"),
+    )
+
+
 def q_cos_dup_pairs_multi(spark, sf_dir):
     """Multi-table LSH recall knob: 2 independent plane sets (seeds
     LSH_SEED, LSH_SEED+1), a pair counts if ANY table buckets it together
@@ -913,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
+        "roc_sweep": q_roc_sweep,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -1746,6 +1770,23 @@ def oracle_sql() -> dict[str, str]:
            round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
     from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id
     where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COS_DUP_THR}
+    """
+
+    thr_list = ", ".join(str(t) for t in ROC_THRESHOLDS)
+    sql["roc_sweep"] = f"""
+    with s as (select value from events where value is not null),
+    j as (select value, threshold, (value > {HARDMAX_THR}) AS tf
+          from s cross join (select unnest([{thr_list}]) AS threshold) th)
+    select threshold,
+           CAST(sum(case when value > threshold and tf then 1 else 0 end) AS BIGINT) AS tp,
+           CAST(sum(case when value > threshold and not tf then 1 else 0 end) AS BIGINT) AS fp,
+           CAST(sum(case when value <= threshold and not tf then 1 else 0 end) AS BIGINT) AS tn,
+           CAST(sum(case when value <= threshold and tf then 1 else 0 end) AS BIGINT) AS fn,
+           round(CAST(sum(case when value > threshold and tf then 1 else 0 end) AS DOUBLE)
+                 / nullif(sum(case when tf then 1 else 0 end), 0), 9) AS tpr,
+           round(CAST(sum(case when value > threshold and not tf then 1 else 0 end) AS DOUBLE)
+                 / nullif(sum(case when not tf then 1 else 0 end), 0), 9) AS fpr
+    from j group by threshold order by threshold
     """
 
     # multi-table LSH: second plane set from seed LSH_SEED+1; a pair

@@ -170,3 +170,50 @@ def test_comparison_series_quirk(spark):
     st = {r["ts"].day: r["status"]
           for r in comparison_series(cmp).collect()}
     assert st[1] == -1.0 and st[2] == 0.0 and st[3] == -9999.0
+
+
+def test_threshold_sweep_matches_per_threshold_classifier(spark):
+    """One-pass K-threshold sweep == K separate relative-comparison
+    classifier runs (binary_classifier.py:49-69 semantics)."""
+    import numpy as np
+
+    from tests.conftest import make_series_df
+    from traval_spark.comparison import (
+        binary_classification,
+        compare_series_relative,
+        threshold_sweep,
+    )
+    from pyspark.sql import functions as F
+
+    vals = np.arange(20.0)
+    base = make_series_df(spark, vals)
+    truth_vals = vals.copy()
+    truth_vals[vals > 12.0] = np.nan  # 'real' errors
+    truth = make_series_df(spark, truth_vals)
+
+    thresholds = [5.0, 10.0, 15.0]
+    sweep = {
+        r["threshold"]: (r["tp"], r["fp"], r["tn"], r["fn"])
+        for r in threshold_sweep(base, truth, thresholds).collect()
+    }
+    for thr in thresholds:
+        detected = base.withColumn(
+            "value",
+            F.when(F.col("value") > thr, F.lit(None)).otherwise(
+                F.col("value")),
+        )
+        bc = binary_classification(
+            compare_series_relative(detected, truth, base)
+        ).collect()[0]
+        assert sweep[thr] == (bc["tp"], bc["fp"], bc["tn"], bc["fn"]), thr
+
+
+def test_threshold_sweep_rejects_unknown_ufunc(spark):
+    import numpy as np
+
+    from tests.conftest import make_series_df
+    from traval_spark.comparison import threshold_sweep
+
+    s = make_series_df(spark, np.arange(5.0))
+    with pytest.raises(ValueError, match="ufunc"):
+        threshold_sweep(s, s, [1.0], ufunc="modulo")

@@ -16,6 +16,7 @@ from traval_spark.comparison import (  # noqa: F401
     compare_series_relative,
     summarize_comparison,
     summarize_relative,
+    threshold_sweep,
     with_classifier_stats,
 )
 from traval_spark.plans.comparison_plots import (  # noqa: F401

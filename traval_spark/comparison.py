@@ -229,6 +229,63 @@ def binary_classification(rel: DataFrame, per_series: bool = False) -> DataFrame
     return rel.groupBy(SID).agg(*aggs) if per_series else rel.agg(*aggs)
 
 
+def threshold_sweep(
+    series: DataFrame,
+    truth: DataFrame,
+    thresholds: list[float],
+    ufunc: str = "greater",
+    per_series: bool = False,
+) -> DataFrame:
+    """Classifier counts for K candidate thresholds in ONE scan — the
+    distributed way to produce the tpr/fpr arrays the reference feeds to
+    ``roc_plot``/``det_plot`` (plots.py:377-519; its notebooks compute one
+    BinaryClassifier per parameter setting, i.e. K full passes).
+
+    Per row, a K-wide flag vector (``ufunc(value, thr)`` per threshold)
+    is posexploded and aggregated with map-side partial aggregation, so
+    the input is read once no matter how many thresholds are swept; the
+    output is K rows (threshold, tp, fp, tn, fn — reference
+    binary_classifier.py:49-69 semantics: truth-flagged = NULL value at a
+    present truth row). Chain :func:`with_classifier_stats` for
+    tpr/fpr/fnr and the other 18 statistics.
+    """
+    ops = {
+        "greater": lambda v, t: v > t,
+        "less": lambda v, t: v < t,
+        "greater_equal": lambda v, t: v >= t,
+        "less_equal": lambda v, t: v <= t,
+    }
+    if ufunc not in ops:
+        raise ValueError(f"ufunc must be one of {sorted(ops)}")
+    j = _tagged(series, "1", False).join(
+        _tagged(truth, "2", False), on=[SID, TS], how="inner"
+    ).filter(F.col("v1").isNotNull())
+    arr = F.array(*[F.lit(float(t)) for t in thresholds])
+    j = j.select(
+        SID,
+        F.posexplode(arr).alias("__i", "threshold"),
+        F.col("v1"),
+        F.col("v2").isNull().alias("__truth_flag"),
+    )
+    det = ops[ufunc](F.col("v1"), F.col("threshold"))
+    tf = F.col("__truth_flag")
+
+    def cnt(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    keys = [SID, "threshold"] if per_series else ["threshold"]
+    return (
+        j.groupBy(*keys)
+        .agg(
+            cnt(det & tf).alias("tp"),
+            cnt(det & ~tf).alias("fp"),
+            cnt(~det & ~tf).alias("tn"),
+            cnt(~det & tf).alias("fn"),
+        )
+        .orderBy(*keys)
+    )
+
+
 #: all 18 statistics of binary_classifier.py:8-27 as column expressions
 def with_classifier_stats(bc: DataFrame) -> DataFrame:
     """Add the reference's 18 statistics to a tp/fp/tn/fn frame.
