@@ -214,20 +214,28 @@ def with_simhash64(df: DataFrame, text_col: str = "text",
 
     Construction: per whitespace token, 64 bits from the first 16 hex
     digits of md5(token); fingerprint bit j = majority vote of token bit j.
-    Implemented explode -> ONE md5 per token -> 64 conditional-sum
-    aggregates per doc: everything whole-stage-codegen'd JVM expressions
-    (no interpreted higher-order funcs in the per-token hot path), fully
-    map-side-combinable. Two bigint halves < 2^32 sidestep the sign bit and
-    give DuckDB-portable arithmetic.
+    Implemented explode -> ONE md5 per token -> TWO hex->int conversions
+    per token (the 8-digit halves) -> 64 integer shift/mask conditional
+    sums per doc: the per-bit hot path is pure integer codegen (an earlier
+    form did substring+conv per BIT — 64 string ops per token — and was
+    the dominant cost of the whole banded search), fully
+    map-side-combinable. Two bigint halves < 2^32 sidestep the sign bit
+    and give DuckDB-portable arithmetic. Bit numbering is unchanged:
+    bit j = hex digit j//4 shifted by 3-j%4, i.e. half >> (31-j or 63-j).
     """
     toks = df.select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("__t")
     )
-    toks = toks.withColumn("__h", F.md5(F.col("__t")))
+    toks = toks.withColumn("__h", F.md5(F.col("__t"))).select(
+        id_col,
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint").alias("__w0"),
+        F.conv(F.substring("__h", 9, 8), 16, 10).cast("bigint").alias("__w1"),
+    )
     votes = []
     for j in range(64):
-        nib = _md5_nibble(F.col("__h"), j // 4)
-        bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+        word = F.col("__w0") if j < 32 else F.col("__w1")
+        shift = (31 - j) if j < 32 else (63 - j)
+        bit = F.shiftright(word, shift).bitwiseAND(F.lit(1))
         votes.append(
             F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__v{j}")
         )
