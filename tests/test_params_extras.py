@@ -300,3 +300,54 @@ def test_outside_bandwidth_joint_equals_separate(spark):
         series, "value", "r", bounds=joint
     ).toPandas().sort_values("ts").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_align_interpolate_specs_matches_np_interp_randomized(spark):
+    """30 random irregular (main, aux) series pairs in ONE frame: the
+    joint multi-column alignment must equal np.interp with
+    left=right=NaN per column (exact hits, interior linear, outside-hull
+    NULL), including asymmetric grids between the two aux columns."""
+    from traval_spark.functions.ts import align_interpolate_specs
+
+    rng = np.random.default_rng(99)
+    mains, auxes, expect = [], [], {}
+    for k in range(30):
+        sid = f"c{k:02d}"
+        m_ts = np.sort(rng.choice(np.arange(0, 500), size=40, replace=False))
+        lo_ts = np.sort(rng.choice(np.arange(-20, 520), size=rng.integers(2, 12), replace=False))
+        up_ts = np.sort(rng.choice(np.arange(-20, 520), size=rng.integers(2, 12), replace=False))
+        lo_v = rng.normal(size=len(lo_ts))
+        up_v = rng.normal(size=len(up_ts))
+        base = pd.Timestamp("2021-01-01")
+        mk = lambda t: base + pd.to_timedelta(t, unit="h")
+        mains.append(pd.DataFrame(
+            {"series_id": sid, "ts": mk(m_ts), "value": 0.0}))
+        auxes.append(pd.DataFrame(
+            {"series_id": sid, "ts": mk(np.union1d(lo_ts, up_ts))}
+        ).merge(pd.DataFrame({"ts": mk(lo_ts), "lower": lo_v}), on="ts",
+                how="left")
+         .merge(pd.DataFrame({"ts": mk(up_ts), "upper": up_v}), on="ts",
+                how="left"))
+        expect[sid] = (
+            np.interp(m_ts.astype(float), lo_ts.astype(float), lo_v,
+                      left=np.nan, right=np.nan),
+            np.interp(m_ts.astype(float), up_ts.astype(float), up_v,
+                      left=np.nan, right=np.nan),
+        )
+        # np.interp clamps outside the hull; NaN-out strictly-outside rows
+        for arr, ats in (
+            (expect[sid][0], lo_ts), (expect[sid][1], up_ts),
+        ):
+            arr[(m_ts < ats.min()) | (m_ts > ats.max())] = np.nan
+
+    main = spark.createDataFrame(pd.concat(mains))
+    aux = spark.createDataFrame(pd.concat(auxes))
+    out = align_interpolate_specs(
+        main, [(aux, [("lower", "lo_i"), ("upper", "up_i")])]
+    ).toPandas().sort_values(["series_id", "ts"])
+    for sid, (want_lo, want_up) in expect.items():
+        got = out[out.series_id == sid]
+        np.testing.assert_allclose(got["lo_i"].to_numpy(), want_lo,
+                                   atol=1e-12, equal_nan=True)
+        np.testing.assert_allclose(got["up_i"].to_numpy(), want_up,
+                                   atol=1e-12, equal_nan=True)
