@@ -351,3 +351,48 @@ def test_align_interpolate_specs_matches_np_interp_randomized(spark):
                                    atol=1e-12, equal_nan=True)
         np.testing.assert_allclose(got["up_i"].to_numpy(), want_up,
                                    atol=1e-12, equal_nan=True)
+
+
+def test_pastas_joint_smoothing_gap_with_interior_other_bound(spark):
+    """Adversarial asymmetric-grid case (r3 review repro): lower has a
+    3-day gap and upper has an observation INSIDE that gap. Rank-based
+    interpolation over the joint grid without per-bound member masks
+    treats upper's row as an extra anchor inside lower's gap and shifts
+    every interpolated lower value there (flagging 4 points the reference
+    leaves unflagged)."""
+    from traval_spark.functions.ts import (
+        smooth_lower_bound,
+        smooth_upper_bound,
+    )
+    from traval_spark.operators import rules as R
+
+    idx = pd.date_range("2021-01-01", periods=10, freq="D")
+    lo_days = [0, 4, 5, 6, 7, 8, 9]
+    lo_vals = [0.0, -10.0, -10.0, -10.0, -10.0, -10.0, -10.0]
+    up_days = [2]
+    up_vals = [50.0]
+    series = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": idx, "value": -3.0}))
+    joint_pdf = pd.DataFrame(
+        {"lower": pd.Series(lo_vals, index=idx[lo_days]),
+         "upper": pd.Series(up_vals, index=idx[up_days])})
+    joint_pdf.index.name = "ts"
+    joint = spark.createDataFrame(
+        joint_pdf.reset_index().assign(series_id="s1"))
+
+    got = R.rule_pastas_outside_pi(
+        series, "value", "r", bounds=joint, smoothfreq="1D"
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+
+    lo_f = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": idx[lo_days], "value": lo_vals}))
+    up_f = spark.createDataFrame(pd.DataFrame(
+        {"series_id": "s1", "ts": idx[up_days], "value": up_vals}))
+    want = R.rule_outside_bandwidth(
+        series, "value", "r",
+        lowerbound=smooth_lower_bound(lo_f, "value", "1D"),
+        upperbound=smooth_upper_bound(up_f, "value", "1D"),
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # and the reference outcome on this construction: nothing flagged
+    assert (got["r_code"] == 0).all()

@@ -271,3 +271,31 @@ def test_write_wide_csv_byte_identical_roundtrip(spark, tmp_path):
     write_wide_csv(df, str(out2), series_ids=["DEUR033_G", "OTHER_X"])
     got2 = open(glob.glob(f"{out2}/part-*.csv")[0]).read()
     assert got2 == CSV
+
+
+def test_write_wide_csv_nonalpha_header_order(spark, tmp_path):
+    """A long frame carries no column order, so auto-discovery emits
+    alphabetical columns; passing the original header as series_ids
+    restores the byte-identical round trip for non-alphabetical files."""
+    import glob
+
+    from traval_spark.sources.csvio import write_wide_csv
+
+    csv = (
+        "index,ZED_9,ALPHA_1\n"
+        "2012-09-24 15:00:00,1.5,2.5\n"
+        "2012-09-24 16:00:00,,3.5\n"
+    )
+    p = tmp_path / "nonalpha.csv"
+    p.write_text(csv)
+    df = read_series_csv(spark, str(p))
+
+    out_auto = tmp_path / "auto"
+    write_wide_csv(df, str(out_auto))
+    got_auto = open(glob.glob(f"{out_auto}/part-*.csv")[0]).read()
+    assert got_auto.splitlines()[0] == "index,ALPHA_1,ZED_9"  # alphabetical
+
+    out_fixed = tmp_path / "fixed"
+    write_wide_csv(df, str(out_fixed), series_ids=["ZED_9", "ALPHA_1"])
+    got = open(glob.glob(f"{out_fixed}/part-*.csv")[0]).read()
+    assert got == csv

@@ -152,7 +152,7 @@ def test_streaming_cascade_matches_batch(spark, tmp_path):
     run_streaming_cascade(spark, inp, root, ckpt, watermark="1 minute",
                           available_now=True, max_files_per_trigger=1)
 
-    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
+    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id", "qid")
     t1h = spark.read.parquet(f"{root}/1h").drop("day")
     t1d = spark.read.parquet(f"{root}/1d").drop("day")
     assert t1m.count() > 0 and t1h.count() > 0 and t1d.count() > 0
@@ -182,12 +182,12 @@ def test_cascade_upsert_replay_is_idempotent(spark, tmp_path):
     , "1m")
 
     cascade_upsert_batch(t1m_batch, 0, root)
-    once = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
+    once = spark.read.parquet(f"{root}/1m").drop("day", "batch_id", "qid")
     n_once = once.count()
     # replay the exact same batch (crash-after-commit scenario)
     cascade_upsert_batch(t1m_batch, 0, root)
 
-    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
+    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id", "qid")
     assert t1m.count() == n_once
     assert t1m.groupBy("source", "bucket").count().filter(
         F.col("count") > 1).count() == 0
@@ -228,7 +228,7 @@ def test_streaming_cascade_resumes_across_runs(spark, tmp_path):
     run_streaming_cascade(spark, inp, root, ckpt, watermark="1 minute",
                           available_now=True)
 
-    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id")
+    t1m = spark.read.parquet(f"{root}/1m").drop("day", "batch_id", "qid")
     # second run appended strictly new 1m rows (no reprocessing of A)
     assert t1m.count() > rows_after_a
     # an identical (source,bucket) window emitted twice would be a
@@ -240,3 +240,30 @@ def test_streaming_cascade_resumes_across_runs(spark, tmp_path):
     want_1d = rollup_cascade(rollup_cascade(t1m, "1h"), "1d")
     assert t1d.exceptAll(want_1d).count() == 0
     assert want_1d.exceptAll(t1d).count() == 0
+
+
+def test_cascade_fresh_checkpoint_does_not_drop_data(spark, tmp_path):
+    """A fresh checkpoint (new query id) over an EXISTING store restarts
+    batch numbering at 0 — its batches must LAND, not be skipped because
+    an old run's batch_id=0 directory exists (r3 review finding: the
+    un-scoped check silently dropped all new data)."""
+    from traval_spark.rollup import rollup_raw
+    from traval_spark.streaming.rollup_stream import cascade_upsert_batch
+
+    root = str(tmp_path / "qstore")
+    seqs = synth_sequences(spark, 2000, seed=5, span_days=2)
+    src = seqs.select("source", "ts",
+                      F.col("n_tok").cast("double").alias("n_tok"))
+    mid = "2024-01-01 12:00:00"
+    t1m_a = rollup_raw(src.filter(F.col("ts") < mid), "1m")
+    t1m_b = rollup_raw(src.filter(F.col("ts") >= mid), "1m")
+
+    cascade_upsert_batch(t1m_a, 0, root, run_id="query-aaaa")
+    n_a = spark.read.parquet(f"{root}/1m").count()
+    # operator resets the checkpoint; new lineage, batch ids restart at 0
+    cascade_upsert_batch(t1m_b, 0, root, run_id="query-bbbb")
+    t1m = spark.read.parquet(f"{root}/1m")
+    assert t1m.count() == n_a + t1m_b.count()  # nothing silently skipped
+    # same-lineage replay of the second batch still dedupes
+    cascade_upsert_batch(t1m_b, 0, root, run_id="query-bbbb")
+    assert spark.read.parquet(f"{root}/1m").count() == n_a + t1m_b.count()

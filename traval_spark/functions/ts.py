@@ -421,7 +421,9 @@ def shift_series_forward_backward(
 
 
 def positional_interpolate_specs(
-    df: DataFrame, pairs: list[tuple[str, str]]
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    members: dict[str, Column] | None = None,
 ) -> DataFrame:
     """pandas ``Series.interpolate(method='linear')`` semantics per series
     for N columns in ONE pass: interior NULL runs linearly interpolated by
@@ -433,6 +435,16 @@ def positional_interpolate_specs(
     Window node and all backward scans another (identical specs), so the
     plan carries exactly one asc and one desc sorted pass regardless of N
     — N separate calls would stack 2N alternating sort chains.
+
+    ``members`` (optional, keyed by out_col): a boolean Column marking
+    which rows belong to that column's OWN pandas frame. Interpolation is
+    rank-based, so on a frame that is a UNION of several columns' grids
+    (the joint pastas-PI shift frame) the other columns' rows would
+    otherwise act as extra anchors between a column's own points and
+    change its interpolated values. With a member mask the rank is the
+    running count of member rows only — exactly the row numbering the
+    column would have in its own frame. Output at non-member rows is
+    undefined (callers drop them). Default: every row is a member.
     """
     w_ord = Window.partitionBy(SID).orderBy(TS)
     w_fwd = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -441,24 +453,32 @@ def positional_interpolate_specs(
         .orderBy(F.col(TS).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    df = df.withColumn("__rn", F.row_number().over(w_ord))
-    helpers = ["__rn"]
+    members = members or {}
+    helpers = []
+    for col, out in pairs:
+        m = members.get(out)
+        if m is None:
+            rank = F.row_number().over(w_ord)
+        else:
+            rank = F.sum(m.cast("long")).over(w_fwd)
+        df = df.withColumn(f"__rn_{out}", rank)
+        helpers.append(f"__rn_{out}")
     for col, out in pairs:
         v = F.col(col)
-        rn_if = F.when(v.isNotNull(), F.col("__rn"))
+        rn_if = F.when(v.isNotNull(), F.col(f"__rn_{out}"))
         df = (
             df.withColumn(f"__pv_{out}", F.last(v, ignorenulls=True).over(w_fwd))
             .withColumn(f"__pr_{out}", F.last(rn_if, ignorenulls=True).over(w_fwd))
         )
     for col, out in pairs:
         v = F.col(col)
-        rn_if = F.when(v.isNotNull(), F.col("__rn"))
+        rn_if = F.when(v.isNotNull(), F.col(f"__rn_{out}"))
         df = (
             df.withColumn(f"__nv_{out}", F.last(v, ignorenulls=True).over(w_bwd))
             .withColumn(f"__nr_{out}", F.last(rn_if, ignorenulls=True).over(w_bwd))
         )
-    rn = F.col("__rn").cast("double")
     for _col, out in pairs:
+        rn = F.col(f"__rn_{out}").cast("double")
         pv, pr = F.col(f"__pv_{out}"), F.col(f"__pr_{out}")
         nv, nr = F.col(f"__nv_{out}"), F.col(f"__nr_{out}")
         interp = (

@@ -95,7 +95,9 @@ def av_sample_frames(
             if ts_ms >= next_ts:
                 buf = io.BytesIO()
                 frame.to_image().save(buf, format="PNG")
-                out.append((len(out), len(out) * every_ms, buf.getvalue()))
+                # real frame timestamp, not the boundary: a kept frame at
+                # 5s with every_ms=1000 reports ts_ms=5000
+                out.append((len(out), ts_ms, buf.getvalue()))
                 next_ts = (ts_ms // every_ms + 1) * every_ms
     return out
 

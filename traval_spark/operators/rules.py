@@ -628,11 +628,30 @@ def rule_pastas_outside_pi(
         t = shift_series_forward_backward(joint, ["lower", "upper"],
                                           smoothfreq)
         # all four shifted columns interpolate in ONE asc + one desc
-        # window pass (separate calls would stack 8 alternating sorts)
-        t = positional_interpolate_specs(t, [
-            ("lower_bwd", "__lower_bi"), ("lower_fwd", "__lower_fi"),
-            ("upper_bwd", "__upper_bi"), ("upper_fwd", "__upper_fi"),
-        ])
+        # window pass (separate calls would stack 8 alternating sorts).
+        # Member masks: the joint frame is the UNION of both bounds' shift
+        # grids, and pandas interpolate() is positional — each bound must
+        # rank over ITS OWN grid rows (any of its three shifted variants
+        # present) or the other bound's rows would act as extra anchors
+        # and shift every interpolated value in a gap.
+        def _member(c):
+            return (
+                F.col(f"{c}_bwd").isNotNull()
+                | F.col(f"{c}_orig").isNotNull()
+                | F.col(f"{c}_fwd").isNotNull()
+            )
+
+        t = positional_interpolate_specs(
+            t,
+            [
+                ("lower_bwd", "__lower_bi"), ("lower_fwd", "__lower_fi"),
+                ("upper_bwd", "__upper_bi"), ("upper_fwd", "__upper_fi"),
+            ],
+            members={
+                "__lower_bi": _member("lower"), "__lower_fi": _member("lower"),
+                "__upper_bi": _member("upper"), "__upper_fi": _member("upper"),
+            },
+        )
         # Each smoothed bound keeps exactly its OWN orig index
         # (smooth_*_bound does .loc[orig.dropna().index] per bound,
         # ts_utils.py:464-475): a row survives if either orig is present,

@@ -335,6 +335,7 @@ def roc_plot(
     if plot_diagonal:
         ax.plot([0, 1], [0, 1], ls="dashed", lw=1.0, c="k",
                 label="random guess")
+    sc = None
     for itpr, ifpr, ilbl in zip(tpr, fpr, labels):
         sc = ax.scatter(ifpr, itpr, s=6**2, c=colors, marker="o",
                         label=ilbl, **kwargs)
@@ -345,7 +346,7 @@ def roc_plot(
     ax.set_ylabel("True Positive Rate (sensitivity)")
     ax.set_xlabel("False Positive Rate (1-specificity)")
     ax.set_title("receiver operator characteristic plot")
-    if colors is not None:
+    if colors is not None and sc is not None:
         from mpl_toolkits.axes_grid1 import make_axes_locatable
 
         divider = make_axes_locatable(ax)

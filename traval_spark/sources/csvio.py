@@ -91,12 +91,16 @@ def write_wide_csv(
     The pivot is a ``groupBy(ts).pivot(series_id)`` aggregation — executors
     do the reshaping, the driver never materializes the long frame (the
     earlier ``to_wide_pandas`` export collected it wholesale). Pass
-    ``series_ids`` to skip pivot's values-discovery job when the column
-    set is known. ``single_file=True`` coalesces to one part file (the
-    reference's one-file export convention — only sensible for exports
-    that fit a file); False keeps one file per shuffle partition for bulk
-    exports. Cells with no row at that (ts, series) and cells with NULL
-    values both render empty, exactly like the reference's NaN cells.
+    ``series_ids`` to fix the COLUMN ORDER (and skip pivot's
+    values-discovery job): a long frame carries no column order, so
+    auto-discovery emits series columns ALPHABETICALLY — for a
+    byte-identical round trip of a reference CSV whose header is not
+    alphabetical, pass its original header order here.
+    ``single_file=True`` coalesces to one part file (the reference's
+    one-file export convention — only sensible for exports that fit a
+    file); False keeps one file per shuffle partition for bulk exports.
+    Cells with no row at that (ts, series) and cells with NULL values
+    both render empty, exactly like the reference's NaN cells.
     """
     piv = ensure_ntz(df).select(
         F.col(TS).alias("index"), F.col(SID), F.col("value")

@@ -99,18 +99,42 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _stream_query_id(checkpoint_path: str) -> str | None:
+    """The streaming query id from ``{checkpoint}/metadata`` — written by
+    Spark at query start, STABLE across restarts of the same checkpoint,
+    and regenerated for a fresh checkpoint. The correct idempotency scope
+    for batch_id-keyed sinks: batch numbering restarts at 0 with a fresh
+    checkpoint, so un-scoped batch dirs from an earlier run would falsely
+    satisfy the already-written check and silently drop the new data."""
+    import json
+
+    try:
+        with open(f"{checkpoint_path}/metadata") as f:
+            return json.load(f)["id"]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def cascade_upsert_batch(
-    batch_df: DataFrame, batch_id: int, store_root: str
+    batch_df: DataFrame, batch_id: int, store_root: str,
+    run_id: str | None = None,
 ) -> None:
     """One idempotent micro-batch step of the continuous-aggregate cascade.
 
-    1. write this batch's 1m rows under ``{store_root}/1m/batch_id=N``
-       (day-partitioned inside). The write is **idempotent**: a replayed
-       batch (same checkpointed batch_id, same deterministic content)
-       finds the batch directory's ``_SUCCESS`` marker and skips; a
-       partial directory from a crashed attempt (no marker) is
-       overwritten wholesale. The 1m tier therefore never holds
-       duplicate rows, no matter how often a batch replays.
+    1. write this batch's 1m rows under
+       ``{store_root}/1m/qid=<run_id>/batch_id=N`` (day-partitioned
+       inside; ``run_id`` = the streaming query id, see
+       :func:`_stream_query_id`). The write is **idempotent within a
+       checkpoint lineage**: a replayed batch (same query id + batch_id,
+       same deterministic content) finds the batch directory's
+       ``_SUCCESS`` marker and skips; a partial directory from a crashed
+       attempt (no marker) is overwritten wholesale. The 1m tier
+       therefore never holds duplicate rows from replays. A FRESH
+       checkpoint pointed at an existing store gets a new query id, so
+       its batches land instead of being silently skipped (reprocessing
+       the same input under a new checkpoint appends a second copy —
+       detectable via the qid column; rebuild from the batch cascade to
+       reconcile, the documented lambda split).
     2. recompute the 1h tier for ONLY the days touched by this batch by
        re-aggregating the (partition-pruned) 1m tier, and replace just
        those day partitions via dynamic partition overwrite;
@@ -127,7 +151,7 @@ def cascade_upsert_batch(
     day = F.date_trunc("day", F.col("bucket")).cast("date").alias("day")
     s = batch_df.sparkSession
     batch_df = batch_df.withColumn("day", day)
-    bdir = f"{store_root}/1m/batch_id={batch_id}"
+    bdir = f"{store_root}/1m/qid={run_id or 'default'}/batch_id={batch_id}"
     if not _hadoop_exists(s, f"{bdir}/_SUCCESS"):
         batch_df.write.mode("overwrite").partitionBy("day").parquet(bdir)
     days = [r["day"] for r in batch_df.select("day").distinct().collect()]
@@ -135,9 +159,9 @@ def cascade_upsert_batch(
         s.read.parquet(f"{store_root}/1m")
         .filter(F.col("day").isin(days))
     )
-    t1h = rollup_cascade(t1m.drop("day", "batch_id"), "1h").withColumn(
-        "day", day
-    )
+    t1h = rollup_cascade(
+        t1m.drop("day", "batch_id", "qid"), "1h"
+    ).withColumn("day", day)
     # dynamic partitionOverwriteMode (session default, session.py):
     # only the touched day directories are replaced
     t1h.write.mode("overwrite").partitionBy("day").parquet(
@@ -183,7 +207,10 @@ def run_streaming_cascade(
 
     writer = (
         agg.writeStream.foreachBatch(
-            lambda df, bid: cascade_upsert_batch(df, bid, store_root)
+            lambda df, bid: cascade_upsert_batch(
+                df, bid, store_root,
+                run_id=_stream_query_id(checkpoint_path),
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
