@@ -1,0 +1,226 @@
+"""Randomized differential tests: run the REFERENCE rulelib live as the
+oracle on adversarial random series and demand code/sval/cval equality
+from every Spark rule.
+
+The per-rule exact-count tests (test_rules.py) pin the reference's own
+micro-fixtures; the DuckDB oracles (tools/check_entry.py) pin hand-written
+SQL twins. This module closes the remaining gap: the reference
+IMPLEMENTATION itself, executed on series with irregular cadence, NaN
+holes, spikes, jumps, and flat runs that no curated fixture covers.
+
+The reference package root imports matplotlib (absent here), so rulelib +
+ts_utils are loaded as a synthetic package — numpy/pandas only.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from traval_spark.operators import rules as R
+
+REF = "/root/reference/traval"
+
+
+@pytest.fixture(scope="module")
+def ref_rulelib():
+    pkg = types.ModuleType("_refpkg")
+    pkg.__path__ = [REF]
+    sys.modules["_refpkg"] = pkg
+    for name in ("ts_utils", "rulelib"):
+        spec = importlib.util.spec_from_file_location(
+            f"_refpkg.{name}", f"{REF}/{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"_refpkg.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["_refpkg.rulelib"]
+
+
+def gen_series(rng: np.random.Generator, n: int = 300) -> pd.Series:
+    """Adversarial series: irregular 1min-3h cadence, random-walk values,
+    planted spikes, level jumps, flat runs, and NaN holes."""
+    steps = rng.integers(1, 180, size=n)
+    idx = pd.Timestamp("2022-01-01") + pd.to_timedelta(
+        np.cumsum(steps), unit="min"
+    )
+    v = np.cumsum(rng.normal(0, 0.2, n))
+    for _ in range(3):  # spikes: one point out and back
+        i = int(rng.integers(5, n - 5))
+        v[i] += float(rng.normal(0, 5))
+    j = int(rng.integers(5, n - 20))
+    v[j:] += float(rng.choice([-4.0, 4.0]))  # level jump
+    k = int(rng.integers(5, n - 30))
+    v[k:k + 12] = v[k]  # flat run
+    holes = rng.random(n) < 0.06
+    v[holes] = np.nan
+    return pd.Series(v, index=idx)
+
+
+def to_spark(spark, s: pd.Series, sid: str = "d1"):
+    return spark.createDataFrame(
+        pd.DataFrame({"series_id": sid, "ts": s.index, "value": s.to_numpy()})
+    )
+
+
+def assert_matches_reference(spark_out, ref_corr: pd.DataFrame, out="r"):
+    got = (
+        spark_out.select("ts", f"{out}_code", f"{out}_sval", f"{out}_cval")
+        .toPandas()
+        .sort_values("ts")
+        .set_index("ts")
+    )
+    want = ref_corr.sort_index()
+    assert len(got) == len(want)
+    assert got[f"{out}_code"].to_numpy().tolist() == [
+        int(c) for c in want["correction_code"].to_numpy()
+    ]
+    np.testing.assert_allclose(
+        got[f"{out}_sval"].to_numpy(),
+        want["series_values"].to_numpy(dtype=float),
+        atol=1e-9, equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got[f"{out}_cval"].to_numpy(),
+        want["comparison_values"].to_numpy(dtype=float),
+        atol=1e-9, equal_nan=True,
+    )
+
+
+SEEDS = [0, 1, 2]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_simple_rules(spark, ref_rulelib, seed):
+    """Threshold / gradient / n-sigma / diff rules vs live reference."""
+    rng = np.random.default_rng(seed)
+    s = gen_series(rng)
+    df = to_spark(spark, s)
+    thr = float(np.nanquantile(s.to_numpy(), 0.8))
+
+    cases = [
+        (
+            R.rule_ufunc_threshold(df, "value", "r", ufunc="greater",
+                                   threshold=thr, offset=0.1),
+            ref_rulelib.rule_ufunc_threshold(s, (np.greater,), thr, 0.1),
+        ),
+        (
+            R.rule_max_gradient(df, "value", "r", max_step=0.3,
+                                max_timestep="2h"),
+            ref_rulelib.rule_max_gradient(s, max_step=0.3, max_timestep="2h"),
+        ),
+        (
+            R.rule_outside_n_sigma(df, "value", "r", n=1.5),
+            ref_rulelib.rule_outside_n_sigma(s, n=1.5),
+        ),
+        (
+            R.rule_diff_ufunc_threshold(df, "value", "r", ufunc="greater",
+                                        threshold=0.5, max_gap="2h"),
+            ref_rulelib.rule_diff_ufunc_threshold(s, (np.greater,), 0.5,
+                                                  max_gap="2h"),
+        ),
+        (
+            R.rule_diff_outside_of_n_sigma(df, "value", "r", n=2.0,
+                                           max_gap="3h"),
+            ref_rulelib.rule_diff_outside_of_n_sigma(s, n=2.0, max_gap="3h"),
+        ),
+        (
+            R.rule_spike_detection(df, "value", "r", threshold=1.0,
+                                   spike_tol=0.5, max_gap="3h"),
+            ref_rulelib.rule_spike_detection(s, threshold=1.0, spike_tol=0.5,
+                                             max_gap="3h"),
+        ),
+    ]
+    for spark_out, ref_corr in cases:
+        assert_matches_reference(spark_out, ref_corr)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_aux_series_rules(spark, ref_rulelib, seed):
+    """Rules taking a second series (bounds, manual obs, series threshold,
+    other-series) vs live reference."""
+    rng = np.random.default_rng(100 + seed)
+    s = gen_series(rng)
+    df = to_spark(spark, s)
+
+    # sparse aux series on their own irregular grid
+    aux_idx = s.index[rng.random(len(s)) < 0.15]
+    lo = pd.Series(
+        np.nanmean(s.to_numpy()) - 1.0 + rng.normal(0, 0.3, len(aux_idx)),
+        index=aux_idx,
+    )
+    hi = lo + 2.0
+    lo_f = to_spark(spark, lo)
+    hi_f = to_spark(spark, hi)
+
+    out = R.rule_outside_bandwidth(df, "value", "r",
+                                   lowerbound=lo_f, upperbound=hi_f)
+    ref = ref_rulelib.rule_outside_bandwidth(s, lo, hi)
+    assert_matches_reference(out, ref)
+
+    man_idx = s.index[rng.random(len(s)) < 0.08]
+    man = pd.Series(
+        s.reindex(man_idx).to_numpy() + rng.normal(0, 0.2, len(man_idx)),
+        index=man_idx,
+    ).dropna()
+    man_f = to_spark(spark, man)
+    out = R.rule_compare_to_manual_obs(
+        df, "value", "r", manual_obs=man_f, threshold=0.15, max_dt="4h",
+        method="linear",
+    )
+    ref = ref_rulelib.rule_compare_to_manual_obs(
+        s, man, threshold=0.15, max_dt="4h", method="linear"
+    )
+    assert_matches_reference(out, ref)
+
+    thr_idx = s.index[rng.random(len(s)) < 0.1]
+    thr_s = pd.Series(
+        float(np.nanquantile(s.to_numpy(), 0.7))
+        + rng.normal(0, 0.2, len(thr_idx)),
+        index=thr_idx,
+    )
+    out = R.rule_ufunc_threshold(df, "value", "r", ufunc="greater",
+                                 threshold=to_spark(spark, thr_s))
+    ref = ref_rulelib.rule_ufunc_threshold(s, (np.greater,), thr_s)
+    assert_matches_reference(out, ref)
+
+    other = s + rng.normal(0, 0.5, len(s))
+    out = R.rule_other_ufunc_threshold(
+        df, "value", "r", other=to_spark(spark, other), ufunc="greater",
+        threshold=float(np.nanquantile(other.to_numpy(), 0.85)),
+    )
+    ref = ref_rulelib.rule_other_ufunc_threshold(
+        s, other, (np.greater,),
+        float(np.nanquantile(other.to_numpy(), 0.85)),
+    )
+    assert_matches_reference(out, ref)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_windowed_rules(spark, ref_rulelib, seed):
+    """flat_signal (rolling std + quantile/hard gates) and
+    offset_detection (greedy pairing kernel) vs live reference."""
+    rng = np.random.default_rng(200 + seed)
+    s = gen_series(rng)
+    df = to_spark(spark, s)
+
+    out = R.rule_flat_signal(df, "value", "r", window=2, min_obs=4,
+                             std_threshold=0.05,
+                             qbelow=0.3, qabove=0.8)
+    ref = ref_rulelib.rule_flat_signal(s, 2, 4, std_threshold=0.05,
+                                       qbelow=0.3, qabove=0.8)
+    assert_matches_reference(out, ref)
+
+    out = R.rule_offset_detection(df, "value", "r", threshold=2.0,
+                                  updown_diff=1.0, max_gap="7D",
+                                  search_method="time")
+    ref = ref_rulelib.rule_offset_detection(s, threshold=2.0,
+                                            updown_diff=1.0, max_gap="7D",
+                                            search_method="time")
+    assert_matches_reference(out, ref)
