@@ -224,3 +224,86 @@ def test_differential_windowed_rules(spark, ref_rulelib, seed):
                                             updown_diff=1.0, max_gap="7D",
                                             search_method="time")
     assert_matches_reference(out, ref)
+
+
+@pytest.fixture(scope="module")
+def ref_ruleset_mod(ref_rulelib):
+    """Reference ruleset.py under the synthetic package, with a stub
+    pastas module (only PastasEncoder/pastas_hook are referenced, and
+    only for serde we don't exercise here)."""
+    if "pastas" not in sys.modules:
+        pas = types.ModuleType("pastas")
+        io_m = types.ModuleType("pastas.io")
+        paspas = types.ModuleType("pastas.io.pas")
+
+        class PastasEncoder:  # serde-only reference
+            pass
+
+        paspas.PastasEncoder = PastasEncoder
+        paspas.pastas_hook = lambda *a, **k: None
+        pas.io = io_m
+        io_m.pas = paspas
+        sys.modules.update(
+            {"pastas": pas, "pastas.io": io_m, "pastas.io.pas": paspas}
+        )
+    spec = importlib.util.spec_from_file_location(
+        "_refpkg.ruleset", f"{REF}/ruleset.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_refpkg.ruleset"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_differential_full_ruleset(spark, ref_rulelib, ref_ruleset_mod, seed):
+    """End-to-end RuleSet differential: the same 5-step DAG (threshold ->
+    spike + n-sigma in parallel -> NaN-OR combine -> shift-to-manual-obs
+    adjustment) executed by the REFERENCE RuleSet and by apply_ruleset;
+    every intermediate step series must match exactly."""
+    from traval_spark.plans.ruleset import SparkRuleSet, apply_ruleset
+
+    rng = np.random.default_rng(300 + seed)
+    s = gen_series(rng)
+    s.name = "d1"
+    thr = float(np.nanquantile(s.to_numpy(), 0.85))
+    man_idx = s.index[rng.random(len(s)) < 0.05]
+    man = pd.Series(
+        s.reindex(man_idx).to_numpy() + rng.normal(0, 0.3, len(man_idx)),
+        index=man_idx,
+    ).dropna()
+
+    ref_rs = ref_ruleset_mod.RuleSet("diff")
+    ref_rs.add_rule("hm", ref_rulelib.rule_ufunc_threshold, apply_to=0,
+                    kwargs={"ufunc": (np.greater,), "threshold": thr})
+    ref_rs.add_rule("spk", ref_rulelib.rule_spike_detection, apply_to=1,
+                    kwargs={"threshold": 1.0, "spike_tol": 0.5,
+                            "max_gap": "3h"})
+    ref_rs.add_rule("sig", ref_rulelib.rule_outside_n_sigma, apply_to=1,
+                    kwargs={"n": 1.5})
+    ref_rs.add_rule("or", ref_rulelib.rule_combine_nan_or, apply_to=(2, 3))
+    ref_rs.add_rule("shift", ref_rulelib.rule_shift_to_manual_obs,
+                    apply_to=4, kwargs={"hseries": man, "max_dt": "2D"})
+    d, _c = ref_rs(s)
+
+    rs = SparkRuleSet("diff")
+    rs.add_rule("hm", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater",), "threshold": thr})
+    rs.add_rule("spk", "rule_spike_detection", apply_to=1,
+                kwargs={"threshold": 1.0, "spike_tol": 0.5,
+                        "max_gap": "3h"})
+    rs.add_rule("sig", "rule_outside_n_sigma", apply_to=1,
+                kwargs={"n": 1.5})
+    rs.add_rule("or", "rule_combine_nan_or", apply_to=(2, 3))
+    rs.add_rule("shift", "rule_shift_to_manual_obs", apply_to=4,
+                kwargs={"hseries": to_spark(spark, man), "max_dt": "2D"})
+    wide = apply_ruleset(to_spark(spark, s), rs)
+    got = wide.toPandas().sort_values("ts").set_index("ts")
+
+    for k in range(6):
+        np.testing.assert_allclose(
+            got[f"step_{k}"].to_numpy(),
+            d[k].to_numpy(dtype=float),
+            atol=1e-9, equal_nan=True,
+            err_msg=f"step_{k} (seed {seed})",
+        )
