@@ -307,3 +307,89 @@ def test_differential_full_ruleset(spark, ref_rulelib, ref_ruleset_mod, seed):
             atol=1e-9, equal_nan=True,
             err_msg=f"step_{k} (seed {seed})",
         )
+
+
+@pytest.fixture(scope="module")
+def ref_comparison_mod(ref_rulelib):
+    """Reference ts_comparison.py under the synthetic package; its .plots
+    import (matplotlib/scipy, absent here) is satisfied with a stub —
+    only the ComparisonPlots NAME is imported at module load."""
+    plots_stub = types.ModuleType("_refpkg.plots")
+    plots_stub.ComparisonPlots = type(
+        "ComparisonPlots", (),
+        {"__init__": lambda self, *a, **k: None},
+    )
+    sys.modules["_refpkg.plots"] = plots_stub
+    for name in ("binary_classifier", "ts_comparison"):
+        spec = importlib.util.spec_from_file_location(
+            f"_refpkg.{name}", f"{REF}/{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"_refpkg.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["_refpkg.ts_comparison"]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_series_comparison(spark, ref_comparison_mod, seed):
+    """compare_series / compare_series_relative / binary classifier vs the
+    live reference SeriesComparison(Relative) on random series with
+    missing rows, NaN holes, and value perturbations."""
+    from traval_spark.comparison import (
+        binary_classification,
+        compare_series,
+        compare_series_relative,
+        summarize_comparison,
+        summarize_relative,
+        with_classifier_stats,
+    )
+
+    rng = np.random.default_rng(400 + seed)
+    base = gen_series(rng, n=250)
+    base.name = "base"
+    # s1/s2: random row drops, extra NaN flags, value perturbations
+    def derive(b, drop_p, nan_p, pert_p):
+        s = b[rng.random(len(b)) >= drop_p].copy()
+        flag = rng.random(len(s)) < nan_p
+        s[flag] = np.nan
+        pert = rng.random(len(s)) < pert_p
+        s[pert] = s[pert] + 1.0
+        return s
+
+    s1 = derive(base, 0.1, 0.15, 0.1)
+    s2 = derive(base, 0.1, 0.15, 0.1)
+    s1.name, s2.name = "s1", "s2"
+
+    ref_cmp = ref_comparison_mod.SeriesComparison(s1.copy(), s2.copy())
+    got = summarize_comparison(
+        compare_series(to_spark(spark, s1), to_spark(spark, s2))
+    ).collect()[0]
+    for cat, want in ref_cmp.summary.items():
+        assert got[cat] == int(want), (cat, seed)
+
+    ref_rel = ref_comparison_mod.SeriesComparisonRelative(
+        s1.copy(), s2.copy(), base.copy()
+    )
+    rel = compare_series_relative(
+        to_spark(spark, s1), to_spark(spark, s2), to_spark(spark, base)
+    )
+    got_rel = summarize_relative(rel).collect()[0]
+    for cat, want in ref_rel.summary_base_comparison.items():
+        assert got_rel[cat] == int(want), (cat, seed)
+
+    bc = with_classifier_stats(binary_classification(rel)).collect()[0]
+    assert (bc["tp"], bc["fp"], bc["tn"], bc["fn"]) == (
+        ref_rel.bc.tp, ref_rel.bc.fp, ref_rel.bc.tn, ref_rel.bc.fn
+    )
+    for ours, theirs in (
+        ("sensitivity", "sensitivity"), ("specificity", "specificity"),
+        ("mcc", "matthews_correlation_coefficient"),
+    ):
+        want = getattr(ref_rel.bc, theirs)
+        if isinstance(want, property):
+            continue
+        got_v = bc[ours]
+        if got_v is None:
+            assert np.isnan(float(want))
+        else:
+            assert abs(got_v - float(want)) < 1e-12, ours
