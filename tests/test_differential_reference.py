@@ -393,3 +393,81 @@ def test_differential_series_comparison(spark, ref_comparison_mod, seed):
             assert np.isnan(float(want))
         else:
             assert abs(got_v - float(want)) < 1e-12, ours
+
+
+@pytest.fixture(scope="module")
+def ref_detector_mod(ref_comparison_mod):
+    """Reference detector.py under the synthetic package; matplotlib
+    (absent here) is stubbed — the module only touches plt inside plot
+    methods we never call."""
+    if "matplotlib" not in sys.modules:
+        mpl = types.ModuleType("matplotlib")
+        plt = types.ModuleType("matplotlib.pyplot")
+        mpl.pyplot = plt
+        sys.modules.update({"matplotlib": mpl, "matplotlib.pyplot": plt})
+    spec = importlib.util.spec_from_file_location(
+        "_refpkg.detector", f"{REF}/detector.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_refpkg.detector"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_differential_detector_confusion_and_uniqueness(
+    spark, ref_rulelib, ref_ruleset_mod, ref_detector_mod, seed
+):
+    """Flagship-path differential: the same Detector + 3-rule ruleset on
+    both engines; per-step confusion matrices (overlapping counts) and
+    uniqueness (unique contribution per rule) must match the live
+    reference exactly."""
+    from traval_spark.plans.detector import Detector
+    from traval_spark.plans.ruleset import SparkRuleSet
+
+    rng = np.random.default_rng(500 + seed)
+    s = gen_series(rng, n=250)
+    s.name = "d1"
+    thr = float(np.nanquantile(s.to_numpy(), 0.85))
+    truth = s.copy()
+    tmask = rng.random(len(s)) < 0.15
+    truth[tmask] = np.nan
+    truth.name = "truth"
+
+    ref_rs = ref_ruleset_mod.RuleSet("diff")
+    ref_rs.add_rule("hm", ref_rulelib.rule_ufunc_threshold, apply_to=0,
+                    kwargs={"ufunc": (np.greater,), "threshold": thr})
+    ref_rs.add_rule("sig", ref_rulelib.rule_outside_n_sigma, apply_to=0,
+                    kwargs={"n": 1.5})
+    ref_rs.add_rule("or", ref_rulelib.rule_combine_nan_or, apply_to=(1, 2))
+    ref_det = ref_detector_mod.Detector(s.copy(), truth=truth.copy())
+    ref_det.apply_ruleset(ref_rs)
+    ref_cm = ref_det.confusion_matrix()
+    ref_un = ref_det.uniqueness()
+
+    rs = SparkRuleSet("diff")
+    rs.add_rule("hm", "rule_ufunc_threshold", apply_to=0,
+                kwargs={"ufunc": ("greater",), "threshold": thr})
+    rs.add_rule("sig", "rule_outside_n_sigma", apply_to=0,
+                kwargs={"n": 1.5})
+    rs.add_rule("or", "rule_combine_nan_or", apply_to=(1, 2))
+    det = Detector(to_spark(spark, s), truth=to_spark(spark, truth))
+    det.apply_ruleset(rs)
+
+    got_cm = {r["step"]: r for r in det.confusion_matrix().collect()}
+    for k in ref_cm.index:
+        if k == 0:
+            continue
+        want = ref_cm.loc[k]
+        got = got_cm[k]
+        assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (
+            want["TP"], want["FP"], want["FN"], want["TN"]
+        ), (k, seed)
+
+    got_un = {r["step"]: r for r in det.uniqueness().collect()}
+    for k in ref_un.index:
+        want = ref_un.loc[k]
+        got = got_un[k]
+        assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (
+            want["TP"], want["FP"], want["FN"], want["TN"]
+        ), (k, seed)
