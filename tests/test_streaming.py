@@ -267,3 +267,61 @@ def test_cascade_fresh_checkpoint_does_not_drop_data(spark, tmp_path):
     # same-lineage replay of the second batch still dedupes
     cascade_upsert_batch(t1m_b, 0, root, run_id="query-bbbb")
     assert spark.read.parquet(f"{root}/1m").count() == n_a + t1m_b.count()
+
+
+def test_stateful_hampel_stream_matches_batch(spark, tmp_path):
+    """Streaming Hampel == batch rule_hampel, with the trailing-window
+    state (values + precomputed deviations) carried across micro-batch
+    splits (maxFilesPerTrigger=1: the rolling median/MAD windows of
+    early second-file points reach into the first file)."""
+    import time as _time
+
+    from traval_spark.operators.rules import rule_hampel
+    from traval_spark.streaming.stateful_rules import stream_hampel_clean
+
+    inp = str(tmp_path / "hin")
+    out = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+
+    seqs = (
+        synth_sequences(spark, 4000, seed=13, span_days=1)
+        .groupBy("source", "ts").agg(F.max("n_tok").alias("n_tok"))
+    )
+    mid = "2024-01-01 12:00:00"
+    early = seqs.filter(F.col("ts") < mid).coalesce(1)
+    late = seqs.filter(F.col("ts") >= mid).coalesce(1)
+    early.write.mode("append").parquet(inp)
+    _time.sleep(1.1)
+    late.write.mode("append").parquet(inp)
+
+    window, k, min_obs = "2h", 2.0, 3
+    q = (
+        stream_hampel_clean(spark, inp, window=window, k=k,
+                            min_obs=min_obs, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("code").alias("s_code"),
+    )
+
+    batch = rule_hampel(
+        seqs.select(F.col("source").alias("series_id"), "ts",
+                    F.col("n_tok").cast("double").alias("value")),
+        "value", "r", window=window, k=k, min_obs=min_obs,
+    ).select(F.col("series_id").alias("source"), "ts",
+             F.col("r_code").cast("int").alias("b_code"))
+
+    # trailing windows: every point emits in its own batch, none pending
+    assert streamed.count() == seqs.count()
+    j = streamed.join(batch, on=["source", "ts"], how="inner")
+    assert j.count() == streamed.count()
+    assert j.filter(F.col("s_code") != F.col("b_code")).count() == 0
+    assert streamed.filter(F.col("s_code") != 0).count() > 0

@@ -136,6 +136,133 @@ def make_spike_state_func(
     return fn
 
 
+#: hampel carried state: every point within `window` of the newest ts,
+#: with its deviation |v - rolling_median| PRECOMPUTED — a trailing-window
+#: rule can emit each point immediately (windows only look back), but a
+#: future point's MAD window needs the deviations of points up to
+#: `window` old, and THOSE deviations were computed against medians over
+#: points up to 2*window old. Storing (ts, val, dev) triples keeps the
+#: state at O(points-per-window) instead of 2x that.
+HAMPEL_STATE_SCHEMA = (
+    "ts array<long>, vals array<double>, devs array<double>"
+)
+
+
+def make_hampel_state_func(
+    window_us: int, k: float, min_obs: int
+):
+    """applyInPandasWithState kernel for the streaming Hampel filter.
+
+    Exactness argument (mirrors the batch chunked kernel's halo proof,
+    operators/kernels.py): a new point t' only needs values in
+    (t'-window, t'] for its median and deviations in the same interval
+    for its MAD; every such point has ts > max_seen - window (input
+    in-order per source), which is exactly what the state retains, and
+    each retained point's deviation was computed when ITS full trailing
+    window was still in the buffer. Flags are therefore identical to
+    batch ``rule_hampel`` (asserted in tests with maxFilesPerTrigger=1
+    forcing windows to span micro-batches).
+    """
+    w_td = pd.Timedelta(window_us, unit="us")
+    consistency = 1.4826 * float(k)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.sort_values("ts")
+        b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        b_vals = batch["value"].to_numpy(dtype=float)
+
+        if state.exists:
+            c_ts, c_vals, c_devs = (
+                np.asarray(a, dtype=t) for a, t in zip(
+                    state.get, ("int64", float, float))
+            )
+            fresh = b_ts > c_ts[-1]  # late rows: already emitted/superseded
+            b_ts, b_vals = b_ts[fresh], b_vals[fresh]
+        else:
+            c_ts = np.empty(0, dtype="int64")
+            c_vals = np.empty(0, dtype=float)
+            c_devs = np.empty(0, dtype=float)
+        if len(b_ts) == 0:
+            return
+
+        ts_us = np.concatenate([c_ts, b_ts])
+        vals = np.concatenate([c_vals, b_vals])
+        idx = pd.DatetimeIndex(ts_us.astype("datetime64[us]"))
+        s = pd.Series(vals, index=idx)
+        n_old = len(c_ts)
+
+        # pandas time rolling is (t-w, t] (closed='right'), the batch
+        # rule's range frame; values at carried positions are WRONG here
+        # (their windows were truncated by retention) and are discarded —
+        # only the new tail is read, whose windows are fully in-buffer
+        med = s.rolling(w_td, min_periods=1).median()
+        dev_new = (s - med).abs().to_numpy()[n_old:]
+        devs = np.concatenate([c_devs, dev_new])
+        dev_s = pd.Series(devs, index=idx)
+        mad = dev_s.rolling(w_td, min_periods=1).median().to_numpy()[n_old:]
+        cnt = s.rolling(w_td, min_periods=1).count().to_numpy()[n_old:]
+
+        with np.errstate(invalid="ignore"):
+            flags = (cnt >= min_obs) & (dev_new > consistency * mad)
+        yield pd.DataFrame(
+            {
+                "source": key[0],
+                "ts": b_ts.astype("datetime64[us]"),
+                "value": b_vals,
+                "code": np.where(flags, _CODE, 0).astype("int32"),
+            }
+        )
+
+        keep = ts_us > ts_us[-1] - window_us
+        state.update((
+            [int(x) for x in ts_us[keep]],
+            [float(x) for x in vals[keep]],
+            [float(x) for x in devs[keep]],
+        ))
+
+    return fn
+
+
+def stream_hampel_clean(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "1D",
+    k: float = 3.0,
+    min_obs: int = 3,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming Hampel filter over tokenized-sequence file drops.
+
+    Trailing-window twin of :func:`stream_spike_clean`: every input point
+    is emitted in the micro-batch it arrives in (trailing windows need no
+    lookahead), flagged identically to batch ``rule_hampel``. State per
+    source is the last ``window`` of (ts, value, deviation) triples.
+    """
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("n_tok").cast("double").alias("value"),
+        )
+    )
+    window_us = int(pd.Timedelta(window).value // 1_000)
+    return stream.groupBy("source").applyInPandasWithState(
+        make_hampel_state_func(window_us, k, min_obs),
+        OUTPUT_SCHEMA,
+        HAMPEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_spike_clean(
     spark: SparkSession,
     input_path: str,
