@@ -396,15 +396,21 @@ def test_differential_series_comparison(spark, ref_comparison_mod, seed):
 
 
 @pytest.fixture(scope="module")
-def ref_detector_mod(ref_comparison_mod):
+def ref_detector_mod(ref_comparison_mod, request):
     """Reference detector.py under the synthetic package; matplotlib
     (absent here) is stubbed — the module only touches plt inside plot
-    methods we never call."""
+    methods we never call. The stub is REMOVED at module teardown so the
+    import-gate tests elsewhere still see a matplotlib-less session."""
+    stubbed = []
     if "matplotlib" not in sys.modules:
         mpl = types.ModuleType("matplotlib")
         plt = types.ModuleType("matplotlib.pyplot")
         mpl.pyplot = plt
         sys.modules.update({"matplotlib": mpl, "matplotlib.pyplot": plt})
+        stubbed = ["matplotlib", "matplotlib.pyplot"]
+    request.addfinalizer(
+        lambda: [sys.modules.pop(m, None) for m in stubbed]
+    )
     spec = importlib.util.spec_from_file_location(
         "_refpkg.detector", f"{REF}/detector.py"
     )
