@@ -477,3 +477,120 @@ def test_differential_detector_confusion_and_uniqueness(
         assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (
             want["TP"], want["FP"], want["FN"], want["TN"]
         ), (k, seed)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_combine_and_misc_rules(spark, ref_rulelib, seed):
+    """Combine rules (nan/corrections x or/and), hardmax/hardmin,
+    shift_to_manual_obs, funcdict, keep_comments vs live reference."""
+    rng = np.random.default_rng(600 + seed)
+    s = gen_series(rng)
+    df = to_spark(spark, s)
+    thr = float(np.nanquantile(s.to_numpy(), 0.8))
+
+    # hardmax / hardmin
+    assert_matches_reference(
+        R.rule_hardmax(df, "value", "r", threshold=thr, offset=0.05),
+        ref_rulelib.rule_hardmax(s, thr, 0.05),
+    )
+    assert_matches_reference(
+        R.rule_hardmin(df, "value", "r", threshold=-thr),
+        ref_rulelib.rule_hardmin(s, -thr),
+    )
+
+    # combine rules over two upstream detection steps
+    ref_a = ref_rulelib.rule_ufunc_threshold(s, (np.greater,), thr)
+    ref_b = ref_rulelib.rule_outside_n_sigma(s, n=1.2)
+    step_a = s.where(ref_a["correction_code"] == 0, np.nan)
+    step_b = s.where(ref_b["correction_code"] == 0, np.nan)
+
+    two = R.rule_ufunc_threshold(df, "value", "a", ufunc="greater",
+                                 threshold=thr)
+    two = R.rule_outside_n_sigma(two, "value", "b", n=1.2)
+    two = two.withColumn(
+        "sa", F.when(F.col("a_code") == 0, F.col("value"))
+    ).withColumn("sb", F.when(F.col("b_code") == 0, F.col("value")))
+
+    for rule, ref_fn, cols in (
+        (R.rule_combine_nan_or, ref_rulelib.rule_combine_nan_or,
+         ["sa", "sb"]),
+        (R.rule_combine_nan_and, ref_rulelib.rule_combine_nan_and,
+         ["sa", "sb"]),
+    ):
+        got = (
+            rule(two, cols, "r").select("ts", "r_res")
+            .toPandas().sort_values("ts").set_index("ts")["r_res"]
+        )
+        want = ref_fn(step_a, step_b)
+        np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                                   atol=1e-12, equal_nan=True)
+
+    # rule_combine_corrections_{or,and} cannot be diffed against the
+    # live reference: they are dead-on-arrival there — with corrections
+    # DataFrames, get_empty_corrections_df(args[0]) builds data arrays of
+    # df.size (rows*3) against a rows-long index (ValueError); with
+    # Series, series["correction_code"] raises KeyError
+    # (rulelib.py:801-818, 844-864; probed below). Our implementation
+    # (99 where any/all codes non-zero, oracle-checked) is the evidently
+    # intended semantics.
+    for ref_fn in (ref_rulelib.rule_combine_corrections_or,
+                   ref_rulelib.rule_combine_corrections_and):
+        with pytest.raises(ValueError):
+            ref_fn(ref_a, ref_b)
+    got_or = (
+        R.rule_combine_corrections_or(two, ["a_code", "b_code"], "r")
+        .select("ts", "r_res").toPandas().sort_values("ts")
+        .set_index("ts")["r_res"]
+    )
+    want_or = np.where(
+        (ref_a["correction_code"].to_numpy() != 0)
+        | (ref_b["correction_code"].to_numpy() != 0), 99, 0)
+    assert got_or.to_numpy().tolist() == want_or.tolist()
+
+    # shift_to_manual_obs: additive-correction series equality
+    man_idx = s.index[rng.random(len(s)) < 0.06]
+    man = pd.Series(
+        s.reindex(man_idx).to_numpy() + rng.normal(0, 0.4, len(man_idx)),
+        index=man_idx,
+    ).dropna()
+    got = (
+        R.rule_shift_to_manual_obs(df, "value", "r",
+                                   hseries=to_spark(spark, man),
+                                   max_dt="2D")
+        .select("ts", "r_corr").toPandas().sort_values("ts")
+        .set_index("ts")["r_corr"]
+    )
+    want = ref_rulelib.rule_shift_to_manual_obs(s, man, max_dt="2D")
+    np.testing.assert_allclose(got.to_numpy(),
+                               want.to_numpy(dtype=float),
+                               atol=1e-9, equal_nan=True)
+
+    # funcdict: two predicates OR'd (vectorized here, .apply there)
+    fd = {"neg": lambda v: v < -1.0, "big": lambda v: v > thr}
+    assert_matches_reference(
+        R.rule_funcdict(df, "value", "r", funcdict=fd),
+        ref_rulelib.rule_funcdict(s, fd),
+    )
+
+    # keep_comments: string comparison values
+    comments = pd.Series(
+        rng.choice(["", "dry sensor", "ice", "dry sensor ice"], len(s)),
+        index=s.index,
+    )
+    dfc = spark.createDataFrame(pd.DataFrame({
+        "series_id": "d1", "ts": s.index, "value": s.to_numpy(),
+        "comment": comments.to_numpy(),
+    }))
+    out = R.rule_keep_comments(dfc, "value", "r",
+                               keep_comments=["dry sensor", "ice"],
+                               comment_series="comment")
+    got = (out.select("ts", "r_code", "r_cval").toPandas()
+           .sort_values("ts").set_index("ts"))
+    want = ref_rulelib.rule_keep_comments(s, ["dry sensor", "ice"],
+                                          comments)
+    assert got["r_code"].to_numpy().tolist() == [
+        int(c) for c in want["correction_code"].to_numpy()
+    ]
+    assert got["r_cval"].fillna("").to_numpy().tolist() == (
+        want["comparison_values"].to_numpy().tolist()
+    )
