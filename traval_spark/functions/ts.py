@@ -455,13 +455,19 @@ def positional_interpolate_specs(
     )
     members = members or {}
     helpers = []
+    shared_rn = None  # member-less pairs share ONE row_number column
     for col, out in pairs:
         m = members.get(out)
         if m is None:
-            rank = F.row_number().over(w_ord)
+            if shared_rn is None:
+                shared_rn = "__rn"
+                df = df.withColumn(shared_rn, F.row_number().over(w_ord))
+                helpers.append(shared_rn)
+            df = df.withColumn(f"__rn_{out}", F.col(shared_rn))
         else:
-            rank = F.sum(m.cast("long")).over(w_fwd)
-        df = df.withColumn(f"__rn_{out}", rank)
+            df = df.withColumn(
+                f"__rn_{out}", F.sum(m.cast("long")).over(w_fwd)
+            )
         helpers.append(f"__rn_{out}")
     for col, out in pairs:
         v = F.col(col)

@@ -38,12 +38,15 @@ from traval_spark.functions.ts import (
     SID,
     TS,
     US,
+    align_interpolate_specs,
     align_resample_ffill_bfill,
     chunked_series_window,
     diff_with_gap_awareness,
     ensure_ntz,
     gap_micros,
+    positional_interpolate_specs,
     series_window,
+    shift_series_forward_backward,
     unix_us,
     with_chunks,
 )
@@ -414,8 +417,6 @@ def rule_outside_bandwidth(
       twice). A NULL in one column means that bound has no observation at
       that timestamp (interpolated across per column).
     """
-    from traval_spark.functions.ts import align_interpolate_specs
-
     if bounds is not None:
         specs = [(bounds, [("lower", f"{out}_lb"), ("upper", f"{out}_ub")])]
     else:
@@ -614,11 +615,6 @@ def rule_pastas_outside_pi(
       its joint ``bounds=`` path — the whole adapter executes the caller's
       bounds plan ONCE.
     """
-    from traval_spark.functions.ts import (
-        positional_interpolate_specs,
-        shift_series_forward_backward,
-    )
-
     joint = ensure_ntz(bounds).select(SID, TS, "lower", "upper")
     if tmin is not None:
         joint = joint.filter(F.col(TS) >= F.lit(pd.Timestamp(tmin)))
