@@ -169,7 +169,7 @@ def test_cascade_upsert_replay_is_idempotent(spark, tmp_path):
     """A foreachBatch replay (same batch_id, same content — what the
     checkpoint guarantees after a crash) must not duplicate 1m rows or
     double-count any tier: the batch_id-keyed 1m write skips on its
-    _SUCCESS marker and the coarse tiers recompute from the
+    _COMMITTED marker and the coarse tiers recompute from the
     duplicate-free 1m tier."""
     from traval_spark.rollup import rollup_cascade, rollup_raw
     from traval_spark.streaming.rollup_stream import cascade_upsert_batch
@@ -325,3 +325,67 @@ def test_stateful_hampel_stream_matches_batch(spark, tmp_path):
     assert j.count() == streamed.count()
     assert j.filter(F.col("s_code") != F.col("b_code")).count() == 0
     assert streamed.filter(F.col("s_code") != 0).count() > 0
+
+
+def test_compact_stream_store_lossless_and_replay_safe(spark, tmp_path):
+    """Compaction of finalized days: row-for-row lossless, shrinks the
+    1m file count, leaves batch-dir _COMMITTED tombstones so replays of
+    compacted batches still skip, and a rerun (the crash-recovery path)
+    converges via the (source, bucket) dedupe invariant."""
+    import glob
+
+    from traval_spark.rollup import rollup_raw
+    from traval_spark.streaming.rollup_stream import (
+        cascade_upsert_batch,
+        compact_stream_store,
+    )
+
+    root = str(tmp_path / "cpstore")
+    seqs = synth_sequences(spark, 3000, seed=9, span_days=2)
+    src = seqs.select("source", "ts",
+                      F.col("n_tok").cast("double").alias("n_tok"))
+    t1m = rollup_raw(src, "1m")
+    # several batches -> several small-file dirs on day 1
+    day1 = t1m.filter(F.col("bucket") < "2024-01-02")
+    half = F.xxhash64("source", "bucket") % 2 == 0
+    cascade_upsert_batch(day1.filter(half), 0, root, run_id="q1")
+    cascade_upsert_batch(day1.filter(~half), 1, root, run_id="q1")
+    cascade_upsert_batch(
+        t1m.filter(F.col("bucket") >= "2024-01-02"), 2, root, run_id="q1")
+
+    before = (spark.read.parquet(f"{root}/1m")
+              .drop("day", "batch_id", "qid").toPandas()
+              .sort_values(["source", "bucket"]).reset_index(drop=True))
+    files_before = len(glob.glob(f"{root}/1m/**/*.parquet", recursive=True))
+
+    n = compact_stream_store(spark, root, before_day="2024-01-02")
+    assert n == 1  # exactly day 1 compacted
+
+    after = (spark.read.parquet(f"{root}/1m")
+             .drop("day", "batch_id", "qid").toPandas()
+             .sort_values(["source", "bucket"]).reset_index(drop=True))
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(before, after)
+    files_after = len(glob.glob(f"{root}/1m/**/*.parquet", recursive=True))
+    assert files_after < files_before
+
+    # replay of a compacted batch: tombstoned _COMMITTED still skips it
+    cascade_upsert_batch(day1.filter(half), 0, root, run_id="q1")
+    again = (spark.read.parquet(f"{root}/1m")
+             .drop("day", "batch_id", "qid").toPandas()
+             .sort_values(["source", "bucket"]).reset_index(drop=True))
+    pd_testing.assert_frame_equal(before, again)
+
+    # crash-recovery rerun: a leftover un-deleted source dir (simulated
+    # with a fresh duplicate batch under another qid) collapses via the
+    # dedupe invariant instead of double-counting
+    cascade_upsert_batch(day1.filter(half), 7, root, run_id="leftover")
+    assert spark.read.parquet(f"{root}/1m").count() > len(before)
+    compact_stream_store(spark, root, before_day="2024-01-02")
+    final = (spark.read.parquet(f"{root}/1m")
+             .drop("day", "batch_id", "qid").toPandas()
+             .sort_values(["source", "bucket"]).reset_index(drop=True))
+    pd_testing.assert_frame_equal(before, final)
+
+    # idempotent when nothing left to compact
+    assert compact_stream_store(spark, root, before_day="2024-01-02") == 0

@@ -15,6 +15,7 @@ source of truth for full-history rebuilds (standard lambda-style split).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +100,15 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _hadoop_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (underscore-prefixed files are ignored
+    by Spark's file listing)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
+
+
 def _stream_query_id(checkpoint_path: str) -> str | None:
     """The streaming query id from ``{checkpoint}/metadata`` — written by
     Spark at query start, STABLE across restarts of the same checkpoint,
@@ -127,9 +137,13 @@ def cascade_upsert_batch(
        :func:`_stream_query_id`). The write is **idempotent within a
        checkpoint lineage**: a replayed batch (same query id + batch_id,
        same deterministic content) finds the batch directory's
-       ``_SUCCESS`` marker and skips; a partial directory from a crashed
+       ``_COMMITTED`` marker (written by THIS sink after the data
+       commits — dynamic-partition-overwrite writes produce no
+       ``_SUCCESS``) and skips; a partial directory from a crashed
        attempt (no marker) is overwritten wholesale. The 1m tier
-       therefore never holds duplicate rows from replays. A FRESH
+       therefore never holds duplicate rows from replays, and the
+       marker doubles as the compaction tombstone
+       (:func:`compact_stream_store`). A FRESH
        checkpoint pointed at an existing store gets a new query id, so
        its batches land instead of being silently skipped (reprocessing
        the same input under a new checkpoint appends a second copy —
@@ -152,8 +166,9 @@ def cascade_upsert_batch(
     s = batch_df.sparkSession
     batch_df = batch_df.withColumn("day", day)
     bdir = f"{store_root}/1m/qid={run_id or 'default'}/batch_id={batch_id}"
-    if not _hadoop_exists(s, f"{bdir}/_SUCCESS"):
+    if not _hadoop_exists(s, f"{bdir}/_COMMITTED"):
         batch_df.write.mode("overwrite").partitionBy("day").parquet(bdir)
+        _hadoop_touch(s, f"{bdir}/_COMMITTED")
     days = [r["day"] for r in batch_df.select("day").distinct().collect()]
     t1m = (
         s.read.parquet(f"{store_root}/1m")
@@ -175,6 +190,94 @@ def cascade_upsert_batch(
     t1d.write.mode("overwrite").partitionBy("day").parquet(
         f"{store_root}/1d"
     )
+
+
+#: qid used for compacted data — never a real streaming query id
+COMPACT_QID = "__compact"
+
+
+def compact_stream_store(
+    spark: SparkSession, store_root: str, before_day
+) -> int:
+    """Compact the 1m tier's batch-dir small files for finalized days.
+
+    The idempotent sink writes one directory per (query id, micro-batch)
+    — correct, but at 100 TB the 1m tier accrues thousands of small
+    files per day. For days strictly before ``before_day`` (choose a cut
+    safely behind the watermark: those days can no longer receive new
+    windows or replays), this:
+
+    1. rewrites all their rows — batch dirs AND previously compacted
+       data — into ``qid=__compact`` day partitions via dynamic
+       partition overwrite (one consolidated file set per day);
+    2. deletes the now-redundant day subdirectories from the source
+       batch dirs, KEEPING each batch dir and its ``_COMMITTED`` marker
+       as a tombstone, so a late replay of an old batch still finds its
+       marker and skips instead of resurrecting the rows.
+
+    Crash-safe by invariant, not ordering: 1m rows are unique per
+    (source, bucket) — append-mode windows + the idempotent batch sink —
+    so the consolidation always runs ``dropDuplicates(source, bucket)``.
+    A crash between the overwrite commit and the source deletes leaves
+    visible duplicates, and a RERUN collapses them (the dedupe makes the
+    whole operation convergent); re-running after full success is a
+    no-op rewrite. Returns the number of day partitions compacted.
+    Row-for-row lossless (asserted in tests).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        t1m = spark.read.parquet(f"{store_root}/1m")
+    except AnalysisException:
+        return 0
+    cut = pd.Timestamp(before_day).date()
+    # only days that still have un-compacted source rows; fully compacted
+    # days would just be rewritten identically
+    days = [
+        r["day"]
+        for r in t1m.filter(
+            (F.col("day") < F.lit(cut))
+            & (F.col("qid") != COMPACT_QID)
+        ).select("day").distinct().collect()
+    ]
+    if not days:
+        return 0
+    old = t1m.filter(F.col("day").isin(days))
+    consolidated = (
+        old.drop("qid", "batch_id").dropDuplicates(["source", "bucket"])
+        # eager materialization BEFORE the write: the target dir is under
+        # the path being read, and overwriting files still referenced by
+        # the lazy plan is the classic self-overwrite corruption. (At
+        # warehouse scale: stage to a temp table instead.)
+        .localCheckpoint(eager=True)
+    )
+    (
+        # batch_id=0 level keeps the partition-directory depth uniform
+        # with the live batch dirs (qid/batch_id/day) for discovery
+        consolidated.write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(f"{store_root}/1m/qid={COMPACT_QID}/batch_id=0")
+    )
+    # drop the compacted day dirs from every source batch dir (markers
+    # and batch dirs themselves stay as replay tombstones)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{store_root}/1m")
+    fs = root.getFileSystem(conf)
+    for qdir in fs.listStatus(root):
+        qname = qdir.getPath().getName()
+        if not qdir.isDirectory() or qname == f"qid={COMPACT_QID}":
+            continue
+        for bdir in fs.listStatus(qdir.getPath()):
+            if not bdir.isDirectory():
+                continue
+            for ddir in fs.listStatus(bdir.getPath()):
+                name = ddir.getPath().getName()
+                if not name.startswith("day="):
+                    continue
+                if pd.Timestamp(name[4:]).date() < cut:
+                    fs.delete(ddir.getPath(), True)
+    return len(days)
 
 
 def run_streaming_cascade(
