@@ -176,6 +176,33 @@ def test_unpack_tier_adds_no_exchange(spark, tmp_path):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
 
 
+def test_threshold_sweep_single_scan_partial_agg(spark, seq_parquet):
+    """The K-threshold ROC sweep must read its input ONCE (one scan, the
+    K-way expansion is a Generate over a literal array) and aggregate
+    with map-side partial aggregation before the single exchange."""
+    from traval_spark.comparison import threshold_sweep
+
+    base = spark.read.parquet(seq_parquet).select(
+        F.col("source").alias("series_id"), "ts",
+        F.col("n_tok").cast("double").alias("value"),
+    )
+    truth = base.withColumn(
+        "value", F.when(F.col("value") > 5, F.lit(None)).otherwise(
+            F.col("value")),
+    )
+    sweep = threshold_sweep(base, truth, [2.0, 4.0, 6.0])
+    plan = fmt_plan(sweep)
+    n_scans = sum(
+        1 for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    )
+    assert n_scans == 2, plan  # base + truth leg, each scanned once
+    assert "Generate" in plan, plan
+    # partial then final aggregate: HashAggregate appears on both sides
+    # of an exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_whole_stage_codegen_covers_mask_pipeline(spark, seq_parquet):
     """Threshold-rule mask evaluation stays inside WholeStageCodegen
     (JVM, vectorizable) — no Python/BatchEvalPython node anywhere.
