@@ -101,15 +101,8 @@ def main() -> None:
         _noop(build_cascade(cleaned, salted=True, n_salt=16)["1d"])
 
     pipeline_run()  # warm page cache + codegen outside the timing
-    # best-of-2 timed runs: this VM shares its cores, and a single timed
-    # run occasionally catches an external load spike (observed 10x on an
-    # otherwise-identical plan); the min of two is the honest steady state
-    wall = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        pipeline_run()
-        wall = min(wall, time.time() - t0)
-    timings["rollup_pipeline"] = round(wall, 3)
+    timed("rollup_pipeline", pipeline_run)
+    wall = timings["rollup_pipeline"]
     extras["rollup_rows"] = synth_rows
     extras["rollup_points_per_sec"] = round(synth_rows / wall, 1)
 

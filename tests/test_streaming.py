@@ -389,3 +389,38 @@ def test_compact_stream_store_lossless_and_replay_safe(spark, tmp_path):
 
     # idempotent when nothing left to compact
     assert compact_stream_store(spark, root, before_day="2024-01-02") == 0
+
+
+def test_compaction_safe_under_static_overwrite_session(spark, tmp_path):
+    """All partition-overwrite writers enforce dynamic mode per-writer:
+    under a session whose default is STATIC (plain spark-submit), a
+    second compaction would otherwise truncate previously compacted days
+    whose source dirs are already deleted — silent data loss (r3 review
+    finding)."""
+    from traval_spark.rollup import rollup_raw
+    from traval_spark.streaming.rollup_stream import (
+        cascade_upsert_batch,
+        compact_stream_store,
+    )
+
+    root = str(tmp_path / "sstore")
+    seqs = synth_sequences(spark, 2000, seed=4, span_days=3)
+    t1m = rollup_raw(
+        seqs.select("source", "ts",
+                    F.col("n_tok").cast("double").alias("n_tok")), "1m")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        cascade_upsert_batch(
+            t1m.filter(F.col("bucket") < "2024-01-02"), 0, root, "qa")
+        cascade_upsert_batch(
+            t1m.filter((F.col("bucket") >= "2024-01-02")
+                       & (F.col("bucket") < "2024-01-03")), 1, root, "qa")
+        cascade_upsert_batch(
+            t1m.filter(F.col("bucket") >= "2024-01-03"), 2, root, "qa")
+        n0 = spark.read.parquet(f"{root}/1m").count()
+        compact_stream_store(spark, root, before_day="2024-01-02")
+        compact_stream_store(spark, root, before_day="2024-01-03")
+        assert spark.read.parquet(f"{root}/1m").count() == n0
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -167,7 +167,14 @@ def cascade_upsert_batch(
     batch_df = batch_df.withColumn("day", day)
     bdir = f"{store_root}/1m/qid={run_id or 'default'}/batch_id={batch_id}"
     if not _hadoop_exists(s, f"{bdir}/_COMMITTED"):
-        batch_df.write.mode("overwrite").partitionBy("day").parquet(bdir)
+        # enforce dynamic overwrite on the writer: under a session with
+        # the static default this would otherwise truncate sibling
+        # partitions
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(bdir)
+        )
         _hadoop_touch(s, f"{bdir}/_COMMITTED")
     days = [r["day"] for r in batch_df.select("day").distinct().collect()]
     t1m = (
@@ -177,18 +184,22 @@ def cascade_upsert_batch(
     t1h = rollup_cascade(
         t1m.drop("day", "batch_id", "qid"), "1h"
     ).withColumn("day", day)
-    # dynamic partitionOverwriteMode (session default, session.py):
-    # only the touched day directories are replaced
-    t1h.write.mode("overwrite").partitionBy("day").parquet(
-        f"{store_root}/1h"
+    # dynamic overwrite enforced per-writer (not just the session
+    # default): only the touched day directories are replaced
+    (
+        t1h.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(f"{store_root}/1h")
     )
     t1h_all = (
         s.read.parquet(f"{store_root}/1h")
         .filter(F.col("day").isin(days))
     )
     t1d = rollup_cascade(t1h_all.drop("day"), "1d").withColumn("day", day)
-    t1d.write.mode("overwrite").partitionBy("day").parquet(
-        f"{store_root}/1d"
+    (
+        t1d.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(f"{store_root}/1d")
     )
 
 
@@ -253,8 +264,12 @@ def compact_stream_store(
     )
     (
         # batch_id=0 level keeps the partition-directory depth uniform
-        # with the live batch dirs (qid/batch_id/day) for discovery
+        # with the live batch dirs (qid/batch_id/day) for discovery.
+        # Dynamic overwrite ENFORCED on the writer: under a static-mode
+        # session this overwrite would truncate previously compacted
+        # days whose source dirs are already deleted — silent data loss
         consolidated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(f"{store_root}/1m/qid={COMPACT_QID}/batch_id=0")
     )
