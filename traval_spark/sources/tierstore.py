@@ -120,8 +120,13 @@ class TierStore:
         if not todo:
             return {"written_partitions": [], "rows": 0}
         sub = df.filter(F.col("day").cast("string").isin(todo))
-        sub.write.mode("overwrite").partitionBy("day").parquet(
-            self.tier_path(tier)
+        # dynamic overwrite ENFORCED per-writer (not just the session
+        # default): a --resume subset write under a STATIC-default
+        # session would truncate every day partition NOT in ``todo``
+        (
+            sub.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(self.tier_path(tier))
         )
         # per-partition output metrics for the manifests
         spark = df.sparkSession
