@@ -864,6 +864,21 @@ def q_cos_dup_pairs_multi(spark, sf_dir):
                             bucketed=True, dim=64, n_tables=2)
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition filters: per-row word stats +
+    the aggregation-shaped top-bigram character fraction (operators/
+    text.py:repetition_columns, top_bigram_fraction)."""
+    from traval_spark.operators.text import (
+        repetition_columns,
+        top_bigram_fraction,
+    )
+
+    d = _docs(spark, sf_dir)
+    cols = repetition_columns(F.col("text"))
+    per_row = d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+    return per_row.join(top_bigram_fraction(d), on="doc_id")
+
+
 def q_multimodal_meta(spark, sf_dir):
     from traval_spark.operators.multimodal import attach_payload, extract_features
 
@@ -937,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
         "roc_sweep": q_roc_sweep,
+        "gopher_repetition": q_gopher_repetition,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -1787,6 +1803,36 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(sum(case when value > threshold and not tf then 1 else 0 end) AS DOUBLE)
                  / nullif(sum(case when not tf then 1 else 0 end), 0), 9) AS fpr
     from j group by threshold order by threshold
+    """
+
+    sql["gopher_repetition"] = """
+    with t as (select doc_id, text,
+                      regexp_split_to_array(text, '\\s+') w,
+                      length(text) chars
+               from documents),
+    base as (select doc_id,
+        len(w) AS n_words,
+        round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                   AS DOUBLE) / len(w), 6) AS mean_word_length,
+        round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+          AS dup_word_fraction
+      from t),
+    bg as (select doc_id, chars, w[i] || ' ' || w[i + 1] AS bg
+           from t, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+    cnts as (select doc_id, chars, bg, count(*) AS cnt
+             from bg group by doc_id, chars, bg),
+    top as (select doc_id, bg AS top_bigram,
+                   round(cnt * length(bg) / CAST(chars AS DOUBLE), 6)
+                     AS top_bigram_char_fraction
+            from (select *, row_number() over (
+                    partition by doc_id order by cnt desc, bg) AS rn
+                  from cnts)
+            where rn = 1)
+    select base.doc_id, n_words, mean_word_length, dup_word_fraction,
+           top_bigram,
+           coalesce(top_bigram_char_fraction, 0.0)
+             AS top_bigram_char_fraction
+    from base left join top on base.doc_id = top.doc_id
     """
 
     # multi-table LSH: second plane set from seed LSH_SEED+1; a pair

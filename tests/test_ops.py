@@ -367,3 +367,35 @@ def test_multimodal_real_decoders_when_libs_exist():
     assert list(feats[:3]) == [10.0, 6.0, 128.0]
     resized = pil_resize_payload(raw, 4, 3)
     assert len(resized) == 12 and set(resized) == {128}
+
+
+def test_repetition_metrics_exact(spark):
+    from traval_spark.operators.text import (
+        repetition_columns,
+        top_bigram_fraction,
+    )
+
+    rows = [
+        (0, "a b a b a b"),       # 6 words, 2 distinct; top bigram "a b" x3
+        (1, "x y z"),             # no repeats; bigrams "x y","y z" tie -> "x y"
+        (2, "solo"),              # 1 word: no bigrams -> fraction 0, NULL bg
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    per = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[v.alias(k) for k, v in
+                    repetition_columns(F.col("text")).items()]
+    ).collect()}
+    assert per[0]["n_words"] == 6
+    assert per[0]["dup_word_fraction"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert per[0]["mean_word_length"] == 1.0
+    assert per[1]["dup_word_fraction"] == 0.0
+    assert per[2]["n_words"] == 1 and per[2]["dup_word_fraction"] == 0.0
+
+    top = {r["doc_id"]: r for r in top_bigram_fraction(docs).collect()}
+    # "a b a b a b" (11 chars): "a b" occurs 3x as a bigram, len 3 -> 9/11
+    assert top[0]["top_bigram"] == "a b"
+    assert top[0]["top_bigram_char_fraction"] == pytest.approx(9 / 11,
+                                                               abs=1e-6)
+    assert top[1]["top_bigram"] == "x y"  # count tie -> lexicographic
+    assert top[2]["top_bigram"] is None
+    assert top[2]["top_bigram_char_fraction"] == 0.0

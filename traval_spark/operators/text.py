@@ -97,3 +97,83 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(better, score).otherwise(best_score)
     return best_lang
+
+
+def repetition_columns(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 quality heuristics), the per-row
+    subset — pure Column expressions, whole-stage-codegen'd:
+
+    - ``n_words``: whitespace token count;
+    - ``mean_word_length``: characters per word;
+    - ``dup_word_fraction``: fraction of words that are repeats of an
+      earlier word (1 - distinct/total) — high for templated/spammy text.
+
+    Ratios rounded to 6dp for cross-engine float stability. See
+    :func:`top_bigram_fraction` for the aggregation-shaped signal.
+    """
+    w = ws_tokens(text)
+    n = F.size(w).cast("double")
+    total_wlen = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    return {
+        "n_words": n.cast("bigint"),
+        "mean_word_length": F.round(total_wlen / n, 6),
+        "dup_word_fraction": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n, 6
+        ),
+    }
+
+
+def top_bigram_fraction(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-document most-frequent word bigram and the fraction of the
+    document's characters its occurrences cover — the Gopher
+    top-n-gram repetition filter's n=2 case.
+
+    Scale shape: bigrams explode to (doc, bigram) rows, count with
+    map-side partial aggregation, and the per-doc argmax is a second
+    partial-aggregatable ``min(struct(-count, bigram))`` — two shuffles
+    keyed by doc (no windows, no driver). Ties break to the
+    lexicographically smallest bigram (deterministic). Documents with
+    fewer than two words get fraction 0.0 and a NULL bigram.
+
+    Returns (id_col, top_bigram, top_bigram_char_fraction).
+    """
+    w = ws_tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    b = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("double").alias("__chars"),
+        F.explode(bigrams).alias("bg"),
+    )
+    counts = b.groupBy(id_col, "__chars", "bg").count()
+    top = counts.groupBy(id_col, "__chars").agg(
+        F.min(F.struct((-F.col("count")).alias("nc"), F.col("bg"))).alias("t")
+    )
+    frac = F.round(
+        (-F.col("t.nc")).cast("double") * F.length(F.col("t.bg"))
+        / F.col("__chars"),
+        6,
+    )
+    top = top.select(
+        id_col,
+        F.col("t.bg").alias("top_bigram"),
+        frac.alias("top_bigram_char_fraction"),
+    )
+    base = docs.select(id_col)
+    return base.join(top, on=id_col, how="left").select(
+        id_col,
+        "top_bigram",
+        F.coalesce(F.col("top_bigram_char_fraction"), F.lit(0.0)).alias(
+            "top_bigram_char_fraction"
+        ),
+    )
