@@ -864,6 +864,18 @@ def q_cos_dup_pairs_multi(spark, sf_dir):
                             bucketed=True, dim=64, n_tables=2)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the banded SimHash near-dup pairs:
+    every doc labeled with its cluster representative (min reachable
+    doc id) — iterative min-label propagation in Spark, transitive
+    closure via recursive CTE in the oracle."""
+    from traval_spark.operators.dedup import dup_clusters, simhash64_dup_pairs
+
+    d = _docs_with_near_dups(spark, sf_dir)
+    pairs = simhash64_dup_pairs(d, max_hamming=3)
+    return dup_clusters(d, pairs)
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition filters: per-row word stats +
     the aggregation-shaped top-bigram character fraction (operators/
@@ -953,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
         "roc_sweep": q_roc_sweep,
         "gopher_repetition": q_gopher_repetition,
+        "dup_clusters": q_dup_clusters,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -1964,6 +1977,25 @@ def oracle_sql() -> dict[str, str]:
     where a.doc_id < b.doc_id
       and bit_count(xor(a.fp_lo, b.fp_lo))
           + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+    sql["dup_clusters"] = f"""
+    with recursive {_ND_DOCS},
+    {_SH64_FP.format(src="nd")},
+    p as (select a.doc_id AS a, b.doc_id AS b
+          from fp a, fp b
+          where a.doc_id < b.doc_id
+            and bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3),
+    e as (select a AS u, b AS v from p union select b, a from p),
+    r(src, dst) as (
+      select u, v from e
+      union
+      select r.src, e.v from r join e on r.dst = e.u
+    )
+    select nd.doc_id,
+           least(nd.doc_id, coalesce(min(r.dst), nd.doc_id)) AS cluster
+    from nd left join r on nd.doc_id = r.src
+    group by nd.doc_id
     """
     minhash8_cols = ", ".join(
         f"list_min([md5('{b}|' || s) for s in sh]) AS sig_{b}"

@@ -75,7 +75,7 @@ def main() -> None:
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "cos_dup_pairs_lsh", "cos_dup_pairs_multi",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "multimodal_meta",
-        "roc_sweep", "gopher_repetition",
+        "roc_sweep", "gopher_repetition", "dup_clusters",
     ]
     for name in headline:
         timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))

@@ -399,3 +399,19 @@ def test_repetition_metrics_exact(spark):
     assert top[1]["top_bigram"] == "x y"  # count tie -> lexicographic
     assert top[2]["top_bigram"] is None
     assert top[2]["top_bigram_char_fraction"] == 0.0
+
+
+def test_dup_clusters_chain_and_singletons(spark):
+    """Min-label propagation: a diameter-3 chain converges to one
+    cluster, disconnected pairs/singletons keep their own components."""
+    from traval_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "a long, b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+    # representatives = rows whose label is their own id
+    reps = {k for k, v in out.items() if k == v}
+    assert reps == {0, 4, 5, 7}

@@ -362,3 +362,69 @@ def lsh_banded_pairs(
         .distinct()
     )
     return pairs
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc
+    labeled with the SMALLEST doc id reachable through dup pairs — its
+    cluster representative (keep rows where id == cluster, drop the
+    rest: the standard last step of a fuzzy-dedup pipeline). Docs in no
+    pair label themselves.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup components are small near-cliques,
+    diameter 1-3 in practice). Per round: one join + a
+    partial-aggregatable min, with the label frame localCheckpointed to
+    truncate the otherwise-exponential iterative lineage; convergence =
+    zero changed labels (one count per round — the driver only ever
+    sees a scalar). At extreme diameters swap in large-star/small-star
+    (O(log n) rounds); the per-round plan shape is identical.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v")))
+        .persist()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("v"),
+                              F.col("label").alias("nl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr.withColumnRenamed("u", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster")
+    )
