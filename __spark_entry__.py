@@ -864,6 +864,23 @@ def q_cos_dup_pairs_multi(spark, sf_dir):
                             bucketed=True, dim=64, n_tables=2)
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column
+    JVM-side (get_json_object — codegen'd, no Python) and aggregate per
+    event_type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the banded SimHash near-dup pairs:
     every doc labeled with its cluster representative (min reachable
@@ -966,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_sweep": q_roc_sweep,
         "gopher_repetition": q_gopher_repetition,
         "dup_clusters": q_dup_clusters,
+        "json_props": q_json_props,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -1977,6 +1995,16 @@ def oracle_sql() -> dict[str, str]:
     where a.doc_id < b.doc_id
       and bit_count(xor(a.fp_lo, b.fp_lo))
           + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+    sql["json_props"] = """
+    select event_type,
+           count(k) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(avg(k), 6) AS avg_k
+    from (select event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          from events)
+    group by event_type
     """
     sql["dup_clusters"] = f"""
     with recursive {_ND_DOCS},
