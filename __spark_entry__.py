@@ -864,6 +864,75 @@ def q_cos_dup_pairs_multi(spark, sf_dir):
                             bucketed=True, dim=64, n_tables=2)
 
 
+def _tpch(spark, sf_dir, name):
+    _ship_package(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem: single-scan groupBy
+    with partial aggregation; sums rounded for cross-engine float-sum
+    stability (magnitudes ~1e8, double-summation order error ~1e-6)."""
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_tpch_top_orders(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: broadcast the filtered customer
+    dim into the orders x lineitem join, top-10 via
+    TakeOrderedAndProject (fully deterministic tie-break)."""
+    c = _tpch(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _tpch(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15"))
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15"))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(rev, 2).alias("revenue"))
+    return g.orderBy(
+        F.desc("revenue"), "o_orderdate", "l_orderkey").limit(10)
+
+
+def q_tpch_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-style local-supplier volume: the full 6-table join chain
+    with every dimension broadcast; per-nation revenue."""
+    r = _tpch(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _tpch(spark, sf_dir, "nation")
+    c = _tpch(spark, sf_dir, "customer")
+    su = _tpch(spark, sf_dir, "supplier")
+    o = _tpch(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    l = _tpch(spark, sf_dir, "lineitem")
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.groupBy("n_name").agg(F.round(rev, 2).alias("revenue"))
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: parse the events.props JSON column
     JVM-side (get_json_object — codegen'd, no Python) and aggregate per
@@ -984,6 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "dup_clusters": q_dup_clusters,
         "json_props": q_json_props,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_top_orders": q_tpch_top_orders,
+        "tpch_regional_revenue": q_tpch_regional_revenue,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -1995,6 +2067,49 @@ def oracle_sql() -> dict[str, str]:
     where a.doc_id < b.doc_id
       and bit_count(xor(a.fp_lo, b.fp_lo))
           + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+    sql["tpch_pricing"] = """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    from lineitem
+    where l_shipdate <= TIMESTAMP '1998-09-02'
+    group by l_returnflag, l_linestatus
+    """
+    sql["tpch_top_orders"] = """
+    select l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    where c.c_mktsegment = 'BUILDING'
+      and o.o_orderdate < TIMESTAMP '1997-03-15'
+      and l.l_shipdate > TIMESTAMP '1997-03-15'
+    group by l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    order by revenue desc, o.o_orderdate, l.l_orderkey
+    limit 10
+    """
+    sql["tpch_regional_revenue"] = """
+    select n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join supplier s on l.l_suppkey = s.s_suppkey
+    join customer c on o.o_custkey = c.c_custkey
+                   and c.c_nationkey = s.s_nationkey
+    join nation n on s.s_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    where r.r_name = 'ASIA'
+      and o.o_orderdate >= TIMESTAMP '1996-01-01'
+      and o.o_orderdate < TIMESTAMP '1997-01-01'
+    group by n.n_name
     """
     sql["json_props"] = """
     select event_type,

@@ -220,3 +220,20 @@ def test_whole_stage_codegen_covers_mask_pipeline(spark, seq_parquet):
     # formatted mode marks whole-stage-codegen operators with a '*'
     assert "* Project" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_join_chain_broadcasts_dims(spark):
+    """The 6-table regional-revenue chain must broadcast every dimension
+    (supplier/customer/nation/region) — a shuffled sort-merge join on a
+    tiny dim would be the classic fleet-scale bug — and the top-orders
+    query must plan its top-10 as TakeOrderedAndProject, not a global
+    sort."""
+    import __spark_entry__ as em
+
+    plan = fmt_plan(em.queries()["tpch_regional_revenue"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+    plan3 = fmt_plan(em.queries()["tpch_top_orders"](
+        spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan3, plan3
