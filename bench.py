@@ -76,6 +76,7 @@ def main() -> None:
         "simhash64_dups", "cos_dup_pairs_lsh", "cos_dup_pairs_multi",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "multimodal_meta",
         "roc_sweep", "gopher_repetition", "dup_clusters",
+        "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
     ]
     for name in headline:
         timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))
