@@ -405,6 +405,9 @@ def dup_clusters(
             .groupBy("u")
             .agg(F.min("nl").alias("nmin"))
         )
+        # carry the changed flag IN the propagated frame: the convergence
+        # check is then a filter-count over the checkpointed result, not
+        # a second join against the previous labels
         new = (
             labels.join(nbr.withColumnRenamed("u", "id"), "id", "left")
             .select(
@@ -412,16 +415,13 @@ def dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label"))
+                 < F.col("label")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("__changed")).count()
+        labels = new.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()
