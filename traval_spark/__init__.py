@@ -10,6 +10,9 @@ checkpoint/resume with lineage manifests) over tokenized-sequence tables.
 """
 
 from traval_spark.codes import CorrectionCode  # noqa: F401
+from traval_spark.functions.masks import (  # noqa: F401
+    get_correction_status_name,
+)
 from traval_spark.comparison import (  # noqa: F401
     binary_classification,
     compare_series,

@@ -112,3 +112,12 @@ def corrections_as_nan(code: Column) -> Column:
     """
     tautology = (code != 0) | (code != 4)
     return F.when(tautology, F.lit(None).cast("double")).otherwise(F.lit(0.0))
+
+
+def get_correction_status_name(code):
+    """Reference-name alias (ts_utils.py:478-491): accepts either a
+    correction-code Column (CASE expression) or a plain int (driver-side
+    dict lookup, the reference's scalar call shape)."""
+    if isinstance(code, Column):
+        return correction_status_name(code)
+    return CODE_NAMES.get(int(code), None)
