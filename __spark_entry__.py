@@ -869,6 +869,25 @@ def _tpch(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def q_sliding_rollup(spark, sf_dir):
+    """Sliding-window rollup via stream slicing (panes): raw rows
+    aggregate once into 10m panes, panes combine into overlapping 1h
+    windows — k x less shuffle than the built-in row-replicating
+    F.window (rollup.py:sliding_rollup; oracle = the DIRECT sliding
+    definition, independent of the pane construction)."""
+    from traval_spark.rollup import sliding_rollup
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    out = sliding_rollup(src, window="1h", slide="10m")
+    return out.select(
+        "source", "window_start", "n_points",
+        F.round("sum_tok", 6).alias("sum_tok"), "min_tok", "max_tok",
+    )
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem: single-scan groupBy
     with partial aggregation; sums rounded for cross-engine float-sum
@@ -1054,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "json_props": q_json_props,
         "tpch_pricing": q_tpch_pricing,
+        "sliding_rollup": q_sliding_rollup,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
         "multimodal_meta": q_multimodal_meta,
@@ -2067,6 +2087,28 @@ def oracle_sql() -> dict[str, str]:
     where a.doc_id < b.doc_id
       and bit_count(xor(a.fp_lo, b.fp_lo))
           + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+    sql["sliding_rollup"] = """
+    with src as (select event_type AS source, ts, value AS n_tok
+                 from events),
+    pb as (select distinct source,
+                  make_timestamp(CAST(floor(epoch(ts) / 600) * 600
+                                      AS BIGINT) * 1000000) AS p
+           from src),
+    w as (select distinct source,
+                 p - (k * INTERVAL '10 minutes') AS window_start
+          from pb, unnest(generate_series(0, 5)) AS g(k)),
+    agg as (select w.source, w.window_start,
+                   count(e.n_tok) AS n_points,
+                   round(sum(e.n_tok), 6) AS sum_tok,
+                   min(e.n_tok) AS min_tok,
+                   max(e.n_tok) AS max_tok
+            from w join src e
+              on e.source = w.source
+             and e.ts >= w.window_start
+             and e.ts < w.window_start + INTERVAL '60 minutes'
+            group by 1, 2)
+    select * from agg
     """
     sql["tpch_pricing"] = """
     select l_returnflag, l_linestatus,

@@ -68,7 +68,7 @@ def main() -> None:
         "hardmax", "spike_detection", "outside_nsigma", "flat_signal",
         "hampel", "linear_interp",
         "asof_resample", "relative_summary", "binary_classifier",
-        "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted",
+        "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted", "sliding_rollup",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "quality_score", "fingerprint",

@@ -273,3 +273,37 @@ def test_tierstore_resume_safe_under_static_overwrite_session(spark, tmp_path):
         assert spark.read.parquet(st.tier_path("1m")).count() == n0
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_sliding_rollup_equals_builtin_window(spark):
+    """Pane-based sliding rollup == Spark's built-in F.window sliding
+    aggregation: identical window sets and count/min/max, sums equal up
+    to double summation order — with only pane rows (not raw rows)
+    replicated k times."""
+    from traval_spark.rollup import sliding_rollup
+    from traval_spark.sources.synth import synth_sequences
+
+    src = synth_sequences(spark, 3000, seed=2, span_days=1).select(
+        "source", "ts", F.col("n_tok").cast("double").alias("n_tok"))
+    got = sliding_rollup(src, window="1h", slide="10m")
+    builtin = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("source", F.window("ts", "1 hour", "10 minutes").alias("w"))
+        .agg(F.count("n_tok").alias("n_points"),
+             F.sum("n_tok").alias("sum_tok"),
+             F.min("n_tok").alias("min_tok"),
+             F.max("n_tok").alias("max_tok"))
+        .select("source",
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n_points", "sum_tok", "min_tok", "max_tok")
+    )
+    j = got.alias("g").join(builtin.alias("b"),
+                            ["source", "window_start"], "full_outer")
+    assert j.filter(F.col("g.n_points").isNull()
+                    | F.col("b.n_points").isNull()).count() == 0
+    assert j.filter(
+        (F.col("g.n_points") != F.col("b.n_points"))
+        | (F.col("g.min_tok") != F.col("b.min_tok"))
+        | (F.col("g.max_tok") != F.col("b.max_tok"))
+        | (F.abs(F.col("g.sum_tok") - F.col("b.sum_tok")) > 1e-9)
+    ).count() == 0

@@ -215,3 +215,63 @@ def build_cascade(raw: DataFrame, salted: bool = True,
     t1h = rollup_cascade(t1m, "1h")
     t1d = rollup_cascade(t1h, "1d")
     return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def sliding_rollup(
+    df: DataFrame,
+    window: str = "1h",
+    slide: str = "10m",
+    value_col: str = "n_tok",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window rollup via stream slicing (panes — the
+    Scotty/stream-slicing construction, EDBT'19/ICDE'18): raw rows
+    aggregate ONCE into non-overlapping slide-width panes, then each
+    pane's partial aggregate combines into the window/slide overlapping
+    windows that contain it.
+
+    Spark's built-in ``F.window(ts, window, slide)`` replicates every RAW
+    ROW into all k = window/slide windows before aggregating — k x the
+    shuffle volume. Here only the tiny pane rows replicate: raw data is
+    scanned and shuffled exactly once regardless of the overlap factor,
+    and the pane->window combine moves (sources x panes x k) partial
+    rows. Exact: count/sum/min/max compose over the pane partition
+    (asserted equal to the built-in formulation in tests). Requires
+    window to be a multiple of slide; windows are epoch-aligned to the
+    slide, and a window exists iff it contains >= 1 observation (the
+    built-in's semantics).
+
+    Returns (source, window_start, n_points, sum_tok, min_tok, max_tok).
+    """
+    from traval_spark.functions.ts import gap_micros, unix_us
+
+    w_us, s_us = gap_micros(window), gap_micros(slide)
+    if w_us % s_us:
+        raise ValueError("window must be a multiple of slide")
+    k = w_us // s_us
+    df = ensure_ntz(df, ts_col)
+    if value_col != "n_tok":
+        df = df.withColumn("n_tok", F.col(value_col))
+    pane = (
+        F.floor(unix_us(F.col(ts_col)) / F.lit(s_us)) * F.lit(s_us)
+    ).alias("__pane_us")
+    panes = df.groupBy(F.col("source"), pane).agg(*_agg_exprs_raw())
+    expanded = panes.select(
+        "source",
+        "__pane_us",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+        *MEASURES,
+    ).select(
+        "source",
+        (F.col("__pane_us")
+         - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
+         ).alias("__win_us"),
+        *MEASURES,
+    )
+    win = F.timestamp_micros(F.col("__win_us")).cast(
+        "timestamp_ntz"
+    ).alias("window_start")
+    return (
+        expanded.groupBy(F.col("source"), win)
+        .agg(*_agg_exprs_cascade())
+    )
