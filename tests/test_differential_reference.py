@@ -93,7 +93,10 @@ def assert_matches_reference(spark_out, ref_corr: pd.DataFrame, out="r"):
     )
 
 
-SEEDS = [0, 1, 2]
+# default 3 seeds in CI; crank via TRAVAL_DIFF_SEEDS for one-off deep fuzz
+import os
+
+SEEDS = list(range(int(os.environ.get("TRAVAL_DIFF_SEEDS", "3"))))
 
 
 @pytest.mark.parametrize("seed", SEEDS)
