@@ -424,3 +424,47 @@ def test_compaction_safe_under_static_overwrite_session(spark, tmp_path):
         assert spark.read.parquet(f"{root}/1m").count() == n0
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_sliding_windows_over_streamed_tier(spark, tmp_path):
+    """Composition: the streamed 1m tier IS the pane tier — sliding 1h/10m
+    windows derived from it equal a batch sliding_rollup over the raw
+    rows the stream has finalized (pane-combine is tier-agnostic)."""
+    from traval_spark.rollup import sliding_rollup
+
+    inp = str(tmp_path / "slin")
+    out = str(tmp_path / "slout")
+    ckpt = str(tmp_path / "slckpt")
+    seqs = synth_sequences(spark, 3000, seed=21, span_days=1)
+    seqs.coalesce(1).write.mode("append").parquet(inp)
+    run_incremental_rollup(spark, inp, out, ckpt, watermark="1 minute")
+    t1m = spark.read.parquet(out)
+
+    # panes from the streamed tier: rename to the sliding input shape
+    # (each 1m bucket is a pre-aggregated pane: n_tok := sum_tok etc.)
+    got = sliding_rollup(
+        t1m.select("source", F.col("bucket").alias("ts"),
+                   F.col("sum_tok").alias("n_tok")),
+        window="1h", slide="10m",
+    ).select("source", "window_start", "sum_tok")
+
+    # batch truth over exactly the rows whose 1m windows the stream
+    # finalized (watermark holds back each source's tail)
+    finalized = seqs.join(
+        t1m.select("source", "bucket"),
+        on=[seqs.source == t1m.source,
+            F.date_trunc("minute", seqs.ts).cast("timestamp_ntz")
+            == t1m.bucket],
+    ).select(seqs.source, seqs.ts, seqs.n_tok)
+    want = sliding_rollup(
+        finalized.select("source", "ts",
+                         F.col("n_tok").cast("double").alias("n_tok")),
+        window="1h", slide="10m",
+    ).select("source", "window_start", "sum_tok")
+
+    j = got.alias("g").join(want.alias("w"),
+                            ["source", "window_start"], "full_outer")
+    assert j.filter(F.col("g.sum_tok").isNull()
+                    | F.col("w.sum_tok").isNull()).count() == 0
+    assert j.filter(
+        F.abs(F.col("g.sum_tok") - F.col("w.sum_tok")) > 1e-9).count() == 0
