@@ -869,6 +869,20 @@ def _tpch(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream per user via the
+    native session_window aggregation (rollup.py:session_rollup; oracle
+    = the classic lag + running-sum session-id formulation). Sums
+    rounded for float stability."""
+    from traval_spark.rollup import session_rollup
+
+    out = session_rollup(_events(spark, sf_dir), gap="30m")
+    return out.select(
+        "user", "session_start", "session_end_ts", "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_sliding_rollup(spark, sf_dir):
     """Sliding-window rollup via stream slicing (panes): raw rows
     aggregate once into 10m panes, panes combine into overlapping 1h
@@ -1074,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "tpch_pricing": q_tpch_pricing,
         "sliding_rollup": q_sliding_rollup,
+        "sessionize": q_sessionize,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
         "multimodal_meta": q_multimodal_meta,
@@ -2087,6 +2102,23 @@ def oracle_sql() -> dict[str, str]:
     where a.doc_id < b.doc_id
       and bit_count(xor(a.fp_lo, b.fp_lo))
           + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+    sql["sessionize"] = """
+    with e as (select user_id, ts, value,
+                      case when epoch(ts) - epoch(lag(ts) over
+                             (partition by user_id order by ts)) > 1800
+                           then 1 else 0 end AS ns
+               from events),
+    s as (select user_id, ts, value,
+                 sum(ns) over (partition by user_id order by ts
+                               rows unbounded preceding) AS sid
+          from e)
+    select user_id AS user,
+           min(ts) AS session_start,
+           max(ts) AS session_end_ts,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    from s group by user_id, sid
     """
     sql["sliding_rollup"] = """
     with src as (select event_type AS source, ts, value AS n_tok

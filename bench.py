@@ -69,6 +69,7 @@ def main() -> None:
         "hampel", "linear_interp",
         "asof_resample", "relative_summary", "binary_classifier",
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted", "sliding_rollup",
+        "sessionize",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "quality_score", "fingerprint",

@@ -8,6 +8,7 @@ Gorilla round-trip bit-exactness, checkpoint/resume partition skipping.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -307,3 +308,43 @@ def test_sliding_rollup_equals_builtin_window(spark):
         | (F.col("g.max_tok") != F.col("b.max_tok"))
         | (F.abs(F.col("g.sum_tok") - F.col("b.sum_tok")) > 1e-9)
     ).count() == 0
+
+
+def test_session_rollup_equals_lag_formulation(spark):
+    """Native session_window sessionization == the lag + running-sum
+    session-id formulation (also the oracle shape), including tie-free
+    boundary behavior at exactly-gap spacings."""
+    from traval_spark.functions.ts import gap_micros, unix_us
+    from traval_spark.rollup import session_rollup
+    from pyspark.sql import Window
+
+    idx = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:10:00",  # session 1
+        "2024-01-01 00:40:00",                          # exactly 30m: SAME
+        "2024-01-01 01:20:01",                          # > 30m: new session
+    ])
+    ev = spark.createDataFrame(
+        pd.DataFrame({"user_id": 7, "ts": idx, "value": 1.0}))
+    got = session_rollup(ev, gap="30m").orderBy("session_start").collect()
+    assert [r["n_events"] for r in got] == [3, 1]
+    assert got[0]["session_end_ts"] == pd.Timestamp("2024-01-01 00:40:00")
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gus = gap_micros("30m")
+    ns = F.when(
+        unix_us(F.col("ts")) - unix_us(F.lag("ts").over(w)) > gus, 1
+    ).otherwise(0)
+    e = ev.withColumn("__sid", F.sum(F.coalesce(ns, F.lit(0))).over(w))
+    want = (
+        e.groupBy(F.col("user_id").alias("user"), "__sid")
+        .agg(F.min("ts").cast("timestamp_ntz").alias("session_start"),
+             F.max("ts").cast("timestamp_ntz").alias("session_end_ts"),
+             F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .drop("__sid")
+        .select("user", "session_start", "session_end_ts",
+                "n_events", "sum_value")
+    )
+    full = session_rollup(ev, gap="30m")
+    assert full.exceptAll(want).count() == 0
+    assert want.exceptAll(full).count() == 0

@@ -275,3 +275,53 @@ def sliding_rollup(
         expanded.groupBy(F.col("source"), win)
         .agg(*_agg_exprs_cascade())
     )
+
+
+def session_rollup(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30m",
+) -> DataFrame:
+    """Gap-based sessionization + per-session aggregates.
+
+    Uses Spark's native ``session_window`` (merging state machine inside
+    the aggregation — works identically in batch and Structured
+    Streaming): events of one user belong to one session while
+    consecutive gaps stay <= ``gap``. Cross-checked in tests against the
+    classic lag+running-sum formulation (which is also the DuckDB oracle
+    shape). Returns (user, session_start, session_end_ts, n_events,
+    sum_value) where session_end_ts is the LAST EVENT's timestamp (the
+    built-in's window.end = last_ts + gap; subtracting the gap makes the
+    result gap-independent and oracle-friendly).
+    """
+    from traval_spark.functions.ts import gap_micros
+
+    g_us = gap_micros(gap)
+    df = ensure_ntz(df, ts_col)
+    # normalize the pandas-style gap ("30m") to an unambiguous Spark
+    # duration string — session_window's interval parser differs
+    gap_str = f"{g_us} microseconds"
+    out = (
+        df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .groupBy(
+            F.col(user_col).alias("user"),
+            F.session_window(F.col("__ts"), gap_str).alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col)).alias("sum_value"),
+        )
+    )
+    return out.select(
+        "user",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        (
+            F.timestamp_micros(
+                F.unix_micros(F.col("w.end")) - F.lit(g_us)
+            ).cast("timestamp_ntz")
+        ).alias("session_end_ts"),
+        "n_events",
+        "sum_value",
+    )
