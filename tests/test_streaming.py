@@ -468,3 +468,56 @@ def test_sliding_windows_over_streamed_tier(spark, tmp_path):
                     | F.col("w.sum_tok").isNull()).count() == 0
     assert j.filter(
         F.abs(F.col("g.sum_tok") - F.col("w.sum_tok")) > 1e-9).count() == 0
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Streaming session_window (watermark + append) == batch
+    session_rollup for every finalized session, across a two-file
+    micro-batch split that forces session merges over the boundary."""
+    import time as _time
+
+    from traval_spark.rollup import session_rollup
+    from traval_spark.streaming.rollup_stream import stream_sessionize
+
+    inp = str(tmp_path / "sein")
+    out = str(tmp_path / "seout")
+    ckpt = str(tmp_path / "seckpt")
+
+    seqs = synth_sequences(spark, 4000, seed=31, span_days=1)
+    mid = "2024-01-01 12:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(inp)
+
+    q = (
+        stream_sessionize(spark, inp, gap="10m", watermark="1 minute",
+                          max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out)
+    assert streamed.count() > 0
+
+    batch = session_rollup(
+        seqs.select(F.col("source").alias("user_id"), "ts",
+                    F.col("n_tok").cast("double").alias("value")),
+        gap="10m",
+    ).withColumnRenamed("user", "source")
+
+    # every emitted session matches its batch twin exactly; only each
+    # source's trailing (watermark-held) session may be missing
+    j = streamed.alias("s").join(
+        batch.alias("b"), on=["source", "session_start"], how="left")
+    assert j.filter(F.col("b.n_events").isNull()).count() == 0
+    assert j.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.col("s.session_end_ts") != F.col("b.session_end_ts"))
+        | (F.abs(F.col("s.sum_value") - F.col("b.sum_value")) > 1e-9)
+    ).count() == 0
+    n_sources = seqs.select("source").distinct().count()
+    assert streamed.count() >= batch.count() - n_sources

@@ -339,3 +339,50 @@ def run_streaming_cascade(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_path: str,
+    gap: str = "30m",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming gap-based sessionization of sequence file drops per
+    source: the SAME native session_window aggregation as the batch
+    :func:`traval_spark.rollup.session_rollup` runs under a watermark —
+    sessions emit (append mode) once the watermark passes their close,
+    after which they can no longer merge. Emitted sessions are therefore
+    exactly the batch result restricted to watermark-finalized sessions
+    (asserted in tests)."""
+    g_us = int(pd.Timedelta(gap).value // 1_000)
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("n_tok").cast("double").alias("value"),
+        )
+    )
+    out = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("source"),
+            F.session_window(F.col("ts"), f"{g_us} microseconds").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    return out.select(
+        "source",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("w.end")) - F.lit(g_us)
+        ).cast("timestamp_ntz").alias("session_end_ts"),
+        "n_events",
+        "sum_value",
+    )
