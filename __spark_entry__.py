@@ -1960,7 +1960,8 @@ def oracle_sql() -> dict[str, str]:
     cnts as (select doc_id, chars, bg, count(*) AS cnt
              from bg group by doc_id, chars, bg),
     top as (select doc_id, bg AS top_bigram,
-                   round(cnt * length(bg) / CAST(chars AS DOUBLE), 6)
+                   round(least(1.0,
+                               cnt * length(bg) / CAST(chars AS DOUBLE)), 6)
                      AS top_bigram_char_fraction
             from (select *, row_number() over (
                     partition by doc_id order by cnt desc, bg) AS rn

@@ -415,3 +415,47 @@ def test_dup_clusters_chain_and_singletons(spark):
     # representatives = rows whose label is their own id
     reps = {k for k, v in out.items() if k == v}
     assert reps == {0, 4, 5, 7}
+
+
+def test_dup_clusters_string_ids_and_nonconvergence(spark):
+    from traval_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [(f"doc_{i}",) for i in range(5)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("doc_0", "doc_1"), ("doc_3", "doc_4")], "a string, b string")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(docs, pairs).collect()}
+    assert out == {"doc_0": "doc_0", "doc_1": "doc_0", "doc_2": "doc_2",
+                   "doc_3": "doc_3", "doc_4": "doc_3"}
+
+    chain_docs = spark.createDataFrame([(i,) for i in range(6)],
+                                       "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                  "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(chain_docs, chain, max_iter=2)
+
+
+def test_top_bigram_fraction_caps_overlapping_repeats(spark):
+    from traval_spark.operators.text import top_bigram_fraction
+
+    docs = spark.createDataFrame([(0, "a a a a a")],
+                                 "doc_id long, text string")
+    row = top_bigram_fraction(docs).collect()[0]
+    # 'a a' occurs 4x overlapping (mass 12 > 9 chars): capped at 1.0
+    assert row["top_bigram"] == "a a"
+    assert row["top_bigram_char_fraction"] == 1.0
+
+
+def test_repetition_columns_null_text(spark):
+    from traval_spark.operators.text import repetition_columns
+
+    docs = spark.createDataFrame([(0, None), (1, "x y")],
+                                 "doc_id long, text string")
+    cols = repetition_columns(F.col("text"))
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    assert rows[0]["n_words"] is None
+    assert rows[0]["dup_word_fraction"] is None
+    assert rows[1]["n_words"] == 2

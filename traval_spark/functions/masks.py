@@ -15,6 +15,7 @@ A corrections result is three columns added to the long frame:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,9 +116,14 @@ def corrections_as_nan(code: Column) -> Column:
 
 
 def get_correction_status_name(code):
-    """Reference-name alias (ts_utils.py:478-491): accepts either a
-    correction-code Column (CASE expression) or a plain int (driver-side
-    dict lookup, the reference's scalar call shape)."""
+    """Reference-name alias (ts_utils.py:478-491).
+
+    Accepts a correction-code Column (CASE expression), a pandas
+    Series/DataFrame (the reference's signature: NaN->0 then mapped,
+    unknown codes raise ValueError exactly like ``CorrectionCode(c)``),
+    or a plain int code."""
     if isinstance(code, Column):
         return correction_status_name(code)
-    return CODE_NAMES.get(int(code), None)
+    if isinstance(code, (pd.Series, pd.DataFrame)):
+        return code.fillna(0).map(lambda c: CorrectionCode(c).name)
+    return CorrectionCode(code).name

@@ -31,8 +31,12 @@ US = 1_000_000
 
 
 def gap_micros(max_gap: str) -> int:
-    """Parse a pandas-style frequency string ("7D", "1s") to microseconds."""
-    return int(pd.Timedelta(max_gap).total_seconds() * US)
+    """Parse a pandas-style frequency string ("7D", "1s") to microseconds.
+
+    Exact integer path (Timedelta.value is nanoseconds): the earlier
+    ``total_seconds() * 1e6`` float round-trip could misround sub-ms
+    gaps."""
+    return int(pd.Timedelta(max_gap).value // 1_000)
 
 
 def unix_us(col: Column | str) -> Column:

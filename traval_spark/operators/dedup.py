@@ -392,8 +392,10 @@ def dup_clusters(
                                   F.col("a").alias("v")))
         .persist()
     )
+    # the label keeps the id's OWN type (min/least propagate any
+    # orderable type — a long cast would silently NULL string ids)
     labels = docs.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
@@ -424,6 +426,13 @@ def dup_clusters(
         labels = new.drop("__changed")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds it); raise max_iter — "
+            "returning partial labels would silently split clusters"
+        )
     edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster")

@@ -109,11 +109,13 @@ def repetition_columns(text: Column) -> dict[str, Column]:
     - ``dup_word_fraction``: fraction of words that are repeats of an
       earlier word (1 - distinct/total) — high for templated/spammy text.
 
-    Ratios rounded to 6dp for cross-engine float stability. See
-    :func:`top_bigram_fraction` for the aggregation-shaped signal.
+    NULL text yields NULL metrics (matching SQL ``len(NULL)``; Spark's
+    bare ``size(NULL)`` would return -1). Ratios rounded to 6dp for
+    cross-engine float stability. See :func:`top_bigram_fraction` for
+    the aggregation-shaped signal.
     """
     w = ws_tokens(text)
-    n = F.size(w).cast("double")
+    n = F.when(text.isNotNull(), F.size(w)).cast("double")
     total_wlen = F.aggregate(
         F.transform(w, lambda x: F.length(x)),
         F.lit(0),
@@ -131,9 +133,12 @@ def repetition_columns(text: Column) -> dict[str, Column]:
 def top_bigram_fraction(
     docs, text_col: str = "text", id_col: str = "doc_id"
 ):
-    """Per-document most-frequent word bigram and the fraction of the
-    document's characters its occurrences cover — the Gopher
-    top-n-gram repetition filter's n=2 case.
+    """Per-document most-frequent word bigram and its character-mass
+    ratio — the Gopher top-n-gram repetition filter's n=2 case:
+    occurrences x bigram length / total characters, CAPPED at 1.0
+    (overlapping occurrences of a self-repeating bigram share words, so
+    the uncapped mass can exceed the character count; the cap keeps the
+    signal a (0, 1] filterable ratio).
 
     Scale shape: bigrams explode to (doc, bigram) rows, count with
     map-side partial aggregation, and the per-doc argmax is a second
@@ -160,8 +165,11 @@ def top_bigram_fraction(
         F.min(F.struct((-F.col("count")).alias("nc"), F.col("bg"))).alias("t")
     )
     frac = F.round(
-        (-F.col("t.nc")).cast("double") * F.length(F.col("t.bg"))
-        / F.col("__chars"),
+        F.least(
+            F.lit(1.0),
+            (-F.col("t.nc")).cast("double") * F.length(F.col("t.bg"))
+            / F.col("__chars"),
+        ),
         6,
     )
     top = top.select(

@@ -355,7 +355,9 @@ def stream_sessionize(
     after which they can no longer merge. Emitted sessions are therefore
     exactly the batch result restricted to watermark-finalized sessions
     (asserted in tests)."""
-    g_us = int(pd.Timedelta(gap).value // 1_000)
+    from traval_spark.functions.ts import gap_micros
+
+    g_us = gap_micros(gap)  # same parser as batch session_rollup
     stream = (
         spark.readStream.schema(SEQUENCE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
