@@ -597,3 +597,53 @@ def test_differential_combine_and_misc_rules(spark, ref_rulelib, seed):
     assert got["r_cval"].fillna("").to_numpy().tolist() == (
         want["comparison_values"].to_numpy().tolist()
     )
+
+
+@pytest.fixture(scope="module")
+def ref_ts_utils(ref_rulelib):
+    return sys.modules["_refpkg.ts_utils"]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_alignment_utilities(spark, ref_ts_utils, seed):
+    """The §2.3 alignment primitives vs live reference ts_utils:
+    resample_short_series_to_long_series (as-of placement + ffill/bfill)
+    and interpolate_series_to_new_index (np.interp hull semantics) on
+    random irregular main/aux grids."""
+    from traval_spark.functions.ts import (
+        align_interpolate,
+        align_resample_ffill_bfill,
+    )
+
+    rng = np.random.default_rng(700 + seed)
+    main = gen_series(rng, n=200).dropna()
+    aux_idx = main.index[rng.random(len(main)) < 0.12]
+    # shift some aux points OFF the main grid (odd minutes)
+    aux = pd.Series(
+        rng.normal(0, 1, len(aux_idx)),
+        index=aux_idx + pd.to_timedelta(
+            rng.integers(-7, 8, len(aux_idx)), unit="min"),
+    )
+    df = to_spark(spark, main)
+    aux_f = to_spark(spark, aux)
+
+    got = (
+        align_resample_ffill_bfill(df, aux_f, "value", "resampled")
+        .select("ts", "resampled").toPandas()
+        .sort_values("ts").set_index("ts")["resampled"]
+    )
+    want = ref_ts_utils.resample_short_series_to_long_series(
+        aux.copy(), main.copy())
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               atol=1e-12, equal_nan=True)
+
+    got_i = (
+        align_interpolate(df, aux_f, "value", "interp")
+        .select("ts", "interp").toPandas()
+        .sort_values("ts").set_index("ts")["interp"]
+    )
+    want_i = ref_ts_utils.interpolate_series_to_new_index(
+        aux.copy(), main.index)
+    np.testing.assert_allclose(got_i.to_numpy(),
+                               want_i.to_numpy(dtype=float),
+                               atol=1e-9, equal_nan=True)
