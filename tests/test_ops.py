@@ -401,23 +401,25 @@ def test_repetition_metrics_exact(spark):
     assert top[2]["top_bigram_char_fraction"] == 0.0
 
 
-def test_dup_clusters_chain_and_singletons(spark):
-    """Min-label propagation: a diameter-3 chain converges to one
-    cluster, disconnected pairs/singletons keep their own components."""
+@pytest.mark.parametrize("backend", ["star", "propagate"])
+def test_dup_clusters_chain_and_singletons(spark, backend):
+    """Both backends: a diameter-3 chain converges to one cluster,
+    disconnected pairs/singletons keep their own components."""
     from traval_spark.operators.dedup import dup_clusters
 
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (5, 6)], "a long, b long")
     out = {r["doc_id"]: r["cluster"]
-           for r in dup_clusters(docs, pairs).collect()}
+           for r in dup_clusters(docs, pairs, backend=backend).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
     # representatives = rows whose label is their own id
     reps = {k for k, v in out.items() if k == v}
     assert reps == {0, 4, 5, 7}
 
 
-def test_dup_clusters_string_ids_and_nonconvergence(spark):
+@pytest.mark.parametrize("backend", ["star", "propagate"])
+def test_dup_clusters_string_ids_and_nonconvergence(spark, backend):
     from traval_spark.operators.dedup import dup_clusters
 
     docs = spark.createDataFrame(
@@ -425,7 +427,7 @@ def test_dup_clusters_string_ids_and_nonconvergence(spark):
     pairs = spark.createDataFrame(
         [("doc_0", "doc_1"), ("doc_3", "doc_4")], "a string, b string")
     out = {r["doc_id"]: r["cluster"]
-           for r in dup_clusters(docs, pairs).collect()}
+           for r in dup_clusters(docs, pairs, backend=backend).collect()}
     assert out == {"doc_0": "doc_0", "doc_1": "doc_0", "doc_2": "doc_2",
                    "doc_3": "doc_3", "doc_4": "doc_3"}
 
@@ -434,7 +436,56 @@ def test_dup_clusters_string_ids_and_nonconvergence(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(5)],
                                   "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
-        dup_clusters(chain_docs, chain, max_iter=2)
+        dup_clusters(chain_docs, chain, max_iter=2, backend=backend)
+
+
+def test_dup_clusters_star_handles_long_chain(spark):
+    """The scale fix the propagate backend can't do: a diameter-120 chain
+    (far beyond max_iter=20 label-propagation rounds) converges in
+    O(log n) star rounds; propagate refuses rather than split clusters."""
+    from traval_spark.operators.dedup import (
+        connected_components,
+        dup_clusters,
+    )
+
+    n = 121
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(docs, chain, backend="propagate")
+
+    out = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(docs, chain, backend="star").collect()}
+    assert out == {i: 0 for i in range(n)}
+
+    _, rounds = connected_components(chain)
+    assert rounds <= 15  # ~log(121) star rounds + confirmation, not 120
+
+
+def test_dup_clusters_star_equals_propagate_random(spark):
+    """Random sparse graphs: star labels == propagate labels exactly
+    (same min-reachable-id semantics, any orderable id type)."""
+    import numpy as np
+
+    from traval_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(42)
+    n = 200
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, n, (180, 2))
+             if a != b}
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+    star = sorted(
+        (r["doc_id"], r["cluster"])
+        for r in dup_clusters(docs, pairs, backend="star").collect()
+    )
+    prop = sorted(
+        (r["doc_id"], r["cluster"])
+        for r in dup_clusters(docs, pairs, backend="propagate",
+                              max_iter=60).collect()
+    )
+    assert star == prop
 
 
 def test_top_bigram_fraction_caps_overlapping_repeats(spark):

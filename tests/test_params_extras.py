@@ -51,6 +51,110 @@ def test_params_get_set_delete():
         tp.get("nope", "threshold")
 
 
+def test_params_reference_named_api():
+    """test_008_travalparameters analog on the reference method NAMES:
+    get_parameters / get_parameters_as_dict / update_* / delete_* with the
+    reference's two distinct failure modes (params.py:262-393)."""
+    tp = _params()
+    # defaults query, narrowing, squeeze-to-scalar
+    all_defaults = tp.get_parameters(squeeze=False)
+    assert list(all_defaults.index.get_level_values(0)) == ["default"]
+    assert tp.get_parameters(rulename="gt", parameter="threshold") == 5.0
+    assert tp.get_parameters(location="loc1", rulename="gt",
+                             parameter="threshold") == 8.0
+    with pytest.raises(KeyError, match="non-existent-loc"):
+        tp.get_parameters(location="non-existent-loc")
+    with pytest.raises(KeyError):
+        tp.get_parameters(rulename="gt", parameter="nope")
+    assert tp.get_parameters_as_dict("gt") == {"threshold": 5.0}
+    assert tp.get_parameters_as_dict("gt", location="loc1") == \
+        {"threshold": 8.0}
+
+    assert tp.n_locations == 1 and tp.locations == ["loc1"]
+    assert tp.rulenames == ["gt"]
+
+    tp.update_parameter_value("loc1", "gt", "threshold", 9.0)
+    assert tp.get("gt", "threshold", location="loc1") == 9.0
+    tp.update_default_value("gt", "threshold", 4.0)
+    assert tp.get("gt", "threshold") == 4.0
+    tp.delete_parameter_value("loc1", "gt", "threshold")
+    assert tp.get("gt", "threshold", location="loc1") == 4.0  # fallback
+
+    # defaults-only table: location queries raise ValueError, not KeyError
+    only_default = TravalParameters(
+        pd.DataFrame([("default", "gt", "threshold", 5.0)],
+                     columns=["location", "rulename", "parameter", "value"])
+    )
+    with pytest.raises(ValueError, match="No location specific"):
+        only_default.get_parameters(location="anywhere")
+    with pytest.raises(ValueError, match="No location specific"):
+        only_default.update_parameter_value("loc", "gt", "threshold", 1.0)
+    with pytest.raises(ValueError, match="No location specific"):
+        only_default.delete_parameter_value("loc", "gt", "threshold")
+    only_default.delete_default_value("gt", "threshold")
+    with pytest.raises(KeyError):
+        only_default.get("gt", "threshold")
+
+
+def test_ruleset_introspection_reference_names():
+    """SparkRuleSet.get_func/get_applyto/get_kwargs/get_parameters with
+    reference semantics (ruleset.py:256-303, 369-390), including callable
+    kwargs resolved by name and ParamRef resolved through a params table."""
+    from traval_spark.operators.rules import RULES
+    from traval_spark.plans.ruleset import ParamRef
+
+    rset = SparkRuleSet("tester1")
+    rset.add_rule("gt10", "rule_ufunc_threshold", apply_to=0,
+                  kwargs={"ufunc": ("greater",), "threshold": 10.0})
+    rset.add_rule("lt0", "rule_ufunc_threshold", apply_to=0,
+                  kwargs={"ufunc": ("less",),
+                          "threshold": lambda name: 0.0 if name else -1.0})
+    rset.add_rule("spike", "rule_spike_detection", apply_to=2,
+                  kwargs={"threshold": ParamRef("spike", "threshold"),
+                          "spike_tol": 1.0})
+
+    assert rset.get_func(istep=1) is RULES["rule_ufunc_threshold"][0]
+    assert rset.get_func(stepname="spike") is RULES["rule_spike_detection"][0]
+    assert rset.get_applyto(istep=1) == 0 and rset.get_applyto(istep=3) == 2
+    with pytest.raises(ValueError, match="istep.*stepname|Provide"):
+        rset.get_applyto()
+
+    # callable kwargs resolve with the name argument (ruleset.py:277-303)
+    kw = rset.get_kwargs(stepname="lt0", kwarg_name="series_a")
+    assert kw["threshold"] == 0.0
+    assert rset.get_kwargs(stepname="lt0", kwarg_name=None)["threshold"] \
+        == -1.0
+
+    # ParamRef: passes through without a table, resolves with one
+    assert isinstance(rset.get_kwargs(stepname="spike")["threshold"],
+                      ParamRef)
+    tp = TravalParameters(
+        pd.DataFrame(
+            [("default", "spike", "threshold", 0.15),
+             ("loc1", "spike", "threshold", 0.30)],
+            columns=["location", "rulename", "parameter", "value"],
+        )
+    )
+    assert rset.get_kwargs(stepname="spike", params=tp)["threshold"] == 0.15
+    assert rset.get_kwargs(stepname="spike", kwarg_name="loc1",
+                           params=tp)["threshold"] == 0.30
+
+    # get_parameters frame: reference columns, one row per kwarg
+    pdf = rset.get_parameters(name="loc1", params=tp)
+    assert list(pdf.columns) == ["rulename", "step", "func", "parameter",
+                                 "value"]
+    byrule = pdf.set_index(["rulename", "parameter"])["value"]
+    assert byrule[("gt10", "threshold")] == 10.0
+    assert byrule[("lt0", "threshold")] == 0.0
+    assert byrule[("spike", "threshold")] == 0.30
+    assert byrule[("spike", "spike_tol")] == 1.0
+    assert set(pdf.step) == {0, 2}
+
+    # round-trip: harvested params feed back into a TravalParameters
+    harvested = TravalParameters.from_ruleset(rset, locations=["loc1"])
+    assert harvested.get("gt10", "threshold", location="loc1") == 10.0
+
+
 def test_params_serde_roundtrips(tmp_path):
     tp = _params()
     tp.to_csv(str(tmp_path / "p.csv"))

@@ -364,3 +364,100 @@ def test_flat_signal_chunked_equals_window(spark):
     fast = R.rule_flat_signal(df, "value", "r", chunk="3D", **kw)
     assert _corr_rows(base) == _corr_rows(fast)
     assert base.columns == fast.columns
+
+
+def test_flat_signal_via_join_equal(spark):
+    """via_join (groupBy-agg quantiles + broadcast join) must equal the
+    unbounded-window percentile gates bit-for-bit, and the physical plan
+    must carry a broadcast join instead of a window percentile."""
+    df = _irregular_series(spark, seed=13)
+    kw = dict(window=1, min_obs=5, std_threshold=8.0, qbelow=0.8,
+              qabove=0.95)
+    base = R.rule_flat_signal(df, "value", "r", **kw)
+    joined = R.rule_flat_signal(df, "value", "r", via_join=True, **kw)
+    assert _corr_rows(base) == _corr_rows(joined)
+    assert base.columns == joined.columns
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the quantile gates must be aggregates, not per-row window frames:
+    # no physical Window node may evaluate a percentile
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines  # the rolling-std range frame is still a window
+    assert not any("percentile" in ln for ln in window_lines)
+
+
+class _FakeSolver:
+    """Duck-typed stand-in for pastas' solver: a fixed-width band around a
+    linear trend, honoring alpha/tmin/tmax like prediction_interval."""
+
+    def __init__(self, center=50.0, half=5.0, freq="6h"):
+        self.center, self.half, self.freq = center, half, freq
+
+    def prediction_interval(self, alpha, tmin, tmax):
+        idx = pd.date_range(tmin, tmax, freq=self.freq)
+        lo = pd.Series(self.center - self.half, index=idx)
+        hi = pd.Series(self.center + self.half, index=idx)
+        return pd.DataFrame({0.025: lo, 0.975: hi})
+
+
+class _FakeModel:
+    def __init__(self, name="m", solver=True, **kw):
+        self.name = name
+        self.solver = _FakeSolver(**kw) if solver else None
+
+
+def test_pastas_ml_shim_equals_bounds_path(spark):
+    """rule_pastas_outside_pi(ml=...) — the reference's signature
+    (rulelib.py:494-601) — must equal passing the same prediction
+    interval precomputed as bounds=; dict/callable/single-model forms
+    and the no-model/no-solver empty-corrections branches all covered."""
+    from traval_spark.operators.rules import (
+        pastas_prediction_interval_bounds,
+    )
+
+    df = _irregular_series(spark, seed=17)
+
+    models = {"a": _FakeModel("ma", half=4.0), "b": _FakeModel("mb", half=6.0)}
+    via_ml = R.rule_pastas_outside_pi(df, "value", "r", ml=models)
+    bounds = pastas_prediction_interval_bounds(df, "value", models)
+    via_bounds = R.rule_pastas_outside_pi(df, "value", "r", bounds=bounds)
+    assert _corr_rows(via_ml) == _corr_rows(via_bounds)
+    assert via_ml.filter(F.col("r_code") != 0).count() > 0
+
+    # callable form == dict form
+    via_call = R.rule_pastas_outside_pi(df, "value", "r",
+                                        ml=lambda sid: models[sid])
+    assert _corr_rows(via_call) == _corr_rows(via_ml)
+
+    # single model applied to every series
+    one = R.rule_pastas_outside_pi(df, "value", "r", ml=_FakeModel("m1"))
+    assert one.filter(F.col("r_code") != 0).count() > 0
+
+    # reference rulelib.py:543-551: no model / no solver -> NO flags
+    for ml in (None, _FakeModel("m2", solver=False), {}):
+        empty = R.rule_pastas_outside_pi(df, "value", "r", ml=ml)
+        assert empty.filter(F.col("r_code") != 0).count() == 0
+        assert f"r_code" in empty.columns
+
+
+def test_pastas_ml_shim_min_ci_smoothfreq_savedir(tmp_path, spark):
+    """ml= path composes with min_ci/smoothfreq exactly like bounds=,
+    and savedir pickles each per-model interval (rulelib.py:596-598)."""
+    from traval_spark.operators.rules import (
+        pastas_prediction_interval_bounds,
+    )
+
+    df = _irregular_series(spark, seed=19)
+    models = {"a": _FakeModel("ma", half=0.5), "b": _FakeModel("mb", half=0.5)}
+    kw = dict(min_ci=30.0, smoothfreq="12h")
+    via_ml = R.rule_pastas_outside_pi(
+        df, "value", "r", ml=models, savedir=str(tmp_path / "pi"), **kw)
+    bounds = pastas_prediction_interval_bounds(df, "value", models)
+    via_bounds = R.rule_pastas_outside_pi(df, "value", "r", bounds=bounds,
+                                          **kw)
+    assert _corr_rows(via_ml) == _corr_rows(via_bounds)
+    saved = sorted(p.name for p in (tmp_path / "pi").glob("*.pkl"))
+    assert saved == ["pi_ma.pkl", "pi_mb.pkl"]
+    pi = pd.read_pickle(tmp_path / "pi" / "pi_ma.pkl")
+    assert list(pi.columns) == [0.025, 0.975]

@@ -364,11 +364,86 @@ def lsh_banded_pairs(
     return pairs
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14): symmetrize, then for every vertex u
+    with m = min(N(u) + {u}) connect each STRICTLY LARGER neighbor v > u
+    to m. Output edges are directed larger -> smaller (v > u >= m)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: input edges directed u > v (large-star output
+    shape); for every u with m = min(N(u)) connect each smaller neighbor
+    v != m AND u itself to m. Output stays directed larger -> smaller."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    j = e.join(m, "u")
+    return (
+        j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Connected components over an (a, b) pair frame via alternating
+    large-star/small-star (Kiveris et al., SOCC'14) — O(log n) rounds
+    regardless of component diameter, vs O(diameter) for min-label
+    propagation. Returns ((node, root) edges for every NON-ROOT node
+    touched by a pair, rounds-to-converge).
+
+    Per round: two groupBy-min + two joins (all partial-aggregatable;
+    no vertex state frame, the edge set IS the state) followed by a
+    localCheckpoint to truncate iterative lineage and ONE scalar agg
+    (count + xxhash64 edge-set checksum) for the convergence test — the
+    driver only ever sees two scalars per round. At the fixed point the
+    edge set is a star forest: every non-root vertex holds exactly its
+    (node, component-min) edge.
+    """
+    e = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint()
+    )
+    prev: tuple | None = None
+    for rounds in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # checksum summed as decimal(38,0): a long sum of 64-bit hashes
+        # overflows under ANSI arithmetic
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+        ).first()
+        cur = (row["n"], row["chk"])
+        if cur == prev:
+            return e, rounds
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "star rounds — with O(log n) convergence this indicates a graph "
+        "far larger than max_iter accounts for; raise max_iter"
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    backend: str = "star",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every doc
     labeled with the SMALLEST doc id reachable through dup pairs — its
@@ -376,24 +451,46 @@ def dup_clusters(
     rest: the standard last step of a fuzzy-dedup pipeline). Docs in no
     pair label themselves.
 
-    Iterative min-label propagation: each round every vertex takes the
-    min of its own label and its neighbors' labels; converges in
-    graph-diameter rounds (near-dup components are small near-cliques,
-    diameter 1-3 in practice). Per round: one join + a
-    partial-aggregatable min, with the label frame localCheckpointed to
-    truncate the otherwise-exponential iterative lineage; convergence =
-    zero changed labels (one count per round — the driver only ever
-    sees a scalar). At extreme diameters swap in large-star/small-star
-    (O(log n) rounds); the per-round plan shape is identical.
+    ``backend="star"`` (default, the 100 TB path): alternating
+    large-star/small-star contraction (see :func:`connected_components`)
+    — O(log n) driver-synchronized rounds regardless of component
+    diameter; a million-node chain converges in ~20 rounds where label
+    propagation needs a million.
+
+    ``backend="propagate"``: iterative min-label propagation — each
+    round every vertex takes the min of its own and its neighbors'
+    labels; converges in graph-diameter rounds (fine for near-clique
+    dup components, diameter 1-3) and raises at max_iter on long chains.
+    Kept for round-count comparison; labels are identical.
+
+    Both backends keep the id's OWN type throughout (min/least propagate
+    any orderable type — a long cast would silently NULL string ids) and
+    raise on non-convergence instead of returning split clusters.
     """
+    if backend == "star":
+        stars, _rounds = connected_components(pairs, max_iter=max_iter)
+        return (
+            docs.select(F.col(id_col).alias("id"))
+            .join(
+                stars.select(F.col("u").alias("id"),
+                             F.col("v").alias("__root")),
+                "id",
+                "left",
+            )
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("__root"), F.col("id")).alias("cluster"),
+            )
+        )
+    if backend != "propagate":
+        raise ValueError(f"unknown backend {backend!r}; use 'star' or "
+                         "'propagate'")
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"),
                                   F.col("a").alias("v")))
         .persist()
     )
-    # the label keeps the id's OWN type (min/least propagate any
-    # orderable type — a long cast would silently NULL string ids)
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()

@@ -451,6 +451,7 @@ def rule_flat_signal(
     hbelow=None,
     habove=None,
     chunk=None,
+    via_join=False,
 ):
     """Flag flat/dead signal stretches (rulelib.py:867-941).
 
@@ -467,7 +468,16 @@ def rule_flat_signal(
     Spark recomputes bounded-frame aggregates per row (O(n*w) per series),
     the kernel is O(n log w) and parallel within hot series. Exact
     (test_flat_signal_chunked_equals_window); the unbounded quantile gates
-    stay as window expressions either way.
+    stay as window expressions either way unless ``via_join``.
+
+    ``via_join=True``: the 100 TB path for the qbelow/qabove gates —
+    ``percentile`` over an UNBOUNDED window buffers every series value
+    in the per-row frame evaluator (a single giant series is a per-task
+    memory hazard), so instead compute the per-series quantiles with a
+    groupBy-agg (TypedImperativeAggregate with map-side partial merge)
+    and broadcast-join the tiny per-series table back — the same
+    trade :func:`rule_outside_n_sigma` exposes. Values identical
+    (exact percentile either way; test_flat_signal_via_join_equal).
     """
     v = F.col(in_col)
     if chunk is not None:
@@ -490,14 +500,26 @@ def rule_flat_signal(
         roll_cnt = F.count(v).over(w_range)
     stdmask = (roll_cnt >= F.lit(int(min_obs))) & (roll_std < _lit(std_threshold))
 
-    if qabove is None and qbelow is not None:
-        qmask = v < F.percentile(v, F.lit(float(qbelow))).over(_w_unbounded())
-    elif qabove is not None and qbelow is None:
-        qmask = v > F.percentile(v, F.lit(float(qabove))).over(_w_unbounded())
-    elif qabove is not None and qbelow is not None:
-        qmask = (v > F.percentile(v, F.lit(float(qabove))).over(_w_unbounded())) | (
-            v < F.percentile(v, F.lit(float(qbelow))).over(_w_unbounded())
+    qaggs = {}
+    if qbelow is not None:
+        qaggs[f"{out}_qb"] = F.percentile(v, F.lit(float(qbelow)))
+    if qabove is not None:
+        qaggs[f"{out}_qa"] = F.percentile(v, F.lit(float(qabove)))
+    if via_join and qaggs:
+        qstats = df.groupBy(SID).agg(
+            *[agg.alias(name) for name, agg in qaggs.items()]
         )
+        df = df.join(F.broadcast(qstats), on=SID, how="left")
+        qref = {name: F.col(name) for name in qaggs}
+    else:
+        qref = {name: agg.over(_w_unbounded()) for name, agg in qaggs.items()}
+
+    if qabove is None and qbelow is not None:
+        qmask = v < qref[f"{out}_qb"]
+    elif qabove is not None and qbelow is None:
+        qmask = v > qref[f"{out}_qa"]
+    elif qabove is not None and qbelow is not None:
+        qmask = (v > qref[f"{out}_qa"]) | (v < qref[f"{out}_qb"])
     else:
         qmask = F.lit(True)
 
@@ -516,6 +538,8 @@ def rule_flat_signal(
     )
     if chunk is not None:
         df = df.drop(f"{out}_rstd", f"{out}_rcnt")
+    if via_join and qaggs:
+        df = df.drop(*qaggs.keys())
     return df
 
 
@@ -581,18 +605,107 @@ def rule_hampel(
     return df.drop(*helpers)
 
 
+def pastas_prediction_interval_bounds(
+    df: DataFrame, in_col: str, ml, *, ci=0.95, tmin=None, tmax=None,
+    savedir=None, verbose=False,
+) -> DataFrame:
+    """Driver-side shim: invoke pastas model(s) per series and assemble the
+    joint bounds frame (series_id, ts, lower, upper) that
+    :func:`rule_pastas_outside_pi` consumes (reference rulelib.py:543-601).
+
+    ``ml`` may be one model (applied to every series), a dict
+    ``{series_id: model}``, or a callable ``series_id -> model``. Any
+    object exposing ``solver.prediction_interval(alpha=, tmin=, tmax=)``
+    returning a 2-column pandas frame works — the shim duck-types, so it
+    needs no pastas import itself. Per the reference, a missing model, a
+    model without a solver, or an empty interval yields NO bounds for that
+    series (its points are never flagged); ``tmin``/``tmax`` default to
+    the series' first/last valid timestamp (rulelib.py:556-561);
+    ``savedir`` pickles each interval as ``pi_{model.name}.pkl``
+    (rulelib.py:596-598).
+
+    Scale note: one driver loop over SERIES (not rows) — the same
+    driver-sized cardinality as the models dict the caller already holds;
+    each prediction_interval call is the model's own (single-machine)
+    compute. The resulting bounds frame is distributed from there on.
+    """
+    spans = (
+        df.filter(F.col(in_col).isNotNull())
+        .groupBy(SID)
+        .agg(F.min(TS).alias("__tmin"), F.max(TS).alias("__tmax"))
+        .collect()
+    )
+    frames = []
+    for row in spans:
+        sid = row[SID]
+        if callable(ml) and not hasattr(ml, "solver"):
+            model = ml(sid)
+        elif isinstance(ml, dict):
+            model = ml.get(sid)
+        else:
+            model = ml
+        if model is None or getattr(model, "solver", None) is None:
+            if verbose:
+                print(f"Warning: no Pastas model/solver for {sid!r}!")
+            continue
+        t0 = pd.Timestamp(tmin) if tmin is not None else row["__tmin"]
+        t1 = pd.Timestamp(tmax) if tmax is not None else row["__tmax"]
+        pi = model.solver.prediction_interval(alpha=(1 - ci), tmin=t0, tmax=t1)
+        if pi.empty:
+            if verbose:
+                print(f"Warning: empty prediction interval for {sid!r}!")
+            continue
+        if savedir is not None:
+            from pathlib import Path
+
+            sd = Path(savedir)
+            sd.mkdir(exist_ok=True)
+            pi.to_pickle(sd / f"pi_{getattr(model, 'name', sid)}.pkl")
+        frames.append(
+            pd.DataFrame(
+                {
+                    SID: sid,
+                    TS: pd.DatetimeIndex(pi.index).tz_localize(None)
+                    if getattr(pi.index, "tz", None) is not None
+                    else pd.DatetimeIndex(pi.index),
+                    "lower": pi.iloc[:, 0].to_numpy(dtype=float),
+                    "upper": pi.iloc[:, 1].to_numpy(dtype=float),
+                }
+            )
+        )
+    spark = df.sparkSession
+    if not frames:
+        schema = df.select(SID, TS).schema.add("lower", "double").add(
+            "upper", "double"
+        )
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
 @_register(CODE)
 def rule_pastas_outside_pi(
-    df, in_col, out, *, bounds: DataFrame, min_ci=None, smoothfreq=None,
-    tmin=None, tmax=None,
+    df, in_col, out, *, bounds: DataFrame | None = None, ml=None, ci=0.95,
+    min_ci=None, smoothfreq=None, tmin=None, tmax=None, savedir=None,
+    verbose=False,
 ):
     """Flag outside a model prediction interval (rulelib.py:494-601).
 
-    The pastas model itself is out of scope (SURVEY.md §2.2 rule 12 —
-    optional plugin); this adapter takes the model's PRECOMPUTED prediction
-    interval as a bounds DataFrame (series_id, ts, lower, upper) — exactly
-    what ``ml.solver.prediction_interval(...)`` produces per series — and
-    applies the rest of the reference rule:
+    Two entry points:
+
+    - ``ml=`` — the reference's signature: pastas model(s) whose
+      ``solver.prediction_interval(alpha=1-ci, tmin, tmax)`` is invoked
+      per series on the driver (see
+      :func:`pastas_prediction_interval_bounds`; dict / callable /
+      single-model forms accepted, missing solver -> empty corrections
+      exactly as rulelib.py:543-551). ``ci``/``savedir``/``verbose``
+      apply only on this path; tmin/tmax default to each series' valid
+      span (rulelib.py:556-561) and are consumed by the interval call.
+    - ``bounds=`` — the cluster-native path: the PRECOMPUTED prediction
+      interval as a DataFrame (series_id, ts, lower, upper); tmin/tmax
+      clip it (equivalent to a shorter simulation). Precompute bounds and
+      persist them when running fleets — the model loop is driver-side.
+
+    Either way the rest of the rule is the same distributed plan:
 
     - ``smoothfreq``: time-shift smoothing of each bound
       (smooth_upper_bound / smooth_lower_bound semantics,
@@ -614,7 +727,19 @@ def rule_pastas_outside_pi(
     - delegation to :func:`rule_outside_bandwidth` (rulelib.py:592) via
       its joint ``bounds=`` path — the whole adapter executes the caller's
       bounds plan ONCE.
+
+    ``ml=None`` with no bounds mirrors the reference's no-model branch
+    (rulelib.py:543-546): empty corrections, warning only when verbose.
+    The reference's r^2 index-name decoration (rulelib.py:589) is pandas
+    presentation metadata with no long-frame equivalent and is dropped.
     """
+    if bounds is None:
+        bounds = pastas_prediction_interval_bounds(
+            df, in_col, ml, ci=ci, tmin=tmin, tmax=tmax,
+            savedir=savedir, verbose=verbose,
+        )
+        # tmin/tmax were consumed by the per-series interval calls
+        tmin = tmax = None
     joint = ensure_ntz(bounds).select(SID, TS, "lower", "upper")
     if tmin is not None:
         joint = joint.filter(F.col(TS) >= F.lit(pd.Timestamp(tmin)))

@@ -44,6 +44,83 @@ class TravalParameters:
                         rows.append((loc, nm, k, float(v)))
         return cls(pd.DataFrame(rows, columns=COLS))
 
+    # -- reference-named API (params.py:68-89, 262-393) --------------------
+
+    @property
+    def n_locations(self) -> int:
+        """Number of non-default locations (reference params.py:68-71)."""
+        return int(self.pdf.loc[self.pdf.location != DEFAULT,
+                                "location"].nunique())
+
+    @property
+    def locations(self) -> list:
+        """Unique non-default locations (reference params.py:73-79)."""
+        return sorted(self.pdf.loc[self.pdf.location != DEFAULT,
+                                   "location"].unique())
+
+    @property
+    def rulenames(self) -> list:
+        """Unique rule names (reference params.py:81-88)."""
+        return sorted(self.pdf.rulename.unique())
+
+    def get_parameters(self, rulename=None, location=None, parameter=None,
+                       squeeze=True):
+        """Query parameters (reference params.py:262-313 semantics).
+
+        location=None queries the defaults; a named location queries that
+        location's rows (ValueError when the table has no
+        location-specific rows at all, KeyError when it has some but not
+        this location — the reference's two distinct failure modes).
+        Returns a value-Series indexed (location, rulename, parameter),
+        squeezed to the bare value when the query hits exactly one row.
+        """
+        if location is None:
+            sel = self.pdf[self.pdf.location == DEFAULT]
+        else:
+            nondefault = self.pdf[self.pdf.location != DEFAULT]
+            if nondefault.empty:
+                raise ValueError("No location specific parameters!")
+            sel = nondefault[nondefault.location == location]
+            if sel.empty:
+                raise KeyError(
+                    f"Location '{location}' not in parameters DataFrame!"
+                )
+        if rulename is not None:
+            sel = sel[sel.rulename == rulename]
+        if parameter is not None:
+            sel = sel[sel.parameter == parameter]
+        if sel.empty and (rulename is not None or parameter is not None):
+            raise KeyError((location, rulename, parameter))
+        out = sel.set_index(["location", "rulename", "parameter"])["value"]
+        return out.squeeze() if squeeze else out
+
+    def get_parameters_as_dict(self, rulename, location=None) -> dict:
+        """{parameter: value} for one rule (reference params.py:315-332)."""
+        p = self.get_parameters(rulename=rulename, location=location,
+                                squeeze=False)
+        return p.droplevel([0, 1], axis=0).to_dict()
+
+    def update_parameter_value(self, location, rulename, parameter, value):
+        """Update a location-specific value (reference params.py:334-350;
+        ValueError when the table holds no location-specific rows)."""
+        if self.pdf[self.pdf.location != DEFAULT].empty:
+            raise ValueError("No location specific parameters!")
+        self.set(rulename, parameter, value, location=location)
+
+    def update_default_value(self, rulename, parameter, value):
+        """Update a default value (reference params.py:352-364)."""
+        self.set(rulename, parameter, value, location=DEFAULT)
+
+    def delete_parameter_value(self, location, rulename, parameter):
+        """Delete a location-specific value (reference params.py:366-380)."""
+        if self.pdf[self.pdf.location != DEFAULT].empty:
+            raise ValueError("No location specific parameters!")
+        self.delete(rulename, parameter, location)
+
+    def delete_default_value(self, rulename, parameter):
+        """Delete a default value (reference params.py:382-392)."""
+        self.delete(rulename, parameter, DEFAULT)
+
     # -- access (params.py:145-220 get/update/delete analogs) -------------
 
     def get(self, rulename: str, parameter: str, location: str | None = None):

@@ -94,6 +94,77 @@ class SparkRuleSet:
             return self.rules[stepname]
         raise ValueError("Provide one of 'istep' or 'stepname'!")
 
+    def get_func(self, istep=None, stepname=None):
+        """Rule callable of a step (reference ruleset.py:379-381).
+
+        The reference stores the function object itself; this plan stores
+        the registry NAME (JSON-stable) — resolve it back to the registered
+        callable so ported call-sites can invoke it directly.
+        """
+        return RULES[self.get_rule(istep=istep, stepname=stepname)["func"]][0]
+
+    def get_applyto(self, istep=None, stepname=None):
+        """apply_to of a step (reference ruleset.py:383-385)."""
+        return self.get_rule(istep=istep, stepname=stepname)["apply_to"]
+
+    def get_kwargs(self, istep=None, stepname=None, kwarg_name=None,
+                   params=None):
+        """Parsed kwargs of a step (reference ruleset.py:387-390).
+
+        ``kwarg_name`` plays the reference's per-series resolution name
+        (callable kwargs are called with it); ``params`` optionally passes
+        a :class:`~traval_spark.plans.params.TravalParameters` so ParamRef
+        kwargs — this plan's replacement for callable kwargs — resolve to
+        their per-location value the same way.
+        """
+        return self._parse_kwargs(
+            self.get_rule(istep=istep, stepname=stepname)["kwargs"],
+            name=kwarg_name, params=params,
+        )
+
+    def get_parameters(self, name=None, params=None) -> pd.DataFrame:
+        """All rule parameters as a pandas frame with the reference's
+        columns [rulename, step, func, parameter, value]
+        (reference ruleset.py:256-275; 'step' carries apply_to, 'func' the
+        registry name). ``name``/``params`` resolve callable / ParamRef
+        kwargs per location as in :meth:`get_kwargs`; unresolvable
+        ParamRefs appear verbatim.
+        """
+        cols = ["rulename", "step", "func", "parameter", "value"]
+        rows = []
+        for rnam, irule in self.rules.items():
+            if irule["kwargs"] is None:
+                continue
+            parsed = self._parse_kwargs(irule["kwargs"], name=name,
+                                        params=params)
+            for parameter, value in parsed.items():
+                rows.append((rnam, irule["apply_to"], irule["func"],
+                             parameter, value))
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf.index.name = None
+        return pdf
+
+    @staticmethod
+    def _parse_kwargs(kwargs, name=None, params=None):
+        """Resolve kwargs for one step (reference ruleset.py:277-303):
+        callable values are called with ``name``; ParamRef values resolve
+        through ``params`` (TravalParameters) when given, else pass
+        through unchanged."""
+        new_args = {}
+        if kwargs is not None:
+            for k, v in kwargs.items():
+                if isinstance(v, ParamRef):
+                    if params is not None:
+                        new_args[k] = params.get(v.rulename, v.parameter,
+                                                 location=name)
+                    else:
+                        new_args[k] = v
+                elif callable(v):
+                    new_args[k] = v(name)
+                else:
+                    new_args[k] = v
+        return new_args
+
     def get_step_name(self, istep: int) -> str:
         """Step number -> rule name; 0 = base series; negative counts from end
         (reference ruleset.py:233-241)."""
