@@ -770,6 +770,25 @@ def q_lsh_banded(spark, sf_dir):
     return lsh_banded_pairs(_docs_with_near_dups(spark, sf_dir), b=4, r=2)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental new-vs-corpus dedup — the daily-ingest shape: docs with
+    doc_id % 10 == 0 form the 'new batch', the rest are the corpus whose
+    SimHash fingerprints are PRECOMPUTED (the persisted-table side); the
+    batch probes corpus+batch bands without ever re-pairing the corpus
+    with itself. Oracle: the full banded pair set restricted to pairs
+    with >= 1 new member — the defining equivalence of the incremental
+    path (dedup.py:simhash64_incremental_pairs)."""
+    from traval_spark.operators.dedup import (
+        simhash64_incremental_pairs,
+        with_simhash64,
+    )
+
+    d = _docs_with_near_dups(spark, sf_dir)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus_fp = with_simhash64(d.filter(F.col("doc_id") % 10 != 0))
+    return simhash64_incremental_pairs(new, corpus_fp, max_hamming=3)
+
+
 def _query_vec(spark, sf_dir):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
         "embedding"
@@ -1075,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "simhash64_dups": q_simhash64_dups,
         "lsh_banded": q_lsh_banded,
+        "dedup_incremental": q_dedup_incremental,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1948,7 +1968,7 @@ def oracle_sql() -> dict[str, str]:
                       regexp_split_to_array(text, '\\s+') w,
                       length(text) chars
                from documents),
-    base as (select doc_id,
+    base as (select doc_id, text,
         len(w) AS n_words,
         round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
                    AS DOUBLE) / len(w), 6) AS mean_word_length,
@@ -1969,7 +1989,8 @@ def oracle_sql() -> dict[str, str]:
             where rn = 1)
     select base.doc_id, n_words, mean_word_length, dup_word_fraction,
            top_bigram,
-           coalesce(top_bigram_char_fraction, 0.0)
+           case when base.text is not null
+                then coalesce(top_bigram_char_fraction, 0.0) end
              AS top_bigram_char_fraction
     from base left join top on base.doc_id = top.doc_id
     """
@@ -2101,6 +2122,20 @@ def oracle_sql() -> dict[str, str]:
                 + bit_count(xor(a.fp_hi, b.fp_hi)) AS INTEGER) AS hamming
     from fp a, fp b
     where a.doc_id < b.doc_id
+      and bit_count(xor(a.fp_lo, b.fp_lo))
+          + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+    # incremental path's defining equivalence: full pair set restricted to
+    # pairs touching the new batch (doc_id % 10 = 0)
+    sql["dedup_incremental"] = f"""
+    with {_ND_DOCS},
+    {_SH64_FP.format(src="nd")}
+    select a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)) AS INTEGER) AS hamming
+    from fp a, fp b
+    where a.doc_id < b.doc_id
+      and (a.doc_id % 10 = 0 or b.doc_id % 10 = 0)
       and bit_count(xor(a.fp_lo, b.fp_lo))
           + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
     """

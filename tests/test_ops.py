@@ -379,6 +379,7 @@ def test_repetition_metrics_exact(spark):
         (0, "a b a b a b"),       # 6 words, 2 distinct; top bigram "a b" x3
         (1, "x y z"),             # no repeats; bigrams "x y","y z" tie -> "x y"
         (2, "solo"),              # 1 word: no bigrams -> fraction 0, NULL bg
+        (3, None),                # NULL text: NULL metrics, not 0.0
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     per = {r["doc_id"]: r for r in docs.select(
@@ -399,6 +400,11 @@ def test_repetition_metrics_exact(spark):
     assert top[1]["top_bigram"] == "x y"  # count tie -> lexicographic
     assert top[2]["top_bigram"] is None
     assert top[2]["top_bigram_char_fraction"] == 0.0
+    # NULL text: NULL across BOTH repetition_columns and the bigram
+    # fraction (one consistent missing-doc semantics — ADVICE r3)
+    assert per[3]["n_words"] is None
+    assert top[3]["top_bigram"] is None
+    assert top[3]["top_bigram_char_fraction"] is None
 
 
 @pytest.mark.parametrize("backend", ["star", "propagate"])
@@ -486,6 +492,71 @@ def test_dup_clusters_star_equals_propagate_random(spark):
                               max_iter=60).collect()
     )
     assert star == prop
+
+
+def test_hot_bucket_cap_discloses_and_bounds(spark, caplog):
+    """Adversarial constant-text corpus: every doc shares one fingerprint,
+    so one band bucket holds the whole corpus (f^2 candidates). With
+    max_bucket_size the oversize bucket is dropped WITH a logged
+    disclosure; a generous cap leaves results exact."""
+    import logging
+
+    from traval_spark.operators.dedup import (
+        lsh_banded_pairs,
+        simhash64_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same text in every doc") for i in range(30)],
+        "doc_id long, text string")
+    assert simhash64_dup_pairs(docs).count() == 30 * 29 // 2
+
+    with caplog.at_level(logging.WARNING, logger="traval_spark.dedup"):
+        capped = simhash64_dup_pairs(docs, max_bucket_size=5)
+        assert capped.count() == 0
+    assert "max_bucket_size=5" in caplog.text and "dropping" in caplog.text
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="traval_spark.dedup"):
+        generous = simhash64_dup_pairs(docs, max_bucket_size=100)
+        assert generous.count() == 30 * 29 // 2
+    assert caplog.text == ""  # under-cap corpus: exact, no disclosure
+
+    with caplog.at_level(logging.WARNING, logger="traval_spark.dedup"):
+        lsh_capped = lsh_banded_pairs(docs, max_bucket_size=5)
+        assert lsh_capped.count() == 0
+    assert "lsh_banded_pairs" in caplog.text
+
+
+def test_simhash64_incremental_equals_restricted_full(spark):
+    """Incremental new-vs-corpus pairs == full banded pair set restricted
+    to pairs with >= 1 new member (new-new AND new-corpus both included,
+    corpus-corpus never re-paired)."""
+    from traval_spark.operators.dedup import (
+        simhash64_dup_pairs,
+        simhash64_incremental_pairs,
+        with_simhash64,
+    )
+
+    base = [(i, f"alpha beta gamma delta doc {i // 3}") for i in range(24)]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus_fp = with_simhash64(docs.filter(F.col("doc_id") % 4 != 0))
+
+    inc = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash64_incremental_pairs(new, corpus_fp,
+                                             max_hamming=3).collect()
+    )
+    full = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash64_dup_pairs(docs, max_hamming=3).collect()
+        if r["a"] % 4 == 0 or r["b"] % 4 == 0
+    )
+    assert inc == full and len(inc) > 0
+    # corpus-corpus pairs exist in full but must be absent incrementally
+    assert any(r["a"] % 4 != 0 and r["b"] % 4 != 0
+               for r in simhash64_dup_pairs(docs, max_hamming=3).collect())
 
 
 def test_top_bigram_fraction_caps_overlapping_repeats(spark):

@@ -521,3 +521,87 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     ).count() == 0
     n_sources = seqs.select("source").distinct().count()
     assert streamed.count() >= batch.count() - n_sources
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the stateful kernels
+    directly (exists/get/update are all the kernels touch)."""
+
+    def __init__(self, tup=None):
+        self._t = tup
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = tuple(t)
+
+
+def _kernel_batches(fn, frames):
+    """Run a stateful kernel over successive micro-batch frames with one
+    carried state; returns the concatenated emitted rows per batch."""
+    import pandas as pd
+
+    state = _FakeState()
+    out = []
+    for f in frames:
+        emitted = list(fn(("src",), iter([f]), state))
+        out.append(pd.concat(emitted) if emitted
+                   else pd.DataFrame(columns=["source", "ts", "value",
+                                              "code"]))
+    return out
+
+
+def test_stateful_late_rows_observable():
+    """ADVICE r3: a cross-batch late row must not vanish silently —
+    late_code= emits it with the marker code; default still drops it,
+    and fresh-row flags are identical either way."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.streaming.stateful_rules import (
+        LATE_ARRIVAL_CODE,
+        make_hampel_state_func,
+        make_spike_state_func,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    b1 = pd.DataFrame({
+        "ts": [t0, t0 + pd.Timedelta("1h"), t0 + pd.Timedelta("2h")],
+        "value": [1.0, 1.1, 0.9],
+    })
+    b2 = pd.DataFrame({
+        # first row is LATE (before the carried tail at t0+2h)
+        "ts": [t0 + pd.Timedelta("30min"), t0 + pd.Timedelta("3h")],
+        "value": [5.0, 1.2],
+    })
+
+    for factory, kw in (
+        (make_spike_state_func,
+         dict(threshold=2.0, spike_tol=2.0, max_gap_us=10**12)),
+        (make_hampel_state_func,
+         dict(window_us=4 * 3600 * 10**6, k=3.0, min_obs=2)),
+    ):
+        silent = _kernel_batches(factory(**kw), [b1, b2])
+        marked = _kernel_batches(
+            factory(**kw, late_code=LATE_ARRIVAL_CODE), [b1, b2])
+
+        # default: the late row is gone entirely
+        all_silent = pd.concat(silent)
+        assert (t0 + pd.Timedelta("30min")) not in set(all_silent["ts"])
+        # late_code: exactly that row surfaces with the marker
+        late = pd.concat(marked)
+        late = late[late["code"] == LATE_ARRIVAL_CODE]
+        assert list(late["ts"]) == [t0 + pd.Timedelta("30min")]
+        assert list(late["value"]) == [5.0]
+        # fresh rows identical across policies
+        a = all_silent[all_silent["code"] != LATE_ARRIVAL_CODE]
+        b = pd.concat(marked)
+        b = b[b["code"] != LATE_ARRIVAL_CODE]
+        assert list(a["ts"]) == list(b["ts"])
+        assert list(a["code"]) == list(b["code"])

@@ -21,10 +21,47 @@ in DuckDB, so every operator has a full value-level oracle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from traval_spark.operators.text import fold_hash, ws_tokens
+
+logger = logging.getLogger("traval_spark.dedup")
+
+
+def _cap_bucket_size(
+    bands: DataFrame, keys: list[str], max_bucket_size: int, what: str
+) -> DataFrame:
+    """Drop candidate buckets larger than ``max_bucket_size`` WITH
+    DISCLOSURE: a degenerate bucket (e.g. every empty-text doc sharing one
+    fingerprint band) contributes f^2 candidate rows — at web scale a
+    single hot bucket is the whole job, and AQE skew-join only spreads the
+    pain. The cap bounds the worst case; the cost is recall on pairs whose
+    ONLY shared band is the hot one, so the dropped bucket/doc counts are
+    logged (never silent truncation) and the default stays uncapped.
+
+    One small action (an aggregate over the already-persisted fingerprint
+    frame) pays for the disclosure; the oversize-bucket key list is tiny
+    by construction (at most n/max buckets) and broadcast anti-joins.
+    """
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+    big = sizes.filter(F.col("__bsz") > int(max_bucket_size))
+    stats = big.agg(
+        F.count("*").alias("nb"), F.sum("__bsz").alias("nd")
+    ).first()
+    if stats["nb"]:
+        logger.warning(
+            "%s: dropping %d candidate bucket(s) over max_bucket_size=%d "
+            "(%d member rows); pairs whose only shared band is a dropped "
+            "bucket will be missed",
+            what, stats["nb"], int(max_bucket_size), stats["nd"],
+        )
+        bands = bands.join(
+            F.broadcast(big.select(*keys)), on=keys, how="left_anti"
+        )
+    return bands
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
@@ -255,6 +292,7 @@ def simhash64_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by banded 64-bit SimHash Hamming search.
 
@@ -272,6 +310,11 @@ def simhash64_dup_pairs(
     faster at sf0.1 (21.2s -> 3.1s). At warehouse scale write the
     fingerprints to a table and join from that. Storage is reclaimed by
     Spark's ContextCleaner when the returned plan is garbage-collected.
+
+    ``max_bucket_size``: bound the worst-case hot band bucket (see
+    :func:`_cap_bucket_size`) — drops oversize buckets with a logged
+    disclosure count instead of leaving a degenerate f^2 self-join to
+    AQE. Default None = exact (every candidate pair generated).
     """
     fp = with_simhash64(docs, text_col, id_col)
     if materialize:
@@ -293,6 +336,9 @@ def simhash64_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "fp_lo", "fp_hi", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        bands = _cap_bucket_size(bands, ["band", "key"], max_bucket_size,
+                                 "simhash64_dup_pairs")
     a = bands.select(
         "band", "key", F.col(id_col).alias("a"),
         F.col("fp_lo").alias("lo_a"), F.col("fp_hi").alias("hi_a"),
@@ -314,6 +360,92 @@ def simhash64_dup_pairs(
     )
 
 
+def simhash64_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_fp: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against an existing corpus WITHOUT
+    re-pairing the corpus with itself — the shape a daily 100 TB ingest
+    actually runs (full-corpus re-pairing is O((N+n)^2-candidate) work
+    per day for an n << N batch; this is O(n*(N+n)-candidate) with the
+    same banding).
+
+    ``corpus_fp`` is the persisted fingerprint table (id, fp_lo, fp_hi)
+    — exactly :func:`with_simhash64`'s output, the thing a warehouse
+    keeps between ingests (e.g. a TierStore tier). Only the new batch is
+    hashed here. Candidates = new-doc bands probed against (corpus UNION
+    new) bands, so every emitted pair has >= 1 new member: new-vs-corpus
+    AND new-vs-new pairs both surface, corpus-vs-corpus never re-pairs.
+    Pairs are (least, greatest)-normalized, Hamming-verified via
+    xor + bit_count, and distinct-ed across bands — identical semantics
+    to :func:`simhash64_dup_pairs` restricted to pairs touching the new
+    batch (the oracle relation: full-corpus pairs where a or b is new).
+
+    After the run, append the new fingerprints to the corpus table
+    (``new_fp`` is this function's probe-side frame — recompute with
+    :func:`with_simhash64` or reuse); the corpus never needs re-hashing.
+    """
+    new_fp = with_simhash64(new_docs, text_col, id_col)
+    if materialize:
+        # probed once per band side; also keeps the text-hash agg single-run
+        new_fp = new_fp.persist()
+    all_fp = corpus_fp.select(id_col, "fp_lo", "fp_hi").unionByName(new_fp)
+
+    def to_bands(fp: DataFrame) -> DataFrame:
+        return fp.select(
+            F.col(id_col),
+            "fp_lo",
+            "fp_hi",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"),
+                             F.col("fp_lo").bitwiseAND(F.lit(0xFFFF))
+                             .alias("key")),
+                    F.struct(F.lit(1).alias("band"),
+                             F.shiftright(F.col("fp_lo"), 16).alias("key")),
+                    F.struct(F.lit(2).alias("band"),
+                             F.col("fp_hi").bitwiseAND(F.lit(0xFFFF))
+                             .alias("key")),
+                    F.struct(F.lit(3).alias("band"),
+                             F.shiftright(F.col("fp_hi"), 16).alias("key")),
+                )
+            ).alias("bk"),
+        ).select(id_col, "fp_lo", "fp_hi", "bk.band", "bk.key")
+
+    probe = to_bands(new_fp).select(
+        "band", "key", F.col(id_col).alias("na"),
+        F.col("fp_lo").alias("lo_a"), F.col("fp_hi").alias("hi_a"),
+    )
+    build = to_bands(all_fp)
+    if max_bucket_size is not None:
+        build = _cap_bucket_size(build, ["band", "key"], max_bucket_size,
+                                 "simhash64_incremental_pairs")
+    build = build.select(
+        "band", "key", F.col(id_col).alias("nb"),
+        F.col("fp_lo").alias("lo_b"), F.col("fp_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    return (
+        probe.join(build, on=["band", "key"])
+        .filter(F.col("na") != F.col("nb"))
+        .select(
+            F.least(F.col("na"), F.col("nb")).alias("a"),
+            F.greatest(F.col("na"), F.col("nb")).alias("b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def lsh_banded_pairs(
     docs: DataFrame,
     b: int = 4,
@@ -322,6 +454,7 @@ def lsh_banded_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash LSH candidate pairs with explicit (b, r) banding.
 
@@ -335,6 +468,9 @@ def lsh_banded_pairs(
     ``materialize``: persist the (id, b*r ints) signature frame before
     the self-join — same double-computation trap as simhash64_dup_pairs
     (the shingle+minhash aggregation would otherwise run twice).
+
+    ``max_bucket_size``: bound the worst-case hot band bucket with a
+    logged disclosure count (see :func:`_cap_bucket_size`); None = exact.
     """
     sig = with_minhash(docs, text_col, id_col, n_hashes=b * r, k=k)
     if materialize:
@@ -353,6 +489,9 @@ def lsh_banded_pairs(
     bands = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        bands = _cap_bucket_size(bands, ["band", "key"], max_bucket_size,
+                                 "lsh_banded_pairs")
     a = bands.select("band", "key", F.col(id_col).alias("a"))
     pairs = (
         a.join(bands.select("band", "key", F.col(id_col).alias("b")),

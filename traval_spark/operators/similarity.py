@@ -250,7 +250,12 @@ def cosine_dup_pairs(
     probability p, at L bucket joins of cost. The bucketed frame carries
     all L bucket ids from one pass and is persisted before the
     self-joins (a self-join duplicates its input subtree — the round-2
-    dedup lesson)."""
+    dedup lesson). The persisted block stays referenced by the returned
+    lazy plan for as long as the caller holds it — intentional (every
+    action on the plan reuses it); storage is reclaimed by Spark's
+    ContextCleaner once the plan is garbage-collected, or immediately by
+    materializing the pairs (``df.localCheckpoint()``) and dropping the
+    reference."""
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(
         F.col(id_col).alias("id"),

@@ -145,7 +145,10 @@ def top_bigram_fraction(
     partial-aggregatable ``min(struct(-count, bigram))`` — two shuffles
     keyed by doc (no windows, no driver). Ties break to the
     lexicographically smallest bigram (deterministic). Documents with
-    fewer than two words get fraction 0.0 and a NULL bigram.
+    fewer than two words get fraction 0.0 and a NULL bigram; NULL-text
+    documents get NULL metrics, consistent with
+    :func:`repetition_columns` (a missing document is not a
+    0%-repetitive document).
 
     Returns (id_col, top_bigram, top_bigram_char_fraction).
     """
@@ -177,11 +180,12 @@ def top_bigram_fraction(
         F.col("t.bg").alias("top_bigram"),
         frac.alias("top_bigram_char_fraction"),
     )
-    base = docs.select(id_col)
+    base = docs.select(id_col, F.col(text_col).isNotNull().alias("__has"))
     return base.join(top, on=id_col, how="left").select(
         id_col,
         "top_bigram",
-        F.coalesce(F.col("top_bigram_char_fraction"), F.lit(0.0)).alias(
-            "top_bigram_char_fraction"
-        ),
+        F.when(
+            F.col("__has"),
+            F.coalesce(F.col("top_bigram_char_fraction"), F.lit(0.0)),
+        ).alias("top_bigram_char_fraction"),
     )

@@ -19,10 +19,17 @@ Parity with the batch plan: an emitted point's flag is bit-identical to
 maxFilesPerTrigger=1 forcing cross-batch boundaries). The only
 difference is the stream's pending final point per source, which emits
 on the next point's arrival — exactly the latency a lookahead rule must
-pay. Input is assumed in-order per source (file-source ingestion of
-time-partitioned drops); rows older than the carried tail are late data
-and are dropped (counted nowhere — the batch rebuild remains the source
-of truth, as with the streaming rollup tier).
+pay.
+
+**In-order contract (API-level)**: input is assumed in-order per source
+(file-source ingestion of time-partitioned drops). A row at or before
+the carried tail is LATE data whose window context is gone; it cannot
+be evaluated correctly anymore. Default policy drops it — but
+observably: pass ``late_code=`` (e.g. :data:`LATE_ARRIVAL_CODE`) to
+emit late rows with that marker code instead, so a downstream count of
+``code = late_code`` rows measures the loss (no silent discard). Either
+way the batch rebuild remains the source of truth for late data, as
+with the streaming rollup tier.
 
 Scale shape: state is O(1) per source (two points), the RocksDB/HDFS
 state store holds |sources| entries, and each micro-batch shuffles only
@@ -51,6 +58,22 @@ STATE_SCHEMA = "tsa long, va double, tsb long, vb double"
 
 _CODE = int(CorrectionCode.UNKNOWN_COMPARISON_VALUE)
 
+#: marker code for late-arriving rows emitted under ``late_code=`` —
+#: deliberately outside the reference CorrectionCode range (codes.py):
+#: it labels a row the stream could NOT evaluate, not a correction.
+LATE_ARRIVAL_CODE = -99
+
+
+def _late_frame(key, ts_us: np.ndarray, vals: np.ndarray, late_code: int):
+    return pd.DataFrame(
+        {
+            "source": key[0],
+            "ts": ts_us.astype("datetime64[us]"),
+            "value": vals,
+            "code": np.full(len(ts_us), late_code, dtype="int32"),
+        }
+    )
+
 
 def _spike_flags(
     ts_us: np.ndarray, vals: np.ndarray,
@@ -76,9 +99,13 @@ def _spike_flags(
 
 
 def make_spike_state_func(
-    threshold: float, spike_tol: float, max_gap_us: int
+    threshold: float, spike_tol: float, max_gap_us: int,
+    late_code: int | None = None,
 ):
-    """Build the applyInPandasWithState kernel (closure over the params)."""
+    """Build the applyInPandasWithState kernel (closure over the params).
+
+    ``late_code``: emit rows at/before the carried tail with this marker
+    code instead of dropping them silently (see module docstring)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -100,8 +127,11 @@ def make_spike_state_func(
             carried_ts.append(tsb)
             carried_vals.append(vb)
             # late rows (at or before the pending point) were already
-            # emitted or superseded: drop them
+            # emitted or superseded: surface with late_code, or drop
             fresh = b_ts > carried_ts[-1]
+            if late_code is not None and (~fresh).any():
+                yield _late_frame(key, b_ts[~fresh], b_vals[~fresh],
+                                  late_code)
             b_ts, b_vals = b_ts[fresh], b_vals[fresh]
         if len(b_ts) == 0:
             return
@@ -149,9 +179,13 @@ HAMPEL_STATE_SCHEMA = (
 
 
 def make_hampel_state_func(
-    window_us: int, k: float, min_obs: int
+    window_us: int, k: float, min_obs: int,
+    late_code: int | None = None,
 ):
     """applyInPandasWithState kernel for the streaming Hampel filter.
+
+    ``late_code``: emit rows at/before the carried newest ts with this
+    marker code instead of dropping them silently (module docstring).
 
     Exactness argument (mirrors the batch chunked kernel's halo proof,
     operators/kernels.py): a new point t' only needs values in
@@ -182,6 +216,9 @@ def make_hampel_state_func(
                     state.get, ("int64", float, float))
             )
             fresh = b_ts > c_ts[-1]  # late rows: already emitted/superseded
+            if late_code is not None and (~fresh).any():
+                yield _late_frame(key, b_ts[~fresh], b_vals[~fresh],
+                                  late_code)
             b_ts, b_vals = b_ts[fresh], b_vals[fresh]
         else:
             c_ts = np.empty(0, dtype="int64")
@@ -235,6 +272,7 @@ def stream_hampel_clean(
     k: float = 3.0,
     min_obs: int = 3,
     max_files_per_trigger: int = 1,
+    late_code: int | None = None,
 ) -> DataFrame:
     """Streaming Hampel filter over tokenized-sequence file drops.
 
@@ -242,6 +280,8 @@ def stream_hampel_clean(
     is emitted in the micro-batch it arrives in (trailing windows need no
     lookahead), flagged identically to batch ``rule_hampel``. State per
     source is the last ``window`` of (ts, value, deviation) triples.
+    Input must be in-order per source; ``late_code`` makes violations
+    observable instead of silently dropped (module docstring).
     """
     stream = (
         spark.readStream.schema(SEQUENCE_SCHEMA)
@@ -255,7 +295,7 @@ def stream_hampel_clean(
     )
     window_us = int(pd.Timedelta(window).value // 1_000)
     return stream.groupBy("source").applyInPandasWithState(
-        make_hampel_state_func(window_us, k, min_obs),
+        make_hampel_state_func(window_us, k, min_obs, late_code=late_code),
         OUTPUT_SCHEMA,
         HAMPEL_STATE_SCHEMA,
         "append",
@@ -270,12 +310,15 @@ def stream_spike_clean(
     spike_tol: float = 0.15,
     max_gap: str = "7D",
     max_files_per_trigger: int = 1,
+    late_code: int | None = None,
 ) -> DataFrame:
     """Streaming spike-flagger over tokenized-sequence file drops.
 
     Returns the unbounded DataFrame of (source, ts, value, code); write it
     with ``.writeStream`` (append mode) — each input point appears exactly
-    once, flagged identically to the batch rule.
+    once, flagged identically to the batch rule. Input must be in-order
+    per source; ``late_code`` makes violations observable instead of
+    silently dropped (module docstring).
     """
     stream = (
         spark.readStream.schema(SEQUENCE_SCHEMA)
@@ -290,7 +333,8 @@ def stream_spike_clean(
     )
     max_gap_us = int(pd.Timedelta(max_gap).value // 1_000)
     return stream.groupBy("source").applyInPandasWithState(
-        make_spike_state_func(threshold, spike_tol, max_gap_us),
+        make_spike_state_func(threshold, spike_tol, max_gap_us,
+                              late_code=late_code),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
