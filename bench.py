@@ -74,7 +74,8 @@ def main() -> None:
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "quality_score", "fingerprint",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
-        "simhash64_dups", "cos_dup_pairs_lsh", "cos_dup_pairs_multi",
+        "simhash64_dups", "dedup_incremental",
+        "cos_dup_pairs_lsh", "cos_dup_pairs_multi",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "multimodal_meta",
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
@@ -107,6 +108,56 @@ def main() -> None:
     wall = timings["rollup_pipeline"]
     extras["rollup_rows"] = synth_rows
     extras["rollup_points_per_sec"] = round(synth_rows / wall, 1)
+
+    # Gorilla zone-map pruning: a selective one-day predicate must beat
+    # the full decode (the scan-accelerator claim). The tier is generated
+    # directly — 32 sources x ~278 days of 16-second buckets, 48M points
+    # in ~8900 (source, day) blocks — sized so decode dominates the job
+    # floor; block hulls push down to the parquet scan of the persisted
+    # tier (a one-day predicate decodes 32 of ~8900 blocks; measured
+    # 5.1s full vs 0.66s pruned on this VM at 32 cores).
+    import pandas as pd
+
+    from traval_spark.compress import pack_tier, unpack_tier
+
+    prune_pts = 48_000_000
+    ppath = f"/tmp/traval_bench_packed_tier_p{prune_pts}"
+    if not os.path.exists(f"{ppath}/_SUCCESS"):
+        tier = spark.range(0, prune_pts, 1, cpus * 2).select(
+            F.format_string("source_%02d", (F.col("id") % 32).cast("int")
+                            ).alias("source"),
+            (F.to_timestamp_ntz(F.lit("2024-01-01")) + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                ((F.col("id") / 32).cast("long") * 16).cast("double"))
+             ).alias("bucket"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double")
+            .alias("sum_tok"),
+        )
+        pack_tier(tier, measures=["sum_tok"]).write.mode(
+            "overwrite"
+        ).parquet(ppath)
+    packed = spark.read.parquet(ppath)
+    hull = packed.agg(F.min("ts_min").alias("lo")).first()
+    lo = pd.Timestamp(hull["lo"]) + pd.Timedelta("30D")
+    timed("gorilla_unpack_full", lambda: _noop(unpack_tier(packed)))
+    timed("gorilla_unpack_pruned",
+          lambda: _noop(unpack_tier(packed, ts_min=lo,
+                                    ts_max=lo + pd.Timedelta("1D"))))
+    extras["prune_tier_points"] = prune_pts
+
+    # star connected components on a worst-case chain: rounds ~ log2(n),
+    # not diameter (extras, not headline — the data is trivially small,
+    # the ROUND COUNT is the evidence)
+    from traval_spark.operators.dedup import connected_components
+
+    chain_n = 2048
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    t0 = time.time()
+    _, rounds = connected_components(chain)
+    extras["cc_star_chain_nodes"] = chain_n
+    extras["cc_star_rounds"] = rounds
+    extras["cc_star_seconds"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

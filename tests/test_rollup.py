@@ -128,6 +128,52 @@ def test_pack_tier_roundtrip(spark, seqs):
     assert comp["p"] < comp["r"]  # regular minute buckets must compress
 
 
+def test_unpack_tier_pruning_exact_and_pushdown(spark, seqs, tmp_path):
+    """Zone-map block pruning: unpack_tier with a time/value predicate ==
+    full decode + row filter (randomized predicates), the packed frame
+    carries consistent hull stats, and on a parquet-persisted tier the
+    hull filter reaches the scan as PushedFilters (skipped blocks are
+    never read)."""
+    t1m = rollup_raw(seqs, "1m")
+    packed = pack_tier(t1m, measures=["sum_tok"]).persist()
+    full = unpack_tier(packed).collect()
+    rows = sorted((r["source"], r["bucket"], r["value"]) for r in full)
+
+    # hull consistency on every block
+    for b in packed.collect():
+        assert b["ts_min"] <= b["ts_max"]
+        assert b["val_min"] <= b["val_max"]
+
+    rng = np.random.default_rng(23)
+    buckets = sorted({r[1] for r in rows})
+    vals = sorted(r[2] for r in rows)
+    for _ in range(4):
+        lo_t, hi_t = sorted(rng.choice(len(buckets), 2))
+        lo_v, hi_v = sorted(rng.choice(len(vals), 2))
+        ts0, ts1 = buckets[lo_t], buckets[hi_t]
+        v0, v1 = vals[lo_v], vals[hi_v]
+        pruned = sorted(
+            (r["source"], r["bucket"], r["value"])
+            for r in unpack_tier(packed, ts_min=ts0, ts_max=ts1,
+                                 val_min=v0, val_max=v1).collect()
+        )
+        expect = [r for r in rows
+                  if ts0 <= r[1] <= ts1 and v0 <= r[2] <= v1]
+        assert pruned == expect
+    # a disjoint predicate prunes every block before Python decode
+    assert unpack_tier(packed, val_min=1e18).count() == 0
+    packed.unpersist()
+
+    ppath = str(tmp_path / "packed")
+    pack_tier(t1m, measures=["sum_tok"]).write.parquet(ppath)
+    lazy = unpack_tier(spark.read.parquet(ppath),
+                       ts_min=buckets[0], val_min=vals[0])
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "ts_max" in pushed and "val_max" in pushed
+
+
 def test_tierstore_resume(spark, seqs, tmp_path):
     root = str(tmp_path / "tiers")
     store = TierStore(root)

@@ -512,13 +512,30 @@ def unpack_values(blob: bytes) -> np.ndarray:
 
 PACKED_SCHEMA = (
     "source string, day timestamp_ntz, measure string, n_points int, "
-    "ts_blob binary, val_blob binary, raw_bytes long, packed_bytes long"
+    "ts_blob binary, val_blob binary, raw_bytes long, packed_bytes long, "
+    "ts_min timestamp_ntz, ts_max timestamp_ntz, "
+    "val_min double, val_max double"
 )
 
 
 def pack_tier(tier_df: DataFrame, measures: list[str] | None = None) -> DataFrame:
     """Pack a rollup tier into Gorilla blocks, one row per (source, day,
-    measure). Lineage columns record the compression ratio inputs."""
+    measure). Lineage columns record the compression ratio inputs.
+
+    Each block also carries its **zone-map stats** — ts_min/ts_max (the
+    block's time hull; trivially the first/last bucket of the sorted
+    block) and val_min/val_max (NaN-ignoring value hull) — as PLAIN
+    COLUMNS, not bits inside the blob: columns are what the engine can
+    prune on. When the packed tier is persisted as parquet, parquet
+    row-group statistics over these columns let a pushed-down filter
+    skip whole row groups of blocks without reading the blobs at all
+    (``PushedFilters`` in the scan — see :func:`unpack_tier`); an
+    in-blob header would require decoding Python just to decide to skip.
+    All-NaN blocks carry NaN hulls (Spark orders NaN greatest, so a
+    value predicate keeps the block and the exact row filter then drops
+    its NaN rows — prune-keep is always safe, prune-drop only happens on
+    provably disjoint hulls).
+    """
     measures = measures or ["sum_tok"]
     df = ensure_ntz(tier_df, "bucket").withColumn(
         "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
@@ -533,6 +550,7 @@ def pack_tier(tier_df: DataFrame, measures: list[str] | None = None) -> DataFram
             vals = pdf[m].to_numpy(dtype=np.float64)
             ts_blob = pack_timestamps(ts_us)
             val_blob = pack_values(vals)
+            finite = vals[~np.isnan(vals)]
             rows.append(
                 {
                     "source": pdf["source"].iloc[0],
@@ -543,6 +561,10 @@ def pack_tier(tier_df: DataFrame, measures: list[str] | None = None) -> DataFram
                     "val_blob": val_blob,
                     "raw_bytes": 16 * len(pdf),  # int64 ts + float64 value
                     "packed_bytes": len(ts_blob) + len(val_blob),
+                    "ts_min": pdf["bucket"].iloc[0],
+                    "ts_max": pdf["bucket"].iloc[-1],
+                    "val_min": float(finite.min()) if len(finite) else np.nan,
+                    "val_max": float(finite.max()) if len(finite) else np.nan,
                 }
             )
         return pd.DataFrame(rows)
@@ -557,13 +579,43 @@ def pack_tier(tier_df: DataFrame, measures: list[str] | None = None) -> DataFram
 UNPACKED_SCHEMA = "source string, measure string, bucket timestamp_ntz, value double"
 
 
-def unpack_tier(packed: DataFrame) -> DataFrame:
+def unpack_tier(
+    packed: DataFrame,
+    ts_min=None,
+    ts_max=None,
+    val_min: float | None = None,
+    val_max: float | None = None,
+) -> DataFrame:
     """Round-trip decode of :func:`pack_tier` blocks back to long rows.
 
     Each packed row is a self-contained block, so decode is row-local:
     ``mapInPandas`` over whatever partitioning the blocks already have —
     no shuffle, no sort (an earlier ``groupBy(source, day)`` formulation
-    paid a full exchange for nothing)."""
+    paid a full exchange for nothing).
+
+    **Block pruning** (the scan-accelerator path): a time predicate
+    (``ts_min``/``ts_max``, str or Timestamp, inclusive) and/or a value
+    predicate (``val_min``/``val_max``, inclusive) first FILTER the
+    packed frame on the per-block zone-map columns pack_tier wrote —
+    blocks whose [ts_min, ts_max] / [val_min, val_max] hull is disjoint
+    from the predicate never reach the Python decoder, and on a
+    persisted tier the hull filter pushes down to the parquet scan
+    (``PushedFilters``: skipped row groups are never read off disk).
+    Decoded rows are then exact-filtered to the predicate, so the result
+    equals decoding everything and filtering rows — asserted by the
+    pruning property tests. Packed frames WITHOUT the stats columns
+    (legacy blocks) skip the block-level prune and still produce exact
+    results via the row filter.
+    """
+    have = set(packed.columns)
+    if ts_min is not None and "ts_max" in have:
+        packed = packed.filter(F.col("ts_max") >= F.lit(pd.Timestamp(ts_min)))
+    if ts_max is not None and "ts_min" in have:
+        packed = packed.filter(F.col("ts_min") <= F.lit(pd.Timestamp(ts_max)))
+    if val_min is not None and "val_max" in have:
+        packed = packed.filter(F.col("val_max") >= F.lit(float(val_min)))
+    if val_max is not None and "val_min" in have:
+        packed = packed.filter(F.col("val_min") <= F.lit(float(val_max)))
 
     def unpack_batches(batches):
         for pdf in batches:
@@ -587,6 +639,17 @@ def unpack_tier(packed: DataFrame) -> DataFrame:
                 }
             )
 
-    return packed.select("source", "measure", "ts_blob", "val_blob").mapInPandas(
+    out = packed.select("source", "measure", "ts_blob", "val_blob").mapInPandas(
         unpack_batches, schema=UNPACKED_SCHEMA
     )
+    # exact row filters: block pruning is hull-level only (a surviving
+    # block may still hold out-of-range rows)
+    if ts_min is not None:
+        out = out.filter(F.col("bucket") >= F.lit(pd.Timestamp(ts_min)))
+    if ts_max is not None:
+        out = out.filter(F.col("bucket") <= F.lit(pd.Timestamp(ts_max)))
+    if val_min is not None:
+        out = out.filter(F.col("value") >= F.lit(float(val_min)))
+    if val_max is not None:
+        out = out.filter(F.col("value") <= F.lit(float(val_max)))
+    return out
