@@ -1005,8 +1005,10 @@ def q_json_props(spark, sf_dir):
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the banded SimHash near-dup pairs:
     every doc labeled with its cluster representative (min reachable
-    doc id) — iterative min-label propagation in Spark, transitive
-    closure via recursive CTE in the oracle."""
+    doc id) — large-star/small-star contraction in Spark (O(log n)
+    rounds regardless of component diameter, dedup.py:
+    connected_components), transitive closure via recursive CTE in the
+    oracle."""
     from traval_spark.operators.dedup import dup_clusters, simhash64_dup_pairs
 
     d = _docs_with_near_dups(spark, sf_dir)

@@ -394,3 +394,15 @@ def test_session_rollup_equals_lag_formulation(spark):
     full = session_rollup(ev, gap="30m")
     assert full.exceptAll(want).count() == 0
     assert want.exceptAll(full).count() == 0
+
+
+def test_use_iceberg_conf_shape():
+    """The Iceberg seam: pure session conf (the only jar-free part),
+    keyed by catalog name, warehouse passed through."""
+    from traval_spark.sources.tierstore import use_iceberg
+
+    conf = use_iceberg("/tmp/wh", catalog="c1")
+    assert conf["spark.sql.catalog.c1"].endswith("SparkCatalog")
+    assert conf["spark.sql.catalog.c1.type"] == "hadoop"
+    assert conf["spark.sql.catalog.c1.warehouse"] == "/tmp/wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]

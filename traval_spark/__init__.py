@@ -37,4 +37,12 @@ from traval_spark.plans.params import TravalParameters  # noqa: F401
 from traval_spark.plans.ruleset import ParamRef, SparkRuleSet, apply_ruleset  # noqa: F401
 from traval_spark.session import get_spark  # noqa: F401
 
+# drop-in names for code ported from the reference package
+# (/root/reference/traval/__init__.py): `from traval import RuleSet,
+# rulelib` becomes `from traval_spark import RuleSet, rulelib`
+from traval_spark.operators import rules as rulelib  # noqa: F401
+from traval_spark.functions import ts as ts_utils  # noqa: F401
+
+RuleSet = SparkRuleSet
+
 __version__ = "0.1.0"

@@ -34,6 +34,36 @@ from traval_spark.functions.ts import ensure_ntz
 
 MANIFEST_DIR = "_manifests"
 
+
+def use_iceberg(warehouse: str, catalog: str = "tiers") -> dict[str, str]:
+    """Session-builder config for running TierStore tiers as Iceberg
+    tables — the north-rule deployment target. Returns the conf dict to
+    apply before session creation::
+
+        builder = SparkSession.builder
+        for k, v in use_iceberg("s3://bucket/wh").items():
+            builder = builder.config(k, v)
+
+    plus ``--packages org.apache.iceberg:iceberg-spark-runtime-<ver>``
+    on spark-submit (no runtime jar ships in this sandbox, so the
+    catalog cannot be smoke-tested here; the dict is plain Spark conf —
+    the only part constructible without the jar). With the catalog up,
+    the parquet TierStore maps 1:1: ``write_tier``'s dynamic partition
+    overwrite == ``df.writeTo(f"{catalog}.{tier}").overwritePartitions()``,
+    day partitioning == ``PARTITIONED BY (days(bucket))``, retention ==
+    ``DELETE WHERE``, and the JSON manifests' fingerprints ride in
+    snapshot summary properties.
+    """
+    return {
+        f"spark.sql.catalog.{catalog}":
+            "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions",
+    }
+
 #: days of history each tier keeps (None = forever) — the downsample
 #: story: raw ages out fast, coarser tiers keep (cheaper) history longer.
 DEFAULT_RETENTION: dict[str, int | None] = {
