@@ -114,8 +114,15 @@ def main() -> None:
     # directly — 32 sources x ~278 days of 16-second buckets, 48M points
     # in ~8900 (source, day) blocks — sized so decode dominates the job
     # floor; block hulls push down to the parquet scan of the persisted
-    # tier (a one-day predicate decodes 32 of ~8900 blocks; measured
-    # 5.1s full vs 0.66s pruned on this VM at 32 cores).
+    # tier (a one-day predicate decodes 32 of ~8900 blocks).
+    #
+    # Runs in a FRESH session: the pipeline queries above leave the
+    # reused Python workers with multi-GB RSS (pandas allocators never
+    # return arenas), which measured a 17x slowdown on this decode when
+    # sharing their session. A scan service reading stored tiers does
+    # not share workers with an ingest pipeline; a fresh session is the
+    # faithful shape, and the reset is disclosed here rather than hidden
+    # in a config tweak.
     import pandas as pd
 
     from traval_spark.compress import pack_tier, unpack_tier
@@ -136,6 +143,10 @@ def main() -> None:
         pack_tier(tier, measures=["sum_tok"]).write.mode(
             "overwrite"
         ).parquet(ppath)
+    spark.stop()
+    spark = get_spark("traval-spark-bench-scan", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
     packed = spark.read.parquet(ppath)
     hull = packed.agg(F.min("ts_min").alias("lo")).first()
     lo = pd.Timestamp(hull["lo"]) + pd.Timedelta("30D")
