@@ -624,6 +624,12 @@ def test_differential_alignment_utilities(spark, ref_ts_utils, seed):
         index=aux_idx + pd.to_timedelta(
             rng.integers(-7, 8, len(aux_idx)), unit="min"),
     )
+    # shifts can collapse two aux points onto one timestamp (seed 14 at
+    # 30-seed depth); duplicate-index behavior is np.interp's
+    # POSITION-dependent quirk, outside the set-semantics operator
+    # contract (ts.py:align_interpolate) — dedupe so both engines see
+    # the same well-defined series
+    aux = aux[~aux.index.duplicated(keep="last")]
     df = to_spark(spark, main)
     aux_f = to_spark(spark, aux)
 

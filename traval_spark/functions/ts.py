@@ -235,6 +235,13 @@ def align_interpolate_specs(
     ts_utils.py:368-388); a NULL aux value in a leg means "no observation of
     that column at this timestamp" (rows contributed by the other column of
     a joint frame), tracked per column via ignorenulls.
+
+    Contract: aux timestamps must be UNIQUE per (series, column). With a
+    duplicated timestamp np.interp's result depends on the duplicates'
+    physical ARRAY positions — information a distributed table does not
+    have (set semantics) — so the reference quirk is unreplicable by
+    construction; this implementation picks one duplicate per window
+    tie-break. Dedupe upstream (e.g. keep-last) for defined behavior.
     """
     df = ensure_ntz(df)
     slots = [out for _, pairs in specs for _, out in pairs]
