@@ -445,6 +445,25 @@ def test_dup_clusters_string_ids_and_nonconvergence(spark, backend):
         dup_clusters(chain_docs, chain, max_iter=2, backend=backend)
 
 
+@pytest.mark.parametrize("backend", ["star", "propagate"])
+def test_dup_clusters_degenerate_graphs(spark, backend):
+    """Empty pair set -> all self-labels; self-loops and duplicate pairs
+    (both orders) are absorbed without phantom clusters."""
+    from traval_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    empty = spark.createDataFrame([], "a long, b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(docs, empty, backend=backend).collect()}
+    assert out == {i: i for i in range(4)}
+
+    messy = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3)], "a long, b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(docs, messy, backend=backend).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 3}
+
+
 def test_dup_clusters_star_handles_long_chain(spark):
     """The scale fix the propagate backend can't do: a diameter-120 chain
     (far beyond max_iter=20 label-propagation rounds) converges in

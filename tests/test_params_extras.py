@@ -139,6 +139,14 @@ def test_ruleset_introspection_reference_names():
     assert rset.get_kwargs(stepname="spike", kwarg_name="loc1",
                            params=tp)["threshold"] == 0.30
 
+    # reference ruleset.py:264 guard: with name=None, callable kwargs
+    # appear VERBATIM in get_parameters (only get_kwargs/_parse_kwargs
+    # always call — ruleset.py:277-303)
+    noname = rset.get_parameters()
+    lt0_thr = noname[(noname.rulename == "lt0")
+                     & (noname.parameter == "threshold")]["value"].iloc[0]
+    assert callable(lt0_thr)
+
     # get_parameters frame: reference columns, one row per kwarg
     pdf = rset.get_parameters(name="loc1", params=tp)
     assert list(pdf.columns) == ["rulename", "step", "func", "parameter",

@@ -461,3 +461,10 @@ def test_pastas_ml_shim_min_ci_smoothfreq_savedir(tmp_path, spark):
     assert saved == ["pi_ma.pkl", "pi_mb.pkl"]
     pi = pd.read_pickle(tmp_path / "pi" / "pi_ma.pkl")
     assert list(pi.columns) == [0.025, 0.975]
+
+    # a SHARED model serving several series must not collide on one
+    # pickle name: per-series intervals get the series-id suffix
+    R.rule_pastas_outside_pi(df, "value", "r", ml=_FakeModel("shared"),
+                             savedir=str(tmp_path / "pi2"))
+    saved2 = sorted(p.name for p in (tmp_path / "pi2").glob("*.pkl"))
+    assert saved2 == ["pi_shared_a.pkl", "pi_shared_b.pkl"]

@@ -607,15 +607,24 @@ def unpack_tier(
     (legacy blocks) skip the block-level prune and still produce exact
     results via the row filter.
     """
+    # NULL stats (legacy blocks surfacing through a schema-merged read)
+    # must KEEP the block — prune only on provably disjoint hulls; the
+    # exact row filter below covers whatever decodes
     have = set(packed.columns)
     if ts_min is not None and "ts_max" in have:
-        packed = packed.filter(F.col("ts_max") >= F.lit(pd.Timestamp(ts_min)))
+        c = F.col("ts_max")
+        packed = packed.filter(c.isNull()
+                               | (c >= F.lit(pd.Timestamp(ts_min))))
     if ts_max is not None and "ts_min" in have:
-        packed = packed.filter(F.col("ts_min") <= F.lit(pd.Timestamp(ts_max)))
+        c = F.col("ts_min")
+        packed = packed.filter(c.isNull()
+                               | (c <= F.lit(pd.Timestamp(ts_max))))
     if val_min is not None and "val_max" in have:
-        packed = packed.filter(F.col("val_max") >= F.lit(float(val_min)))
+        c = F.col("val_max")
+        packed = packed.filter(c.isNull() | (c >= F.lit(float(val_min))))
     if val_max is not None and "val_min" in have:
-        packed = packed.filter(F.col("val_min") <= F.lit(float(val_max)))
+        c = F.col("val_min")
+        packed = packed.filter(c.isNull() | (c <= F.lit(float(val_max))))
 
     def unpack_batches(batches):
         for pdf in batches:

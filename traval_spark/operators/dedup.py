@@ -286,6 +286,33 @@ def with_simhash64(df: DataFrame, text_col: str = "text",
     return agg.select(F.col(id_col), lo.alias("fp_lo"), hi.alias("fp_hi"))
 
 
+def _simhash64_bands(fp: DataFrame, id_col: str) -> DataFrame:
+    """Explode a fingerprint frame (id, fp_lo, fp_hi) into its 4 x 16-bit
+    pigeonhole bands: (id, fp_lo, fp_hi, band, key). THE band definition
+    for every 64-bit SimHash pair search — the incremental path's
+    equivalence to the full path (dedup_incremental oracle) requires both
+    to bucket identically, so there is exactly one copy."""
+    return fp.select(
+        F.col(id_col),
+        "fp_lo",
+        "fp_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.col("fp_lo").bitwiseAND(F.lit(0xFFFF))
+                         .alias("key")),
+                F.struct(F.lit(1).alias("band"),
+                         F.shiftright(F.col("fp_lo"), 16).alias("key")),
+                F.struct(F.lit(2).alias("band"),
+                         F.col("fp_hi").bitwiseAND(F.lit(0xFFFF))
+                         .alias("key")),
+                F.struct(F.lit(3).alias("band"),
+                         F.shiftright(F.col("fp_hi"), 16).alias("key")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "fp_lo", "fp_hi", "bk.band", "bk.key")
+
+
 def simhash64_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -319,23 +346,7 @@ def simhash64_dup_pairs(
     fp = with_simhash64(docs, text_col, id_col)
     if materialize:
         fp = fp.persist()
-    bands = fp.select(
-        F.col(id_col),
-        "fp_lo",
-        "fp_hi",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"),
-                         F.col("fp_lo").bitwiseAND(F.lit(0xFFFF)).alias("key")),
-                F.struct(F.lit(1).alias("band"),
-                         F.shiftright(F.col("fp_lo"), 16).alias("key")),
-                F.struct(F.lit(2).alias("band"),
-                         F.col("fp_hi").bitwiseAND(F.lit(0xFFFF)).alias("key")),
-                F.struct(F.lit(3).alias("band"),
-                         F.shiftright(F.col("fp_hi"), 16).alias("key")),
-            )
-        ).alias("bk"),
-    ).select(id_col, "fp_lo", "fp_hi", "bk.band", "bk.key")
+    bands = _simhash64_bands(fp, id_col)
     if max_bucket_size is not None:
         bands = _cap_bucket_size(bands, ["band", "key"], max_bucket_size,
                                  "simhash64_dup_pairs")
@@ -396,32 +407,11 @@ def simhash64_incremental_pairs(
         new_fp = new_fp.persist()
     all_fp = corpus_fp.select(id_col, "fp_lo", "fp_hi").unionByName(new_fp)
 
-    def to_bands(fp: DataFrame) -> DataFrame:
-        return fp.select(
-            F.col(id_col),
-            "fp_lo",
-            "fp_hi",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("band"),
-                             F.col("fp_lo").bitwiseAND(F.lit(0xFFFF))
-                             .alias("key")),
-                    F.struct(F.lit(1).alias("band"),
-                             F.shiftright(F.col("fp_lo"), 16).alias("key")),
-                    F.struct(F.lit(2).alias("band"),
-                             F.col("fp_hi").bitwiseAND(F.lit(0xFFFF))
-                             .alias("key")),
-                    F.struct(F.lit(3).alias("band"),
-                             F.shiftright(F.col("fp_hi"), 16).alias("key")),
-                )
-            ).alias("bk"),
-        ).select(id_col, "fp_lo", "fp_hi", "bk.band", "bk.key")
-
-    probe = to_bands(new_fp).select(
+    probe = _simhash64_bands(new_fp, id_col).select(
         "band", "key", F.col(id_col).alias("na"),
         F.col("fp_lo").alias("lo_a"), F.col("fp_hi").alias("hi_a"),
     )
-    build = to_bands(all_fp)
+    build = _simhash64_bands(all_fp, id_col)
     if max_bucket_size is not None:
         build = _cap_bucket_size(build, ["band", "key"], max_bucket_size,
                                  "simhash64_incremental_pairs")

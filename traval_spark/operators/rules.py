@@ -480,6 +480,11 @@ def rule_flat_signal(
     (exact percentile either way; test_flat_signal_via_join_equal).
     """
     v = F.col(in_col)
+    # quantile-gate source frame captured BEFORE the chunked kernel:
+    # aggregating over the post-kernel df would execute the expensive
+    # applyInPandas rolling kernel a second time inside the qstats
+    # subtree (the quantiles only need the untouched SID/in_col columns)
+    qsrc = df
     if chunk is not None:
         from traval_spark.operators.kernels import rolling_time_stats
 
@@ -506,7 +511,7 @@ def rule_flat_signal(
     if qabove is not None:
         qaggs[f"{out}_qa"] = F.percentile(v, F.lit(float(qabove)))
     if via_join and qaggs:
-        qstats = df.groupBy(SID).agg(
+        qstats = qsrc.groupBy(SID).agg(
             *[agg.alias(name) for name, agg in qaggs.items()]
         )
         df = df.join(F.broadcast(qstats), on=SID, how="left")
@@ -629,21 +634,38 @@ def pastas_prediction_interval_bounds(
     each prediction_interval call is the model's own (single-machine)
     compute. The resulting bounds frame is distributed from there on.
     """
-    spans = (
+    spans = sorted(
         df.filter(F.col(in_col).isNotNull())
         .groupBy(SID)
         .agg(F.min(TS).alias("__tmin"), F.max(TS).alias("__tmax"))
-        .collect()
-    )
+        .collect(),
+        key=lambda r: r[SID],
+    )  # sorted: the driver loop (and any savedir writes) is deterministic
+
+    def _resolve(sid):
+        if callable(ml) and not hasattr(ml, "solver"):
+            return ml(sid)
+        if isinstance(ml, dict):
+            return ml.get(sid)
+        return ml
+
+    # per-series pickle names: the reference writes pi_{ml.name}.pkl for
+    # its single series (rulelib.py:596-598); in the fleet loop a SHARED
+    # model (or duplicate model names) would collide on that name and
+    # silently keep only one series' interval — suffix the series id for
+    # any name that serves more than one series
+    name_counts: dict[str, int] = {}
+    if savedir is not None:
+        for row in spans:
+            m = _resolve(row[SID])
+            if m is not None and getattr(m, "solver", None) is not None:
+                nm = str(getattr(m, "name", row[SID]))
+                name_counts[nm] = name_counts.get(nm, 0) + 1
+
     frames = []
     for row in spans:
         sid = row[SID]
-        if callable(ml) and not hasattr(ml, "solver"):
-            model = ml(sid)
-        elif isinstance(ml, dict):
-            model = ml.get(sid)
-        else:
-            model = ml
+        model = _resolve(sid)
         if model is None or getattr(model, "solver", None) is None:
             if verbose:
                 print(f"Warning: no Pastas model/solver for {sid!r}!")
@@ -660,7 +682,10 @@ def pastas_prediction_interval_bounds(
 
             sd = Path(savedir)
             sd.mkdir(exist_ok=True)
-            pi.to_pickle(sd / f"pi_{getattr(model, 'name', sid)}.pkl")
+            nm = str(getattr(model, "name", sid))
+            fname = (f"pi_{nm}.pkl" if name_counts.get(nm, 0) <= 1
+                     else f"pi_{nm}_{sid}.pkl")
+            pi.to_pickle(sd / fname)
         frames.append(
             pd.DataFrame(
                 {

@@ -135,9 +135,16 @@ class SparkRuleSet:
         for rnam, irule in self.rules.items():
             if irule["kwargs"] is None:
                 continue
-            parsed = self._parse_kwargs(irule["kwargs"], name=name,
-                                        params=params)
-            for parameter, value in parsed.items():
+            for parameter, value in irule["kwargs"].items():
+                # reference ruleset.py:264 guard: callables resolve ONLY
+                # when a name is given, else they appear verbatim (unlike
+                # _parse_kwargs, which always calls — ruleset.py:277-303)
+                if isinstance(value, ParamRef):
+                    if params is not None:
+                        value = params.get(value.rulename, value.parameter,
+                                           location=name)
+                elif callable(value) and name is not None:
+                    value = value(name)
                 rows.append((rnam, irule["apply_to"], irule["func"],
                              parameter, value))
         pdf = pd.DataFrame(rows, columns=cols)
