@@ -921,6 +921,46 @@ def q_sliding_rollup(spark, sf_dir):
     )
 
 
+def q_tier_routed(spark, sf_dir):
+    """Downsample-on-read tier routing (router.py): a 1h-resolution read
+    over the full range is served by stitching the COARSEST tier able to
+    serve each day — 1h rollup for settled history, the 1m tier for the
+    not-yet-cascaded day, raw for the live tail (the materialization-lag
+    shape every tiered TSDB has). The cascade-composition identity makes
+    tier choice invisible in the answer, so the oracle is the plain
+    direct-from-raw hourly rollup: the query proves stitched == direct."""
+    import datetime as dt
+
+    from traval_spark.router import read_routed, route_plan
+    from traval_spark.rollup import rollup_cascade, rollup_raw
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    # two scalars driver-side (like the IVF centroids): the data's day span
+    span = src.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    ).collect()[0]
+    lo, hi = span["lo"], span["hi"]
+    cov = {
+        "1h": (lo.isoformat(), (hi - dt.timedelta(days=2)).isoformat()),
+        "1m": ((hi - dt.timedelta(days=6)).isoformat(),
+               (hi - dt.timedelta(days=1)).isoformat()),
+        "raw": ((hi - dt.timedelta(days=1)).isoformat(), hi.isoformat()),
+    }
+    t1m = rollup_raw(src, "1m")
+    frames = {"raw": src, "1m": t1m, "1h": rollup_cascade(t1m, "1h")}
+    out = read_routed(frames, route_plan(cov, "1h"), strict=True)
+    return out.select(
+        "source", "bucket", "n_points",
+        F.round("sum_tok", 6).alias("sum_val"),
+        F.col("min_tok").alias("min_val"),
+        F.col("max_tok").alias("max_val"),
+    )
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem: single-scan groupBy
     with partial aggregation; sums rounded for cross-engine float-sum
@@ -983,6 +1023,24 @@ def q_tpch_regional_revenue(spark, sf_dir):
     )
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return j.groupBy("n_name").agg(F.round(rev, 2).alias("revenue"))
+
+
+def q_tpch_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-style forecast revenue: pure scan-side query — every
+    predicate (shipdate range, discount band, quantity cap) pushes to
+    the parquet scan (PushedFilters), only 4 columns read, one partial+
+    final agg, no shuffle of row data. The canonical predicate-pushdown
+    showcase."""
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24))
+    return l.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
 
 
 def q_json_props(spark, sf_dir):
@@ -1113,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
+        "tpch_forecast_revenue": q_tpch_forecast_revenue,
+        "tier_routed": q_tier_routed,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -2223,6 +2283,19 @@ def oracle_sql() -> dict[str, str]:
       and o.o_orderdate < TIMESTAMP '1997-01-01'
     group by n.n_name
     """
+    sql["tpch_forecast_revenue"] = """
+    select round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    from lineitem
+    where l_shipdate >= TIMESTAMP '1994-01-01'
+      and l_shipdate < TIMESTAMP '1995-01-01'
+      and l_discount between 0.05 and 0.07
+      and l_quantity < 24
+    """
+    # tier routing is answer-invariant in the serving tier (cascade
+    # composition identity), so the stitched multi-tier read oracles
+    # against the plain direct-from-raw hourly rollup
+    sql["tier_routed"] = _rollup_sql("hour")
     sql["json_props"] = """
     select event_type,
            count(k) AS n,

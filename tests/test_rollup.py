@@ -406,3 +406,111 @@ def test_use_iceberg_conf_shape():
     assert conf["spark.sql.catalog.c1.type"] == "hadoop"
     assert conf["spark.sql.catalog.c1.warehouse"] == "/tmp/wh"
     assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+
+# -- tier router (downsample-on-read) ---------------------------------------
+
+def test_route_plan_coarsest_merge_gaps():
+    from traval_spark.router import eligible_tiers, route_plan
+
+    # eligibility is divisibility: 1d cannot serve an hourly read
+    assert eligible_tiers("1h") == ["1h", "1m", "raw"]
+    assert eligible_tiers("1d") == ["1d", "1h", "1m", "raw"]
+
+    cov = {
+        "1d": ("2024-01-01", "2024-01-31"),
+        "1h": ("2024-01-05", "2024-01-08"),
+        "raw": ("2024-01-07", "2024-01-10"),
+    }
+    # hourly read: 1d ineligible, days 1-4 are DISCLOSED gaps, the 1h
+    # tier beats raw where both cover, raw serves the tail
+    p = route_plan(cov, "1h", "2024-01-01", "2024-01-10")
+    assert [(s.tier, s.day_lo, s.day_hi) for s in p.segments] == [
+        ("1h", "2024-01-05", "2024-01-08"),
+        ("raw", "2024-01-09", "2024-01-10"),
+    ]
+    assert p.gaps == ["2024-01-0" + str(d) for d in range(1, 5)]
+
+    # daily read: the 1d tier serves everything in one merged segment
+    p = route_plan(cov, "1d", "2024-01-01", "2024-01-10")
+    assert [(s.tier, s.day_lo, s.day_hi) for s in p.segments] == [
+        ("1d", "2024-01-01", "2024-01-10")
+    ]
+    assert p.gaps == []
+
+    # a gap BETWEEN same-tier runs must split the segment (merging would
+    # scan the uncovered day)
+    p = route_plan({"1h": ("2024-01-01", "2024-01-05"),
+                    "1m": ("2024-01-01", "2024-01-03")},
+                   "1m", "2024-01-01", "2024-01-05")
+    assert [(s.tier, s.day_lo, s.day_hi) for s in p.segments] == [
+        ("1m", "2024-01-01", "2024-01-03")
+    ]
+    assert p.gaps == ["2024-01-04", "2024-01-05"]
+
+
+def test_read_routed_stitched_equals_direct(spark):
+    """The flagship router property: a ragged multi-tier stitch (1h for
+    settled history, 1m for the not-yet-cascaded day, raw for the live
+    tail) is value-identical to aggregating raw directly — tier choice
+    is invisible by the cascade-composition identity."""
+    from traval_spark.router import read_routed, route_plan
+
+    src = synth_sequences(spark, 4000, seed=7, span_days=8)
+    cov = {
+        "1h": ("2024-01-01", "2024-01-06"),
+        "1m": ("2024-01-05", "2024-01-07"),
+        "raw": ("2024-01-07", "2024-01-08"),
+    }
+    plan = route_plan(cov, "1h")
+    assert plan.gaps == []
+    assert [s.tier for s in plan.segments] == ["1h", "1m", "raw"]
+
+    t1m = rollup_raw(src, "1m")
+    frames = {"raw": src, "1m": t1m, "1h": rollup_cascade(t1m, "1h")}
+    routed = read_routed(frames, plan, with_provenance=True)
+    direct = rollup_raw(src, "1h")
+    cols = ["source", "bucket", "n_points", "sum_tok", "min_tok", "max_tok"]
+    assert routed.select(*cols).exceptAll(direct.select(*cols)).count() == 0
+    assert direct.select(*cols).exceptAll(routed.select(*cols)).count() == 0
+
+    # provenance maps each day to its planned tier
+    prov = {r["d"]: r["tiers"] for r in routed.groupBy(
+        F.col("bucket").cast("date").cast("string").alias("d")
+    ).agg(F.collect_set("tier").alias("tiers")).collect()}
+    assert prov["2024-01-06"] == ["1h"] and prov["2024-01-07"] == ["1m"]
+    assert prov["2024-01-08"] == ["raw"]
+
+    # strict mode refuses plans with uncovered days
+    gappy = route_plan({"1h": ("2024-01-03", "2024-01-08")}, "1h",
+                       "2024-01-01", "2024-01-08")
+    with pytest.raises(ValueError, match="uncovered"):
+        read_routed(frames, gappy, strict=True)
+
+
+def test_read_resolution_from_store(spark, tmp_path):
+    """Store-integrated routing: coverage comes from TierStore manifests
+    (driver metadata), the chosen tier is read back from parquet with
+    the day predicate on the partition column."""
+    from traval_spark.router import coverage_of, read_resolution
+
+    src = synth_sequences(spark, 3000, seed=11, span_days=4)
+    store = TierStore(str(tmp_path / "tiers"))
+    t1h = rollup_raw(src, "1h")
+    for tier, frame in [("1h", t1h), ("1d", rollup_cascade(t1h, "1d"))]:
+        day = F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+        fps = partition_fingerprints(frame.withColumn("day", day))
+        store.write_tier(tier, frame, fps)
+
+    cov = coverage_of(store)
+    assert set(cov) == {"1h", "1d"} and cov["1h"][0] == "2024-01-01"
+
+    # daily read routes to the 1d tier; hourly read to the 1h tier —
+    # both equal the direct raw aggregation
+    for res in ["1d", "1h"]:
+        out = read_resolution(store, res, spark=spark, strict=True,
+                              with_provenance=True)
+        assert out.select("tier").distinct().collect()[0]["tier"] == res
+        direct = rollup_raw(src, res)
+        cols = ["source", "bucket", "n_points", "sum_tok"]
+        assert out.select(*cols).exceptAll(direct.select(*cols)).count() == 0
