@@ -789,6 +789,25 @@ def q_dedup_incremental(spark, sf_dir):
     return simhash64_incremental_pairs(new, corpus_fp, max_hamming=3)
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental new-vs-corpus dedup, MinHash-banded family: same
+    daily-ingest split as dedup_incremental (doc_id % 10 == 0 = new
+    batch), but the persisted corpus state is the (b*r)-column MinHash
+    signature table and candidates come from (b=4, r=2) banding. Oracle:
+    the full lsh_banded pair set restricted to pairs with >= 1 new
+    member (dedup.py:minhash_incremental_pairs)."""
+    from traval_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        with_minhash,
+    )
+
+    d = _docs_with_near_dups(spark, sf_dir)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus_sig = with_minhash(d.filter(F.col("doc_id") % 10 != 0),
+                              n_hashes=8)
+    return minhash_incremental_pairs(new, corpus_sig, b=4, r=2)
+
+
 def _query_vec(spark, sf_dir):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
         "embedding"
@@ -827,6 +846,33 @@ def q_ann_ivf_topk(spark, sf_dir):
     q = _query_vec(spark, sf_dir)
     return ivf_topk(_emb(spark, sf_dir), q, k=TOPK, n_list=IVF_NLIST,
                     nprobe=IVF_NPROBE)
+
+
+def q_knn_join(spark, sf_dir):
+    """Exact batch KNN join: every query-batch row (vec_id % 50 == 0)
+    gets its top-5 corpus neighbors by rounded cosine — the
+    retrieval-pipeline shape where a whole batch needs neighbors, not
+    one driver-side vector (similarity.py:knn_join; brute baseline,
+    ivf variant is the scale path)."""
+    from traval_spark.operators.similarity import knn_join
+
+    e = _emb(spark, sf_dir)
+    return knn_join(e.filter(F.col("vec_id") % 50 == 0),
+                    e.filter(F.col("vec_id") % 50 != 0), k=5)
+
+
+def q_knn_join_ivf(spark, sf_dir):
+    """IVF-probed batch KNN join: each query scores only its nprobe
+    nearest inverted lists of the CORPUS-built index; probe lists are
+    computed distributed from centroid literals (no driver collect of
+    the batch). Oracle replicates seeding/assignment/probing per query
+    (similarity.py:ivf_knn_join)."""
+    from traval_spark.operators.similarity import ivf_knn_join
+
+    e = _emb(spark, sf_dir)
+    return ivf_knn_join(e.filter(F.col("vec_id") % 50 == 0),
+                        e.filter(F.col("vec_id") % 50 != 0), k=5,
+                        n_list=IVF_NLIST, nprobe=IVF_NPROBE)
 
 
 def q_cos_dup_pairs(spark, sf_dir):
@@ -1155,10 +1201,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_dups": q_simhash64_dups,
         "lsh_banded": q_lsh_banded,
         "dedup_incremental": q_dedup_incremental,
+        "minhash_incremental": q_minhash_incremental,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "knn_join": q_knn_join,
+        "knn_join_ivf": q_knn_join_ivf,
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
@@ -2135,6 +2184,80 @@ def oracle_sql() -> dict[str, str]:
     select vec_id, cos, rank from ranked where rank <= {TOPK}
     """
 
+    sql["knn_join"] = """
+    with q as (select vec_id AS qid, embedding::DOUBLE[] AS qv
+               from embeddings where vec_id % 50 = 0),
+    c as (select vec_id AS nn_id, embedding::DOUBLE[] AS v
+          from embeddings where vec_id % 50 != 0),
+    scored as (
+      select q.qid, c.nn_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qv, qv))), 4) AS cos
+      from c, q),
+    ranked as (select qid, nn_id, cos,
+                      CAST(row_number() over (
+                        partition by qid order by cos desc, nn_id)
+                           AS INTEGER) AS rank
+               from scored)
+    select qid, nn_id, cos, rank from ranked where rank <= 5
+    """
+
+    # IVF batch KNN: centroids seeded from the CORPUS (md5 id order),
+    # per-query probes = top-nprobe centroid cosines (9dp, ties cid asc),
+    # assignment = per-corpus-row argmax (same tiebreak), exact re-rank
+    # within probed lists — mirrors similarity.py:ivf_knn_join verbatim
+    sql["knn_join_ivf"] = f"""
+    with cent as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings where vec_id % 50 != 0
+      order by md5(CAST(vec_id AS VARCHAR))
+      limit {IVF_NLIST}),
+    q as (select vec_id AS qid, embedding::DOUBLE[] AS qv
+          from embeddings where vec_id % 50 = 0),
+    e as (select vec_id AS nn_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS n
+          from embeddings where vec_id % 50 != 0),
+    probes as (
+      select qid, cid from (
+        select q.qid, c.cid,
+               row_number() over (
+                 partition by q.qid
+                 order by round(list_dot_product(c.ce, qv)
+                                / (sqrt(list_dot_product(c.ce, c.ce))
+                                   * sqrt(list_dot_product(qv, qv))), 9)
+                          desc, c.cid) AS rn
+        from q, cent c)
+      where rn <= {IVF_NPROBE}),
+    assign as (
+      select nn_id, cid from (
+        select e.nn_id, c.cid,
+               row_number() over (
+                 partition by e.nn_id
+                 order by round(list_dot_product(e.v, c.ce)
+                                / (e.n * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from e, cent c)
+      where rn = 1),
+    scored as (
+      select q.qid, e.nn_id,
+             round(list_dot_product(e.v, qv)
+                   / (e.n * sqrt(list_dot_product(qv, qv))), 4) AS cos
+      from e
+      join assign a using (nn_id)
+      join probes p on a.cid = p.cid
+      join q on q.qid = p.qid),
+    ranked as (select qid, nn_id, cos,
+                      CAST(row_number() over (
+                        partition by qid order by cos desc, nn_id)
+                           AS INTEGER) AS rank
+               from scored)
+    select qid, nn_id, cos, rank from ranked where rank <= 5
+    """
+
     # 64-bit SimHash: bit j of a token = bit (3 - j%4) of hex digit j//4 of
     # md5(token); fingerprint bit = majority vote — identical arithmetic to
     # dedup.with_simhash64
@@ -2343,6 +2466,19 @@ def oracle_sql() -> dict[str, str]:
     select distinct a.doc_id AS a, b.doc_id AS b
     from bands a join bands b on a.band = b.band and a.key = b.key
     where a.doc_id < b.doc_id
+    """
+    # the incremental MinHash path must emit EXACTLY the full banded pair
+    # set restricted to pairs with >= 1 new-batch member
+    sql["minhash_incremental"] = f"""
+    with {_ND_DOCS},
+    t as (select doc_id, {_TOKS} toks from nd),
+    s as (select doc_id, {_SHINGLES} sh from t),
+    sig as (select doc_id, {minhash8_cols} from s),
+    bands as ({_band_rows})
+    select distinct a.doc_id AS a, b.doc_id AS b
+    from bands a join bands b on a.band = b.band and a.key = b.key
+    where a.doc_id < b.doc_id
+      and (a.doc_id % 10 = 0 or b.doc_id % 10 = 0)
     """
     sql["multimodal_meta"] = """
     select doc_id, octet_length(encode(text)) AS n_bytes,

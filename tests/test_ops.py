@@ -150,6 +150,66 @@ def test_ivf_probe_finds_near_dup(emb):
     assert ids[0] == 0 and 1 in ids
 
 
+def test_knn_join_batch_exact_and_ivf_degradation(emb):
+    """knn_join: per-query top-k over the corpus equals the per-query
+    cosine_topk answers; ivf_knn_join with nprobe = n_list probes every
+    list and must equal the brute join exactly (fixed-index centroids
+    included — the incremental ingest shape)."""
+    from traval_spark.operators.similarity import (
+        cosine_topk,
+        ivf_knn_join,
+        ivf_seed_centroids,
+        knn_join,
+    )
+
+    queries = emb.filter("vec_id % 10 = 0")      # 5-query batch
+    corpus = emb.filter("vec_id % 10 != 0")
+    out = knn_join(queries, corpus, k=3)
+    got = {(r["qid"], r["rank"]): (r["nn_id"], r["cos"])
+           for r in out.collect()}
+    assert len(got) == 5 * 3
+    for qrow in queries.collect():
+        qv = [float(x) for x in qrow["embedding"]]
+        expect = cosine_topk(corpus, qv, k=3).collect()
+        for r in expect:
+            assert got[(qrow["vec_id"], r["rank"])] == (r["vec_id"], r["cos"])
+    # the batch query's near-dup sanity: vec 0's batch row finds vec 1
+    assert got[(0, 1)][0] == 1
+
+    # full-probe IVF == brute, with centroids built ONCE from the corpus
+    # and passed in fixed (a later batch reuses them without refit)
+    cents = ivf_seed_centroids(corpus, n_list=4)
+    full = ivf_knn_join(queries, corpus, k=3, n_list=4, nprobe=4,
+                        centroids=cents)
+    assert {(r["qid"], r["rank"]): (r["nn_id"], r["cos"])
+            for r in full.collect()} == got
+
+
+def test_minhash_incremental_equals_restricted_full(spark):
+    """minhash_incremental_pairs == lsh_banded_pairs restricted to pairs
+    with >= 1 new member; corpus-vs-corpus pairs never surface."""
+    from traval_spark.operators.dedup import (
+        lsh_banded_pairs,
+        minhash_incremental_pairs,
+        with_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog word%d extra tail"
+    rows = [(i, base % (i % 4)) for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter("doc_id >= 18")
+    corpus = docs.filter("doc_id < 18")
+
+    full = {(r["a"], r["b"])
+            for r in lsh_banded_pairs(docs, b=4, r=2).collect()}
+    want = {(a, b) for a, b in full if a >= 18 or b >= 18}
+    assert want and want < full  # both corpus-only and new-touching pairs exist
+
+    inc = minhash_incremental_pairs(
+        new, with_minhash(corpus, n_hashes=8), b=4, r=2)
+    assert {(r["a"], r["b"]) for r in inc.collect()} == want
+
+
 def test_cosine_dup_pairs_bucketed_subset_of_exact(emb):
     exact = {(r["a"], r["b"]) for r in
              cosine_dup_pairs(emb, threshold=0.9, bucketed=False).collect()}

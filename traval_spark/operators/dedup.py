@@ -436,6 +436,79 @@ def simhash64_incremental_pairs(
     )
 
 
+def _minhash_bands(sig: DataFrame, id_col: str, b: int, r: int) -> DataFrame:
+    """Explode a MinHash signature frame (id, sig_0..sig_{b*r-1}) into its
+    b banded bucket keys: (id, band, key), key = md5 of the band's r-row
+    sub-signature. THE band definition for every banded-MinHash pair
+    search — the incremental path's equivalence to the full path
+    (minhash_incremental oracle) requires both to bucket identically, so
+    there is exactly one copy (same rule as _simhash64_bands)."""
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{i * r + j}") for j in range(r)]
+                )
+            ).alias("key"),
+        )
+        for i in range(b)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_sig: DataFrame,
+    b: int = 4,
+    r: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded-MinHash candidate pairs for a NEW batch against an existing
+    corpus without re-pairing the corpus with itself — the MinHash twin
+    of :func:`simhash64_incremental_pairs` (same daily-ingest shape,
+    same O(n*(N+n))-candidate cost for an n << N batch).
+
+    ``corpus_sig`` is the persisted signature table (id, sig_0..sig_{b*r-1})
+    — exactly :func:`with_minhash`'s output with n_hashes = b*r; only the
+    new batch is shingled+hashed here. New-doc bands probe (corpus UNION
+    new) bands, so new-vs-corpus and new-vs-new candidates both surface
+    and every emitted pair has >= 1 new member: the full
+    :func:`lsh_banded_pairs` set restricted to pairs touching the batch
+    (the oracle relation). After the run, append the new signatures to
+    the corpus table; the corpus never re-shingles.
+    """
+    new_sig = with_minhash(new_docs, text_col, id_col, n_hashes=b * r, k=k)
+    if materialize:
+        new_sig = new_sig.persist()  # probe side AND a union leg of build
+    sig_cols = [f"sig_{i}" for i in range(b * r)]
+    all_sig = corpus_sig.select(id_col, *sig_cols).unionByName(new_sig)
+
+    probe = _minhash_bands(new_sig, id_col, b, r).select(
+        "band", "key", F.col(id_col).alias("na")
+    )
+    build = _minhash_bands(all_sig, id_col, b, r)
+    if max_bucket_size is not None:
+        build = _cap_bucket_size(build, ["band", "key"], max_bucket_size,
+                                 "minhash_incremental_pairs")
+    build = build.select("band", "key", F.col(id_col).alias("nb"))
+    return (
+        probe.join(build, on=["band", "key"])
+        .filter(F.col("na") != F.col("nb"))
+        .select(
+            F.least(F.col("na"), F.col("nb")).alias("a"),
+            F.greatest(F.col("na"), F.col("nb")).alias("b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_banded_pairs(
     docs: DataFrame,
     b: int = 4,
@@ -465,20 +538,7 @@ def lsh_banded_pairs(
     sig = with_minhash(docs, text_col, id_col, n_hashes=b * r, k=k)
     if materialize:
         sig = sig.persist()
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"sig_{i * r + j}") for j in range(r)]
-                )
-            ).alias("key"),
-        )
-        for i in range(b)
-    ]
-    bands = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, "bk.band", "bk.key")
+    bands = _minhash_bands(sig, id_col, b, r)
     if max_bucket_size is not None:
         bands = _cap_bucket_size(bands, ["band", "key"], max_bucket_size,
                                  "lsh_banded_pairs")

@@ -222,6 +222,113 @@ def ivf_topk(
                        ndigits=ndigits)
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    qid_col: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact batch top-k: every QUERY ROW gets its k nearest corpus rows
+    by rounded cosine — the retrieval/dedup-pipeline shape the
+    single-vector ``cosine_topk`` can't express (a daily batch of new
+    docs each needs neighbors, not one driver-side literal).
+
+    The query batch is broadcast (it is the small side by construction —
+    a batch, not a corpus); the corpus is scanned ONCE and every scored
+    (query, corpus) row is ranked per query with a window. Exact but
+    O(|batch| x N) scored rows — this is the correctness baseline;
+    :func:`ivf_knn_join` is the scale path that bounds the scored set
+    by probing, exactly like cos_dup_pairs' bucketed= split.
+    """
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), ndigits
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "nn_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nn_id", "cos", "rank")
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_list: int = 8,
+    nprobe: int = 2,
+    qid_col: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-probed batch top-k: each query scores only the corpus rows in
+    its ``nprobe`` nearest inverted lists — the 100 TB batch-KNN plan.
+
+    ``centroids`` defaults to :func:`ivf_seed_centroids` over the corpus;
+    pass the PERSISTED index centroids for the incremental shape (a new
+    batch probes a fixed index — centroids never refit per ingest). Both
+    the per-query probe-list computation and the corpus assignment are
+    pure JVM expressions from centroid literals: probes come from
+    sorting the (cos, -cid) struct array and slicing nprobe, so the
+    batch needs no driver-side collect. The probe join key is ``cid`` —
+    with the corpus assignment persisted as a partition column the
+    untouched lists are never scanned. Scored volume drops from
+    |batch| x N to ~|batch| x N x nprobe/n_list; the exact re-rank
+    inside probed lists is :func:`knn_join`'s window.
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(corpus, n_list, id_col, vec_col)
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    # per-query probe lists: sort (neg rounded cos, cid) structs, take nprobe
+    entries = []
+    for cid, c in centroids:
+        ce = F.array(*[F.lit(float(x)) for x in c])
+        cn = float(sum(x * x for x in c)) ** 0.5
+        cos9 = F.round(_dot(F.col("qv"), ce) / (F.col("qn") * F.lit(cn)), 9)
+        entries.append(F.struct((-cos9).alias("nc"), F.lit(cid).alias("cid")))
+    probes = F.slice(F.array_sort(F.array(*entries)), 1, int(nprobe))
+    q = q.withColumn("cid", F.explode(F.transform(probes, lambda e: e["cid"])))
+
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", _norm(F.col("v"))).withColumn(
+        "cid", ivf_assign_col("v", centroids)
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), ndigits
+    )
+    scored = c.join(F.broadcast(q), on="cid").select(
+        "qid", "nn_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nn_id", "cos", "rank")
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
