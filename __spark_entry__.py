@@ -1106,6 +1106,24 @@ def q_json_props(spark, sf_dir):
     )
 
 
+def q_doc_filter_chain(spark, sf_dir):
+    """Composite Gopher/C4-style cleaning chain: per-gate fail flags
+    (word-count band, mean-word-length band, dup-word fraction,
+    top-bigram mass, stopword lang-ID) + the final kept verdict, all in
+    one pass over documents (text.py:filter_documents). Thresholds
+    chosen to split the synthetic corpus so every gate actually fires."""
+    from traval_spark.operators.text import filter_documents
+
+    return filter_documents(
+        _docs(spark, sf_dir),
+        min_words=20, max_words=90,
+        mean_word_length_range=(4.4, 10.0),
+        max_dup_word_fraction=0.5,
+        max_top_bigram_fraction=0.2,
+        allowed_langs=("en",),
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the banded SimHash near-dup pairs:
     every doc labeled with its cluster representative (min reachable
@@ -1214,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_sweep": q_roc_sweep,
         "gopher_repetition": q_gopher_repetition,
         "dup_clusters": q_dup_clusters,
+        "doc_filter_chain": q_doc_filter_chain,
         "json_props": q_json_props,
         "tpch_pricing": q_tpch_pricing,
         "sliding_rollup": q_sliding_rollup,
@@ -2104,6 +2123,63 @@ def oracle_sql() -> dict[str, str]:
                 then coalesce(top_bigram_char_fraction, 0.0) end
              AS top_bigram_char_fraction
     from base left join top on base.doc_id = top.doc_id
+    """
+
+    # composite cleaning chain: thresholds mirror q_doc_filter_chain;
+    # every gate NULL for NULL text (fail closed), rounding at 6dp on
+    # both engines before each comparison
+    lang_sub = _lang_id_sql()
+    sql["doc_filter_chain"] = f"""
+    with t as (select doc_id, text,
+                      regexp_split_to_array(text, '\\s+') w,
+                      length(text) chars
+               from documents),
+    base as (select doc_id, text, len(w) AS n_words,
+        round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                   AS DOUBLE) / len(w), 6) AS mwl,
+        round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+          AS dupf
+      from t),
+    bg as (select doc_id, chars, w[i] || ' ' || w[i + 1] AS bg
+           from t, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+    cnts as (select doc_id, chars, bg, count(*) AS cnt
+             from bg group by doc_id, chars, bg),
+    top as (select doc_id,
+                   round(least(1.0,
+                               cnt * length(bg) / CAST(chars AS DOUBLE)), 6)
+                     AS tbf
+            from (select *, row_number() over (
+                    partition by doc_id order by cnt desc, bg) AS rn
+                  from cnts)
+            where rn = 1),
+    lang as ({lang_sub}),
+    flags as (select b.doc_id, b.text, b.n_words,
+        case when b.text is null then NULL
+             else b.n_words < 20 end AS f_short,
+        case when b.text is null then NULL
+             else b.n_words > 90 end AS f_long,
+        case when b.text is null then NULL
+             else coalesce(b.mwl < 4.4 or b.mwl > 10.0, false) end
+          AS f_word_len,
+        case when b.text is null then NULL
+             else coalesce(b.dupf > 0.5, false) end AS f_dup_words,
+        case when b.text is null then NULL
+             else coalesce(top.tbf > 0.2, false) end AS f_top_bigram,
+        case when b.text is null then NULL
+             else lang.lang_pred not in ('en') end AS f_lang
+      from base b
+      left join top on b.doc_id = top.doc_id
+      left join lang on b.doc_id = lang.doc_id)
+    select doc_id, n_words, f_short, f_long, f_word_len, f_dup_words,
+           f_top_bigram, f_lang,
+           text is not null
+             and not coalesce(f_short, true)
+             and not coalesce(f_long, true)
+             and not coalesce(f_word_len, true)
+             and not coalesce(f_dup_words, true)
+             and not coalesce(f_top_bigram, true)
+             and not coalesce(f_lang, true) AS kept
+    from flags
     """
 
     # multi-table LSH: second plane set from seed LSH_SEED+1; a pair

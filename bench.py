@@ -74,11 +74,13 @@ def main() -> None:
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "quality_score", "fingerprint",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
-        "simhash64_dups", "dedup_incremental",
+        "simhash64_dups", "dedup_incremental", "minhash_incremental",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi",
-        "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "multimodal_meta",
+        "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "knn_join_ivf", "multimodal_meta",
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
+        "tpch_forecast_revenue", "tier_routed",
     ]
     for name in headline:
         timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))

@@ -660,3 +660,42 @@ def test_repetition_columns_null_text(spark):
     assert rows[0]["n_words"] is None
     assert rows[0]["dup_word_fraction"] is None
     assert rows[1]["n_words"] == 2
+
+
+def test_filter_documents_gates_and_null_fail_closed(spark):
+    from traval_spark.operators.text import filter_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha bravo charlie delta echo foxtrot"),  # clean
+            (1, "spam spam spam spam spam spam"),           # dup words + bigram
+            (2, "hi"),                                      # too short
+            (3, None),                                      # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in filter_documents(
+        docs, min_words=3, max_words=100,
+        mean_word_length_range=(1.0, 10.0),
+        max_dup_word_fraction=0.5, max_top_bigram_fraction=0.5,
+        allowed_langs=None,
+    ).collect()}
+    assert out[0]["kept"] and not any(
+        out[0][f] for f in ["f_short", "f_dup_words", "f_top_bigram"])
+    assert not out[1]["kept"] and out[1]["f_dup_words"] \
+        and out[1]["f_top_bigram"]
+    assert not out[2]["kept"] and out[2]["f_short"]
+    # NULL text fails CLOSED: kept false, every gate flag NULL (tri-state,
+    # never silently false), disabled lang gate included
+    assert not out[3]["kept"]
+    for f in ["f_short", "f_long", "f_word_len", "f_dup_words",
+              "f_top_bigram", "f_lang"]:
+        assert out[3][f] is None, f
+
+    # disabling every gate keeps everything except NULL text
+    allpass = {r["doc_id"]: r["kept"] for r in filter_documents(
+        docs, min_words=None, max_words=None,
+        mean_word_length_range=None, max_dup_word_fraction=None,
+        max_top_bigram_fraction=None, allowed_langs=None,
+    ).collect()}
+    assert allpass == {0: True, 1: True, 2: True, 3: False}

@@ -514,3 +514,35 @@ def test_read_resolution_from_store(spark, tmp_path):
         direct = rollup_raw(src, res)
         cols = ["source", "bucket", "n_points", "sum_tok"]
         assert out.select(*cols).exceptAll(direct.select(*cols)).count() == 0
+
+
+def test_write_tier_sorted_layout(spark, tmp_path):
+    """sort_within clusters each written file by (source, bucket) — the
+    row-group-stats layout the router's pruned reads rely on — without
+    changing content."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    src = synth_sequences(spark, 2000, seed=3, span_days=3)
+    t1h = rollup_raw(src, "1h")
+    day = F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+    fps = partition_fingerprints(t1h.withColumn("day", day))
+
+    store = TierStore(str(tmp_path / "sorted"))
+    store.write_tier("1h", t1h, fps)
+    back = store.read_tier("1h", spark)
+    assert back.count() == t1h.count()
+    assert back.drop("day").exceptAll(t1h).count() == 0
+
+    files = glob.glob(str(tmp_path / "sorted/1h/day=*/*.parquet"))
+    assert files
+    for f in files:
+        tbl = pq.read_table(f, columns=["source", "bucket"])
+        keys = list(zip(tbl["source"].to_pylist(), tbl["bucket"].to_pylist()))
+        assert keys == sorted(keys), f
+
+    # opt-out preserves content too (layout only)
+    store2 = TierStore(str(tmp_path / "unsorted"))
+    store2.write_tier("1h", t1h, fps, sort_within=None)
+    assert store2.read_tier("1h", spark).count() == t1h.count()

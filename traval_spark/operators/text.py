@@ -189,3 +189,102 @@ def top_bigram_fraction(
             F.coalesce(F.col("top_bigram_char_fraction"), F.lit(0.0)),
         ).alias("top_bigram_char_fraction"),
     )
+
+
+def filter_documents(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int | None = 50,
+    max_words: int | None = None,
+    mean_word_length_range: tuple[float, float] | None = (3.0, 10.0),
+    max_dup_word_fraction: float | None = 0.3,
+    max_top_bigram_fraction: float | None = 0.2,
+    allowed_langs: tuple[str, ...] | None = None,
+):
+    """Composite Gopher/C4-style document filter chain: every gate as a
+    per-row FAIL FLAG plus the final ``kept`` verdict — the shape a
+    100 TB cleaning pipeline wants (flags feed per-gate drop-rate
+    monitoring; filtering on ``kept`` is a single pushable predicate;
+    nothing is silently discarded).
+
+    Gates (each None = disabled, its flag column still emitted as false):
+
+    - ``f_short`` / ``f_long``: word count outside [min_words, max_words];
+    - ``f_word_len``: mean word length outside mean_word_length_range
+      (the Gopher 3-10 char band);
+    - ``f_dup_words``: dup_word_fraction above the cap;
+    - ``f_top_bigram``: top-bigram character mass above the cap;
+    - ``f_lang``: stopword-profile lang-ID not in ``allowed_langs``.
+
+    All per-row gates are pure codegen Columns (quality/repetition/lang
+    metrics); the only shuffle is :func:`top_bigram_fraction`'s two
+    doc-keyed partial aggregations, joined back on the id. NULL-text
+    documents fail closed: ``kept`` = false with every flag NULL (a
+    missing document is not a passing document).
+
+    Returns (id, n_words, f_short, f_long, f_word_len, f_dup_words,
+    f_top_bigram, f_lang, kept).
+    """
+    text = F.col(text_col)
+    rep = repetition_columns(text)
+    n_words = rep["n_words"]
+    mean_wl = rep["mean_word_length"]
+    dup_frac = rep["dup_word_fraction"]
+
+    def gate(cond):
+        # tri-state: NULL text -> NULL flag (never silently false)
+        return F.when(text.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.coalesce(cond, F.lit(False))
+        )
+
+    f_short = gate(F.lit(False) if min_words is None
+                   else n_words < F.lit(int(min_words)))
+    f_long = gate(F.lit(False) if max_words is None
+                  else n_words > F.lit(int(max_words)))
+    if mean_word_length_range is None:
+        f_wlen = gate(F.lit(False))
+    else:
+        lo, hi = mean_word_length_range
+        f_wlen = gate((mean_wl < F.lit(float(lo)))
+                      | (mean_wl > F.lit(float(hi))))
+    f_dup = gate(F.lit(False) if max_dup_word_fraction is None
+                 else dup_frac > F.lit(float(max_dup_word_fraction)))
+    f_lang = gate(F.lit(False) if allowed_langs is None
+                  else ~lang_id(text).isin(*allowed_langs))
+
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        f_short.alias("f_short"),
+        f_long.alias("f_long"),
+        f_wlen.alias("f_word_len"),
+        f_dup.alias("f_dup_words"),
+        f_lang.alias("f_lang"),
+        text.isNull().alias("__null_text"),
+    )
+    if max_top_bigram_fraction is None:
+        out = base.withColumn(
+            "f_top_bigram",
+            F.when(F.col("__null_text"), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False)),
+        )
+    else:
+        tb = top_bigram_fraction(docs, text_col, id_col).select(
+            id_col,
+            (F.col("top_bigram_char_fraction")
+             > F.lit(float(max_top_bigram_fraction))).alias("__f_tb"),
+        )
+        out = base.join(tb, on=id_col, how="left").withColumn(
+            "f_top_bigram",
+            F.when(F.col("__null_text"), F.lit(None).cast("boolean"))
+            .otherwise(F.coalesce(F.col("__f_tb"), F.lit(False))),
+        ).drop("__f_tb")
+    flags = ["f_short", "f_long", "f_word_len", "f_dup_words",
+             "f_top_bigram", "f_lang"]
+    kept = ~F.col("__null_text")
+    for f in flags:
+        kept = kept & ~F.coalesce(F.col(f), F.lit(True))
+    return out.withColumn("kept", kept).select(
+        id_col, "n_words", *flags, "kept"
+    )

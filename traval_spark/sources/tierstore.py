@@ -133,12 +133,23 @@ class TierStore:
         df: DataFrame,
         input_fps: dict[str, dict],
         days: list[str] | None = None,
+        sort_within: tuple[str, ...] | None = ("source", "bucket"),
     ) -> dict:
         """Write (a subset of days of) a tier + manifests; returns metrics.
 
         ``days=None`` writes everything in ``input_fps``; otherwise only the
         listed partitions are (over)written — idempotent via dynamic
         partition overwrite (spark.sql.sources.partitionOverwriteMode).
+
+        ``sort_within`` clusters each write task's rows by (day, *cols)
+        before writing — no shuffle (sortWithinPartitions), two layout
+        wins at scale: parquet row-group min/max stats on the sort keys
+        become tight, so a later source/bucket predicate (the tier
+        router's reads, unpack_tier's hull prune) skips whole row groups
+        at scan time; and the dynamic-partition writer streams one open
+        file at a time per task instead of one per day (the many-open-
+        writers memory spike on wide day ranges). Pass None to keep
+        arrival order.
         """
         df = ensure_ntz(df, "bucket").withColumn(
             "day", F.date_trunc("day", F.col("bucket")).cast("date")
@@ -150,6 +161,9 @@ class TierStore:
         if not todo:
             return {"written_partitions": [], "rows": 0}
         sub = df.filter(F.col("day").cast("string").isin(todo))
+        if sort_within:
+            cols = [c for c in sort_within if c in sub.columns]
+            sub = sub.sortWithinPartitions("day", *cols)
         # dynamic overwrite ENFORCED per-writer (not just the session
         # default): a --resume subset write under a STATIC-default
         # session would truncate every day partition NOT in ``todo``
