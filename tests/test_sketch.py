@@ -1,0 +1,93 @@
+"""Mergeable distinct sketches: exact-under-k KMV, DataSketches HLL."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from traval_spark.sketch import (
+    distinct_cascade,
+    distinct_counts,
+    distinct_tier,
+    hll_agg,
+    hll_estimate,
+    kmv_agg,
+    kmv_estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    # 20k rows over 2 sources x ~3h; key cardinality per minute-bucket is
+    # small (exact regime), per-day large enough to exercise the merge.
+    return spark.range(0, 20_000).select(
+        F.format_string("src_%d", (F.col("id") % 2)).alias("source"),
+        (F.to_timestamp_ntz(F.lit("2024-01-01"))
+         + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                              (F.col("id") % 10_000).cast("double"))
+         ).alias("ts"),
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("user_id"),
+    )
+
+
+def test_kmv_exact_under_k(spark, raw):
+    got = distinct_counts(distinct_tier(raw, "1m", "user_id", k=256))
+    exact = raw.groupBy(
+        "source",
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("bucket"),
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    joined = got.join(exact, ["source", "bucket"])
+    assert joined.filter(F.col("n_distinct") != F.col("n_exact")).count() == 0
+
+
+def test_kmv_cascade_equals_direct(spark, raw):
+    """1m -> 1h merged sketches == sketching raw straight at 1h."""
+    via_merge = distinct_cascade(distinct_tier(raw, "1m", "user_id"), "1h")
+    direct = distinct_tier(raw, "1h", "user_id")
+    j = via_merge.join(
+        direct.select("source", "bucket", F.col("kmv").alias("kmv2")),
+        ["source", "bucket"],
+    )
+    assert j.filter(F.col("kmv") != F.col("kmv2")).count() == 0
+
+
+def test_kmv_estimator_beyond_k(spark):
+    """Past k the (k-1)/U(k) estimator holds to a few percent."""
+    n = 50_000
+    df = spark.range(n).select(F.lit("s").alias("g"),
+                               F.col("id").alias("v"))
+    est = df.groupBy("g").agg(
+        kmv_estimate(kmv_agg("v", 1024), 1024).alias("e")).first()["e"]
+    assert abs(est - n) / n < 0.10
+
+
+def test_kmv_null_excluded(spark):
+    df = spark.range(10).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") < 3, F.col("id")).alias("v"),
+    )
+    est = df.groupBy("g").agg(
+        kmv_estimate(kmv_agg("v", 16), 16).alias("e")).first()["e"]
+    assert est == 3  # NULLs don't count, matching COUNT(DISTINCT v)
+
+
+def test_hll_sparse_exact_and_cascade(spark, raw):
+    # ~500 distinct per (source, hour): lgk=14 keeps the sketch in the
+    # exact sparse regime (lgk=12 promotes to estimating HLL mode ~400).
+    got = distinct_counts(
+        distinct_cascade(
+            distinct_tier(raw, "1m", "user_id", method="hll", lgk=14),
+            "1h", method="hll"),
+        method="hll")
+    exact = raw.groupBy(
+        "source",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"),
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    j = got.join(exact, ["source", "bucket"])
+    assert j.filter(F.col("n_distinct") != F.col("n_exact")).count() == 0
+
+
+def test_hll_large_group_bounded_error(spark):
+    n = 200_000
+    df = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = df.groupBy("g").agg(
+        hll_estimate(hll_agg("v", 12)).alias("e")).first()["e"]
+    assert abs(est - n) / n < 0.05

@@ -1,0 +1,169 @@
+"""Mergeable distinct-count sketches for the retention-tier cascade.
+
+The cascade's count/sum/min/max measures compose exactly (rollup.py), but
+``COUNT(DISTINCT x)`` does not: a 1h tier cannot be built from 1m
+distinct *counts*.  What does compose is a mergeable *sketch* stored as a
+tier column — 1m tiers carry per-bucket sketches, coarser tiers merge
+them, and the count is extracted at read time.  Two sketches, two
+regimes:
+
+- **KMV (k minimum values)** — the k smallest distinct ``xxhash64``
+  values per group, kept as a sorted ``array<bigint>`` column.  While a
+  group's true cardinality stays below ``k`` the sketch IS the distinct
+  hash set and the extracted count is **exact** (this is what the DuckDB
+  ``COUNT(DISTINCT ...)`` oracle pins); past ``k`` it degrades to the
+  standard (k-1)/U(k) order-statistics estimator (Bar-Yossef et al. 2002,
+  "Counting distinct elements in a data stream").  Merging tiers is
+  ``array_distinct(flatten(...))`` + sort + slice — bounded at fan_in×k
+  values, pure codegen, no Python.  Caveat for giant *leaf* groups: the
+  leaf aggregation's partial state is the per-partition distinct hash set
+  (Spark's ``collect_set``) and is only cut to k at the end; leaf groups
+  here are minute-buckets of one source, which bounds it, but for
+  unbounded groups use the HLL path below.
+
+- **HLL (Apache DataSketches, Spark built-in)** — ``hll_sketch_agg`` /
+  ``hll_union_agg`` / ``hll_sketch_estimate``.  State is O(2^lgk) bytes
+  per group *at every stage* (bounded even for a billion-row group), all
+  JVM-side.  The DataSketches HLL is exact while the sketch is still in
+  sparse/coupon mode (measured: exact to ~400 distinct at lgk=12, ~800+
+  at lgk=14 — verified in tests), then ~1.04/sqrt(2^lgk) relative error
+  beyond; it is deterministic for a
+  given input set, so tier-merge == direct-aggregation holds bit-for-bit.
+
+Reference note: the traval reference (ArtesiaWater/traval) has no
+distinct-count machinery at all — this is part of the from-scratch tier
+engine (BASELINE.json north_star), not a ported operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import ensure_ntz
+from traval_spark.rollup import TIERS
+
+#: hash domain constants for the KMV estimator: xxhash64 is uniform over
+#: signed 64-bit; u = (h + 2^63 + 1) / 2^64 maps it to (0, 1].
+_HASH_OFFSET = float(2**63) + 1.0
+_HASH_RANGE = float(2**64)
+
+
+# -- KMV --------------------------------------------------------------------
+
+
+def kmv_agg(col: Column | str, k: int = 256) -> Column:
+    """Aggregate expression: sorted array of the k smallest distinct
+    ``xxhash64`` values of ``col`` (NULLs excluded, matching
+    ``COUNT(DISTINCT ...)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.when(c.isNotNull(), F.xxhash64(c))
+    return F.slice(F.array_sort(F.collect_set(h)), 1, k)
+
+
+def kmv_merge(col: Column | str, k: int = 256) -> Column:
+    """Aggregate expression merging KMV arrays from a finer tier.
+
+    Union of ≤k-element sorted sets, re-cut to the k smallest — the KMV
+    merge rule.  Partial-aggregation state is bounded by fan_in × k.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))), 1, k
+    )
+
+
+def kmv_estimate(col: Column | str, k: int = 256) -> Column:
+    """Distinct-count from a KMV array: exact size while |S| < k, else
+    the (k-1)/U(k) estimator on the k-th smallest normalized hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    size = F.size(c)
+    u_k = (F.element_at(c, k).cast("double") + F.lit(_HASH_OFFSET)) / F.lit(
+        _HASH_RANGE
+    )
+    est = F.when(size < k, size.cast("double")).otherwise(F.lit(k - 1) / u_k)
+    return F.round(est).cast("long")
+
+
+# -- HLL (DataSketches built-ins) -------------------------------------------
+
+
+def hll_agg(col: Column | str, lgk: int = 12) -> Column:
+    """Aggregate expression: DataSketches HLL sketch (binary) of ``col``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hll_sketch_agg(c, F.lit(lgk))
+
+
+def hll_merge(col: Column | str) -> Column:
+    """Aggregate expression merging HLL sketch columns from a finer tier."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hll_union_agg(c, F.lit(False))
+
+
+def hll_estimate(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hll_sketch_estimate(c)
+
+
+# -- tier wiring ------------------------------------------------------------
+
+
+def distinct_tier(
+    df: DataFrame,
+    tier: str = "1m",
+    key_col: str = "user_id",
+    k: int = 256,
+    lgk: int = 12,
+    method: str = "kmv",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Leaf distinct-sketch tier: (source, bucket, sketch) from raw rows.
+
+    ``method='kmv'`` emits an ``array<bigint>`` sketch column named
+    ``kmv``; ``method='hll'`` a ``binary`` column named ``hll``.
+    """
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    if method == "kmv":
+        agg = kmv_agg(key_col, k).alias("kmv")
+    elif method == "hll":
+        agg = hll_agg(key_col, lgk).alias("hll")
+    else:
+        raise ValueError(f"unknown sketch method {method!r}")
+    return df.groupBy(F.col("source"), bucket.alias("bucket")).agg(agg)
+
+
+def distinct_cascade(
+    tier_df: DataFrame, tier: str, k: int = 256, method: str = "kmv"
+) -> DataFrame:
+    """Merge a finer distinct-sketch tier into a coarser one.
+
+    Exactly mirrors ``rollup_cascade``: the coarser tier never rescans
+    raw rows, it merges the finer tier's sketch column.
+    """
+    unit, _ = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+    if method == "kmv":
+        agg = kmv_merge("kmv", k).alias("kmv")
+    elif method == "hll":
+        agg = hll_merge("hll").alias("hll")
+    else:
+        raise ValueError(f"unknown sketch method {method!r}")
+    return tier_df.groupBy(F.col("source"), bucket.alias("bucket")).agg(agg)
+
+
+def distinct_counts(
+    tier_df: DataFrame, k: int = 256, method: str = "kmv",
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Read-time extraction: replace the sketch column with its count."""
+    if method == "kmv":
+        est = kmv_estimate("kmv", k)
+        drop = "kmv"
+    elif method == "hll":
+        est = hll_estimate("hll")
+        drop = "hll"
+    else:
+        raise ValueError(f"unknown sketch method {method!r}")
+    return tier_df.withColumn(out_col, est).drop(drop)
