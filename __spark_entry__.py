@@ -427,6 +427,23 @@ def q_distinct_users_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "kmv")
 
 
+def q_hist_quantiles_1h(spark, sf_dir):
+    """Exact percentile continuous aggregate: long-form histogram tier at
+    1m, merged to 1h by plain groupBy-sum (counts add; no percentile is
+    ever recomputed from raw), quantiles extracted at read time with
+    DuckDB quantile_disc rank semantics. Lossless because events.value
+    has 2 decimals: bin = round(value*100).
+    """
+    from traval_spark.hist import hist_cascade, hist_quantiles, hist_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    t1h = hist_cascade(hist_tier(src, "1m", scale=100), "1h")
+    return hist_quantiles(t1h, qs=[0.5, 0.95], scale=100)
+
+
 def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
@@ -1275,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_routed": q_tier_routed,
         "distinct_users_1h": q_distinct_users_1h,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
+        "hist_quantiles_1h": q_hist_quantiles_1h,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -1578,6 +1596,15 @@ def oracle_sql() -> dict[str, str]:
            date_trunc('hour', ts) AS bucket,
            count(distinct user_id) AS n_users
     from events group by 1, 2
+    """
+    sql["hist_quantiles_1h"] = """
+    select event_type AS source,
+           date_trunc('hour', ts) AS bucket,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0
+               AS p50,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) / 100.0
+               AS p95
+    from events where value is not null group by 1, 2
     """
     sql["gapfill_ffill"] = """
     with t as (

@@ -1,0 +1,50 @@
+"""Exact histogram tiers: merge identity + quantile_disc semantics."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from traval_spark.hist import hist_cascade, hist_quantiles, hist_tier
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return spark.range(0, 8_000).select(
+        F.format_string("src_%d", (F.col("id") % 2)).alias("source"),
+        (F.to_timestamp_ntz(F.lit("2024-01-01"))
+         + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                              (F.col("id") % 7_000).cast("double"))
+         ).alias("ts"),
+        F.when(F.col("id") % 37 != 0,
+               F.pmod(F.xxhash64("id"), F.lit(1_000)).cast("double"))
+        .alias("n_tok"),
+    )
+
+
+def test_hist_cascade_identity(spark, raw):
+    merged = hist_cascade(hist_tier(raw, "1m"), "1h")
+    direct = hist_tier(raw, "1h")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_quantiles_match_rank_rule(spark, raw):
+    got = hist_quantiles(hist_cascade(hist_tier(raw, "1m"), "1h"),
+                         qs=[0.5, 0.95]).toPandas()
+    rows = raw.filter(F.col("n_tok").isNotNull()).select(
+        "source",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"),
+        "n_tok").toPandas()
+    for (src, bkt), grp in rows.groupby(["source", "bucket"]):
+        vals = np.sort(grp["n_tok"].to_numpy())
+        n = len(vals)
+        exp = {q: vals[max(1, int(np.ceil(q * n))) - 1]
+               for q in (0.5, 0.95)}
+        r = got[(got["source"] == src) & (got["bucket"] == bkt)].iloc[0]
+        assert r["p50"] == exp[0.5] and r["p95"] == exp[0.95], (src, bkt)
+
+
+def test_null_values_dropped(spark, raw):
+    h = hist_tier(raw, "1d")
+    total = h.agg(F.sum("cnt")).first()[0]
+    assert total == raw.filter(F.col("n_tok").isNotNull()).count()

@@ -1,0 +1,102 @@
+"""Exact mergeable histogram tiers: percentile continuous aggregates.
+
+Percentiles, like COUNT(DISTINCT), do not compose across rollup tiers —
+a 1h p95 is not a function of 1m p95s.  What does compose is the value
+*histogram*.  For discretized domains (integer token counts, fixed-
+decimal measurements) the histogram is lossless, so every percentile
+extracted from a merged tier is **exact** — the same trick TimescaleDB's
+``percentile_agg``/UddSketch continuous aggregates use, except over an
+integer domain no sketch approximation is needed at all.
+
+Layout is deliberately LONG-FORM — ``(source, bucket, bin, cnt)`` rows,
+not an array/map column:
+
+- tier merge is a plain ``groupBy(source, coarser bucket, bin).sum(cnt)``
+  — partial-aggregatable map-side, whole-stage codegen, no
+  collect_list/UDF anywhere;
+- sparse by construction: only observed bins exist, so a 256-value token
+  domain costs ≤256 rows per bucket regardless of row count underneath;
+- parquet + dictionary encoding compress the repeated keys; the bin
+  column zone-maps, so a range predicate on value prunes row groups.
+
+Quantile extraction mirrors DuckDB's ``quantile_disc``: the element at
+1-based rank ``max(1, ceil(q * n))`` in sorted order (verified against
+DuckDB 1.x on boundary cases) — one cumulative-sum window pass serves
+every requested quantile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import ensure_ntz
+from traval_spark.rollup import TIERS
+
+
+def hist_tier(
+    df: DataFrame,
+    tier: str = "1m",
+    value_col: str = "n_tok",
+    scale: int = 1,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Leaf histogram tier: (source, bucket, bin, cnt) from raw rows.
+
+    ``bin = round(value * scale)`` as long — lossless for values with
+    ≤ log10(scale) decimal places.  NULL values are dropped (matching
+    aggregate semantics elsewhere in the cascade).
+    """
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    b = F.round(F.col(value_col) * scale).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col("source"), bucket.alias("bucket"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_cascade(hist_df: DataFrame, tier: str) -> DataFrame:
+    """Merge a finer histogram tier into a coarser one: counts add."""
+    unit, _ = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+    return (
+        hist_df.groupBy(F.col("source"), bucket.alias("bucket"), F.col("bin"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist_df: DataFrame,
+    qs: list[float],
+    scale: int = 1,
+    prefix: str = "p",
+) -> DataFrame:
+    """Exact discrete quantiles per (source, bucket) from a histogram tier.
+
+    One cumulative-sum window pass + one groupBy serves all ``qs``.
+    Output columns ``{prefix}{int(q*100)}`` hold ``bin/scale`` at rank
+    ``max(1, ceil(q*n))`` — DuckDB ``quantile_disc`` semantics.
+    """
+    w_cum = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source", "bucket")
+    cum = F.sum("cnt").over(w_cum)
+    n = F.sum("cnt").over(w_all)
+    with_cum = hist_df.select(
+        "source", "bucket", "bin",
+        cum.alias("__cum"), n.alias("__n"),
+    )
+    aggs = []
+    for q in qs:
+        rank = F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1))
+        hit = F.when(F.col("__cum") >= rank, F.col("bin"))
+        aggs.append(
+            (F.min(hit) / scale).alias(f"{prefix}{round(q * 100):d}")
+        )
+    return with_cum.groupBy("source", "bucket").agg(*aggs)
