@@ -605,3 +605,53 @@ def test_stateful_late_rows_observable():
         b = b[b["code"] != LATE_ARRIVAL_CODE]
         assert list(a["ts"]) == list(b["ts"])
         assert list(a["code"]) == list(b["code"])
+
+
+def test_streaming_hist_and_kmv_match_batch(spark, tmp_path):
+    """Streaming 1m histogram + KMV sketch tiers == their batch twins on
+    finalized windows, and the batch cascade/extraction composes on top
+    of the streamed leaves unchanged."""
+    from traval_spark.hist import hist_quantiles, hist_tier
+    from traval_spark.sketch import distinct_counts, distinct_tier
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import (
+        stream_distinct_1m, stream_hist_1m,
+    )
+
+    inp = str(tmp_path / "in")
+    seqs = synth_sequences(spark, 4000, seed=7, span_days=1)
+    a = seqs.filter(F.xxhash64("doc_id") % 2 == 0)
+    a.write.mode("append").parquet(inp)
+    seqs.exceptAll(a).write.mode("append").parquet(inp)
+
+    for stream_fn, out_name in [
+        (lambda: stream_hist_1m(spark, inp, watermark="1 minute"), "hout"),
+        (lambda: stream_distinct_1m(spark, inp, key_col="n_tok",
+                                    watermark="1 minute"), "kout"),
+    ]:
+        q = (stream_fn().writeStream.format("parquet")
+             .option("path", str(tmp_path / out_name))
+             .option("checkpointLocation", str(tmp_path / (out_name + "ck")))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    streamed_hist = spark.read.parquet(str(tmp_path / "hout"))
+    batch_hist = hist_tier(seqs, "1m")
+    j = streamed_hist.join(batch_hist.withColumnRenamed("cnt", "bcnt"),
+                           ["source", "bucket", "bin"], "left")
+    assert j.filter((F.col("bcnt").isNull())
+                    | (F.col("cnt") != F.col("bcnt"))).count() == 0
+    assert streamed_hist.count() >= batch_hist.count() * 0.9
+
+    streamed_kmv = spark.read.parquet(str(tmp_path / "kout"))
+    batch_kmv = distinct_tier(seqs, "1m", "n_tok")
+    jk = streamed_kmv.join(batch_kmv.withColumnRenamed("kmv", "bkmv"),
+                           ["source", "bucket"], "left")
+    assert jk.filter((F.col("bkmv").isNull())
+                     | (F.col("kmv") != F.col("bkmv"))).count() == 0
+
+    # batch read-time extraction works directly over streamed leaves
+    counts = distinct_counts(streamed_kmv)
+    assert counts.filter(F.col("n_distinct") <= 0).count() == 0
+    p = hist_quantiles(streamed_hist, qs=[0.5])
+    assert p.filter(F.col("p50").isNull()).count() == 0

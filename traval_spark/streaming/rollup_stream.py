@@ -61,6 +61,67 @@ def stream_rollup_1m(
     return agg
 
 
+def stream_hist_1m(
+    spark: SparkSession,
+    input_path: str,
+    value_col: str = "n_tok",
+    scale: int = 1,
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming leaf histogram tier (hist.py long form): (source, bucket,
+    bin, cnt) per finalized 1m window — counts-only state, so the
+    streaming agg carries the same bounded per-(bucket, bin) long as the
+    batch tier row it becomes."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    b = F.round(F.col(value_col) * scale).cast("long")
+    return (
+        stream.filter(F.col(value_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("source", F.window("ts", "1 minute").alias("w"),
+                 b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("source",
+                F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+                "bin", "cnt")
+    )
+
+
+def stream_distinct_1m(
+    spark: SparkSession,
+    input_path: str,
+    key_col: str = "n_tok",
+    k: int = 256,
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming leaf KMV distinct-sketch tier (sketch.py): (source,
+    bucket, kmv) per finalized 1m window.  collect_set keeps the
+    per-window distinct hash set in state — bounded by the minute
+    bucket's cardinality, exactly the batch leaf-agg contract."""
+    from traval_spark.sketch import kmv_agg
+
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("source", F.window("ts", "1 minute").alias("w"))
+        .agg(kmv_agg(key_col, k).alias("kmv"))
+        .select("source",
+                F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+                "kmv")
+    )
+
+
 def run_incremental_rollup(
     spark: SparkSession,
     input_path: str,
