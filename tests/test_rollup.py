@@ -546,3 +546,35 @@ def test_write_tier_sorted_layout(spark, tmp_path):
     store2 = TierStore(str(tmp_path / "unsorted"))
     store2.write_tier("1h", t1h, fps, sort_within=None)
     assert store2.read_tier("1h", spark).count() == t1h.count()
+
+
+def test_tierstore_holds_sketch_and_hist_tiers(spark, seqs, tmp_path):
+    """The store is shape-agnostic: histogram and KMV sketch tiers (no
+    sum_tok / measure columns) write, manifest, and read back losslessly,
+    and the read-time extraction runs on the stored tier."""
+    from traval_spark.hist import hist_quantiles, hist_tier
+    from traval_spark.sketch import distinct_counts, distinct_tier
+
+    store = TierStore(str(tmp_path / "tiers"))
+
+    h1h = hist_tier(seqs, "1h")
+    fps = partition_fingerprints(
+        h1h.withColumn("day", F.date_trunc("day", "bucket")))
+    res = store.write_tier("hist_1h", h1h, fps)
+    assert res["rows"] == h1h.count() > 0
+    day0 = sorted(fps)[0]
+    assert store.read_manifest("hist_1h", day0)["sum_tok_total"] is None
+    back = store.read_tier("hist_1h", spark).drop("day")
+    assert back.exceptAll(h1h).count() == 0
+    assert h1h.exceptAll(back).count() == 0
+    assert hist_quantiles(back, qs=[0.5]).filter(
+        F.col("p50").isNull()).count() == 0
+
+    k1h = distinct_tier(seqs, "1h", "n_tok")
+    fpk = partition_fingerprints(
+        k1h.withColumn("day", F.date_trunc("day", "bucket")))
+    store.write_tier("kmv_1h", k1h, fpk)
+    backk = store.read_tier("kmv_1h", spark).drop("day")
+    assert backk.exceptAll(k1h).count() == 0
+    assert distinct_counts(backk).filter(
+        F.col("n_distinct") <= 0).count() == 0

@@ -177,15 +177,19 @@ class TierStore:
         written = spark.read.parquet(self.tier_path(tier)).filter(
             F.col("day").cast("string").isin(todo)
         )
+        # sum_tok_total only exists for the measure tiers; sketch/histogram
+        # tiers (sketch.py, hist.py) have no sum_tok column
+        stat_aggs = [
+            F.count("*").alias("rows"),
+            F.min("bucket").cast("string").alias("min_bucket"),
+            F.max("bucket").cast("string").alias("max_bucket"),
+        ]
+        if "sum_tok" in written.columns:
+            stat_aggs.append(F.sum("sum_tok").alias("sum_tok_total"))
         stats = {
             r["day"]: r
             for r in written.groupBy(F.col("day").cast("string").alias("day"))
-            .agg(
-                F.count("*").alias("rows"),
-                F.min("bucket").cast("string").alias("min_bucket"),
-                F.max("bucket").cast("string").alias("max_bucket"),
-                F.sum("sum_tok").alias("sum_tok_total"),
-            )
+            .agg(*stat_aggs)
             .collect()
         }
         os.makedirs(os.path.join(self.root, tier, MANIFEST_DIR), exist_ok=True)
@@ -199,7 +203,11 @@ class TierStore:
                 "rows": st["rows"] if st else 0,
                 "min_bucket": st["min_bucket"] if st else None,
                 "max_bucket": st["max_bucket"] if st else None,
-                "sum_tok_total": st["sum_tok_total"] if st else None,
+                "sum_tok_total": (
+                    st["sum_tok_total"]
+                    if st is not None and "sum_tok_total" in st.asDict()
+                    else None
+                ),
                 "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             with open(self._manifest_path(tier, day), "w") as f:
