@@ -714,6 +714,15 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_top_tokens(spark, sf_dir):
+    """Exact per-source token heavy hitters: map-side-combined counts
+    then a top-k window over the vocab-sized counts table (never over
+    raw tokens)."""
+    from traval_spark.operators.text import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), k=5, by="source")
+
+
 def q_quality(spark, sf_dir):
     from traval_spark.operators.text import quality_columns
 
@@ -1256,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_corr_or": q_combine_corr_or,
         "combine_corr_and": q_combine_corr_and,
         "token_counts": q_token_counts,
+        "top_tokens": q_top_tokens,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1995,6 +2005,16 @@ def oracle_sql() -> dict[str, str]:
            len(regexp_split_to_array(text, '\\s+')) AS n_ws,
            len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
     from documents
+    """
+    sql["top_tokens"] = """
+    with t as (select source, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+               from documents),
+    c as (select source, tok, count(*) AS cnt from t group by 1, 2),
+    r as (select source, tok, cnt,
+                 row_number() over (partition by source
+                                    order by cnt desc, tok) AS rn
+          from c)
+    select source, tok, cnt from r where rn <= 5
     """
     en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     sql["quality_score"] = f"""

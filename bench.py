@@ -73,7 +73,7 @@ def main() -> None:
         "sessionize",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
-        "token_counts", "quality_score", "fingerprint",
+        "token_counts", "top_tokens", "quality_score", "fingerprint",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi",

@@ -9,7 +9,7 @@ md5) are parity-tested against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: portable polynomial char hash modulus (fits int64 under acc*31+127)
@@ -287,4 +287,34 @@ def filter_documents(
         kept = kept & ~F.coalesce(F.col(f), F.lit(True))
     return out.withColumn("kept", kept).select(
         id_col, "n_words", *flags, "kept"
+    )
+
+
+def top_tokens(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Exact per-group token heavy hitters: (by, tok, cnt), top k.
+
+    Two-stage plan built for 100 TB: the explode feeds a partial-
+    aggregatable groupBy(by, tok) count — map-side combine collapses the
+    token stream to at most |vocab| rows per group per task — and the
+    top-k window then runs over that reduced counts table, never over
+    raw tokens. Ties break by token ascending so the result is
+    deterministic (and matches the DuckDB oracle's ORDER BY cnt DESC,
+    tok). NULL text contributes no rows (explode of a NULL array).
+    """
+    counts = (
+        docs.select(F.col(by), F.explode(ws_tokens(F.col(text_col)))
+                    .alias("tok"))
+        .groupBy(by, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
