@@ -578,3 +578,42 @@ def test_tierstore_holds_sketch_and_hist_tiers(spark, seqs, tmp_path):
     assert backk.exceptAll(k1h).count() == 0
     assert distinct_counts(backk).filter(
         F.col("n_distinct") <= 0).count() == 0
+
+
+def test_verify_cascade_audit(spark, seqs, tmp_path):
+    """Cross-tier audit: clean cascade -> empty report; a drifted or
+    missing coarser row is flagged with the right status."""
+    from traval_spark.sources.tierstore import verify_cascade
+
+    store = TierStore(str(tmp_path / "tiers"))
+    t1m = rollup_raw(seqs, "1m")
+    t1h = rollup_cascade(t1m, "1h")
+    for tier, df in [("1m", t1m), ("1h", t1h)]:
+        fps = partition_fingerprints(
+            df.withColumn("day", F.date_trunc("day", "bucket")))
+        store.write_tier(tier, df, fps)
+
+    assert verify_cascade(store, "1m", "1h", spark).count() == 0
+
+    # drift: rewrite the stored 1h tier with one bucket's sum perturbed
+    # and one (source, bucket) row dropped
+    stored = store.read_tier("1h", spark).drop("day")
+    first = stored.orderBy("source", "bucket").first()
+    perturbed = stored.withColumn(
+        "sum_tok",
+        F.when((F.col("source") == first["source"])
+               & (F.col("bucket") == first["bucket"]),
+               F.col("sum_tok") + 1.0).otherwise(F.col("sum_tok")),
+    )
+    last = stored.orderBy(F.col("source").desc(), F.col("bucket").desc()).first()
+    perturbed = perturbed.filter(
+        ~((F.col("source") == last["source"])
+          & (F.col("bucket") == last["bucket"])))
+    fps = partition_fingerprints(
+        perturbed.withColumn("day", F.date_trunc("day", "bucket")))
+    store.write_tier("1h", perturbed, fps)
+
+    rep = verify_cascade(store, "1m", "1h", spark)
+    statuses = {r["status"] for r in rep.collect()}
+    assert statuses == {"value_drift", "missing_in_coarser"}
+    assert rep.count() == 2

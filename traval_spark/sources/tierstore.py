@@ -296,3 +296,67 @@ class TierStore:
 
         spark = spark or SparkSession.getActiveSession()
         return spark.read.parquet(self.tier_path(tier))
+
+
+def verify_cascade(
+    store: TierStore,
+    finer: str,
+    coarser: str,
+    spark=None,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Cross-tier consistency audit: re-aggregate the stored finer tier
+    and compare it cell-by-cell against the stored coarser tier.
+
+    The cascade invariant — a coarser tier is exactly the partial-
+    aggregate merge of the finer one — is what makes downsample-on-read
+    (router.py) and tier repair sound; silent drift (a partial rewrite
+    that missed a day, a retention tombstone on one side) breaks it.
+    This audit is the cheap detector: one re-aggregation of the finer
+    tier + a full outer join on (source, bucket), both shuffles keyed
+    the same way. Returns the mismatch frame (empty == consistent):
+
+      source, bucket, status ('missing_in_coarser' | 'missing_in_finer'
+      | 'value_drift'), plus the measure columns from both sides.
+
+    Days past the finer tier's retention cutoff are excluded — the
+    coarser tier legitimately keeps history the finer tier has aged out
+    (DEFAULT_RETENTION's whole point), so those rows are not drift.
+    Measure comparison covers the shared cascade measures; sum_tok uses
+    ``tol`` (float partial sums are order-sensitive at the last ulp).
+    """
+    from traval_spark.rollup import rollup_cascade
+
+    fine = store.read_tier(finer, spark).drop("day")
+    coarse = store.read_tier(coarser, spark).drop("day")
+    expected = rollup_cascade(fine, coarser)
+
+    cutoff = store.retention_cutoff(finer)
+    if cutoff is not None:
+        lo = F.lit(cutoff).cast("date")
+        expected = expected.filter(F.col("bucket").cast("date") >= lo)
+        coarse = coarse.filter(F.col("bucket").cast("date") >= lo)
+
+    measures = [c for c in ("n_points", "sum_tok", "min_tok", "max_tok")
+                if c in coarse.columns and c in expected.columns]
+    e = expected.select(
+        "source", "bucket",
+        *[F.col(m).alias(f"{m}_expected") for m in measures])
+    g = coarse.select(
+        "source", "bucket",
+        *[F.col(m).alias(f"{m}_stored") for m in measures])
+    j = e.join(g, ["source", "bucket"], "full_outer")
+
+    drift = F.lit(False)
+    for m in measures:
+        a, b = F.col(f"{m}_expected"), F.col(f"{m}_stored")
+        neq = F.abs(a - b) > tol if m == "sum_tok" else a != b
+        drift = drift | F.coalesce(neq, F.lit(True))
+    status = (
+        F.when(F.col(f"{measures[0]}_expected").isNull(),
+               F.lit("missing_in_finer"))
+        .when(F.col(f"{measures[0]}_stored").isNull(),
+              F.lit("missing_in_coarser"))
+        .when(drift, F.lit("value_drift"))
+    )
+    return j.withColumn("status", status).filter(F.col("status").isNotNull())
