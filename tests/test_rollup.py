@@ -617,3 +617,55 @@ def test_verify_cascade_audit(spark, seqs, tmp_path):
     statuses = {r["status"] for r in rep.collect()}
     assert statuses == {"value_drift", "missing_in_coarser"}
     assert rep.count() == 2
+
+
+def test_routed_sketch_and_hist_reads(spark, seqs, tmp_path):
+    """Downsample-on-read over sketch/hist tier stores: old days served
+    from the coarse (1h) tier, the newest day from the fine (1m) tier,
+    stitched result identical to computing straight from raw."""
+    from traval_spark.hist import hist_cascade, hist_tier
+    from traval_spark.router import read_routed_distinct, read_routed_hist
+    from traval_spark.sketch import distinct_cascade, distinct_tier
+
+    days = sorted(
+        r["d"] for r in seqs.select(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    assert len(days) >= 2
+    old, newest = days[:-1], days[-1]
+
+    def day_fps(df):
+        return partition_fingerprints(
+            df.withColumn("day", F.date_trunc("day", "bucket")))
+
+    # KMV store: 1m kept only for the newest day (fine-tier retention),
+    # 1h kept for the older days
+    kstore = TierStore(str(tmp_path / "kmv"))
+    k1m = distinct_tier(seqs, "1m", "n_tok")
+    k1m_new = k1m.filter(F.col("bucket").cast("date").cast("string") == newest)
+    kstore.write_tier("1m", k1m_new, day_fps(k1m_new))
+    k1h = distinct_cascade(k1m, "1h").filter(
+        F.col("bucket").cast("date").cast("string").isin(old))
+    kstore.write_tier("1h", k1h, day_fps(k1h))
+
+    got = read_routed_distinct(kstore, "1h", spark=spark, strict=True)
+    want = distinct_tier(seqs, "1h", "n_tok")
+    j = got.join(want.withColumnRenamed("kmv", "want"),
+                 ["source", "bucket"], "full_outer")
+    assert j.filter(F.col("kmv").isNull() | F.col("want").isNull()
+                    | (F.col("kmv") != F.col("want"))).count() == 0
+
+    # histogram store, same layout
+    hstore = TierStore(str(tmp_path / "hist"))
+    h1m = hist_tier(seqs, "1m")
+    h1m_new = h1m.filter(F.col("bucket").cast("date").cast("string") == newest)
+    hstore.write_tier("1m", h1m_new, day_fps(h1m_new))
+    h1h = hist_cascade(h1m, "1h").filter(
+        F.col("bucket").cast("date").cast("string").isin(old))
+    hstore.write_tier("1h", h1h, day_fps(h1h))
+
+    goth = read_routed_hist(hstore, "1h", spark=spark, strict=True)
+    wanth = hist_tier(seqs, "1h")
+    assert goth.exceptAll(wanth).count() == 0
+    assert wanth.exceptAll(goth).count() == 0

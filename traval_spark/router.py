@@ -238,3 +238,125 @@ def read_resolution(
                 raise ValueError("plan chose 'raw' but no raw= frame given")
     return read_routed(frames, plan, strict=strict,
                        with_provenance=with_provenance)
+
+
+def _routed_union(parts: list[DataFrame]) -> DataFrame:
+    if not parts:
+        raise ValueError("empty route plan (no coverage in range)")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _plan_frames(store, plan, spark, raw):
+    frames: dict[str, DataFrame] = {}
+    for seg in plan.segments:
+        if seg.tier not in frames:
+            frames[seg.tier] = (
+                raw if seg.tier == "raw"
+                else store.read_tier(seg.tier, spark=spark)
+            )
+            if frames[seg.tier] is None:
+                raise ValueError("plan chose 'raw' but no raw= frame given")
+    return frames
+
+
+def read_routed_distinct(
+    store,
+    resolution: str,
+    key_col: str = "n_tok",
+    k: int = 256,
+    day_min: str | None = None,
+    day_max: str | None = None,
+    spark=None,
+    raw: DataFrame | None = None,
+    strict: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downsample-on-read over KMV distinct-sketch tiers (sketch.py).
+
+    Store sketch tiers under the standard tier names in their own
+    TierStore root (one root per tier kind); planning then reuses the
+    measure router verbatim — eligibility is the same divisibility rule,
+    and KMV merge composes through ANY coarsening, so tier choice stays
+    a pure scan-cost decision.  Returns (source, bucket, kmv) at the
+    requested resolution; extract counts with ``sketch.distinct_counts``.
+    """
+    from traval_spark.sketch import distinct_tier, kmv_merge
+
+    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
+    if strict and plan.gaps:
+        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
+    frames = _plan_frames(store, plan, spark, raw)
+    unit, _ = TIERS[resolution]
+    parts = []
+    for seg in plan.segments:
+        lo = F.lit(seg.day_lo).cast("date")
+        hi = F.lit(seg.day_hi).cast("date")
+        frame = frames[seg.tier]
+        if seg.tier == "raw":
+            df = ensure_ntz(frame, ts_col).filter(
+                F.col(ts_col).cast("date").between(lo, hi))
+            parts.append(distinct_tier(df, resolution, key_col, k,
+                                       ts_col=ts_col))
+            continue
+        if "day" in frame.columns:
+            df = frame.filter(F.col("day").between(lo, hi))
+        else:
+            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
+        bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+        parts.append(
+            df.groupBy("source", bucket.alias("bucket"))
+            .agg(kmv_merge("kmv", k).alias("kmv"))
+        )
+    return _routed_union(parts)
+
+
+def read_routed_hist(
+    store,
+    resolution: str,
+    value_col: str = "n_tok",
+    scale: int = 1,
+    day_min: str | None = None,
+    day_max: str | None = None,
+    spark=None,
+    raw: DataFrame | None = None,
+    strict: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downsample-on-read over exact histogram tiers (hist.py).
+
+    Same contract as :func:`read_routed_distinct`: histogram counts add
+    through any coarsening, so any eligible tier serves its days
+    exactly.  Returns (source, bucket, bin, cnt) at the requested
+    resolution; extract percentiles with ``hist.hist_quantiles``.
+    """
+    from traval_spark.hist import hist_tier
+
+    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
+    if strict and plan.gaps:
+        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
+    frames = _plan_frames(store, plan, spark, raw)
+    unit, _ = TIERS[resolution]
+    parts = []
+    for seg in plan.segments:
+        lo = F.lit(seg.day_lo).cast("date")
+        hi = F.lit(seg.day_hi).cast("date")
+        frame = frames[seg.tier]
+        if seg.tier == "raw":
+            df = ensure_ntz(frame, ts_col).filter(
+                F.col(ts_col).cast("date").between(lo, hi))
+            parts.append(hist_tier(df, resolution, value_col, scale,
+                                   ts_col=ts_col))
+            continue
+        if "day" in frame.columns:
+            df = frame.filter(F.col("day").between(lo, hi))
+        else:
+            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
+        bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+        parts.append(
+            df.groupBy("source", bucket.alias("bucket"), F.col("bin"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return _routed_union(parts)
