@@ -669,3 +669,35 @@ def test_routed_sketch_and_hist_reads(spark, seqs, tmp_path):
     wanth = hist_tier(seqs, "1h")
     assert goth.exceptAll(wanth).count() == 0
     assert wanth.exceptAll(goth).count() == 0
+
+
+def test_pipeline_sketch_stores(spark, tmp_path):
+    """--sketches writes companion KMV + histogram tier stores whose
+    cascades match computing directly from the (cleaned) input, and the
+    routed read serves from them."""
+    from traval_spark.hist import hist_tier
+    from traval_spark.pipeline import run
+    from traval_spark.router import read_routed_distinct
+    from traval_spark.sketch import distinct_counts, distinct_tier
+    from traval_spark.sources.synth import synth_sequences
+
+    out = str(tmp_path / "tiers")
+    run(spark, out, synth_rows=4000, ruleset=None, sketches=True)
+
+    seqs = synth_sequences(spark, 4000)
+    kstore = TierStore(out + "/kmv")
+    k1h = kstore.read_tier("1h", spark).drop("day")
+    want = distinct_tier(seqs, "1h", "n_tok")
+    j = k1h.join(want.withColumnRenamed("kmv", "want"),
+                 ["source", "bucket"], "full_outer")
+    assert j.filter(F.col("kmv").isNull() | F.col("want").isNull()
+                    | (F.col("kmv") != F.col("want"))).count() == 0
+
+    h1d = TierStore(out + "/hist").read_tier("1d", spark).drop("day")
+    wanth = hist_tier(seqs, "1d")
+    assert h1d.exceptAll(wanth).count() == 0
+    assert wanth.exceptAll(h1d).count() == 0
+
+    routed = distinct_counts(
+        read_routed_distinct(kstore, "1d", spark=spark, strict=True))
+    assert routed.filter(F.col("n_distinct") <= 0).count() == 0

@@ -86,6 +86,7 @@ def run(
     n_salt: int = 16,
     ruleset: SparkRuleSet | None = None,
     retention: dict[str, int | None] | None = None,
+    sketches: bool = False,
 ) -> dict:
     """Execute the cascade; returns a metrics dict (also written to the
     store root as run_metrics.json)."""
@@ -117,6 +118,37 @@ def run(
         metrics["partitions"][tier_name] = res["written_partitions"]
         metrics["rows"][tier_name] = res["rows"]
         metrics["skipped"][tier_name] = skipped
+
+    if sketches:
+        # companion mergeable-tier stores (one root per tier kind; the
+        # standard tier names inside, so the router reuses its planning):
+        # KMV distinct-n_tok sketches and exact n_tok histograms, each
+        # tier cascaded FROM the stored finer tier — never from raw.
+        from traval_spark.hist import hist_cascade, hist_tier
+        from traval_spark.sketch import distinct_cascade, distinct_tier
+
+        for kind, leaf, casc in (
+            ("kmv", distinct_tier(cleaned, "1m", "n_tok"),
+             distinct_cascade),
+            ("hist", hist_tier(cleaned, "1m"), hist_cascade),
+        ):
+            sub = TierStore(os.path.join(out_root, kind))
+            cur = leaf
+            for tname in ("1m", "1h", "1d"):
+                if tname != "1m":
+                    cur = casc(cur, tname)
+                with_day = cur.withColumn(
+                    "day", F.date_trunc("day", F.col("bucket"))
+                )
+                fps = partition_fingerprints(with_day)
+                todo = sub.stale_days(tname, fps) if resume else sorted(fps)
+                res = sub.write_tier(tname, cur, fps, days=todo)
+                metrics["partitions"][f"{kind}_{tname}"] = res[
+                    "written_partitions"]
+                metrics["rows"][f"{kind}_{tname}"] = res["rows"]
+                metrics["skipped"][f"{kind}_{tname}"] = sorted(
+                    set(fps) - set(todo))
+                cur = sub.read_tier(tname, spark).drop("day")
 
     # gap-filled + packed views of the 1m tier
     t1m = store.read_tier("1m", spark)
@@ -173,6 +205,8 @@ def main() -> None:
     ap.add_argument("--gapfill", default="ffill", choices=["ffill", "linear"])
     ap.add_argument("--n-salt", type=int, default=16)
     ap.add_argument("--no-clean", action="store_true")
+    ap.add_argument("--sketches", action="store_true",
+                    help="also write KMV distinct + histogram tier stores")
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "--retention", default=None,
@@ -204,6 +238,7 @@ def main() -> None:
         n_salt=args.n_salt,
         ruleset=rs,
         retention=retention,
+        sketches=args.sketches,
     )
     print(json.dumps(metrics, default=str))
 
