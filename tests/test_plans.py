@@ -237,3 +237,36 @@ def test_tpch_join_chain_broadcasts_dims(spark):
     plan3 = fmt_plan(em.queries()["tpch_top_orders"](
         spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan3, plan3
+
+
+def test_hist_cascade_is_codegen_partial_agg(spark, seq_parquet):
+    """The histogram tier path must be pure whole-stage-codegen hash
+    aggregation (no ObjectHashAggregate — nothing collects), with the
+    scan pruned to (n_tok, source, ts) and partial (map-side) aggs
+    before each exchange."""
+    from traval_spark.hist import hist_cascade, hist_tier
+
+    raw = spark.read.parquet(seq_parquet)
+    plan = fmt_plan(hist_cascade(hist_tier(raw, "1m"), "1h"))
+    assert "ObjectHashAggregate" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    scan = plan[plan.index("Scan parquet"):]
+    schema_line = next(ln for ln in scan.splitlines()
+                       if ln.startswith("ReadSchema"))
+    assert "tokens" not in schema_line and "doc_id" not in schema_line
+
+
+def test_kmv_tier_prunes_scan_and_partials(spark, seq_parquet):
+    """The KMV sketch path necessarily uses ObjectHashAggregate
+    (collect_set state), but it must still partial-aggregate map-side
+    (partial_collect_set before the exchange) and prune the token
+    payload out of the scan."""
+    from traval_spark.sketch import distinct_cascade, distinct_tier
+
+    raw = spark.read.parquet(seq_parquet)
+    plan = fmt_plan(distinct_cascade(distinct_tier(raw, "1m", "n_tok"), "1h"))
+    assert "partial_collect_set" in plan
+    assert "partial_collect_list" in plan
+    schema_line = next(ln for ln in plan.splitlines()
+                       if ln.startswith("ReadSchema"))
+    assert "tokens" not in schema_line and "doc_id" not in schema_line
