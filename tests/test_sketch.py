@@ -91,3 +91,27 @@ def test_hll_large_group_bounded_error(spark):
     est = df.groupBy("g").agg(
         hll_estimate(hll_agg("v", 12)).alias("e")).first()["e"]
     assert abs(est - n) / n < 0.05
+
+
+def test_distinct_token_ids_over_payload(spark):
+    """The tokens payload composes with the sketch tiers: explode the
+    array once, sketch distinct token ids per (source, bucket), cascade
+    — exact vs COUNT(DISTINCT) while under k."""
+    from traval_spark.sources.synth import synth_sequences
+
+    from traval_spark.sketch import (
+        distinct_cascade, distinct_counts, distinct_tier,
+    )
+
+    seqs = synth_sequences(spark, 800, seed=3, span_days=1)
+    tok = seqs.select("source", "ts", F.explode("tokens").alias("tok"))
+    got = distinct_counts(
+        distinct_cascade(distinct_tier(tok, "1m", "tok", k=65536),
+                         "1h", k=65536),
+        k=65536)
+    exact = tok.groupBy(
+        "source",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"),
+    ).agg(F.countDistinct("tok").alias("n_exact"))
+    j = got.join(exact, ["source", "bucket"])
+    assert j.filter(F.col("n_distinct") != F.col("n_exact")).count() == 0
