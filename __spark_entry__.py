@@ -866,6 +866,61 @@ def q_minhash_incremental(spark, sf_dir):
     return minhash_incremental_pairs(new, corpus_sig, b=4, r=2)
 
 
+TOKEN_VOCAB = 50_257  # matches sources/synth.VOCAB — the graft token-id space
+
+
+def _seqs_from(docs):
+    """Derive the graft input shape (doc_id, tokens array<int>, n_tok,
+    source — BASELINE.json input_hint) DETERMINISTICALLY from a documents
+    frame: token id = fold_hash(word) % TOKEN_VOCAB per whitespace word.
+    Both engines run the identical derivation (DuckDB mirrors fold_hash —
+    parity-tested), so the token-sequence operators get full value-level
+    oracles even though the testdata ships no tokens column. Staged
+    select: the token transform materializes once; n_tok reads the real
+    column instead of re-running it."""
+    from traval_spark.operators.text import fold_hash, ws_tokens
+
+    toks = F.transform(
+        ws_tokens(F.col("text")),
+        lambda t: (fold_hash(t) % F.lit(TOKEN_VOCAB)).cast("int"),
+    )
+    s = docs.select("doc_id", "source", toks.alias("tokens"))
+    return s.select(
+        "doc_id", "tokens",
+        F.size("tokens").cast("int").alias("n_tok"), "source",
+    )
+
+
+def q_token_dedup_exact(spark, sf_dir):
+    """Exact dedup on the PRE-TOKENIZED input shape: hash-groupBy over
+    md5 of the ','-joined token-id array (fixed-width shuffle key) with
+    synthetic exact dups appended — exact_dup_groups for sequences of
+    token ids rather than text."""
+    from traval_spark.operators.dedup import exact_token_dup_groups
+
+    return exact_token_dup_groups(_seqs_from(_docs_with_dups(spark, sf_dir)))
+
+
+def q_token_minhash_sig(spark, sf_dir):
+    """MinHash signatures over k-TOKEN shingles of the token-id arrays —
+    the LM-pipeline n-gram fingerprint (13-gram over token ids in the
+    classic config; k=3 here so small-sf shingle sets stay non-trivial)."""
+    from traval_spark.operators.dedup import with_minhash_tokens
+
+    return with_minhash_tokens(_seqs_from(_docs(spark, sf_dir)),
+                               n_hashes=4, k=3)
+
+
+def q_token_lsh_pairs(spark, sf_dir):
+    """Banded MinHash LSH near-dup candidates over token-id shingles —
+    lsh_banded_pairs for the pre-tokenized corpus shape (near-dups append
+    two tokens, so banding must still bucket them together)."""
+    from traval_spark.operators.dedup import token_lsh_banded_pairs
+
+    return token_lsh_banded_pairs(
+        _seqs_from(_docs_with_near_dups(spark, sf_dir)), b=4, r=2, k=3)
+
+
 def _query_vec(spark, sf_dir):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
         "embedding"
@@ -1279,6 +1334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_banded": q_lsh_banded,
         "dedup_incremental": q_dedup_incremental,
         "minhash_incremental": q_minhash_incremental,
+        "token_dedup_exact": q_token_dedup_exact,
+        "token_minhash_sig": q_token_minhash_sig,
+        "token_lsh_pairs": q_token_lsh_pairs,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2644,6 +2702,38 @@ def oracle_sql() -> dict[str, str]:
     from bands a join bands b on a.band = b.band and a.key = b.key
     where a.doc_id < b.doc_id
       and (a.doc_id % 10 = 0 or b.doc_id % 10 = 0)
+    """
+    # token-sequence dedup family: the same derivation both engines run
+    # (token id = fold_hash(word) % TOKEN_VOCAB — see _seqs_from)
+    _TOKSEQ = (f"[{_FOLD.format(col='t')} % {TOKEN_VOCAB} "
+               f"for t in {_TOKS}]")
+    _TOK_SHINGLES = (
+        "list_distinct([array_to_string(tk[i:i+2], ' ') "
+        "for i in range(1, greatest(len(tk) - 2, 1) + 1)])"
+    )
+    sql["token_dedup_exact"] = f"""
+    with d as (select doc_id, text from documents union all
+               select doc_id + 1000000, text from documents
+               where doc_id % 25 = 0),
+    t as (select doc_id, {_TOKSEQ} tk from d)
+    select md5(array_to_string(tk, ',')) AS tok_hash,
+           count(*) AS n_docs, min(doc_id) AS min_doc_id
+    from t group by 1 having count(*) > 1
+    """
+    sql["token_minhash_sig"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    s as (select doc_id, {_TOK_SHINGLES} sh from t)
+    select doc_id, {minhash_cols} from s
+    """
+    sql["token_lsh_pairs"] = f"""
+    with {_ND_DOCS},
+    t as (select doc_id, {_TOKSEQ} tk from nd),
+    s as (select doc_id, {_TOK_SHINGLES} sh from t),
+    sig as (select doc_id, {minhash8_cols} from s),
+    bands as ({_band_rows})
+    select distinct a.doc_id AS a, b.doc_id AS b
+    from bands a join bands b on a.band = b.band and a.key = b.key
+    where a.doc_id < b.doc_id
     """
     sql["multimodal_meta"] = """
     select doc_id, octet_length(encode(text)) AS n_bytes,

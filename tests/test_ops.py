@@ -699,3 +699,63 @@ def test_filter_documents_gates_and_null_fail_closed(spark):
         max_top_bigram_fraction=None, allowed_langs=None,
     ).collect()}
     assert allpass == {0: True, 1: True, 2: True, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# token-sequence dedup (the pre-tokenized graft input shape)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_token_dedup_on_synth_sequences(spark):
+    """exact_token_dup_groups over the real array<int32> input: planted
+    copies group with their originals, nothing else groups."""
+    from traval_spark.operators.dedup import exact_token_dup_groups
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 200, seed=7)
+    dup = seqs.limit(20).withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    )
+    groups = exact_token_dup_groups(seqs.unionByName(dup)).collect()
+    assert len(groups) == 20
+    assert all(r["n_docs"] == 2 for r in groups)
+    # representative is always the original (min over 'doc-…' < 'dup-…')
+    assert all(r["min_doc_id"].startswith("doc-") for r in groups)
+
+
+def test_token_minhash_identical_sequences_share_signature(spark):
+    from traval_spark.operators.dedup import with_minhash_tokens
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 30, seed=5)
+    dup = seqs.limit(5).withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    )
+    sig = {r["doc_id"]: (r["sig_0"], r["sig_1"], r["sig_2"], r["sig_3"])
+           for r in with_minhash_tokens(seqs.unionByName(dup)).collect()}
+    for r in seqs.limit(5).collect():
+        assert sig[r["doc_id"]] == sig["dup-" + r["doc_id"]]
+
+
+def test_token_lsh_pairs_find_appended_near_dups(spark):
+    """Appending two tokens to a long sequence leaves shingle Jaccard
+    high; (b=4, r=2) banding must bucket every planted near-dup with its
+    original (deterministic — fixed hashes, fixed seed)."""
+    from traval_spark.operators.dedup import token_lsh_banded_pairs
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 100, seed=11).filter(F.col("n_tok") >= 40)
+    nd = seqs.limit(10).select(
+        F.concat(F.lit("nd-"), F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.col("tokens"),
+            F.array(F.lit(1).cast("int"), F.lit(2).cast("int")),
+        ).alias("tokens"),
+        (F.col("n_tok") + F.lit(2)).cast("int").alias("n_tok"),
+        F.col("source"),
+        F.col("ts"),
+    )
+    pairs = token_lsh_banded_pairs(seqs.unionByName(nd), b=4, r=2, k=3)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    for r in seqs.limit(10).collect():
+        assert (r["doc_id"], "nd-" + r["doc_id"]) in found

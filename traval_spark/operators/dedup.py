@@ -107,16 +107,14 @@ def minhash_signature(text: Column, n_hashes: int = 4, k: int = 3) -> list[Colum
     ]
 
 
-def with_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 n_hashes: int = 4, k: int = 3) -> DataFrame:
-    """(id, sig_0..sig_{n-1}): shingles computed ONCE into a real column so
-    the n per-band mins share it (higher-order funcs are interpreted, not
-    codegen'd — recomputing the shingle array per band costs n_hashes x;
-    CollapseProject keeps the two projections separate because the shingle
-    expression is non-cheap and multiply referenced)."""
-    sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), k).alias("__sh")
-    )
+def _minhash_over(sh: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) from an (id, __sh) shingle frame — the
+    MinHash core shared by the word-shingle (:func:`with_minhash`) and
+    token-shingle (:func:`with_minhash_tokens`) constructions. The shingle
+    array is a real column so the n per-band mins share it (higher-order
+    funcs are interpreted, not codegen'd — recomputing it per band costs
+    n_hashes x; CollapseProject keeps the projections separate because the
+    producer expression is non-cheap and multiply referenced)."""
 
     def band_min(b: int):
         # strictly 1-ary lambda: a default arg would make PySpark treat it
@@ -127,6 +125,69 @@ def with_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ).alias(f"sig_{b}")
 
     return sh.select(F.col(id_col), *[band_min(b) for b in range(n_hashes)])
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n_hashes: int = 4, k: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) over k-WORD shingles of a text column."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__sh")
+    )
+    return _minhash_over(sh, id_col, n_hashes)
+
+
+def token_shingles(tokens: Column, k: int = 3) -> Column:
+    """k-TOKEN shingles of an ``array<int>`` token-id column as
+    ' '-joined decimal strings (distinct set) — the pre-tokenized-corpus
+    twin of :func:`shingles` (LM-pipeline n-gram dedup runs on token ids,
+    not words; the classic config is 13-gram, parameterized here).
+    Portable: DuckDB mirrors it with array_to_string over a list slice."""
+    toks = F.transform(tokens, lambda t: t.cast("string"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    return F.array_distinct(sh)
+
+
+def with_minhash_tokens(
+    seqs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) over k-TOKEN shingles of a pre-tokenized
+    sequence table (the graft input shape: tokens array<int32>). Same
+    signature frame contract as :func:`with_minhash`, so every downstream
+    consumer (banded pairs, incremental probe, persisted corpus tables)
+    works unchanged on token sequences."""
+    sh = seqs.select(
+        F.col(id_col), token_shingles(F.col(tokens_col), k).alias("__sh")
+    )
+    return _minhash_over(sh, id_col, n_hashes)
+
+
+def exact_token_dup_groups(seqs: DataFrame, tokens_col: str = "tokens",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate TOKEN-SEQUENCE groups: (tok_hash, n_docs,
+    min_doc_id), n_docs > 1 — :func:`exact_dup_groups` for the
+    pre-tokenized input shape. Grouping on md5 of the ','-joined ids
+    (a fixed-width shuffle key) instead of the raw array keeps the
+    exchange row width flat regardless of sequence length; md5 of the
+    canonical string is portable (DuckDB: md5(array_to_string(.., ',')))."""
+    key = F.md5(
+        F.concat_ws(",", F.col(tokens_col).cast("array<string>"))
+    )
+    return (
+        seqs.groupBy(key.alias("tok_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col(id_col)).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
 
 
 def lsh_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -536,12 +597,30 @@ def lsh_banded_pairs(
     logged disclosure count (see :func:`_cap_bucket_size`); None = exact.
     """
     sig = with_minhash(docs, text_col, id_col, n_hashes=b * r, k=k)
+    return _banded_pairs_from_sig(sig, id_col, b, r, materialize,
+                                  max_bucket_size, "lsh_banded_pairs")
+
+
+def _banded_pairs_from_sig(
+    sig: DataFrame,
+    id_col: str,
+    b: int,
+    r: int,
+    materialize: bool,
+    max_bucket_size: int | None,
+    what: str,
+) -> DataFrame:
+    """(a, b) candidate pairs from a MinHash signature frame via (b, r)
+    banding — the join tail shared by the word-shingle and token-shingle
+    banded searches (``materialize`` persists the signature frame so the
+    shingle+minhash aggregation doesn't run twice through the self-join's
+    duplicated input subtree)."""
     if materialize:
         sig = sig.persist()
     bands = _minhash_bands(sig, id_col, b, r)
     if max_bucket_size is not None:
         bands = _cap_bucket_size(bands, ["band", "key"], max_bucket_size,
-                                 "lsh_banded_pairs")
+                                 what)
     a = bands.select("band", "key", F.col(id_col).alias("a"))
     pairs = (
         a.join(bands.select("band", "key", F.col(id_col).alias("b")),
@@ -551,6 +630,27 @@ def lsh_banded_pairs(
         .distinct()
     )
     return pairs
+
+
+def token_lsh_banded_pairs(
+    seqs: DataFrame,
+    b: int = 4,
+    r: int = 2,
+    k: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash LSH candidate pairs over k-TOKEN shingles of a
+    pre-tokenized sequence table — :func:`lsh_banded_pairs` for the graft
+    input shape (tokens array<int32>), the n-gram near-dedup an LM corpus
+    pipeline actually runs (13-gram over token ids in the classic config).
+    Same banding, persistence, and hot-bucket-cap machinery; only the
+    shingle source differs (:func:`token_shingles`)."""
+    sig = with_minhash_tokens(seqs, tokens_col, id_col, n_hashes=b * r, k=k)
+    return _banded_pairs_from_sig(sig, id_col, b, r, materialize,
+                                  max_bucket_size, "token_lsh_banded_pairs")
 
 
 def _large_star(e: DataFrame) -> DataFrame:
