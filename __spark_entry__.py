@@ -921,6 +921,38 @@ def q_token_lsh_pairs(spark, sf_dir):
         _seqs_from(_docs_with_near_dups(spark, sf_dir)), b=4, r=2, k=3)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: sequences with doc_id % 37 == 0 play the
+    eval suite; every other sequence sharing >= 1 3-token shingle with it
+    is flagged with its shared-shingle count. Plan shape: the benchmark's
+    distinct shingle set broadcasts; the corpus explode side never
+    shuffles by shingle."""
+    from traval_spark.operators.dedup import contaminated_docs
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    bench = s.filter(F.col("doc_id") % 37 == 0)
+    corpus = s.filter(F.col("doc_id") % 37 != 0)
+    return contaminated_docs(corpus, bench, k=3)
+
+
+def q_token_repetition(spark, sf_dir):
+    """Intra-sequence duplicate-bigram fraction over token ids (the
+    token-level Gopher repetition analog); every 20th sequence is also
+    re-appended self-concatenated (id + 2M) so high-repetition rows
+    exist — a doubled sequence repeats every interior bigram."""
+    from traval_spark.operators.text import token_repetition_fraction
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    doubled = s.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("tokens"), F.col("tokens")).alias("tokens"),
+    )
+    u = s.select("doc_id", "tokens").unionByName(doubled)
+    return u.select(
+        "doc_id", token_repetition_fraction(F.col("tokens"), k=2).alias("rep2")
+    )
+
+
 def _query_vec(spark, sf_dir):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
         "embedding"
@@ -1337,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dedup_exact": q_token_dedup_exact,
         "token_minhash_sig": q_token_minhash_sig,
         "token_lsh_pairs": q_token_lsh_pairs,
+        "decontaminate": q_decontaminate,
+        "token_repetition": q_token_repetition,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2734,6 +2768,27 @@ def oracle_sql() -> dict[str, str]:
     select distinct a.doc_id AS a, b.doc_id AS b
     from bands a join bands b on a.band = b.band and a.key = b.key
     where a.doc_id < b.doc_id
+    """
+    sql["decontaminate"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    s as (select doc_id, {_TOK_SHINGLES} sh from t),
+    b as (select distinct unnest(sh) AS shingle from s where doc_id % 37 = 0),
+    c as (select doc_id, unnest(sh) AS shingle from s where doc_id % 37 <> 0)
+    select doc_id, count(distinct shingle) AS n_shared
+    from c join b using (shingle) group by 1
+    """
+    sql["token_repetition"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    d as (select doc_id, tk from t union all
+          select doc_id + 2000000, list_concat(tk, tk) from t
+          where doc_id % 20 = 0),
+    g as (select doc_id,
+            [array_to_string(tk[i:i+1], ' ')
+             for i in range(1, greatest(len(tk) - 1, 1) + 1)] AS sh
+          from d)
+    select doc_id,
+           round((len(sh) - len(list_distinct(sh))) / len(sh), 6) AS rep2
+    from g
     """
     sql["multimodal_meta"] = """
     select doc_id, octet_length(encode(text)) AS n_bytes,

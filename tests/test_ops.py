@@ -759,3 +759,51 @@ def test_token_lsh_pairs_find_appended_near_dups(spark):
     found = {(r["a"], r["b"]) for r in pairs.collect()}
     for r in seqs.limit(10).collect():
         assert (r["doc_id"], "nd-" + r["doc_id"]) in found
+
+
+def test_contaminated_docs_flags_and_broadcasts(spark):
+    from traval_spark.operators.dedup import contaminated_docs
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 60, seed=13).filter(F.col("n_tok") >= 6)
+    bench = seqs.limit(3)
+    got = contaminated_docs(seqs, bench, k=3)
+    flagged = {r["doc_id"]: r["n_shared"] for r in got.collect()}
+    # every benchmark member is (trivially) fully contaminated with itself
+    for r in bench.collect():
+        assert flagged[r["doc_id"]] > 0
+    # the benchmark shingle set rides a broadcast join, corpus unshuffled
+    assert "BroadcastHashJoin" in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contaminated_docs_clean_corpus_empty(spark):
+    from traval_spark.operators.dedup import contaminated_docs
+
+    corpus = spark.createDataFrame(
+        [("c0", [1, 2, 3, 4, 5])], "doc_id string, tokens array<int>"
+    )
+    bench = spark.createDataFrame(
+        [("b0", [9, 9, 9, 9, 9])], "doc_id string, tokens array<int>"
+    )
+    assert contaminated_docs(corpus, bench, k=3).count() == 0
+
+
+def test_token_repetition_fraction_exact_values(spark):
+    from traval_spark.operators.text import token_repetition_fraction
+
+    df = spark.createDataFrame(
+        [
+            ("all_distinct", [1, 2, 3, 4]),
+            ("period_two", [1, 2, 1, 2, 1]),
+            ("single", [7]),
+            ("null_tokens", None),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r["doc_id"]: r["rep"] for r in df.select(
+        "doc_id", token_repetition_fraction(F.col("tokens"), 2).alias("rep")
+    ).collect()}
+    assert got["all_distinct"] == 0.0
+    assert got["period_two"] == 0.5   # bigrams 1-2,2-1,1-2,2-1 -> 2/4 repeats
+    assert got["single"] == 0.0
+    assert got["null_tokens"] is None

@@ -823,3 +823,39 @@ def dup_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster")
     )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 1 k-token shingle
+    with ANY benchmark sequence, with the shared-shingle count —
+    (id, n_shared). The training-data hygiene step an LM pipeline runs
+    before training: drop (or flag) documents that leak eval data.
+
+    Shape for 100 TB: the benchmark side (an eval suite) is tiny next to
+    the corpus, so its DISTINCT shingle set is broadcast
+    (``broadcast_benchmark=True``, default) and the corpus side is
+    explode -> broadcast-hash-join -> partial-aggregatable groupBy — the
+    corpus is never shuffled by shingle. Set False for a genuinely large
+    benchmark side (falls back to a shuffle join on the shingle key).
+    """
+    bsh = benchmark.select(
+        F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle")
+    ).distinct()
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    csh = corpus.select(
+        F.col(id_col),
+        F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle"),
+    )
+    return (
+        csh.join(bsh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )

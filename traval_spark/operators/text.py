@@ -318,3 +318,21 @@ def top_tokens(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def token_repetition_fraction(tokens: Column, k: int = 2) -> Column:
+    """Intra-sequence repetition: fraction of k-token-gram occurrences that
+    are repeats of an earlier occurrence, 1 - distinct/total over the
+    OVERLAPPING k-gram list — the token-id analog of the Gopher duplicate
+    n-gram filters, computed directly on the pre-tokenized input shape
+    (tokens array<int32>). Pure Column (no Python, no shuffle); NULL
+    tokens yield NULL (not 0 — the size(NULL) = -1 trap would otherwise
+    fabricate a -0.0). Rounded to 6dp for cross-engine float stability.
+    """
+    toks = F.transform(tokens, lambda t: t.cast("string"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    total = F.size(sh)
+    rep = (total - F.size(F.array_distinct(sh))) / total
+    return F.when(tokens.isNotNull(), F.round(rep, 6))
