@@ -655,3 +655,57 @@ def test_streaming_hist_and_kmv_match_batch(spark, tmp_path):
     assert counts.filter(F.col("n_distinct") <= 0).count() == 0
     p = hist_quantiles(streamed_hist, qs=[0.5])
     assert p.filter(F.col("p50").isNull()).count() == 0
+
+
+def test_streaming_dedup_matches_batch_and_replays_safely(spark, tmp_path):
+    """Streaming incremental dedup: draining the corpus in forced
+    micro-batches yields EXACTLY the full-batch banded pair set (every
+    pair surfaces when its later member arrives), the fingerprint store
+    accumulates every doc once, and a foreachBatch replay of a committed
+    batch changes nothing."""
+    from traval_spark.operators.dedup import simhash64_dup_pairs
+    from traval_spark.streaming.dedup_stream import (
+        dedup_upsert_batch,
+        run_streaming_dedup,
+    )
+
+    inp = str(tmp_path / "din")
+    root = str(tmp_path / "dstore")
+    ckpt = str(tmp_path / "dckpt")
+
+    base = "the quick brown fox jumps over the lazy dog word%d extra tail"
+    rows = [(i, base % (i % 5)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # three file drops -> three micro-batches (maxFilesPerTrigger=1)
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    run_streaming_dedup(spark, inp, root, ckpt, max_files_per_trigger=1)
+
+    got = spark.read.option("basePath", f"{root}/pairs").parquet(
+        f"{root}/pairs"
+    )
+    want = {(r["a"], r["b"], r["hamming"])
+            for r in simhash64_dup_pairs(docs, max_hamming=3).collect()}
+    assert {(r["a"], r["b"], r["hamming"]) for r in got.collect()} == want
+    # no pair is emitted by two different batches
+    assert got.groupBy("a", "b").count().filter("count > 1").count() == 0
+
+    fp = spark.read.option("basePath", f"{root}/fp").parquet(f"{root}/fp")
+    assert fp.count() == 30
+    assert fp.select("doc_id").distinct().count() == 30
+
+    # replay a committed batch (same qid + batch_id): both writes skip
+    import json
+
+    with open(f"{ckpt}/metadata") as f:
+        qid = json.load(f)["id"]
+    replay = docs.filter("doc_id < 10")
+    dedup_upsert_batch(replay, 0, root, run_id=qid)
+    assert spark.read.option("basePath", f"{root}/fp").parquet(
+        f"{root}/fp").count() == 30
+    assert {(r["a"], r["b"], r["hamming"])
+            for r in spark.read.option("basePath", f"{root}/pairs").parquet(
+                f"{root}/pairs").collect()} == want

@@ -1,0 +1,154 @@
+"""Streaming incremental dedup: a foreachBatch ingest that probes and
+grows a persisted fingerprint corpus.
+
+The daily/continuous 100 TB ingest shape for near-dup detection: each
+micro-batch of new documents is fingerprinted ONCE, probed against the
+accumulated corpus fingerprint table via the banded incremental search
+(operators/dedup.py:simhash64_incremental_pairs — new-vs-corpus and
+new-vs-new pairs, the corpus never re-pairs with itself), and its
+fingerprints are appended to the corpus store. Across a whole stream the
+union of per-batch pair outputs equals the full-batch pair set: every
+pair surfaces exactly when its later member arrives (parity-tested in
+tests/test_streaming.py).
+
+Store layout (same conventions as the rollup cascade sink —
+rollup_stream.py:cascade_upsert_batch):
+
+    {root}/fp/qid=<query_id>/batch_id=N/     fingerprints (id, fp_lo, fp_hi)
+    {root}/pairs/qid=<query_id>/batch_id=N/  (a, b, hamming, batch_id)
+
+Both writes are batch_id-keyed with ``_COMMITTED`` markers, so checkpoint
+replays skip committed work and partial crashed attempts are overwritten
+wholesale. Crash-ordering note: pairs are written before fingerprints,
+but either order converges — if a crashed attempt left this batch's OWN
+fingerprints in the corpus, the replayed probe still emits the identical
+pair set (self-pairs are excluded by id inequality and duplicated
+new-vs-new candidates collapse in the distinct), so replays never
+duplicate or lose pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traval_spark.streaming.rollup_stream import (
+    _hadoop_exists,
+    _hadoop_touch,
+    _stream_query_id,
+)
+
+_FP_SCHEMA = "doc_id long, fp_lo long, fp_hi long"
+
+
+def _corpus_fp(
+    spark: SparkSession, store_root: str, id_col: str
+) -> DataFrame:
+    """The accumulated fingerprint corpus (empty frame on first batch)."""
+    path = f"{store_root}/fp"
+    if _hadoop_exists(spark, path):
+        return (
+            spark.read.option("basePath", path).parquet(path)
+            .select(id_col, "fp_lo", "fp_hi")
+        )
+    return spark.createDataFrame(
+        [], _FP_SCHEMA.replace("doc_id", id_col)
+    )
+
+
+def dedup_upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_root: str,
+    run_id: str | None = None,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One idempotent micro-batch step of the streaming dedup.
+
+    1. fingerprint the batch (one pass over its text);
+    2. probe (corpus UNION batch) bands with the batch's bands —
+       emits every near-dup pair touching this batch, writes them under
+       ``pairs/qid=<run_id>/batch_id=N`` (skip if ``_COMMITTED``);
+    3. append the batch fingerprints under ``fp/qid=<run_id>/batch_id=N``
+       (skip if ``_COMMITTED``) — the corpus grows without ever
+       re-hashing or re-pairing old documents.
+    """
+    from traval_spark.operators.dedup import (
+        simhash64_incremental_pairs,
+        with_simhash64,
+    )
+
+    if batch_df.isEmpty():
+        return
+    s = batch_df.sparkSession
+    pdir = f"{store_root}/pairs/qid={run_id or 'default'}/batch_id={batch_id}"
+    fdir = f"{store_root}/fp/qid={run_id or 'default'}/batch_id={batch_id}"
+
+    # fingerprints computed once, shared by the probe and the append
+    # (persisted inside simhash64_incremental_pairs via materialize)
+    new_fp = with_simhash64(batch_df, text_col, id_col).persist()
+
+    if not _hadoop_exists(s, f"{pdir}/_COMMITTED"):
+        pairs = simhash64_incremental_pairs(
+            batch_df,
+            _corpus_fp(s, store_root, id_col),
+            max_hamming=max_hamming,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        pairs.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        _hadoop_touch(s, f"{pdir}/_COMMITTED")
+    if not _hadoop_exists(s, f"{fdir}/_COMMITTED"):
+        new_fp.write.mode("overwrite").parquet(fdir)
+        _hadoop_touch(s, f"{fdir}/_COMMITTED")
+    new_fp.unpersist()
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint_path: str,
+    schema: str = "doc_id long, text string",
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Drain a document directory through the incremental dedup sink.
+
+    availableNow=True processes everything currently present and stops
+    (the resumable catch-up shape); the checkpoint makes re-runs
+    exactly-once over new files only. ``max_files_per_trigger`` splits
+    the drain into several micro-batches (useful to bound per-batch
+    probe size — and for tests to force the multi-batch path).
+    ``input_path`` must be a DIRECTORY (Spark's file-stream source
+    rejects a bare file path: "Option 'basePath' must be a directory").
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    docs = reader.parquet(input_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_upsert_batch(
+            batch_df, batch_id, store_root,
+            run_id=_stream_query_id(checkpoint_path),
+            max_hamming=max_hamming, text_col=text_col, id_col=id_col,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
