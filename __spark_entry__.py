@@ -448,6 +448,27 @@ def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
 
+def q_toptok_1h(spark, sf_dir):
+    """Per-bucket token heavy hitters served from the HISTOGRAM TIER
+    CASCADE: explode token ids into a 1m histogram tier (bin = token id),
+    merge to 1h by plain count-sum, top-3 per (source, bucket) at read
+    time. Exact at every tier — the token domain is vocab-bounded, so no
+    heavy-hitter sketch is needed. Event time is derived
+    deterministically from doc_id (documents carry no timestamp; both
+    engines compute the same spread over 10 hours)."""
+    from traval_spark.hist import hist_cascade, hist_tier, hist_topk
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    ts = F.to_timestamp_ntz(F.lit("2024-01-01")) + F.make_dt_interval(
+        F.lit(0), F.lit(0), (F.col("doc_id") % 600).cast("double"), F.lit(0.0)
+    )
+    tok_rows = s.select(
+        "source", ts.alias("ts"), F.explode("tokens").alias("tok")
+    )
+    t1h = hist_cascade(hist_tier(tok_rows, "1m", value_col="tok"), "1h")
+    return hist_topk(t1h, k=3)
+
+
 def q_gorilla_roundtrip(spark, sf_dir):
     """pack -> unpack identity over the 1m tier: the compression path gets
     a full value-level oracle (the plain rollup the blocks encode)."""
@@ -1371,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_lsh_pairs": q_token_lsh_pairs,
         "decontaminate": q_decontaminate,
         "token_repetition": q_token_repetition,
+        "toptok_1h": q_toptok_1h,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2776,6 +2798,19 @@ def oracle_sql() -> dict[str, str]:
     c as (select doc_id, unnest(sh) AS shingle from s where doc_id % 37 <> 0)
     select doc_id, count(distinct shingle) AS n_shared
     from c join b using (shingle) group by 1
+    """
+    sql["toptok_1h"] = f"""
+    with t as (select doc_id, source, {_TOKSEQ} tk from documents),
+    e as (select source,
+            date_trunc('hour', timestamp '2024-01-01'
+                       + (doc_id % 600) * interval 1 minute) AS bucket,
+            unnest(tk) AS bin
+          from t),
+    c as (select source, bucket, bin, count(*) AS cnt from e group by 1, 2, 3),
+    r as (select *, row_number() over (partition by source, bucket
+                                       order by cnt desc, bin) AS rn from c)
+    select source, bucket, CAST(bin AS BIGINT) AS bin, cnt
+    from r where rn <= 3
     """
     sql["token_repetition"] = f"""
     with t as (select doc_id, {_TOKSEQ} tk from documents),

@@ -48,3 +48,23 @@ def test_null_values_dropped(spark, raw):
     h = hist_tier(raw, "1d")
     total = h.agg(F.sum("cnt")).first()[0]
     assert total == raw.filter(F.col("n_tok").isNotNull()).count()
+
+
+def test_token_heavy_hitters_tier_merge_invariant(spark):
+    """Top-k token ids from the 1m->1h histogram cascade equal top-k
+    computed directly at 1h from raw — the tier is exact for heavy
+    hitters because the token domain is vocab-bounded (no sketch)."""
+    from traval_spark.hist import hist_cascade, hist_tier, hist_topk
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 1500, seed=17, span_days=1)
+    tok = seqs.select("source", "ts", F.explode("tokens").alias("tok"))
+    cascaded = hist_cascade(hist_tier(tok, "1m", value_col="tok"), "1h")
+    direct = hist_tier(tok, "1h", value_col="tok")
+    got = hist_topk(cascaded, k=5)
+    want = hist_topk(direct, k=5)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # k bounds the per-bucket result
+    assert got.groupBy("source", "bucket").count().filter(
+        F.col("count") > 5).count() == 0

@@ -100,3 +100,25 @@ def hist_quantiles(
             (F.min(hit) / scale).alias(f"{prefix}{round(q * 100):d}")
         )
     return with_cum.groupBy("source", "bucket").agg(*aggs)
+
+
+def hist_topk(hist_df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k bins per (source, bucket) by count, served STRAIGHT from a
+    histogram tier at any coarseness.
+
+    Over a TOKEN-ID histogram (bin = token id: explode the tokens array
+    into :func:`hist_tier`) this is the per-bucket heavy-hitter query —
+    and it is EXACT at every tier, because the token domain is
+    vocab-bounded: tier state is ≤ |vocab| rows per (source, bucket)
+    no matter how many tokens flowed underneath, so the lossy
+    Misra-Gries/SpaceSaving trade the unbounded-domain case forces is
+    simply unnecessary. Ties break by bin ascending (deterministic,
+    matches ORDER BY cnt DESC, bin)."""
+    w = Window.partitionBy("source", "bucket").orderBy(
+        F.col("cnt").desc(), F.col("bin")
+    )
+    return (
+        hist_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
