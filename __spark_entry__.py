@@ -448,6 +448,22 @@ def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
 
+def q_dds_quantiles_1h(spark, sf_dir):
+    """DDSketch-style continuous aggregate (Masson et al., VLDB'19): log-
+    binned (relative-error 5%) sketch tier at 1m, merged to 1h by plain
+    count-sum, p50/p95 estimates extracted at read time — the unbounded-
+    domain companion to hist_quantiles_1h (whose exactness needs a
+    fixed-decimal domain)."""
+    from traval_spark.hist import dds_cascade, dds_quantiles, dds_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    t1h = dds_cascade(dds_tier(src, "1m", value_col="value", alpha=0.05),
+                      "1h")
+    return dds_quantiles(t1h, qs=[0.5, 0.95], alpha=0.05)
+
+
 def q_toptok_1h(spark, sf_dir):
     """Per-bucket token heavy hitters served from the HISTOGRAM TIER
     CASCADE: explode token ids into a 1m histogram tier (bin = token id),
@@ -1393,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "token_repetition": q_token_repetition,
         "toptok_1h": q_toptok_1h,
+        "dds_quantiles_1h": q_dds_quantiles_1h,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2798,6 +2815,31 @@ def oracle_sql() -> dict[str, str]:
     c as (select doc_id, unnest(sh) AS shingle from s where doc_id % 37 <> 0)
     select doc_id, count(distinct shingle) AS n_shared
     from c join b using (shingle) group by 1
+    """
+    _g = (1.0 + 0.05) / (1.0 - 0.05)
+    sql["dds_quantiles_1h"] = f"""
+    with b as (
+      select event_type AS source, date_trunc('hour', ts) AS bucket,
+             case when value > 0 then 1 when value < 0 then -1
+                  else 0 end AS sign,
+             case when value = 0 then 0
+                  else CAST(ceil(round(ln(abs(value)) / ln({_g!r}), 9))
+                            AS BIGINT) end AS bin
+      from events where value is not null),
+    c as (select source, bucket, sign, bin, count(*) AS cnt
+          from b group by 1, 2, 3, 4),
+    r as (select *,
+            round(sign * 2 * pow({_g!r}, bin) / ({_g!r} + 1), 6) AS est,
+            sum(cnt) over (partition by source, bucket
+                           order by sign, sign * bin
+                           rows between unbounded preceding
+                           and current row) AS cum,
+            sum(cnt) over (partition by source, bucket) AS n
+          from c)
+    select source, bucket,
+      min(case when cum >= greatest(ceil(0.50 * n), 1) then est end) AS p50,
+      min(case when cum >= greatest(ceil(0.95 * n), 1) then est end) AS p95
+    from r group by 1, 2
     """
     sql["toptok_1h"] = f"""
     with t as (select doc_id, source, {_TOKSEQ} tk from documents),

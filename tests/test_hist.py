@@ -68,3 +68,48 @@ def test_token_heavy_hitters_tier_merge_invariant(spark):
     # k bounds the per-bucket result
     assert got.groupBy("source", "bucket").count().filter(
         F.col("count") > 5).count() == 0
+
+
+def test_dds_quantiles_relative_error_and_merge_invariance(spark):
+    """DDSketch tier: p50/p95 estimates are within the alpha relative-
+    error bound of the exact quantiles, and the 1m->1h cascade equals
+    the direct 1h tier (merging never moves bins)."""
+    from traval_spark.hist import dds_cascade, dds_quantiles, dds_tier
+
+    # lognormal-ish positive values + some negatives and zeros
+    raw = spark.range(0, 20_000).select(
+        F.format_string("s_%d", F.col("id") % 2).alias("source"),
+        (F.to_timestamp_ntz(F.lit("2024-01-01")) + F.make_dt_interval(
+            F.lit(0), F.lit(0), (F.col("id") % 90).cast("double"), F.lit(0.0)
+        )).alias("ts"),
+        F.when(F.col("id") % 50 == 0, F.lit(0.0))
+        .when(F.col("id") % 7 == 0,
+              -F.exp(F.pmod(F.xxhash64("id"), F.lit(1000)) / 200.0))
+        .otherwise(F.exp(F.pmod(F.xxhash64("id"), F.lit(1000)) / 150.0))
+        .alias("value"),
+    )
+    alpha = 0.05
+    t1m = dds_tier(raw, "1m", value_col="value", alpha=alpha)
+    t1h = dds_cascade(t1m, "1h")
+    direct = dds_tier(raw, "1h", value_col="value", alpha=alpha)
+    assert t1h.exceptAll(direct).count() == 0
+    assert direct.exceptAll(t1h).count() == 0
+
+    est = {(r["source"], r["bucket"]): (r["p50"], r["p95"])
+           for r in dds_quantiles(t1h, [0.5, 0.95], alpha=alpha).collect()}
+    exact = {
+        (r["source"], r["bucket"]): (r["q50"], r["q95"])
+        for r in raw.groupBy(
+            "source", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+            .alias("q50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+            .alias("q95"),
+        ).collect()
+    }
+    assert est.keys() == exact.keys()
+    for key, (e50, e95) in est.items():
+        x50, x95 = exact[key]
+        assert abs(e50 - x50) <= alpha * abs(x50) + 1e-9, (key, e50, x50)
+        assert abs(e95 - x95) <= alpha * abs(x95) + 1e-9, (key, e95, x95)

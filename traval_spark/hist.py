@@ -122,3 +122,111 @@ def hist_topk(hist_df: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("__rn") <= int(k))
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style log-binned quantile tiers (Masson et al., VLDB'19) — the
+# unbounded-domain companion to the exact integer histograms above: the
+# exact tiers need a discretized domain (bin = round(value*scale) is
+# lossless only for fixed-decimal values); log-binning gives
+# relative-error-bounded quantiles for ANY positive/negative double at
+# the same long-form mergeable row shape (counts add, groupBy-sum merge).
+# ---------------------------------------------------------------------------
+
+
+def _dds_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dds_tier(
+    df: DataFrame,
+    tier: str = "1m",
+    value_col: str = "value",
+    alpha: float = 0.05,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Leaf DDSketch tier: (source, bucket, sign, bin, cnt).
+
+    ``bin = ceil(log_gamma |v|)`` with gamma = (1+alpha)/(1-alpha), so
+    every value in a bin is within relative error alpha of the bin's
+    midpoint estimate — the DDSketch guarantee, preserved by merging
+    (counts add; bins never move). Negative values mirror into sign=-1
+    bins, zeros sit in (sign=0, bin=0). The log ratio is rounded to 9dp
+    before the ceil so the binning is bit-identical across engines
+    (raw float log can differ in the last ulp between libm
+    implementations); the boundary shift this introduces is far below
+    alpha. NULLs are dropped (aggregate semantics, as in hist_tier).
+    """
+    from traval_spark.rollup import TIERS
+
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    g = _dds_gamma(alpha)
+    v = F.col(value_col)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    sign = F.signum(v).cast("int")
+    import math
+
+    bin_ = F.when(v == 0, F.lit(0).cast("long")).otherwise(
+        F.ceil(F.round(F.log(F.abs(v)) / math.log(g), 9))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(F.col("source"), bucket.alias("bucket"),
+                 sign.alias("sign"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dds_cascade(dds_df: DataFrame, tier: str) -> DataFrame:
+    """Merge a finer DDSketch tier into a coarser one: counts add."""
+    from traval_spark.rollup import TIERS
+
+    unit, _ = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+    return (
+        dds_df.groupBy(F.col("source"), bucket.alias("bucket"),
+                       F.col("sign"), F.col("bin"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dds_quantiles(
+    dds_df: DataFrame,
+    qs: list[float],
+    alpha: float = 0.05,
+    prefix: str = "p",
+) -> DataFrame:
+    """Quantile estimates per (source, bucket) from a DDSketch tier,
+    each within relative error alpha of the true quantile.
+
+    Bin order (sign ASC, sign*bin ASC) is the value order — for
+    negatives a larger |bin| is a smaller value, so sign*bin flips the
+    walk. Same one-cumsum-pass rank extraction as :func:`hist_quantiles`
+    (the estimate is monotone along the walk, so min-over-satisfying
+    rows picks the rank bin); estimate = sign * 2*gamma^bin / (gamma+1),
+    the bin midpoint in log space, rounded to 6dp for cross-engine
+    float stability."""
+    g = _dds_gamma(alpha)
+    order = [F.col("sign").asc(), (F.col("sign") * F.col("bin")).asc()]
+    w_cum = (
+        Window.partitionBy("source", "bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source", "bucket")
+    est = F.round(
+        F.col("sign") * 2.0 * F.pow(F.lit(g), F.col("bin")) / (g + 1.0), 6
+    )
+    with_cum = dds_df.select(
+        "source", "bucket",
+        est.alias("__est"),
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_all).alias("__n"),
+    )
+    aggs = []
+    for q in qs:
+        rank = F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1))
+        hit = F.when(F.col("__cum") >= rank, F.col("__est"))
+        aggs.append(F.min(hit).alias(f"{prefix}{round(q * 100):d}"))
+    return with_cum.groupBy("source", "bucket").agg(*aggs)
