@@ -709,3 +709,36 @@ def test_streaming_dedup_matches_batch_and_replays_safely(spark, tmp_path):
     assert {(r["a"], r["b"], r["hamming"])
             for r in spark.read.option("basePath", f"{root}/pairs").parquet(
                 f"{root}/pairs").collect()} == want
+
+
+def test_streaming_dds_matches_batch(spark, tmp_path):
+    """Streaming 1m DDSketch tier == batch dds_tier on finalized windows
+    (shared bin definition), and batch cascade+quantiles serve the
+    streamed leaves unchanged."""
+    from traval_spark.hist import dds_cascade, dds_quantiles, dds_tier
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import stream_dds_1m
+
+    inp = str(tmp_path / "din")
+    seqs = synth_sequences(spark, 3000, seed=23, span_days=1)
+    a = seqs.filter(F.xxhash64("doc_id") % 2 == 0)
+    a.write.mode("append").parquet(inp)
+    seqs.exceptAll(a).write.mode("append").parquet(inp)
+
+    q = (stream_dds_1m(spark, inp, watermark="1 minute")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "dout"))
+         .option("checkpointLocation", str(tmp_path / "dck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(str(tmp_path / "dout"))
+    batch = dds_tier(seqs, "1m", value_col="n_tok")
+    j = streamed.join(batch.withColumnRenamed("cnt", "bcnt"),
+                      ["source", "bucket", "sign", "bin"], "left")
+    assert j.filter((F.col("bcnt").isNull())
+                    | (F.col("cnt") != F.col("bcnt"))).count() == 0
+    assert streamed.count() >= batch.count() * 0.9
+
+    p = dds_quantiles(dds_cascade(streamed, "1h"), qs=[0.5])
+    assert p.filter(F.col("p50").isNull()).count() == 0

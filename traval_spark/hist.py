@@ -138,6 +138,24 @@ def _dds_gamma(alpha: float) -> float:
     return (1.0 + alpha) / (1.0 - alpha)
 
 
+def dds_sign_bin(v, alpha: float = 0.05):
+    """(sign, bin) Columns of the DDSketch binning — THE bin definition
+    for every DDSketch tier (batch and streaming leaf must bucket
+    identically for the cascade to merge them; one copy, same rule as
+    the SimHash band helper). The log ratio is rounded to 9dp before the
+    ceil so binning is bit-identical across engines (raw float log can
+    differ in the last ulp between libm implementations); the boundary
+    shift this introduces is far below alpha."""
+    import math
+
+    g = _dds_gamma(alpha)
+    sign = F.signum(v).cast("int")
+    bin_ = F.when(v == 0, F.lit(0).cast("long")).otherwise(
+        F.ceil(F.round(F.log(F.abs(v)) / math.log(g), 9))
+    )
+    return sign, bin_
+
+
 def dds_tier(
     df: DataFrame,
     tier: str = "1m",
@@ -147,29 +165,21 @@ def dds_tier(
 ) -> DataFrame:
     """Leaf DDSketch tier: (source, bucket, sign, bin, cnt).
 
-    ``bin = ceil(log_gamma |v|)`` with gamma = (1+alpha)/(1-alpha), so
-    every value in a bin is within relative error alpha of the bin's
-    midpoint estimate — the DDSketch guarantee, preserved by merging
-    (counts add; bins never move). Negative values mirror into sign=-1
-    bins, zeros sit in (sign=0, bin=0). The log ratio is rounded to 9dp
-    before the ceil so the binning is bit-identical across engines
-    (raw float log can differ in the last ulp between libm
-    implementations); the boundary shift this introduces is far below
-    alpha. NULLs are dropped (aggregate semantics, as in hist_tier).
+    ``bin = ceil(log_gamma |v|)`` with gamma = (1+alpha)/(1-alpha)
+    (see :func:`dds_sign_bin`), so every value in a bin is within
+    relative error alpha of the bin's midpoint estimate — the DDSketch
+    guarantee, preserved by merging (counts add; bins never move).
+    Negative values mirror into sign=-1 bins, zeros sit in
+    (sign=0, bin=0). NULLs are dropped (aggregate semantics, as in
+    hist_tier).
     """
     from traval_spark.rollup import TIERS
 
     unit, _ = TIERS[tier]
     df = ensure_ntz(df, ts_col)
-    g = _dds_gamma(alpha)
     v = F.col(value_col)
     bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
-    sign = F.signum(v).cast("int")
-    import math
-
-    bin_ = F.when(v == 0, F.lit(0).cast("long")).otherwise(
-        F.ceil(F.round(F.log(F.abs(v)) / math.log(g), 9))
-    )
+    sign, bin_ = dds_sign_bin(v, alpha)
     return (
         df.filter(v.isNotNull())
         .groupBy(F.col("source"), bucket.alias("bucket"),

@@ -92,6 +92,43 @@ def stream_hist_1m(
     )
 
 
+def stream_dds_1m(
+    spark: SparkSession,
+    input_path: str,
+    value_col: str = "n_tok",
+    alpha: float = 0.05,
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming leaf DDSketch tier (hist.py log-binned long form):
+    (source, bucket, sign, bin, cnt) per finalized 1m window — the
+    unbounded-domain quantile companion to :func:`stream_hist_1m`, same
+    counts-only bounded state, identical rows to the batch dds_tier so
+    dds_cascade/dds_quantiles serve the streamed store unchanged (the
+    bin definition is shared — hist.py:dds_sign_bin — so the streamed
+    leaf and the batch tier bucket identically by construction)."""
+    from traval_spark.hist import dds_sign_bin
+
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    v = F.col(value_col)
+    sign, bin_ = dds_sign_bin(v, alpha)
+    return (
+        stream.filter(v.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("source", F.window("ts", "1 minute").alias("w"),
+                 sign.alias("sign"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("source",
+                F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+                "sign", "bin", "cnt")
+    )
+
+
 def stream_distinct_1m(
     spark: SparkSession,
     input_path: str,
