@@ -903,7 +903,7 @@ def q_minhash_incremental(spark, sf_dir):
     return minhash_incremental_pairs(new, corpus_sig, b=4, r=2)
 
 
-TOKEN_VOCAB = 50_257  # matches sources/synth.VOCAB — the graft token-id space
+from traval_spark.sources.synth import VOCAB as TOKEN_VOCAB  # one token-id space
 
 
 def _seqs_from(docs):
@@ -2791,7 +2791,7 @@ def oracle_sql() -> dict[str, str]:
     t as (select doc_id, {_TOKSEQ} tk from d)
     select md5(array_to_string(tk, ',')) AS tok_hash,
            count(*) AS n_docs, min(doc_id) AS min_doc_id
-    from t group by 1 having count(*) > 1
+    from t where tk is not null group by 1 having count(*) > 1
     """
     sql["token_minhash_sig"] = f"""
     with t as (select doc_id, {_TOKSEQ} tk from documents),
@@ -2829,7 +2829,14 @@ def oracle_sql() -> dict[str, str]:
     c as (select source, bucket, sign, bin, count(*) AS cnt
           from b group by 1, 2, 3, 4),
     r as (select *,
-            round(sign * 2 * pow({_g!r}, bin) / ({_g!r} + 1), 6) AS est,
+            case when sign = 0 then 0.0
+                 else round((sign * 2 * pow({_g!r}, bin) / ({_g!r} + 1))
+                        / pow(10, floor(log10(abs(
+                            sign * 2 * pow({_g!r}, bin) / ({_g!r} + 1))))),
+                      8)
+                      * pow(10, floor(log10(abs(
+                            sign * 2 * pow({_g!r}, bin) / ({_g!r} + 1)))))
+            end AS est,
             sum(cnt) over (partition by source, bucket
                            order by sign, sign * bin
                            rows between unbounded preceding

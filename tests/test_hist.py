@@ -113,3 +113,24 @@ def test_dds_quantiles_relative_error_and_merge_invariance(spark):
         x50, x95 = exact[key]
         assert abs(e50 - x50) <= alpha * abs(x50) + 1e-9, (key, e50, x50)
         assert abs(e95 - x95) <= alpha * abs(x95) + 1e-9, (key, e95, x95)
+
+
+def test_dds_quantiles_small_magnitudes_keep_relative_error(spark):
+    """Regression: fixed-dp rounding of the estimate would return 0.0
+    for micro-scale values (100% error); significant-digit rounding must
+    keep the alpha guarantee at every magnitude."""
+    from traval_spark.hist import dds_quantiles, dds_tier
+
+    raw = spark.range(0, 4_000).select(
+        F.lit("s").alias("source"),
+        F.to_timestamp_ntz(F.lit("2024-01-01")).alias("ts"),
+        ((F.pmod(F.xxhash64("id"), F.lit(900)) + 100) / 1e9).alias("value"),
+    )
+    alpha = 0.05
+    est = dds_quantiles(dds_tier(raw, "1h", value_col="value", alpha=alpha),
+                        [0.5], alpha=alpha).collect()[0]["p50"]
+    exact = raw.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+    ).collect()[0][0]
+    assert exact > 0
+    assert abs(est - exact) <= alpha * exact, (est, exact)

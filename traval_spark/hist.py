@@ -138,6 +138,23 @@ def _dds_gamma(alpha: float) -> float:
     return (1.0 + alpha) / (1.0 - alpha)
 
 
+def _sig_round(x, digits: int = 9):
+    """Round to ``digits`` SIGNIFICANT digits (engine-portable): scale to
+    [1, 10) by the decimal exponent, round at digits-1 dp, scale back.
+    Fixed-dp rounding would impose an absolute grid that destroys the
+    relative-error guarantee for small magnitudes (6dp turns 1e-7 into
+    0.0 — a 100% error where alpha promises 5%); significant-digit
+    rounding keeps 1e-9 relative precision at every magnitude, still
+    far above libm ulp noise. Robust to a cross-engine ±1 disagreement
+    in floor(log10|x|) at exact powers of ten: both sides scale to 1.0
+    vs 10.0 and produce the identical product."""
+    e = F.floor(F.log10(F.abs(x)))
+    p = F.pow(F.lit(10.0), e)
+    return F.when(x == 0, F.lit(0.0)).otherwise(
+        F.round(x / p, digits - 1) * p
+    )
+
+
 def dds_sign_bin(v, alpha: float = 0.05):
     """(sign, bin) Columns of the DDSketch binning — THE bin definition
     for every DDSketch tier (batch and streaming leaf must bucket
@@ -215,8 +232,9 @@ def dds_quantiles(
     walk. Same one-cumsum-pass rank extraction as :func:`hist_quantiles`
     (the estimate is monotone along the walk, so min-over-satisfying
     rows picks the rank bin); estimate = sign * 2*gamma^bin / (gamma+1),
-    the bin midpoint in log space, rounded to 6dp for cross-engine
-    float stability."""
+    the bin midpoint in log space, rounded to 9 SIGNIFICANT digits for
+    cross-engine float stability (see :func:`_sig_round` — fixed-dp
+    rounding would break the alpha guarantee below ~1e-5)."""
     g = _dds_gamma(alpha)
     order = [F.col("sign").asc(), (F.col("sign") * F.col("bin")).asc()]
     w_cum = (
@@ -225,8 +243,8 @@ def dds_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("source", "bucket")
-    est = F.round(
-        F.col("sign") * 2.0 * F.pow(F.lit(g), F.col("bin")) / (g + 1.0), 6
+    est = _sig_round(
+        F.col("sign") * 2.0 * F.pow(F.lit(g), F.col("bin")) / (g + 1.0)
     )
     with_cum = dds_df.select(
         "source", "bucket",

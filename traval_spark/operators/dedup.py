@@ -26,7 +26,7 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from traval_spark.operators.text import fold_hash, ws_tokens
+from traval_spark.operators.text import fold_hash, kgrams, ws_tokens
 
 logger = logging.getLogger("traval_spark.dedup")
 
@@ -78,14 +78,9 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as ' '-joined strings (distinct set via array_distinct)."""
-    toks = ws_tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
-    return F.array_distinct(sh)
+    """k-word shingles as ' '-joined strings (distinct set); sliding-window
+    core shared via text.py:kgrams."""
+    return F.array_distinct(kgrams(ws_tokens(text), k))
 
 
 def minhash_signature(text: Column, n_hashes: int = 4, k: int = 3) -> list[Column]:
@@ -141,14 +136,10 @@ def token_shingles(tokens: Column, k: int = 3) -> Column:
     ' '-joined decimal strings (distinct set) — the pre-tokenized-corpus
     twin of :func:`shingles` (LM-pipeline n-gram dedup runs on token ids,
     not words; the classic config is 13-gram, parameterized here).
-    Portable: DuckDB mirrors it with array_to_string over a list slice."""
+    Portable: DuckDB mirrors it with array_to_string over a list slice;
+    sliding-window core shared via text.py:kgrams."""
     toks = F.transform(tokens, lambda t: t.cast("string"))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
-    return F.array_distinct(sh)
+    return F.array_distinct(kgrams(toks, k))
 
 
 def with_minhash_tokens(
@@ -176,12 +167,20 @@ def exact_token_dup_groups(seqs: DataFrame, tokens_col: str = "tokens",
     pre-tokenized input shape. Grouping on md5 of the ','-joined ids
     (a fixed-width shuffle key) instead of the raw array keeps the
     exchange row width flat regardless of sequence length; md5 of the
-    canonical string is portable (DuckDB: md5(array_to_string(.., ',')))."""
+    canonical string is portable (DuckDB: md5(array_to_string(.., ','))).
+
+    NULL token arrays are excluded — concat_ws would silently key them
+    as the empty string and fabricate exact-dup groups with genuinely
+    empty sequences (and DuckDB's md5(NULL) = NULL would group them
+    separately: engine divergence either way). NULL *elements* are out
+    of contract (tokenizer output is dense int32) — concat_ws skips
+    them, so [1, NULL, 2] would collide with [1, 2]."""
     key = F.md5(
         F.concat_ws(",", F.col(tokens_col).cast("array<string>"))
     )
     return (
-        seqs.groupBy(key.alias("tok_hash"))
+        seqs.filter(F.col(tokens_col).isNotNull())
+        .groupBy(key.alias("tok_hash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.min(F.col(id_col)).alias("min_doc_id"),
@@ -440,6 +439,7 @@ def simhash64_incremental_pairs(
     id_col: str = "doc_id",
     materialize: bool = True,
     max_bucket_size: int | None = None,
+    new_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against an existing corpus WITHOUT
     re-pairing the corpus with itself — the shape a daily 100 TB ingest
@@ -458,14 +458,18 @@ def simhash64_incremental_pairs(
     to :func:`simhash64_dup_pairs` restricted to pairs touching the new
     batch (the oracle relation: full-corpus pairs where a or b is new).
 
-    After the run, append the new fingerprints to the corpus table
-    (``new_fp`` is this function's probe-side frame — recompute with
-    :func:`with_simhash64` or reuse); the corpus never needs re-hashing.
+    After the run, append the new fingerprints to the corpus table; the
+    corpus never needs re-hashing. ``new_fp`` passes the batch's
+    (id, fp_lo, fp_hi) frame in precomputed when the caller also needs
+    it (e.g. to append it to the corpus store — the streaming sink does)
+    so the expensive text-hash aggregation runs once, not twice; the
+    caller owns its persistence then (``materialize`` is ignored).
     """
-    new_fp = with_simhash64(new_docs, text_col, id_col)
-    if materialize:
-        # probed once per band side; also keeps the text-hash agg single-run
-        new_fp = new_fp.persist()
+    if new_fp is None:
+        new_fp = with_simhash64(new_docs, text_col, id_col)
+        if materialize:
+            # probed once per band side; keeps the text-hash agg single-run
+            new_fp = new_fp.persist()
     all_fp = corpus_fp.select(id_col, "fp_lo", "fp_hi").unionByName(new_fp)
 
     probe = _simhash64_bands(new_fp, id_col).select(

@@ -320,6 +320,19 @@ def top_tokens(
     )
 
 
+def kgrams(toks: Column, k: int) -> Column:
+    """Overlapping k-gram list of a STRING-array column as ' '-joined
+    strings (NON-distinct; one entry per window position, a single
+    truncated window for arrays shorter than k) — THE sliding-window
+    construction behind every shingle/n-gram operator (word shingles,
+    token-id shingles, repetition fractions). Exactly one copy: its
+    slice/short-array semantics must match the DuckDB ``tk[i:i+k-1]``
+    oracles bit-for-bit, so a fix here fixes every consumer at once."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
 def token_repetition_fraction(tokens: Column, k: int = 2) -> Column:
     """Intra-sequence repetition: fraction of k-token-gram occurrences that
     are repeats of an earlier occurrence, 1 - distinct/total over the
@@ -329,10 +342,7 @@ def token_repetition_fraction(tokens: Column, k: int = 2) -> Column:
     tokens yield NULL (not 0 — the size(NULL) = -1 trap would otherwise
     fabricate a -0.0). Rounded to 6dp for cross-engine float stability.
     """
-    toks = F.transform(tokens, lambda t: t.cast("string"))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    sh = kgrams(F.transform(tokens, lambda t: t.cast("string")), k)
     total = F.size(sh)
     rep = (total - F.size(F.array_distinct(sh))) / total
     return F.when(tokens.isNotNull(), F.round(rep, 6))

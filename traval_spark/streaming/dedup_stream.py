@@ -15,7 +15,7 @@ Store layout (same conventions as the rollup cascade sink —
 rollup_stream.py:cascade_upsert_batch):
 
     {root}/fp/qid=<query_id>/batch_id=N/     fingerprints (id, fp_lo, fp_hi)
-    {root}/pairs/qid=<query_id>/batch_id=N/  (a, b, hamming, batch_id)
+    {root}/pairs/qid=<query_id>/batch_id=N/  (a, b, hamming)
 
 Both writes are batch_id-keyed with ``_COMMITTED`` markers, so checkpoint
 replays skip committed work and partial crashed attempts are overwritten
@@ -30,7 +30,6 @@ duplicate or lose pairs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from traval_spark.streaming.rollup_stream import (
     _hadoop_exists,
@@ -86,8 +85,8 @@ def dedup_upsert_batch(
     pdir = f"{store_root}/pairs/qid={run_id or 'default'}/batch_id={batch_id}"
     fdir = f"{store_root}/fp/qid={run_id or 'default'}/batch_id={batch_id}"
 
-    # fingerprints computed once, shared by the probe and the append
-    # (persisted inside simhash64_incremental_pairs via materialize)
+    # fingerprints computed once, shared by the probe (passed via
+    # new_fp=) and the corpus append
     new_fp = with_simhash64(batch_df, text_col, id_col).persist()
 
     if not _hadoop_exists(s, f"{pdir}/_COMMITTED"):
@@ -97,10 +96,12 @@ def dedup_upsert_batch(
             max_hamming=max_hamming,
             text_col=text_col,
             id_col=id_col,
+            new_fp=new_fp,
         )
-        pairs.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-            "overwrite"
-        ).parquet(pdir)
+        # no batch_id data column: the qid=/batch_id= directory keys are
+        # partition columns on any basePath read, and a duplicate data
+        # column would collide with them
+        pairs.write.mode("overwrite").parquet(pdir)
         _hadoop_touch(s, f"{pdir}/_COMMITTED")
     if not _hadoop_exists(s, f"{fdir}/_COMMITTED"):
         new_fp.write.mode("overwrite").parquet(fdir)

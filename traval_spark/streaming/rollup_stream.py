@@ -26,6 +26,43 @@ SEQUENCE_SCHEMA = (
 )
 
 
+def _stream_leaf_1m(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str,
+    max_files_per_trigger: int,
+    extra_keys: list,
+    aggs: list,
+    pre_filter=None,
+) -> DataFrame:
+    """Shared scaffolding for every streaming 1m leaf tier (rollup,
+    histogram, DDSketch, KMV distinct): file-source readStream ->
+    watermark -> tumbling-window groupBy(source, 1m window, *extra_keys)
+    -> aggs. One copy so the shared contract (SEQUENCE_SCHEMA, the ts
+    cast — watermark requires TIMESTAMP, window start cast back to NTZ
+    to match the batch tier schema — and the watermark plumbing) cannot
+    drift between tier kinds."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    if pre_filter is not None:
+        stream = stream.filter(pre_filter)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("source", F.window("ts", "1 minute").alias("w"),
+                 *extra_keys)
+        .agg(*aggs)
+    )
+    rest = [c for c in agg.columns if c not in ("source", "w")]
+    return agg.select(
+        "source", F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+        *rest,
+    )
+
+
 def stream_rollup_1m(
     spark: SparkSession,
     input_path: str,
@@ -35,30 +72,16 @@ def stream_rollup_1m(
     """Streaming 1m tier: file-source readStream -> watermark -> tumbling
     window agg. Same measures as the batch tier (count/sum/min/max n_tok).
     """
-    stream = (
-        spark.readStream.schema(SEQUENCE_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_path)
-    )
-    # watermark requires TIMESTAMP; window start is cast back to NTZ to
-    # match the batch tier schema
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy("source", F.window("ts", "1 minute").alias("w"))
-        .agg(
+    return _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[],
+        aggs=[
             F.count("n_tok").alias("n_points"),
             F.sum("n_tok").alias("sum_tok"),
             F.min("n_tok").alias("min_tok"),
             F.max("n_tok").alias("max_tok"),
-        )
-        .select(
-            "source",
-            F.col("w.start").cast("timestamp_ntz").alias("bucket"),
-            "n_points", "sum_tok", "min_tok", "max_tok",
-        )
+        ],
     )
-    return agg
 
 
 def stream_hist_1m(
@@ -73,22 +96,12 @@ def stream_hist_1m(
     bin, cnt) per finalized 1m window — counts-only state, so the
     streaming agg carries the same bounded per-(bucket, bin) long as the
     batch tier row it becomes."""
-    stream = (
-        spark.readStream.schema(SEQUENCE_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_path)
-    )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     b = F.round(F.col(value_col) * scale).cast("long")
-    return (
-        stream.filter(F.col(value_col).isNotNull())
-        .withWatermark("ts", watermark)
-        .groupBy("source", F.window("ts", "1 minute").alias("w"),
-                 b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("source",
-                F.col("w.start").cast("timestamp_ntz").alias("bucket"),
-                "bin", "cnt")
+    return _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[b.alias("bin")],
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+        pre_filter=F.col(value_col).isNotNull(),
     )
 
 
@@ -109,23 +122,13 @@ def stream_dds_1m(
     leaf and the batch tier bucket identically by construction)."""
     from traval_spark.hist import dds_sign_bin
 
-    stream = (
-        spark.readStream.schema(SEQUENCE_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_path)
-    )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     v = F.col(value_col)
     sign, bin_ = dds_sign_bin(v, alpha)
-    return (
-        stream.filter(v.isNotNull())
-        .withWatermark("ts", watermark)
-        .groupBy("source", F.window("ts", "1 minute").alias("w"),
-                 sign.alias("sign"), bin_.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("source",
-                F.col("w.start").cast("timestamp_ntz").alias("bucket"),
-                "sign", "bin", "cnt")
+    return _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[sign.alias("sign"), bin_.alias("bin")],
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+        pre_filter=v.isNotNull(),
     )
 
 
@@ -143,19 +146,10 @@ def stream_distinct_1m(
     bucket's cardinality, exactly the batch leaf-agg contract."""
     from traval_spark.sketch import kmv_agg
 
-    stream = (
-        spark.readStream.schema(SEQUENCE_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_path)
-    )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return (
-        stream.withWatermark("ts", watermark)
-        .groupBy("source", F.window("ts", "1 minute").alias("w"))
-        .agg(kmv_agg(key_col, k).alias("kmv"))
-        .select("source",
-                F.col("w.start").cast("timestamp_ntz").alias("bucket"),
-                "kmv")
+    return _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[],
+        aggs=[kmv_agg(key_col, k).alias("kmv")],
     )
 
 
