@@ -448,6 +448,30 @@ def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
 
+def q_pack_assign(spark, sf_dir):
+    """Sequence packing: contiguous assignment of pre-tokenized docs to
+    512-token training packs per source (pack_id = floor(running-total /
+    target) over a deterministic doc order; one window pass, no Python).
+    The LM batching step — overflow bounded by one straddling doc."""
+    from traval_spark.packing import assign_packs
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    return assign_packs(s, target_tokens=512).select(
+        "doc_id", "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "pack_id",
+        F.col("pack_pos").cast("long").alias("pack_pos"),
+    )
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-pack utilization over the 512-token contiguous packing."""
+    from traval_spark.packing import assign_packs, pack_stats
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    return pack_stats(assign_packs(s, target_tokens=512), 512)
+
+
 def q_dds_quantiles_1h(spark, sf_dir):
     """DDSketch-style continuous aggregate (Masson et al., VLDB'19): log-
     binned (relative-error 5%) sketch tier at 1m, merged to 1h by plain
@@ -1410,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_repetition": q_token_repetition,
         "toptok_1h": q_toptok_1h,
         "dds_quantiles_1h": q_dds_quantiles_1h,
+        "pack_assign": q_pack_assign,
+        "pack_stats": q_pack_stats,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2815,6 +2841,28 @@ def oracle_sql() -> dict[str, str]:
     c as (select doc_id, unnest(sh) AS shingle from s where doc_id % 37 <> 0)
     select doc_id, count(distinct shingle) AS n_shared
     from c join b using (shingle) group by 1
+    """
+    _PACKS = f"""
+    t as (select doc_id, source,
+                 CAST(len({_TOKSEQ}) AS BIGINT) AS n_tok
+          from documents),
+    p as (select doc_id, source, n_tok,
+            CAST(floor((sum(n_tok) over (partition by source order by doc_id
+                        rows between unbounded preceding and current row)
+                        - n_tok) / 512.0) AS BIGINT) AS pack_id
+          from t)"""
+    sql["pack_assign"] = f"""
+    with {_PACKS}
+    select doc_id, source, n_tok, pack_id,
+           CAST(row_number() over (partition by source, pack_id
+                                   order by doc_id) - 1 AS BIGINT) AS pack_pos
+    from p
+    """
+    sql["pack_stats"] = f"""
+    with {_PACKS}
+    select source, pack_id, count(*) AS n_docs, sum(n_tok) AS tok_total,
+           round(sum(n_tok) / 512.0, 6) AS utilization
+    from p group by 1, 2
     """
     _g = (1.0 + 0.05) / (1.0 - 0.05)
     sql["dds_quantiles_1h"] = f"""
