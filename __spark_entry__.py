@@ -448,6 +448,29 @@ def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_mix_sample(spark, sf_dir):
+    """Data mixing: per-source deterministic keep-fractions (sources
+    outside the weight map drop to 0) — md5-hash Bernoulli, so the kept
+    subset is identical on every run and in the oracle."""
+    from traval_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir), MIX_WEIGHTS, seed=7
+    ).select("doc_id", "source")
+
+
+def q_sample_k(spark, sf_dir):
+    """Exact deterministic k-per-source sample (hash-rank reservoir)."""
+    from traval_spark.operators.sampling import sample_k_per_group
+
+    return sample_k_per_group(
+        _docs(spark, sf_dir), k=5, seed=3
+    ).select("doc_id", "source")
+
+
 def q_pack_assign(spark, sf_dir):
     """Sequence packing: contiguous assignment of pre-tokenized docs to
     512-token training packs per source (pack_id = floor(running-total /
@@ -1436,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_quantiles_1h": q_dds_quantiles_1h,
         "pack_assign": q_pack_assign,
         "pack_stats": q_pack_stats,
+        "mix_sample": q_mix_sample,
+        "sample_k": q_sample_k,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2841,6 +2866,22 @@ def oracle_sql() -> dict[str, str]:
     c as (select doc_id, unnest(sh) AS shingle from s where doc_id % 37 <> 0)
     select doc_id, count(distinct shingle) AS n_shared
     from c join b using (shingle) group by 1
+    """
+    _HU = ("cast(('0x' || substr(md5({seed} || '|' || CAST(doc_id AS VARCHAR"
+           ")), 1, 8)) as bigint) / 4294967296.0")
+    _mix_case = "case " + " ".join(
+        f"when source = '{s}' then {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    ) + " else 0.0 end"
+    sql["mix_sample"] = f"""
+    select doc_id, source from documents
+    where {_HU.format(seed=7)} < {_mix_case}
+    """
+    sql["sample_k"] = f"""
+    with r as (select doc_id, source,
+                 row_number() over (partition by source
+                   order by {_HU.format(seed=3)}, doc_id) AS rn
+               from documents)
+    select doc_id, source from r where rn <= 5
     """
     _PACKS = f"""
     t as (select doc_id, source,

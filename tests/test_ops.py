@@ -807,3 +807,39 @@ def test_token_repetition_fraction_exact_values(spark):
     assert got["period_two"] == 0.5   # bigrams 1-2,2-1,1-2,2-1 -> 2/4 repeats
     assert got["single"] == 0.0
     assert got["null_tokens"] is None
+
+
+def test_sampling_determinism_and_mixture(spark):
+    from traval_spark.operators.sampling import (
+        deterministic_sample, mixture_sample, sample_k_per_group,
+    )
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 4000, seed=19)
+    half = deterministic_sample(seqs, 0.5, seed=1)
+    # deterministic: identical subset on re-run
+    assert half.select("doc_id").exceptAll(
+        deterministic_sample(seqs, 0.5, seed=1).select("doc_id")
+    ).count() == 0
+    n = half.count()
+    assert abs(n - 2000) < 150  # Bernoulli(0.5) within ~4 sigma
+
+    # mixture: unweighted sources drop to zero; weighted sources keep
+    # roughly their fraction
+    mixed = mixture_sample(
+        seqs, {"source_00": 0.5, "source_01": 1.0}, seed=2
+    )
+    per = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in seqs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {"source_00", "source_01"}
+    assert per["source_01"] == base["source_01"]          # fraction 1.0
+    assert abs(per["source_00"] - base["source_00"] / 2) < 120
+
+    # exact k per group, min(k, group size)
+    k5 = sample_k_per_group(seqs, k=5, seed=4)
+    sizes = {r["source"]: r["n"] for r in k5.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == min(5, base[s]) for s, v in sizes.items())
+    assert set(sizes) == set(base)

@@ -1,0 +1,86 @@
+"""Deterministic sampling & data mixing for training-corpus curation.
+
+Every sampler here is a pure function of (id, seed) via the md5 hash —
+no RNG state, no ``rand()``: the same row is kept or dropped on every
+run, at any parallelism, from any engine (md5 is bit-identical in
+DuckDB, so each operator has a full value-level oracle). That
+determinism is what makes sampling SAFE in a resumable pipeline: a
+retry or a backfill selects exactly the same subset.
+
+- :func:`hash_uniform` — U[0,1) from the first 8 md5 hex digits.
+- :func:`deterministic_sample` — Bernoulli(fraction) corpus subsample.
+- :func:`mixture_sample` — per-source keep-fractions (the data-mixing
+  step: down-weight over-represented sources to hit target ratios).
+- :func:`sample_k_per_group` — exact k-per-group "reservoir": rank by
+  hash, keep the k smallest. One window pass; at scale prefer a
+  two-phase top-k (per-partition heads then global) if k is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 32)
+
+
+def hash_uniform(col: Column, seed: int = 0) -> Column:
+    """Deterministic U[0,1): first 8 md5 hex digits of ``seed|value`` as
+    a 32-bit integer over 2^32. Portable: DuckDB mirrors it with
+    cast(('0x' || substr(md5(...), 1, 8)) as bigint) / 2^32."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Bernoulli(fraction) subsample, deterministic in (id, seed)."""
+    return df.filter(
+        hash_uniform(F.col(id_col), seed) < float(fraction)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-source keep-fractions — the data-mixing step of corpus
+    curation: each source's rows survive with its own probability
+    (sources absent from ``weights`` get ``default``). The weights dict
+    is small (a handful of sources) and becomes a plan-time CASE chain
+    of literals: no join, no broadcast variable, fully codegen."""
+    keep = F.lit(float(default))
+    for src, frac in sorted(weights.items()):
+        keep = F.when(
+            F.col(source_col) == src, F.lit(float(frac))
+        ).otherwise(keep)
+    return df.filter(hash_uniform(F.col(id_col), seed) < keep)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen uniformly and
+    deterministically: rank rows by hash_uniform within the group and
+    keep the k smallest (ties broken by id — md5 collisions on distinct
+    ids are negligible but the order must still be total for
+    determinism)."""
+    u = hash_uniform(F.col(id_col), seed)
+    w = Window.partitionBy(by).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
