@@ -50,3 +50,16 @@ def test_pack_pos_is_contiguous_layout_order(spark):
         F.min("pack_pos").alias("lo"), F.max("pack_pos").alias("hi"))
     assert chk.filter(
         (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
+
+
+def test_assign_packs_single_exchange(spark):
+    """pack_pos rides the same (source, order) window as pack_id: the
+    plan must contain exactly ONE shuffle exchange (a second row_number
+    over (source, pack_id) would re-shuffle the corpus by a derived
+    key)."""
+    seqs = synth_sequences(spark, 200, seed=2)
+    plan = assign_packs(seqs, 1024)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan

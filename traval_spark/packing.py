@@ -49,21 +49,35 @@ def assign_packs(
     tighten packing at the cost of shuffling related docs apart).
     ``pack_pos`` is the document's 0-based position inside its pack.
 
-    One exchange + one sort (the window); everything else is codegen.
+    ONE exchange + one sort: every window here shares the same
+    (partitionBy ``by``, orderBy ``order``) spec — pack_pos is derived
+    from the running pack-start row number instead of a second
+    row_number over (by, pack_id), which would re-shuffle the corpus by
+    a derived key (plan-audited in tests). Everything else is codegen.
     NULL ``n_tok`` rows are excluded — they have no defined footprint.
     """
     order = order_col or id_col
     w = Window.partitionBy(by).orderBy(order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(n_tok_col).over(w)
     before = (cum - F.col(n_tok_col)).cast("long")
     out = (
         seqs.filter(F.col(n_tok_col).isNotNull())
         .withColumn("pack_id", F.floor(before / F.lit(int(target_tokens))))
+        .withColumn("__rn", F.row_number().over(w))
     )
-    wp = Window.partitionBy(by, "pack_id").orderBy(order)
+    # first row of each pack carries its own row number; a running
+    # last(ignorenulls) spreads it over the pack — same window spec, so
+    # no additional exchange
+    start = F.when(
+        F.lag("pack_id").over(w).isNull()
+        | (F.lag("pack_id").over(w) != F.col("pack_id")),
+        F.col("__rn"),
+    )
+    pack_start = F.last(start, ignorenulls=True).over(w_run)
     return out.withColumn(
-        "pack_pos", F.row_number().over(wp) - F.lit(1)
-    )
+        "pack_pos", (F.col("__rn") - pack_start).cast("int")
+    ).drop("__rn")
 
 
 def pack_stats(
