@@ -471,6 +471,39 @@ def q_sample_k(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_curate(spark, sf_dir):
+    """End-to-end corpus curation in ONE lazy plan — the full shape a
+    training-data job runs: exact token-sequence dedup (keep the
+    smallest doc id per identical sequence), per-source mixture
+    down-sampling, then contiguous 512-token pack assignment. Three
+    pipeline stages, three shuffles total (tok_hash, mix filter is
+    shuffle-free, source window), every stage individually oracle-green
+    and the composition verified end-to-end here."""
+    from pyspark.sql import Window
+
+    from traval_spark.operators.sampling import mixture_sample
+    from traval_spark.packing import assign_packs
+
+    s = _seqs_from(_docs_with_dups(spark, sf_dir))
+    keyed = s.filter(F.col("tokens").isNotNull()).withColumn(
+        "tok_hash",
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))),
+    )
+    w = Window.partitionBy("tok_hash").orderBy("doc_id")
+    kept = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "tok_hash")
+    )
+    mixed = mixture_sample(kept, MIX_WEIGHTS, seed=7)
+    return assign_packs(mixed, target_tokens=512).select(
+        "doc_id", "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "pack_id",
+        F.col("pack_pos").cast("long").alias("pack_pos"),
+    )
+
+
 def q_pack_assign(spark, sf_dir):
     """Sequence packing: contiguous assignment of pre-tokenized docs to
     512-token training packs per source (pack_id = floor(running-total /
@@ -1461,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "mix_sample": q_mix_sample,
         "sample_k": q_sample_k,
+        "curate": q_curate,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2882,6 +2916,30 @@ def oracle_sql() -> dict[str, str]:
                    order by {_HU.format(seed=3)}, doc_id) AS rn
                from documents)
     select doc_id, source from r where rn <= 5
+    """
+    sql["curate"] = f"""
+    with d as (select doc_id, source, text from documents union all
+               select doc_id + 1000000, source, text from documents
+               where doc_id % 25 = 0),
+    t as (select doc_id, source, {_TOKSEQ} tk from d),
+    h as (select doc_id, source, tk,
+                 md5(array_to_string(tk, ',')) AS tok_hash
+          from t where tk is not null),
+    k as (select doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+                 row_number() over (partition by tok_hash
+                                    order by doc_id) AS rn
+          from h),
+    m as (select doc_id, source, n_tok from k
+          where rn = 1 and {_HU.format(seed=7)} < {_mix_case}),
+    p as (select doc_id, source, n_tok,
+            CAST(floor((sum(n_tok) over (partition by source order by doc_id
+                        rows between unbounded preceding and current row)
+                        - n_tok) / 512.0) AS BIGINT) AS pack_id
+          from m)
+    select doc_id, source, n_tok, pack_id,
+           CAST(row_number() over (partition by source, pack_id
+                                   order by doc_id) - 1 AS BIGINT) AS pack_pos
+    from p
     """
     _PACKS = f"""
     t as (select doc_id, source,

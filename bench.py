@@ -78,6 +78,7 @@ def main() -> None:
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
         "token_dedup_exact", "token_lsh_pairs", "decontaminate", "pack_assign",
+        "curate",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
         "knn_join_ivf", "multimodal_meta",
