@@ -448,6 +448,49 @@ def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
 
+def q_tpch_late_orders(spark, sf_dir):
+    """TPC-H Q4-shape order-priority check: orders in a half-year window
+    with AT LEAST ONE line shipped > 30 days after the order date,
+    counted per priority. The EXISTS becomes a LEFT SEMI join with a
+    compound condition — no duplicate-orderkey inflation, no distinct."""
+    o = _tpch(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = _tpch(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_priority_lines(spark, sf_dir):
+    """TPC-H Q12-shape: per ship-month, line counts split by order
+    priority class (urgent/high vs rest) — fact-to-dim join + CASE
+    aggregation, the canonical conditional-rollup plan."""
+    o = _tpch(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_count"),
+        )
+    )
+
+
 MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
@@ -1515,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
+        "tpch_late_orders": q_tpch_late_orders,
+        "tpch_priority_lines": q_tpch_priority_lines,
         "tier_routed": q_tier_routed,
         "distinct_users_1h": q_distinct_users_1h,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
@@ -2786,6 +2831,27 @@ def oracle_sql() -> dict[str, str]:
       and o.o_orderdate >= TIMESTAMP '1996-01-01'
       and o.o_orderdate < TIMESTAMP '1997-01-01'
     group by n.n_name
+    """
+    sql["tpch_late_orders"] = """
+    select o_orderpriority, count(*) AS order_count
+    from orders o
+    where o.o_orderdate >= timestamp '1996-01-01'
+      and o.o_orderdate <  timestamp '1996-07-01'
+      and exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey
+                    and l.l_shipdate > o.o_orderdate + interval 30 day)
+    group by 1
+    """
+    sql["tpch_priority_lines"] = """
+    select month(l_shipdate) AS ship_month,
+           sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                    then 1 else 0 end) AS high_count,
+           sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                    then 0 else 1 end) AS low_count
+    from lineitem join orders on l_orderkey = o_orderkey
+    where l_shipdate >= timestamp '1997-01-01'
+      and l_shipdate <  timestamp '1998-01-01'
+    group by 1
     """
     sql["tpch_forecast_revenue"] = """
     select round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -238,6 +238,12 @@ def test_tpch_join_chain_broadcasts_dims(spark):
         spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan3, plan3
 
+    # Q4-shape: the EXISTS must plan as a real semi join (one output row
+    # per qualifying order, no duplicate-key inflation + distinct)
+    plan4 = fmt_plan(em.queries()["tpch_late_orders"](
+        spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan4, plan4
+
 
 def test_hist_cascade_is_codegen_partial_agg(spark, seq_parquet):
     """The histogram tier path must be pure whole-stage-codegen hash
