@@ -742,3 +742,58 @@ def test_streaming_dds_matches_batch(spark, tmp_path):
 
     p = dds_quantiles(dds_cascade(streamed, "1h"), qs=[0.5])
     assert p.filter(F.col("p50").isNull()).count() == 0
+
+
+def test_stateful_flat_stream_matches_batch(spark, tmp_path):
+    """Streaming flat-signal == batch rule_flat_signal (std gate), with
+    the trailing window carried across a forced micro-batch split in the
+    middle of the flat run."""
+    import time as _time
+
+    from traval_spark.operators.rules import rule_flat_signal
+    from traval_spark.streaming.stateful_rules import stream_flat_clean
+
+    # hourly grid, 2 sources, 4 days; hours 24..60 are a flat run
+    hours = 96
+    base = spark.range(0, hours * 2).select(
+        F.format_string("s_%d", F.col("id") % 2).alias("source"),
+        (F.to_timestamp_ntz(F.lit("2024-01-01")) + F.make_dt_interval(
+            F.lit(0), F.floor(F.col("id") / 2).cast("double"),
+            F.lit(0.0), F.lit(0.0))).alias("ts"),
+        F.when((F.floor(F.col("id") / 2) >= 24)
+               & (F.floor(F.col("id") / 2) < 60), F.lit(100))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(200)))
+        .cast("int").alias("n_tok"),
+    )
+    inp = str(tmp_path / "fin")
+    mid = "2024-01-02 12:00:00"
+    base.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(inp)
+    _time.sleep(1.1)
+    base.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(inp)
+
+    q = (
+        stream_flat_clean(spark, inp, window="1D", min_obs=3,
+                          std_threshold=7.5e-3, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "fout"))
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(tmp_path / "fout")).select(
+        "source", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("code").alias("s_code"))
+
+    batch = rule_flat_signal(
+        base.select(F.col("source").alias("series_id"), "ts",
+                    F.col("n_tok").cast("double").alias("value")),
+        "value", "r", window=1, min_obs=3, std_threshold=7.5e-3,
+    ).select(F.col("series_id").alias("source"), "ts",
+             F.col("r_code").cast("int").alias("b_code"))
+
+    assert streamed.count() == base.count()
+    j = streamed.join(batch, on=["source", "ts"], how="inner")
+    assert j.count() == streamed.count()
+    assert j.filter((F.col("s_code") != 0) != (F.col("b_code") != 0)
+                    ).count() == 0
+    assert streamed.filter(F.col("s_code") != 0).count() > 0

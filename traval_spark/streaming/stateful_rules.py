@@ -340,3 +340,131 @@ def stream_spike_clean(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming flat-signal rule
+# ---------------------------------------------------------------------------
+
+FLAT_STATE_SCHEMA = "ts array<long>, vals array<double>"
+
+
+def make_flat_state_func(
+    window_us: int, min_obs: int, std_threshold: float,
+    hbelow: float | None = None, habove: float | None = None,
+    late_code: int | None = None,
+):
+    """applyInPandasWithState kernel for the streaming flat-signal rule.
+
+    Same trailing-window state shape as the Hampel kernel (and the same
+    exactness argument): a new point's rolling std/count need only the
+    (t-window, t] values, all retained; pandas time rolling with
+    ``ddof=1`` equals the batch rule's ``stddev_samp`` range frame.
+    Supports the std gate plus the LITERAL hard gates (hbelow/habove);
+    the ``qbelow``/``qabove`` quantile gates are batch-only — they are
+    unbounded per-series aggregates over the full history, which a
+    single-pass stream cannot know (rules.py:rule_flat_signal via_join
+    is the scale path for those).
+    """
+    w_td = pd.Timedelta(window_us, unit="us")
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.sort_values("ts")
+        b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        b_vals = batch["value"].to_numpy(dtype=float)
+
+        if state.exists:
+            c_ts, c_vals = (
+                np.asarray(a, dtype=t)
+                for a, t in zip(state.get, ("int64", float))
+            )
+            fresh = b_ts > c_ts[-1]
+            if late_code is not None and (~fresh).any():
+                yield _late_frame(key, b_ts[~fresh], b_vals[~fresh],
+                                  late_code)
+            b_ts, b_vals = b_ts[fresh], b_vals[fresh]
+        else:
+            c_ts = np.empty(0, dtype="int64")
+            c_vals = np.empty(0, dtype=float)
+        if len(b_ts) == 0:
+            return
+
+        ts_us = np.concatenate([c_ts, b_ts])
+        vals = np.concatenate([c_vals, b_vals])
+        idx = pd.DatetimeIndex(ts_us.astype("datetime64[us]"))
+        s = pd.Series(vals, index=idx)
+        n_old = len(c_ts)
+
+        roll = s.rolling(w_td, min_periods=1)
+        std = roll.std().to_numpy()[n_old:]   # ddof=1 == stddev_samp
+        cnt = roll.count().to_numpy()[n_old:]
+        with np.errstate(invalid="ignore"):
+            flags = (cnt >= min_obs) & (std < std_threshold)
+        if hbelow is not None and habove is not None:
+            flags &= (b_vals > habove) | (b_vals < hbelow)
+        elif hbelow is not None:
+            flags &= b_vals < hbelow
+        elif habove is not None:
+            flags &= b_vals > habove
+        flags &= ~np.isnan(b_vals)
+
+        yield pd.DataFrame(
+            {
+                "source": key[0],
+                "ts": b_ts.astype("datetime64[us]"),
+                "value": b_vals,
+                "code": np.where(flags, _CODE, 0).astype("int32"),
+            }
+        )
+
+        keep = ts_us > ts_us[-1] - window_us
+        state.update((
+            [int(x) for x in ts_us[keep]],
+            [float(x) for x in vals[keep]],
+        ))
+
+    return fn
+
+
+def stream_flat_clean(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "1D",
+    min_obs: int = 3,
+    std_threshold: float = 7.5e-3,
+    hbelow: float | None = None,
+    habove: float | None = None,
+    max_files_per_trigger: int = 1,
+    late_code: int | None = None,
+) -> DataFrame:
+    """Streaming flat-signal rule over tokenized-sequence file drops —
+    the third stateful rule (after spike and Hampel): every point emits
+    in its arriving micro-batch, flagged identically to batch
+    ``rule_flat_signal`` (std + hard gates; quantile gates batch-only,
+    see :func:`make_flat_state_func`). State per source is the last
+    ``window`` of (ts, value) pairs."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("n_tok").cast("double").alias("value"),
+        )
+    )
+    window_us = int(pd.Timedelta(window).value // 1_000)
+    return stream.groupBy("source").applyInPandasWithState(
+        make_flat_state_func(window_us, min_obs, std_threshold,
+                             hbelow=hbelow, habove=habove,
+                             late_code=late_code),
+        OUTPUT_SCHEMA,
+        FLAT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
