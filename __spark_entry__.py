@@ -519,9 +519,10 @@ def q_curate(spark, sf_dir):
     training-data job runs: exact token-sequence dedup (keep the
     smallest doc id per identical sequence), per-source mixture
     down-sampling, then contiguous 512-token pack assignment. Three
-    pipeline stages, three shuffles total (tok_hash, mix filter is
-    shuffle-free, source window), every stage individually oracle-green
-    and the composition verified end-to-end here."""
+    pipeline stages, only two shuffles (the tok_hash dedup window and
+    the per-source pack window — the mixture filter is shuffle-free),
+    every stage individually oracle-green and the composition verified
+    end-to-end here."""
     from pyspark.sql import Window
 
     from traval_spark.operators.sampling import mixture_sample
