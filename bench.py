@@ -84,7 +84,8 @@ def main() -> None:
         "knn_join_ivf", "multimodal_meta",
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
-        "tpch_forecast_revenue", "tier_routed",
+        "tpch_forecast_revenue", "tpch_late_orders", "tpch_priority_lines",
+        "tier_routed",
     ]
     for name in headline:
         timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))
