@@ -3011,7 +3011,8 @@ def oracle_sql() -> dict[str, str]:
     _PACKS = f"""
     t as (select doc_id, source,
                  CAST(len({_TOKSEQ}) AS BIGINT) AS n_tok
-          from documents),
+          from documents
+          where {_TOKSEQ} is not null),
     p as (select doc_id, source, n_tok,
             CAST(floor((sum(n_tok) over (partition by source order by doc_id
                         rows between unbounded preceding and current row)

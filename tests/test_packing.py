@@ -63,3 +63,23 @@ def test_assign_packs_single_exchange(spark):
 
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 1, plan
+
+
+def test_assign_packs_tied_order_key_stays_bounded(spark):
+    """Regression: a non-unique order_col (e.g. sort-by-length) must NOT
+    collapse tied rows into one shared cumsum — the default RANGE window
+    frame did exactly that, piling every tied doc into a single
+    overflowing pack. With the ROWS frame + id tie-break, bounds and
+    determinism hold for ANY order key."""
+    rows = [(f"d{i:02d}", "s", 100) for i in range(10)]
+    seqs = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int")
+    packed = assign_packs(seqs, target_tokens=256, order_col="n_tok")
+    stats = pack_stats(packed, 256)
+    # 10 x 100 tokens at target 256 -> packs of <= 300 tokens, 4 packs
+    assert stats.filter(F.col("tok_total") > 256 + 100 - 1).count() == 0
+    assert stats.count() == 4
+    # deterministic under the tie-break
+    again = assign_packs(seqs, target_tokens=256, order_col="n_tok")
+    assert packed.select("doc_id", "pack_id", "pack_pos").exceptAll(
+        again.select("doc_id", "pack_id", "pack_pos")).count() == 0

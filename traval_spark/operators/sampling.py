@@ -27,7 +27,14 @@ _DENOM = float(1 << 32)
 def hash_uniform(col: Column, seed: int = 0) -> Column:
     """Deterministic U[0,1): first 8 md5 hex digits of ``seed|value`` as
     a 32-bit integer over 2^32. Portable: DuckDB mirrors it with
-    cast(('0x' || substr(md5(...), 1, 8)) as bigint) / 2^32."""
+    cast(('0x' || substr(md5(...), 1, 8)) as bigint) / 2^32.
+
+    The preimage is only (seed, value) — there is NO per-operator
+    domain separation, so two samplers sharing a seed draw PERFECTLY
+    CORRELATED uniforms (a k-per-group reservoir on seed 0 picks
+    exactly the docs that always survive a Bernoulli subsample on seed
+    0: nested, not independent). Composed sampling stages MUST use
+    distinct seeds (the entry queries do)."""
     h = F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
 

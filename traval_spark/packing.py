@@ -45,8 +45,12 @@ def assign_packs(
 
     ``pack_id`` is the contiguous-packing bucket within each ``by``
     group (documents ordered by ``order_col``, default the id column —
-    any deterministic total order works; pass a length-sorted key to
-    tighten packing at the cost of shuffling related docs apart).
+    pass a length-sorted key to tighten packing at the cost of
+    shuffling related docs apart; ``id_col`` is always appended as a
+    tie-breaker so any order_col yields a TOTAL order, and the running
+    sum uses an explicit ROWS frame — the default RANGE frame would
+    collapse order-key ties into one shared cumsum and pile every tied
+    document into a single overflowing pack).
     ``pack_pos`` is the document's 0-based position inside its pack.
 
     ONE exchange + one sort: every window here shares the same
@@ -56,10 +60,10 @@ def assign_packs(
     a derived key (plan-audited in tests). Everything else is codegen.
     NULL ``n_tok`` rows are excluded — they have no defined footprint.
     """
-    order = order_col or id_col
-    w = Window.partitionBy(by).orderBy(order)
+    order = [order_col, id_col] if order_col else [id_col]
+    w = Window.partitionBy(by).orderBy(*order)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(n_tok_col).over(w)
+    cum = F.sum(n_tok_col).over(w_run)
     before = (cum - F.col(n_tok_col)).cast("long")
     out = (
         seqs.filter(F.col(n_tok_col).isNotNull())

@@ -356,10 +356,17 @@ def make_flat_state_func(
 ):
     """applyInPandasWithState kernel for the streaming flat-signal rule.
 
-    Same trailing-window state shape as the Hampel kernel (and the same
-    exactness argument): a new point's rolling std/count need only the
-    (t-window, t] values, all retained; pandas time rolling with
-    ``ddof=1`` equals the batch rule's ``stddev_samp`` range frame.
+    Same trailing-window state shape as the Hampel kernel; the window-
+    MEMBERSHIP exactness argument carries over (a new point's rolling
+    std/count need only the (t-window, t] values, all retained). One
+    honest caveat the Hampel kernel doesn't have: pandas rolling std is
+    an online sum-of-squares accumulation while the batch rule's
+    ``stddev_samp`` recomputes each range frame exactly, so a window
+    whose true std sits within float accumulation error (~1e-9
+    relative at moderate magnitudes, worse after large-magnitude
+    swings) of ``std_threshold`` can flag differently from batch —
+    realistic-value parity is pinned in tests; boundary-adversarial
+    series should use the batch rule as truth.
     Supports the std gate plus the LITERAL hard gates (hbelow/habove);
     the ``qbelow``/``qabove`` quantile gates are batch-only — they are
     unbounded per-series aggregates over the full history, which a
