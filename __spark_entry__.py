@@ -514,6 +514,18 @@ def q_sample_k(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split by hash ladder — stable
+    membership across runs/re-shards (a doc can never migrate from test
+    into train)."""
+    from traval_spark.operators.sampling import split_assign
+
+    return split_assign(
+        _docs(spark, sf_dir),
+        [("train", 0.9), ("val", 0.05), ("test", 0.05)], seed=11,
+    ).select("doc_id", "split")
+
+
 def q_curate(spark, sf_dir):
     """End-to-end corpus curation in ONE lazy plan — the full shape a
     training-data job runs: exact token-sequence dedup (keep the
@@ -1538,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "mix_sample": q_mix_sample,
         "sample_k": q_sample_k,
+        "split_assign": q_split_assign,
         "curate": q_curate,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
@@ -2983,6 +2996,13 @@ def oracle_sql() -> dict[str, str]:
                    order by {_HU.format(seed=3)}, doc_id) AS rn
                from documents)
     select doc_id, source from r where rn <= 5
+    """
+    sql["split_assign"] = f"""
+    select doc_id,
+           case when {_HU.format(seed=11)} < 0.9 then 'train'
+                when {_HU.format(seed=11)} < 0.95 then 'val'
+                else 'test' end AS split
+    from documents
     """
     sql["curate"] = f"""
     with d as (select doc_id, source, text from documents union all

@@ -843,3 +843,27 @@ def test_sampling_determinism_and_mixture(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     assert all(v == min(5, base[s]) for s, v in sizes.items())
     assert set(sizes) == set(base)
+
+
+def test_split_assign_partition_and_stability(spark):
+    import pytest as _pytest
+
+    from traval_spark.operators.sampling import split_assign
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 3000, seed=29)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    got = split_assign(seqs, splits, seed=5)
+    per = {r["split"]: r["n"] for r in got.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # exhaustive partition, roughly proportional
+    assert sum(per.values()) == 3000
+    assert abs(per["train"] - 2400) < 120
+    assert abs(per["val"] - 300) < 80 and abs(per["test"] - 300) < 80
+    # stable membership on re-run
+    again = split_assign(seqs, splits, seed=5)
+    assert got.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0
+    # fractions must sum to 1
+    with _pytest.raises(ValueError):
+        split_assign(seqs, [("a", 0.5), ("b", 0.4)])

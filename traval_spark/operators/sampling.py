@@ -91,3 +91,31 @@ def sample_k_per_group(
         .filter(F.col("__rn") <= int(k))
         .drop("__rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split column (train/val/test): each row is
+    assigned by where its hash_uniform falls in the cumulative fraction
+    ladder. ``splits`` is an ORDERED list of (name, fraction) summing to
+    1 (validated); the last split absorbs the u ~ 1.0 edge. Being a pure
+    hash of (id, seed), membership is stable across runs, re-shards, and
+    engines — a doc can never silently migrate from test into train."""
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = hash_uniform(F.col(id_col), seed)
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    bounds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, cum))
+    for name, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
