@@ -177,6 +177,30 @@ def main() -> None:
     extras["cc_star_rounds"] = rounds
     extras["cc_star_seconds"] = round(time.time() - t0, 3)
 
+    # streaming continuous-aggregate drain: availableNow catch-up of the
+    # watermarked 1m tier over a fresh checkpoint (extras — measures the
+    # Structured Streaming path the batch headline queries never touch)
+    import shutil
+    import tempfile
+
+    from traval_spark.streaming.rollup_stream import run_incremental_rollup
+
+    stream_rows = min(synth_rows, 500_000)
+    sin = f"/tmp/traval_bench_stream_in_r{stream_rows}_s42"
+    if not os.path.exists(f"{sin}/_SUCCESS"):
+        synth_sequences(spark, stream_rows, partitions=cpus).write.mode(
+            "overwrite"
+        ).parquet(sin)
+    sdir = tempfile.mkdtemp(prefix="traval_bench_stream_")
+    t0 = time.time()
+    run_incremental_rollup(
+        spark, sin, f"{sdir}/out", f"{sdir}/ckpt", watermark="1 minute"
+    )
+    dt = time.time() - t0
+    extras["stream_1m_rows"] = stream_rows
+    extras["stream_1m_rows_per_sec"] = round(stream_rows / dt, 1)
+    shutil.rmtree(sdir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
