@@ -701,3 +701,37 @@ def test_pipeline_sketch_stores(spark, tmp_path):
     routed = distinct_counts(
         read_routed_distinct(kstore, "1d", spark=spark, strict=True))
     assert routed.filter(F.col("n_distinct") <= 0).count() == 0
+
+
+def test_routed_dds_reads(spark, seqs, tmp_path):
+    """Downsample-on-read over a DDSketch tier store: stitched 1m+1h
+    read equals the direct dds_tier from raw (counts add, bins never
+    move), and dds_quantiles serves the routed frame unchanged."""
+    from traval_spark.hist import dds_cascade, dds_quantiles, dds_tier
+    from traval_spark.router import read_routed_dds
+
+    days = sorted(
+        r["d"] for r in seqs.select(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    old, newest = days[:-1], days[-1]
+
+    def day_fps(df):
+        return partition_fingerprints(
+            df.withColumn("day", F.date_trunc("day", "bucket")))
+
+    store = TierStore(str(tmp_path / "dds"))
+    d1m = dds_tier(seqs, "1m", value_col="n_tok")
+    d1m_new = d1m.filter(F.col("bucket").cast("date").cast("string") == newest)
+    store.write_tier("1m", d1m_new, day_fps(d1m_new))
+    d1h = dds_cascade(d1m, "1h").filter(
+        F.col("bucket").cast("date").cast("string").isin(old))
+    store.write_tier("1h", d1h, day_fps(d1h))
+
+    got = read_routed_dds(store, "1h", spark=spark, strict=True)
+    want = dds_tier(seqs, "1h", value_col="n_tok")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    p = dds_quantiles(got, qs=[0.5])
+    assert p.filter(F.col("p50").isNull()).count() == 0

@@ -360,3 +360,53 @@ def read_routed_hist(
             .agg(F.sum("cnt").alias("cnt"))
         )
     return _routed_union(parts)
+
+
+def read_routed_dds(
+    store,
+    resolution: str,
+    value_col: str = "n_tok",
+    alpha: float = 0.05,
+    day_min: str | None = None,
+    day_max: str | None = None,
+    spark=None,
+    raw: DataFrame | None = None,
+    strict: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downsample-on-read over DDSketch log-binned tiers (hist.py).
+
+    Same contract as :func:`read_routed_hist` — DDSketch counts add
+    through any coarsening and bins never move, so any eligible tier
+    serves its days exactly.  Returns (source, bucket, sign, bin, cnt)
+    at the requested resolution; extract quantile estimates with
+    ``hist.dds_quantiles`` (same ``alpha``)."""
+    from traval_spark.hist import dds_tier
+
+    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
+    if strict and plan.gaps:
+        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
+    frames = _plan_frames(store, plan, spark, raw)
+    unit, _ = TIERS[resolution]
+    parts = []
+    for seg in plan.segments:
+        lo = F.lit(seg.day_lo).cast("date")
+        hi = F.lit(seg.day_hi).cast("date")
+        frame = frames[seg.tier]
+        if seg.tier == "raw":
+            df = ensure_ntz(frame, ts_col).filter(
+                F.col(ts_col).cast("date").between(lo, hi))
+            parts.append(dds_tier(df, resolution, value_col, alpha,
+                                  ts_col=ts_col))
+            continue
+        if "day" in frame.columns:
+            df = frame.filter(F.col("day").between(lo, hi))
+        else:
+            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
+        bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+        parts.append(
+            df.groupBy("source", bucket.alias("bucket"),
+                       F.col("sign"), F.col("bin"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return _routed_union(parts)
