@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 def assign_packs(
     seqs: DataFrame,
     target_tokens: int,
-    by: str = "source",
+    by: str | list[str] = "source",
     id_col: str = "doc_id",
     n_tok_col: str = "n_tok",
     order_col: str | None = None,
@@ -60,8 +60,9 @@ def assign_packs(
     a derived key (plan-audited in tests). Everything else is codegen.
     NULL ``n_tok`` rows are excluded — they have no defined footprint.
     """
+    by = [by] if isinstance(by, str) else list(by)
     order = [order_col, id_col] if order_col else [id_col]
-    w = Window.partitionBy(by).orderBy(*order)
+    w = Window.partitionBy(*by).orderBy(*order)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(n_tok_col).over(w_run)
     before = (cum - F.col(n_tok_col)).cast("long")
@@ -87,15 +88,16 @@ def assign_packs(
 def pack_stats(
     packed: DataFrame,
     target_tokens: int,
-    by: str = "source",
+    by: str | list[str] = "source",
     n_tok_col: str = "n_tok",
 ) -> DataFrame:
     """Per-pack totals + utilization: (by, pack_id, n_docs, tok_total,
     utilization) — utilization = tok_total / target rounded to 6dp (can
     exceed 1.0 by the straddling document; the loader decides whether to
     truncate the straddler or carry it over)."""
+    by = [by] if isinstance(by, str) else list(by)
     return (
-        packed.groupBy(by, "pack_id")
+        packed.groupBy(*by, "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(n_tok_col).alias("tok_total"),
