@@ -26,14 +26,15 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
                  "max_top_bigram_fraction": None,
                  "mean_word_length_range": None},
         near_dup=True,
-        benchmark=docs.limit(2),
+        benchmark=docs.orderBy("doc_id").limit(2),
         weights={f"src{i}": 1.0 for i in range(0, 10)},  # drop src10..19
         target_tokens=256,
         metrics=metrics,
     )
     # monotone lineage: every stage can only drop documents
-    stages = ["input", "after_quality", "after_exact_dedup",
-              "after_near_dedup", "after_decontamination", "after_mixture"]
+    stages = ["input", "after_nonnull_text", "after_quality",
+              "after_exact_dedup", "after_near_dedup",
+              "after_decontamination", "after_mixture"]
     counts = [metrics[s] for s in stages]
     assert counts == sorted(counts, reverse=True)
     # exact dups all collapse
@@ -64,7 +65,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
                  "max_top_bigram_fraction": None,
                  "mean_word_length_range": None},
         near_dup=True,
-        benchmark=docs.limit(2),
+        benchmark=docs.orderBy("doc_id").limit(2),
         weights={f"src{i}": 1.0 for i in range(0, 10)},
         target_tokens=256,
     )
@@ -77,3 +78,21 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert m["input"] == metrics["input"]
     rd = spark.read.parquet(out)
     assert rd.count() == rows and "split" in rd.columns
+
+
+def test_curate_corpus_null_text_lineage(spark):
+    """NULL-text docs are excluded as their OWN manifest stage (they
+    would otherwise collapse into one fabricated exact-dup group and
+    then vanish at packing with no metric) — the packed count equals the
+    last stage count even with NULLs present."""
+    rows = [(1, "alpha beta gamma delta", "s0"),
+            (2, "epsilon zeta eta theta", "s0"),
+            (3, None, "s0"), (4, None, "s1"),
+            (5, "iota kappa lambda mu", "s1")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    metrics: dict = {}
+    packed = curate_corpus(docs, near_dup=False, target_tokens=64,
+                           metrics=metrics)
+    assert metrics["after_nonnull_text"] == metrics["input"] - 2
+    assert packed.count() == metrics["after_exact_dedup"] == 3

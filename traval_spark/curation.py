@@ -70,13 +70,28 @@ def curate_corpus(
     from traval_spark.operators.text import filter_documents, token_count_ws
     from traval_spark.packing import assign_packs
 
+    prev: list[DataFrame] = []
+
     def note(stage: str, df: DataFrame) -> DataFrame:
+        # keep exactly ONE stage cached: persist the new frame, count it,
+        # release the previous stage (each later stage only reads its
+        # immediate predecessor) — without this a metrics run holds ~7
+        # full-corpus copies for the life of the session
         if metrics is not None:
             df = df.persist()
             metrics[stage] = df.count()
+            if prev:
+                prev.pop().unpersist()
+            prev.append(df)
         return df
 
     cur = note("input", docs)
+
+    # NULL-text docs are unexplainable downstream (md5(NULL) would
+    # collapse them all into one fabricated 'exact dup' group and
+    # packing would silently drop the survivor via n_tok IS NULL) —
+    # excluded HERE, as their own manifest stage
+    cur = note("after_nonnull_text", cur.filter(F.col(text_col).isNotNull()))
 
     if quality is not None:
         kept_ids = (
@@ -145,15 +160,33 @@ def write_curated(
     packed: DataFrame, out_path: str, metrics: dict | None = None
 ) -> None:
     """Write the packed corpus partitioned by split (a training loader
-    reads one split directory) and the metrics manifest next to it."""
+    reads one split directory) and the metrics manifest next to it.
+    The manifest goes through the Hadoop FS API, not builtin open() —
+    the submit wrapper invites hdfs://, s3://, ... output paths where a
+    local open() would fail on the driver AFTER the expensive parquet
+    write. Underscore prefix: Spark's file listing ignores it, so the
+    manifest lives inside the dataset directory without being read as a
+    parquet part-file."""
     packed.write.mode("overwrite").partitionBy("split").parquet(out_path)
     if metrics is not None:
-        # underscore prefix: Spark's file listing ignores it, so the
-        # manifest can live inside the dataset directory without being
-        # read as a parquet part-file
-        with open(f"{out_path.rstrip('/')}/_curation_metrics.json", "w",
-                  encoding="utf-8") as f:
-            json.dump(metrics, f, indent=2, default=str)
+        _hadoop_write_text(
+            packed.sparkSession,
+            f"{out_path.rstrip('/')}/_curation_metrics.json",
+            json.dumps(metrics, indent=2, default=str),
+        )
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API (works for any
+    store the session can write to, not just the local filesystem)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def main() -> None:
@@ -164,14 +197,27 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="documents parquet")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--quality", default=None,
+                    help="JSON dict of filter_documents gate kwargs, "
+                         'e.g. {"min_words": 20, "allowed_langs": ["en"]}; '
+                         "omit to skip the quality stage")
     ap.add_argument("--benchmark", default=None,
                     help="eval-suite parquet for decontamination")
+    ap.add_argument("--decontaminate-k", type=int, default=8)
     ap.add_argument("--target-tokens", type=int, default=2048)
     ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--max-hamming", type=int, default=3)
     ap.add_argument("--weights", default=None,
                     help='JSON dict source->fraction, e.g. {"src0": 0.5}')
+    ap.add_argument("--splits", default=None,
+                    help='JSON list of [name, fraction] pairs summing to 1')
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+
+    quality = json.loads(args.quality) if args.quality else None
+    if quality and "allowed_langs" in quality:
+        quality["allowed_langs"] = tuple(quality["allowed_langs"])
 
     spark = get_spark("traval-curation", master=args.master)
     docs = spark.read.parquet(args.input)
@@ -179,10 +225,16 @@ def main() -> None:
     metrics: dict = {}
     packed = curate_corpus(
         docs,
+        quality=quality,
         near_dup=not args.no_near_dup,
+        max_hamming=args.max_hamming,
         benchmark=bench,
+        decontaminate_k=args.decontaminate_k,
         weights=json.loads(args.weights) if args.weights else None,
+        splits=[(n, f) for n, f in json.loads(args.splits)]
+        if args.splits else None,
         target_tokens=args.target_tokens,
+        seed=args.seed,
         metrics=metrics,
     )
     write_curated(packed, args.output, metrics)

@@ -191,8 +191,12 @@ def run(
             "points_per_sec": round(n_input / (time.time() - t0), 1),
         }
     )
-    with open(f"{out_root}/run_metrics.json", "w") as f:
-        json.dump(metrics, f, indent=2, default=str)
+    # Hadoop FS API, not builtin open(): out_root may be hdfs://, s3://,
+    # ... on a cluster (same rule as curation.write_curated)
+    from traval_spark.curation import _hadoop_write_text
+
+    _hadoop_write_text(spark, f"{out_root}/run_metrics.json",
+                       json.dumps(metrics, indent=2, default=str))
     return metrics
 
 

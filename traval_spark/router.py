@@ -262,6 +262,42 @@ def _plan_frames(store, plan, spark, raw):
     return frames
 
 
+def _read_routed_kind(store, resolution, day_min, day_max, spark, raw,
+                      strict, ts_col, raw_builder, extra_keys, aggs):
+    """Shared skeleton of the per-kind routed readers (sketch / hist /
+    dds): plan -> strict-gap check -> per-segment day pruning -> raw-tier
+    leaf build vs stored-tier bucket re-truncation + merge. One copy so
+    a routing fix cannot drift between tier kinds. ``raw_builder(df)``
+    builds the leaf tier at the requested resolution from raw rows;
+    stored segments merge with ``aggs`` grouped by (source, bucket,
+    *extra_keys)."""
+    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
+    if strict and plan.gaps:
+        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
+    frames = _plan_frames(store, plan, spark, raw)
+    unit, _ = TIERS[resolution]
+    parts = []
+    for seg in plan.segments:
+        lo = F.lit(seg.day_lo).cast("date")
+        hi = F.lit(seg.day_hi).cast("date")
+        frame = frames[seg.tier]
+        if seg.tier == "raw":
+            df = ensure_ntz(frame, ts_col).filter(
+                F.col(ts_col).cast("date").between(lo, hi))
+            parts.append(raw_builder(df))
+            continue
+        if "day" in frame.columns:
+            df = frame.filter(F.col("day").between(lo, hi))
+        else:
+            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
+        bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+        parts.append(
+            df.groupBy("source", bucket.alias("bucket"), *extra_keys)
+            .agg(*aggs)
+        )
+    return _routed_union(parts)
+
+
 def read_routed_distinct(
     store,
     resolution: str,
@@ -285,32 +321,13 @@ def read_routed_distinct(
     """
     from traval_spark.sketch import distinct_tier, kmv_merge
 
-    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
-    if strict and plan.gaps:
-        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
-    frames = _plan_frames(store, plan, spark, raw)
-    unit, _ = TIERS[resolution]
-    parts = []
-    for seg in plan.segments:
-        lo = F.lit(seg.day_lo).cast("date")
-        hi = F.lit(seg.day_hi).cast("date")
-        frame = frames[seg.tier]
-        if seg.tier == "raw":
-            df = ensure_ntz(frame, ts_col).filter(
-                F.col(ts_col).cast("date").between(lo, hi))
-            parts.append(distinct_tier(df, resolution, key_col, k,
-                                       ts_col=ts_col))
-            continue
-        if "day" in frame.columns:
-            df = frame.filter(F.col("day").between(lo, hi))
-        else:
-            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
-        bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
-        parts.append(
-            df.groupBy("source", bucket.alias("bucket"))
-            .agg(kmv_merge("kmv", k).alias("kmv"))
-        )
-    return _routed_union(parts)
+    return _read_routed_kind(
+        store, resolution, day_min, day_max, spark, raw, strict, ts_col,
+        raw_builder=lambda df: distinct_tier(df, resolution, key_col, k,
+                                             ts_col=ts_col),
+        extra_keys=[],
+        aggs=[kmv_merge("kmv", k).alias("kmv")],
+    )
 
 
 def read_routed_hist(
@@ -334,32 +351,13 @@ def read_routed_hist(
     """
     from traval_spark.hist import hist_tier
 
-    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
-    if strict and plan.gaps:
-        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
-    frames = _plan_frames(store, plan, spark, raw)
-    unit, _ = TIERS[resolution]
-    parts = []
-    for seg in plan.segments:
-        lo = F.lit(seg.day_lo).cast("date")
-        hi = F.lit(seg.day_hi).cast("date")
-        frame = frames[seg.tier]
-        if seg.tier == "raw":
-            df = ensure_ntz(frame, ts_col).filter(
-                F.col(ts_col).cast("date").between(lo, hi))
-            parts.append(hist_tier(df, resolution, value_col, scale,
-                                   ts_col=ts_col))
-            continue
-        if "day" in frame.columns:
-            df = frame.filter(F.col("day").between(lo, hi))
-        else:
-            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
-        bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
-        parts.append(
-            df.groupBy("source", bucket.alias("bucket"), F.col("bin"))
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-    return _routed_union(parts)
+    return _read_routed_kind(
+        store, resolution, day_min, day_max, spark, raw, strict, ts_col,
+        raw_builder=lambda df: hist_tier(df, resolution, value_col, scale,
+                                         ts_col=ts_col),
+        extra_keys=[F.col("bin")],
+        aggs=[F.sum("cnt").alias("cnt")],
+    )
 
 
 def read_routed_dds(
@@ -383,30 +381,10 @@ def read_routed_dds(
     ``hist.dds_quantiles`` (same ``alpha``)."""
     from traval_spark.hist import dds_tier
 
-    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
-    if strict and plan.gaps:
-        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
-    frames = _plan_frames(store, plan, spark, raw)
-    unit, _ = TIERS[resolution]
-    parts = []
-    for seg in plan.segments:
-        lo = F.lit(seg.day_lo).cast("date")
-        hi = F.lit(seg.day_hi).cast("date")
-        frame = frames[seg.tier]
-        if seg.tier == "raw":
-            df = ensure_ntz(frame, ts_col).filter(
-                F.col(ts_col).cast("date").between(lo, hi))
-            parts.append(dds_tier(df, resolution, value_col, alpha,
-                                  ts_col=ts_col))
-            continue
-        if "day" in frame.columns:
-            df = frame.filter(F.col("day").between(lo, hi))
-        else:
-            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
-        bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
-        parts.append(
-            df.groupBy("source", bucket.alias("bucket"),
-                       F.col("sign"), F.col("bin"))
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-    return _routed_union(parts)
+    return _read_routed_kind(
+        store, resolution, day_min, day_max, spark, raw, strict, ts_col,
+        raw_builder=lambda df: dds_tier(df, resolution, value_col, alpha,
+                                        ts_col=ts_col),
+        extra_keys=[F.col("sign"), F.col("bin")],
+        aggs=[F.sum("cnt").alias("cnt")],
+    )
