@@ -530,11 +530,12 @@ def q_curate(spark, sf_dir):
     """End-to-end corpus curation in ONE lazy plan — the full shape a
     training-data job runs: exact token-sequence dedup (keep the
     smallest doc id per identical sequence), per-source mixture
-    down-sampling, then contiguous 512-token pack assignment. Three
-    pipeline stages, only two shuffles (the tok_hash dedup window and
-    the per-source pack window — the mixture filter is shuffle-free),
-    every stage individually oracle-green and the composition verified
-    end-to-end here."""
+    down-sampling, then contiguous 512-token pack assignment via the
+    skew-safe two-level prefix sum (the mixture filter is shuffle-free;
+    every packing exchange is keyed by (source, shard) or (source,
+    pack_id) — no single-task-per-source sort even when one source
+    dominates). Every stage individually oracle-green and the
+    composition verified end-to-end here."""
     from pyspark.sql import Window
 
     from traval_spark.operators.sampling import mixture_sample
@@ -3016,25 +3017,34 @@ def oracle_sql() -> dict[str, str]:
                  row_number() over (partition by tok_hash
                                     order by doc_id) AS rn
           from h),
-    m as (select doc_id, source, n_tok from k
+    m as (select doc_id, source, n_tok,
+                 CAST(floor({_HU.format(seed=0)} * 64) AS INT) AS shard
+          from k
           where rn = 1 and {_HU.format(seed=7)} < {_mix_case}),
-    p as (select doc_id, source, n_tok,
-            CAST(floor((sum(n_tok) over (partition by source order by doc_id
+    p as (select doc_id, source, n_tok, shard,
+            CAST(floor((sum(n_tok) over (partition by source
+                        order by shard, doc_id
                         rows between unbounded preceding and current row)
                         - n_tok) / 512.0) AS BIGINT) AS pack_id
           from m)
     select doc_id, source, n_tok, pack_id,
            CAST(row_number() over (partition by source, pack_id
-                                   order by doc_id) - 1 AS BIGINT) AS pack_pos
+                                   order by shard, doc_id) - 1
+                AS BIGINT) AS pack_pos
     from p
     """
+    # packing layout order is (shard, doc_id): shard is the engine's
+    # skew-breaking two-level-prefix-sum key, an md5-derived int both
+    # engines compute identically (see packing.shard_key)
     _PACKS = f"""
     t as (select doc_id, source,
-                 CAST(len({_TOKSEQ}) AS BIGINT) AS n_tok
+                 CAST(len({_TOKSEQ}) AS BIGINT) AS n_tok,
+                 CAST(floor({_HU.format(seed=0)} * 64) AS INT) AS shard
           from documents
           where {_TOKSEQ} is not null),
-    p as (select doc_id, source, n_tok,
-            CAST(floor((sum(n_tok) over (partition by source order by doc_id
+    p as (select doc_id, source, n_tok, shard,
+            CAST(floor((sum(n_tok) over (partition by source
+                        order by shard, doc_id
                         rows between unbounded preceding and current row)
                         - n_tok) / 512.0) AS BIGINT) AS pack_id
           from t)"""
@@ -3042,7 +3052,8 @@ def oracle_sql() -> dict[str, str]:
     with {_PACKS}
     select doc_id, source, n_tok, pack_id,
            CAST(row_number() over (partition by source, pack_id
-                                   order by doc_id) - 1 AS BIGINT) AS pack_pos
+                                   order by shard, doc_id) - 1
+                AS BIGINT) AS pack_pos
     from p
     """
     sql["pack_stats"] = f"""
