@@ -867,3 +867,33 @@ def test_split_assign_partition_and_stability(spark):
     # fractions must sum to 1
     with _pytest.raises(ValueError):
         split_assign(seqs, [("a", 0.5), ("b", 0.4)])
+
+
+def test_sample_k_two_phase_exact_and_skew_safe(spark):
+    """The salted two-phase top-k must equal the single-window top-k
+    exactly (any global top-k row is in its salt bucket's top-k), and
+    its FIRST corpus exchange must be keyed by (by, salt) — never by the
+    group alone — so a dominant group cannot serialize phase 1."""
+    import re
+
+    from traval_spark.operators.sampling import sample_k_per_group
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 3000, seed=23).withColumn(
+        "source",
+        F.when(F.crc32(F.col("doc_id")) % 2 == 0, F.lit("dominant"))
+        .otherwise(F.col("source")),
+    )
+    two = sample_k_per_group(seqs, k=7, seed=9)
+    legacy = sample_k_per_group(seqs, k=7, seed=9, salt_buckets=None)
+    assert two.select("doc_id").exceptAll(
+        legacy.select("doc_id")).count() == 0
+    assert legacy.select("doc_id").exceptAll(
+        two.select("doc_id")).count() == 0
+
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    # deepest exchange = the corpus one (printed last): must carry __salt;
+    # the group-only exchange may only sit above it (bounded survivors)
+    assert "__salt" in exchanges[-1], plan

@@ -12,8 +12,9 @@ retry or a backfill selects exactly the same subset.
 - :func:`mixture_sample` — per-source keep-fractions (the data-mixing
   step: down-weight over-represented sources to hit target ratios).
 - :func:`sample_k_per_group` — exact k-per-group "reservoir": rank by
-  hash, keep the k smallest. One window pass; at scale prefer a
-  two-phase top-k (per-partition heads then global) if k is large.
+  hash, keep the k smallest. Two-phase top-k by default (salted local
+  heads, then a bounded global resolve) so a dominant group never
+  serializes onto one task.
 """
 
 from __future__ import annotations
@@ -78,18 +79,44 @@ def sample_k_per_group(
     by: str = "source",
     id_col: str = "doc_id",
     seed: int = 0,
+    salt_buckets: int | None = 32,
 ) -> DataFrame:
     """Exactly min(k, group size) rows per group, chosen uniformly and
     deterministically: rank rows by hash_uniform within the group and
     keep the k smallest (ties broken by id — md5 collisions on distinct
     ids are negligible but the order must still be total for
-    determinism)."""
+    determinism).
+
+    TWO-PHASE top-k (default): a single ``partitionBy(by)`` window sorts
+    each group's entire corpus on one task — a dominant group serializes
+    the job. Instead, phase 1 ranks within (group, salt) — a balanced
+    exchange, salt = xxhash64(id) % salt_buckets, execution-only so it
+    needs no cross-engine portability — and keeps each bucket's k
+    smallest (any global top-k row is necessarily in its bucket's
+    top-k, so this is EXACT, not approximate); phase 2 re-ranks the
+    <= salt_buckets * k survivors per group — a one-task window whose
+    input is now bounded by salt_buckets * k rows regardless of group
+    size. ``salt_buckets=None`` keeps the legacy single-window plan."""
     u = hash_uniform(F.col(id_col), seed)
-    w = Window.partitionBy(by).orderBy(u.asc(), F.col(id_col).asc())
+    out = df.withColumn("__u", u)
+    if salt_buckets and int(salt_buckets) > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets)))
+        w1 = Window.partitionBy(by, "__salt").orderBy(
+            F.col("__u").asc(), F.col(id_col).asc()
+        )
+        out = (
+            out.withColumn("__salt", salt)
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= int(k))
+            .drop("__rn1", "__salt")
+        )
+    w = Window.partitionBy(by).orderBy(
+        F.col("__u").asc(), F.col(id_col).asc()
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(k))
-        .drop("__rn")
+        .drop("__rn", "__u")
     )
 
 
