@@ -561,6 +561,44 @@ def q_curate(spark, sf_dir):
     )
 
 
+def q_curate_tokens(spark, sf_dir):
+    """TOKEN-native end-to-end curation — the full chain over the graft
+    input shape (doc_id, tokens array<int32>, n_tok, source), run through
+    curate_corpus itself: non-null tokens -> min_tok quality gate ->
+    exact token-sequence dedup (smallest id per identical sequence) ->
+    3-token-shingle benchmark decontamination (doc_id % 37 == 0 plays the
+    eval suite; its distinct shingle set broadcasts) -> per-source
+    mixture -> hash split -> skew-safe 512-token packing of the REAL
+    n_tok. near_dup stays off here so the whole composition has an exact
+    DuckDB oracle (the token-LSH + connected-components near-dup stage is
+    pinned by its own oracles and the curation pytests);
+    short_bench_containment off likewise (pytest-pinned driver-side
+    literal scan)."""
+    from traval_spark.curation import curate_corpus
+
+    s = _seqs_from(_docs_with_dups(spark, sf_dir))
+    bench = s.filter(F.col("doc_id") % 37 == 0)
+    corpus = s.filter(F.col("doc_id") % 37 != 0)
+    packed = curate_corpus(
+        corpus,
+        tokens_col="tokens",
+        quality={"min_tok": 5},
+        near_dup=False,
+        benchmark=bench,
+        decontaminate_k=5,
+        short_bench_containment=False,
+        weights=MIX_WEIGHTS,
+        target_tokens=512,
+        seed=0,
+    )
+    return packed.select(
+        "doc_id", "source", "split",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "pack_id",
+        F.col("pack_pos").cast("long").alias("pack_pos"),
+    )
+
+
 def q_pack_assign(spark, sf_dir):
     """Sequence packing: contiguous assignment of pre-tokenized docs to
     512-token training packs per source (pack_id = floor(running-total /
@@ -1553,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k": q_sample_k,
         "split_assign": q_split_assign,
         "curate": q_curate,
+        "curate_tokens": q_curate_tokens,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3029,6 +3068,51 @@ def oracle_sql() -> dict[str, str]:
           from m)
     select doc_id, source, n_tok, pack_id,
            CAST(row_number() over (partition by source, pack_id
+                                   order by shard, doc_id) - 1
+                AS BIGINT) AS pack_pos
+    from p
+    """
+    # token-native curation chain: same derivation, same stage order as
+    # curate_corpus(tokens_col=...) with seed 0 (mixture seed 1, split
+    # seed 2, pack shard seed 0); decontamination runs 5-token shingles
+    _TOK_SHINGLES5 = (
+        "list_distinct([array_to_string(tk[i:i+4], ' ') "
+        "for i in range(1, greatest(len(tk) - 4, 1) + 1)])"
+    )
+    sql["curate_tokens"] = f"""
+    with d as (select doc_id, source, text from documents union all
+               select doc_id + 1000000, source, text from documents
+               where doc_id % 25 = 0),
+    t as (select doc_id, source, {_TOKSEQ} tk from d where doc_id % 37 <> 0),
+    bt as (select {_TOKSEQ} tk from d where doc_id % 37 = 0),
+    q as (select * from t where tk is not null and len(tk) >= 5),
+    h as (select doc_id, source, tk,
+                 row_number() over (partition by md5(array_to_string(tk, ','))
+                                    order by doc_id) AS rn
+          from q),
+    dd as (select doc_id, source, tk from h where rn = 1),
+    bs as (select distinct unnest(sh) AS sh from
+           (select {_TOK_SHINGLES5} sh from bt
+            where tk is not null and len(tk) >= 5)),
+    cs as (select doc_id, unnest({_TOK_SHINGLES5}) AS sh
+           from (select doc_id, tk from dd)),
+    taint as (select distinct cs.doc_id from cs join bs using (sh)),
+    cl as (select * from dd
+           where doc_id not in (select doc_id from taint)),
+    m as (select doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+                 case when {_HU.format(seed=2)} < 0.98 then 'train'
+                      when {_HU.format(seed=2)} < 0.99 then 'val'
+                      else 'test' end AS split,
+                 CAST(floor({_HU.format(seed=0)} * 64) AS INT) AS shard
+          from cl where {_HU.format(seed=1)} < {_mix_case}),
+    p as (select doc_id, source, split, n_tok, shard,
+            CAST(floor((sum(n_tok) over (partition by split, source
+                        order by shard, doc_id
+                        rows between unbounded preceding and current row)
+                        - n_tok) / 512.0) AS BIGINT) AS pack_id
+          from m)
+    select doc_id, source, split, n_tok, pack_id,
+           CAST(row_number() over (partition by split, source, pack_id
                                    order by shard, doc_id) - 1
                 AS BIGINT) AS pack_pos
     from p

@@ -96,3 +96,119 @@ def test_curate_corpus_null_text_lineage(spark):
                            metrics=metrics)
     assert metrics["after_nonnull_text"] == metrics["input"] - 2
     assert packed.count() == metrics["after_exact_dedup"] == 3
+
+
+def _tok_corpus(spark):
+    """Token-shaped corpus (input_hint shape) with planted exact + near
+    duplicate sequences."""
+    import random
+
+    def toks(i):
+        rnd = random.Random(i)
+        return [rnd.randrange(1, 5000) for _ in range(24 + i % 5)]
+
+    base = [(f"d{i:03d}", toks(i), f"src{i % 3}") for i in range(60)]
+    # exact dups of every 10th doc, near dups (one token appended) of
+    # every 15th
+    extra = [(f"x{i:03d}", toks, src)
+             for i, (d, toks, src) in enumerate(base) if i % 10 == 0]
+    near = [(f"y{i:03d}", toks + [7], src)
+            for i, (d, toks, src) in enumerate(base) if i % 15 == 0]
+    rows = [(d, t, len(t), s) for d, t, s in base + extra + near]
+    rows.append(("znull", None, None, "src0"))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def test_curate_corpus_token_native(spark):
+    """TOKEN mode: exact token-sequence dedup, token-LSH near-dup,
+    token-shingle decontamination, quality gates on length/repetition,
+    real-n_tok packing — the pre-tokenized input_hint shape end-to-end."""
+    corpus = _tok_corpus(spark)
+    bench = corpus.filter(F.col("doc_id").isin("d001", "d002")).select(
+        "doc_id", "tokens", "n_tok", "source")
+    metrics: dict = {}
+    packed = curate_corpus(
+        corpus,
+        tokens_col="tokens",
+        quality={"min_tok": 4, "max_tok": 1000, "max_repetition": 0.9},
+        near_dup=True,
+        shingle_k=3,
+        benchmark=bench,
+        decontaminate_k=5,
+        target_tokens=64,
+        metrics=metrics,
+    )
+    stages = ["input", "after_nonnull_tokens", "after_quality",
+              "after_exact_dedup", "after_near_dedup",
+              "after_decontamination"]
+    counts = [metrics[s] for s in stages]
+    assert counts == sorted(counts, reverse=True)
+    assert metrics["after_nonnull_tokens"] == metrics["input"] - 1
+    # the 6 exact dups collapse
+    assert metrics["after_exact_dedup"] == metrics["after_quality"] - 6
+    # near dups (appended-token variants) drop via token LSH + CC
+    assert metrics["after_near_dedup"] < metrics["after_exact_dedup"]
+    # decontamination at least removes the benchmark members themselves
+    assert metrics["after_decontamination"] <= metrics["after_near_dedup"] - 2
+
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} & {"d001", "d002"} == set()
+    # n_tok is the REAL token count, not a whitespace estimate
+    lens = {r["doc_id"]: r["n_tok"] for r in rows}
+    for r in corpus.collect():
+        if r["doc_id"] in lens:
+            assert lens[r["doc_id"]] == len(r["tokens"])
+
+    # deterministic re-run (lazy mode)
+    again = curate_corpus(
+        corpus, tokens_col="tokens",
+        quality={"min_tok": 4, "max_tok": 1000, "max_repetition": 0.9},
+        near_dup=True, shingle_k=3, benchmark=bench, decontaminate_k=5,
+        target_tokens=64,
+    )
+    assert packed.exceptAll(again).count() == 0
+    assert again.exceptAll(packed).count() == 0
+
+
+def test_decontaminate_short_benchmark_containment(spark):
+    """A benchmark item SHORTER than decontaminate_k can't form a k-gram;
+    pure shingle semantics would only flag exact-equal corpus docs. The
+    containment fallback flags any corpus doc embedding the short item
+    verbatim — on token boundaries (token 12 must not match inside 412)."""
+    corpus = spark.createDataFrame(
+        [("c1", [5, 12, 34, 99, 3], "s"),     # embeds [12, 34]
+         ("c2", [412, 34, 7, 8, 9], "s"),     # 412 != ...,12 boundary trap
+         ("c3", [1, 2, 3, 4, 6], "s")],
+        "doc_id string, tokens array<int>, source string")
+    bench = spark.createDataFrame(
+        [("b1", [12, 34], "s")], "doc_id string, tokens array<int>, source string")
+
+    packed = curate_corpus(
+        corpus, tokens_col="tokens", near_dup=False,
+        benchmark=bench, decontaminate_k=8, target_tokens=64)
+    kept = {r["doc_id"] for r in packed.collect()}
+    assert kept == {"c2", "c3"}
+
+    # with the fallback disabled the leak survives (the documented
+    # limitation of pure k-gram semantics)
+    loose = curate_corpus(
+        corpus, tokens_col="tokens", near_dup=False,
+        benchmark=bench, decontaminate_k=8, target_tokens=64,
+        short_bench_containment=False)
+    assert {r["doc_id"] for r in loose.collect()} == {"c1", "c2", "c3"}
+
+
+def test_curate_text_short_benchmark_containment(spark):
+    """Text mode: a 3-word benchmark item inside a longer corpus doc is
+    flagged by containment, not by the (impossible) 8-gram overlap."""
+    corpus = spark.createDataFrame(
+        [("c1", "alpha beta the secret answer gamma delta", "s"),
+         ("c2", "totally unrelated text with many words here", "s")],
+        "doc_id string, text string, source string")
+    bench = spark.createDataFrame(
+        [("b1", "the secret answer", "s")],
+        "doc_id string, text string, source string")
+    packed = curate_corpus(corpus, near_dup=False, benchmark=bench,
+                           decontaminate_k=8, target_tokens=64)
+    assert {r["doc_id"] for r in packed.collect()} == {"c2"}
