@@ -299,3 +299,31 @@ def test_write_wide_csv_nonalpha_header_order(spark, tmp_path):
     write_wide_csv(df, str(out_fixed), series_ids=["ZED_9", "ALPHA_1"])
     got = open(glob.glob(f"{out_fixed}/part-*.csv")[0]).read()
     assert got == csv
+
+
+def test_fsutil_sidecar_roundtrip(spark, tmp_path):
+    """fsutil is the ONE code path for every sidecar file (manifests,
+    markers, retention state): text roundtrips bytes-exact, parents are
+    created implicitly, glob lists markers in one call, delete removes
+    recursively."""
+    from traval_spark.sources import fsutil
+
+    root = str(tmp_path / "side")
+    body = '{"rows": 3, "note": "unicode éü"}'
+    fsutil.write_text(spark, f"{root}/t/_manifests/day=2024-01-01.json", body)
+    assert fsutil.exists(spark, f"{root}/t/_manifests/day=2024-01-01.json")
+    assert fsutil.read_text(
+        spark, f"{root}/t/_manifests/day=2024-01-01.json") == body
+
+    fsutil.touch(spark, f"{root}/t/batch_id=0/_COMMITTED")
+    fsutil.touch(spark, f"{root}/t/batch_id=1/_COMMITTED")
+    got = sorted(fsutil.glob(spark, f"{root}/t/batch_id=*/_COMMITTED"))
+    assert len(got) == 2 and all(p.endswith("/_COMMITTED") for p in got)
+    assert fsutil.glob(spark, f"{root}/absent/*/x") == []
+
+    assert fsutil.list_names(spark, f"{root}/t/_manifests") == [
+        "day=2024-01-01.json"]
+    assert fsutil.list_names(spark, f"{root}/nope") == []
+
+    fsutil.delete(spark, f"{root}/t", recursive=True)
+    assert not fsutil.exists(spark, f"{root}/t")

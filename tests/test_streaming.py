@@ -711,6 +711,43 @@ def test_streaming_dedup_matches_batch_and_replays_safely(spark, tmp_path):
                 f"{root}/pairs").collect()} == want
 
 
+def test_streaming_dedup_probe_ignores_uncommitted_batches(spark, tmp_path):
+    """A partially-written fingerprint directory (no _COMMITTED marker —
+    a crashed run whose checkpoint was deleted, so it will never be
+    replayed) must be invisible to the probe corpus: _corpus_fp reads
+    only committed batch dirs."""
+    from traval_spark.streaming.dedup_stream import (
+        _corpus_fp,
+        dedup_upsert_batch,
+    )
+
+    root = str(tmp_path / "dstore")
+    docs = spark.createDataFrame(
+        [(i, f"some document body number {i} with shared words") for i in
+         range(8)],
+        "doc_id long, text string",
+    )
+    dedup_upsert_batch(docs, 0, root, run_id="runA")
+    committed = _corpus_fp(spark, root, "doc_id")
+    assert committed.count() == 8
+
+    # simulate a crashed append: fp parquet present, marker absent
+    stale = spark.createDataFrame(
+        [(999, 1, 2)], "doc_id long, fp_lo long, fp_hi long"
+    )
+    stale.write.parquet(f"{root}/fp/qid=runB/batch_id=0")
+
+    probe = _corpus_fp(spark, root, "doc_id")
+    assert probe.count() == 8
+    assert probe.filter("doc_id = 999").count() == 0
+
+    # once committed (a healthy run), the same dir joins the corpus
+    from traval_spark.streaming.rollup_stream import _hadoop_touch
+
+    _hadoop_touch(spark, f"{root}/fp/qid=runB/batch_id=0/_COMMITTED")
+    assert _corpus_fp(spark, root, "doc_id").count() == 9
+
+
 def test_streaming_dds_matches_batch(spark, tmp_path):
     """Streaming 1m DDSketch tier == batch dds_tier on finalized windows
     (shared bin definition), and batch cascade+quantiles serve the

@@ -366,14 +366,9 @@ def write_curated(
 def _hadoop_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FS API (works for any
     store the session can write to, not just the local filesystem)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
+    from traval_spark.sources import fsutil
+
+    fsutil.write_text(spark, path, text)
 
 
 def main() -> None:

@@ -24,13 +24,13 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from traval_spark.functions.ts import ensure_ntz
+from traval_spark.sources import fsutil
 
 MANIFEST_DIR = "_manifests"
 
@@ -96,10 +96,19 @@ def partition_fingerprints(df: DataFrame, day_col: str = "day") -> dict[str, dic
 
 
 class TierStore:
-    """Parquet-backed tier storage rooted at a directory."""
+    """Tier storage rooted at a directory — any scheme the session's
+    Hadoop FileSystem can write (local path, ``hdfs://``, ``s3a://``...):
+    the parquet data goes through Spark writers and every sidecar file
+    (manifests, retention state) through :mod:`fsutil`, never builtin
+    ``open()``/``os.path``."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, spark=None):
         self.root = root
+        self._spark = spark
+
+    @property
+    def spark(self):
+        return fsutil.active_spark(self._spark)
 
     def tier_path(self, tier: str) -> str:
         return os.path.join(self.root, tier)
@@ -111,20 +120,18 @@ class TierStore:
 
     def read_manifest(self, tier: str, day: str) -> dict | None:
         p = self._manifest_path(tier, day)
-        if not os.path.exists(p):
+        if not fsutil.exists(self.spark, p):
             return None
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(fsutil.read_text(self.spark, p))
 
     def manifests(self, tier: str) -> dict[str, dict]:
         d = os.path.join(self.root, tier, MANIFEST_DIR)
-        if not os.path.isdir(d):
-            return {}
         out = {}
-        for fn in os.listdir(d):
+        for fn in fsutil.list_names(self.spark, d):
             if fn.startswith("day=") and fn.endswith(".json"):
-                with open(os.path.join(d, fn)) as f:
-                    out[fn[4:-5]] = json.load(f)
+                out[fn[4:-5]] = json.loads(
+                    fsutil.read_text(self.spark, os.path.join(d, fn))
+                )
         return out
 
     def write_tier(
@@ -192,7 +199,6 @@ class TierStore:
             .agg(*stat_aggs)
             .collect()
         }
-        os.makedirs(os.path.join(self.root, tier, MANIFEST_DIR), exist_ok=True)
         total_rows = 0
         for day in todo:
             st = stats.get(day)
@@ -210,8 +216,8 @@ class TierStore:
                 ),
                 "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            with open(self._manifest_path(tier, day), "w") as f:
-                json.dump(manifest, f, indent=2)
+            fsutil.write_text(spark, self._manifest_path(tier, day),
+                              json.dumps(manifest, indent=2))
             total_rows += manifest["rows"]
         return {"written_partitions": todo, "rows": total_rows}
 
@@ -238,10 +244,9 @@ class TierStore:
 
     def _retention_state(self, tier: str) -> dict:
         p = self._retention_path(tier)
-        if not os.path.exists(p):
+        if not fsutil.exists(self.spark, p):
             return {"cutoff": None, "events": []}
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(fsutil.read_text(self.spark, p))
 
     def retention_cutoff(self, tier: str) -> str | None:
         """First day (YYYY-MM-DD) still retained, or None if no TTL applied."""
@@ -268,9 +273,10 @@ class TierStore:
         drop = sorted(d for d in self.manifests(tier) if d < cutoff)
         for day in drop:
             part_dir = os.path.join(self.tier_path(tier), f"day={day}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
-            os.remove(self._manifest_path(tier, day))
+            if fsutil.exists(self.spark, part_dir):
+                fsutil.delete(self.spark, part_dir, recursive=True)
+            fsutil.delete(self.spark, self._manifest_path(tier, day),
+                          recursive=False)
         state = self._retention_state(tier)
         # cutoffs only move forward (late re-apply with a longer TTL must
         # not resurrect already-dropped history)
@@ -286,9 +292,8 @@ class TierStore:
                 ),
             }
         )
-        os.makedirs(os.path.dirname(self._retention_path(tier)), exist_ok=True)
-        with open(self._retention_path(tier), "w") as f:
-            json.dump(state, f, indent=2)
+        fsutil.write_text(self.spark, self._retention_path(tier),
+                          json.dumps(state, indent=2))
         return {"tier": tier, "cutoff": state["cutoff"], "dropped": drop}
 
     def read_tier(self, tier: str, spark=None) -> DataFrame:

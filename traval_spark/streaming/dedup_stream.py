@@ -43,11 +43,23 @@ _FP_SCHEMA = "doc_id long, fp_lo long, fp_hi long"
 def _corpus_fp(
     spark: SparkSession, store_root: str, id_col: str
 ) -> DataFrame:
-    """The accumulated fingerprint corpus (empty frame on first batch)."""
-    path = f"{store_root}/fp"
-    if _hadoop_exists(spark, path):
+    """The accumulated fingerprint corpus (empty frame on first batch).
+
+    Only ``_COMMITTED`` batch directories are read: a crashed run's
+    partial fingerprint write that is never replayed (checkpoint deleted,
+    new run_id) would otherwise sit silently incomplete in every later
+    probe — the docstring's replay-convergence argument only covers
+    same-batch replays, so uncommitted dirs must be invisible, not merely
+    rare. One glob round-trip lists the markers."""
+    from traval_spark.sources import fsutil
+
+    committed = fsutil.glob(
+        spark, f"{store_root}/fp/qid=*/batch_id=*/_COMMITTED"
+    )
+    if committed:
+        dirs = [p[: -len("/_COMMITTED")] for p in committed]
         return (
-            spark.read.option("basePath", path).parquet(path)
+            spark.read.option("basePath", f"{store_root}/fp").parquet(*dirs)
             .select(id_col, "fp_lo", "fp_hi")
         )
     return spark.createDataFrame(

@@ -186,19 +186,17 @@ def run_incremental_rollup(
 def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FS API (works for any store the
     session can write to, not just the local filesystem)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(p))
+    from traval_spark.sources import fsutil
+
+    return fsutil.exists(spark, path)
 
 
 def _hadoop_touch(spark: SparkSession, path: str) -> None:
     """Create an empty marker file (underscore-prefixed files are ignored
     by Spark's file listing)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.create(p, True).close()
+    from traval_spark.sources import fsutil
+
+    fsutil.touch(spark, path)
 
 
 def _stream_query_id(checkpoint_path: str) -> str | None:
