@@ -1286,6 +1286,31 @@ def q_cos_dup_pairs_multi(spark, sf_dir):
                             bucketed=True, dim=64, n_tables=2)
 
 
+def q_semantic_dup_pairs(spark, sf_dir):
+    """SemDeDup-shape semantic near-dup pairs (Abbas et al. 2023):
+    deterministic md5-seeded k-means clusters (IVF_NLIST lists, the same
+    seeding ann_ivf_topk pins), pairwise rounded cosine computed only
+    WITHIN a cluster (similarity.py:semantic_dup_pairs) — the quadratic
+    term is local to each cluster. Carries each member's centroid cosine
+    (the keep rule's ranking key); the oracle recomputes centroids +
+    argmax assignment in SQL."""
+    from traval_spark.operators.similarity import semantic_dup_pairs
+
+    return semantic_dup_pairs(_emb(spark, sf_dir), threshold=COS_DUP_THR,
+                              n_list=IVF_NLIST)
+
+
+def q_semantic_keep(spark, sf_dir):
+    """SemDeDup keep set: for every semantic-dup pair the member CLOSER
+    to its centroid is dropped (SemDeDup keeps the low-centroid-
+    similarity example), ties to the larger id — ids touching no pair
+    survive unchanged (similarity.py:semantic_keep_ids)."""
+    from traval_spark.operators.similarity import semantic_keep_ids
+
+    return semantic_keep_ids(_emb(spark, sf_dir), threshold=COS_DUP_THR,
+                             n_list=IVF_NLIST)
+
+
 def _tpch(spark, sf_dir, name):
     _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -1601,6 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
+        "semantic_dup_pairs": q_semantic_dup_pairs,
+        "semantic_keep": q_semantic_keep,
         "roc_sweep": q_roc_sweep,
         "gopher_repetition": q_gopher_repetition,
         "dup_clusters": q_dup_clusters,
@@ -2617,6 +2644,63 @@ def oracle_sql() -> dict[str, str]:
     )
     select a, b, cos from pr where cos >= {COS_DUP_THR}
     """
+
+    # SemDeDup: centroids = the IVF seeding (md5-id order), every vector
+    # assigned to its argmax round(cos, 9) centroid (ties to smallest
+    # cid), pairwise rounded cosine within a cluster only; ccos is the
+    # member's centroid cosine (the keep rule's key).
+    _semdedup_cte = f"""
+    with cent as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings order by md5(CAST(vec_id AS VARCHAR))
+      limit {IVF_NLIST}),
+    e as (select vec_id, embedding::DOUBLE[] v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) n
+          from embeddings),
+    assign as (
+      select vec_id, cid, ccos from (
+        select e.vec_id, c.cid,
+               round(list_dot_product(e.v, c.ce)
+                     / (e.n * sqrt(list_dot_product(c.ce, c.ce))), 9)
+                 AS ccos,
+               row_number() over (
+                 partition by e.vec_id
+                 order by round(list_dot_product(e.v, c.ce)
+                                / (e.n * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from e, cent c)
+      where rn = 1),
+    pe as (select e.vec_id, e.v, e.n, a.cid, a.ccos
+           from e join assign a using (vec_id)),
+    pairs as (
+      select a.vec_id AS a, b.vec_id AS b,
+             CAST(a.cid AS INTEGER) AS cid,
+             round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos,
+             a.ccos AS a_ccos, b.ccos AS b_ccos
+      from pe a join pe b on a.cid = b.cid and a.vec_id < b.vec_id
+      where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+              >= {COS_DUP_THR})
+    """
+    sql["semantic_dup_pairs"] = (
+        _semdedup_cte
+        + "select a, b, cid, cos, a_ccos, b_ccos from pairs"
+    )
+    sql["semantic_keep"] = (
+        _semdedup_cte
+        + """,
+    losers as (
+      select distinct
+             case when a_ccos > b_ccos then a
+                  when a_ccos < b_ccos then b
+                  else greatest(a, b) end AS vec_id
+      from pairs)
+    select vec_id from embeddings
+    where vec_id not in (select vec_id from losers)
+    """
+    )
 
     # IVF: centroids = IVF_NLIST rows with smallest md5(vec_id) (cid =
     # rank in that order); every vector assigned to argmax round(cos, 9)

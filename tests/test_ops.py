@@ -244,6 +244,82 @@ def test_cos_dup_multi_table_recall_superset(emb):
     assert len(multi) > len(single)  # extra tables recovered real pairs
 
 
+def test_semantic_dup_pairs_fixed_centroids_deterministic(emb):
+    """SemDeDup pairs: with pinned centroids the pair set is exactly
+    reproducible (two independent plans, identical rows), every pair is
+    within one cluster, a subset of the exact quadratic pair set, and
+    the planted near-dup (0, 1) is found."""
+    from traval_spark.operators.similarity import (
+        ivf_seed_centroids,
+        semantic_dup_pairs,
+    )
+
+    thr = 0.5
+    cents = ivf_seed_centroids(emb, n_list=4)
+    rows1 = semantic_dup_pairs(emb, threshold=thr, centroids=cents).collect()
+    rows2 = semantic_dup_pairs(emb, threshold=thr, centroids=cents).collect()
+    got1 = {(r["a"], r["b"], r["cid"], r["cos"]) for r in rows1}
+    got2 = {(r["a"], r["b"], r["cid"], r["cos"]) for r in rows2}
+    assert got1 == got2 and len(rows1) == len(got1)
+    exact = {(r["a"], r["b"]) for r in
+             cosine_dup_pairs(emb, threshold=thr, bucketed=False).collect()}
+    assert {(a, b) for a, b, _, _ in got1} <= exact
+    assert (0, 1) in {(a, b) for a, b, _, _ in got1}  # near-dup co-clusters
+
+
+def test_semantic_keep_prunes_one_per_pair(emb):
+    """Keep rule: no semantic-dup pair survives with BOTH members kept;
+    the removed member is always the pair's higher-centroid-cosine side
+    (ties: larger id); ids touching no pair are all kept."""
+    from traval_spark.operators.similarity import (
+        semantic_dup_pairs,
+        semantic_keep_ids,
+    )
+
+    thr = 0.5
+    pairs = semantic_dup_pairs(emb, threshold=thr).collect()
+    assert pairs  # the rule needs something to prune
+    kept = {r["vec_id"] for r in
+            semantic_keep_ids(emb, threshold=thr).collect()}
+    losers = set()
+    for r in pairs:
+        assert not (r["a"] in kept and r["b"] in kept)
+        if r["a_ccos"] > r["b_ccos"]:
+            losers.add(r["a"])
+        elif r["a_ccos"] < r["b_ccos"]:
+            losers.add(r["b"])
+        else:
+            losers.add(max(r["a"], r["b"]))
+    all_ids = set(range(50))
+    assert kept == all_ids - losers
+
+
+def test_lloyd_refine_deterministic_and_tightens(emb):
+    """Distributed Lloyd passes are deterministic, keep the cid space
+    stable, and do not increase the mean distance to the assigned
+    centroid (k-means' monotone objective)."""
+    from traval_spark.operators.similarity import (
+        ivf_assign_struct,
+        ivf_seed_centroids,
+        lloyd_refine,
+    )
+
+    cents = ivf_seed_centroids(emb, n_list=4)
+    ref = lloyd_refine(emb, cents, iters=2)
+    assert ref == lloyd_refine(emb, cents, iters=2)
+    assert [cid for cid, _ in ref] == [cid for cid, _ in cents]
+    assert ref != cents
+
+    def mean_ccos(cs):
+        return emb.select(
+            ivf_assign_struct("embedding", cs)["ccos"].alias("c")
+        ).agg(F.avg("c")).first()[0]
+
+    # cosine objective: refined centroids explain their members at least
+    # as well on average (strictly better on this random cloud)
+    assert mean_ccos(ref) > mean_ccos(cents)
+
+
 def test_hyperplanes_deterministic():
     assert hyperplanes(2, 4, seed=42) == hyperplanes(2, 4, seed=42)
     assert hyperplanes(2, 4, seed=42) != hyperplanes(2, 4, seed=43)

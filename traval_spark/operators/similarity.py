@@ -419,3 +419,169 @@ def cosine_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+# -- semantic dedup (SemDeDup shape) ----------------------------------------
+
+
+def ivf_assign_struct(
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    ndigits: int = 9,
+) -> Column:
+    """Like :func:`ivf_assign_col` but returns BOTH halves of the argmax:
+    a struct ``(cid, ccos)`` — nearest centroid id and the (rounded)
+    cosine to it. Same pure-JVM array_max over (cos, -cid) structs, same
+    tie-break (smallest cid); the ccos value is what SemDeDup's keep
+    rule ranks duplicates by, so computing it in the same expression
+    costs nothing extra."""
+    v = F.col(vec_col).cast("array<double>")
+    vn = _norm(v)
+    entries = []
+    for cid, c in centroids:
+        ce = F.array(*[F.lit(float(x)) for x in c])
+        cn = float(sum(x * x for x in c)) ** 0.5
+        cos = F.round(_dot(v, ce) / (vn * F.lit(cn)), ndigits)
+        entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("n")))
+    m = F.array_max(F.array(*entries))
+    return F.struct(
+        (-m["n"]).cast("int").alias("cid"), m["c"].alias("ccos")
+    )
+
+
+def lloyd_refine(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+    ndigits: int = 9,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement of the coarse centroids.
+
+    Each pass: assign every vector to its nearest centroid (pure-JVM
+    argmax from the centroid literals, NO shuffle), then take the
+    per-cluster elementwise mean — posexplode to (cid, dim, value) and
+    groupBy(cid, dim).avg, a partial-aggregatable shuffle whose reduced
+    output is only n_list x dim rows, collected to the driver as the
+    next pass's literals. Clusters that lose all members keep their
+    previous centroid (standard empty-cluster rule, keeps cid space
+    stable). Deterministic for a fixed (input, seeds, iters).
+
+    The driver holds n_list x dim floats — the same driver-side budget
+    :func:`ivf_seed_centroids` already commits to. At very large n_list
+    the literal-expression plan stops scaling; that regime wants the
+    centroid table broadcast-joined instead (documented trade, same as
+    ivf_topk)."""
+    cur = centroids
+    for _ in range(int(iters)):
+        # two selects: Spark's analyzer mis-resolves a struct-field
+        # extraction placed next to a generator (posexplode) in one
+        # projection (FIELD_NOT_FOUND against the generator's output)
+        assigned = emb.select(
+            ivf_assign_struct(vec_col, cur, ndigits)["cid"].alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).select("cid", F.posexplode("__v"))
+        means = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
+            .select("cid", F.transform("e", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        got = {r["cid"]: list(r["c"]) for r in means}
+        cur = [(cid, got.get(cid, c)) for cid, c in cur]
+    return cur
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_list: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-shape semantic near-duplicate pairs: k-means-cluster the
+    embeddings, emit (a < b) pairs WITHIN each cluster with rounded
+    cosine >= threshold, carrying each member's centroid cosine for the
+    keep rule (Abbas et al. 2023, SemDeDup: pairwise similarity is only
+    computed inside clusters, making the quadratic term local).
+
+    Columns: a, b, cid, cos, a_ccos, b_ccos.
+
+    Scale shape == :func:`cosine_dup_pairs` bucketed path with cid as
+    the bucket: assignment is a pure-JVM expression (no shuffle, no
+    Python), the self-join shuffles both sides on cid, AQE splits
+    skewed clusters. Cross-cluster near-dups are missed by design — the
+    SemDeDup recall trade; n_list grows with the corpus (~N/target
+    cluster size) so per-cluster candidate sets stay bounded.
+
+    ``lloyd_iters`` > 0 refines the deterministic md5-seeded centroids
+    with that many distributed Lloyd passes (pytest path; the DuckDB
+    oracle pins iters=0 where the seeds ARE the centroids)."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(emb, n_list, id_col, vec_col)
+    if lloyd_iters:
+        centroids = lloyd_refine(emb, centroids, lloyd_iters, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    asg = ivf_assign_struct(vec_col, centroids)
+    base = emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("n"),
+        asg["cid"].alias("cid"), asg["ccos"].alias("ccos"),
+    )
+    a = base.select(
+        "cid", F.col("id").alias("a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), F.col("ccos").alias("a_ccos"),
+    )
+    b = base.select(
+        "cid", F.col("id").alias("b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), F.col("ccos").alias("b_ccos"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits
+    )
+    return (
+        a.join(b, on="cid")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cid", "cos", "a_ccos", "b_ccos")
+    )
+
+
+def semantic_keep_ids(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_list: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup keep set: ids surviving per-pair pruning.
+
+    For every semantic-dup pair, the member CLOSER to its centroid is
+    removed (SemDeDup keeps the low-centroid-similarity example — the
+    most marginal representative of the duplicated region), ties to the
+    larger id removed. No pair has both members kept; ids touching no
+    pair are kept unchanged. One distinct over the losers + one
+    left_anti join — both shuffles keyed on the id."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(emb, n_list, id_col, vec_col)
+    if lloyd_iters:
+        centroids = lloyd_refine(emb, centroids, lloyd_iters, vec_col)
+    pairs = semantic_dup_pairs(
+        emb, threshold=threshold, n_list=n_list, id_col=id_col,
+        vec_col=vec_col, ndigits=ndigits, centroids=centroids,
+    )
+    losers = pairs.select(
+        F.when(F.col("a_ccos") > F.col("b_ccos"), F.col("a"))
+        .when(F.col("a_ccos") < F.col("b_ccos"), F.col("b"))
+        .otherwise(F.greatest("a", "b"))
+        .alias(id_col)
+    ).distinct()
+    return emb.select(id_col).join(losers, on=id_col, how="left_anti")
