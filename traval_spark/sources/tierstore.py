@@ -1,11 +1,13 @@
 """TierStore: partitioned-parquet retention tiers with lineage manifests
 and per-partition checkpoint/resume.
 
-SURVEY.md §2.8: no Iceberg runtime jar ships in this sandbox, so the store
-is an interface — partitioned Parquet + self-written JSON manifests here;
-the same API maps 1:1 onto an Iceberg catalog (dynamic partition overwrite
-== ``overwritePartitions``, manifests == snapshot summary metadata) when
-``iceberg-spark-runtime`` is on the classpath (see ``use_iceberg``).
+SURVEY.md §2.8: no Iceberg runtime jar ships in this sandbox, so the
+default backend is partitioned Parquet + self-written JSON manifests;
+:class:`IcebergTierStore` runs the SAME contract against a live Iceberg
+catalog (dynamic partition overwrite == ``overwritePartitions``,
+retention == ``DELETE WHERE``) wherever ``iceberg-spark-runtime`` is on
+the classpath — exercised by the jar-gated integration test in
+tests/test_rollup.py (skipped here; see ``use_iceberg``).
 
 Checkpoint/resume contract (north_rule):
 
@@ -118,6 +120,27 @@ class TierStore:
             self.root, tier, MANIFEST_DIR, f"day={day}.json"
         )
 
+    # -- data plane (overridden by IcebergTierStore; manifests/retention
+    # -- state stay fsutil JSON in both backends) ----------------------------
+
+    def _write_data(self, sub: DataFrame, tier: str) -> None:
+        # dynamic overwrite ENFORCED per-writer (not just the session
+        # default): a --resume subset write under a STATIC-default
+        # session would truncate every day partition NOT in ``todo``
+        (
+            sub.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(self.tier_path(tier))
+        )
+
+    def _read_data(self, spark, tier: str) -> DataFrame:
+        return spark.read.parquet(self.tier_path(tier))
+
+    def _drop_day(self, tier: str, day: str) -> None:
+        part_dir = os.path.join(self.tier_path(tier), f"day={day}")
+        if fsutil.exists(self.spark, part_dir):
+            fsutil.delete(self.spark, part_dir, recursive=True)
+
     def read_manifest(self, tier: str, day: str) -> dict | None:
         p = self._manifest_path(tier, day)
         if not fsutil.exists(self.spark, p):
@@ -171,17 +194,10 @@ class TierStore:
         if sort_within:
             cols = [c for c in sort_within if c in sub.columns]
             sub = sub.sortWithinPartitions("day", *cols)
-        # dynamic overwrite ENFORCED per-writer (not just the session
-        # default): a --resume subset write under a STATIC-default
-        # session would truncate every day partition NOT in ``todo``
-        (
-            sub.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day").parquet(self.tier_path(tier))
-        )
+        self._write_data(sub, tier)
         # per-partition output metrics for the manifests
         spark = df.sparkSession
-        written = spark.read.parquet(self.tier_path(tier)).filter(
+        written = self._read_data(spark, tier).filter(
             F.col("day").cast("string").isin(todo)
         )
         # sum_tok_total only exists for the measure tiers; sketch/histogram
@@ -272,9 +288,7 @@ class TierStore:
         cutoff = (as_of - dt.timedelta(days=keep_days)).isoformat()
         drop = sorted(d for d in self.manifests(tier) if d < cutoff)
         for day in drop:
-            part_dir = os.path.join(self.tier_path(tier), f"day={day}")
-            if fsutil.exists(self.spark, part_dir):
-                fsutil.delete(self.spark, part_dir, recursive=True)
+            self._drop_day(tier, day)
             fsutil.delete(self.spark, self._manifest_path(tier, day),
                           recursive=False)
         state = self._retention_state(tier)
@@ -300,7 +314,84 @@ class TierStore:
         from pyspark.sql import SparkSession
 
         spark = spark or SparkSession.getActiveSession()
-        return spark.read.parquet(self.tier_path(tier))
+        return self._read_data(spark, tier)
+
+
+class IcebergTierStore(TierStore):
+    """TierStore with the DATA plane on an Iceberg catalog — the
+    north-rule deployment target, runnable wherever
+    ``iceberg-spark-runtime`` is on the classpath (the session must be
+    built with :func:`use_iceberg`'s conf; see the jar-gated
+    tests/test_rollup.py integration test).
+
+    Only the four data-plane hooks differ from the parquet store:
+
+    - write = DataFrameWriterV2 ``overwritePartitions()`` on
+      ``{catalog}.{namespace}.{tier}`` — Iceberg's dynamic partition
+      overwrite is a property of the COMMIT (snapshot-atomic,
+      replaces exactly the day partitions present in the frame), so
+      the STATIC-session-default hazard the parquet writer guards
+      against cannot occur here;
+    - read = ``spark.table``;
+    - retention = ``DELETE FROM ... WHERE day < cutoff`` (a metadata
+      operation on day-aligned files);
+    - table creation = ``create()`` partitioned by the ``day`` column.
+
+    Fingerprint manifests and retention state stay the SAME fsutil JSON
+    sidecars, rooted under ``{root}/_tiermeta`` (outside the catalog's
+    table directories — Iceberg owns those); every resume/stale/TTL
+    decision is inherited bit-for-bit from TierStore, so the two
+    backends are behaviorally interchangeable above the data plane.
+    """
+
+    def __init__(self, root: str, catalog: str = "tiers",
+                 namespace: str = "tiers_db", spark=None):
+        super().__init__(root, spark=spark)
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def table_name(self, tier: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{tier}"
+
+    def _manifest_path(self, tier: str, day: str) -> str:
+        return os.path.join(
+            self.root, "_tiermeta", tier, MANIFEST_DIR, f"day={day}.json"
+        )
+
+    def _retention_path(self, tier: str) -> str:
+        return os.path.join(
+            self.root, "_tiermeta", tier, MANIFEST_DIR, "_retention.json"
+        )
+
+    def manifests(self, tier: str) -> dict[str, dict]:
+        d = os.path.join(self.root, "_tiermeta", tier, MANIFEST_DIR)
+        out = {}
+        for fn in fsutil.list_names(self.spark, d):
+            if fn.startswith("day=") and fn.endswith(".json"):
+                out[fn[4:-5]] = json.loads(
+                    fsutil.read_text(self.spark, os.path.join(d, fn))
+                )
+        return out
+
+    def _write_data(self, sub: DataFrame, tier: str) -> None:
+        spark = sub.sparkSession
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+        )
+        name = self.table_name(tier)
+        if not spark.catalog.tableExists(name):
+            sub.writeTo(name).partitionedBy(F.col("day")).create()
+        else:
+            sub.writeTo(name).overwritePartitions()
+
+    def _read_data(self, spark, tier: str) -> DataFrame:
+        return spark.table(self.table_name(tier))
+
+    def _drop_day(self, tier: str, day: str) -> None:
+        self.spark.sql(
+            f"DELETE FROM {self.table_name(tier)} "
+            f"WHERE day = DATE '{day}'"
+        )
 
 
 def verify_cascade(
