@@ -1311,6 +1311,31 @@ def q_semantic_keep(spark, sf_dir):
                              n_list=IVF_NLIST)
 
 
+def q_semantic_incremental(spark, sf_dir):
+    """Incremental semantic dedup — the daily-ingest shape: corpus rows
+    (vec_id % 10 != 0, the same split dedup_incremental pins) live as a
+    persisted assigned index at FIXED corpus-seeded centroids; the new
+    batch is assigned once and probed within-cluster against corpus +
+    batch, never re-pairing the corpus
+    (similarity.py:semantic_incremental_pairs). Oracle = full
+    within-cluster pair set at the same centroids restricted to pairs
+    with >= 1 new member."""
+    from traval_spark.operators.similarity import (
+        ivf_seed_centroids,
+        semantic_incremental_pairs,
+        with_semantic_assignment,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = ivf_seed_centroids(corpus, IVF_NLIST)
+    return semantic_incremental_pairs(
+        new, with_semantic_assignment(corpus, cents), cents,
+        threshold=COS_DUP_THR,
+    )
+
+
 def _tpch(spark, sf_dir, name):
     _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -1628,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "semantic_keep": q_semantic_keep,
+        "semantic_incremental": q_semantic_incremental,
         "roc_sweep": q_roc_sweep,
         "gopher_repetition": q_gopher_repetition,
         "dup_clusters": q_dup_clusters,
@@ -2701,6 +2727,44 @@ def oracle_sql() -> dict[str, str]:
     where vec_id not in (select vec_id from losers)
     """
     )
+
+    # incremental SemDeDup: centroids seeded from the CORPUS split only
+    # (the frozen index a daily ingest probes), assignment over all rows,
+    # within-cluster pairs restricted to >= 1 new member — the invariant
+    # semantic_incremental_pairs documents (union over batches == full
+    # pair set at the same centroids).
+    sql["semantic_incremental"] = f"""
+    with cent as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings where vec_id % 10 != 0
+      order by md5(CAST(vec_id AS VARCHAR))
+      limit {IVF_NLIST}),
+    e as (select vec_id, embedding::DOUBLE[] v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) n
+          from embeddings),
+    assign as (
+      select vec_id, cid from (
+        select e.vec_id, c.cid,
+               row_number() over (
+                 partition by e.vec_id
+                 order by round(list_dot_product(e.v, c.ce)
+                                / (e.n * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from e, cent c)
+      where rn = 1),
+    pe as (select e.vec_id, e.v, e.n, a.cid
+           from e join assign a using (vec_id))
+    select a.vec_id AS a, b.vec_id AS b,
+           CAST(a.cid AS INTEGER) AS cid,
+           round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+    from pe a join pe b on a.cid = b.cid and a.vec_id < b.vec_id
+    where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+            >= {COS_DUP_THR}
+      and (a.vec_id % 10 = 0 or b.vec_id % 10 = 0)
+    """
 
     # IVF: centroids = IVF_NLIST rows with smallest md5(vec_id) (cid =
     # rank in that order); every vector assigned to argmax round(cos, 9)

@@ -294,6 +294,45 @@ def test_semantic_keep_prunes_one_per_pair(emb):
     assert kept == all_ids - losers
 
 
+def test_semantic_incremental_union_equals_full(emb):
+    """Daily-ingest invariant: splitting the corpus into 3 arrival
+    batches and running semantic_incremental_pairs per batch (index
+    frozen at the initial centroids, corpus table grown by each batch's
+    assignment) yields EXACTLY the full-corpus semantic pair set at the
+    same centroids — every pair surfaces when its later member arrives,
+    none twice."""
+    from traval_spark.operators.similarity import (
+        ivf_seed_centroids,
+        semantic_dup_pairs,
+        semantic_incremental_pairs,
+        with_semantic_assignment,
+    )
+
+    thr = 0.5
+    cents = ivf_seed_centroids(emb.filter("vec_id < 17"), n_list=4)
+    want = {(r["a"], r["b"], r["cid"], r["cos"]) for r in
+            semantic_dup_pairs(emb, threshold=thr, centroids=cents)
+            .collect()}
+
+    spark = emb.sparkSession
+    corpus = with_semantic_assignment(
+        emb.filter("vec_id < 0"), cents
+    )  # empty start
+    got: list = []
+    for lo, hi in [(0, 17), (17, 34), (34, 50)]:
+        batch = emb.filter(f"vec_id >= {lo} and vec_id < {hi}")
+        rows = semantic_incremental_pairs(
+            batch, corpus, cents, threshold=thr
+        ).collect()
+        got.extend(rows)
+        corpus = corpus.unionByName(
+            with_semantic_assignment(batch, cents)
+        ).localCheckpoint()
+    tuples = [(r["a"], r["b"], r["cid"], r["cos"]) for r in got]
+    assert len(tuples) == len(set(tuples))  # no pair emitted twice
+    assert set(tuples) == want
+
+
 def test_lloyd_refine_deterministic_and_tightens(emb):
     """Distributed Lloyd passes are deterministic, keep the cid space
     stable, and do not increase the mean distance to the assigned

@@ -585,3 +585,82 @@ def semantic_keep_ids(
         .alias(id_col)
     ).distinct()
     return emb.select(id_col).join(losers, on=id_col, how="left_anti")
+
+
+def with_semantic_assignment(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted semantic-index row format: (id, v, n, cid, ccos) —
+    vector cast to double, its norm, and the fixed-centroid assignment.
+    This is what a warehouse keeps between ingests (exactly like the
+    simhash fingerprint table dedup_stream.py persists): appending a
+    batch never re-embeds, re-norms, or re-assigns old rows."""
+    v = F.col(vec_col).cast("array<double>")
+    asg = ivf_assign_struct(vec_col, centroids)
+    return emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("n"),
+        asg["cid"].alias("cid"), asg["ccos"].alias("ccos"),
+    )
+
+
+def semantic_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+    new_assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs for a NEW batch against an existing
+    assigned corpus WITHOUT re-pairing the corpus with itself — the
+    daily-ingest shape of :func:`semantic_dup_pairs`, completing the
+    incremental family (simhash64_incremental_pairs,
+    minhash_incremental_pairs in operators/dedup.py).
+
+    ``corpus_assigned`` is :func:`with_semantic_assignment`'s persisted
+    output; ``centroids`` MUST be the same fixed index it was assigned
+    with (a refit would silently re-cluster the corpus — the invariant
+    below only holds for a frozen index). Only the new batch is
+    assigned here. Candidates = new rows joined on cid against (corpus
+    UNION new), so every emitted pair has >= 1 new member; across a
+    whole ingest stream the union of per-batch outputs equals the
+    full-corpus :func:`semantic_dup_pairs` set at the same centroids
+    (every pair surfaces exactly when its later member arrives).
+
+    Returns (a, b, cid, cos) with a < b; pairs found via both members
+    being new collapse in the distinct."""
+    if new_assigned is None:
+        new_assigned = with_semantic_assignment(
+            new_docs, centroids, id_col, vec_col
+        )
+    probe = new_assigned.select(
+        "cid", F.col("id").alias("na"), F.col("v").alias("va"),
+        F.col("n").alias("nna"),
+    )
+    build = corpus_assigned.select("cid", "id", "v", "n").unionByName(
+        new_assigned.select("cid", "id", "v", "n")
+    ).select(
+        "cid", F.col("id").alias("nb"), F.col("v").alias("vb"),
+        F.col("n").alias("nnb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("nna") * F.col("nnb")),
+        ndigits,
+    )
+    return (
+        probe.join(build, on="cid")
+        .filter(F.col("na") != F.col("nb"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.least("na", "nb").alias("a"),
+            F.greatest("na", "nb").alias("b"),
+            "cid", "cos",
+        )
+        .distinct()
+    )
