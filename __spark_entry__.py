@@ -534,24 +534,24 @@ def q_curate(spark, sf_dir):
     skew-safe two-level prefix sum (the mixture filter is shuffle-free;
     every packing exchange is keyed by (source, shard) or (source,
     pack_id) — no single-task-per-source sort even when one source
-    dominates). Every stage individually oracle-green and the
-    composition verified end-to-end here."""
-    from pyspark.sql import Window
-
+    dominates; exact dedup is a partial-aggregatable groupBy-min +
+    semi-join on the unique id, so a viral dup group collapses map-side
+    instead of sorting on one task). Every stage individually
+    oracle-green and the composition verified end-to-end here."""
     from traval_spark.operators.sampling import mixture_sample
     from traval_spark.packing import assign_packs
 
     s = _seqs_from(_docs_with_dups(spark, sf_dir))
-    keyed = s.filter(F.col("tokens").isNotNull()).withColumn(
-        "tok_hash",
-        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))),
+    nn = s.filter(F.col("tokens").isNotNull())
+    winner_ids = (
+        nn.groupBy(
+            F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>")))
+            .alias("__k")
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    w = Window.partitionBy("tok_hash").orderBy("doc_id")
-    kept = (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "tok_hash")
-    )
+    kept = nn.join(winner_ids, "doc_id", "left_semi")
     mixed = mixture_sample(kept, MIX_WEIGHTS, seed=7)
     return assign_packs(mixed, target_tokens=512).select(
         "doc_id", "source",

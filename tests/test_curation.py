@@ -212,3 +212,34 @@ def test_curate_text_short_benchmark_containment(spark):
     packed = curate_corpus(corpus, near_dup=False, benchmark=bench,
                            decontaminate_k=8, target_tokens=64)
     assert {r["doc_id"] for r in packed.collect()} == {"c2"}
+
+
+def test_curate_exact_dedup_skew_safe_plan(spark):
+    """Skew audit for the exact-dedup stage: a viral document (every copy
+    hashing to ONE content key) must collapse in a partial aggregate
+    before the shuffle — the plan has a partial_min over the content
+    hash and NO window sorted by it (the old row_number formulation put
+    the whole hot group on one task). Packing's windows (keyed by
+    __shard / pack_id / the tiny __tot frame) are the only ones
+    allowed."""
+    # odd ids start at 1001 so no odd doc's [i, i+1, i+2] collides with
+    # the viral constant payload [7, 8, 9]
+    rows = [(i, [7, 8, 9], "s0") for i in range(0, 200, 2)] + [
+        (1000 + i, [1000 + i, 1001 + i, 1002 + i], "s0")
+        for i in range(1, 200, 2)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string")
+    packed = curate_corpus(docs, tokens_col="tokens", near_dup=False,
+                           target_tokens=64)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert ("__shard" in ln) or ("pack_id" in ln) or ("__tot" in ln), ln
+    # semantics: one survivor for the 100 identical-sequence copies (the
+    # smallest id), every distinct sequence kept
+    got = packed.select("doc_id").collect()
+    ids = {r["doc_id"] for r in got}
+    assert 0 in ids and not any(i in ids for i in range(2, 200, 2))
+    assert ids.issuperset({1000 + i for i in range(1, 200, 2)})

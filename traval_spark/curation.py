@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # a benchmark suite's SHORT items (fewer words/tokens than the shingle
@@ -192,12 +192,18 @@ def curate_corpus(
         if tokens_col
         else F.md5(F.col(text_col))
     )
-    w = Window.partitionBy(dedup_key).orderBy(id_col)
-    cur = note(
-        "after_exact_dedup",
-        cur.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1).drop("__rn"),
+    # keep min(id) per identical payload via groupBy + semi-join on the
+    # UNIQUE id, not a row_number window over the content hash: the
+    # groupBy is partial-aggregatable (a viral doc's million copies
+    # collapse map-side before the shuffle) and the join key is
+    # perfectly balanced, where the window would sort the whole hot
+    # group on one task
+    winner_ids = (
+        cur.groupBy(dedup_key.alias("__k"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    cur = note("after_exact_dedup", cur.join(winner_ids, id_col, "left_semi"))
 
     if near_dup:
         if tokens_col:
