@@ -61,6 +61,11 @@ def main() -> None:
         try:
             with open(os.path.join(here, fn)) as f:
                 rec = json.load(f)
+            # the driver nests this script's JSON line under "parsed"
+            # (top-level keys are n/rc/cpus/sf/tail/parsed); accept a
+            # bare record too for locally saved runs
+            if isinstance(rec.get("parsed"), dict):
+                rec = rec["parsed"]
             # same-SF records only: a local sf0.01 iteration run must not
             # diff itself against the driver's sf0.1 numbers (and vice
             # versa)

@@ -277,10 +277,13 @@ def _item_units(payload: Column, tokens: bool) -> Column:
 
 def _canonical_text(payload: Column, tokens: bool) -> Column:
     """Containment-comparable canonical string: ','-joined token ids
-    (comma-delimited so id 12 can't match inside 412), or the raw text."""
+    (comma-delimited so id 12 can't match inside 412), or the text with
+    runs of whitespace collapsed to single spaces (so the single-space
+    word padding below is a true word-boundary guard and 'a  b' still
+    contains 'a b')."""
     if tokens:
         return F.concat_ws(",", payload.cast("array<string>"))
-    return payload
+    return F.trim(F.regexp_replace(payload, r"\s+", " "))
 
 
 def _tainted_ids(
@@ -339,7 +342,12 @@ def _tainted_ids(
                 hay = F.concat(F.lit(","), hay, F.lit(","))
                 needles = [f",{s}," for s in shorts]
             else:
-                needles = shorts
+                # same trap in text: pad with the word delimiter so
+                # 'the secret answer' does not match inside
+                # 'brea|the secret answer|s' (_canonical_text collapses
+                # whitespace to single spaces on both sides)
+                hay = F.concat(F.lit(" "), hay, F.lit(" "))
+                needles = [f" {s} " for s in shorts]
             cond = F.lit(False)
             for s in needles:
                 cond = cond | F.contains(hay, F.lit(s))

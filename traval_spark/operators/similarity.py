@@ -465,7 +465,10 @@ def lloyd_refine(
     output is only n_list x dim rows, collected to the driver as the
     next pass's literals. Clusters that lose all members keep their
     previous centroid (standard empty-cluster rule, keeps cid space
-    stable). Deterministic for a fixed (input, seeds, iters).
+    stable). Deterministic for a fixed (input, seeds, iters) on ANY
+    executor layout: the per-dimension mean is an exact decimal sum
+    divided by the count, not a double avg whose partial-merge order
+    would vary with shuffle fetch timing.
 
     The driver holds n_list x dim floats — the same driver-side budget
     :func:`ivf_seed_centroids` already commits to. At very large n_list
@@ -481,9 +484,19 @@ def lloyd_refine(
             ivf_assign_struct(vec_col, cur, ndigits)["cid"].alias("cid"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         ).select("cid", F.posexplode("__v"))
+        # decimal sum, not F.avg(double): double partial-aggregate
+        # merges are shuffle-fetch-order dependent, so avg(double)
+        # gives bit-different centroids run-to-run on a multi-executor
+        # cluster. decimal(38,18) addition is exact (associative +
+        # commutative) — 20 integer digits of headroom over unit-norm
+        # coordinates — so the mean is layout-independent and the
+        # 'deterministic for a fixed input' contract holds off-sandbox.
         means = (
             assigned.groupBy("cid", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(
+                (F.sum(F.col("col").cast("decimal(38,18)"))
+                 / F.count("col")).cast("double").alias("m")
+            )
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
             .select("cid", F.transform("e", lambda s: s["m"]).alias("c"))

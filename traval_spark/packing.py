@@ -147,7 +147,13 @@ def assign_packs(
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
     )
 
-    out = main.join(F.broadcast(offsets), [*by, "__shard"]).withColumn(
+    # no forced broadcast hint: offsets is groups x shards rows — tiny
+    # for the usual handful of (split, source) groups, but a forced
+    # broadcast would OOM the driver at web-scale group cardinality
+    # (millions of sources x 64 shards). AQE's runtime size-based join
+    # selection broadcasts it when it IS tiny; otherwise the (by,
+    # __shard) shuffle join is balanced by construction.
+    out = main.join(offsets, [*by, "__shard"]).withColumn(
         "pack_id",
         F.floor(
             (F.col("__off") + F.col("__before_loc"))

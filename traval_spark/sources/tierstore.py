@@ -148,7 +148,10 @@ class TierStore:
         return json.loads(fsutil.read_text(self.spark, p))
 
     def manifests(self, tier: str) -> dict[str, dict]:
-        d = os.path.join(self.root, tier, MANIFEST_DIR)
+        # derive the dir from _manifest_path so backend subclasses that
+        # relocate manifests (IcebergTierStore's _tiermeta) inherit this
+        # listing unchanged
+        d = os.path.dirname(self._manifest_path(tier, "x"))
         out = {}
         for fn in fsutil.list_names(self.spark, d):
             if fn.startswith("day=") and fn.endswith(".json"):
@@ -311,10 +314,10 @@ class TierStore:
         return {"tier": tier, "cutoff": state["cutoff"], "dropped": drop}
 
     def read_tier(self, tier: str, spark=None) -> DataFrame:
-        from pyspark.sql import SparkSession
-
-        spark = spark or SparkSession.getActiveSession()
-        return self._read_data(spark, tier)
+        # self.spark honors an injected session and raises a clear
+        # error when none is resolvable (bare getActiveSession() would
+        # hand _read_data a None)
+        return self._read_data(spark or self.spark, tier)
 
 
 class IcebergTierStore(TierStore):
@@ -362,16 +365,6 @@ class IcebergTierStore(TierStore):
         return os.path.join(
             self.root, "_tiermeta", tier, MANIFEST_DIR, "_retention.json"
         )
-
-    def manifests(self, tier: str) -> dict[str, dict]:
-        d = os.path.join(self.root, "_tiermeta", tier, MANIFEST_DIR)
-        out = {}
-        for fn in fsutil.list_names(self.spark, d):
-            if fn.startswith("day=") and fn.endswith(".json"):
-                out[fn[4:-5]] = json.loads(
-                    fsutil.read_text(self.spark, os.path.join(d, fn))
-                )
-        return out
 
     def _write_data(self, sub: DataFrame, tier: str) -> None:
         spark = sub.sparkSession
