@@ -1133,6 +1133,41 @@ def q_token_lsh_pairs(spark, sf_dir):
         _seqs_from(_docs_with_near_dups(spark, sf_dir)), b=4, r=2, k=3)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplication spans (the Lee et al. 2021
+    suffix-array dedup family re-expressed as a k-token window index):
+    maximal [start, end) token intervals covered by 8-token windows
+    occurring >= 2x corpus-wide. The appended near-dup copies share
+    their entire original token run, so each original/copy pair is
+    flagged end to end; natural cross-doc 8-gram repeats surface too.
+    Plan shape: window explode (the shingling cost) -> partial-agg
+    gram counts -> left-semi hit join -> per-doc interval merge."""
+    from traval_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _seqs_from(_docs_with_near_dups(spark, sf_dir)), k=8)
+
+
+def q_trim_spans(spark, sf_dir):
+    """Corpus rewrite with every duplicated span removed (all
+    occurrences — the order-free conservative variant); emits the md5
+    of each trimmed sequence + its new token count so the oracle
+    compares the full rewritten payload value-exactly."""
+    from traval_spark.operators.dedup import trim_duplicated_spans
+
+    s = _seqs_from(_docs_with_near_dups(spark, sf_dir)).filter(
+        F.col("tokens").isNotNull()
+    )
+    t = trim_duplicated_spans(s, k=8)
+    return t.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        ).alias("tok_hash"),
+        "n_tok",
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: sequences with doc_id % 37 == 0 play the
     eval suite; every other sequence sharing >= 1 3-token shingle with it
@@ -1631,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dedup_exact": q_token_dedup_exact,
         "token_minhash_sig": q_token_minhash_sig,
         "token_lsh_pairs": q_token_lsh_pairs,
+        "dup_spans": q_dup_spans,
+        "trim_spans": q_trim_spans,
         "decontaminate": q_decontaminate,
         "token_repetition": q_token_repetition,
         "toptok_1h": q_toptok_1h,
@@ -3160,6 +3197,51 @@ def oracle_sql() -> dict[str, str]:
     select distinct a.doc_id AS a, b.doc_id AS b
     from bands a join bands b on a.band = b.band and a.key = b.key
     where a.doc_id < b.doc_id
+    """
+    # exact-substring dedup: 8-token windows (DuckDB inclusive 1-based
+    # slices: tk[i:i+7] is 8 elements; pos = i - 1 matches the engine's
+    # 0-based offsets), duplicated-gram hits, lag/cumsum interval merge
+    _SPAN_CTES = f"""
+    t as (select doc_id, {_TOKSEQ} tk from nd),
+    q as (select doc_id, tk from t where tk is not null),
+    win as (select doc_id, i - 1 AS pos,
+                   md5(array_to_string(tk[i:i+7], ',')) AS gram
+            from q, unnest(generate_series(1, len(tk) - 7)) AS g(i)
+            where len(tk) >= 8),
+    dup as (select gram from win group by gram having count(*) >= 2),
+    hits as (select w.doc_id, w.pos from win w join dup using (gram)),
+    fl as (select doc_id, pos,
+                  case when pos - lag(pos) over (partition by doc_id
+                                                 order by pos) <= 8
+                       then 0 else 1 end AS brk
+           from hits),
+    g as (select doc_id, pos,
+                 sum(brk) over (partition by doc_id order by pos) AS grp
+          from fl),
+    spans as (select doc_id, min(pos) AS s, max(pos) + 8 AS e
+              from g group by doc_id, grp)
+    """
+    sql["dup_spans"] = f"""
+    with {_ND_DOCS},
+    {_SPAN_CTES}
+    select doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end
+    from spans
+    """
+    sql["trim_spans"] = f"""
+    with {_ND_DOCS},
+    {_SPAN_CTES},
+    pos as (select doc_id, j AS idx, tk[j] AS tok
+            from q, unnest(generate_series(1, len(tk))) AS u(j)),
+    keep as (select p.doc_id, p.idx, p.tok from pos p
+             left join spans s on p.doc_id = s.doc_id
+                  and p.idx - 1 >= s.s and p.idx - 1 < s.e
+             where s.doc_id is null),
+    agg as (select doc_id, list(tok order by idx) AS tk2
+            from keep group by doc_id)
+    select q.doc_id,
+           md5(coalesce(array_to_string(a.tk2, ','), '')) AS tok_hash,
+           CAST(coalesce(len(a.tk2), 0) AS INT) AS n_tok
+    from q left join agg a using (doc_id)
     """
     sql["decontaminate"] = f"""
     with t as (select doc_id, {_TOKSEQ} tk from documents),

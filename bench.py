@@ -116,7 +116,8 @@ def main() -> None:
         "token_counts", "top_tokens", "quality_score", "fingerprint",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
-        "token_dedup_exact", "token_lsh_pairs", "decontaminate", "pack_assign",
+        "token_dedup_exact", "token_lsh_pairs", "dup_spans", "trim_spans",
+        "decontaminate", "pack_assign",
         "curate", "curate_tokens",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
         "semantic_keep",

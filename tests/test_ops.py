@@ -1012,3 +1012,84 @@ def test_sample_k_two_phase_exact_and_skew_safe(spark):
     # deepest exchange = the corpus one (printed last): must carry __salt;
     # the group-only exchange may only sit above it (bounded survivors)
     assert "__salt" in exchanges[-1], plan
+
+
+def test_duplicated_spans_semantics(spark):
+    """Exact-substring dedup core cases: a shared interior run flags in
+    both docs at the right offsets, self-repetition flags end to end,
+    a unique doc flags nothing, NULL/short docs are untouched."""
+    from traval_spark.operators.dedup import (
+        duplicated_spans,
+        trim_duplicated_spans,
+    )
+
+    rows = [
+        (1, list(range(100, 130)), "a"),  # shares tokens 110..119 with 2
+        (2, list(range(50, 60)) + list(range(110, 120))
+            + list(range(200, 210)), "a"),
+        (3, [7, 8, 9] * 4, "a"),          # self-repeating 12-token doc
+        (4, list(range(1000, 1015)), "a"),
+        (5, None, "a"),
+        (6, [1, 2, 3], "a"),              # shorter than k
+    ]
+    seqs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string"
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+
+    sp = {(r["doc_id"], r["span_start"], r["span_end"])
+          for r in duplicated_spans(seqs, k=5).collect()}
+    assert sp == {(1, 10, 20), (2, 10, 20), (3, 0, 12)}
+
+    got = {r["doc_id"]: r for r in
+           trim_duplicated_spans(seqs, k=5).collect()}
+    assert got[1]["tokens"] == list(range(100, 110)) + list(range(120, 130))
+    assert got[2]["tokens"] == list(range(50, 60)) + list(range(200, 210))
+    assert got[3]["tokens"] == [] and got[3]["n_tok"] == 0
+    assert got[4]["tokens"] == list(range(1000, 1015))
+    assert got[5]["tokens"] is None
+    assert got[6]["tokens"] == [1, 2, 3] and got[6]["n_tok"] == 3
+
+
+def test_duplicated_spans_plan_is_skew_safe(spark):
+    """Plan audit: gram counting partial-aggregates (a viral boilerplate
+    gram collapses map-side), the hit join is a left-semi on the gram
+    key, and every window is partitioned by the doc id (bounded by one
+    document's length) — never by gram, never corpus-global."""
+    from traval_spark.operators.dedup import duplicated_spans
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 300, seed=3)
+    plan = (duplicated_spans(seqs, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan, plan
+    assert "LeftSemi" in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "doc_id" in ln and "gram" not in ln, ln
+
+
+def test_trim_spans_reuses_precomputed_spans(spark):
+    """trim(spans=precomputed) == trim recomputing them itself."""
+    from traval_spark.operators.dedup import (
+        duplicated_spans,
+        trim_duplicated_spans,
+    )
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 80, seed=9)
+    dup = seqs.limit(8).withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    )
+    corpus = seqs.unionByName(dup)
+    sp = duplicated_spans(corpus, k=5)
+    a = {r["doc_id"]: r["tokens"] for r in
+         trim_duplicated_spans(corpus, k=5).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in
+         trim_duplicated_spans(corpus, k=5, spans=sp).collect()}
+    assert a == b
+    # every planted full-sequence duplicate got fully trimmed (both
+    # copies: the conservative all-occurrences rule)
+    for r in seqs.limit(8).collect():
+        if r["n_tok"] >= 5:
+            assert a[r["doc_id"]] == []
+            assert a["dup-" + r["doc_id"]] == []

@@ -863,3 +863,150 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+
+
+def _window_grams(
+    seqs: DataFrame,
+    k: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every k-token window of every sequence as (id, pos, gram):
+    pos = 0-based start offset, gram = md5 of the ','-joined window (a
+    fixed-width shuffle key regardless of k — same canonicalization as
+    :func:`exact_token_dup_groups`). One output row per window, i.e.
+    n_tok - k + 1 rows per doc — the standard shingling explosion the
+    MinHash path already pays, except positions are kept. Pure-JVM:
+    transform over a sequence() literal + slice, no Python."""
+    n = F.size(F.col(tokens_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), (n - F.lit(k)).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.slice(F.col(tokens_col), i + 1, k).cast(
+                        "array<string>"
+                    ),
+                )
+            ).alias("gram"),
+        ),
+    )
+    return (
+        seqs.filter(F.col(tokens_col).isNotNull() & (n >= k))
+        .select(F.col(id_col), F.explode(grams).alias("__w"))
+        .select(id_col, F.col("__w.pos").alias("pos"),
+                F.col("__w.gram").alias("gram"))
+    )
+
+
+def duplicated_spans(
+    seqs: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication spans (the suffix-array dedup family
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed for Spark): maximal [span_start,
+    span_end) token intervals covered by k-token windows that occur at
+    least ``min_count`` times ANYWHERE in the corpus (including within
+    the same document — self-repetition counts, as in the paper).
+    Returns (id, span_start, span_end) with 0-based, end-exclusive
+    offsets.
+
+    A window index replaces the suffix array: a suffix array needs a
+    global sort of every suffix (inexpressible without a corpus-wide
+    total order); k-token windows find exactly the duplicated
+    substrings of length >= k, and merging overlapping-or-adjacent
+    window hits reconstructs each maximal duplicated region. Scale
+    shape, stage by stage:
+
+    - window explosion: n_tok rows/doc, the MinHash shingling cost;
+    - duplicate grams: groupBy(gram).count — partial-aggregatable, so a
+      viral boilerplate gram collapses map-side before the shuffle;
+    - hits: left-semi join windows->dup grams on the md5 key; a
+      mega-hot gram skews the join and AQE's skew-join split handles
+      it (same profile as the banded-LSH bucket joins);
+    - interval merge: lag/cumsum windows partitioned by doc id —
+      bounded by a single document's length, balanced across docs,
+      never a corpus-wide sort.
+    """
+    win = _window_grams(seqs, k, tokens_col, id_col)
+    dup = (
+        win.groupBy("gram")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= int(min_count))
+        .select("gram")
+    )
+    hits = win.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # equal-length intervals [pos, pos+k) sorted by pos merge exactly
+    # when the gap to the previous start is <= k (overlap or adjacency
+    # -> same covered union); lag NULL -> new group
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(k), F.lit(0)
+    ).otherwise(F.lit(1))
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("__g", grp)
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("int").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def trim_duplicated_spans(
+    seqs: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Rewrite each sequence with every duplicated span (see
+    :func:`duplicated_spans`) removed — ALL occurrences go, the
+    order-free conservative variant (keeping exactly one occurrence
+    needs a global first-occurrence election per maximal region;
+    sequence-level exact dedup already covers the whole-doc case).
+    Docs left with zero tokens survive as empty arrays for the caller's
+    length gate to drop. ``n_tok`` is recomputed when present. Pass a
+    precomputed ``spans`` frame to reuse one detection pass across trim
+    + reporting.
+
+    The rewrite is a left join on id (spans aggregated to one array row
+    per affected doc — only affected docs shuffle) + a pure-JVM
+    filter-with-index against the span structs."""
+    sp = spans if spans is not None else duplicated_spans(
+        seqs, k, min_count, tokens_col, id_col
+    )
+    agg = sp.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    joined = seqs.join(agg, id_col, "left")
+    kept = F.filter(
+        F.col(tokens_col),
+        lambda t, i: ~F.exists(
+            "__sp",
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    out = joined.withColumn(
+        tokens_col,
+        F.when(F.col("__sp").isNull(), F.col(tokens_col)).otherwise(kept),
+    ).drop("__sp")
+    if "n_tok" in seqs.columns:
+        out = out.withColumn(
+            "n_tok",
+            F.when(F.col(tokens_col).isNull(), F.col("n_tok")).otherwise(
+                F.size(tokens_col).cast("int")
+            ),
+        )
+    return out
