@@ -1240,6 +1240,55 @@ def q_ann_ivf_topk(spark, sf_dir):
                     nprobe=IVF_NPROBE)
 
 
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode: every embedding compressed to
+    PQ_M subspace codes (squared-L2 argmin against md5-order-seeded
+    codebooks — deterministic, so the oracle replicates seeding and
+    assignment verbatim). Long form (vec_id, sub, code) for value-exact
+    comparison; the storage shape is with_pq_codes' array column —
+    m bytes per vector instead of dim floats, the scan-side compression
+    that makes 100 TB of embeddings streamable."""
+    from traval_spark.operators.similarity import (
+        pq_seed_codebooks,
+        with_pq_codes,
+    )
+
+    e = _emb(spark, sf_dir)
+    books = pq_seed_codebooks(e, m=PQ_M, ksub=PQ_KSUB)
+    return (
+        with_pq_codes(e, books)
+        .select("vec_id", F.posexplode("codes"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("sub"),
+            F.col("col").cast("int").alias("code"),
+        )
+    )
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over the PQ codes: the query's
+    per-subspace dot-product lookup tables are inlined as literals, each
+    row costs m array lookups + adds over the m-byte code column, and
+    the top-k is a TakeOrderedAndProject — the ADC shortlist stage of
+    IVF-PQ (callers exact-re-rank the shortlist; see
+    test_pq_shortlist_recall)."""
+    from traval_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_seed_codebooks,
+        with_pq_codes,
+    )
+
+    e = _emb(spark, sf_dir)
+    books = pq_seed_codebooks(e, m=PQ_M, ksub=PQ_KSUB)
+    q = _query_vec(spark, sf_dir)
+    return pq_adc_topk(with_pq_codes(e, books), q, books, k=TOPK)
+
+
 def q_knn_join(spark, sf_dir):
     """Exact batch KNN join: every query-batch row (vec_id % 50 == 0)
     gets its top-5 corpus neighbors by rounded cosine — the
@@ -1683,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "knn_join": q_knn_join,
         "knn_join_ivf": q_knn_join_ivf,
         "cos_dup_pairs": q_cos_dup_pairs,
@@ -2847,6 +2898,56 @@ def oracle_sql() -> dict[str, str]:
                            AS INTEGER) AS rank
                from scored)
     select vec_id, cos, rank from ranked where rank <= {TOPK}
+    """
+
+    # PQ: md5-order seed rows -> per-subspace codebooks (PQ_M subspaces
+    # of dim/PQ_M each); encode = squared-L2 argmin per subspace (round 9,
+    # ties to smallest code) — identical arithmetic to
+    # similarity.pq_code_col; DuckDB 1-based slices: subspace s covers
+    # v[s*d+1 .. (s+1)*d]
+    _PQ_D = 64 // PQ_M
+    _PQ_CODE_CTES = f"""
+    cent as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings order by md5(CAST(vec_id AS VARCHAR))
+      limit {PQ_KSUB}),
+    e as (select vec_id, embedding::DOUBLE[] v from embeddings),
+    dists as (
+      select e.vec_id, s.i AS sub, c.cid,
+             round(list_sum(list_transform(generate_series(1, {_PQ_D}),
+                   j -> (v[s.i * {_PQ_D} + j] - ce[s.i * {_PQ_D} + j])
+                        * (v[s.i * {_PQ_D} + j] - ce[s.i * {_PQ_D} + j]))),
+                   9) AS dist
+      from e, unnest(generate_series(0, {PQ_M - 1})) s(i), cent c),
+    code as (
+      select vec_id, sub, cid from (
+        select vec_id, sub, cid,
+               row_number() over (partition by vec_id, sub
+                                  order by dist, cid) AS rn
+        from dists)
+      where rn = 1)
+    """
+    sql["pq_codes"] = f"""
+    with {_PQ_CODE_CTES}
+    select vec_id, CAST(sub AS INT) AS sub, CAST(cid AS INT) AS code
+    from code
+    """
+    sql["pq_adc_topk"] = f"""
+    with {_PQ_CODE_CTES},
+    q as (select embedding::DOUBLE[] qe from embeddings where vec_id = 0),
+    lut as (
+      select c.cid, s.i AS sub,
+             round(list_sum(list_transform(generate_series(1, {_PQ_D}),
+                   j -> qe[s.i * {_PQ_D} + j] * ce[s.i * {_PQ_D} + j])),
+                   9) AS v
+      from cent c, unnest(generate_series(0, {PQ_M - 1})) s(i), q)
+    select code.vec_id, round(sum(lut.v), 6) AS adc_dot
+    from code join lut on code.sub = lut.sub and code.cid = lut.cid
+    group by code.vec_id
+    order by adc_dot desc, vec_id
+    limit {TOPK}
     """
 
     sql["knn_join"] = """

@@ -1093,3 +1093,99 @@ def test_trim_spans_reuses_precomputed_spans(spark):
         if r["n_tok"] >= 5:
             assert a[r["doc_id"]] == []
             assert a["dup-" + r["doc_id"]] == []
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_qerr(emb, books):
+    """Total squared reconstruction error of the PQ encoding."""
+    from traval_spark.operators.similarity import pq_code_col
+
+    d = len(books[0][0][1])
+    v = F.col("embedding").cast("array<double>")
+    cells = F.transform(
+        pq_code_col("embedding", books),
+        lambda c, s: F.struct(
+            s.cast("int").alias("sub"), c.alias("code"),
+            F.slice(v, s * F.lit(d) + 1, d).alias("sv"),
+        ),
+    )
+    ex = emb.select(F.explode(cells).alias("e")).select(
+        "e.sub", "e.code", "e.sv"
+    )
+    bt = emb.sparkSession.createDataFrame(
+        [(s, cid, vec) for s, bk in enumerate(books) for cid, vec in bk],
+        "sub int, code int, cv array<double>",
+    )
+    err = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return ex.join(F.broadcast(bt), ["sub", "code"]).agg(
+        F.sum(err)
+    ).collect()[0][0]
+
+
+def test_pq_encode_shape_and_determinism(emb):
+    """Codes are m ints in [0, ksub), identical across two runs, and
+    the planted near-dup encodes identically to its original (PQ cells
+    are far coarser than a 1% perturbation)."""
+    from traval_spark.operators.similarity import (
+        pq_seed_codebooks,
+        with_pq_codes,
+    )
+
+    books = pq_seed_codebooks(emb, m=4, ksub=8)
+    a = {r["vec_id"]: r["codes"] for r in
+         with_pq_codes(emb, books).collect()}
+    b = {r["vec_id"]: r["codes"] for r in
+         with_pq_codes(emb, books).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in a.values())
+    assert a[0] == a[1]
+
+
+def test_pq_refine_deterministic_and_tightens(emb):
+    """Per-subspace Lloyd refinement is deterministic, keeps the code
+    space stable, and strictly reduces total quantization error on
+    this data (k-means' monotone objective)."""
+    from traval_spark.operators.similarity import (
+        pq_refine_codebooks,
+        pq_seed_codebooks,
+    )
+
+    b0 = pq_seed_codebooks(emb, m=4, ksub=8)
+    b2 = pq_refine_codebooks(emb, b0, iters=2)
+    assert b2 == pq_refine_codebooks(emb, b0, iters=2)
+    assert [[c for c, _ in bk] for bk in b2] == \
+           [[c for c, _ in bk] for bk in b0]
+    assert _pq_qerr(emb, b2) < _pq_qerr(emb, b0)
+
+
+def test_pq_shortlist_recall(emb):
+    """The ADC shortlist at 3k contains the exact top-k's members —
+    the IVF-PQ serving contract (ADC shortlist, exact re-rank); also
+    pins that adc_dot approximates the true dot ordering far better
+    than chance on refined books."""
+    from traval_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_refine_codebooks,
+        pq_seed_codebooks,
+        with_pq_codes,
+    )
+
+    q = [float(x) for x in
+         emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    books = pq_refine_codebooks(
+        emb, pq_seed_codebooks(emb, m=4, ksub=8), iters=2
+    )
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()}
+    short = {r["vec_id"] for r in
+             pq_adc_topk(with_pq_codes(emb, books), q, books,
+                         k=15).collect()}
+    assert len(exact & short) >= 4

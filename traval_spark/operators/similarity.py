@@ -677,3 +677,182 @@ def semantic_incremental_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress embeddings ~dim*4 bytes -> m bytes,
+# score candidates against a query through a broadcast lookup table (ADC).
+# At 100 TB of embeddings the PQ-coded table is what a scan can actually
+# stream from storage; exact re-ranking then touches only the ADC top
+# candidates (pair with ivf_topk for the classic IVF-PQ layout).
+# ---------------------------------------------------------------------------
+
+
+def pq_seed_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: the ``ksub`` rows with the smallest
+    md5(id) seed every subspace (code = rank in that order), each seed
+    vector split into ``m`` contiguous sub-vectors — the same one-pass
+    seeding rule as :func:`ivf_seed_centroids` (TakeOrderedAndProject:
+    ksub rows ever reach the driver). Production would Lloyd-refine each
+    subspace codebook (``lloyd_refine`` is the template); the
+    encode/ADC plumbing is unchanged by that."""
+    rows = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [(cid, list(r["v"])[s * d:(s + 1) * d])
+         for cid, r in enumerate(rows)]
+        for s in range(m)
+    ]
+
+
+def pq_code_col(
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    ndigits: int = 9,
+) -> Column:
+    """``array<int>`` of per-subspace nearest-code ids: squared-L2
+    argmin over each subspace's codebook literals (rounded for
+    cross-engine tie stability, ties to the smallest code). Pure-JVM
+    expression — encoding adds NO shuffle and no Python, exactly like
+    :func:`ivf_assign_col`."""
+    v = F.col(vec_col).cast("array<double>")
+    d = len(codebooks[0][0][1])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sv = F.slice(v, s * d + 1, d)
+        entries = []
+        for cid, c in book:
+            ce = F.array(*[F.lit(float(x)) for x in c])
+            dist = F.round(
+                F.aggregate(
+                    F.zip_with(sv, ce, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                ndigits,
+            )
+            entries.append(F.struct(dist.alias("d"), F.lit(cid).alias("n")))
+        codes.append(F.array_min(F.array(*entries))["n"].cast("int"))
+    return F.array(*codes)
+
+
+def with_pq_codes(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the PQ-compressed table you persist;
+    m bytes of payload per vector instead of dim floats."""
+    return emb.select(
+        F.col(id_col), pq_code_col(vec_col, codebooks).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    coded: DataFrame,
+    query: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approx dot(query, x) =
+    sum_s lut[s][code_s], where lut[s][c] = dot(query_sub_s, codebook
+    entry c) is computed driver-side (m * ksub floats) and inlined as
+    literals — the scan reads ONLY the m-byte code column, does m array
+    lookups + adds per row (pure JVM), and the top-k is a
+    TakeOrderedAndProject. No shuffle, no Python, no full-precision
+    vectors touched until the caller's exact re-rank of the k
+    survivors."""
+    d = len(codebooks[0][0][1])
+    total = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        qs = query[s * d:(s + 1) * d]
+        lut = [
+            round(sum(a * b for a, b in zip(qs, c)), 9)
+            for _, c in sorted(book)
+        ]
+        total = total + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.col(codes_col)[s] + 1,
+        )
+    return (
+        coded.select(F.col(id_col), F.round(total, ndigits).alias("adc_dot"))
+        .orderBy(F.desc("adc_dot"), id_col)
+        .limit(k)
+    )
+
+
+def pq_refine_codebooks(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+    ndigits: int = 9,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace Lloyd refinement of PQ codebooks (real PQ training:
+    k-means in each subspace under squared L2). Each pass encodes with
+    the current books (pure-JVM argmin, no shuffle), explodes to
+    (sub, code, dim, value) and takes the decimal-exact mean per cell —
+    one partial-aggregatable shuffle whose reduced output is only
+    m * ksub * d rows, collected as the next pass's literals. The
+    decimal sum makes the means layout-independent (see
+    :func:`lloyd_refine`); codes that lose all members keep their
+    previous entry."""
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    cur = codebooks
+    for _ in range(int(iters)):
+        v = F.col(vec_col).cast("array<double>")
+        cells = F.transform(
+            pq_code_col(vec_col, cur, ndigits),
+            lambda c, s: F.struct(
+                s.cast("int").alias("sub"),
+                c.alias("code"),
+                F.slice(v, s * F.lit(d) + 1, d).alias("sv"),
+            ),
+        )
+        assigned = (
+            emb.select(F.explode(cells).alias("e"))
+            .select("e.sub", "e.code", F.posexplode("e.sv"))
+        )
+        means = (
+            assigned.groupBy("sub", "code", "pos")
+            .agg(
+                (F.sum(F.col("col").cast("decimal(38,18)"))
+                 / F.count("col")).cast("double").alias("mval")
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mval"))
+                ).alias("e")
+            )
+            .select(
+                "sub", "code",
+                F.transform("e", lambda s: s["mval"]).alias("c"),
+            )
+            .collect()
+        )
+        got = {(r["sub"], r["code"]): list(r["c"]) for r in means}
+        cur = [
+            [(cid, got.get((s, cid), c)) for cid, c in book]
+            for s, book in enumerate(cur)
+        ]
+    return cur
