@@ -526,6 +526,38 @@ def q_split_assign(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+EPOCH_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.5}
+TOKEN_BUDGETS = {"src0": 2000, "src1": 500}
+
+
+def q_epoch_upsample(spark, sf_dir):
+    """Repetition-factor mixing (the up-sampling half of a mixture
+    recipe): weight 2.5 emits every src0 doc twice plus a deterministic
+    half of them a third time, each copy tagged with a 0-based epoch;
+    unlisted sources keep one epoch. Pure-JVM sequence explode — no
+    shuffle."""
+    from traval_spark.operators.sampling import epoch_upsample
+
+    return epoch_upsample(_docs(spark, sf_dir), EPOCH_WEIGHTS,
+                          seed=3).select("doc_id", "source", "epoch")
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-source token-budget caps ("take N tokens of src0"): docs
+    consumed in deterministic (md5-shard, id) order until the budget
+    fills, straddling doc kept, unlisted sources kept whole. The
+    running count is packing's skew-safe two-level prefix sum — never a
+    one-task-per-source sort."""
+    from traval_spark.operators.sampling import token_budget_sample
+
+    s = _seqs_from(_docs(spark, sf_dir)).filter(
+        F.col("tokens").isNotNull()
+    )
+    return token_budget_sample(s, TOKEN_BUDGETS, seed=5).select(
+        "doc_id", "source", "n_tok"
+    )
+
+
 def q_curate(spark, sf_dir):
     """End-to-end corpus curation in ONE lazy plan — the full shape a
     training-data job runs: exact token-sequence dedup (keep the
@@ -1726,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "sample_k": q_sample_k,
         "split_assign": q_split_assign,
+        "epoch_upsample": q_epoch_upsample,
+        "token_budget": q_token_budget,
         "curate": q_curate,
         "curate_tokens": q_curate_tokens,
         "ann_scores": q_ann_scores,
@@ -3367,6 +3401,35 @@ def oracle_sql() -> dict[str, str]:
                    order by {_HU.format(seed=3)}, doc_id) AS rn
                from documents)
     select doc_id, source from r where rn <= 5
+    """
+    _EPOCH_W = ("case source when 'src0' then 2.5 when 'src1' then 2.0 "
+                "when 'src2' then 0.5 else 1.0 end")
+    sql["epoch_upsample"] = f"""
+    with r as (select doc_id, source,
+                 CAST(floor({_EPOCH_W}) AS INT)
+                 + case when {_HU.format(seed=3)}
+                             < {_EPOCH_W} - floor({_EPOCH_W})
+                        then 1 else 0 end AS reps
+               from documents)
+    select doc_id, source, CAST(t.e AS INT) AS epoch
+    from r, unnest(generate_series(0, reps - 1)) t(e)
+    where reps > 0
+    """
+    _TB = ("case source when 'src0' then 2000 "
+           "when 'src1' then 500 else NULL end")
+    sql["token_budget"] = f"""
+    with t as (select doc_id, source, {_TOKSEQ} tk from documents),
+    q as (select doc_id, source, CAST(len(tk) AS INT) AS n_tok,
+                 CAST(floor({_HU.format(seed=5)} * 64) AS INT) AS shard
+          from t where tk is not null),
+    c as (select doc_id, source, n_tok,
+                 sum(CAST(n_tok AS BIGINT)) over (
+                   partition by source order by shard, doc_id
+                   rows between unbounded preceding and current row)
+                 - n_tok AS bef
+          from q)
+    select doc_id, source, n_tok from c
+    where {_TB} is null or bef < {_TB}
     """
     sql["split_assign"] = f"""
     select doc_id,

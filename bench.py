@@ -118,7 +118,7 @@ def main() -> None:
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
         "token_dedup_exact", "token_lsh_pairs", "dup_spans", "trim_spans",
         "decontaminate", "pack_assign",
-        "curate", "curate_tokens",
+        "curate", "curate_tokens", "epoch_upsample", "token_budget",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
         "semantic_keep",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -1189,3 +1189,74 @@ def test_pq_shortlist_recall(emb):
              pq_adc_topk(with_pq_codes(emb, books), q, books,
                          k=15).collect()}
     assert len(exact & short) >= 4
+
+
+def test_epoch_upsample_counts_and_determinism(spark):
+    """floor(w) full epochs + a deterministic frac(w) share of one
+    more; unlisted sources keep exactly one epoch; epoch ids are dense
+    0..reps-1; two runs identical."""
+    from traval_spark.operators.sampling import epoch_upsample
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), "t") for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    w = {"s0": 2.5, "s1": 0.5}
+    out = epoch_upsample(docs, w, seed=3)
+    rows = out.collect()
+    assert rows == epoch_upsample(docs, w, seed=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # dense epochs per doc
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+    n = {s: sum(len(v) for d, v in by_doc.items() if d % 3 == int(s[1]))
+         for s in ("s0", "s1", "s2")}
+    assert n["s2"] == 100                 # default weight 1.0
+    assert 200 <= n["s0"] <= 300          # 2.5x: between 2x and 3x
+    assert 0 < n["s1"] < 100              # 0.5x Bernoulli
+    # every s0 doc appears at least twice (floor(2.5) full epochs)
+    assert all(len(v) >= 2 for d, v in by_doc.items() if d % 3 == 0)
+
+
+def test_token_budget_sample_cap_and_straddle(spark):
+    """Each budgeted source's kept tokens reach the budget and overflow
+    only by the straddling doc; unlisted sources are kept whole;
+    membership is deterministic and consumption follows (shard, id)
+    hash order (a prefix property: kept set = first docs in that
+    order)."""
+    from traval_spark.operators.sampling import token_budget_sample
+    from traval_spark.packing import shard_key
+
+    seqs = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "cold", 10 + i % 7)
+         for i in range(400)],
+        "doc_id long, source string, n_tok int",
+    )
+    budgets = {"hot": 300}
+    out = token_budget_sample(seqs, budgets, seed=5)
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in token_budget_sample(seqs, budgets,
+                                                 seed=5).collect())
+    cold = [r for r in rows if r["source"] == "cold"]
+    assert len(cold) == 200               # unlisted: kept whole
+    hot = [r for r in rows if r["source"] == "hot"]
+    tot = sum(r["n_tok"] for r in hot)
+    mx = max(r["n_tok"] for r in hot)
+    assert 300 <= tot < 300 + mx          # budget reached, bounded straddle
+    # prefix property in (shard, doc_id) order
+    ordered = (
+        seqs.filter(F.col("source") == "hot")
+        .withColumn("__shard", shard_key("doc_id", 64, 5))
+        .orderBy("__shard", "doc_id")
+        .collect()
+    )
+    kept = {r["doc_id"] for r in hot}
+    run, seen = 0, set()
+    for r in ordered:
+        if run >= 300:
+            break
+        seen.add(r["doc_id"])
+        run += r["n_tok"]
+    assert kept == seen

@@ -146,3 +146,118 @@ def split_assign(
     for name, bound in reversed(bounds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Repetition-factor data mixing (the up-sampling half of a mixture
+    recipe, where :func:`mixture_sample` is the down-sampling half): a
+    source with weight w contributes floor(w) full epochs of every doc
+    plus one more with probability frac(w), decided per-doc by the
+    deterministic hash — weight 2.5 means every doc twice and half the
+    docs (always the same half) a third time. Adds an ``epoch`` int
+    column (0-based copy index) so the loader/packer can keep copies
+    distinguishable; sources absent from ``weights`` default to 1.0
+    (kept once), NOT dropped — up-sampling a few sources must not
+    silently discard the rest.
+
+    Pure-JVM explode of a per-row int sequence: no shuffle, no Python,
+    output size = sum of per-source ceil/floor mixes. Deterministic in
+    (id, seed) — safe under retries and backfills like every sampler
+    here (use a seed distinct from composed samplers; see
+    :func:`hash_uniform` on correlated draws)."""
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    pairs: list[Column] = []
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"negative weight for {k!r}")
+        pairs += [F.lit(k), F.lit(float(v))]
+    w = F.coalesce(
+        F.create_map(*pairs)[F.col(source_col)], F.lit(1.0)
+    )
+    nfull = F.floor(w).cast("int")
+    extra = (
+        hash_uniform(F.col(id_col), seed) < (w - F.floor(w))
+    ).cast("int")
+    return (
+        df.withColumn("__reps", nfull + extra)
+        .filter(F.col("__reps") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), F.col("__reps") - F.lit(1))),
+        )
+        .drop("__reps")
+    )
+
+
+def token_budget_sample(
+    seqs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shards: int = 64,
+) -> DataFrame:
+    """Per-source TOKEN-budget cap ("take 10B tokens of src0"), the
+    budget-denominated alternative to fraction mixing: documents are
+    consumed in deterministic pseudo-random order (md5 shard, then id)
+    until the source's budget is filled; the straddling document is
+    kept (>= budget coverage when available — the same convention as
+    packing's overflow rule). Sources absent from ``budgets`` are kept
+    whole.
+
+    The running token count is the SAME skew-safe two-level prefix sum
+    as packing.assign_packs: per-(source, shard) local cumsum + tiny
+    broadcast-scale shard offsets — two balanced exchanges, never a
+    one-task-per-source sort, so a dominant source cannot serialize
+    the job. Deterministic in (id, seed): a retry keeps exactly the
+    same documents."""
+    from traval_spark.packing import shard_key  # lazy: packing imports us
+
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    base = seqs.filter(F.col(n_tok_col).isNotNull()).withColumn(
+        "__shard", shard_key(id_col, int(shards), seed)
+    )
+    w_loc = (
+        Window.partitionBy(source_col, "__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before_loc = (
+        F.sum(F.col(n_tok_col).cast("long")).over(w_loc)
+        - F.col(n_tok_col)
+    ).cast("long")
+    totals = base.groupBy(source_col, "__shard").agg(
+        F.sum(F.col(n_tok_col).cast("long")).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        source_col,
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    pairs: list[Column] = []
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"negative budget for {k!r}")
+        pairs += [F.lit(k), F.lit(int(v)).cast("long")]
+    budget = F.create_map(*pairs)[F.col(source_col)]
+    joined = base.withColumn("__before_loc", before_loc).join(
+        offsets, [source_col, "__shard"]
+    )
+    keep = budget.isNull() | (
+        (F.col("__off") + F.col("__before_loc")) < budget
+    )
+    return joined.filter(keep).drop("__shard", "__before_loc", "__off")
