@@ -558,6 +558,27 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_pack_payloads(spark, sf_dir):
+    """Loader-ready pack materialization: each 512-token pack's
+    documents concatenated into ONE token row in pack_pos order
+    (compared by md5 of the full payload — value-exact down to token
+    order). The (source, pack_id) aggregation key is skew-free by
+    construction: every pack holds ~target tokens regardless of source
+    dominance."""
+    from traval_spark.packing import assign_packs, materialize_packs
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    m = materialize_packs(assign_packs(s, target_tokens=512))
+    return m.select(
+        "source", "pack_id",
+        F.md5(
+            F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        ).alias("tok_hash"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def q_curate(spark, sf_dir):
     """End-to-end corpus curation in ONE lazy plan — the full shape a
     training-data job runs: exact token-sequence dedup (keep the
@@ -1755,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_quantiles_1h": q_dds_quantiles_1h,
         "pack_assign": q_pack_assign,
         "pack_stats": q_pack_stats,
+        "pack_payloads": q_pack_payloads,
         "mix_sample": q_mix_sample,
         "sample_k": q_sample_k,
         "split_assign": q_split_assign,
@@ -3539,6 +3561,25 @@ def oracle_sql() -> dict[str, str]:
     select source, pack_id, count(*) AS n_docs, sum(n_tok) AS tok_total,
            round(sum(n_tok) / 512.0, 6) AS utilization
     from p group by 1, 2
+    """
+    sql["pack_payloads"] = f"""
+    with t as (select doc_id, source, {_TOKSEQ} tk from documents),
+    s as (select doc_id, source, tk, CAST(len(tk) AS BIGINT) AS n_tok,
+                 CAST(floor({_HU.format(seed=0)} * 64) AS INT) AS shard
+          from t where tk is not null),
+    p as (select doc_id, source, tk, n_tok, shard,
+            CAST(floor((sum(n_tok) over (partition by source
+                        order by shard, doc_id
+                        rows between unbounded preceding and current row)
+                        - n_tok) / 512.0) AS BIGINT) AS pack_id
+          from s)
+    select source, pack_id,
+           md5(coalesce(array_to_string(
+                 flatten(list(tk order by shard, doc_id)), ','), ''))
+             AS tok_hash,
+           CAST(sum(n_tok) AS BIGINT) AS n_tok,
+           count(*) AS n_docs
+    from p group by source, pack_id
     """
     _g = (1.0 + 0.05) / (1.0 - 0.05)
     sql["dds_quantiles_1h"] = f"""

@@ -212,3 +212,42 @@ def test_extend_packs_new_group_starts_at_zero(spark):
            for r in extend_packs(old, new, 256).collect()}
     assert out["b1"] == 0      # unseen group: fresh numbering
     assert out["b2"] == 1      # existing group: continues after max
+
+
+def test_materialize_packs_payloads_and_separators(spark):
+    """Loader artifact invariants: tokens concatenate in pack_pos order,
+    n_tok == len(tokens), sep_token appears exactly between documents
+    (never trailing), token totals are conserved, and doc_ids track
+    lineage."""
+    from traval_spark.packing import assign_packs, materialize_packs
+
+    rows = [(i, list(range(i * 10, i * 10 + 3 + i % 4)),
+             "s%d" % (i % 2)) for i in range(40)]
+    seqs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string"
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    packed = assign_packs(seqs, target_tokens=16)
+
+    m = materialize_packs(packed, sep_token=-1).collect()
+    id_to_toks = {r["doc_id"]: r["tokens"] for r in seqs.collect()}
+    pos = {(r["source"], r["pack_id"]): r for r in packed.collect()
+           if r["pack_pos"] == 0}
+    for r in m:
+        assert r["n_tok"] == len(r["tokens"])
+        assert r["tokens"].count(-1) == r["n_docs"] - 1
+        assert r["tokens"][-1] != -1
+        # reconstruct: concatenation of its docs' tokens joined by -1
+        want = []
+        for j, did in enumerate(r["doc_ids"]):
+            if j:
+                want.append(-1)
+            want += id_to_toks[did]
+        assert r["tokens"] == want
+        # first doc in the payload is the pack_pos == 0 doc
+        assert r["doc_ids"][0] == pos[(r["source"], r["pack_id"])]["doc_id"]
+
+    tot_in = sum(len(t) for t in id_to_toks.values())
+    assert sum(r["n_tok"] - (r["n_docs"] - 1) for r in m) == tot_in
+    nosep = materialize_packs(packed).collect()
+    assert sum(r["n_tok"] for r in nosep) == tot_in
+    assert all(-1 not in r["tokens"] for r in nosep)

@@ -283,3 +283,60 @@ def extend_packs(
         )
         .drop("__base")
     )
+
+
+def materialize_packs(
+    packed: DataFrame,
+    by: str | list[str] = "source",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    sep_token: int | None = None,
+) -> DataFrame:
+    """Concatenate each pack's documents into ONE loader-ready token
+    row: (by..., pack_id, tokens, n_tok, n_docs, doc_ids) — the
+    training artifact assign_packs lays out. Documents join in
+    pack_pos order; ``sep_token`` (e.g. an EOD id) is inserted BETWEEN
+    documents when given (never trailing), so n_tok = sum of doc
+    lengths + (n_docs - 1) separators.
+
+    One exchange on the skew-free (by, pack_id) key (every pack holds
+    ~target tokens by construction), then a pure-JVM sort + flatten of
+    the collected (pack_pos, tokens) structs — collect_list per pack is
+    bounded by the pack budget, not by document count in the group, so
+    no hot source can blow an executor. doc_ids preserves the lineage
+    the curation manifest tracks (which documents landed in which
+    pack)."""
+    by = [by] if isinstance(by, str) else list(by)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("pack_pos"), F.col(tokens_col).alias("tk"),
+                     F.col(id_col).alias("did"))
+        )
+    )
+    agg = packed.groupBy(*by, "pack_id").agg(ordered.alias("__e"))
+    docs = F.transform(F.col("__e"), lambda s: s["tk"])
+    if sep_token is None:
+        toks = F.flatten(docs)
+    else:
+        sep = F.array(F.lit(int(sep_token)).cast("int"))
+        # separator BETWEEN docs: flatten doc_i || sep for all but the
+        # last doc, then append the last doc bare
+        n = F.size("__e")
+        toks = F.concat(
+            F.flatten(
+                F.transform(
+                    F.slice(docs, 1, n - 1),
+                    lambda t: F.concat(t, sep),
+                )
+            ),
+            F.element_at(docs, -1),
+        )
+    return (
+        agg.withColumn(tokens_col, toks)
+        .withColumn("n_tok", F.size(tokens_col).cast("int"))
+        .withColumn("n_docs", F.size("__e").cast("int"))
+        .withColumn(
+            "doc_ids", F.transform(F.col("__e"), lambda s: s["did"])
+        )
+        .drop("__e")
+    )
