@@ -243,3 +243,34 @@ def test_curate_exact_dedup_skew_safe_plan(spark):
     ids = {r["doc_id"] for r in got}
     assert 0 in ids and not any(i in ids for i in range(2, 200, 2))
     assert ids.issuperset({1000 + i for i in range(1, 200, 2)})
+
+
+def test_materialize_curated_end_to_end(spark, tmp_path):
+    """Token-mode curation + pack materialization: every curated doc's
+    tokens appear exactly once across the payloads of its (split,
+    source), separators sit only between documents, and totals match
+    the doc-level packed frame."""
+    from traval_spark.curation import materialize_curated
+
+    rows = [(i, list(range(i * 5, i * 5 + 4 + i % 3)), "s%d" % (i % 2))
+            for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string")
+    packed = curate_corpus(docs, tokens_col="tokens", near_dup=False,
+                           target_tokens=24)
+    out = str(tmp_path / "packs")
+    materialize_curated(packed, docs, "tokens", out, sep_token=-7)
+    m = spark.read.parquet(out)
+    got = m.collect()
+    assert set(m.columns) >= {"source", "pack_id", "tokens", "n_tok",
+                              "n_docs", "doc_ids", "split"}
+    doc_rows = packed.collect()
+    n_docs_in = len(doc_rows)
+    assert sum(r["n_docs"] for r in got) == n_docs_in
+    assert sum(r["n_tok"] - (r["n_docs"] - 1) for r in got) == \
+        sum(r["n_tok"] for r in doc_rows)
+    seen = [d for r in got for d in r["doc_ids"]]
+    assert sorted(seen) == sorted(r["doc_id"] for r in doc_rows)
+    for r in got:
+        assert r["tokens"].count(-7) == r["n_docs"] - 1
+        assert r["tokens"][-1] != -7 and r["tokens"][0] != -7

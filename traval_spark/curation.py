@@ -377,6 +377,39 @@ def write_curated(
         )
 
 
+def materialize_curated(
+    packed: DataFrame,
+    docs: DataFrame,
+    tokens_col: str,
+    out_path: str,
+    sep_token: int | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> None:
+    """Join the curated pack LAYOUT (id, split, source, pack_id,
+    pack_pos — curate_corpus deliberately drops payloads before packing
+    so the final exchanges stay narrow) back to its token payloads and
+    write loader-ready pack rows (one concatenated token sequence per
+    pack, optional separator token between documents) partitioned by
+    split. The join key is the unique doc id — balanced regardless of
+    source skew — and the pack aggregation key is skew-free by
+    construction. Write this to a SIBLING of the doc-level dataset:
+    nesting it inside would corrupt the partitioned parquet layout."""
+    from traval_spark.packing import materialize_packs
+
+    joined = packed.select(
+        id_col, source_col, "split", "pack_id", "pack_pos"
+    ).join(docs.select(id_col, tokens_col), id_col)
+    m = materialize_packs(
+        joined,
+        by=["split", source_col],
+        tokens_col=tokens_col,
+        id_col=id_col,
+        sep_token=sep_token,
+    )
+    m.write.mode("overwrite").partitionBy("split").parquet(out_path)
+
+
 def _hadoop_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FS API (works for any
     store the session can write to, not just the local filesystem)."""
@@ -418,8 +451,18 @@ def main() -> None:
                     help="skip per-stage counts + manifest: one lazy "
                          "plan, no per-stage caching/actions (metrics "
                          "mode materializes the corpus once per stage)")
+    ap.add_argument("--materialize-packs", action="store_true",
+                    help="also write loader-ready concatenated pack "
+                         "payloads (token mode only) to <output>_packs, "
+                         "partitioned by split")
+    ap.add_argument("--sep-token", type=int, default=None,
+                    help="separator token id inserted BETWEEN documents "
+                         "in materialized packs (e.g. an EOD id)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.materialize_packs and not args.tokens_col:
+        ap.error("--materialize-packs requires --tokens-col (the text "
+                 "chain has no token payload to concatenate)")
 
     quality = json.loads(args.quality) if args.quality else None
     if quality and "allowed_langs" in quality:
@@ -447,6 +490,12 @@ def main() -> None:
         caches=caches,
     )
     write_curated(packed, args.output, metrics)
+    if args.materialize_packs:
+        materialize_curated(
+            packed, docs, args.tokens_col,
+            f"{args.output.rstrip('/')}_packs",
+            sep_token=args.sep_token,
+        )
     for df in caches:   # release the last cached stage once written
         df.unpersist()
     print(json.dumps(metrics, default=str))
