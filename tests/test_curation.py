@@ -274,3 +274,34 @@ def test_materialize_curated_end_to_end(spark, tmp_path):
     for r in got:
         assert r["tokens"].count(-7) == r["n_docs"] - 1
         assert r["tokens"][-1] != -7 and r["tokens"][0] != -7
+
+
+def test_curate_tokens_trim_spans_stage(spark):
+    """trim_spans_k stage: corpus-wide duplicated k-token boilerplate is
+    trimmed out of every carrier, docs trimmed to nothing are dropped
+    with their own stage metric, and n_tok reflects the trimmed length
+    downstream."""
+    boiler = list(range(9000, 9010))          # 10-token shared run
+    rows = [
+        (1, boiler + list(range(100, 120)), "s0"),
+        (2, list(range(200, 220)) + boiler, "s0"),
+        (3, boiler, "s0"),                    # nothing but boilerplate
+        (4, list(range(300, 330)), "s0"),     # untouched
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string")
+    metrics: dict = {}
+    packed = curate_corpus(docs, tokens_col="tokens", near_dup=False,
+                           trim_spans_k=5, target_tokens=64,
+                           metrics=metrics)
+    assert metrics["after_span_trim"] == metrics["after_exact_dedup"] - 1
+    got = {r["doc_id"]: r["n_tok"] for r in packed.collect()}
+    assert 3 not in got
+    assert got[1] == 20 and got[2] == 20 and got[4] == 30
+
+    # text mode refuses the stage
+    tdocs = spark.createDataFrame(
+        [(1, "a b c", "s0")], "doc_id long, text string, source string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="token-mode"):
+        curate_corpus(tdocs, trim_spans_k=5)

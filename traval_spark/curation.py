@@ -56,6 +56,7 @@ def curate_corpus(
     lsh_b: int = 4,
     lsh_r: int = 2,
     shingle_k: int = 3,
+    trim_spans_k: int | None = None,
     benchmark: DataFrame | None = None,
     decontaminate_k: int = 8,
     short_bench_containment: bool = True,
@@ -81,6 +82,13 @@ def curate_corpus(
        within ``max_hamming``; token mode — MinHash (b, r)-banded LSH
        over ``shingle_k``-token shingles. Either way -> large/small-star
        connected components -> keep cluster representatives;
+    3b. exact-substring trim (``trim_spans_k=``, token mode only):
+       remove every maximal token span covered by ``trim_spans_k``-token
+       windows duplicated corpus-wide (:func:`trim_duplicated_spans`,
+       the Lee et al. family); documents trimmed to zero tokens are
+       dropped with their own stage metric. Runs AFTER whole-doc dedup
+       (whole-dup copies are gone, so boilerplate spans dominate) and
+       BEFORE decontamination (which then sees the cleaned payloads);
     4. decontamination (``benchmark=`` docs frame): drop documents
        sharing >= 1 ``decontaminate_k``-gram (words / token ids) with
        the benchmark. Benchmark items SHORTER than k can't form a
@@ -221,6 +229,26 @@ def curate_corpus(
             "after_near_dedup",
             cur.join(stars.select(F.col("u").alias(id_col)),
                      id_col, "left_anti"),
+        )
+
+    if trim_spans_k is not None:
+        if not tokens_col:
+            raise ValueError(
+                "trim_spans_k is a token-mode stage (exact-substring "
+                "dedup runs on token ids); pass tokens_col"
+            )
+        from traval_spark.operators.dedup import trim_duplicated_spans
+
+        trimmed = trim_duplicated_spans(
+            cur, k=int(trim_spans_k), tokens_col=tokens_col,
+            id_col=id_col,
+        )
+        # docs trimmed to nothing carry no trainable payload — dropped
+        # HERE so the stage metric discloses them (packing would
+        # otherwise emit zero-footprint rows)
+        cur = note(
+            "after_span_trim",
+            trimmed.filter(F.size(tokens_col) > 0),
         )
 
     if benchmark is not None:
@@ -451,6 +479,10 @@ def main() -> None:
                     help="skip per-stage counts + manifest: one lazy "
                          "plan, no per-stage caching/actions (metrics "
                          "mode materializes the corpus once per stage)")
+    ap.add_argument("--trim-spans-k", type=int, default=None,
+                    help="token mode: trim every token span covered by "
+                         "k-token windows duplicated corpus-wide "
+                         "(exact-substring dedup); omit to skip")
     ap.add_argument("--materialize-packs", action="store_true",
                     help="also write loader-ready concatenated pack "
                          "payloads (token mode only) to <output>_packs, "
@@ -479,6 +511,7 @@ def main() -> None:
         quality=quality,
         near_dup=not args.no_near_dup,
         max_hamming=args.max_hamming,
+        trim_spans_k=args.trim_spans_k,
         benchmark=bench,
         decontaminate_k=args.decontaminate_k,
         weights=json.loads(args.weights) if args.weights else None,
