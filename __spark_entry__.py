@@ -1221,6 +1221,36 @@ def q_trim_spans(spark, sf_dir):
     )
 
 
+def q_span_coverage(spark, sf_dir):
+    """Duplication observability: per source, the fraction of corpus
+    tokens sitting inside duplicated spans — the number a curation run
+    reads to decide whether the trim stage is worth its pass. One
+    aggregate over the spans frame joined to per-doc totals; rounded so
+    cross-engine double summation order can't flip the hash."""
+    from traval_spark.operators.dedup import duplicated_spans
+
+    s = _seqs_from(_docs_with_near_dups(spark, sf_dir)).filter(
+        F.col("tokens").isNotNull()
+    )
+    sp = duplicated_spans(s, k=8)
+    per_doc = sp.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("__dup")
+    )
+    return (
+        s.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("tok_total"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long").alias("tok_dup"),
+            F.round(
+                F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+                / F.sum("n_tok"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: sequences with doc_id % 37 == 0 play the
     eval suite; every other sequence sharing >= 1 3-token shingle with it
@@ -1770,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_lsh_pairs": q_token_lsh_pairs,
         "dup_spans": q_dup_spans,
         "trim_spans": q_trim_spans,
+        "span_coverage": q_span_coverage,
         "decontaminate": q_decontaminate,
         "token_repetition": q_token_repetition,
         "toptok_1h": q_toptok_1h,
@@ -3383,6 +3414,24 @@ def oracle_sql() -> dict[str, str]:
     {_SPAN_CTES}
     select doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end
     from spans
+    """
+    sql["span_coverage"] = f"""
+    with nds as (select doc_id, source, text from documents union all
+                 select doc_id + 1000000, source, text || ' qq zz'
+                 from documents where doc_id % 25 = 0),
+    nd as (select doc_id, text from nds),
+    {_SPAN_CTES},
+    d as (select nds.doc_id, nds.source,
+                 CAST(len(q.tk) AS BIGINT) AS n_tok
+          from q join nds using (doc_id)),
+    pd as (select doc_id, sum(e - s) AS dup from spans group by doc_id)
+    select d.source,
+           CAST(sum(d.n_tok) AS BIGINT) AS tok_total,
+           CAST(sum(coalesce(pd.dup, 0)) AS BIGINT) AS tok_dup,
+           round(sum(coalesce(pd.dup, 0)) * 1.0 / sum(d.n_tok), 6)
+             AS dup_fraction
+    from d left join pd using (doc_id)
+    group by d.source
     """
     sql["trim_spans"] = f"""
     with {_ND_DOCS},
