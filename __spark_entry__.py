@@ -1265,6 +1265,28 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(corpus, bench, k=3)
 
 
+def q_remap_tokens(spark, sf_dir):
+    """Tokenizer migration: every id through a dense old->new table
+    (here new = (old*7+3) mod V with the top 257 ids retired ->
+    dropped), one array-literal O(1) JVM lookup per token. Compared by
+    md5 of each remapped sequence + its new length."""
+    from traval_spark.operators.text import remap_tokens
+
+    v = TOKEN_VOCAB
+    mapping = [((i * 7 + 3) % v) if i < v - 257 else -1 for i in range(v)]
+    s = _seqs_from(_docs(spark, sf_dir)).filter(
+        F.col("tokens").isNotNull()
+    )
+    out = remap_tokens(s, mapping)
+    return out.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        ).alias("tok_hash"),
+        "n_tok",
+    )
+
+
 def q_token_repetition(spark, sf_dir):
     """Intra-sequence duplicate-bigram fraction over token ids (the
     token-level Gopher repetition analog); every 20th sequence is also
@@ -1803,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_coverage": q_span_coverage,
         "decontaminate": q_decontaminate,
         "token_repetition": q_token_repetition,
+        "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
         "dds_quantiles_1h": q_dds_quantiles_1h,
         "pack_assign": q_pack_assign,
@@ -3448,6 +3471,18 @@ def oracle_sql() -> dict[str, str]:
            md5(coalesce(array_to_string(a.tk2, ','), '')) AS tok_hash,
            CAST(coalesce(len(a.tk2), 0) AS INT) AS n_tok
     from q left join agg a using (doc_id)
+    """
+    sql["remap_tokens"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    q as (select doc_id, tk from t where tk is not null),
+    r as (select doc_id,
+                 [(t * 7 + 3) % {TOKEN_VOCAB} for t in tk
+                  if t < {TOKEN_VOCAB - 257}] AS nt
+          from q)
+    select doc_id,
+           md5(coalesce(array_to_string(nt, ','), '')) AS tok_hash,
+           CAST(coalesce(len(nt), 0) AS INT) AS n_tok
+    from r
     """
     sql["decontaminate"] = f"""
     with t as (select doc_id, {_TOKSEQ} tk from documents),

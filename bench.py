@@ -114,6 +114,7 @@ def main() -> None:
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "fingerprint",
+        "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
         "token_dedup_exact", "token_lsh_pairs", "dup_spans", "trim_spans",

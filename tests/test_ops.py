@@ -1260,3 +1260,27 @@ def test_token_budget_sample_cap_and_straddle(spark):
         seen.add(r["doc_id"])
         run += r["n_tok"]
     assert kept == seen
+
+
+def test_remap_tokens_policies(spark):
+    """Dense-table remap: in-range ids map, retired (negative-entry) and
+    out-of-range ids either become unk_id or are dropped, NULL sequences
+    pass through, n_tok follows the drop policy."""
+    from traval_spark.operators.text import remap_tokens
+
+    mapping = [10, 11, -1, 13]          # id 2 retired; ids >= 4 unmapped
+    seqs = spark.createDataFrame(
+        [(1, [0, 1, 2, 3, 9], "s"), (2, None, "s"), (3, [], "s")],
+        "doc_id long, tokens array<int>, source string",
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+
+    drop = {r["doc_id"]: r for r in
+            remap_tokens(seqs, mapping).collect()}
+    assert drop[1]["tokens"] == [10, 11, 13] and drop[1]["n_tok"] == 3
+    assert drop[2]["tokens"] is None
+    assert drop[3]["tokens"] == [] and drop[3]["n_tok"] == 0
+
+    unk = {r["doc_id"]: r for r in
+           remap_tokens(seqs, mapping, unk_id=99).collect()}
+    assert unk[1]["tokens"] == [10, 11, 99, 13, 99]
+    assert unk[1]["n_tok"] == 5

@@ -346,3 +346,48 @@ def token_repetition_fraction(tokens: Column, k: int = 2) -> Column:
     total = F.size(sh)
     rep = (total - F.size(F.array_distinct(sh))) / total
     return F.when(tokens.isNotNull(), F.round(rep, 6))
+
+
+def remap_tokens(
+    seqs,
+    mapping: list[int],
+    tokens_col: str = "tokens",
+    unk_id: int | None = None,
+):
+    """Tokenizer-migration remap: every token id looked up in a dense
+    old-id -> new-id table (``mapping[old] = new``; use a negative
+    entry for retired ids). Ids outside the table or mapped negative
+    become ``unk_id``, or are DROPPED from the sequence when ``unk_id``
+    is None. ``n_tok`` is recomputed when present (it changes under the
+    drop policy).
+
+    The table ships as ONE array literal (a single Literal node — data,
+    not 50k expression children), so the lookup is an O(1) JVM
+    ``get`` per token inside ``transform``: no shuffle, no join, no
+    Python. At very large vocabs the plan/broadcast payload is
+    ~4 bytes/entry (a 256k vocab is ~1 MB — fine); a mapping too big to
+    inline would switch to posexplode + broadcast join + re-collect,
+    the documented fallback."""
+    from pyspark.sql import functions as F
+
+    arr = F.lit([int(m) for m in mapping])
+
+    def look(t):
+        got = F.get(arr, t)
+        got = F.when(got >= 0, got)  # negative table entries = retired
+        if unk_id is not None:
+            got = F.coalesce(got, F.lit(int(unk_id)))
+        return got.cast("int")
+
+    mapped = F.transform(F.col(tokens_col), look)
+    if unk_id is None:
+        mapped = F.filter(mapped, lambda x: x.isNotNull())
+    out = seqs.withColumn(tokens_col, mapped)
+    if "n_tok" in seqs.columns:
+        out = out.withColumn(
+            "n_tok",
+            F.when(F.col(tokens_col).isNull(), F.col("n_tok")).otherwise(
+                F.size(tokens_col).cast("int")
+            ),
+        )
+    return out
