@@ -1221,6 +1221,25 @@ def q_trim_spans(spark, sf_dir):
     )
 
 
+def q_span_incremental(spark, sf_dir):
+    """Incremental exact-substring dedup: the near-dup copies play a
+    NEW ingest batch probed against the standing corpus's persisted
+    gram index — only the batch is windowed, the corpus joins as its
+    distinct-gram table. Oracle = full-recompute spans over the union
+    restricted to batch docs (the incremental-family contract)."""
+    from traval_spark.operators.dedup import (
+        duplicated_spans_incremental,
+        token_gram_index,
+    )
+
+    s = _seqs_from(_docs_with_near_dups(spark, sf_dir))
+    corpus = s.filter(F.col("doc_id") < 1_000_000)
+    batch = s.filter(F.col("doc_id") >= 1_000_000)
+    return duplicated_spans_incremental(
+        batch, token_gram_index(corpus, k=8), k=8
+    )
+
+
 def q_span_coverage(spark, sf_dir):
     """Duplication observability: per source, the fraction of corpus
     tokens sitting inside duplicated spans — the number a curation run
@@ -1823,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "trim_spans": q_trim_spans,
         "span_coverage": q_span_coverage,
+        "span_incremental": q_span_incremental,
         "decontaminate": q_decontaminate,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
@@ -3437,6 +3457,12 @@ def oracle_sql() -> dict[str, str]:
     {_SPAN_CTES}
     select doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end
     from spans
+    """
+    sql["span_incremental"] = f"""
+    with {_ND_DOCS},
+    {_SPAN_CTES}
+    select doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end
+    from spans where doc_id >= 1000000
     """
     sql["span_coverage"] = f"""
     with nds as (select doc_id, source, text from documents union all

@@ -1284,3 +1284,40 @@ def test_remap_tokens_policies(spark):
            remap_tokens(seqs, mapping, unk_id=99).collect()}
     assert unk[1]["tokens"] == [10, 11, 99, 13, 99]
     assert unk[1]["n_tok"] == 5
+
+
+def test_duplicated_spans_incremental_parity(spark):
+    """Incremental == full-recompute: batch spans probed against the
+    corpus gram index equal duplicated_spans over corpus UNION batch
+    restricted to batch docs — including batch-internal duplicates the
+    corpus has never seen."""
+    from traval_spark.operators.dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        token_gram_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, list(range(i * 20, i * 20 + 12)), "s") for i in range(30)],
+        "doc_id long, tokens array<int>, source string",
+    )
+    # batch: one partial copy of corpus doc 3, one batch-internal dup
+    # pair, one fresh doc
+    rows = [
+        (100, list(range(60, 68)) + [1, 2, 3], "s"),   # overlaps doc 3
+        (101, [9, 8, 7, 6, 5, 4, 3, 2], "s"),          # dup of 102
+        (102, [9, 8, 7, 6, 5, 4, 3, 2], "s"),
+        (103, list(range(5000, 5012)), "s"),           # fresh
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string")
+
+    idx = token_gram_index(corpus, k=5)
+    inc = {(r["doc_id"], r["span_start"], r["span_end"]) for r in
+           duplicated_spans_incremental(batch, idx, k=5).collect()}
+    full = {(r["doc_id"], r["span_start"], r["span_end"]) for r in
+            duplicated_spans(corpus.unionByName(batch), k=5).collect()
+            if r["doc_id"] >= 100}
+    assert inc == full
+    assert (100, 0, 8) in inc and (101, 0, 8) in inc
+    assert not any(d == 103 for d, _, _ in inc)

@@ -942,6 +942,13 @@ def duplicated_spans(
         .select("gram")
     )
     hits = win.join(dup, "gram", "left_semi")
+    return _merge_hit_intervals(hits, k, id_col)
+
+
+def _merge_hit_intervals(hits: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(id, pos) window hits -> maximal merged [span_start, span_end)
+    intervals. Windows partitioned by doc id: bounded by one document's
+    length, balanced across docs."""
     w = Window.partitionBy(id_col).orderBy("pos")
     # equal-length intervals [pos, pos+k) sorted by pos merge exactly
     # when the gap to the previous start is <= k (overlap or adjacency
@@ -961,6 +968,50 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def token_gram_index(
+    seqs: DataFrame,
+    k: int = 20,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persisted probe index for INCREMENTAL exact-substring dedup:
+    the corpus's distinct k-token window grams (one md5 column). Write
+    it once per corpus generation (partitioned parquet; a daily ingest
+    appends only the NEW batch's distinct grams) — the corpus is never
+    re-windowed to admit a batch."""
+    return _window_grams(seqs, k, tokens_col, id_col).select(
+        "gram"
+    ).distinct()
+
+
+def duplicated_spans_incremental(
+    new_seqs: DataFrame,
+    corpus_grams: DataFrame,
+    k: int = 20,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated spans of a NEW batch against a standing corpus, the
+    incremental twin of :func:`duplicated_spans` (min_count=2): a batch
+    window is duplicated iff its gram exists in the corpus index OR
+    occurs >= 2 times within the batch — exactly the windows
+    ``duplicated_spans(corpus UNION batch)`` would flag restricted to
+    batch docs (parity pytest). Only the batch is windowed; the corpus
+    participates as one semi-join against its persisted gram index
+    (:func:`token_gram_index`), never re-shingled — the daily-ingest
+    shape of the whole incremental family."""
+    win = _window_grams(new_seqs, k, tokens_col, id_col)
+    batch_dup = (
+        win.groupBy("gram")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("gram")
+    )
+    probe = corpus_grams.select("gram").unionByName(batch_dup).distinct()
+    hits = win.join(probe, "gram", "left_semi")
+    return _merge_hit_intervals(hits, k, id_col)
 
 
 def trim_duplicated_spans(
