@@ -834,3 +834,77 @@ def test_stateful_flat_stream_matches_batch(spark, tmp_path):
     assert j.filter((F.col("s_code") != 0) != (F.col("b_code") != 0)
                     ).count() == 0
     assert streamed.filter(F.col("s_code") != 0).count() > 0
+
+
+def test_streaming_span_dedup_matches_sequential_and_replays(spark, tmp_path):
+    """Streaming exact-substring dedup: draining in forced micro-batches
+    yields per-batch spans equal to sequential duplicated_spans_incremental
+    calls over the growing gram index (the ingest-time trim contract),
+    the gram store accumulates every batch once, and replaying a
+    committed batch changes nothing — including no self-hit flood (the
+    spans-before-grams ordering guarantee)."""
+    from traval_spark.operators.dedup import (
+        duplicated_spans_incremental,
+        token_gram_index,
+    )
+    from traval_spark.streaming.dedup_stream import (
+        run_streaming_span_dedup,
+        span_upsert_batch,
+    )
+
+    inp = str(tmp_path / "sin")
+    root = str(tmp_path / "sstore")
+    ckpt = str(tmp_path / "sckpt")
+
+    boiler = list(range(7000, 7010))
+    rows = [
+        (i,
+         (boiler + list(range(i * 50, i * 50 + 10))
+          if i % 3 == 0 else list(range(i * 50, i * 50 + 15))),
+         1, "s")
+        for i in range(30)
+    ]
+    seqs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, n_tok int, source string")
+    batches = [(0, 10), (10, 20), (20, 30)]
+    for lo, hi in batches:
+        seqs.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    run_streaming_span_dedup(spark, inp, root, ckpt, k=5,
+                             max_files_per_trigger=1)
+
+    got = spark.read.option("basePath", f"{root}/spans").parquet(
+        f"{root}/spans")
+    got_set = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in got.collect()}
+
+    # sequential oracle: probe each batch against the grams of everything
+    # before it
+    want = set()
+    for i, (lo, hi) in enumerate(batches):
+        b = seqs.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        prior = seqs.filter(f"doc_id < {lo}")
+        idx = token_gram_index(prior, k=5)
+        want |= {(r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicated_spans_incremental(b, idx, k=5)
+                 .collect()}
+    assert got_set == want
+    # every boilerplate carrier flagged on exactly [0, 10)
+    carriers = {d for d in range(30) if d % 3 == 0}
+    assert {(d, 0, 10) for d in carriers} <= got_set
+    assert not any(d % 3 != 0 for d, _, _ in got_set)
+
+    grams = spark.read.option("basePath", f"{root}/grams").parquet(
+        f"{root}/grams")
+    assert grams.select("gram").distinct().count() > 0
+
+    # replay a committed batch: nothing changes, no self-hit flood
+    import json
+    with open(f"{ckpt}/metadata") as f:
+        qid = json.load(f)["id"]
+    span_upsert_batch(seqs.filter("doc_id < 10"), 0, root, run_id=qid, k=5)
+    again = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in spark.read.option("basePath", f"{root}/spans")
+             .parquet(f"{root}/spans").collect()}
+    assert again == got_set

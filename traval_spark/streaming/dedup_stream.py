@@ -165,3 +165,119 @@ def run_streaming_dedup(
     if available_now:
         q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental EXACT-SUBSTRING dedup (the span twin of the
+# fingerprint stream above): each micro-batch of pre-tokenized sequences
+# is windowed once, probed against the accumulated distinct-gram index,
+# its duplicated spans written out, and its grams appended to the index.
+# Contract: a batch's spans are judged against everything ingested
+# BEFORE it plus the batch itself (the ingest-time trim shape) — earlier
+# batches are not retro-flagged by later arrivals (run the batch
+# duplicated_spans over the full corpus for a retroactive audit).
+# ---------------------------------------------------------------------------
+
+
+def _corpus_grams(spark: SparkSession, store_root: str) -> DataFrame:
+    """The accumulated distinct-gram index (committed batches only —
+    same invisibility rule as _corpus_fp)."""
+    from traval_spark.sources import fsutil
+
+    committed = fsutil.glob(
+        spark, f"{store_root}/grams/qid=*/batch_id=*/_COMMITTED"
+    )
+    if committed:
+        dirs = [p[: -len("/_COMMITTED")] for p in committed]
+        return (
+            spark.read.option("basePath", f"{store_root}/grams")
+            .parquet(*dirs).select("gram")
+        )
+    return spark.createDataFrame([], "gram string")
+
+
+def span_upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_root: str,
+    run_id: str | None = None,
+    k: int = 20,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> None:
+    """One idempotent micro-batch step of the streaming span dedup.
+
+    ORDER IS LOAD-BEARING (unlike the fingerprint stream, where either
+    order converges): spans MUST commit before this batch's grams are
+    appended. The gram index carries no doc ids, so a replayed probe
+    against an index already holding this batch's own grams would
+    self-hit on every window and flag the whole batch. Writing spans
+    first makes every replay state convergent: spans committed ->
+    replay skips the probe entirely; grams half-written without marker
+    -> overwritten wholesale."""
+    from traval_spark.operators.dedup import (
+        _window_grams,
+        duplicated_spans_incremental,
+    )
+
+    if batch_df.isEmpty():
+        return
+    s = batch_df.sparkSession
+    sdir = f"{store_root}/spans/qid={run_id or 'default'}/batch_id={batch_id}"
+    gdir = f"{store_root}/grams/qid={run_id or 'default'}/batch_id={batch_id}"
+
+    if not _hadoop_exists(s, f"{sdir}/_COMMITTED"):
+        spans = duplicated_spans_incremental(
+            batch_df, _corpus_grams(s, store_root), k=k,
+            tokens_col=tokens_col, id_col=id_col,
+        )
+        spans.write.mode("overwrite").parquet(sdir)
+        _hadoop_touch(s, f"{sdir}/_COMMITTED")
+    if not _hadoop_exists(s, f"{gdir}/_COMMITTED"):
+        (
+            _window_grams(batch_df, k, tokens_col, id_col)
+            .select("gram").distinct()
+            .write.mode("overwrite").parquet(gdir)
+        )
+        _hadoop_touch(s, f"{gdir}/_COMMITTED")
+
+
+def run_streaming_span_dedup(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint_path: str,
+    schema: str = "doc_id long, tokens array<int>, n_tok int, source string",
+    k: int = 20,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Drain a sequence directory through the incremental span-dedup
+    sink (availableNow catch-up + exactly-once checkpoint semantics,
+    same shape as run_streaming_dedup)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    seqs = reader.parquet(input_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        span_upsert_batch(
+            batch_df, batch_id, store_root,
+            run_id=_stream_query_id(checkpoint_path),
+            k=k, tokens_col=tokens_col, id_col=id_col,
+        )
+
+    writer = (
+        seqs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
