@@ -427,6 +427,27 @@ def q_distinct_users_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "kmv")
 
 
+CMS_KEYS = ["1", "7", "42", "9999"]
+
+
+def q_cms_point_1h(spark, sf_dir):
+    """Count-min frequency tiers: 1m long-form (source, bucket, d, w,
+    cnt) grid, merged to 1h by plain groupBy-sum (cell counts add —
+    the same lossless composition as the histogram tiers), then point
+    estimates for a key list (min over depth rows; '9999' never occurs
+    so its estimate is pure collision noise, identically computed by
+    both engines). The frequency sketch for key domains too wide for
+    the exact vocab-bounded heavy-hitter tiers."""
+    from traval_spark.sketch import cms_cascade, cms_point, cms_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id",
+    )
+    t1m = cms_tier(src, "1m", "user_id", depth=4, width=256)
+    t1h = cms_cascade(t1m, "1h")
+    return cms_point(t1h, CMS_KEYS, depth=4, width=256)
+
+
 def q_hist_quantiles_1h(spark, sf_dir):
     """Exact percentile continuous aggregate: long-form histogram tier at
     1m, merged to 1h by plain groupBy-sum (counts add; no percentile is
@@ -1887,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_priority_lines": q_tpch_priority_lines,
         "tier_routed": q_tier_routed,
         "distinct_users_1h": q_distinct_users_1h,
+        "cms_point_1h": q_cms_point_1h,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
         "hist_quantiles_1h": q_hist_quantiles_1h,
         "multimodal_meta": q_multimodal_meta,
@@ -3690,6 +3712,32 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(n_tok) AS BIGINT) AS n_tok,
            count(*) AS n_docs
     from p group by source, pack_id
+    """
+    _CMS_HU = ("cast(('0x' || substr(md5(CAST(g.d AS VARCHAR) || '|' || "
+               "CAST({key} AS VARCHAR)), 1, 8)) as bigint) / 4294967296.0")
+    _cms_keys = ", ".join(f"('{k}')" for k in CMS_KEYS)
+    sql["cms_point_1h"] = f"""
+    with grid as (
+      select event_type AS source, date_trunc('hour', ts) AS bucket,
+             g.d AS d,
+             CAST(floor({_CMS_HU.format(key='user_id')} * 256) AS INT) AS w,
+             count(*) AS cnt
+      from events, unnest(generate_series(0, 3)) g(d)
+      where user_id is not null
+      group by 1, 2, 3, 4),
+    kc as (
+      select k.key AS key, g.d AS d,
+             CAST(floor({_CMS_HU.format(key='k.key')} * 256) AS INT) AS w
+      from (VALUES {_cms_keys}) k(key),
+           unnest(generate_series(0, 3)) g(d)),
+    est as (
+      select grid.source, grid.bucket, kc.key,
+             min(grid.cnt) AS m, count(*) AS n
+      from grid join kc using (d, w)
+      group by 1, 2, 3)
+    select source, bucket, key,
+           CAST(case when n < 4 then 0 else m end AS BIGINT) AS est
+    from est
     """
     _g = (1.0 + 0.05) / (1.0 - 0.05)
     sql["dds_quantiles_1h"] = f"""

@@ -115,3 +115,35 @@ def test_distinct_token_ids_over_payload(spark):
     ).agg(F.countDistinct("tok").alias("n_exact"))
     j = got.join(exact, ["source", "bucket"])
     assert j.filter(F.col("n_distinct") != F.col("n_exact")).count() == 0
+
+
+def test_cms_merge_invariance_and_bounds(spark):
+    """Count-min tiers: the 1h tier merged from 1m cells equals the grid
+    built directly at 1h (lossless groupBy-sum composition), and every
+    point estimate upper-bounds the true count — the one-sided CMS
+    guarantee (collisions can only inflate a cell, never drain it)."""
+    from traval_spark.sketch import cms_cascade, cms_point, cms_tier
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = ev.select(F.col("event_type").alias("source"), "ts", "user_id")
+
+    t1m = cms_tier(src, "1m", "user_id", depth=4, width=256)
+    merged = cms_cascade(t1m, "1h")
+    direct = cms_tier(src, "1h", "user_id", depth=4, width=256)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    keys = ["1", "7", "13"]
+    est = {(r["source"], r["bucket"], r["key"]): r["est"]
+           for r in cms_point(merged, keys, depth=4, width=256).collect()}
+    truth = {(r["source"], r["bucket"], str(r["user_id"])): r["n"]
+             for r in src.groupBy(
+                 "source",
+                 F.date_trunc("hour", "ts").cast("timestamp_ntz")
+                 .alias("bucket"),
+                 "user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()
+             if str(r["user_id"]) in keys}
+    # every true count is covered and never underestimated
+    for k, n in truth.items():
+        assert k in est and est[k] >= n, (k, n, est.get(k))

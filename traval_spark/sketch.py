@@ -167,3 +167,101 @@ def distinct_counts(
     else:
         raise ValueError(f"unknown sketch method {method!r}")
     return tier_df.withColumn(out_col, est).drop(drop)
+
+
+# -- Count-min (frequency sketch) --------------------------------------------
+# The frequency twin of the distinct sketches above: per-key COUNTS over
+# unbounded key domains (n-grams, user ids, URLs — anything too wide for
+# the exact vocab-bounded heavy-hitter tiers in hist.py). A CMS is a
+# depth x width counter grid; add = +1 at (d, hash_d(key)) for every d;
+# merge = cell-wise sum; point estimate = min over d (Cormode &
+# Muthukrishnan 2005, "An improved data stream summary: the count-min
+# sketch"). Stored LONG-FORM like the histogram tiers — (source, bucket,
+# d, w, cnt) rows — so the merge is a plain partial-aggregatable
+# groupBy-sum and composes through any bucket coarsening. Hashes are the
+# portable md5 ladder (hash_uniform with seed=d), bit-identical in
+# DuckDB, so the whole sketch has a value-exact oracle.
+
+
+def cms_tier(
+    df: DataFrame,
+    tier: str = "1m",
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Leaf count-min tier: (source, bucket, d, w, cnt) from raw rows.
+    Each input row contributes one count in each of ``depth`` rows of
+    the grid (a depth-way explode that collapses map-side — at most
+    source x buckets x depth x width reduced rows ever shuffle). NULL
+    keys are excluded, matching COUNT(key)."""
+    from traval_spark.operators.sampling import hash_uniform
+
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    key = F.col(key_col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.floor(hash_uniform(key, seed=d) * F.lit(int(width)))
+            .cast("int").alias("w"),
+        )
+        for d in range(int(depth))
+    ])
+    return (
+        df.filter(key.isNotNull())
+        .select(F.col("source"), bucket.alias("bucket"),
+                F.explode(cells).alias("__c"))
+        .groupBy("source", "bucket", F.col("__c.d").alias("d"),
+                 F.col("__c.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
+    """Merge a finer CMS tier into a coarser one: cell-wise sum under
+    the coarser bucket — the same groupBy-sum shape as the histogram
+    cascade, lossless (merged sketch == sketch built directly from raw)."""
+    unit, _ = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+    return (
+        tier_df.groupBy("source", bucket.alias("bucket"), "d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_point(
+    tier_df: DataFrame,
+    keys: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point frequency estimates for ``keys``: (source, bucket, key,
+    est) with est = min over d of the key's cell counts (0 when any of
+    its cells is absent). The keys' cell coordinates are computed
+    driver-side with the same portable hash and broadcast as a tiny
+    (key, d, w) frame — the sketch table is filtered by a semi-joinable
+    cell list, never scanned per key. Guarantee: est >= true count,
+    with overestimates bounded by the standard e/width factor."""
+    import hashlib
+
+    spark = tier_df.sparkSession
+    cells = []
+    for kstr in keys:
+        for d in range(int(depth)):
+            h = hashlib.md5(f"{d}|{kstr}".encode()).hexdigest()[:8]
+            w = int((int(h, 16) / float(1 << 32)) * int(width))
+            cells.append((str(kstr), d, w))
+    kdf = spark.createDataFrame(cells, "key string, d int, w int")
+    joined = tier_df.join(F.broadcast(kdf), ["d", "w"])
+    return (
+        joined.groupBy("source", "bucket", "key")
+        .agg(F.min("cnt").alias("__m"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "source", "bucket", "key",
+            F.when(F.col("__n") < int(depth), F.lit(0))
+            .otherwise(F.col("__m")).cast("long").alias("est"),
+        )
+    )
