@@ -737,6 +737,41 @@ def test_routed_dds_reads(spark, seqs, tmp_path):
     assert p.filter(F.col("p50").isNull()).count() == 0
 
 
+def test_routed_cms_reads(spark, seqs, tmp_path):
+    """Downsample-on-read over a count-min tier store: stitched 1m+1h
+    read equals the direct cms_tier from raw (cell counts add, cell
+    coordinates never move), and cms_point serves the routed frame
+    unchanged."""
+    from traval_spark.router import read_routed_cms
+    from traval_spark.sketch import cms_cascade, cms_point, cms_tier
+
+    days = sorted(
+        r["d"] for r in seqs.select(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    old, newest = days[:-1], days[-1]
+
+    def day_fps(df):
+        return partition_fingerprints(
+            df.withColumn("day", F.date_trunc("day", "bucket")))
+
+    store = TierStore(str(tmp_path / "cms"))
+    c1m = cms_tier(seqs, "1m", key_col="n_tok")
+    c1m_new = c1m.filter(F.col("bucket").cast("date").cast("string") == newest)
+    store.write_tier("1m", c1m_new, day_fps(c1m_new))
+    c1h = cms_cascade(c1m, "1h").filter(
+        F.col("bucket").cast("date").cast("string").isin(old))
+    store.write_tier("1h", c1h, day_fps(c1h))
+
+    got = read_routed_cms(store, "1h", spark=spark, strict=True)
+    want = cms_tier(seqs, "1h", key_col="n_tok")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    est = cms_point(got, ["24", "32"], depth=4, width=256)
+    assert est.filter(F.col("est") < 0).count() == 0
+
+
 def _iceberg_jar_available() -> bool:
     """True iff an iceberg-spark-runtime jar is already resolvable on the
     default classpath (pyspark's bundled jars dir, $SPARK_HOME/jars, or an

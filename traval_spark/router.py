@@ -388,3 +388,35 @@ def read_routed_dds(
         extra_keys=[F.col("sign"), F.col("bin")],
         aggs=[F.sum("cnt").alias("cnt")],
     )
+
+
+def read_routed_cms(
+    store,
+    resolution: str,
+    key_col: str = "n_tok",
+    depth: int = 4,
+    width: int = 256,
+    day_min: str | None = None,
+    day_max: str | None = None,
+    spark=None,
+    raw: DataFrame | None = None,
+    strict: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downsample-on-read over count-min frequency-sketch tiers
+    (sketch.py:cms_tier).
+
+    Same contract as :func:`read_routed_hist` — CMS cell counts add
+    through any coarsening and cell coordinates never move, so any
+    eligible tier serves its days exactly.  Returns (source, bucket, d,
+    w, cnt) at the requested resolution; extract per-key estimates with
+    ``sketch.cms_point`` (same depth/width)."""
+    from traval_spark.sketch import cms_tier
+
+    return _read_routed_kind(
+        store, resolution, day_min, day_max, spark, raw, strict, ts_col,
+        raw_builder=lambda df: cms_tier(df, resolution, key_col, depth,
+                                        width, ts_col=ts_col),
+        extra_keys=[F.col("d"), F.col("w")],
+        aggs=[F.sum("cnt").alias("cnt")],
+    )
