@@ -908,3 +908,36 @@ def test_streaming_span_dedup_matches_sequential_and_replays(spark, tmp_path):
              for r in spark.read.option("basePath", f"{root}/spans")
              .parquet(f"{root}/spans").collect()}
     assert again == got_set
+
+
+def test_stream_cms_1m_matches_batch(spark, tmp_path):
+    """Streaming CMS leaf == batch cms_tier on every finalized window
+    (same hash ladder, same long-form rows), and the streamed store
+    serves cms_cascade + cms_point unchanged."""
+    from traval_spark.sketch import cms_cascade, cms_point, cms_tier
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import stream_cms_1m
+
+    inp = str(tmp_path / "cin")
+    seqs = synth_sequences(spark, 3000, seed=29, span_days=1)
+    a = seqs.filter(F.xxhash64("doc_id") % 2 == 0)
+    a.write.mode("append").parquet(inp)
+    seqs.exceptAll(a).write.mode("append").parquet(inp)
+
+    q = (stream_cms_1m(spark, inp, key_col="n_tok", watermark="1 minute")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "cout"))
+         .option("checkpointLocation", str(tmp_path / "cck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(str(tmp_path / "cout"))
+    batch = cms_tier(seqs, "1m", key_col="n_tok")
+    j = streamed.join(batch.withColumnRenamed("cnt", "bcnt"),
+                      ["source", "bucket", "d", "w"], "left")
+    assert j.filter((F.col("bcnt").isNull())
+                    | (F.col("cnt") != F.col("bcnt"))).count() == 0
+    assert streamed.count() >= batch.count() * 0.9
+
+    est = cms_point(cms_cascade(streamed, "1h"), ["24", "32"])
+    assert est.filter(F.col("est") < 0).count() == 0

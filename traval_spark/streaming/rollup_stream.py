@@ -34,6 +34,7 @@ def _stream_leaf_1m(
     extra_keys: list,
     aggs: list,
     pre_filter=None,
+    pre_transform=None,
 ) -> DataFrame:
     """Shared scaffolding for every streaming 1m leaf tier (rollup,
     histogram, DDSketch, KMV distinct): file-source readStream ->
@@ -50,6 +51,10 @@ def _stream_leaf_1m(
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     if pre_filter is not None:
         stream = stream.filter(pre_filter)
+    if pre_transform is not None:
+        # row-shape rewrite (e.g. the CMS depth-way explode) BEFORE the
+        # windowed agg; must preserve source + ts
+        stream = pre_transform(stream)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy("source", F.window("ts", "1 minute").alias("w"),
@@ -150,6 +155,50 @@ def stream_distinct_1m(
         spark, input_path, watermark, max_files_per_trigger,
         extra_keys=[],
         aggs=[kmv_agg(key_col, k).alias("kmv")],
+    )
+
+
+def stream_cms_1m(
+    spark: SparkSession,
+    input_path: str,
+    key_col: str = "n_tok",
+    depth: int = 4,
+    width: int = 256,
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming leaf count-min tier (sketch.py long-form grid):
+    (source, bucket, d, w, cnt) per finalized 1m window — the frequency
+    companion to :func:`stream_hist_1m`. The depth-way cell explode runs
+    BEFORE the windowed agg (same portable md5 hash ladder as the batch
+    cms_tier), so state stays counts-only and the streamed rows are
+    identical to batch cms_tier rows: cms_cascade / cms_point /
+    read_routed_cms serve the streamed store unchanged."""
+    from traval_spark.operators.sampling import hash_uniform
+
+    key = F.col(key_col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.floor(hash_uniform(key, seed=d) * F.lit(int(width)))
+            .cast("int").alias("w"),
+        )
+        for d in range(int(depth))
+    ])
+    # the width key is aggregated as __w: the shared helper's tumbling
+    # window is aliased `w`, and a bare `w` grouping column would make
+    # the helper's `w.start` projection ambiguous
+    out = _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[F.col("__c.d").alias("d"), F.col("__c.w").alias("__w")],
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+        pre_filter=key.isNotNull(),
+        pre_transform=lambda df: df.select(
+            "source", "ts", F.explode(cells).alias("__c")
+        ),
+    )
+    return out.withColumnRenamed("__w", "w").select(
+        "source", "bucket", "d", "w", "cnt"
     )
 
 
