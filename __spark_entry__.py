@@ -448,6 +448,25 @@ def q_cms_point_1h(spark, sf_dir):
     return cms_point(t1h, CMS_KEYS, depth=4, width=256)
 
 
+def q_bloom_probe_1h(spark, sf_dir):
+    """Bloom membership tiers: 1m long-form (source, bucket, bit)
+    set-bit rows, merged to 1h by distinct union (set-OR of bitsets —
+    lossless: the merged filter IS the filter of the union set), then
+    membership probes for a key list (present iff ALL of the key's bits
+    are set; '9999' never occurs so any present=1 for it would be the
+    filter's one-sided false-positive, identically computed by both
+    engines). The membership sketch for key domains too wide to store
+    exactly — "did user X appear this hour?" without rescanning raw."""
+    from traval_spark.sketch import bloom_cascade, bloom_probe, bloom_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id",
+    )
+    t1m = bloom_tier(src, "1m", "user_id", nhash=4, nbits=4096)
+    t1h = bloom_cascade(t1m, "1h")
+    return bloom_probe(t1h, CMS_KEYS, nhash=4, nbits=4096)
+
+
 def q_hist_quantiles_1h(spark, sf_dir):
     """Exact percentile continuous aggregate: long-form histogram tier at
     1m, merged to 1h by plain groupBy-sum (counts add; no percentile is
@@ -1909,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_routed": q_tier_routed,
         "distinct_users_1h": q_distinct_users_1h,
         "cms_point_1h": q_cms_point_1h,
+        "bloom_probe_1h": q_bloom_probe_1h,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
         "hist_quantiles_1h": q_hist_quantiles_1h,
         "multimodal_meta": q_multimodal_meta,
@@ -3738,6 +3758,32 @@ def oracle_sql() -> dict[str, str]:
     select source, bucket, key,
            CAST(case when n < 4 then 0 else m end AS BIGINT) AS est
     from est
+    """
+    _BLOOM_HU = (
+        "cast(('0x' || substr(md5(CAST(7000 + g.h AS VARCHAR) || '|' || "
+        "CAST({key} AS VARCHAR)), 1, 8)) as bigint) / 4294967296.0")
+    sql["bloom_probe_1h"] = f"""
+    with bits as (
+      select distinct event_type AS source,
+             date_trunc('hour', ts) AS bucket,
+             CAST(floor({_BLOOM_HU.format(key='user_id')} * 4096) AS INT)
+               AS bit
+      from events, unnest(generate_series(0, 3)) g(h)
+      where user_id is not null),
+    kc as (
+      select distinct k.key AS key,
+             CAST(floor({_BLOOM_HU.format(key='k.key')} * 4096) AS INT)
+               AS bit
+      from (VALUES {_cms_keys}) k(key),
+           unnest(generate_series(0, 3)) g(h)),
+    need as (select key, count(*) AS need from kc group by 1),
+    hit as (
+      select bits.source, bits.bucket, kc.key, count(*) AS hit
+      from bits join kc using (bit)
+      group by 1, 2, 3)
+    select hit.source, hit.bucket, hit.key,
+           CAST(hit.hit = need.need AS INT) AS present
+    from hit join need using (key)
     """
     _g = (1.0 + 0.05) / (1.0 - 0.05)
     sql["dds_quantiles_1h"] = f"""

@@ -772,6 +772,41 @@ def test_routed_cms_reads(spark, seqs, tmp_path):
     assert est.filter(F.col("est") < 0).count() == 0
 
 
+def test_routed_bloom_reads(spark, seqs, tmp_path):
+    """Downsample-on-read over a Bloom tier store: stitched 1m+1h read
+    equals the direct bloom_tier from raw (set bits union, bit
+    positions never move), and bloom_probe serves the routed frame
+    unchanged."""
+    from traval_spark.router import read_routed_bloom
+    from traval_spark.sketch import bloom_cascade, bloom_probe, bloom_tier
+
+    days = sorted(
+        r["d"] for r in seqs.select(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    old, newest = days[:-1], days[-1]
+
+    def day_fps(df):
+        return partition_fingerprints(
+            df.withColumn("day", F.date_trunc("day", "bucket")))
+
+    store = TierStore(str(tmp_path / "bloom"))
+    b1m = bloom_tier(seqs, "1m", key_col="n_tok")
+    b1m_new = b1m.filter(F.col("bucket").cast("date").cast("string") == newest)
+    store.write_tier("1m", b1m_new, day_fps(b1m_new))
+    b1h = bloom_cascade(b1m, "1h").filter(
+        F.col("bucket").cast("date").cast("string").isin(old))
+    store.write_tier("1h", b1h, day_fps(b1h))
+
+    got = read_routed_bloom(store, "1h", spark=spark, strict=True)
+    want = bloom_tier(seqs, "1h", key_col="n_tok")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    pr = bloom_probe(got, ["24", "32"], nhash=4, nbits=4096)
+    assert pr.filter(~F.col("present").isin(0, 1)).count() == 0
+
+
 def _iceberg_jar_available() -> bool:
     """True iff an iceberg-spark-runtime jar is already resolvable on the
     default classpath (pyspark's bundled jars dir, $SPARK_HOME/jars, or an

@@ -147,3 +147,39 @@ def test_cms_merge_invariance_and_bounds(spark):
     # every true count is covered and never underestimated
     for k, n in truth.items():
         assert k in est and est[k] >= n, (k, n, est.get(k))
+
+
+def test_bloom_merge_invariance_and_membership(spark):
+    """Bloom tiers: the 1h filter merged from 1m set bits equals the
+    filter built directly at 1h (lossless set-OR composition), every key
+    that truly occurred probes present=1 (no false negatives), and a
+    key definitely absent from the data probes absent under these
+    parameters."""
+    from traval_spark.sketch import bloom_cascade, bloom_probe, bloom_tier
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = ev.select(F.col("event_type").alias("source"), "ts", "user_id")
+
+    t1m = bloom_tier(src, "1m", "user_id", nhash=4, nbits=4096)
+    merged = bloom_cascade(t1m, "1h")
+    direct = bloom_tier(src, "1h", "user_id", nhash=4, nbits=4096)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    keys = ["1", "7", "13"]
+    got = {(r["source"], r["bucket"], r["key"]): r["present"]
+           for r in bloom_probe(merged, keys, nhash=4, nbits=4096)
+           .collect()}
+    truth = {(r["source"], r["bucket"], str(r["user_id"]))
+             for r in src.filter(F.col("user_id").cast("string")
+                                 .isin(keys))
+             .select("source",
+                     F.date_trunc("hour", "ts").cast("timestamp_ntz")
+                     .alias("bucket"), "user_id").distinct().collect()}
+    for k in truth:  # one-sided: every true member must probe present
+        assert got.get(k) == 1, k
+    # an impossible key: user_ids are non-negative ints, so this string
+    # never occurs; any present=1 would be a false positive — at
+    # n<<nbits the FP rate is ~(n*4/4096)^4, effectively zero here
+    absent = bloom_probe(merged, ["no-such-user"], nhash=4, nbits=4096)
+    assert absent.filter(F.col("present") == 1).count() == 0

@@ -941,3 +941,35 @@ def test_stream_cms_1m_matches_batch(spark, tmp_path):
 
     est = cms_point(cms_cascade(streamed, "1h"), ["24", "32"])
     assert est.filter(F.col("est") < 0).count() == 0
+
+
+def test_stream_bloom_1m_matches_batch(spark, tmp_path):
+    """Streaming Bloom leaf == batch bloom_tier on every finalized
+    window (same hash ladder, same long-form set-bit rows), and the
+    streamed store serves bloom_cascade + bloom_probe unchanged."""
+    from traval_spark.sketch import bloom_cascade, bloom_probe, bloom_tier
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import stream_bloom_1m
+
+    inp = str(tmp_path / "bin")
+    seqs = synth_sequences(spark, 3000, seed=37, span_days=1)
+    a = seqs.filter(F.xxhash64("doc_id") % 2 == 0)
+    a.write.mode("append").parquet(inp)
+    seqs.exceptAll(a).write.mode("append").parquet(inp)
+
+    q = (stream_bloom_1m(spark, inp, key_col="n_tok", watermark="1 minute")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "bout"))
+         .option("checkpointLocation", str(tmp_path / "bck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(str(tmp_path / "bout"))
+    batch = bloom_tier(seqs, "1m", key_col="n_tok")
+    # every streamed set bit is a batch set bit (identical rows) ...
+    assert streamed.exceptAll(batch).count() == 0
+    # ... and nearly all windows finalized (watermark may hold the tail)
+    assert streamed.count() >= batch.count() * 0.9
+
+    pr = bloom_probe(bloom_cascade(streamed, "1h"), ["24", "32"])
+    assert pr.filter(~F.col("present").isin(0, 1)).count() == 0

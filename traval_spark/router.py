@@ -420,3 +420,36 @@ def read_routed_cms(
         extra_keys=[F.col("d"), F.col("w")],
         aggs=[F.sum("cnt").alias("cnt")],
     )
+
+
+def read_routed_bloom(
+    store,
+    resolution: str,
+    key_col: str = "n_tok",
+    nhash: int = 4,
+    nbits: int = 4096,
+    day_min: str | None = None,
+    day_max: str | None = None,
+    spark=None,
+    raw: DataFrame | None = None,
+    strict: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downsample-on-read over Bloom membership tiers
+    (sketch.py:bloom_tier).
+
+    Same contract as :func:`read_routed_cms` — set bits union through
+    any coarsening and bit positions never move, so any eligible tier
+    serves its days exactly.  Returns distinct (source, bucket, bit) at
+    the requested resolution; probe membership with
+    ``sketch.bloom_probe`` (same nhash/nbits)."""
+    from traval_spark.sketch import bloom_tier
+
+    return _read_routed_kind(
+        store, resolution, day_min, day_max, spark, raw, strict, ts_col,
+        raw_builder=lambda df: bloom_tier(df, resolution, key_col, nhash,
+                                          nbits, ts_col=ts_col)
+        .withColumn("__n", F.lit(1).cast("bigint")),
+        extra_keys=[F.col("bit")],
+        aggs=[F.count(F.lit(1)).alias("__n")],
+    ).select("source", "bucket", "bit")

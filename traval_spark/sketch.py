@@ -265,3 +265,113 @@ def cms_point(
             .otherwise(F.col("__m")).cast("long").alias("est"),
         )
     )
+
+
+# -- Bloom filter (membership sketch) ----------------------------------------
+# The membership twin of the sketches above: "did key X appear in this
+# bucket?" over unbounded key domains, answerable per tier without
+# rescanning raw rows (Bloom 1970, "Space/time trade-offs in hash coding
+# with allowable errors"). A Bloom filter is an m-bit array with k set
+# bits per key; stored LONG-FORM like the CMS grid — one (source,
+# bucket, bit) row per SET bit — so the tier merge is a plain distinct
+# union (set-OR of bitsets) that composes losslessly through any bucket
+# coarsening: merging 60 1m filters IS the 1h filter of the union set,
+# bit-for-bit. Long-form set-bits-only storage also means sparse
+# filters cost rows proportional to distinct keys, not to m. Hashes are
+# the portable md5 ladder (hash_uniform with its own seed base so bloom
+# bits never correlate with CMS cells), bit-identical in DuckDB, so the
+# whole sketch has a value-exact oracle. Guarantee: no false negatives;
+# false positives at the standard (1 - e^(-kn/m))^k rate.
+
+#: seed base for the bloom hash ladder — disjoint from CMS seeds 0..d-1
+_BLOOM_SEED = 7000
+
+
+def bloom_bits(key: Column, nhash: int = 4, nbits: int = 4096) -> Column:
+    """Array of the ``nhash`` bit positions for ``key`` (may collide
+    with each other — probe logic dedups driver-side)."""
+    from traval_spark.operators.sampling import hash_uniform
+
+    return F.array(*[
+        F.floor(hash_uniform(key, seed=_BLOOM_SEED + h) * F.lit(int(nbits)))
+        .cast("int")
+        for h in range(int(nhash))
+    ])
+
+
+def bloom_tier(
+    df: DataFrame,
+    tier: str = "1m",
+    key_col: str = "user_id",
+    nhash: int = 4,
+    nbits: int = 4096,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Leaf Bloom tier: distinct (source, bucket, bit) set-bit rows from
+    raw rows. The nhash-way explode collapses map-side (hash-distinct
+    partial aggregation) — at most source x buckets x nbits reduced rows
+    ever shuffle, regardless of input size. NULL keys are excluded."""
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    key = F.col(key_col).cast("string")
+    return (
+        df.filter(key.isNotNull())
+        .select(F.col("source"), bucket.alias("bucket"),
+                F.explode(bloom_bits(key, nhash, nbits)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
+    """Merge a finer Bloom tier into a coarser one: distinct set-bit
+    union under the coarser bucket — the set-OR of the finer bitsets.
+    Lossless: merged filter == filter built directly from raw, because a
+    key's bits depend only on the key."""
+    unit, _ = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+    return (
+        tier_df.select("source", bucket.alias("bucket"), "bit").distinct()
+    )
+
+
+def bloom_probe(
+    tier_df: DataFrame,
+    keys: list[str],
+    nhash: int = 4,
+    nbits: int = 4096,
+) -> DataFrame:
+    """Membership probes for ``keys``: (source, bucket, key, present)
+    with present=1 iff ALL of the key's (deduped) bit positions are set
+    in that bucket's filter. The keys' bits are computed driver-side
+    with the same portable hash and broadcast as a tiny (key, bit, need)
+    frame — the sketch table is joined on bit, never scanned per key.
+    Only (source, bucket, key) combinations where at least one bit
+    matched appear (a key with zero matching bits is definitively
+    absent everywhere it doesn't appear). Guarantee: present=1 for every
+    key that truly occurred (no false negatives); present=0 rows and
+    missing rows are definitive absence up to the filter's one-sided
+    false-positive rate."""
+    import hashlib
+
+    spark = tier_df.sparkSession
+    rows = []
+    for kstr in keys:
+        bits = set()
+        for h in range(int(nhash)):
+            hx = hashlib.md5(
+                f"{_BLOOM_SEED + h}|{kstr}".encode()
+            ).hexdigest()[:8]
+            bits.add(int((int(hx, 16) / float(1 << 32)) * int(nbits)))
+        for b in sorted(bits):
+            rows.append((str(kstr), b, len(bits)))
+    kframe = spark.createDataFrame(rows, "key string, bit int, need int")
+    joined = tier_df.join(F.broadcast(kframe), ["bit"])
+    return (
+        joined.groupBy("source", "bucket", "key")
+        .agg(F.count(F.lit(1)).alias("__hit"), F.max("need").alias("__need"))
+        .select(
+            "source", "bucket", "key",
+            (F.col("__hit") == F.col("__need")).cast("int").alias("present"),
+        )
+    )

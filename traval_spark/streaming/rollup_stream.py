@@ -527,3 +527,36 @@ def stream_sessionize(
         "n_events",
         "sum_value",
     )
+
+
+def stream_bloom_1m(
+    spark: SparkSession,
+    input_path: str,
+    key_col: str = "n_tok",
+    nhash: int = 4,
+    nbits: int = 4096,
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming leaf Bloom membership tier (sketch.py long-form set
+    bits): distinct (source, bucket, bit) per finalized 1m window — the
+    membership companion to :func:`stream_cms_1m`. The nhash-way bit
+    explode runs BEFORE the windowed agg (same portable md5 hash ladder
+    as the batch bloom_tier), state is one row per distinct set bit, and
+    the streamed rows are identical to batch bloom_tier rows:
+    bloom_cascade / bloom_probe / read_routed_bloom serve the streamed
+    store unchanged."""
+    from traval_spark.sketch import bloom_bits
+
+    key = F.col(key_col).cast("string")
+    out = _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[F.col("bit")],
+        aggs=[F.count(F.lit(1)).alias("__n")],
+        pre_filter=key.isNotNull(),
+        pre_transform=lambda df: df.select(
+            "source", "ts",
+            F.explode(bloom_bits(key, nhash, nbits)).alias("bit"),
+        ),
+    )
+    return out.select("source", "bucket", "bit")
