@@ -467,6 +467,75 @@ def q_bloom_probe_1h(spark, sf_dir):
     return bloom_probe(t1h, CMS_KEYS, nhash=4, nbits=4096)
 
 
+def _incident_intervals(ev):
+    """Deterministic half-open incident windows derived from the events
+    table: every 97th event opens a window of 1-3 hours on its own
+    event_type. Pure column arithmetic — both engines derive the same
+    intervals from the same parquet."""
+    return ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.make_dt_interval(
+            F.lit(0), (F.lit(1) + F.col("event_id") % 3).cast("int"),
+            F.lit(0), F.lit(0.0))).alias("end"),
+    )
+
+
+def q_interval_events(spark, sf_dir):
+    """Scalable range join: label every event with the incident windows
+    containing it, then aggregate per window. Spark plans a raw
+    ts-BETWEEN join as BroadcastNestedLoopJoin (quadratic, driver-bound
+    broadcast); interval_join rewrites it as a bucket equi-join —
+    intervals explode into the 1h buckets they cover, points land in
+    exactly one bucket, the original predicate post-filters — so each
+    qualifying pair is produced exactly once with no dedup shuffle and
+    the work spreads across (source, bucket) partitions."""
+    from traval_spark.operators.interval import interval_join
+
+    ev = _events(spark, sf_dir)
+    iv = _incident_intervals(ev)
+    pts = ev.select(F.col("event_type").alias("source"), "ts", "value")
+    return (
+        interval_join(pts, iv, granularity_s=3600)
+        .groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"),
+             F.sum("value").alias("sum_val"))
+    )
+
+
+def q_interval_overlaps(spark, sf_dir):
+    """Interval×interval overlap join with the first-common-bucket
+    guard: two deterministic window sets (2h windows from every 61st
+    event, 90m windows from every 73rd), overlapping pairs per source
+    plus total overlap duration. Each overlapping pair is emitted
+    exactly once — the guard keeps only the later start bucket — so no
+    distinct pass is needed before the aggregate."""
+    from traval_spark.functions.ts import unix_us
+    from traval_spark.operators.interval import overlap_join
+
+    ev = _events(spark, sf_dir)
+
+    def windows(mod, hours):
+        return ev.filter(F.col("event_id") % mod == 0).select(
+            F.col("event_type").alias("source"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(int(hours * 60)), F.lit(0.0)
+            )).alias("end"),
+        )
+
+    pairs = overlap_join(windows(61, 2.0), windows(73, 1.5),
+                         granularity_s=3600)
+    ov_us = unix_us(F.least("end", "end_r")) - unix_us(
+        F.greatest("start", "start_r"))
+    return (
+        pairs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(ov_us).cast("long").alias("overlap_us"))
+    )
+
+
 def q_hist_quantiles_1h(spark, sf_dir):
     """Exact percentile continuous aggregate: long-form histogram tier at
     1m, merged to 1h by plain groupBy-sum (counts add; no percentile is
@@ -1929,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_1h": q_distinct_users_1h,
         "cms_point_1h": q_cms_point_1h,
         "bloom_probe_1h": q_bloom_probe_1h,
+        "interval_events": q_interval_events,
+        "interval_overlaps": q_interval_overlaps,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
         "hist_quantiles_1h": q_hist_quantiles_1h,
         "multimodal_meta": q_multimodal_meta,
@@ -3784,6 +3855,36 @@ def oracle_sql() -> dict[str, str]:
     select hit.source, hit.bucket, hit.key,
            CAST(hit.hit = need.need AS INT) AS present
     from hit join need using (key)
+    """
+    sql["interval_events"] = """
+    with iv as (
+      select event_id AS interval_id, event_type AS source,
+             ts AS ivstart,
+             ts + (1 + event_id % 3) * INTERVAL '1 hour' AS ivend
+      from events where event_id % 97 = 0)
+    select iv.interval_id, count(*) AS n_ev, sum(e.value) AS sum_val
+    from iv join events e
+      on e.event_type = iv.source
+     and e.ts >= iv.ivstart and e.ts < iv.ivend
+    group by 1
+    """
+    sql["interval_overlaps"] = """
+    with a as (
+      select event_type AS source, ts AS astart,
+             ts + INTERVAL '120 minutes' AS aend
+      from events where event_id % 61 = 0),
+    b as (
+      select event_type AS source, ts AS bstart,
+             ts + INTERVAL '90 minutes' AS bend
+      from events where event_id % 73 = 0)
+    select a.source, count(*) AS n_pairs,
+           CAST(sum(epoch_us(least(aend, bend))
+                    - epoch_us(greatest(astart, bstart))) AS BIGINT)
+             AS overlap_us
+    from a join b
+      on a.source = b.source
+     and a.astart < b.bend and b.bstart < a.aend
+    group by 1
     """
     _g = (1.0 + 0.05) / (1.0 - 0.05)
     sql["dds_quantiles_1h"] = f"""

@@ -111,7 +111,7 @@ def main() -> None:
         "distinct_users_1h", "distinct_users_hll_1h", "cms_point_1h",
         "bloom_probe_1h", "hist_quantiles_1h",
         "dds_quantiles_1h", "toptok_1h",
-        "sessionize",
+        "sessionize", "interval_events", "interval_overlaps",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "fingerprint",

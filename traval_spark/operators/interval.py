@@ -1,0 +1,132 @@
+"""Scalable temporal interval joins via bucket expansion.
+
+Spark has no native range-join strategy: a plain ``p.ts BETWEEN i.start
+AND i.end`` join plans as BroadcastNestedLoopJoin (quadratic work, and
+an OOM broadcast once the interval side outgrows the driver).  The
+standard scale-out rewrite (the same trick behind Databricks' range-join
+hints and interval libraries on Hive) turns the inequality into an
+EQUI-join on coarse time buckets:
+
+- every point lands in exactly ONE bucket of width ``granularity_s``;
+- every interval is exploded into the buckets it covers
+  (``sequence(floor(start/g), floor((end-1)/g))``);
+- the bucket equi-join (plus the original predicate as a post-filter)
+  produces each qualifying (point, interval) pair EXACTLY once — no
+  dedup shuffle — because the point's single bucket is covered once by
+  each interval.
+
+For interval×interval overlap the same expansion would emit a pair once
+per SHARED bucket; the classic first-common-bucket guard
+(``bucket == greatest(floor(l.start/g), floor(r.start/g))``) keeps
+exactly one copy, again dedup-free: two overlapping intervals always
+share the later of their two start buckets.
+
+Scale properties: work is |points| + Σ ceil(len/g) interval replicas +
+join output — linear, shuffle-partitioned by (keys, bucket), so time
+spreads across the cluster instead of one nested-loop task.  Choose
+``granularity_s`` near the MEDIAN interval length: too small explodes
+long intervals, too large makes each bucket a mini cross-join (the
+post-filter then discards most candidates).  Hot buckets (a burst
+second) are plain join skew — AQE's skew-join split handles them; keys
+with pathological bursts can additionally be salted upstream.
+
+Reference note: the traval reference (ArtesiaWater/traval) is
+single-series pandas and has no join machinery at all; this module is
+part of the from-scratch tier engine surface (BASELINE.json
+north_rule), built for event-to-incident-window labeling at corpus
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import unix_us
+
+
+def _bucket(col, gus: int):
+    return F.floor(unix_us(col) / F.lit(int(gus)))
+
+
+def _explode_buckets(df: DataFrame, start: str, end: str,
+                     gus: int) -> DataFrame:
+    """One row per bucket the half-open interval [start, end) covers;
+    empty intervals (end <= start) are dropped."""
+    b0 = _bucket(F.col(start), gus)
+    b1 = F.floor((unix_us(F.col(end)) - 1) / F.lit(int(gus)))
+    return (
+        df.filter(F.col(end) > F.col(start))
+        .withColumn("__b", F.explode(F.sequence(b0, b1)))
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: tuple[str, ...] = ("source",),
+    granularity_s: int = 3600,
+) -> DataFrame:
+    """Join points to the half-open intervals ``[start, end)`` that
+    contain them, as a bucket equi-join (never a nested-loop plan).
+
+    Returns the inner join: every points column plus every intervals
+    column (shared ``on`` keys appear once).  Each qualifying (point,
+    interval) pair appears exactly once; points inside k overlapping
+    intervals appear k times — the relational contract of the
+    inequality join this replaces.
+    """
+    gus = int(granularity_s) * 1_000_000
+    iv = _explode_buckets(intervals, start_col, end_col, gus)
+    pt = points.withColumn("__b", _bucket(F.col(point_ts), gus))
+    return (
+        pt.join(iv, [*on, "__b"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("__b")
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    on: tuple[str, ...] = ("source",),
+    granularity_s: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Pairs of half-open intervals from ``left`` × ``right`` that
+    overlap (``l.start < r.end AND r.start < l.end``), as a bucket
+    equi-join with the first-common-bucket guard — each overlapping
+    pair is emitted EXACTLY once, with no distinct/dedup shuffle.
+
+    Right-side columns that collide with a left column (including
+    ``start``/``end``) come back suffixed with ``suffix``.
+    """
+    gus = int(granularity_s) * 1_000_000
+    keys = list(on)
+    r = right
+    for c in right.columns:
+        if c in left.columns and c not in keys:
+            r = r.withColumnRenamed(c, c + suffix)
+    rs, re_ = start_col + suffix, end_col + suffix
+    lv = _explode_buckets(left, start_col, end_col, gus)
+    rv = _explode_buckets(r, rs, re_, gus)
+    first_common = F.greatest(
+        _bucket(F.col(start_col), gus), _bucket(F.col(rs), gus)
+    )
+    return (
+        lv.join(rv, keys + ["__b"])
+        .filter(
+            (F.col(start_col) < F.col(re_))
+            & (F.col(rs) < F.col(end_col))
+            & (F.col("__b") == first_common)
+        )
+        .drop("__b")
+    )
