@@ -1265,6 +1265,59 @@ def _seqs_from(docs):
     )
 
 
+#: fixed BPE merge table for the apply-side oracle: the top-3 merges
+#: learned by bpe_train on the sf0.001 corpus (a, b) -> new id, chained
+#: so later merges may consume earlier output ids. Constants in BOTH
+#: engines — the oracle pins the greedy apply fold, training is pinned
+#: separately by bpe_pairs + pytest.
+BPE_MERGES = [(14337, 19646, 50257), (6231, 97, 50258),
+              (10333, 15323, 50259)]
+
+
+def q_lm_score(spark, sf_dir):
+    """N-gram LM quality scoring (the CCNet/KenLM-style filter): train
+    an add-k-smoothed bigram model on the corpus itself, score every
+    document by average token log-probability. Gram counting is explode
+    -> map-side-combined groupBy; scoring joins per-occurrence grams to
+    the (possibly corpus-sized) count tables on string gram keys —
+    sort-merge joins, nothing assumes a broadcastable model; the vocab
+    scalar rides as a broadcast 1-row frame."""
+    from traval_spark.operators.lm import lm_score
+
+    s = _seqs_from(_docs(spark, sf_dir)).filter("n_tok >= 2")
+    return lm_score(s, n=2, add_k=0.5)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """One BPE training iteration's statistics: adjacent token-pair
+    frequencies over the corpus (explode + groupBy-count, shuffle
+    bounded by distinct pairs), repeated-pairs only."""
+    from traval_spark.operators.lm import bpe_pair_counts
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    return bpe_pair_counts(s).filter("cnt > 1")
+
+
+def q_bpe_apply(spark, sf_dir):
+    """BPE apply: greedy left-to-right non-overlapping pair-merge folds
+    (pure JVM array aggregate, one pass per merge, later merges see
+    earlier output ids) over the fixed BPE_MERGES table. The oracle
+    mirrors the greedy fold with sequential left-to-right string
+    replaces on a double-delimiter token encoding — value-exact down to
+    the full rewritten sequence hash."""
+    from traval_spark.operators.lm import bpe_apply
+
+    s = _seqs_from(_docs(spark, sf_dir)).filter("n_tok >= 1")
+    out = bpe_apply(s, BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tok_new"),
+        F.md5(F.concat_ws(
+            ",", F.transform(F.col("tokens"), lambda t: t.cast("string"))
+        )).alias("tok_hash"),
+    )
+
+
 def q_token_dedup_exact(spark, sf_dir):
     """Exact dedup on the PRE-TOKENIZED input shape: hash-groupBy over
     md5 of the ','-joined token-id array (fixed-width shuffle key) with
@@ -1945,6 +1998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_banded": q_lsh_banded,
         "dedup_incremental": q_dedup_incremental,
         "minhash_incremental": q_minhash_incremental,
+        "lm_score": q_lm_score,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_apply": q_bpe_apply,
         "token_dedup_exact": q_token_dedup_exact,
         "token_minhash_sig": q_token_minhash_sig,
         "token_lsh_pairs": q_token_lsh_pairs,
@@ -3518,6 +3574,53 @@ def oracle_sql() -> dict[str, str]:
         "list_distinct([array_to_string(tk[i:i+2], ' ') "
         "for i in range(1, greatest(len(tk) - 2, 1) + 1)])"
     )
+    sql["lm_score"] = f"""
+    with t0 as (select doc_id, {_TOKSEQ} tk from documents),
+    t as (select doc_id, tk from t0 where len(tk) >= 2),
+    occ as (
+      select doc_id, CAST(tk[i] AS VARCHAR) AS prefix,
+             CAST(tk[i] AS VARCHAR) || ',' || CAST(tk[i+1] AS VARCHAR)
+               AS gram
+      from t, unnest(range(1, len(tk))) r(i)),
+    bg as (select prefix, gram, count(*) AS cnt from occ group by 1, 2),
+    pc as (select prefix, sum(cnt) AS c_prefix from bg group by 1),
+    v as (select count(distinct u) AS v
+          from (select unnest(tk) AS u from t)),
+    s as (
+      select occ.doc_id,
+             ln((bg.cnt + 0.5) / (pc.c_prefix + 0.5 * v.v)) AS lp
+      from occ join bg using (prefix, gram) join pc using (prefix)
+      cross join v)
+    select doc_id, count(*) AS n_grams, avg(lp) AS avg_logp
+    from s group by 1
+    """
+    sql["bpe_pairs"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    occ as (select CAST(tk[i] AS INT) AS p, CAST(tk[i+1] AS INT) AS w
+            from t, unnest(range(1, len(tk))) r(i))
+    select p, w, count(*) AS cnt from occ group by 1, 2
+    having count(*) > 1
+    """
+    # greedy fold == sequential left-to-right replace on a
+    # double-delimiter encoding: token list -> ',t1,,t2,,t3,'; the
+    # pattern ',a,,b,' -> ',c,' consumes exactly the shared boundary
+    # commas, so scanning continues at the next token's own leading
+    # comma and within-pass re-matching is impossible (new ids never
+    # equal a merge's left side)
+    _bpe_rep = "',' || array_to_string(tk, ',,') || ','"
+    for _a, _b, _c in BPE_MERGES:
+        _bpe_rep = f"replace({_bpe_rep}, ',{_a},,{_b},', ',{_c},')"
+    sql["bpe_apply"] = f"""
+    with t0 as (select doc_id, {_TOKSEQ} tk from documents),
+    t as (select doc_id, tk from t0 where len(tk) >= 1),
+    m as (select doc_id,
+                 replace(trim({_bpe_rep}, ','), ',,', ',') AS sm
+          from t)
+    select doc_id,
+           CAST(len(string_split(sm, ',')) AS INT) AS n_tok_new,
+           md5(sm) AS tok_hash
+    from m
+    """
     sql["token_dedup_exact"] = f"""
     with d as (select doc_id, text from documents union all
                select doc_id + 1000000, text from documents

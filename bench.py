@@ -115,6 +115,7 @@ def main() -> None:
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "fingerprint",
+        "lm_score", "bpe_pairs", "bpe_apply",
         "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",

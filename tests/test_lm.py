@@ -1,0 +1,107 @@
+"""N-gram LM + BPE operator tests: hand-computed smoothed score, greedy
+fold vs a pure-Python reference (property-style over random arrays),
+training determinism, and the chained-merge semantics."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from traval_spark.operators.lm import (
+    bpe_apply,
+    bpe_pair_counts,
+    bpe_train,
+    lm_score,
+    merge_pair,
+    ngram_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, [1, 2, 1, 2, 3]), (2, [1, 2]), (3, [1, 1, 2]), (4, [5]),
+         (5, [1, 1, 1])],
+        "doc_id bigint, tokens array<int>",
+    )
+
+
+def test_lm_score_hand_computed(spark, corpus):
+    """doc 2 = [1,2]: c(1,2)=4, c(prefix 1)=7, V=4 ->
+    ln((4+.5)/(7+.5*4)) = ln(0.5)."""
+    got = {r["doc_id"]: (r["n_grams"], r["avg_logp"])
+           for r in lm_score(corpus).collect()}
+    assert 4 not in got  # single-token doc has no bigram
+    assert got[2][0] == 1
+    assert got[2][1] == pytest.approx(math.log(0.5), rel=1e-12)
+    # model trained on itself: every doc's score is a finite negative
+    assert all(v[1] < 0 and math.isfinite(v[1]) for v in got.values())
+
+
+def test_ngram_counts_trigram(spark, corpus):
+    got = {(r["prefix"], r["gram"]): r["cnt"]
+           for r in ngram_counts(corpus, n=3).collect()}
+    assert got[("1,2", "1,2,1")] == 1
+    assert got[("2,1", "2,1,2")] == 1
+    assert got[("1,1", "1,1,1")] == 1
+    assert got[("1,1", "1,1,2")] == 1
+    assert len(got) == 5  # (1,2,3) is the fifth
+
+
+def _ref_merge(toks, a, b, c):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(c)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_merge_pair_matches_reference_on_random_arrays(spark):
+    rng = random.Random(7)
+    rows = [(i, [rng.randrange(4) for _ in range(rng.randrange(0, 12))])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    got = df.withColumn("m", merge_pair(F.col("tokens"), 1, 2, 99)).collect()
+    for r in got:
+        assert r["m"] == _ref_merge(r["tokens"], 1, 2, 99), r["tokens"]
+
+
+def test_bpe_train_deterministic_and_chained(spark, corpus):
+    """(1,2) wins round 1 (4 occurrences); after rewriting, (1,1) wins
+    round 2 — and a third round may consume the new ids."""
+    merges, out = bpe_train(corpus, 2, vocab_base=100)
+    assert merges == [(1, 2, 100), (1, 1, 101)]
+    got = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    assert got[1] == [100, 100, 3]
+    assert got[5] == [101, 1]
+    # apply on the raw corpus reproduces the training rewrite exactly
+    re_applied = bpe_apply(corpus, merges)
+    assert {r["doc_id"]: r["tokens"] for r in re_applied.collect()} == got
+
+
+def test_bpe_pair_counts_values(spark, corpus):
+    got = {(r["p"], r["w"]): r["cnt"] for r in bpe_pair_counts(corpus).collect()}
+    assert got[(1, 2)] == 4
+    assert got[(1, 1)] == 3
+    assert got[(2, 1)] == 1
+    assert got[(2, 3)] == 1
+    assert sum(got.values()) == 9  # total bigram occurrences
+
+
+def test_lm_score_flags_gibberish_tail(spark):
+    """A document of corpus-typical bigrams outscores a document of
+    never-seen bigrams — the filter's discriminative contract."""
+    typical = [1, 2, 3] * 30
+    docs = [(i, typical) for i in range(20)]
+    docs.append((99, [7, 11, 13, 17, 19, 23]))  # grams unseen elsewhere
+    df = spark.createDataFrame(docs, "doc_id bigint, tokens array<int>")
+    got = {r["doc_id"]: r["avg_logp"] for r in lm_score(df).collect()}
+    assert got[99] < got[0]
+    assert got[99] == min(got.values())

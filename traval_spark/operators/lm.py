@@ -1,0 +1,241 @@
+"""Token n-gram language modeling: corpus gram counts, add-k perplexity
+scoring, and distributed BPE merge learning.
+
+The quality-filter stage of a large-scale training-data pipeline (the
+CCNet / Gopher recipe): train n-gram statistics ON the corpus itself (or
+a trusted reference slice), score every document by its average token
+log-probability, and drop the tail — gibberish and boilerplate sit far
+from the corpus distribution.  Plus the tokenizer side: byte-pair
+encoding reduced to its two Spark-friendly primitives, a pair-count
+aggregation (one shuffle per training iteration) and a greedy
+left-to-right pair-merge fold (pure JVM, no Python in the hot path).
+
+Scale notes:
+- gram counting is explode -> groupBy-count: map-side partial
+  aggregation collapses repeats before the shuffle, reduced rows are
+  bounded by distinct grams, not corpus size;
+- scoring joins doc-gram occurrences to the count tables on the gram
+  string key — sort-merge joins on uniformly-hashed keys (gram counts
+  can be corpus-sized; nothing here assumes a broadcastable model);
+- the vocab-size scalar rides along as a broadcast 1-row frame, never a
+  driver collect inside the plan;
+- BPE training is inherently iterative (each merge changes the next
+  pair distribution): one count + one argmax collect + one fold per
+  merge, with the working frame persisted across iterations.  The fold
+  appends to an immutable array per element (O(len^2) copying per doc)
+  — fine for document-length sequences; chunk extremely long sequences
+  upstream before training.
+
+Reference note: the traval reference (ArtesiaWater/traval) has no
+text/token machinery; this module is part of the training-data pipeline
+surface the brief adds on top of the reference inventory (SURVEY.md §2
+documents-table operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- n-gram counting ----------------------------------------------------------
+
+
+def gram_key(tokens: Column, start: Column | int, n: int) -> Column:
+    """','-joined string key of the n-gram at 1-based ``start`` — a
+    fixed-width shuffle/join key (array-equality keys work too, but the
+    string form is portable to the DuckDB oracles)."""
+    return F.array_join(
+        F.transform(F.slice(tokens, start, n), lambda t: t.cast("string")),
+        ",",
+    )
+
+
+def explode_ngrams(
+    seqs: DataFrame,
+    n: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per n-gram occurrence: (id, prefix, gram) where gram is
+    the ','-joined n-gram and prefix its first n-1 tokens (empty string
+    for n=1).  Docs shorter than n contribute nothing."""
+    toks = F.col(tokens_col)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).alias("__i")
+    out = (
+        seqs.filter(F.size(toks) >= n)
+        .select(F.col(id_col), toks.alias("__t"), pos)
+    )
+    return out.select(
+        id_col,
+        gram_key(F.col("__t"), F.col("__i"), n - 1).alias("prefix")
+        if n > 1 else F.lit("").alias("prefix"),
+        gram_key(F.col("__t"), F.col("__i"), n).alias("gram"),
+    )
+
+
+def ngram_counts(
+    seqs: DataFrame, n: int = 2, tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram model: (prefix, gram, cnt).  Map-side combine keeps
+    the shuffle bounded by distinct grams."""
+    return (
+        explode_ngrams(seqs, n, tokens_col, id_col)
+        .groupBy("prefix", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_score(
+    seqs: DataFrame,
+    model: DataFrame | None = None,
+    n: int = 2,
+    add_k: float = 0.5,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average token log-probability under an add-k
+    smoothed n-gram model: (id, n_grams, avg_logp).
+
+    P(w | prefix) = (c(prefix,w) + k) / (c(prefix) + k·V), with c(·)
+    from ``model`` (a :func:`ngram_counts` frame; defaults to a model
+    trained on ``seqs`` itself — self-perplexity, the standard in-corpus
+    outlier score) and V = distinct unigram count of the scored corpus.
+    Higher (less negative) = more typical; rank ascending to find the
+    gibberish tail.  Docs with fewer than n tokens get no row."""
+    if model is None:
+        model = ngram_counts(seqs, n, tokens_col, id_col)
+    prefix_counts = model.groupBy("prefix").agg(
+        F.sum("cnt").alias("c_prefix"))
+    vocab = (
+        seqs.select(F.explode(F.col(tokens_col)).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    occ = explode_ngrams(seqs, n, tokens_col, id_col)
+    lp = F.log(
+        (F.col("cnt") + F.lit(float(add_k)))
+        / (F.col("c_prefix") + F.lit(float(add_k)) * F.col("v"))
+    )
+    return (
+        occ.join(model, ["prefix", "gram"], "left")
+        .join(prefix_counts, ["prefix"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .fillna(0, subset=["cnt", "c_prefix"])
+        .select(id_col, lp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.avg("__lp").alias("avg_logp"))
+    )
+
+
+# -- byte-pair encoding -------------------------------------------------------
+
+
+def bpe_pair_counts(
+    seqs: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent-pair frequencies (p, w, cnt) — one BPE training
+    iteration's statistics, a single explode + groupBy-count."""
+    occ = explode_ngrams(seqs, 2, tokens_col, id_col)
+    return (
+        occ.select(
+            F.split_part(F.col("gram"), F.lit(","), F.lit(1))
+            .cast("int").alias("p"),
+            F.split_part(F.col("gram"), F.lit(","), F.lit(2))
+            .cast("int").alias("w"),
+        )
+        .groupBy("p", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_pair(tokens: Column, a: int, b: int, c: int) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into c — the BPE apply step for one learned merge, as a pure-JVM
+    array fold (state = (output, pending token))."""
+    init = F.struct(
+        F.array().cast("array<int>").alias("out"),
+        F.lit(None).cast("int").alias("prev"),
+    )
+
+    def step(acc, t):
+        hit = (
+            acc["prev"].isNotNull()
+            & (acc["prev"] == F.lit(int(a)))
+            & (t == F.lit(int(b)))
+        )
+        return F.struct(
+            F.when(
+                hit, F.concat(acc["out"], F.array(F.lit(int(c)).cast("int")))
+            ).otherwise(
+                F.when(
+                    acc["prev"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["prev"])),
+                ).otherwise(acc["out"])
+            ).alias("out"),
+            F.when(hit, F.lit(None).cast("int")).otherwise(t).alias("prev"),
+        )
+
+    def fin(acc):
+        return F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(tokens, init, step, fin)
+
+
+def bpe_apply(
+    seqs: DataFrame,
+    merges: list[tuple[int, int, int]],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Apply learned merges (a, b, c) IN ORDER; each merge is one fold
+    pass over the array column (later merges see earlier merge output,
+    including pairs involving new ids)."""
+    out = seqs
+    for a, b, c in merges:
+        out = out.withColumn(
+            tokens_col, merge_pair(F.col(tokens_col), a, b, c))
+    return out
+
+
+def bpe_train(
+    seqs: DataFrame,
+    n_merges: int,
+    vocab_base: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple[int, int, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges on the corpus: per iteration, count
+    adjacent pairs, take the most frequent (ties broken by (p, w) — the
+    deterministic convention), assign it id ``vocab_base + step``, and
+    rewrite the working corpus with one fold pass.  Returns (merges,
+    rewritten corpus).  One shuffle + one 1-row collect per iteration;
+    the working frame is cached across iterations and uncached when
+    replaced (the standard iterative-algorithm persist chain)."""
+    merges: list[tuple[int, int, int]] = []
+    cur = seqs
+    cached = None
+    for step in range(int(n_merges)):
+        top = (
+            bpe_pair_counts(cur, tokens_col, id_col)
+            .orderBy(F.desc("cnt"), "p", "w")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = int(top[0]["p"]), int(top[0]["w"])
+        c = int(vocab_base) + step
+        merges.append((a, b, c))
+        nxt = cur.withColumn(
+            tokens_col, merge_pair(F.col(tokens_col), a, b, c)
+        ).persist()
+        nxt.count()  # materialize before dropping the previous cache
+        if cached is not None:
+            cached.unpersist()
+        cur, cached = nxt, nxt
+    return merges, cur
