@@ -448,6 +448,37 @@ def q_cms_point_1h(spark, sf_dir):
     return cms_point(t1h, CMS_KEYS, depth=4, width=256)
 
 
+def q_retained_users_1d(spark, sf_dir):
+    """Distinct-set ALGEBRA over the KMV tiers: day-over-day user
+    retention per source — |active(d) ∩ active(d+1)| — computed entirely
+    from stored sketch arrays (array_intersect codegen on the tier, no
+    raw re-scan). Union/merge the tiers already had; intersection is the
+    Beyer et al. 2007 KMV estimator, which collapses to the EXACT
+    intersection count while per-(source,day) cardinality < k — the
+    regime this data is in and the oracle pins. Zero-retention pairs are
+    dropped, matching the oracle's inner join."""
+    from traval_spark.sketch import distinct_tier, kmv_intersect_estimate
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id",
+    )
+    t1d = distinct_tier(src, "1d", "user_id", k=4096)
+    nxt = t1d.select(
+        "source",
+        (F.col("bucket") - F.make_dt_interval(F.lit(1))).alias("bucket"),
+        F.col("kmv").alias("kmv_next"),
+    )
+    return (
+        t1d.join(nxt, ["source", "bucket"])
+        .select(
+            "source", "bucket",
+            kmv_intersect_estimate("kmv", "kmv_next", k=4096)
+            .alias("n_retained"),
+        )
+        .filter(F.col("n_retained") > 0)
+    )
+
+
 def q_bloom_probe_1h(spark, sf_dir):
     """Bloom membership tiers: 1m long-form (source, bucket, bit)
     set-bit rows, merged to 1h by distinct union (set-OR of bitsets —
@@ -620,6 +651,19 @@ def q_sample_k(spark, sf_dir):
 
     return sample_k_per_group(
         _docs(spark, sf_dir), k=5, seed=3
+    ).select("doc_id", "source")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weight-proportional k-per-source sample WITHOUT replacement
+    (Efraimidis-Spirakis exponential keys on the portable hash, weight =
+    n_chars): the quality-weighted mixing sampler. Same exact two-phase
+    salted top-k plan as sample_k — a dominant source never serializes
+    onto one task."""
+    from traval_spark.operators.sampling import weighted_sample_k
+
+    return weighted_sample_k(
+        _docs(spark, sf_dir), k=8, weight_col="n_chars", seed=11
     ).select("doc_id", "source")
 
 
@@ -2018,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_payloads": q_pack_payloads,
         "mix_sample": q_mix_sample,
         "sample_k": q_sample_k,
+        "weighted_sample": q_weighted_sample,
         "split_assign": q_split_assign,
         "epoch_upsample": q_epoch_upsample,
         "token_budget": q_token_budget,
@@ -2054,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_1h": q_distinct_users_1h,
         "cms_point_1h": q_cms_point_1h,
         "bloom_probe_1h": q_bloom_probe_1h,
+        "retained_users_1d": q_retained_users_1d,
         "interval_events": q_interval_events,
         "interval_overlaps": q_interval_overlaps,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
@@ -3750,6 +3796,14 @@ def oracle_sql() -> dict[str, str]:
                from documents)
     select doc_id, source from r where rn <= 5
     """
+    sql["weighted_sample"] = f"""
+    with r as (select doc_id, source,
+                 row_number() over (partition by source
+                   order by -ln(1.0 - {_HU.format(seed=11)})
+                            / CAST(n_chars AS DOUBLE), doc_id) AS rn
+               from documents where n_chars > 0)
+    select doc_id, source from r where rn <= 8
+    """
     _EPOCH_W = ("case source when 'src0' then 2.5 when 'src1' then 2.0 "
                 "when 'src2' then 0.5 else 1.0 end")
     sql["epoch_upsample"] = f"""
@@ -3958,6 +4012,17 @@ def oracle_sql() -> dict[str, str]:
     select hit.source, hit.bucket, hit.key,
            CAST(hit.hit = need.need AS INT) AS present
     from hit join need using (key)
+    """
+    sql["retained_users_1d"] = """
+    with u as (
+      select distinct event_type AS source, date_trunc('day', ts) AS bucket,
+             user_id
+      from events where user_id is not null)
+    select a.source, a.bucket, count(*) AS n_retained
+    from u a join u b
+      on a.source = b.source and a.user_id = b.user_id
+     and b.bucket = a.bucket + INTERVAL '1 day'
+    group by 1, 2
     """
     sql["interval_events"] = """
     with iv as (

@@ -109,7 +109,7 @@ def main() -> None:
         "asof_resample", "relative_summary", "binary_classifier",
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted", "sliding_rollup",
         "distinct_users_1h", "distinct_users_hll_1h", "cms_point_1h",
-        "bloom_probe_1h", "hist_quantiles_1h",
+        "bloom_probe_1h", "retained_users_1d", "hist_quantiles_1h",
         "dds_quantiles_1h", "toptok_1h",
         "sessionize", "interval_events", "interval_overlaps",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
@@ -123,6 +123,7 @@ def main() -> None:
         "span_coverage", "span_incremental",
         "decontaminate", "pack_assign", "pack_payloads",
         "curate", "curate_tokens", "epoch_upsample", "token_budget",
+        "weighted_sample",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
         "semantic_keep",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -1321,3 +1321,32 @@ def test_duplicated_spans_incremental_parity(spark):
     assert inc == full
     assert (100, 0, 8) in inc and (101, 0, 8) in inc
     assert not any(d == 103 for d, _, _ in inc)
+
+
+def test_weighted_sample_k_exact_and_weighted(spark):
+    """Exactly k per group; two-phase == legacy single-window plan; a
+    100x-weight item appears in nearly every seed's sample while a
+    1x-weight item appears in a minority; non-positive/NULL weights are
+    excluded."""
+    from traval_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "g", 100.0 if i == 0 else 1.0) for i in range(40)]
+    rows += [(100, "g", 0.0), (101, "g", None), (102, "h", 5.0)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, w double")
+
+    hits_heavy = hits_light = 0
+    for seed in range(12):
+        got = weighted_sample_k(df, k=5, weight_col="w", seed=seed)
+        ids = {r["doc_id"] for r in got.collect()}
+        assert not ids & {100, 101}
+        hits_heavy += 0 in ids
+        hits_light += 1 in ids
+        legacy = weighted_sample_k(df, k=5, weight_col="w", seed=seed,
+                                   salt_buckets=None)
+        assert ids == {r["doc_id"] for r in legacy.collect()}
+        per_g = got.groupBy("source").count().collect()
+        assert {r["source"]: r["count"] for r in per_g} == {"g": 5, "h": 1}
+    # heavy item: P(in top-5 of 40) ≈ 1 with w=100; light ≈ 5/139
+    assert hits_heavy >= 10, hits_heavy
+    assert hits_light <= 6, hits_light

@@ -183,3 +183,32 @@ def test_bloom_merge_invariance_and_membership(spark):
     # n<<nbits the FP rate is ~(n*4/4096)^4, effectively zero here
     absent = bloom_probe(merged, ["no-such-user"], nhash=4, nbits=4096)
     assert absent.filter(F.col("present") == 1).count() == 0
+
+
+def test_kmv_intersect_exact_and_estimated(spark):
+    """Exact while both cardinalities < k (the oracle regime); within
+    ~15% at 4x overflow (k=256 → σ≈1/√k≈6%, generous bound for one
+    draw)."""
+    from traval_spark.sketch import kmv_agg, kmv_intersect_estimate
+
+    # A = 0..149, B = 100..249 -> |A ∩ B| = 50, both < k=256
+    df = spark.range(0, 250).select(
+        F.when(F.col("id") < 150, F.col("id")).alias("a_key"),
+        F.when(F.col("id") >= 100, F.col("id")).alias("b_key"),
+    )
+    sk = df.agg(kmv_agg("a_key", 256).alias("a"),
+                kmv_agg("b_key", 256).alias("b"))
+    got = sk.select(
+        kmv_intersect_estimate("a", "b", 256).alias("n")).first()["n"]
+    assert got == 50
+
+    # overflow regime: |A| = |B| = 1000, overlap 500, k = 256
+    df2 = spark.range(0, 1500).select(
+        F.when(F.col("id") < 1000, F.col("id")).alias("a_key"),
+        F.when(F.col("id") >= 500, F.col("id")).alias("b_key"),
+    )
+    sk2 = df2.agg(kmv_agg("a_key", 256).alias("a"),
+                  kmv_agg("b_key", 256).alias("b"))
+    est = sk2.select(
+        kmv_intersect_estimate("a", "b", 256).alias("n")).first()["n"]
+    assert 350 <= est <= 650, est

@@ -98,7 +98,17 @@ def sample_k_per_group(
     input is now bounded by salt_buckets * k rows regardless of group
     size. ``salt_buckets=None`` keeps the legacy single-window plan."""
     u = hash_uniform(F.col(id_col), seed)
-    out = df.withColumn("__u", u)
+    return _two_phase_topk(df.withColumn("__u", u), k, by, id_col,
+                           salt_buckets)
+
+
+def _two_phase_topk(
+    out: DataFrame, k: int, by: str, id_col: str,
+    salt_buckets: int | None,
+) -> DataFrame:
+    """Keep the k smallest-``__u`` rows per group (ties by id), with the
+    exact two-phase salted plan described in sample_k_per_group; drops
+    the ``__u`` key column."""
     if salt_buckets and int(salt_buckets) > 1:
         salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets)))
         w1 = Window.partitionBy(by, "__salt").orderBy(
@@ -117,6 +127,35 @@ def sample_k_per_group(
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(k))
         .drop("__rn", "__u")
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    salt_buckets: int | None = 32,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, WITHOUT replacement,
+    with inclusion probability proportional to ``weight_col`` — the
+    Efraimidis-Spirakis (2006) exponential-key reservoir, deterministic
+    via the portable hash: key = -ln(1 - u(id, seed)) / w, keep the k
+    SMALLEST keys per group (an Exp(w) draw per row; higher weight →
+    stochastically smaller key).  The quality-weighted counterpart of
+    :func:`sample_k_per_group` for mixing stages that should prefer
+    high-scoring documents without hard-cutting the tail.
+
+    Same exact two-phase salted top-k plan (a dominant group never
+    serializes onto one task).  Rows with NULL or non-positive weight
+    are excluded — they have no defined draw."""
+    w = F.col(weight_col).cast("double")
+    key = -F.log(F.lit(1.0) - hash_uniform(F.col(id_col), seed)) / w
+    return _two_phase_topk(
+        df.filter(w > 0).withColumn("__u", key),
+        k, by, id_col, salt_buckets,
     )
 
 

@@ -375,3 +375,39 @@ def bloom_probe(
             (F.col("__hit") == F.col("__need")).cast("int").alias("present"),
         )
     )
+
+
+# -- KMV set operations -------------------------------------------------------
+# Distinct-count ALGEBRA over the KMV tiers: union comes free (kmv_merge)
+# but retention/overlap questions need INTERSECTION ("how many of
+# yesterday's users returned today?"), which no count column can answer.
+# The KMV estimator composes: take the k smallest hashes L of the UNION,
+# count how many of them sit in BOTH input sketches, and scale —
+# |A ∩ B| ≈ (|L ∩ A ∩ B| / |L|) · est(|A ∪ B|)
+# (Beyer et al. 2007, "On synopses for distinct-value estimation under
+# multiset operations"). While both true cardinalities stay below k the
+# sketches ARE the distinct hash sets, |L| = |A ∪ B|, est is exact, and
+# the whole expression collapses to the exact intersection count — the
+# regime the oracle pins. Pure codegen: array_intersect / slice on the
+# stored sketch arrays, no re-scan of raw rows.
+
+
+def kmv_intersect_estimate(
+    a: Column | str, b: Column | str, k: int = 256
+) -> Column:
+    """Estimated |A ∩ B| from two KMV sketch arrays (exact while both
+    true cardinalities < k)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(ca, cb))), 1, k)
+    common = F.size(F.array_intersect(F.array_intersect(ca, cb), merged))
+    k_eff = F.size(merged)
+    u_k = (F.element_at(merged, k).cast("double")
+           + F.lit(_HASH_OFFSET)) / F.lit(_HASH_RANGE)
+    union_est = F.when(
+        k_eff < k, k_eff.cast("double")
+    ).otherwise(F.lit(k - 1) / u_k)
+    return F.round(
+        common.cast("double") / k_eff.cast("double") * union_est
+    ).cast("long")
