@@ -448,6 +448,46 @@ def q_cms_point_1h(spark, sf_dir):
     return cms_point(t1h, CMS_KEYS, depth=4, width=256)
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Strict-order funnel (signup -> click -> purchase): per-user depth
+    as a pure-JVM fold over the time-sorted step events (state = one
+    int), then users-reaching-step counts. Non-step events are filtered
+    BEFORE the one groupBy(user) shuffle, so per-user state is bounded
+    by that user's step events."""
+    from traval_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort-retention triangle: cohort = first active day, cell =
+    distinct users of that cohort active offset days later. distinct
+    (user, day) collapses map-side before the join, so shuffles are
+    bounded by user-days, not raw events."""
+    from traval_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+BM25_TERMS = [14337, 19646, 6231, 97]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 relevance of every document against a fixed query-term set
+    (Lucene-style non-negative idf, tf saturation with corpus-mean
+    length normalization). Plan shape for scale: the token explode
+    filters to query terms before any shuffle, document frequencies and
+    the (N, avg_len) scalars ride as broadcast frames, the per-doc sum
+    is one map-side-combinable groupBy."""
+    from traval_spark.operators.lm import bm25_scores
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    return bm25_scores(s, BM25_TERMS, k1=1.2, b=0.75)
+
+
 def q_retained_users_1d(spark, sf_dir):
     """Distinct-set ALGEBRA over the KMV tiers: day-over-day user
     retention per source — |active(d) ∩ active(d+1)| — computed entirely
@@ -2100,6 +2140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_1h": q_cms_point_1h,
         "bloom_probe_1h": q_bloom_probe_1h,
         "retained_users_1d": q_retained_users_1d,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "bm25": q_bm25,
         "interval_events": q_interval_events,
         "interval_overlaps": q_interval_overlaps,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
@@ -4012,6 +4055,57 @@ def oracle_sql() -> dict[str, str]:
     select hit.source, hit.bucket, hit.key,
            CAST(hit.hit = need.need AS INT) AS present
     from hit join need using (key)
+    """
+    sql["funnel"] = """
+    with e as (
+      select user_id,
+             case event_type when 'signup' then 1 when 'click' then 2
+                  when 'purchase' then 3 end AS idx, ts
+      from events
+      where event_type in ('signup', 'click', 'purchase')
+        and user_id is not null),
+    l as (select user_id,
+            [s.idx for s in
+             list_sort(list(struct_pack(ts := ts, idx := idx)))] AS xs
+          from e group by 1),
+    d as (select user_id,
+            list_reduce(list_prepend(0, xs),
+              (acc, x) -> case when x = acc + 1 then acc + 1
+                               else acc end) AS depth
+          from l)
+    select CAST(t.s AS INT) AS step, count(*) AS n_users
+    from d, unnest(generate_series(1, depth)) t(s)
+    where depth >= 1 group by 1
+    """
+    sql["cohort_retention"] = """
+    with days as (
+      select distinct user_id AS u, CAST(date_trunc('day', ts) AS DATE)
+             AS day
+      from events where user_id is not null),
+    first as (select u, min(day) AS cohort_day from days group by 1)
+    select f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, d.day) AS INT)
+             AS offset_days,
+           count(*) AS n_users
+    from days d join first f using (u)
+    group by 1, 2
+    """
+    sql["bm25"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    scal as (select count(*) AS n_docs,
+                    avg(CAST(len(tk) AS DOUBLE)) AS avg_len from t),
+    occ as (select doc_id, len(tk) AS dl, unnest(tk) AS tok from t),
+    tf as (select doc_id, tok, count(*) AS tf, max(dl) AS dl
+           from occ where tok in (14337, 19646, 6231, 97)
+           group by 1, 2),
+    dfq as (select tok, count(*) AS df from tf group by 1)
+    select tf.doc_id, count(*) AS n_terms,
+           sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)))
+             AS score
+    from tf join dfq using (tok) cross join scal
+    group by 1
     """
     sql["retained_users_1d"] = """
     with u as (

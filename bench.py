@@ -112,10 +112,11 @@ def main() -> None:
         "bloom_probe_1h", "retained_users_1d", "hist_quantiles_1h",
         "dds_quantiles_1h", "toptok_1h",
         "sessionize", "interval_events", "interval_overlaps",
+        "funnel", "cohort_retention",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "fingerprint",
-        "lm_score", "bpe_pairs", "bpe_apply",
+        "lm_score", "bpe_pairs", "bpe_apply", "bm25",
         "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",

@@ -105,3 +105,23 @@ def test_lm_score_flags_gibberish_tail(spark):
     got = {r["doc_id"]: r["avg_logp"] for r in lm_score(df).collect()}
     assert got[99] < got[0]
     assert got[99] == min(got.values())
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, query {1}: N=3, df=2, avg_len=(2+4+3)/3=3 ->
+    idf = ln(1 + 1.5/2.5); doc 10 tf=1 dl=2, doc 11 tf=2 dl=4."""
+    from traval_spark.operators.lm import bm25_scores
+
+    df = spark.createDataFrame(
+        [(10, [1, 2]), (11, [1, 1, 3, 4]), (12, [5, 6, 7])],
+        "doc_id bigint, tokens array<int>",
+    ).withColumn("n_tok", F.size("tokens"))
+    got = {r["doc_id"]: (r["n_terms"], r["score"])
+           for r in bm25_scores(df, [1], k1=1.2, b=0.75).collect()}
+    assert set(got) == {10, 11}
+    idf = math.log(1 + 1.5 / 2.5)
+    s10 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 3.0))
+    s11 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 4 / 3.0))
+    assert got[10] == (1, pytest.approx(s10, rel=1e-12))
+    assert got[11] == (1, pytest.approx(s11, rel=1e-12))
+    assert got[11][1] > got[10][1]  # higher tf wins despite longer doc

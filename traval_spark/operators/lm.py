@@ -239,3 +239,57 @@ def bpe_train(
             cached.unpersist()
         cur, cached = nxt, nxt
     return merges, cur
+
+
+# -- BM25 retrieval scoring ---------------------------------------------------
+
+
+def bm25_scores(
+    seqs: DataFrame,
+    query_terms: list[int],
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set:
+    (id, n_terms, score) for docs containing >= 1 query term.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene-style
+    non-negative variant), tf saturation with length normalization
+    against the corpus mean.  Plan shape for scale: the explode filters
+    to QUERY TERMS ONLY before any shuffle (per-doc surviving rows are
+    bounded by |query|), document frequencies and the (N, avg_len)
+    scalars come back as broadcast frames, and the final per-doc sum is
+    one map-side-combinable groupBy."""
+    terms = [int(t) for t in query_terms]
+    scal = seqs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col(len_col).cast("double")).alias("avg_len"),
+    )
+    tf = (
+        seqs.select(id_col, F.col(len_col).alias("__dl"),
+                    F.explode(F.col(tokens_col)).alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    norm = F.col("__tf") * F.lit(k1 + 1.0) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b)
+                       + F.lit(b) * F.col("__dl") / F.col("avg_len"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), ["t"])
+        .crossJoin(F.broadcast(scal))
+        .select(id_col, (idf * norm).alias("__s"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("__s").alias("score"))
+    )
