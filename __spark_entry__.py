@@ -2033,6 +2033,70 @@ def q_frame_sample(spark, sf_dir):
     return f.select("doc_id", "frame_idx", "ts_ms")
 
 
+def q_m4_1h(spark, sf_dir):
+    """M4 visual downsample (Jugel et al.) SERVED FROM THE TIER: the
+    query computes the 1-minute M4 tier and merges it to 1h
+    (downsample.py:m4_merge); the oracle is the direct 1h M4 on raw
+    points — so the correctness gate itself proves the M4 cascade
+    identity (store fine once, serve every zoom level exactly)."""
+    from traval_spark.operators.downsample import m4_downsample, m4_merge
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    return m4_merge(m4_downsample(ev, bucket="1m"), bucket="1h")
+
+
+def q_lttb_6h(spark, sf_dir):
+    """Fixed-anchor LTTB downsample (downsample.py:lttb_downsample):
+    one shape-preserving point per (series, 6h bucket), the triangle
+    argmax evaluated in exact scaled-integer arithmetic (decimal(38,0)
+    here, HUGEINT in the oracle) so the selected points are
+    engine-identical."""
+    from traval_spark.operators.downsample import lttb_downsample
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    return lttb_downsample(ev, bucket="6h")
+
+
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style counter semantics (monitor.py:counter_windows):
+    per-series increase / rate / resets over 1h tumbling windows with
+    the Prometheus reset rule (negative step credits the new value)."""
+    from traval_spark.operators.monitor import counter_windows
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return counter_windows(ev, window="1h")
+
+
+def q_gap_stats(spark, sf_dir):
+    """Per-series gap census + uptime fraction (monitor.py:gap_stats):
+    inter-arrival deltas over 30m count as outages for the excess
+    above threshold; all-integer micros until the final ratio."""
+    from traval_spark.operators.monitor import gap_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "event_id"
+    )
+    return gap_stats(ev, max_gap="30m")
+
+
+def q_cusum_change(spark, sf_dir):
+    """Exact-integer max-|CUSUM| level-shift candidate per series
+    (monitor.py:cusum_changepoint): D_i = N*C_i - i*S on fixed-point
+    values — the argmax is engine-exact, no float-association noise."""
+    from traval_spark.operators.monitor import cusum_changepoint
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return cusum_changepoint(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -2149,6 +2213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_1h": q_hist_quantiles_1h,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
+        "m4_1h": q_m4_1h,
+        "lttb_6h": q_lttb_6h,
+        "counter_rate": q_counter_rate,
+        "gap_stats": q_gap_stats,
+        "cusum_change": q_cusum_change,
     }
 
 
@@ -4224,5 +4293,143 @@ def oracle_sql() -> dict[str, str]:
            cast(unnest(range(0, nf)) as integer) AS frame_idx,
            cast(unnest(range(0, nf)) * 1000 as bigint) AS ts_ms
     from n
+    """
+    # M4 oracle is the DIRECT 1h downsample on raw (the Spark query
+    # serves it from the 1m tier via m4_merge: the gate proves the
+    # cascade identity). Tie rules pinned in downsample.py.
+    sql["m4_1h"] = """
+    with src as (select event_type AS source,
+                        cast(floor(epoch_us(ts) / 3600000000) AS bigint)
+                          * 3600000000 AS bus,
+                        epoch_us(ts) AS us, value AS v
+                 from events),
+    a as (select source, bus, count(*) AS n_points,
+                 min(us) AS usf, max(us) AS usl,
+                 min(v) AS v_min, max(v) AS v_max
+          from src group by source, bus),
+    vf as (select s.source, s.bus, min(s.v) AS v_first
+           from src s join a on s.source=a.source and s.bus=a.bus
+            and s.us=a.usf group by s.source, s.bus),
+    vl as (select s.source, s.bus, max(s.v) AS v_last
+           from src s join a on s.source=a.source and s.bus=a.bus
+            and s.us=a.usl group by s.source, s.bus),
+    tm as (select s.source, s.bus, min(s.us) AS tmin
+           from src s join a on s.source=a.source and s.bus=a.bus
+            and s.v=a.v_min group by s.source, s.bus),
+    tx as (select s.source, s.bus, max(s.us) AS tmax
+           from src s join a on s.source=a.source and s.bus=a.bus
+            and s.v=a.v_max group by s.source, s.bus)
+    select a.source, make_timestamp(a.bus) AS bucket_start, a.n_points,
+           make_timestamp(a.usf) AS t_first, vf.v_first,
+           make_timestamp(a.usl) AS t_last, vl.v_last,
+           make_timestamp(tm.tmin) AS t_min, a.v_min,
+           make_timestamp(tx.tmax) AS t_max, a.v_max
+    from a
+    join vf on a.source=vf.source and a.bus=vf.bus
+    join vl on a.source=vl.source and a.bus=vl.bus
+    join tm on a.source=tm.source and a.bus=tm.bus
+    join tx on a.source=tx.source and a.bus=tx.bus
+    """
+    # fixed-anchor LTTB: identical exact-integer cross product on
+    # HUGEINT; same rank order (area desc, us asc / desc-on-last, v)
+    sql["lttb_6h"] = """
+    with g0 as (select min(epoch_us(ts)) AS m from events),
+    src as (select event_type AS source,
+                   cast(epoch_us(ts) - g0.m AS hugeint) AS x,
+                   cast(floor(epoch_us(ts) / 21600000000) AS bigint)
+                     * 21600000000 AS bus,
+                   value AS v,
+                   cast(round(value * 1000) AS hugeint) AS y
+            from events, g0),
+    sums as (select source, bus, count(*) AS n,
+                    sum(x) AS sx, sum(y) AS sy
+             from src group by source, bus),
+    anch as (select source, bus, n,
+                    lag(n) over w AS na, lag(sx) over w AS sxa,
+                    lag(sy) over w AS sya,
+                    lead(n) over w AS nb, lead(sx) over w AS sxb,
+                    lead(sy) over w AS syb
+             from sums window w as (partition by source order by bus)),
+    j as (select s.source, s.bus, a.n, s.x, s.v,
+                 case when a.na is null or a.nb is null
+                      then cast(0 AS hugeint)
+                      else -abs((s.x*a.na - a.sxa)
+                                  * (a.syb*a.na - a.sya*a.nb)
+                                - (a.sxb*a.na - a.sxa*a.nb)
+                                  * (s.y*a.na - a.sya))
+                 end AS o1,
+                 case when a.nb is null then -s.x else s.x end AS o2
+          from src s join anch a on s.source=a.source and s.bus=a.bus),
+    r as (select *, row_number() over
+            (partition by source, bus order by o1, o2, v) AS rn from j)
+    select source, make_timestamp(bus) AS bucket_start, n AS n_points,
+           make_timestamp(cast(x + (select m from g0) AS bigint))
+             AS t_sel,
+           v AS v_sel
+    from r where rn = 1
+    """
+    sql["counter_rate"] = """
+    with l as (select event_type AS source, epoch_us(ts) AS us,
+                      value AS v,
+                      lag(value) over (partition by event_type
+                        order by epoch_us(ts), event_id) AS vp
+               from events),
+    s as (select source,
+                 cast(floor(us / 3600000000) AS bigint) * 3600000000
+                   AS bus,
+                 case when vp is null then 0
+                      when v - vp < 0 then v else v - vp end AS step,
+                 case when vp is not null and v - vp < 0
+                      then 1 else 0 end AS r
+          from l)
+    select source, count(*) AS n_samples,
+           round(sum(step), 6) AS increase,
+           round(sum(step) / 3600.0, 6) AS rate_per_sec,
+           cast(sum(r) AS bigint) AS resets,
+           make_timestamp(bus) AS window_start
+    from s group by source, bus
+    """
+    sql["gap_stats"] = """
+    with l as (select event_type AS source, epoch_us(ts) AS us,
+                      lag(epoch_us(ts)) over (partition by event_type
+                        order by epoch_us(ts), event_id) AS up
+               from events),
+    d as (select source, us, us - up AS delta from l)
+    select source, count(*) AS n_points,
+           cast(sum(case when delta > 1800000000 then 1 else 0 end)
+                AS bigint) AS n_gaps,
+           coalesce(max(delta), 0) AS max_delta_us,
+           max(us) - min(us) AS span_us,
+           round(case when max(us) - min(us) > 0
+                 then 1.0 - cast(sum(case when delta > 1800000000
+                                     then delta - 1800000000
+                                     else 0 end) AS double)
+                            / (max(us) - min(us))
+                 else 1.0 end, 9) AS uptime_frac
+    from d group by source
+    """
+    sql["cusum_change"] = """
+    with src as (select event_type AS source, epoch_us(ts) AS us,
+                        event_id AS id,
+                        cast(round(value * 1000) AS bigint) AS y
+                 from events),
+    p as (select source, us, id,
+                 sum(y) over (partition by source order by us, id
+                              rows unbounded preceding) AS c,
+                 row_number() over (partition by source
+                                    order by us, id) AS i,
+                 count(*) over (partition by source) AS n,
+                 sum(y) over (partition by source) AS s
+          from src),
+    d as (select source, us, id, n,
+                 abs(n * c - i * s) AS ad from p),
+    r as (select *, row_number() over (partition by source
+            order by ad desc, us, id) AS rn from d)
+    select source, n AS n_points, make_timestamp(us) AS t_change,
+           ad AS d_max_scaled,
+           round(cast(ad AS double)
+                 / (cast(n AS double) * cast(n AS double))
+                 / 1000.0, 9) AS score
+    from r where rn = 1
     """
     return sql

@@ -1,0 +1,152 @@
+"""M4 + fixed-anchor LTTB downsampling (operators/downsample.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from traval_spark.operators.downsample import (
+    lttb_downsample,
+    m4_downsample,
+    m4_merge,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "value"])
+    )
+
+
+def _t(sec):
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec)
+
+
+def test_m4_tie_rules_hand_computed(spark):
+    """All four tie rules from the module docstring on one bucket."""
+    rows = [
+        ("a", _t(0), 5.0), ("a", _t(0), 3.0),      # first instant: min v
+        ("a", _t(10), 1.0), ("a", _t(20), 1.0),    # min: earliest instant
+        ("a", _t(30), 9.0), ("a", _t(40), 9.0),    # max: latest instant
+        ("a", _t(50), 2.0), ("a", _t(50), 7.0),    # last instant: max v
+    ]
+    out = m4_downsample(_frame(spark, rows), bucket="1h").collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_points"] == 8
+    assert (r["t_first"], r["v_first"]) == (_t(0), 3.0)
+    assert (r["t_last"], r["v_last"]) == (_t(50), 7.0)
+    assert (r["t_min"], r["v_min"]) == (_t(10), 1.0)
+    assert (r["t_max"], r["v_max"]) == (_t(40), 9.0)
+
+
+def test_m4_merge_cascade_identity(spark):
+    """m4_merge(m4(1m), 1h) is bit-identical to m4(1h) on raw — the
+    property that lets the 1m M4 tier serve every coarser zoom."""
+    rng = np.random.RandomState(7)
+    n = 1500
+    rows = [
+        (
+            "s%d" % (i % 3),
+            pd.Timestamp("2024-03-01")
+            + pd.Timedelta(seconds=int(rng.randint(0, 3 * 86400))),
+            float(np.round(rng.uniform(-50, 50), 2)),
+        )
+        for i in range(n)
+    ]
+    df = _frame(spark, rows)
+    direct = m4_downsample(df, bucket="1h")
+    cascaded = m4_merge(m4_downsample(df, bucket="1m"), bucket="1h")
+    assert direct.exceptAll(cascaded).count() == 0
+    assert cascaded.exceptAll(direct).count() == 0
+
+
+def test_m4_single_shuffle_plan(spark):
+    rows = [("a", _t(i), float(i)) for i in range(50)]
+    plan = (
+        m4_downsample(_frame(spark, rows), bucket="1m")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # one partial-aggregatable groupBy
+    assert "Window" not in plan
+
+
+def test_lttb_picks_max_triangle_point(spark):
+    """3 buckets: endpoints kept, middle bucket picks the spike (the
+    point with the largest triangle area against neighbor means)."""
+    rows = [
+        ("a", _t(0), 0.0),                       # bucket 0 (first)
+        ("a", _t(3600 + 600), 0.0),
+        ("a", _t(3600 + 1800), 10.0),            # the spike
+        ("a", _t(3600 + 3000), 0.0),
+        ("a", _t(7200 + 600), 0.0),              # bucket 2 (last)
+    ]
+    out = {
+        r["bucket_start"]: r
+        for r in lttb_downsample(
+            _frame(spark, rows), bucket="1h"
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[_t(0)]["v_sel"] == 0.0 and out[_t(0)]["t_sel"] == _t(0)
+    mid = out[_t(3600)]
+    assert (mid["t_sel"], mid["v_sel"]) == (_t(3600 + 1800), 10.0)
+    last = out[_t(7200)]
+    assert last["t_sel"] == _t(7200 + 600)
+
+
+def test_lttb_endpoint_rule_first_last(spark):
+    """First bucket keeps its FIRST point, last bucket its LAST."""
+    rows = [
+        ("a", _t(100), 4.0), ("a", _t(200), 9.0),       # first bucket
+        ("a", _t(3600 + 10), 1.0), ("a", _t(3600 + 20), 2.0),  # last
+    ]
+    out = {
+        r["bucket_start"]: r
+        for r in lttb_downsample(_frame(spark, rows), bucket="1h").collect()
+    }
+    assert out[_t(0)]["t_sel"] == _t(100)
+    assert out[_t(3600)]["t_sel"] == _t(3600 + 20)
+
+
+def test_lttb_partitioning_invariant(spark):
+    """Exact-integer argmax: the selection must not depend on input
+    partitioning (a float-mean anchor would make it flip)."""
+    rng = np.random.RandomState(11)
+    rows = [
+        (
+            "s%d" % (i % 2),
+            pd.Timestamp("2024-03-01")
+            + pd.Timedelta(seconds=int(rng.randint(0, 2 * 86400))),
+            float(np.round(rng.uniform(0, 100), 2)),
+        )
+        for i in range(800)
+    ]
+    df = _frame(spark, rows)
+    a = lttb_downsample(df, bucket="6h").collect()
+    b = lttb_downsample(df.repartition(7, "value"), bucket="6h").collect()
+    key = lambda r: (r["source"], r["bucket_start"])
+    assert sorted((key(r), r["t_sel"], r["v_sel"]) for r in a) == sorted(
+        (key(r), r["t_sel"], r["v_sel"]) for r in b
+    )
+
+
+def test_lttb_no_per_series_single_task(spark):
+    """Raw rows shuffle on (series, bucket), never a whole-series
+    window: the only Window nodes run over the bucket-level frame."""
+    rows = [("a", _t(i * 60), float(i % 10)) for i in range(600)]
+    plan = (
+        lttb_downsample(_frame(spark, rows), bucket="1h")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly three Window nodes: anchor lag + lead (separate frames)
+    # over the TINY bucket-level frame (one row per bucket) and the
+    # per-(source, bucket) argmax — no window ever partitions RAW rows
+    # by source alone, so no whole-series single-task sort exists
+    assert plan.count("Window") == 3
+    # the argmax (the only window over raw rows) is keyed by bucket too
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(source#\d+[^)]*", plan)
+    assert any("__bus" in s for s in specs)

@@ -1,0 +1,98 @@
+"""Counter rate / gap stats / CUSUM changepoint (operators/monitor.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from traval_spark.operators.monitor import (
+    counter_windows,
+    cusum_changepoint,
+    gap_stats,
+)
+
+
+def _t(sec):
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "value", "event_id"])
+    )
+
+
+def test_counter_reset_rule_hand_computed(spark):
+    """[10, 13, 5, 6] in one window: steps 0 (first), +3, +5 (reset:
+    credit the new value), +1 -> increase 9, resets 1."""
+    rows = [
+        ("a", _t(0), 10.0, 1), ("a", _t(600), 13.0, 2),
+        ("a", _t(1200), 5.0, 3), ("a", _t(1800), 6.0, 4),
+    ]
+    out = counter_windows(_frame(spark, rows), window="1h").collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_samples"] == 4
+    assert r["increase"] == 9.0
+    assert r["resets"] == 1
+    assert abs(r["rate_per_sec"] - 9.0 / 3600) < 1e-6
+    assert r["window_start"] == _t(0)
+
+
+def test_counter_edge_step_goes_to_later_window(spark):
+    """A step spanning a window edge lands in the LATER sample's
+    window (the documented edge rule)."""
+    rows = [("a", _t(3599), 10.0, 1), ("a", _t(3601), 25.0, 2)]
+    out = {
+        r["window_start"]: r
+        for r in counter_windows(_frame(spark, rows), window="1h").collect()
+    }
+    assert out[_t(0)]["increase"] == 0.0
+    assert out[_t(3600)]["increase"] == 15.0
+
+
+def test_gap_stats_hand_computed(spark):
+    """Deltas 60s (not a gap at thr=60s: strict >) and 3660s (gap,
+    excess 3600s): uptime = 1 - 3600/3720."""
+    rows = [
+        ("a", _t(0), 0.0, 1), ("a", _t(60), 0.0, 2),
+        ("a", _t(3720), 0.0, 3),
+    ]
+    df = _frame(spark, rows).select("source", "ts", "event_id")
+    r = gap_stats(df, max_gap="1m").collect()[0].asDict()
+    assert r["n_points"] == 3
+    assert r["n_gaps"] == 1
+    assert r["max_delta_us"] == 3660 * 1_000_000
+    assert r["span_us"] == 3720 * 1_000_000
+    assert abs(r["uptime_frac"] - (1 - 3600 / 3720)) < 1e-9
+
+
+def test_gap_stats_single_point_series(spark):
+    df = _frame(spark, [("a", _t(0), 0.0, 1)]).select(
+        "source", "ts", "event_id"
+    )
+    r = gap_stats(df, max_gap="1m").collect()[0].asDict()
+    assert (r["n_gaps"], r["max_delta_us"], r["span_us"]) == (0, 0, 0)
+    assert r["uptime_frac"] == 1.0
+
+
+def test_cusum_finds_level_shift(spark):
+    """[0,0,0,0,10,10,10,10]: D_i = 8*C_i - i*40 peaks (|D|=160) at the
+    last pre-shift point; fixed-point scale 1000 -> d_max 160000,
+    score 160000/64/1000 = 2.5."""
+    rows = [
+        ("a", _t(i * 60), 0.0 if i < 4 else 10.0, i) for i in range(8)
+    ]
+    r = cusum_changepoint(_frame(spark, rows)).collect()[0].asDict()
+    assert r["n_points"] == 8
+    assert r["t_change"] == _t(3 * 60)
+    assert r["d_max_scaled"] == 160_000
+    assert r["score"] == 2.5
+
+
+def test_cusum_flat_series_zero_score(spark):
+    rows = [("a", _t(i), 5.0, i) for i in range(6)]
+    r = cusum_changepoint(_frame(spark, rows)).collect()[0].asDict()
+    assert r["d_max_scaled"] == 0
+    assert r["score"] == 0.0
+    # ties on |D|=0 resolve to the earliest instant
+    assert r["t_change"] == _t(0)

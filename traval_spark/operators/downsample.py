@@ -1,0 +1,264 @@
+"""Visualization-grade series downsampling: M4 and fixed-anchor LTTB.
+
+Tiered retention (raw -> 1m -> 1h -> 1d) answers *aggregate* reads; a
+dashboard rendering a million-point series needs *shape-preserving*
+downsampling instead.  Two standard algorithms, both re-derived here as
+single-shuffle DataFrame plans:
+
+**M4** (Jugel et al., VLDB 2014): per (series, time bucket) keep the
+first, last, minimum and maximum points — the exact set of rows needed
+to rasterize the series onto ``width`` pixels without visual error.
+Every M4 column is an algebraic aggregate (min/max/arg-extremes), so
+
+- the plan is ONE partial-aggregatable groupBy (map-side combine, no
+  window, no second shuffle), and
+- M4 tiers CASCADE exactly: :func:`m4_merge` re-aggregates fine-bucket
+  M4 rows into any coarser bucket with bit-identical results to running
+  M4 on the raw points (``tests/test_downsample.py`` proves it; the
+  ``m4_1h`` oracle query *is* the 1m->1h cascade against a direct-on-raw
+  SQL oracle).  That makes M4 a first-class continuous-aggregate kernel:
+  store the 1m M4 tier once, serve every coarser zoom level from it
+  without touching raw.
+
+Tie rules (and why they are pinned): timestamps may collide at
+microsecond resolution at ingest scale, and argmin/argmax over doubles
+is engine-nondeterministic under ties.  We define
+
+- ``t_min`` = EARLIEST instant attaining the bucket minimum,
+- ``t_max`` = LATEST instant attaining the bucket maximum (so the pair
+  spans the widest extent of the extremes),
+- ``v_first`` = smallest value among rows at the earliest instant,
+- ``v_last`` = largest value among rows at the latest instant,
+
+all computed as single ``min(struct(...))`` / ``max(struct(...))``
+aggregates — deterministic, mergeable, and reproducible by any engine.
+
+**LTTB** (Steinarsson 2013, largest-triangle-three-buckets) is
+inherently sequential: bucket *k*'s chosen point depends on bucket
+*k-1*'s choice.  The scalable variant implemented here is the
+*fixed-anchor* (a.k.a. parallel) form used by MinMaxLTTB-style
+pipelines: each bucket's candidate triangles are anchored on the MEAN
+point of the previous and next buckets (which never depends on any
+selection), so every bucket decides independently — one groupBy for the
+bucket means, a lag/lead window over the tiny bucket-level frame, one
+equi-join back to raw, one per-bucket argmax.
+
+The argmax itself is computed in EXACT fixed-point integer arithmetic:
+values are scaled to integers (``value_scale``), timestamps to
+microseconds relative to the global minimum, and the triangle cross
+product is evaluated on decimal(38,0) (Spark) / HUGEINT (DuckDB oracle)
+— the numerator of the true floating-point area with the positive
+denominator ``2*na^2*nb`` cleared:
+
+    cross * na^2 * nb = (x*na - SXa) * (SYb*na - SYa*nb)
+                      - (SXb*na - SXa*nb) * (y*na - SYa)
+
+(a, b = previous/next bucket sums; x, y = the candidate point).  Exact
+integers make the winning point identical on every engine and every
+partitioning — a float mean would make the argmax flip on
+sum-association noise.  Magnitude budget: |cross*na^2*nb| <=
+rel_span_us * n_bucket^2 * value_scale * |v|_max * 4; keep it under
+1e38 by choosing ``value_scale`` (1e3 default) and bucket width — at
+1e14 us span (3 years), 1e6-row buckets and |v|<=1e4 that is ~4e33.
+
+First/last buckets of each series keep their first/last point (the
+classic LTTB endpoint rule).
+
+Scale: both operators shuffle once on (series, bucket) — never
+one-task-per-series; skewed series spread across buckets by
+construction.  Reference note: the traval reference
+(ArtesiaWater/traval) has no downsampling surface; this module is part
+of the from-scratch "rollup + downsample + retention" engine the north
+rule asks for (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import gap_micros, unix_us
+
+__all__ = ["m4_downsample", "m4_merge", "lttb_downsample"]
+
+_DEC = "decimal(38,0)"
+
+
+def _bucket_start_us(ts_col, gus: int):
+    return (F.floor(unix_us(ts_col) / F.lit(int(gus))) * F.lit(int(gus)))
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket: str = "1h",
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+) -> DataFrame:
+    """Per (by, bucket): first/last/min/max points, one shuffle.
+
+    Output: ``*by, bucket_start, n_points, t_first, v_first, t_last,
+    v_last, t_min, v_min, t_max, v_max`` with the tie rules in the
+    module docstring.  All columns are algebraic aggregates —
+    map-side-combinable and exactly mergeable via :func:`m4_merge`.
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        *by,
+        _bucket_start_us(F.col(ts), gus).alias("__bus"),
+        unix_us(F.col(ts)).alias("__us"),
+        F.col(val).alias("__v"),
+    )
+    out = src.groupBy(*by, "__bus").agg(
+        F.count("*").alias("n_points"),
+        F.min("__us").alias("__t_first_us"),
+        F.max("__us").alias("__t_last_us"),
+        # value at the earliest/latest instant (ties: min/max value there)
+        F.min(F.struct("__us", "__v"))["__v"].alias("v_first"),
+        F.max(F.struct("__us", "__v"))["__v"].alias("v_last"),
+        F.min("__v").alias("v_min"),
+        F.max("__v").alias("v_max"),
+        # earliest instant attaining the min / latest attaining the max
+        F.min(F.struct("__v", "__us"))["__us"].alias("__t_min_us"),
+        F.max(F.struct("__v", "__us"))["__us"].alias("__t_max_us"),
+    )
+    return out.select(
+        *by,
+        F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
+        "n_points",
+        F.timestamp_micros(F.col("__t_first_us")).alias("t_first"),
+        "v_first",
+        F.timestamp_micros(F.col("__t_last_us")).alias("t_last"),
+        "v_last",
+        F.timestamp_micros(F.col("__t_min_us")).alias("t_min"),
+        "v_min",
+        F.timestamp_micros(F.col("__t_max_us")).alias("t_max"),
+        "v_max",
+    )
+
+
+def m4_merge(
+    m4: DataFrame,
+    bucket: str,
+    by: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exactly re-aggregate fine-bucket M4 rows into coarser buckets.
+
+    Bit-identical to :func:`m4_downsample` on the raw points because
+    every M4 column is algebraic and the tie rules compose: equal-``us``
+    raw rows always land in the SAME fine bucket, so cross-bucket merge
+    never re-encounters a first/last timestamp tie, and the (value, us)
+    struct extremes reduce associatively.
+    """
+    gus = gap_micros(bucket)
+    src = m4.select(
+        *by,
+        _bucket_start_us(F.col("bucket_start"), gus).alias("__bus"),
+        F.col("n_points"),
+        unix_us("t_first").alias("__f_us"), F.col("v_first"),
+        unix_us("t_last").alias("__l_us"), F.col("v_last"),
+        unix_us("t_min").alias("__m_us"), F.col("v_min"),
+        unix_us("t_max").alias("__x_us"), F.col("v_max"),
+    )
+    out = src.groupBy(*by, "__bus").agg(
+        F.sum("n_points").alias("n_points"),
+        F.min(F.struct(F.col("__f_us"), F.col("v_first")))
+        .alias("__first"),
+        F.max(F.struct(F.col("__l_us"), F.col("v_last"))).alias("__last"),
+        F.min(F.struct(F.col("v_min"), F.col("__m_us"))).alias("__min"),
+        F.max(F.struct(F.col("v_max"), F.col("__x_us"))).alias("__max"),
+    )
+    return out.select(
+        *by,
+        F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
+        "n_points",
+        F.timestamp_micros(F.col("__first.__f_us")).alias("t_first"),
+        F.col("__first.v_first").alias("v_first"),
+        F.timestamp_micros(F.col("__last.__l_us")).alias("t_last"),
+        F.col("__last.v_last").alias("v_last"),
+        F.timestamp_micros(F.col("__min.__m_us")).alias("t_min"),
+        F.col("__min.v_min").alias("v_min"),
+        F.timestamp_micros(F.col("__max.__x_us")).alias("t_max"),
+        F.col("__max.v_max").alias("v_max"),
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    bucket: str = "6h",
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Fixed-anchor LTTB: one shape-preserving point per (by, bucket).
+
+    Anchors are the mean points of the neighboring buckets; the triangle
+    argmax runs on exact scaled integers (module docstring) so selection
+    is engine- and partitioning-deterministic.  First/last buckets keep
+    their first/last point.  Output: ``*by, bucket_start, n_points,
+    t_sel, v_sel``.
+
+    Plan: groupBy (by, bucket) for sums -> lag/lead window over the
+    bucket-level frame (tiny: one row per bucket) -> equi-join back to
+    raw on (by, bucket) -> per-bucket argmax window.  No per-series
+    single-task stage; raw rows shuffle only on (by, bucket).
+    """
+    gus = gap_micros(bucket)
+    gmin = df.select(F.min(unix_us(F.col(ts))).alias("__g0"))
+    src = (
+        df.crossJoin(F.broadcast(gmin))
+        .select(
+            *by,
+            (unix_us(F.col(ts)) - F.col("__g0")).alias("__x"),
+            _bucket_start_us(F.col(ts), gus).alias("__bus"),
+            F.col(val).alias("__v"),
+            F.round(F.col(val) * F.lit(int(value_scale)))
+            .cast("long").alias("__y"),
+        )
+    )
+    sums = src.groupBy(*by, "__bus").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("__x").cast(_DEC)).alias("__sx"),
+        F.sum(F.col("__y").cast(_DEC)).alias("__sy"),
+    )
+    w = Window.partitionBy(*by).orderBy("__bus")
+    anch = sums.select(
+        *by, "__bus", "__n",
+        F.lag("__n").over(w).alias("__na"),
+        F.lag("__sx").over(w).alias("__sxa"),
+        F.lag("__sy").over(w).alias("__sya"),
+        F.lead("__n").over(w).alias("__nb"),
+        F.lead("__sx").over(w).alias("__sxb"),
+        F.lead("__sy").over(w).alias("__syb"),
+    )
+    j = src.join(anch, [*by, "__bus"])
+
+    na = F.col("__na").cast(_DEC)
+    nb = F.col("__nb").cast(_DEC)
+    x = F.col("__x").cast(_DEC)
+    y = F.col("__y").cast(_DEC)
+    cross = (
+        (x * na - F.col("__sxa")) * (F.col("__syb") * na - F.col("__sya") * nb)
+        - (F.col("__sxb") * na - F.col("__sxa") * nb) * (y * na - F.col("__sya"))
+    )
+    zero = F.lit(0).cast(_DEC)
+    first = F.col("__na").isNull()
+    last = F.col("__nb").isNull()
+    ranked = j.select(
+        *by, "__bus", "__n", "__x", "__v",
+        F.when(first | last, zero).otherwise(-F.abs(cross)).alias("__o1"),
+        F.when(last, -F.col("__x")).otherwise(F.col("__x")).alias("__o2"),
+    )
+    pick = Window.partitionBy(*by, "__bus").orderBy("__o1", "__o2", "__v")
+    sel = (
+        ranked.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+    )
+    return sel.crossJoin(F.broadcast(gmin)).select(
+        *by,
+        F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
+        F.col("__n").alias("n_points"),
+        F.timestamp_micros(F.col("__x") + F.col("__g0")).alias("t_sel"),
+        F.col("__v").alias("v_sel"),
+    )

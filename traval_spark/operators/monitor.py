@@ -1,0 +1,207 @@
+"""Monitoring semantics over ingested series: counter rate, gap/uptime,
+CUSUM changepoints.
+
+Three read families every metrics/ingest pipeline runs next to rollups,
+each expressed as lag-window + partial-aggregatable groupBy plans:
+
+**Counter rate** (:func:`counter_windows`, PromQL ``increase``/``rate``/
+``resets`` semantics): per series ordered by (ts, id), the per-step
+increase is ``v - lag(v)`` unless negative — a negative step means the
+counter RESET and restarted from ~0, so the step credits the full new
+value ``v`` (the standard Prometheus reset rule).  The first point of a
+series contributes nothing (no prior sample).  Steps then aggregate
+into tumbling windows: a step spanning a window edge is attributed to
+the window of its LATER sample (where the information arrives) —
+documented because every TSDB picks one edge rule.  The lag window
+partitions by series (the bounded-per-series model every traval rule
+kernel already uses); the window aggregation is a plain mergeable
+groupBy.
+
+**Gap / uptime** (:func:`gap_stats`): per series, inter-arrival deltas
+via the same lag; a delta above ``max_gap`` is an outage gap.  Reported
+per series: ``n_gaps``, ``max_delta_us``, observed span, and
+``uptime_frac`` = (span - sum of above-threshold excess) / span — i.e.
+each gap counts as DOWN for the part exceeding the threshold.  All
+integer microseconds until the final ratio.
+
+**CUSUM changepoint** (:func:`cusum_changepoint`): the classic max-|CUSUM|
+level-shift statistic, made engine-exact by clearing denominators.  For
+a series x_1..x_N (ordered by ts, id) with prefix sums C_i and total S:
+
+    D_i = N * C_i - i * S      ( = N^2 * classic CUSUM_i )
+
+is INTEGER when x is integer (values are fixed-point scaled by
+``value_scale``), so the argmax_i |D_i| — the candidate changepoint —
+is identical on every engine, with no float-association noise.  The
+normalized score ``max|D| / N^2`` (in original value units) is returned
+alongside.  Magnitude budget: |D| <= N^2 * |x|_max; int64 covers
+N=2e5-row series at |v|<=1e4 with value_scale=1e3 (~4e17) — beyond
+that, upcast the prefix sums to decimal.  The prefix-sum window
+partitions by series: bounded-series model, same as the rule kernels;
+an unbounded series should be chunked by day first (the rollup path's
+chunking) before scanning for shifts.
+
+Reference note: traval (ArtesiaWater/traval) detects level shifts via
+rule_offset_detection on single pandas series (reference rulelib.py);
+these operators are the corpus-scale monitoring reads of the
+from-scratch engine (BASELINE.json north_rule), not ports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from traval_spark.functions.ts import gap_micros, unix_us
+
+__all__ = ["counter_windows", "gap_stats", "cusum_changepoint"]
+
+
+def _lagged(df: DataFrame, by, ts: str, ident: str, val: str | None):
+    cols = [*by, unix_us(F.col(ts)).alias("__us"), F.col(ident).alias("__id")]
+    if val is not None:
+        cols.append(F.col(val).alias("__v"))
+    src = df.select(*cols)
+    w = Window.partitionBy(*by).orderBy("__us", "__id")
+    out = src.withColumn("__us_prev", F.lag("__us").over(w))
+    if val is not None:
+        out = out.withColumn("__v_prev", F.lag("__v").over(w))
+    return out
+
+
+def counter_windows(
+    df: DataFrame,
+    window: str = "1h",
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Tumbling-window ``increase`` / ``rate`` / ``resets`` per series.
+
+    Output: ``*by, window_start, n_samples, increase, rate_per_sec,
+    resets`` (increase/rate rounded to 6 decimals for float-sum
+    stability, matching the engine's other double-sum reads).
+    """
+    gus = gap_micros(window)
+    lagged = _lagged(df, by, ts, ident, val)
+    delta = F.col("__v") - F.col("__v_prev")
+    step = (
+        F.when(F.col("__v_prev").isNull(), F.lit(0.0))
+        .when(delta < 0, F.col("__v"))
+        .otherwise(delta)
+    )
+    reset = F.when(
+        F.col("__v_prev").isNotNull() & (delta < 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    bus = (F.floor(F.col("__us") / F.lit(gus)) * F.lit(gus))
+    out = (
+        lagged.select(*by, bus.alias("__bus"), step.alias("__step"),
+                      reset.alias("__reset"))
+        .groupBy(*by, "__bus")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.sum("__step"), 6).alias("increase"),
+            F.round(F.sum("__step") / F.lit(gus / 1_000_000.0), 6)
+            .alias("rate_per_sec"),
+            F.sum("__reset").alias("resets"),
+        )
+    )
+    return out.withColumn(
+        "window_start", F.timestamp_micros(F.col("__bus"))
+    ).drop("__bus")
+
+
+def gap_stats(
+    df: DataFrame,
+    max_gap: str = "1h",
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Per-series gap census and uptime fraction (module docstring).
+
+    Output: ``*by, n_points, n_gaps, max_delta_us, span_us,
+    uptime_frac`` (uptime rounded to 9 decimals; exact integer
+    micros elsewhere).  Series with <2 points report uptime 1.0.
+    """
+    thr = gap_micros(max_gap)
+    lagged = _lagged(df, by, ts, ident, val=None)
+    delta = F.col("__us") - F.col("__us_prev")
+    excess = F.when(delta > thr, delta - thr).otherwise(F.lit(0))
+    agg = lagged.groupBy(*by).agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(delta > thr, 1).otherwise(0)).alias("n_gaps"),
+        F.coalesce(F.max(delta), F.lit(0)).alias("max_delta_us"),
+        (F.max("__us") - F.min("__us")).alias("span_us"),
+        F.sum(excess).alias("__down_us"),
+    )
+    return agg.select(
+        *by, "n_points", "n_gaps", "max_delta_us", "span_us",
+        F.round(
+            F.when(F.col("span_us") > 0,
+                   1.0 - F.col("__down_us") / F.col("span_us"))
+            .otherwise(F.lit(1.0)),
+            9,
+        ).alias("uptime_frac"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Exact-integer max-|CUSUM| level-shift candidate per series.
+
+    Output: ``*by, n_points, t_change, d_max_scaled, score`` where
+    ``t_change`` is the timestamp of argmax_i |D_i| (earliest instant,
+    then smallest id, on ties), ``d_max_scaled`` = max|D_i| as int64
+    (D in value_scale units), and ``score`` = max|D| / N^2 in original
+    value units (rounded to 9 decimals).
+    """
+    src = df.select(
+        *by,
+        unix_us(F.col(ts)).alias("__us"),
+        F.col(ident).alias("__id"),
+        F.round(F.col(val) * F.lit(int(value_scale))).cast("long")
+        .alias("__y"),
+    )
+    w = Window.partitionBy(*by).orderBy("__us", "__id")
+    pref = src.select(
+        *by, "__us",
+        F.sum("__y").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__c"),
+        F.row_number().over(w).alias("__i"),
+        F.col("__id"),
+    )
+    # total S = prefix sum at i = N (NOT max __c — wrong for negative
+    # tails): take the prefix value carried by the largest row number
+    tot = pref.groupBy(*by).agg(
+        F.count("*").alias("__n"),
+        F.max(F.struct("__i", "__c"))["__c"].alias("__s"),
+    )
+    j = pref.join(tot, list(by))
+    d = F.col("__n") * F.col("__c") - F.col("__i") * F.col("__s")
+    scored = j.select(
+        *by, "__us", "__id", "__n", F.abs(d).alias("__absd")
+    )
+    pick = Window.partitionBy(*by).orderBy(
+        F.col("__absd").desc(), F.col("__us"), F.col("__id")
+    )
+    sel = scored.withColumn("__rn", F.row_number().over(pick)).filter(
+        F.col("__rn") == 1
+    )
+    n2 = F.col("__n").cast("double") * F.col("__n").cast("double")
+    return sel.select(
+        *by,
+        F.col("__n").alias("n_points"),
+        F.timestamp_micros(F.col("__us")).alias("t_change"),
+        F.col("__absd").alias("d_max_scaled"),
+        F.round(F.col("__absd") / n2 / F.lit(float(value_scale)), 9)
+        .alias("score"),
+    )
