@@ -922,3 +922,36 @@ def test_iceberg_tierstore_roundtrip_and_resume(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-4000:]
     assert json.loads(out.stdout.strip().splitlines()[-1]) == {"ok": True}
+
+
+def test_routed_m4_reads(spark, seqs, tmp_path):
+    """Downsample-on-read over M4 tiers: stitched 1m+1h read equals the
+    direct m4_downsample from raw bit-for-bit (every M4 column is an
+    algebraic extreme with pinned tie rules, so m4_merge composes
+    through any coarsening)."""
+    from traval_spark.operators.downsample import m4_downsample, m4_merge
+    from traval_spark.router import read_routed_m4
+
+    days = sorted(
+        r["d"] for r in seqs.select(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    old, newest = days[:-1], days[-1]
+
+    def day_fps(df):
+        return partition_fingerprints(
+            df.withColumn("day", F.date_trunc("day", "bucket")))
+
+    store = TierStore(str(tmp_path / "m4"))
+    m1m = m4_downsample(seqs, bucket="1m", val="n_tok", bucket_col="bucket")
+    m1m_new = m1m.filter(F.col("bucket").cast("date").cast("string") == newest)
+    store.write_tier("1m", m1m_new, day_fps(m1m_new))
+    m1h = m4_merge(m1m, bucket="1h", bucket_col="bucket").filter(
+        F.col("bucket").cast("date").cast("string").isin(old))
+    store.write_tier("1h", m1h, day_fps(m1h))
+
+    got = read_routed_m4(store, "1h", spark=spark, strict=True)
+    want = m4_downsample(seqs, bucket="1h", val="n_tok", bucket_col="bucket")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

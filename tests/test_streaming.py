@@ -973,3 +973,35 @@ def test_stream_bloom_1m_matches_batch(spark, tmp_path):
 
     pr = bloom_probe(bloom_cascade(streamed, "1h"), ["24", "32"])
     assert pr.filter(~F.col("present").isin(0, 1)).count() == 0
+
+
+def test_stream_m4_1m_matches_batch(spark, tmp_path):
+    """Streaming M4 leaf == batch m4_downsample on every finalized
+    window (identical tie rules via the shared m4_aggs list), and
+    m4_merge serves the streamed store unchanged."""
+    from traval_spark.operators.downsample import m4_downsample, m4_merge
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import stream_m4_1m
+
+    inp = str(tmp_path / "m4in")
+    seqs = synth_sequences(spark, 3000, seed=53, span_days=1)
+    a = seqs.filter(F.xxhash64("doc_id") % 2 == 0)
+    a.write.mode("append").parquet(inp)
+    seqs.exceptAll(a).write.mode("append").parquet(inp)
+
+    q = (stream_m4_1m(spark, inp, watermark="1 minute")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "m4out"))
+         .option("checkpointLocation", str(tmp_path / "m4ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(str(tmp_path / "m4out"))
+    batch = m4_downsample(seqs, bucket="1m", val="n_tok",
+                          bucket_col="bucket")
+    # every streamed (finalized) window row is identical to its batch row
+    assert streamed.exceptAll(batch).count() == 0
+    assert streamed.count() >= batch.count() * 0.9
+
+    merged = m4_merge(streamed, bucket="1h", bucket_col="bucket")
+    assert merged.filter(F.col("v_min") > F.col("v_max")).count() == 0

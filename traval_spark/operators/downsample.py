@@ -79,7 +79,10 @@ from pyspark.sql import functions as F
 
 from traval_spark.functions.ts import gap_micros, unix_us
 
-__all__ = ["m4_downsample", "m4_merge", "lttb_downsample"]
+__all__ = [
+    "m4_downsample", "m4_merge", "m4_aggs", "m4_project",
+    "lttb_downsample",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -88,12 +91,49 @@ def _bucket_start_us(ts_col, gus: int):
     return (F.floor(unix_us(ts_col) / F.lit(int(gus))) * F.lit(int(gus)))
 
 
+def m4_aggs() -> list:
+    """The M4 aggregate list over prepared ``__us``/``__v`` columns —
+    shared by the batch operator and the streaming 1m leaf so the tie
+    rules cannot drift between the two."""
+    return [
+        F.count("*").alias("n_points"),
+        F.min("__us").alias("__t_first_us"),
+        F.max("__us").alias("__t_last_us"),
+        # value at the earliest/latest instant (ties: min/max value there)
+        F.min(F.struct("__us", "__v"))["__v"].alias("v_first"),
+        F.max(F.struct("__us", "__v"))["__v"].alias("v_last"),
+        F.min("__v").alias("v_min"),
+        F.max("__v").alias("v_max"),
+        # earliest instant attaining the min / latest attaining the max
+        F.min(F.struct("__v", "__us"))["__us"].alias("__t_min_us"),
+        F.max(F.struct("__v", "__us"))["__us"].alias("__t_max_us"),
+    ]
+
+
+def m4_project(df: DataFrame, head: list) -> DataFrame:
+    """Final projection from the ``__*_us`` aggregate columns to the
+    public timestamp columns."""
+    return df.select(
+        *head,
+        "n_points",
+        F.timestamp_micros(F.col("__t_first_us")).alias("t_first"),
+        "v_first",
+        F.timestamp_micros(F.col("__t_last_us")).alias("t_last"),
+        "v_last",
+        F.timestamp_micros(F.col("__t_min_us")).alias("t_min"),
+        "v_min",
+        F.timestamp_micros(F.col("__t_max_us")).alias("t_max"),
+        "v_max",
+    )
+
+
 def m4_downsample(
     df: DataFrame,
     bucket: str = "1h",
     by: tuple[str, ...] = ("source",),
     ts: str = "ts",
     val: str = "value",
+    bucket_col: str = "bucket_start",
 ) -> DataFrame:
     """Per (by, bucket): first/last/min/max points, one shuffle.
 
@@ -109,31 +149,10 @@ def m4_downsample(
         unix_us(F.col(ts)).alias("__us"),
         F.col(val).alias("__v"),
     )
-    out = src.groupBy(*by, "__bus").agg(
-        F.count("*").alias("n_points"),
-        F.min("__us").alias("__t_first_us"),
-        F.max("__us").alias("__t_last_us"),
-        # value at the earliest/latest instant (ties: min/max value there)
-        F.min(F.struct("__us", "__v"))["__v"].alias("v_first"),
-        F.max(F.struct("__us", "__v"))["__v"].alias("v_last"),
-        F.min("__v").alias("v_min"),
-        F.max("__v").alias("v_max"),
-        # earliest instant attaining the min / latest attaining the max
-        F.min(F.struct("__v", "__us"))["__us"].alias("__t_min_us"),
-        F.max(F.struct("__v", "__us"))["__us"].alias("__t_max_us"),
-    )
-    return out.select(
-        *by,
-        F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
-        "n_points",
-        F.timestamp_micros(F.col("__t_first_us")).alias("t_first"),
-        "v_first",
-        F.timestamp_micros(F.col("__t_last_us")).alias("t_last"),
-        "v_last",
-        F.timestamp_micros(F.col("__t_min_us")).alias("t_min"),
-        "v_min",
-        F.timestamp_micros(F.col("__t_max_us")).alias("t_max"),
-        "v_max",
+    out = src.groupBy(*by, "__bus").agg(*m4_aggs())
+    return m4_project(
+        out,
+        [*by, F.timestamp_micros(F.col("__bus")).alias(bucket_col)],
     )
 
 
@@ -141,6 +160,7 @@ def m4_merge(
     m4: DataFrame,
     bucket: str,
     by: tuple[str, ...] = ("source",),
+    bucket_col: str = "bucket_start",
 ) -> DataFrame:
     """Exactly re-aggregate fine-bucket M4 rows into coarser buckets.
 
@@ -153,7 +173,7 @@ def m4_merge(
     gus = gap_micros(bucket)
     src = m4.select(
         *by,
-        _bucket_start_us(F.col("bucket_start"), gus).alias("__bus"),
+        _bucket_start_us(F.col(bucket_col), gus).alias("__bus"),
         F.col("n_points"),
         unix_us("t_first").alias("__f_us"), F.col("v_first"),
         unix_us("t_last").alias("__l_us"), F.col("v_last"),
@@ -170,7 +190,7 @@ def m4_merge(
     )
     return out.select(
         *by,
-        F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
+        F.timestamp_micros(F.col("__bus")).alias(bucket_col),
         "n_points",
         F.timestamp_micros(F.col("__first.__f_us")).alias("t_first"),
         F.col("__first.v_first").alias("v_first"),

@@ -453,3 +453,51 @@ def read_routed_bloom(
         extra_keys=[F.col("bit")],
         aggs=[F.count(F.lit(1)).alias("__n")],
     ).select("source", "bucket", "bit")
+
+
+def read_routed_m4(
+    store,
+    resolution: str,
+    value_col: str = "n_tok",
+    day_min: str | None = None,
+    day_max: str | None = None,
+    spark=None,
+    raw: DataFrame | None = None,
+    strict: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downsample-on-read over M4 visual-downsample tiers
+    (operators/downsample.py).
+
+    M4 columns are all algebraic extremes with pinned tie rules, so
+    ``m4_merge`` composes EXACTLY through any coarsening — tier choice
+    is a pure scan-cost decision and the stitched read is bit-identical
+    to the direct M4 on raw (the routed pytest asserts it).  Raw-tier
+    segments build the leaf at the requested resolution; stored
+    segments re-merge.  Returns the M4 row shape with a ``bucket``
+    column at the requested resolution.
+    """
+    from traval_spark.operators.downsample import m4_downsample, m4_merge
+
+    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
+    if strict and plan.gaps:
+        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
+    frames = _plan_frames(store, plan, spark, raw)
+    parts = []
+    for seg in plan.segments:
+        lo = F.lit(seg.day_lo).cast("date")
+        hi = F.lit(seg.day_hi).cast("date")
+        frame = frames[seg.tier]
+        if seg.tier == "raw":
+            df = ensure_ntz(frame, ts_col).filter(
+                F.col(ts_col).cast("date").between(lo, hi))
+            parts.append(
+                m4_downsample(df, bucket=resolution, ts=ts_col,
+                              val=value_col, bucket_col="bucket"))
+            continue
+        if "day" in frame.columns:
+            df = frame.filter(F.col("day").between(lo, hi)).drop("day")
+        else:
+            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
+        parts.append(m4_merge(df, bucket=resolution, bucket_col="bucket"))
+    return _routed_union(parts)

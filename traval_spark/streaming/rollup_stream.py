@@ -560,3 +560,34 @@ def stream_bloom_1m(
         ),
     )
     return out.select("source", "bucket", "bit")
+
+
+def stream_m4_1m(
+    spark: SparkSession,
+    input_path: str,
+    value_col: str = "n_tok",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming leaf M4 visual-downsample tier
+    (operators/downsample.py): first/last/min/max points with the
+    pinned tie rules per finalized 1m window.  The aggregate list is
+    the SAME ``m4_aggs()`` the batch operator uses (tie rules cannot
+    drift), state per (source, window) is four (us, value) extremes —
+    bounded — and the streamed rows are identical to batch
+    ``m4_downsample`` rows, so ``m4_merge`` / ``read_routed_m4`` serve
+    the streamed store unchanged."""
+    from traval_spark.operators.downsample import m4_aggs, m4_project
+
+    out = _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[],
+        aggs=m4_aggs(),
+        pre_filter=F.col(value_col).isNotNull(),
+        pre_transform=lambda df: df.select(
+            "source", "ts",
+            F.unix_micros(F.col("ts")).alias("__us"),
+            F.col(value_col).alias("__v"),
+        ),
+    )
+    return m4_project(out, ["source", "bucket"])
