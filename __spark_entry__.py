@@ -2097,6 +2097,35 @@ def q_cusum_change(spark, sf_dir):
     return cusum_changepoint(ev)
 
 
+def q_seasonal_profile(spark, sf_dir):
+    """Per (series, hour-of-day) seasonal baseline (monitor.py:
+    seasonal_profile): mean/std from exact fixed-point moments
+    (var_num = n*sum(y^2) - sum(y)^2 on decimal/HUGEINT) — one
+    partial-aggregatable groupBy producing a tiny broadcastable
+    profile."""
+    from traval_spark.operators.monitor import seasonal_profile
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    return seasonal_profile(ev).select(
+        "source", "hod", "n_points", "mean_value", "std_value"
+    )
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly read (monitor.py:seasonal_anomaly):
+    points > 3 sigma from their (series, hour-of-day) profile; z is
+    derived from exact integers so the flag set is engine-identical.
+    The point stream takes ONE broadcast join — no shuffle."""
+    from traval_spark.operators.monitor import seasonal_anomaly
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    return seasonal_anomaly(ev, threshold=2.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -2218,6 +2247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "gap_stats": q_gap_stats,
         "cusum_change": q_cusum_change,
+        "seasonal_profile": q_seasonal_profile,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
 
 
@@ -4431,5 +4462,34 @@ def oracle_sql() -> dict[str, str]:
                  / (cast(n AS double) * cast(n AS double))
                  / 1000.0, 9) AS score
     from r where rn = 1
+    """
+    # seasonal baseline: exact fixed-point moments (HUGEINT), identical
+    # double derivations (same operation order as monitor.py)
+    _SEASONAL_V = """
+    src as (select event_type AS source, hour(ts) AS hod, ts, value,
+                   cast(round(value * 1000) AS bigint) AS y
+            from events),
+    p as (select source, hod, count(*) AS n,
+                 cast(sum(cast(y AS hugeint)) AS hugeint) AS s,
+                 cast(sum(cast(y AS hugeint) * y) AS hugeint) AS q
+          from src group by source, hod),
+    v as (select source, hod, n, s, n * q - s * s AS vn from p)
+    """
+    sql["seasonal_profile"] = f"""
+    with {_SEASONAL_V}
+    select source, hod, n AS n_points,
+           round(cast(s AS double) / n / 1000.0, 6) AS mean_value,
+           round(sqrt(cast(vn AS double)) / n / 1000.0, 6) AS std_value
+    from v
+    """
+    sql["seasonal_anomaly"] = f"""
+    with {_SEASONAL_V}
+    select s.source, s.ts, s.value,
+           round(cast(s.y * v.n - v.s AS double)
+                 / sqrt(cast(v.vn AS double)), 6) AS z
+    from src s join v on s.source = v.source and s.hod = v.hod
+    where v.vn > 0
+      and abs(round(cast(s.y * v.n - v.s AS double)
+                    / sqrt(cast(v.vn AS double)), 6)) > 2.5
     """
     return sql

@@ -96,3 +96,50 @@ def test_cusum_flat_series_zero_score(spark):
     assert r["score"] == 0.0
     # ties on |D|=0 resolve to the earliest instant
     assert r["t_change"] == _t(0)
+
+
+def test_seasonal_profile_exact_moments(spark):
+    """hod 0: values [1,1,1,5] -> mean 2.0, var_num = 4*28e6 - 64e6 =
+    48e6, std = sqrt(48e6)/4/1000 ~ 1.732051."""
+    rows = [
+        ("a", _t(86400 * d), v, d) for d, v in enumerate([1.0, 1.0, 1.0, 5.0])
+    ] + [("a", _t(86400 * d + 3600), 2.0, 10 + d) for d in range(2)]
+    from traval_spark.operators.monitor import seasonal_profile
+
+    prof = {
+        r["hod"]: r
+        for r in seasonal_profile(_frame(spark, rows)).collect()
+    }
+    assert prof[0]["n_points"] == 4
+    assert prof[0]["mean_value"] == 2.0
+    assert abs(prof[0]["std_value"] - 1.732051) < 1e-6
+    assert prof[1]["std_value"] == 0.0
+
+
+def test_seasonal_anomaly_flags_and_constant_cell_never_flags(spark):
+    rows = [
+        ("a", _t(86400 * d), v, d) for d, v in enumerate([1.0, 1.0, 1.0, 5.0])
+    ] + [("a", _t(86400 * d + 3600), 2.0, 10 + d) for d in range(2)]
+    from traval_spark.operators.monitor import seasonal_anomaly
+
+    out = seasonal_anomaly(
+        _frame(spark, rows).drop("event_id"), threshold=1.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["value"] == 5.0
+    assert abs(r["z"] - 1.732051) < 1e-6
+
+
+def test_seasonal_anomaly_broadcasts_profile(spark):
+    """The point stream must take a broadcast join against the tiny
+    profile — never a shuffled sort-merge join."""
+    rows = [("a", _t(i * 3601), float(i % 7), i) for i in range(200)]
+    from traval_spark.operators.monitor import seasonal_anomaly
+
+    plan = (
+        seasonal_anomaly(_frame(spark, rows).drop("event_id"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

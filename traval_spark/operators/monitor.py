@@ -54,7 +54,10 @@ from pyspark.sql import functions as F
 
 from traval_spark.functions.ts import gap_micros, unix_us
 
-__all__ = ["counter_windows", "gap_stats", "cusum_changepoint"]
+__all__ = [
+    "counter_windows", "gap_stats", "cusum_changepoint",
+    "seasonal_profile", "seasonal_anomaly",
+]
 
 
 def _lagged(df: DataFrame, by, ts: str, ident: str, val: str | None):
@@ -204,4 +207,97 @@ def cusum_changepoint(
         F.col("__absd").alias("d_max_scaled"),
         F.round(F.col("__absd") / n2 / F.lit(float(value_scale)), 9)
         .alias("score"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Per (series, hour-of-day) seasonal baseline: n / mean / std.
+
+    Moments are computed on fixed-point integers with the variance
+    numerator cleared of denominators —
+
+        var_num = n * sum(y^2) - sum(y)^2        (exact, decimal(38,0))
+
+    — so mean = S/n and std = sqrt(var_num)/n derive from EXACT
+    integers and every engine lands on the identical double (the same
+    trick the LTTB argmax uses).  Output: ``*by, hod, n_points,
+    mean_value, std_value`` (rounded to 6, descaled).
+
+    Scale: one partial-aggregatable groupBy; the profile is tiny
+    (|series| x 24 rows) — :func:`seasonal_anomaly` broadcasts it.
+    """
+    src = df.select(
+        *by,
+        F.hour(F.col(ts)).alias("hod"),
+        F.round(F.col(val) * F.lit(int(value_scale))).cast("long")
+        .alias("__y"),
+    )
+    prof = src.groupBy(*by, "hod").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("__y").cast("decimal(38,0)") * F.col("__y")))
+        .alias("__q"),
+    )
+    vn = (F.col("n_points").cast("decimal(38,0)") * F.col("__q")
+          - F.col("__s") * F.col("__s"))
+    return prof.select(
+        *by, "hod", "n_points",
+        F.col("__s").alias("__s"),
+        vn.alias("__vn"),
+        F.round(
+            F.col("__s").cast("double") / F.col("n_points")
+            / F.lit(float(value_scale)), 6
+        ).alias("mean_value"),
+        F.round(
+            F.sqrt(vn.cast("double")) / F.col("n_points")
+            / F.lit(float(value_scale)), 6
+        ).alias("std_value"),
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    threshold: float = 3.0,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Points deviating > ``threshold`` sigmas from their (series,
+    hour-of-day) seasonal baseline.
+
+    z = (y*n - S) / sqrt(var_num) — algebraically (x - mean)/std with
+    all inputs exact integers, so the flag set is engine-identical
+    (no float-mean association noise at the threshold boundary).
+    Constant-baseline cells (var_num = 0) never flag.
+
+    Plan: raw rows take ONE broadcast hash join against the tiny
+    profile — no shuffle of the point stream at all.
+    """
+    prof = seasonal_profile(df, by=by, ts=ts, val=val,
+                            value_scale=value_scale)
+    src = df.select(
+        *by, F.col(ts).alias("ts"), F.col(val).alias("value"),
+        F.hour(F.col(ts)).alias("hod"),
+        F.round(F.col(val) * F.lit(int(value_scale))).cast("long")
+        .alias("__y"),
+    )
+    j = src.join(F.broadcast(prof), [*by, "hod"])
+    z = (
+        (F.col("__y").cast("decimal(38,0)")
+         * F.col("n_points").cast("decimal(38,0)")
+         - F.col("__s")).cast("double")
+        / F.sqrt(F.col("__vn").cast("double"))
+    )
+    return (
+        j.filter(F.col("__vn") > 0)
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > F.lit(float(threshold)))
+        .select(*by, "ts", "value", "z")
     )
