@@ -2126,6 +2126,24 @@ def q_seasonal_anomaly(spark, sf_dir):
     return seasonal_anomaly(ev, threshold=2.5)
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton Z-order clustering key (sources/layout.py:zorder_key):
+    bit-interleave of (user bucket, hour bucket) as a static shift/and
+    expression tree — the multi-dimensional file-clustering key
+    write_zordered lays data out by.  Pure integer arithmetic, term-
+    identical in the oracle."""
+    from traval_spark.functions.ts import unix_us
+    from traval_spark.sources.layout import zorder_key
+
+    ev = _events(spark, sf_dir)
+    x = (F.col("user_id") % 256).alias("x")
+    y = (F.floor(unix_us(F.col("ts")) / F.lit(3_600_000_000)) % 256
+         ).alias("y")
+    return ev.select("event_id", x, y).select(
+        "event_id", zorder_key(["x", "y"], bits=8).alias("zkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -2249,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_change": q_cusum_change,
         "seasonal_profile": q_seasonal_profile,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "zorder_key": q_zorder_key,
     }
 
 
@@ -4491,5 +4510,19 @@ def oracle_sql() -> dict[str, str]:
     where v.vn > 0
       and abs(round(cast(s.y * v.n - v.s AS double)
                     / sqrt(cast(v.vn AS double)), 6)) > 2.5
+    """
+    # Morton interleave, generated term-by-term to mirror
+    # layout.py:zorder_key exactly (values pre-bucketized below 2^8,
+    # so the operator's clamp is the identity)
+    _zterms = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
+    sql["zorder_key"] = f"""
+    with s as (select event_id,
+                      user_id % 256 AS x,
+                      (epoch_us(ts) // 3600000000) % 256 AS y
+               from events)
+    select event_id, {_zterms} AS zkey from s
     """
     return sql

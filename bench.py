@@ -114,7 +114,7 @@ def main() -> None:
         "sessionize", "interval_events", "interval_overlaps",
         "funnel", "cohort_retention",
         "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
-        "seasonal_profile", "seasonal_anomaly",
+        "seasonal_profile", "seasonal_anomaly", "zorder_key",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "fingerprint",

@@ -1,0 +1,134 @@
+"""Physical data layout for scan efficiency: Z-order clustering and
+bucketed tables.
+
+At 100 TB the fastest scan is the one that never happens: parquet
+readers skip whole files/row-groups via column min/max statistics, but
+statistics only help if the writer CLUSTERED the data so each file
+covers a narrow range of the filter columns.  Two standard layouts:
+
+**Z-order (Morton) clustering** — for multi-dimensional predicates
+(``source``-hash x time, or any two bucketized axes) a single-column
+sort gives perfect pruning on one axis and none on the other;
+interleaving the bits of both axes gives every file a small rectangle
+in (x, y) space, so min/max stats prune on EITHER predicate.
+:func:`zorder_key` builds the interleaved key as a pure static
+expression tree (shift/and/or arithmetic — whole-stage codegen, no
+UDF); :func:`write_zordered` range-partitions and sorts by it (one
+exchange, the same cost as any global sort-write);
+:func:`file_ranges` measures the resulting per-file min/max extents so
+the clustering benefit is a NUMBER, not a claim (the pytest asserts the
+z-ordered layout's mean per-file y-extent is a fraction of the
+x-sorted layout's).
+
+**Bucketed tables** — the brief's "co-located joins": writing both
+sides of a recurring join with ``bucketBy(n, key)`` + ``sortBy`` makes
+Spark record the hash-partitioning in the table metadata, so later
+joins on the key need NO shuffle on either side (the pytest asserts
+zero Exchange under the join).  :func:`write_bucketed` pins the
+convention (bucket count, sorted buckets, explicit path); at cluster
+scale choose buckets ~= a small multiple of total executor cores and
+keep it IDENTICAL on both tables — mismatched counts silently
+reintroduce the shuffle.
+
+Reference note: the traval reference is single-process pandas with no
+storage layout surface; this module is part of the from-scratch tier
+engine (BASELINE.json north_rule: "partitioning / shuffle / skew
+handled explicitly").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "write_zordered", "file_ranges", "write_bucketed"]
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` of N non-negative int columns.
+
+    Callers bucketize first (rank, hash-mod, or floor-division — the
+    key only needs ORDER, not meaning).  Values are clamped to the
+    ``bits``-bit range so outliers cannot scramble the curve.  The
+    result is one static shift/and/or expression per (bit, column) —
+    fully whole-stage-codegen, engine-portable arithmetic (the oracle
+    reproduces it term by term).
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    cap = F.lit((1 << bits) - 1)
+    clamped = [
+        F.least(F.greatest((F.col(c) if isinstance(c, str) else c)
+                           .cast("long"), F.lit(0)), cap)
+        for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(clamped):
+            z = z + F.shiftleft(
+                F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of ``cols``.
+
+    One range exchange on the key (balanced output files regardless of
+    key skew — range, not hash) + in-partition sort, so every file owns
+    a compact curve segment = a small rectangle in value space.  The
+    key itself is not persisted; it exists only to place rows.
+    """
+    keyed = df.withColumn("__z", zorder_key(cols, bits))
+    parted = (
+        keyed.repartitionByRange(n_files, "__z") if n_files
+        else keyed.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def file_ranges(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max extents of ``cols`` — the quantity min/max
+    pruning actually uses.  Reading the data to audit the layout is
+    test-scale tooling; production audits read parquet footers."""
+    df = spark.read.parquet(path).withColumn(
+        "__file", F.input_file_name()
+    )
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max"),
+                 (F.max(c) - F.min(c)).alias(f"{c}_extent")]
+    return df.groupBy("__file").agg(*aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    path: str,
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Save ``df`` as a bucketed+sorted table for shuffle-free joins.
+
+    Both sides of a recurring join must use the SAME bucket count and
+    keys; a later ``spark.table(a).join(spark.table(b), keys)`` then
+    plans with zero Exchange (asserted in tests/test_layout.py).
+    ``sort_keys`` default to ``keys`` (sorted buckets also drop the
+    in-task sort for sort-merge)."""
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, keys[0], *keys[1:])
+        .sortBy(*(sort_keys or keys))
+        .option("path", path)
+    )
+    w.saveAsTable(table)
