@@ -2126,6 +2126,33 @@ def q_seasonal_anomaly(spark, sf_dir):
     return seasonal_anomaly(ev, threshold=2.5)
 
 
+def q_ewma_daily(spark, sf_dir):
+    """Per-(series, day) exponential smoothing as a pure-JVM ordered
+    array fold (monitor.py:ewma_daily) — literal coefficients, same
+    operation order as the oracle's list_reduce, so the doubles are
+    BIT-identical (no rounding slack in this oracle)."""
+    from traval_spark.operators.monitor import ewma_daily
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return ewma_daily(ev, alpha=0.3)
+
+
+def q_holt_daily(spark, sf_dir):
+    """Holt linear (level+trend) smoothing per (series, day)
+    (monitor.py:holt_daily): struct-accumulator JVM fold; the oracle
+    folds a two-double LIST accumulator because DuckDB's list_reduce
+    updates struct fields in place (field 2 would see field 1's new
+    value) — the list form is order-safe and bit-identical."""
+    from traval_spark.operators.monitor import holt_daily
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return holt_daily(ev, alpha=0.3, beta=0.1)
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton Z-order clustering key (sources/layout.py:zorder_key):
     bit-interleave of (user bucket, hour bucket) as a static shift/and
@@ -2268,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "seasonal_anomaly": q_seasonal_anomaly,
         "zorder_key": q_zorder_key,
+        "ewma_daily": q_ewma_daily,
+        "holt_daily": q_holt_daily,
     }
 
 
@@ -4524,5 +4553,41 @@ def oracle_sql() -> dict[str, str]:
                       (epoch_us(ts) // 3600000000) % 256 AS y
                from events)
     select event_id, {_zterms} AS zkey from s
+    """
+    # sequential smoothing folds: same literal coefficients, same
+    # operation order as the Spark F.aggregate fold -> bit-identical
+    # doubles (no rounding). Order key (u, i) is unique, so the list
+    # order matches array_sort(struct(u, i, v)) exactly.
+    _SMOOTH_SRC = """
+    s as (select event_type AS source, cast(ts AS date) AS day,
+                 epoch_us(ts) AS u, event_id AS i, value AS v
+          from events),
+    a as (select source, day, count(*) AS n_points,
+                 list(v order by u, i) AS lst
+          from s group by source, day)
+    """
+    sql["ewma_daily"] = f"""
+    with {_SMOOTH_SRC}
+    select source, day, n_points,
+           list_reduce(lst, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+    from a
+    """
+    # LIST accumulator, not a struct: DuckDB's list_reduce updates
+    # struct accumulators field-by-field IN PLACE (the trend field
+    # would read the already-updated level), which silently diverges
+    # from the mathematical recurrence; list elements are immutable.
+    sql["holt_daily"] = f"""
+    with {_SMOOTH_SRC},
+    r as (select source, day, n_points,
+                 list_reduce([[v, 0.0] for v in lst],
+                   (acc, e) -> [0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+                                0.1 * ((0.3 * e[1]
+                                        + 0.7 * (acc[1] + acc[2]))
+                                       - acc[1])
+                                + 0.9 * acc[2]]) AS h
+          from a)
+    select source, day, n_points,
+           h[1] AS level, h[2] AS trend, h[1] + h[2] AS forecast_next
+    from r
     """
     return sql

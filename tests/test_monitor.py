@@ -143,3 +143,47 @@ def test_seasonal_anomaly_broadcasts_profile(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_daily_hand_computed(spark):
+    """[5,2,9,4] at alpha 0.3: y = 5, 4.1, 5.57, 5.099."""
+    from traval_spark.operators.monitor import ewma_daily
+
+    rows = [("a", _t(i * 60), v, i)
+            for i, v in enumerate([5.0, 2.0, 9.0, 4.0])]
+    r = ewma_daily(_frame(spark, rows), alpha=0.3).collect()[0].asDict()
+    want = 5.0
+    for x in [2.0, 9.0, 4.0]:
+        want = 0.3 * x + 0.7 * want
+    assert r["ewma"] == want                  # bit-identical fold
+    assert r["n_points"] == 4
+
+
+def test_holt_daily_matches_reference_recurrence(spark):
+    from traval_spark.operators.monitor import holt_daily
+
+    vals = [5.0, 2.0, 9.0, 4.0, 7.5, 7.9]
+    rows = [("a", _t(i * 60), v, i) for i, v in enumerate(vals)]
+    r = holt_daily(_frame(spark, rows), alpha=0.3, beta=0.1).collect()[0]
+    lvl, tr = vals[0], 0.0
+    for x in vals[1:]:
+        nl = 0.3 * x + 0.7 * (lvl + tr)
+        tr = 0.1 * (nl - lvl) + 0.9 * tr
+        lvl = nl
+    assert r["level"] == lvl                  # bit-identical fold
+    assert r["trend"] == tr
+    assert r["forecast_next"] == lvl + tr
+
+
+def test_smoothing_fold_is_single_shuffle_no_window(spark):
+    """The fold runs inside one partial-aggregatable groupBy — no
+    per-series Window sort, no second exchange."""
+    from traval_spark.operators.monitor import ewma_daily
+
+    rows = [("a", _t(i * 60), float(i % 5), i) for i in range(500)]
+    plan = (
+        ewma_daily(_frame(spark, rows))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1

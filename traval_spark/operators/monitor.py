@@ -57,6 +57,7 @@ from traval_spark.functions.ts import gap_micros, unix_us
 __all__ = [
     "counter_windows", "gap_stats", "cusum_changepoint",
     "seasonal_profile", "seasonal_anomaly",
+    "ewma_daily", "holt_daily",
 ]
 
 
@@ -300,4 +301,109 @@ def seasonal_anomaly(
         .withColumn("z", F.round(z, 6))
         .filter(F.abs(F.col("z")) > F.lit(float(threshold)))
         .select(*by, "ts", "value", "z")
+    )
+
+
+def _day_arrays(df, by, ts, val, ident):
+    src = df.select(
+        *by,
+        F.col(ts).cast("date").alias("day"),
+        F.struct(
+            unix_us(F.col(ts)).alias("u"),
+            F.col(ident).alias("i"),
+            F.col(val).cast("double").alias("v"),
+        ).alias("__s"),
+    )
+    return src.groupBy(*by, "day").agg(
+        F.count("*").alias("n_points"),
+        F.array_sort(F.collect_list("__s")).alias("__arr"),
+    )
+
+
+def ewma_daily(
+    df: DataFrame,
+    alpha: float = 0.3,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Per-(series, day) exponential smoothing as a pure-JVM array fold.
+
+    EWMA is inherently sequential (y_i = a*x_i + (1-a)*y_{i-1}); the
+    scalable shape is the same one the funnel and BPE-apply operators
+    use — collect each BOUNDED day-partition into an ordered array and
+    fold it with ``F.aggregate`` (whole-stage codegen, no Python, no
+    per-series single-task window).  Initialization: y_0 = x_0.
+
+    Engine exactness: the fold applies ``a*x + (1-a)*y`` with both
+    coefficients as LITERALS in the same order, so any engine folding
+    the same ordered list (the oracle's ``list_reduce``) lands on the
+    bit-identical double — no rounding slack needed.  Output: ``*by,
+    day, n_points, ewma``.
+    """
+    a = F.lit(float(alpha))
+    b = F.lit(1.0 - float(alpha))
+    arrs = _day_arrays(df, by, ts, val, ident)
+    rest = F.expr("slice(__arr, 2, greatest(size(__arr) - 1, 0))")
+    out = arrs.withColumn(
+        "ewma",
+        F.aggregate(
+            rest,
+            F.element_at("__arr", 1)["v"],
+            lambda acc, s: a * s["v"] + b * acc,
+        ),
+    )
+    return out.select(*by, "day", "n_points", "ewma")
+
+
+def holt_daily(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Holt linear (level + trend) smoothing per (series, day), same
+    pure-JVM fold shape as :func:`ewma_daily` with a struct
+    accumulator:
+
+        l' = a*x + (1-a)*(l + t)
+        t' = g*(l' - l) + (1-g)*t        (l_0 = x_0, t_0 = 0)
+
+    Output: ``*by, day, n_points, level, trend, forecast_next``
+    (forecast_next = level + trend, the one-step-ahead forecast) —
+    bit-identical to the oracle's list_reduce for the same literal
+    coefficients.
+    """
+    a, an = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    g, gn = F.lit(float(beta)), F.lit(1.0 - float(beta))
+    arrs = _day_arrays(df, by, ts, val, ident)
+    rest = F.expr("slice(__arr, 2, greatest(size(__arr) - 1, 0))")
+
+    def step(acc, s):
+        lvl = a * s["v"] + an * (acc["l"] + acc["t"])
+        return F.struct(
+            lvl.alias("l"),
+            (g * (lvl - acc["l"]) + gn * acc["t"]).alias("t"),
+        )
+
+    out = arrs.withColumn(
+        "__acc",
+        F.aggregate(
+            rest,
+            F.struct(
+                F.element_at("__arr", 1)["v"].alias("l"),
+                F.lit(0.0).alias("t"),
+            ),
+            step,
+        ),
+    )
+    return out.select(
+        *by, "day", "n_points",
+        F.col("__acc")["l"].alias("level"),
+        F.col("__acc")["t"].alias("trend"),
+        (F.col("__acc")["l"] + F.col("__acc")["t"]).alias("forecast_next"),
     )
