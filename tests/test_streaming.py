@@ -1005,3 +1005,82 @@ def test_stream_m4_1m_matches_batch(spark, tmp_path):
 
     merged = m4_merge(streamed, bucket="1h", bucket_col="bucket")
     assert merged.filter(F.col("v_min") > F.col("v_max")).count() == 0
+
+
+def test_stream_counter_steps_match_batch(spark, tmp_path):
+    """Streaming counter steps == batch lag computation across a
+    micro-batch boundary (maxFilesPerTrigger=1 forces the first sample
+    of file 2 to take its step against file 1's carried tail), and the
+    windowed aggregation of streamed steps == batch counter_windows."""
+    import time as _time
+
+    from traval_spark.operators.monitor import counter_windows
+    from traval_spark.streaming.stateful_rules import stream_counter_steps
+
+    inp = str(tmp_path / "cin")
+    seqs = (
+        synth_sequences(spark, 4000, seed=17, span_days=1)
+        .groupBy("source", "ts").agg(F.max("n_tok").alias("n_tok"))
+    )
+    mid = "2024-01-01 12:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+
+    q = (stream_counter_steps(spark, inp, max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "cout"))
+         .option("checkpointLocation", str(tmp_path / "cck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(tmp_path / "cout"))
+
+    # no lookahead: every input point emits exactly once
+    assert streamed.count() == seqs.count()
+
+    # per-point parity against the batch lag chain
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("ts")
+    batch = seqs.select(
+        "source", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("n_tok").cast("double").alias("value"),
+    ).withColumn("prev", F.lag("value").over(w))
+    d = F.col("value") - F.col("prev")
+    batch = batch.select(
+        "source", "ts",
+        F.when(F.col("prev").isNull(), 0.0)
+        .when(d < 0, F.col("value")).otherwise(d).alias("b_step"),
+        F.when(F.col("prev").isNotNull() & (d < 0), 1).otherwise(0)
+        .alias("b_reset"),
+    )
+    j = streamed.join(batch, ["source", "ts"])
+    assert j.count() == seqs.count()
+    assert j.filter((F.col("step") != F.col("b_step"))
+                    | (F.col("reset") != F.col("b_reset"))).count() == 0
+    assert streamed.filter(F.col("reset") == 1).count() > 0
+
+    # windowed rollup of streamed steps == batch counter_windows
+    got = (
+        streamed.withColumn(
+            "__bus",
+            (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+             * F.lit(3_600_000_000)))
+        .groupBy("source", "__bus")
+        .agg(F.count("*").alias("n_samples"),
+             F.round(F.sum("step"), 6).alias("increase"),
+             F.round(F.sum("step") / F.lit(3600.0), 6)
+             .alias("rate_per_sec"),
+             F.sum("reset").alias("resets"))
+        .withColumn("window_start", F.timestamp_micros(F.col("__bus")))
+        .drop("__bus")
+    )
+    want = counter_windows(
+        seqs.select("source", F.col("ts").cast("timestamp").alias("ts"),
+                    F.col("n_tok").cast("double").alias("value"),
+                    F.col("n_tok").alias("event_id")),
+        window="1h",
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

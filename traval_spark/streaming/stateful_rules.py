@@ -475,3 +475,113 @@ def stream_flat_clean(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+#: counter-step rows: the input point + its PromQL-style step
+COUNTER_OUTPUT_SCHEMA = (
+    "source string, ts timestamp, ident string, value double, "
+    "step double, reset int"
+)
+#: carried boundary: the last sample per source
+COUNTER_STATE_SCHEMA = "tsl long, vl double"
+
+
+def make_counter_state_func(late_code: int | None = None):
+    """applyInPandasWithState kernel for streaming counter steps
+    (operators/monitor.py:counter_windows semantics, module docstring
+    in-order contract).
+
+    Unlike the spike/hampel kernels there is NO lookahead: a sample's
+    step needs only its predecessor, so every input row emits in its
+    own micro-batch and state is one (ts, value) pair per source —
+    strictly O(1). The Prometheus reset rule is applied identically to
+    the batch operator: negative step credits the new value; the first
+    sample of a series contributes step 0. Downstream windowed
+    increase/rate/resets are plain batch aggregations over the emitted
+    step rows (asserted equal to batch ``counter_windows`` in tests).
+
+    Late rows (at/before the carried sample) emit with step 0 and the
+    ``late_code`` marker in the ``reset`` column (outside its 0/1
+    domain) when requested, else drop — same observability contract as
+    the other stateful kernels.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "ident"])
+        b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        b_ids = batch["ident"].to_numpy(dtype=object)
+        b_vals = batch["value"].to_numpy(dtype=float)
+
+        prev_us, prev_v = -1, float("nan")
+        if state.exists:
+            prev_us, prev_v = state.get
+            fresh = b_ts > prev_us
+            if late_code is not None and (~fresh).any():
+                yield pd.DataFrame({
+                    "source": key[0],
+                    "ts": b_ts[~fresh].astype("datetime64[us]"),
+                    "ident": b_ids[~fresh],
+                    "value": b_vals[~fresh],
+                    "step": np.zeros((~fresh).sum()),
+                    "reset": np.full((~fresh).sum(), late_code,
+                                     dtype="int32"),
+                })
+            b_ts, b_ids, b_vals = b_ts[fresh], b_ids[fresh], b_vals[fresh]
+        if len(b_ts) == 0:
+            return
+
+        prev_vals = np.concatenate([[prev_v], b_vals[:-1]])
+        delta = b_vals - prev_vals
+        first = np.isnan(prev_vals)
+        reset = (~first) & (delta < 0)
+        step = np.where(first, 0.0, np.where(reset, b_vals, delta))
+        yield pd.DataFrame({
+            "source": key[0],
+            "ts": b_ts.astype("datetime64[us]"),
+            "ident": b_ids,
+            "value": b_vals,
+            "step": step,
+            "reset": reset.astype("int32"),
+        })
+        state.update((int(b_ts[-1]), float(b_vals[-1])))
+
+    return fn
+
+
+def stream_counter_steps(
+    spark: SparkSession,
+    input_path: str,
+    value_col: str = "n_tok",
+    ident_col: str = "doc_id",
+    max_files_per_trigger: int = 64,
+    late_code: int | None = None,
+) -> DataFrame:
+    """Streaming PromQL-style counter steps over the sequence drop dir.
+
+    Emits one step row per input sample (source, ts, ident, value,
+    step, reset); windowed increase/rate/resets aggregate downstream
+    from the emitted rows (a second stateful operator is deliberately
+    avoided — steps are per-point facts, windows are plain batch math
+    over the step sink)."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source", F.col("ts").cast("timestamp").alias("ts"),
+            F.col(ident_col).cast("string").alias("ident"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+    )
+    return stream.groupBy("source").applyInPandasWithState(
+        make_counter_state_func(late_code=late_code),
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        stateStructType=COUNTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
