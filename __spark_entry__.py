@@ -2153,6 +2153,20 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_xcorr_lags(spark, sf_dir):
+    """Lagged Pearson cross-correlation between per-series hourly
+    count signals (monitor.py:xcorr_lags): zero-filled bucket spines,
+    exact integer moments, r = num/sqrt(d1*d2) from exact ints —
+    engine-identical. Only raw-scale work is ONE groupBy; the pair
+    x lag join runs on the tiny signal frame."""
+    from traval_spark.operators.monitor import xcorr_lags
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return xcorr_lags(ev, max_lag=3, bucket="1h")
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton Z-order clustering key (sources/layout.py:zorder_key):
     bit-interleave of (user bucket, hour bucket) as a static shift/and
@@ -2297,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "ewma_daily": q_ewma_daily,
         "holt_daily": q_holt_daily,
+        "xcorr_lags": q_xcorr_lags,
     }
 
 
@@ -4589,5 +4604,39 @@ def oracle_sql() -> dict[str, str]:
     select source, day, n_points,
            h[1] AS level, h[2] AS trend, h[1] + h[2] AS forecast_next
     from r
+    """
+    # lagged cross-correlation from exact integer moments over
+    # zero-filled hourly count spines (same op order as monitor.py)
+    sql["xcorr_lags"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    pairs as (select xa.g AS a, xb.g AS b, l.lag,
+                     xa.c AS x, xb.c AS y
+              from sig xa,
+                   unnest(generate_series(-3, 3)) AS l(lag),
+                   sig xb
+              where xb.h = xa.h + l.lag),
+    m as (select a, b, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          from pairs group by a, b, lag),
+    d as (select a, b, lag, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          from m)
+    select a, b, cast(lag AS int) AS lag, n,
+           cast(num AS double)
+             / sqrt(cast(d1 AS double) * cast(d2 AS double)) AS r
+    from d where d1 > 0 and d2 > 0
     """
     return sql

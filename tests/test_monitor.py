@@ -187,3 +187,31 @@ def test_smoothing_fold_is_single_shuffle_no_window(spark):
     )
     assert "Window" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_xcorr_detects_lagged_copy(spark):
+    """Series b is a's count signal shifted one hour: r(a,b, lag=+1)
+    = 1 exactly (integer moments), and every autocorrelation at lag 0
+    is exactly 1."""
+    import itertools
+
+    from traval_spark.operators.monitor import xcorr_lags
+
+    # a: bursts of size 1..6 in hours 0..5; b: same bursts one hour later
+    rows = []
+    eid = 0
+    for h, burst in enumerate([1, 5, 2, 6, 3, 4]):
+        for k in range(burst):
+            rows.append(("a", _t(h * 3600 + k), 0.0, eid)); eid += 1
+            rows.append(("b", _t((h + 1) * 3600 + k), 0.0, eid)); eid += 1
+    df = _frame(spark, rows).select("source", "ts")
+    out = {
+        (r["a"], r["b"], r["lag"]): r
+        for r in xcorr_lags(df, max_lag=2, bucket="1h").collect()
+    }
+    assert out[("a", "b", 1)]["r"] == 1.0
+    for g in ("a", "b"):
+        assert out[(g, g, 0)]["r"] == 1.0
+    # the aligned-pair count shrinks with |lag| over the 7-hour span
+    assert out[("a", "b", 1)]["n"] == 6
+    assert out[("a", "a", 2)]["n"] == 5

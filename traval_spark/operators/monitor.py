@@ -57,7 +57,7 @@ from traval_spark.functions.ts import gap_micros, unix_us
 __all__ = [
     "counter_windows", "gap_stats", "cusum_changepoint",
     "seasonal_profile", "seasonal_anomaly",
-    "ewma_daily", "holt_daily",
+    "ewma_daily", "holt_daily", "xcorr_lags",
 ]
 
 
@@ -406,4 +406,82 @@ def holt_daily(
         F.col("__acc")["l"].alias("level"),
         F.col("__acc")["t"].alias("trend"),
         (F.col("__acc")["l"] + F.col("__acc")["t"]).alias("forecast_next"),
+    )
+
+
+def xcorr_lags(
+    df: DataFrame,
+    max_lag: int = 3,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between per-series bucket-count
+    signals (which series leads which — error bursts preceding purchase
+    drops, ingest spikes preceding dedup load).
+
+    Signals are COUNT-per-bucket, ZERO-FILLED over the global bucket
+    span (a missing bucket is a real 0 of activity, and zero-fill makes
+    the aligned-pair count a pure function of span and lag).  For every
+    ordered series pair (a, b) and lag L in [-max_lag, max_lag], x_t is
+    a's count at bucket t and y_t is b's count at bucket t+L; the
+    correlation is assembled from EXACT integer moments
+
+        num  = n*S_xy - S_x*S_y
+        den1 = n*S_xx - S_x^2,  den2 = n*S_yy - S_y^2
+        r    = num / sqrt(den1 * den2)
+
+    so r is engine-identical (the seasonal-profile trick, applied to a
+    join).  Zero-variance windows (den <= 0) are dropped.
+
+    Plan shape: the ONLY raw-scale work is one partial-aggregatable
+    groupBy to bucket counts; the signal frame is tiny (|series| x
+    span/bucket) — the spine fill, the broadcast lag cross, the pair
+    join and the moment aggregation all run on it.  Output: ``a, b,
+    lag, n, r``.
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        F.col(by).alias("g"),
+        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+    )
+    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = src.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        src.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    sig = spine.join(counts, ["g", "h"], "left").select(
+        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    lags = F.broadcast(
+        sig.sparkSession.range(-max_lag, max_lag + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    a = sig.select(F.col("g").alias("a"), F.col("h").alias("ha"),
+                   F.col("c").alias("x"))
+    b = sig.select(F.col("g").alias("b"), F.col("h").alias("hb"),
+                   F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+    )
+    m = pairs.groupBy("a", "b", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((d1 > 0) & (d2 > 0))
+        .select(
+            "a", "b", "lag", "n",
+            (num.cast("double")
+             / F.sqrt(d1.cast("double") * d2.cast("double"))).alias("r"),
+        )
     )
