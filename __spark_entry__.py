@@ -2153,6 +2153,23 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_sliding_quantiles(spark, sf_dir):
+    """Sliding-window exact percentiles via histogram panes
+    (hist.py:sliding_hist_quantiles): raw rows bin once into 10m pane
+    histograms, pane rows combine into overlapping 1h windows (counts
+    add), one cumsum pass extracts p50/p90 — the oracle is the DIRECT
+    per-window quantile_disc, independent of the pane construction."""
+    from traval_spark.hist import sliding_hist_quantiles
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    return sliding_hist_quantiles(
+        src, window="1h", slide="10m", qs=[0.5, 0.9], scale=100
+    )
+
+
 def q_xcorr_lags(spark, sf_dir):
     """Lagged Pearson cross-correlation between per-series hourly
     count signals (monitor.py:xcorr_lags): zero-filled bucket spines,
@@ -2312,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": q_ewma_daily,
         "holt_daily": q_holt_daily,
         "xcorr_lags": q_xcorr_lags,
+        "sliding_quantiles": q_sliding_quantiles,
     }
 
 
@@ -4638,5 +4656,27 @@ def oracle_sql() -> dict[str, str]:
            cast(num AS double)
              / sqrt(cast(d1 AS double) * cast(d2 AS double)) AS r
     from d where d1 > 0 and d2 > 0
+    """
+    # direct sliding quantiles (independent of the pane construction)
+    sql["sliding_quantiles"] = """
+    with src as (select event_type AS source, ts,
+                        CAST(round(value * 100) AS BIGINT) AS bin
+                 from events where value is not null),
+    pb as (select distinct source,
+                  make_timestamp(CAST(floor(epoch(ts) / 600) * 600
+                                      AS BIGINT) * 1000000) AS p
+           from src),
+    w as (select distinct source,
+                 p - (k * INTERVAL '10 minutes') AS window_start
+          from pb, unnest(generate_series(0, 5)) AS g(k)),
+    agg as (select w.source, w.window_start,
+                   quantile_disc(e.bin, 0.5) / 100.0 AS p50,
+                   quantile_disc(e.bin, 0.9) / 100.0 AS p90
+            from w join src e
+              on e.source = w.source
+             and e.ts >= w.window_start
+             and e.ts < w.window_start + INTERVAL '60 minutes'
+            group by 1, 2)
+    select * from agg
     """
     return sql

@@ -134,3 +134,35 @@ def test_dds_quantiles_small_magnitudes_keep_relative_error(spark):
     ).collect()[0][0]
     assert exact > 0
     assert abs(est - exact) <= alpha * exact, (est, exact)
+
+
+def test_sliding_hist_quantiles_hand_case(spark):
+    """Two 10m panes, 1h/10m sliding: the window containing both panes
+    sees the merged histogram; single-pane windows see their own."""
+    import pandas as pd
+
+    from traval_spark.hist import sliding_hist_quantiles
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [("a", t0 + pd.Timedelta(minutes=m), v) for m, v in
+            [(0, 1.0), (1, 2.0), (2, 3.0),        # pane 0
+             (10, 10.0), (11, 11.0)]]             # pane 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "n_tok"])
+    )
+    out = {
+        r["window_start"]: r
+        for r in sliding_hist_quantiles(
+            df, window="1h", slide="10m", qs=[0.5], scale=1
+        ).collect()
+    }
+    # window starting at t0 covers both panes: values 1,2,3,10,11
+    assert out[t0]["p50"] == 3.0
+    # window starting at t0+10m covers only pane 1
+    assert out[t0 + pd.Timedelta(minutes=10)]["p50"] == 10.0
+    # the earliest window [t0-50m, t0+10m) ends before pane 1: only
+    # pane 0 contributes -> p50 of {1,2,3} = 2
+    assert out[t0 - pd.Timedelta(minutes=50)]["p50"] == 2.0
+    # windows exist iff they contain an observation: 6 + 6 distinct
+    # starts minus the 2-pane overlap
+    assert len(out) == 7

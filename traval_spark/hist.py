@@ -258,3 +258,68 @@ def dds_quantiles(
         hit = F.when(F.col("__cum") >= rank, F.col("__est"))
         aggs.append(F.min(hit).alias(f"{prefix}{round(q * 100):d}"))
     return with_cum.groupBy("source", "bucket").agg(*aggs)
+
+
+def sliding_hist_quantiles(
+    df: DataFrame,
+    window: str = "1h",
+    slide: str = "10m",
+    qs: list[float] | None = None,
+    value_col: str = "n_tok",
+    scale: int = 1,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window EXACT quantiles via histogram panes.
+
+    The stream-slicing trick rollup.py:sliding_rollup uses for
+    count/sum/min/max, applied to the mergeable histogram
+    representation: raw rows bin ONCE into slide-width pane histograms,
+    pane (source, pane, bin, cnt) rows replicate into the k =
+    window/slide overlapping windows (counts add — the same cascade
+    property that makes the tiers exact), and one cumulative-sum pass
+    extracts every requested quantile.  Raw data is scanned and
+    shuffled exactly once regardless of the overlap factor; only
+    bounded histogram rows (sources x panes x |bins|) replicate.
+
+    Same window semantics as sliding_rollup: epoch-aligned to the
+    slide, window exists iff it contains >= 1 observation.  Output:
+    (source, window_start, p{q}...) with DuckDB quantile_disc rank
+    semantics on the discretized domain (bin = round(v*scale)).
+    """
+    from traval_spark.functions.ts import gap_micros, unix_us
+
+    if qs is None:
+        qs = [0.5, 0.9, 0.99]
+    w_us, s_us = gap_micros(window), gap_micros(slide)
+    if w_us % s_us:
+        raise ValueError("window must be a multiple of slide")
+    k = w_us // s_us
+    df = ensure_ntz(df, ts_col)
+    pane = (
+        F.floor(unix_us(F.col(ts_col)) / F.lit(s_us)) * F.lit(s_us)
+    ).alias("__pane_us")
+    b = F.round(F.col(value_col) * scale).cast("long")
+    panes = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col("source"), pane, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = (
+        F.col("__pane_us")
+        - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
+    )
+    hist = (
+        panes.select(
+            "source", "__pane_us", "bin", "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+        )
+        .groupBy(
+            "source",
+            F.timestamp_micros(win).cast("timestamp_ntz").alias("bucket"),
+            "bin",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return hist_quantiles(hist, qs, scale).withColumnRenamed(
+        "bucket", "window_start"
+    )
