@@ -2153,6 +2153,41 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Context-window chunking (text.py:chunk_documents): one row per
+    32-token window, split on whitespace-token boundaries, last chunk
+    ragged — a pure map (sequence+explode), zero shuffle."""
+    from traval_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction ladder (text.py:redact_pii) over documents text
+    augmented with deterministic synthetic PII (the corpus itself is
+    digit-free, so the fixture embeds an email, a phone and a numeric
+    ref per row): sequential regexp_count + regexp_replace, each
+    pattern counted on the already-redacted text."""
+    from traval_spark.operators.text import redact_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ref "), (F.col("doc_id") * 7919).cast("string"),
+        ).alias("t0"),
+    )
+    r = redact_pii(F.col("t0"))
+    return d.select(
+        "doc_id",
+        r["n_redactions"].alias("n_redactions"),
+        r["redacted"].alias("redacted"),
+    )
+
+
 def q_sliding_quantiles(spark, sf_dir):
     """Sliding-window exact percentiles via histogram panes
     (hist.py:sliding_hist_quantiles): raw rows bin once into 10m pane
@@ -2330,6 +2365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_daily": q_holt_daily,
         "xcorr_lags": q_xcorr_lags,
         "sliding_quantiles": q_sliding_quantiles,
+        "chunk_docs": q_chunk_docs,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -4678,5 +4715,49 @@ def oracle_sql() -> dict[str, str]:
              and e.ts < w.window_start + INTERVAL '60 minutes'
             group by 1, 2)
     select * from agg
+    """
+    sql["chunk_docs"] = """
+    with d as (select doc_id AS id,
+                      regexp_split_to_array(text, '\\s+') AS toks
+               from documents where text is not null),
+    n as (select id, toks, len(toks) AS n from d),
+    e as (select id, toks, n,
+                 unnest(range(0, cast(ceil(n / 32.0) AS bigint)))
+                   AS chunk_idx
+          from n)
+    select id, cast(chunk_idx AS int) AS chunk_idx,
+           array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32],
+                           ' ') AS chunk_text,
+           cast(least(32, n - chunk_idx * 32) AS int) AS n_tok
+    from e
+    """
+    # same ladder order + same patterns as text.py:PII_PATTERNS; each
+    # count taken on the already-partially-redacted text; 'g' flag =
+    # Spark's replace-all semantics
+    _EM = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _PH = "[0-9]{3}[-.][0-9]{3,4}[-.]?[0-9]{0,4}"
+    _NU = "[0-9]{4,}"
+    sql["redact_pii"] = f"""
+    with t as (select doc_id,
+        text || ' contact user' || cast(doc_id AS varchar)
+             || '@mail.example.com or 555-'
+             || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+             || ' ref ' || cast(doc_id * 7919 AS varchar) AS t0
+      from documents),
+    s1 as (select doc_id,
+                  len(regexp_extract_all(t0, '{_EM}')) AS c1,
+                  regexp_replace(t0, '{_EM}', '<EMAIL>', 'g') AS t1
+           from t),
+    s2 as (select doc_id, c1,
+                  len(regexp_extract_all(t1, '{_PH}')) AS c2,
+                  regexp_replace(t1, '{_PH}', '<PHONE>', 'g') AS t2
+           from s1),
+    s3 as (select doc_id, c1, c2,
+                  len(regexp_extract_all(t2, '{_NU}')) AS c3,
+                  regexp_replace(t2, '{_NU}', '<NUM>', 'g') AS t3
+           from s2)
+    select doc_id, cast(c1 + c2 + c3 AS bigint) AS n_redactions,
+           t3 AS redacted
+    from s3
     """
     return sql

@@ -1350,3 +1350,48 @@ def test_weighted_sample_k_exact_and_weighted(spark):
     # heavy item: P(in top-5 of 40) ≈ 1 with w=100; light ≈ 5/139
     assert hits_heavy >= 10, hits_heavy
     assert hits_light <= 6, hits_light
+
+
+def test_chunk_documents_reconstructs_and_rags(spark):
+    import pandas as pd
+
+    from traval_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [words, "a b"]})
+    )
+    out = chunk_documents(df, chunk_tokens=32).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["id"], r["chunk_idx"])):
+        by_doc.setdefault(r["id"], []).append(r)
+    # 70 tokens -> 32 + 32 + 6
+    assert [r["n_tok"] for r in by_doc[1]] == [32, 32, 6]
+    assert " ".join(r["chunk_text"] for r in by_doc[1]) == words
+    assert [r["n_tok"] for r in by_doc[2]] == [2]
+    # pure map: no shuffle anywhere in the chunker plan
+    plan = (chunk_documents(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_ladder_counts_once(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from traval_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "t": ["mail a.b+c@x-corp.io or 555-123-4567 then 99999 end",
+              "clean text only"],
+    }))
+    r = redact_pii(F.col("t"))
+    got = df.select(r["redacted"].alias("red"),
+                    r["n_redactions"].alias("n")).collect()
+    assert got[0]["red"] == "mail <EMAIL> or <PHONE> then <NUM> end"
+    # the email's digits and the phone's digits never double-count as
+    # numbers: exactly one hit per ladder stage
+    assert got[0]["n"] == 3
+    assert got[1]["red"] == "clean text only"
+    assert got[1]["n"] == 0

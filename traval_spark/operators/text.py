@@ -400,3 +400,75 @@ def remap_tokens(
             ),
         )
     return out
+
+
+#: PII redaction ladder: applied IN ORDER, each pattern counted on the
+#: text as it looks after the previous replacements (an email's digits
+#: must not double-count as a number). Character-class-only regexes —
+#: identical semantics under Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}[-.][0-9]{3,4}[-.]?[0-9]{0,4}", "<PHONE>"),
+    (r"[0-9]{4,}", "<NUM>"),
+]
+
+
+def redact_pii(
+    text: Column, patterns: list[tuple[str, str]] | None = None
+) -> dict[str, Column]:
+    """Sequential regex redaction for curation (emails, phone-shaped
+    digit groups, long digit runs) — the standard PII scrub stage of a
+    training-data pipeline, as plain JVM ``regexp_replace``/
+    ``regexp_count`` codegen (no Python in the hot path).
+
+    Returns ``{"redacted": Column, "n_redactions": Column}`` where the
+    count is the total matches across the ladder, each pattern counted
+    on the already-partially-redacted text (deterministic and
+    engine-reproducible; DuckDB mirror uses regexp_replace(..., 'g') +
+    len(regexp_extract_all())).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    cur = text
+    total = F.lit(0).cast("bigint")
+    for pat, repl in pats:
+        total = total + F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, repl)
+    return {"redacted": cur, "n_redactions": total}
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token-window chunks (the
+    context-window packing precursor: one training sample per ~N
+    whitespace tokens, split on token boundaries, last chunk ragged).
+
+    One row in, ceil(n_tok / chunk_tokens) rows out via a single
+    sequence+explode — no shuffle at all (the chunker is a pure map),
+    so it composes with any downstream dedup/pack stage at scan speed.
+    Output: (id, chunk_idx, chunk_text, n_tok).  Reconstruction
+    invariant: joining a doc's chunk_texts with single spaces equals
+    the whitespace-normalized document (pytest).
+    """
+    C = int(chunk_tokens)
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    nch = F.ceil(F.col("__n") / F.lit(C)).cast("int")
+    exploded = base.select(
+        "id", "__toks", "__n",
+        F.explode(F.sequence(F.lit(0), nch - 1)).alias("chunk_idx"),
+    )
+    return exploded.select(
+        "id", "chunk_idx",
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_idx") * C + 1, C), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(C), F.col("__n") - F.col("chunk_idx") * C)
+        .cast("int").alias("n_tok"),
+    )
