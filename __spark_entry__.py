@@ -2153,6 +2153,20 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_sliding_distinct(spark, sf_dir):
+    """Sliding-window distinct users via KMV panes
+    (sketch.py:sliding_distinct): pane sketches union into overlapping
+    windows — raw scanned once regardless of overlap. Oracle = exact
+    per-window COUNT DISTINCT; sf0.01 windows hold < k=256 distinct
+    users, the sketch's exact regime."""
+    from traval_spark.sketch import sliding_distinct
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id"
+    )
+    return sliding_distinct(ev, window="1h", slide="10m", k=256)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Context-window chunking (text.py:chunk_documents): one row per
     32-token window, split on whitespace-token boundaries, last chunk
@@ -2367,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_quantiles": q_sliding_quantiles,
         "chunk_docs": q_chunk_docs,
         "redact_pii": q_redact_pii,
+        "sliding_distinct": q_sliding_distinct,
     }
 
 
@@ -4759,5 +4774,24 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, cast(c1 + c2 + c3 AS bigint) AS n_redactions,
            t3 AS redacted
     from s3
+    """
+    # exact distinct per sliding window (the KMV exact regime at this
+    # scale: every 1h window holds < 256 distinct users)
+    sql["sliding_distinct"] = """
+    with src as (select event_type AS source, ts, user_id from events),
+    pb as (select distinct source,
+                  make_timestamp(CAST(floor(epoch(ts) / 600) * 600
+                                      AS BIGINT) * 1000000) AS p
+           from src),
+    w as (select distinct source,
+                 p - (k * INTERVAL '10 minutes') AS window_start
+          from pb, unnest(generate_series(0, 5)) AS g(k))
+    select w.source, w.window_start,
+           count(distinct e.user_id) AS n_distinct
+    from w join src e
+      on e.source = w.source
+     and e.ts >= w.window_start
+     and e.ts < w.window_start + INTERVAL '60 minutes'
+    group by 1, 2
     """
     return sql

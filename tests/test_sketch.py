@@ -1,5 +1,6 @@
 """Mergeable distinct sketches: exact-under-k KMV, DataSketches HLL."""
 
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
@@ -212,3 +213,33 @@ def test_kmv_intersect_exact_and_estimated(spark):
     est = sk2.select(
         kmv_intersect_estimate("a", "b", 256).alias("n")).first()["n"]
     assert 350 <= est <= 650, est
+
+
+def test_sliding_distinct_exact_regime_matches_builtin(spark):
+    """Pane-union KMV sliding distinct == the built-in row-replicating
+    F.window + countDistinct formulation while windows stay under k
+    (the exact regime)."""
+    import pandas as pd
+
+    from traval_spark.sketch import sliding_distinct
+
+    rng = np.random.RandomState(5)
+    rows = [
+        ("s%d" % (i % 2),
+         pd.Timestamp("2024-01-01")
+         + pd.Timedelta(seconds=int(rng.randint(0, 6 * 3600))),
+         int(rng.randint(0, 40)))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "user_id"])
+    )
+    got = sliding_distinct(df, window="1h", slide="10m", k=256)
+    want = (
+        df.groupBy("source", F.window("ts", "1 hour", "10 minutes"))
+        .agg(F.countDistinct("user_id").alias("n_distinct"))
+        .select("source", F.col("window.start").alias("window_start"),
+                "n_distinct")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

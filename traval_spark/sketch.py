@@ -411,3 +411,58 @@ def kmv_intersect_estimate(
     return F.round(
         common.cast("double") / k_eff.cast("double") * union_est
     ).cast("long")
+
+
+def sliding_distinct(
+    df: DataFrame,
+    window: str = "1h",
+    slide: str = "10m",
+    key_col: str = "user_id",
+    k: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window distinct counts via KMV panes (the stream-slicing
+    construction rollup.py:sliding_rollup uses, applied to a MERGEABLE
+    sketch): raw rows sketch ONCE into slide-width pane KMVs, pane
+    sketches union into the k = window/slide overlapping windows
+    (sketch union composes through any pane decomposition), one
+    estimate extraction per window.  Raw data is scanned and shuffled
+    exactly once regardless of the overlap factor — the built-in
+    ``F.window(ts, window, slide)`` + countDistinct would replicate
+    every RAW row k times AND pay an exact-distinct shuffle per window.
+
+    Exactness regime: estimates are EXACT while a window holds fewer
+    than k distinct keys ((k-1)/U(k) beyond — sketch.py header); the
+    oracle pins the exact regime.  Output: (source, window_start,
+    n_distinct).
+    """
+    from traval_spark.functions.ts import gap_micros, unix_us
+
+    w_us, s_us = gap_micros(window), gap_micros(slide)
+    if w_us % s_us:
+        raise ValueError("window must be a multiple of slide")
+    kk = w_us // s_us
+    df = ensure_ntz(df, ts_col)
+    pane = (
+        F.floor(unix_us(F.col(ts_col)) / F.lit(s_us)) * F.lit(s_us)
+    ).alias("__pane_us")
+    panes = df.groupBy(F.col("source"), pane).agg(
+        kmv_agg(key_col, k).alias("kmv")
+    )
+    win = (
+        F.col("__pane_us")
+        - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
+    )
+    merged = (
+        panes.select(
+            "source", "__pane_us", "kmv",
+            F.explode(F.sequence(F.lit(0), F.lit(kk - 1))).alias("__i"),
+        )
+        .groupBy(
+            "source",
+            F.timestamp_micros(win).cast("timestamp_ntz")
+            .alias("window_start"),
+        )
+        .agg(kmv_merge("kmv", k).alias("kmv"))
+    )
+    return distinct_counts(merged, k)
