@@ -2153,6 +2153,18 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_percentile_rank(spark, sf_dir):
+    """Global percentile rank of every document's length WITHOUT a
+    global sort (hist.py:percentile_ranks): value-count table ->
+    cumsum over the tiny distinct-value frame -> broadcast join back.
+    The oracle is the naive single-partition cume_dist the operator
+    exists to avoid."""
+    from traval_spark.hist import percentile_ranks
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return percentile_ranks(d, "n_chars")
+
+
 def q_sliding_distinct(spark, sf_dir):
     """Sliding-window distinct users via KMV panes
     (sketch.py:sliding_distinct): pane sketches union into overlapping
@@ -2382,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "redact_pii": q_redact_pii,
         "sliding_distinct": q_sliding_distinct,
+        "percentile_rank": q_percentile_rank,
     }
 
 
@@ -4793,5 +4806,10 @@ def oracle_sql() -> dict[str, str]:
      and e.ts >= w.window_start
      and e.ts < w.window_start + INTERVAL '60 minutes'
     group by 1, 2
+    """
+    sql["percentile_rank"] = """
+    select doc_id, n_chars,
+           cume_dist() over (order by n_chars) AS prank
+    from documents
     """
     return sql

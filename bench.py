@@ -116,7 +116,7 @@ def main() -> None:
         "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
         "seasonal_profile", "seasonal_anomaly", "zorder_key",
         "ewma_daily", "holt_daily", "xcorr_lags", "sliding_quantiles",
-        "chunk_docs", "redact_pii", "sliding_distinct",
+        "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "fingerprint",

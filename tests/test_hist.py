@@ -166,3 +166,23 @@ def test_sliding_hist_quantiles_hand_case(spark):
     # windows exist iff they contain an observation: 6 + 6 distinct
     # starts minus the 2-pane overlap
     assert len(out) == 7
+
+
+def test_percentile_ranks_no_single_partition_window(spark):
+    """Equal to cume_dist (tie semantics included) with the only
+    ordered pass running over the distinct-value frame, and raw rows
+    taking a broadcast join."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from traval_spark.hist import percentile_ranks
+
+    pdf = pd.DataFrame({"id": range(400), "v": [i % 17 for i in range(400)]})
+    df = spark.createDataFrame(pdf)
+    got = percentile_ranks(df, "v").select("id", "v", "prank")
+    want = df.withColumn("prank", F.cume_dist().over(W.orderBy("v")))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

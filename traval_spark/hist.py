@@ -323,3 +323,39 @@ def sliding_hist_quantiles(
     return hist_quantiles(hist, qs, scale).withColumnRenamed(
         "bucket", "window_start"
     )
+
+
+def percentile_ranks(
+    df: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = (),
+    out_col: str = "prank",
+) -> DataFrame:
+    """Percentile rank (cume_dist semantics: fraction of rows with
+    value <= mine) for EVERY row — without a global sort.
+
+    The naive formulation, ``cume_dist() over (order by v)``, plans a
+    SINGLE-PARTITION window over all raw rows: the one construction
+    this engine bans everywhere else.  Instead: aggregate to a
+    value-count table (bounded by the value domain, not the row
+    count), cumulative-sum THAT tiny frame, and broadcast-join ranks
+    back — raw rows take one partial-aggregatable groupBy and one
+    broadcast hash join; the only ordered pass runs over |distinct
+    values| rows.  Exact: counts are integers, prank = cum/N is the
+    identical double in any engine.
+
+    For continuous doubles, discretize first (hist.py bin trick) —
+    otherwise the value table degenerates toward row count.
+    """
+    cnts = df.groupBy(*by, value_col).agg(F.count("*").alias("__c"))
+    w_cum = (
+        Window.partitionBy(*by).orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    ranks = cnts.select(
+        *by, value_col,
+        (F.sum("__c").over(w_cum).cast("double")
+         / F.sum("__c").over(w_all).cast("double")).alias(out_col),
+    )
+    return df.join(F.broadcast(ranks), [*by, value_col])
