@@ -2153,6 +2153,25 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_sliding_from_tier(spark, sf_dir):
+    """Sliding windows served FROM THE STORED 1m TIER
+    (rollup.py:sliding_from_tier) — the query builds the tier and
+    re-panes it; the oracle is the DIRECT raw sliding definition, so
+    the gate proves tier-served == raw-built."""
+    from traval_spark.rollup import rollup_raw, sliding_from_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    out = sliding_from_tier(rollup_raw(src, "1m"), window="1h",
+                            slide="10m")
+    return out.select(
+        "source", "window_start", "n_points",
+        F.round("sum_tok", 6).alias("sum_tok"), "min_tok", "max_tok",
+    )
+
+
 def q_percentile_rank(spark, sf_dir):
     """Global percentile rank of every document's length WITHOUT a
     global sort (hist.py:percentile_ranks): value-count table ->
@@ -2395,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "sliding_distinct": q_sliding_distinct,
         "percentile_rank": q_percentile_rank,
+        "sliding_from_tier": q_sliding_from_tier,
     }
 
 
@@ -4812,4 +4832,7 @@ def oracle_sql() -> dict[str, str]:
            cume_dist() over (order by n_chars) AS prank
     from documents
     """
+    # tier-served sliding == the direct raw sliding definition (same
+    # oracle construction as sliding_rollup)
+    sql["sliding_from_tier"] = sql["sliding_rollup"]
     return sql

@@ -955,3 +955,16 @@ def test_routed_m4_reads(spark, seqs, tmp_path):
     want = m4_downsample(seqs, bucket="1h", val="n_tok", bucket_col="bucket")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_sliding_from_tier_equals_raw_sliding(spark, seqs):
+    """Sliding windows served from the stored 1m tier are identical to
+    the raw-built sliding rollup — every measure is mergeable over the
+    pane decomposition, so the tier is a drop-in scan substitute."""
+    from traval_spark.rollup import rollup_raw, sliding_from_tier, sliding_rollup
+
+    tier = rollup_raw(seqs, "1m")
+    got = sliding_from_tier(tier, window="1h", slide="10m")
+    want = sliding_rollup(seqs, window="1h", slide="10m")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

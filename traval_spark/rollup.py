@@ -325,3 +325,54 @@ def session_rollup(
         "n_events",
         "sum_value",
     )
+
+
+def sliding_from_tier(
+    tier_df: DataFrame,
+    window: str = "1h",
+    slide: str = "10m",
+) -> DataFrame:
+    """Sliding-window rollup served FROM A STORED TIER instead of raw.
+
+    The pane construction :func:`sliding_rollup` builds from raw rows
+    already exists on disk as the 1m tier: tier buckets re-aggregate
+    into slide-width panes (cascade exprs — counts/sums add, min/max
+    nest), panes combine into the overlapping windows.  A dashboard
+    asking for "1h window every 10m" therefore never touches raw —
+    scan cost is the tier's row count, and the result is IDENTICAL to
+    the raw-built sliding rollup (pytest) because every aggregate is
+    mergeable over the pane decomposition.  ``slide`` must be a
+    multiple of the tier bucket width (1m tier serves any
+    minute-aligned slide); windows exist iff they contain >= 1
+    observation, inherited from the tier's only-observed-buckets
+    sparsity.
+    """
+    from traval_spark.functions.ts import gap_micros, unix_us
+
+    w_us, s_us = gap_micros(window), gap_micros(slide)
+    if w_us % s_us:
+        raise ValueError("window must be a multiple of slide")
+    k = w_us // s_us
+    pane = (
+        F.floor(unix_us(F.col("bucket")) / F.lit(s_us)) * F.lit(s_us)
+    ).alias("__pane_us")
+    panes = tier_df.groupBy(F.col("source"), pane).agg(
+        *_agg_exprs_cascade()
+    )
+    expanded = panes.select(
+        "source", "__pane_us",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+        *MEASURES,
+    ).select(
+        "source",
+        (F.col("__pane_us")
+         - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
+         ).alias("__win_us"),
+        *MEASURES,
+    )
+    win = F.timestamp_micros(F.col("__win_us")).cast(
+        "timestamp_ntz"
+    ).alias("window_start")
+    return expanded.groupBy(F.col("source"), win).agg(
+        *_agg_exprs_cascade()
+    )
