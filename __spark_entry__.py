@@ -2153,6 +2153,26 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_pad_sequences(spark, sf_dir):
+    """Loader-final pad/truncate (text.py:pad_sequences): every token
+    sequence shaped to exactly 48 ids + attention mask, pure array
+    codegen with zero shuffle. Arrays serialized as CSV strings for
+    the value-hash compare."""
+    from traval_spark.operators.text import pad_sequences
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    out = pad_sequences(s, max_len=48, pad_id=0)
+    isnull = F.col("tokens").isNull()
+    return out.select(
+        "doc_id", "n_real",
+        F.when(isnull, F.lit(None))
+        .otherwise(F.concat_ws(",", "input_ids")).alias("input_ids"),
+        F.when(isnull, F.lit(None))
+        .otherwise(F.concat_ws(",", "attention_mask"))
+        .alias("attention_mask"),
+    )
+
+
 def q_sliding_from_tier(spark, sf_dir):
     """Sliding windows served FROM THE STORED 1m TIER
     (rollup.py:sliding_from_tier) — the query builds the tier and
@@ -2415,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct": q_sliding_distinct,
         "percentile_rank": q_percentile_rank,
         "sliding_from_tier": q_sliding_from_tier,
+        "pad_sequences": q_pad_sequences,
     }
 
 
@@ -4835,4 +4856,23 @@ def oracle_sql() -> dict[str, str]:
     # tier-served sliding == the direct raw sliding definition (same
     # oracle construction as sliding_rollup)
     sql["sliding_from_tier"] = sql["sliding_rollup"]
+    sql["pad_sequences"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    p as (select doc_id, tk,
+                 least(len(tk), 48) AS n_real from t)
+    select doc_id,
+           case when tk is null then null
+                else cast(n_real AS int) end AS n_real,
+           case when tk is null then null
+                else array_to_string(
+                       list_concat(tk[1:48],
+                                   [0 for _ in range(48 - n_real)]), ',')
+           end AS input_ids,
+           case when tk is null then null
+                else array_to_string(
+                       list_concat([1 for _ in range(n_real)],
+                                   [0 for _ in range(48 - n_real)]), ',')
+           end AS attention_mask
+    from p
+    """
     return sql

@@ -117,7 +117,7 @@ def main() -> None:
         "seasonal_profile", "seasonal_anomaly", "zorder_key",
         "ewma_daily", "holt_daily", "xcorr_lags", "sliding_quantiles",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
-        "sliding_from_tier",
+        "sliding_from_tier", "pad_sequences",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "fingerprint",

@@ -1395,3 +1395,28 @@ def test_redact_pii_ladder_counts_once(spark):
     assert got[0]["n"] == 3
     assert got[1]["red"] == "clean text only"
     assert got[1]["n"] == 0
+
+
+def test_pad_sequences_shapes_and_nulls(spark):
+    import pandas as pd
+
+    from traval_spark.operators.text import pad_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "tokens": [[5, 6, 7], list(range(10)), None],
+        })
+    )
+    out = {r["doc_id"]: r for r in pad_sequences(df, max_len=5).collect()}
+    assert out[1]["input_ids"] == [5, 6, 7, 0, 0]
+    assert out[1]["attention_mask"] == [1, 1, 1, 0, 0]
+    assert out[1]["n_real"] == 3
+    assert out[2]["input_ids"] == [0, 1, 2, 3, 4]     # truncated
+    assert out[2]["attention_mask"] == [1, 1, 1, 1, 1]
+    assert out[2]["n_real"] == 5
+    assert out[3]["input_ids"] is None                # NULL passes through
+    assert out[3]["attention_mask"] is None
+    plan = (pad_sequences(df, 5)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan

@@ -472,3 +472,41 @@ def chunk_documents(
         F.least(F.lit(C), F.col("__n") - F.col("chunk_idx") * C)
         .cast("int").alias("n_tok"),
     )
+
+
+def pad_sequences(
+    df: DataFrame,
+    max_len: int,
+    pad_id: int = 0,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Loader-final shaping: truncate-or-pad every token sequence to
+    ``max_len`` and emit the matching attention mask — pure array
+    codegen (slice / concat / repeat / transform), no shuffle, no
+    Python.
+
+    Adds ``input_ids`` (length exactly max_len), ``attention_mask``
+    (1 for real tokens, 0 for padding) and ``n_real`` (unpadded length,
+    capped at max_len).  NULL sequences pass through as NULL rows of
+    all three columns (dropped or imputed upstream by the curation
+    filters, never silently zero-filled here).
+    """
+    L = int(max_len)
+    toks = F.col(tokens_col)
+    n = F.least(F.size(toks), F.lit(L))
+    trunc = F.slice(toks, 1, L)
+    pad = F.array_repeat(F.lit(int(pad_id)).cast("int"), F.lit(L) - n)
+    ids = F.concat(trunc, pad)
+    mask = F.concat(
+        F.transform(trunc, lambda _: F.lit(1).cast("int")),
+        F.transform(pad, lambda _: F.lit(0).cast("int")),
+    )
+    isnull = toks.isNull()
+    return df.select(
+        "*",
+        F.when(isnull, F.lit(None)).otherwise(ids).alias("input_ids"),
+        F.when(isnull, F.lit(None)).otherwise(mask)
+        .alias("attention_mask"),
+        F.when(isnull, F.lit(None)).otherwise(n.cast("int"))
+        .alias("n_real"),
+    )
