@@ -1084,3 +1084,47 @@ def test_stream_counter_steps_match_batch(spark, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_counter_equal_ts_across_batches_not_late(spark, tmp_path):
+    """Two samples at the SAME timestamp with increasing idents split
+    across micro-batches: the second must take its step against the
+    first (ident tie-break), not be dropped as late."""
+    import time as _time
+
+    import pandas as pd
+
+    from traval_spark.streaming.stateful_rules import stream_counter_steps
+
+    inp = str(tmp_path / "ein")
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    f1 = pd.DataFrame({
+        "doc_id": ["a"], "tokens": [[1]], "n_tok": [10],
+        "source": ["s"], "ts": [t],
+    })
+    f2 = pd.DataFrame({
+        "doc_id": ["b"], "tokens": [[1]], "n_tok": [25],
+        "source": ["s"], "ts": [t],
+    })
+    def _w(pdf):
+        return spark.createDataFrame(pdf).selectExpr(
+            "doc_id", "cast(tokens as array<int>) tokens",
+            "cast(n_tok as int) n_tok", "source",
+            "cast(ts as timestamp_ntz) ts",
+        ).write.mode("append").parquet(inp)
+
+    _w(f1)
+    _time.sleep(1.1)
+    _w(f2)
+
+    q = (stream_counter_steps(spark, inp, max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "eout"))
+         .option("checkpointLocation", str(tmp_path / "eck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r["ident"]: r for r in
+            spark.read.parquet(str(tmp_path / "eout")).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["step"] == 0.0        # first sample of the series
+    assert rows["b"]["step"] == 15.0       # 25 - 10, NOT dropped as late

@@ -286,14 +286,12 @@ def sliding_hist_quantiles(
     (source, window_start, p{q}...) with DuckDB quantile_disc rank
     semantics on the discretized domain (bin = round(v*scale)).
     """
-    from traval_spark.functions.ts import gap_micros, unix_us
+    from traval_spark.functions.ts import unix_us
+    from traval_spark.rollup import _sliding_us, expand_panes
 
     if qs is None:
         qs = [0.5, 0.9, 0.99]
-    w_us, s_us = gap_micros(window), gap_micros(slide)
-    if w_us % s_us:
-        raise ValueError("window must be a multiple of slide")
-    k = w_us // s_us
+    w_us, s_us = _sliding_us(window, slide)
     df = ensure_ntz(df, ts_col)
     pane = (
         F.floor(unix_us(F.col(ts_col)) / F.lit(s_us)) * F.lit(s_us)
@@ -304,20 +302,10 @@ def sliding_hist_quantiles(
         .groupBy(F.col("source"), pane, b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    win = (
-        F.col("__pane_us")
-        - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
-    )
     hist = (
-        panes.select(
-            "source", "__pane_us", "bin", "cnt",
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
-        )
-        .groupBy(
-            "source",
-            F.timestamp_micros(win).cast("timestamp_ntz").alias("bucket"),
-            "bin",
-        )
+        expand_panes(panes, w_us, s_us, ["source", "bin", "cnt"])
+        .withColumnRenamed("window_start", "bucket")
+        .groupBy("source", "bucket", "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
     return hist_quantiles(hist, qs, scale).withColumnRenamed(
@@ -358,4 +346,14 @@ def percentile_ranks(
         (F.sum("__c").over(w_cum).cast("double")
          / F.sum("__c").over(w_all).cast("double")).alias(out_col),
     )
-    return df.join(F.broadcast(ranks), [*by, value_col])
+    # null-SAFE join: NULL-valued rows keep their rank (Spark window
+    # ordering puts NULL first, so they rank as the smallest value —
+    # cume_dist-with-NULLS-FIRST semantics) instead of silently
+    # vanishing from a plain equi-join
+    keys = [*by, value_col]
+    r = ranks.select(
+        *[F.col(c).alias(f"__r_{c}") for c in keys], out_col
+    )
+    cond = [df[c].eqNullSafe(r[f"__r_{c}"]) for c in keys]
+    joined = df.join(F.broadcast(r), cond)
+    return joined.drop(*[f"__r_{c}" for c in keys])

@@ -141,9 +141,14 @@ def m4_downsample(
     v_last, t_min, v_min, t_max, v_max`` with the tie rules in the
     module docstring.  All columns are algebraic aggregates —
     map-side-combinable and exactly mergeable via :func:`m4_merge`.
+
+    NULL values (e.g. rule-flagged points) are dropped up front — the
+    same convention as the rollup/histogram tiers, and what keeps
+    n_points consistent with the value extremes AND batch rows
+    identical to the streaming leaf (whose scaffold pre-filters).
     """
     gus = gap_micros(bucket)
-    src = df.select(
+    src = df.filter(F.col(val).isNotNull()).select(
         *by,
         _bucket_start_us(F.col(ts), gus).alias("__bus"),
         unix_us(F.col(ts)).alias("__us"),
@@ -225,6 +230,9 @@ def lttb_downsample(
     single-task stage; raw rows shuffle only on (by, bucket).
     """
     gus = gap_micros(bucket)
+    # NULL values dropped up front (same convention as m4/hist tiers —
+    # a NULL would poison the bucket sums and sort first in the argmax)
+    df = df.filter(F.col(val).isNotNull())
     gmin = df.select(F.min(unix_us(F.col(ts))).alias("__g0"))
     src = (
         df.crossJoin(F.broadcast(gmin))

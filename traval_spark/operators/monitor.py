@@ -446,9 +446,11 @@ def xcorr_lags(
         F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
     )
     counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    span = src.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    # span and the series set both derive from the TINY counts frame —
+    # raw rows are scanned exactly once (the groupBy above)
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (
-        src.select("g").distinct()
+        counts.select("g").distinct()
         .crossJoin(F.broadcast(span))
         .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
     )
@@ -467,16 +469,22 @@ def xcorr_lags(
         a.crossJoin(lags)
         .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
     )
+    # moments in decimal(38,0): x*x on raw BIGINT counts would overflow
+    # int64 at ~1e9-row buckets (ANSI aborts); decimal mirrors the
+    # oracle's HUGEINT exactly (the same budget seasonal_profile uses)
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     m = pairs.groupBy("a", "b", "lag").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = nd * F.col("syy") - F.col("sy") * F.col("sy")
     return (
         m.filter((d1 > 0) & (d2 > 0))
         .select(

@@ -217,6 +217,41 @@ def build_cascade(raw: DataFrame, salted: bool = True,
     return {"1m": t1m, "1h": t1h, "1d": t1d}
 
 
+def _sliding_us(window: str, slide: str) -> tuple[int, int]:
+    """Validated (window, slide) microsecond pair for the pane trick."""
+    from traval_spark.functions.ts import gap_micros
+
+    w_us, s_us = gap_micros(window), gap_micros(slide)
+    if w_us % s_us:
+        raise ValueError("window must be a multiple of slide")
+    return w_us, s_us
+
+
+def expand_panes(
+    panes: DataFrame, w_us: int, s_us: int, payload: list[str]
+) -> DataFrame:
+    """THE pane->window expansion, shared by every sliding operator
+    (rollup, tier-served rollup, histogram quantiles, KMV distinct) so
+    the window semantics — epoch-aligned to the slide, window exists
+    iff >= 1 observed pane, NTZ window_start — cannot drift between
+    them.  Input needs a ``__pane_us`` column; each pane row replicates
+    into its k = window/slide covering windows."""
+    k = w_us // s_us
+    win = (
+        F.col("__pane_us")
+        - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
+    )
+    return panes.select(
+        *[c for c in panes.columns if c != "__pane_us"],
+        "__pane_us",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+    ).select(
+        *payload,
+        F.timestamp_micros(win).cast("timestamp_ntz")
+        .alias("window_start"),
+    )
+
+
 def sliding_rollup(
     df: DataFrame,
     window: str = "1h",
@@ -243,12 +278,9 @@ def sliding_rollup(
 
     Returns (source, window_start, n_points, sum_tok, min_tok, max_tok).
     """
-    from traval_spark.functions.ts import gap_micros, unix_us
+    from traval_spark.functions.ts import unix_us
 
-    w_us, s_us = gap_micros(window), gap_micros(slide)
-    if w_us % s_us:
-        raise ValueError("window must be a multiple of slide")
-    k = w_us // s_us
+    w_us, s_us = _sliding_us(window, slide)
     df = ensure_ntz(df, ts_col)
     if value_col != "n_tok":
         df = df.withColumn("n_tok", F.col(value_col))
@@ -256,23 +288,9 @@ def sliding_rollup(
         F.floor(unix_us(F.col(ts_col)) / F.lit(s_us)) * F.lit(s_us)
     ).alias("__pane_us")
     panes = df.groupBy(F.col("source"), pane).agg(*_agg_exprs_raw())
-    expanded = panes.select(
-        "source",
-        "__pane_us",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
-        *MEASURES,
-    ).select(
-        "source",
-        (F.col("__pane_us")
-         - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
-         ).alias("__win_us"),
-        *MEASURES,
-    )
-    win = F.timestamp_micros(F.col("__win_us")).cast(
-        "timestamp_ntz"
-    ).alias("window_start")
+    expanded = expand_panes(panes, w_us, s_us, ["source", *MEASURES])
     return (
-        expanded.groupBy(F.col("source"), win)
+        expanded.groupBy("source", "window_start")
         .agg(*_agg_exprs_cascade())
     )
 
@@ -331,6 +349,7 @@ def sliding_from_tier(
     tier_df: DataFrame,
     window: str = "1h",
     slide: str = "10m",
+    tier: str = "1m",
 ) -> DataFrame:
     """Sliding-window rollup served FROM A STORED TIER instead of raw.
 
@@ -342,37 +361,28 @@ def sliding_from_tier(
     scan cost is the tier's row count, and the result is IDENTICAL to
     the raw-built sliding rollup (pytest) because every aggregate is
     mergeable over the pane decomposition.  ``slide`` must be a
-    multiple of the tier bucket width (1m tier serves any
-    minute-aligned slide); windows exist iff they contain >= 1
-    observation, inherited from the tier's only-observed-buckets
-    sparsity.
+    multiple of the tier bucket width (validated — a finer slide would
+    silently misassign whole tier buckets to panes); windows exist iff
+    they contain >= 1 observation, inherited from the tier's
+    only-observed-buckets sparsity.
     """
-    from traval_spark.functions.ts import gap_micros, unix_us
+    from traval_spark.functions.ts import unix_us
 
-    w_us, s_us = gap_micros(window), gap_micros(slide)
-    if w_us % s_us:
-        raise ValueError("window must be a multiple of slide")
-    k = w_us // s_us
+    w_us, s_us = _sliding_us(window, slide)
+    tier_us = TIERS[tier][1] * 1_000_000
+    if s_us % tier_us:
+        raise ValueError(
+            f"slide {slide} must be a multiple of the {tier} tier "
+            "bucket width — a finer slide cannot be served from this "
+            "tier without misassigning buckets"
+        )
     pane = (
         F.floor(unix_us(F.col("bucket")) / F.lit(s_us)) * F.lit(s_us)
     ).alias("__pane_us")
     panes = tier_df.groupBy(F.col("source"), pane).agg(
         *_agg_exprs_cascade()
     )
-    expanded = panes.select(
-        "source", "__pane_us",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
-        *MEASURES,
-    ).select(
-        "source",
-        (F.col("__pane_us")
-         - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
-         ).alias("__win_us"),
-        *MEASURES,
-    )
-    win = F.timestamp_micros(F.col("__win_us")).cast(
-        "timestamp_ntz"
-    ).alias("window_start")
-    return expanded.groupBy(F.col("source"), win).agg(
+    expanded = expand_panes(panes, w_us, s_us, ["source", *MEASURES])
+    return expanded.groupBy("source", "window_start").agg(
         *_agg_exprs_cascade()
     )

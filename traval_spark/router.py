@@ -263,14 +263,17 @@ def _plan_frames(store, plan, spark, raw):
 
 
 def _read_routed_kind(store, resolution, day_min, day_max, spark, raw,
-                      strict, ts_col, raw_builder, extra_keys, aggs):
+                      strict, ts_col, raw_builder, extra_keys=None,
+                      aggs=None, stored_builder=None):
     """Shared skeleton of the per-kind routed readers (sketch / hist /
-    dds): plan -> strict-gap check -> per-segment day pruning -> raw-tier
-    leaf build vs stored-tier bucket re-truncation + merge. One copy so
-    a routing fix cannot drift between tier kinds. ``raw_builder(df)``
-    builds the leaf tier at the requested resolution from raw rows;
-    stored segments merge with ``aggs`` grouped by (source, bucket,
-    *extra_keys)."""
+    dds / m4): plan -> strict-gap check -> per-segment day pruning ->
+    raw-tier leaf build vs stored-tier bucket re-truncation + merge.
+    One copy so a routing fix cannot drift between tier kinds.
+    ``raw_builder(df)`` builds the leaf tier at the requested
+    resolution from raw rows; stored segments merge with ``aggs``
+    grouped by (source, bucket, *extra_keys), or — for kinds whose
+    merge is not a flat groupBy (M4's struct extremes) — with
+    ``stored_builder(day_pruned_tier_df)``."""
     plan = route_plan(coverage_of(store), resolution, day_min, day_max)
     if strict and plan.gaps:
         raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
@@ -287,9 +290,12 @@ def _read_routed_kind(store, resolution, day_min, day_max, spark, raw,
             parts.append(raw_builder(df))
             continue
         if "day" in frame.columns:
-            df = frame.filter(F.col("day").between(lo, hi))
+            df = frame.filter(F.col("day").between(lo, hi)).drop("day")
         else:
             df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
+        if stored_builder is not None:
+            parts.append(stored_builder(df))
+            continue
         bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
         parts.append(
             df.groupBy("source", bucket.alias("bucket"), *extra_keys)
@@ -479,25 +485,11 @@ def read_routed_m4(
     """
     from traval_spark.operators.downsample import m4_downsample, m4_merge
 
-    plan = route_plan(coverage_of(store), resolution, day_min, day_max)
-    if strict and plan.gaps:
-        raise ValueError(f"route has {len(plan.gaps)} uncovered day(s)")
-    frames = _plan_frames(store, plan, spark, raw)
-    parts = []
-    for seg in plan.segments:
-        lo = F.lit(seg.day_lo).cast("date")
-        hi = F.lit(seg.day_hi).cast("date")
-        frame = frames[seg.tier]
-        if seg.tier == "raw":
-            df = ensure_ntz(frame, ts_col).filter(
-                F.col(ts_col).cast("date").between(lo, hi))
-            parts.append(
-                m4_downsample(df, bucket=resolution, ts=ts_col,
-                              val=value_col, bucket_col="bucket"))
-            continue
-        if "day" in frame.columns:
-            df = frame.filter(F.col("day").between(lo, hi)).drop("day")
-        else:
-            df = frame.filter(F.col("bucket").cast("date").between(lo, hi))
-        parts.append(m4_merge(df, bucket=resolution, bucket_col="bucket"))
-    return _routed_union(parts)
+    return _read_routed_kind(
+        store, resolution, day_min, day_max, spark, raw, strict, ts_col,
+        raw_builder=lambda df: m4_downsample(
+            df, bucket=resolution, ts=ts_col, val=value_col,
+            bucket_col="bucket"),
+        stored_builder=lambda df: m4_merge(
+            df, bucket=resolution, bucket_col="bucket"),
+    )

@@ -436,12 +436,10 @@ def sliding_distinct(
     oracle pins the exact regime.  Output: (source, window_start,
     n_distinct).
     """
-    from traval_spark.functions.ts import gap_micros, unix_us
+    from traval_spark.functions.ts import unix_us
+    from traval_spark.rollup import _sliding_us, expand_panes
 
-    w_us, s_us = gap_micros(window), gap_micros(slide)
-    if w_us % s_us:
-        raise ValueError("window must be a multiple of slide")
-    kk = w_us // s_us
+    w_us, s_us = _sliding_us(window, slide)
     df = ensure_ntz(df, ts_col)
     pane = (
         F.floor(unix_us(F.col(ts_col)) / F.lit(s_us)) * F.lit(s_us)
@@ -449,20 +447,9 @@ def sliding_distinct(
     panes = df.groupBy(F.col("source"), pane).agg(
         kmv_agg(key_col, k).alias("kmv")
     )
-    win = (
-        F.col("__pane_us")
-        - F.col("__i").cast("bigint") * F.lit(s_us).cast("bigint")
-    )
     merged = (
-        panes.select(
-            "source", "__pane_us", "kmv",
-            F.explode(F.sequence(F.lit(0), F.lit(kk - 1))).alias("__i"),
-        )
-        .groupBy(
-            "source",
-            F.timestamp_micros(win).cast("timestamp_ntz")
-            .alias("window_start"),
-        )
+        expand_panes(panes, w_us, s_us, ["source", "kmv"])
+        .groupBy("source", "window_start")
         .agg(kmv_merge("kmv", k).alias("kmv"))
     )
     return distinct_counts(merged, k)

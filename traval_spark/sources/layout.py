@@ -57,6 +57,13 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     n = len(cols)
     if n == 0:
         raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        # bit 63 is the long's sign bit: a set high bit would flip the
+        # key negative and scramble the curve order silently
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds 63 — the interleaved "
+            "key must fit a signed long; lower bits or use fewer columns"
+        )
     cap = F.lit((1 << bits) - 1)
     clamped = [
         F.least(F.greatest((F.col(c) if isinstance(c, str) else c)

@@ -483,7 +483,7 @@ COUNTER_OUTPUT_SCHEMA = (
     "step double, reset int"
 )
 #: carried boundary: the last sample per source
-COUNTER_STATE_SCHEMA = "tsl long, vl double"
+COUNTER_STATE_SCHEMA = "tsl long, vl double, il string"
 
 
 def make_counter_state_func(late_code: int | None = None):
@@ -512,15 +512,26 @@ def make_counter_state_func(late_code: int | None = None):
         batch = pd.concat(list(pdfs))
         if batch.empty:
             return
-        batch = batch.sort_values(["ts", "ident"])
+        # NULL idents normalize to "" so the tie-break total-orders
+        # (and sorts consistently) even when the ident column is absent
+        batch = batch.assign(
+            ident=batch["ident"].map(lambda i: "" if i is None else str(i))
+        ).sort_values(["ts", "ident"])
         b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
         b_ids = batch["ident"].to_numpy(dtype=object)
         b_vals = batch["value"].to_numpy(dtype=float)
 
         prev_us, prev_v = -1, float("nan")
         if state.exists:
-            prev_us, prev_v = state.get
-            fresh = b_ts > prev_us
+            prev_us, prev_v, prev_id = state.get
+            # tie-break on ident (string order — the kernel's sort key)
+            # so equal-timestamp samples split across micro-batches are
+            # NOT misclassified as late; matches the batch (ts, ident)
+            # ordering when idents compare consistently as strings
+            fresh = (b_ts > prev_us) | (
+                (b_ts == prev_us)
+                & np.array([i > prev_id for i in b_ids], dtype=bool)
+            )
             if late_code is not None and (~fresh).any():
                 yield pd.DataFrame({
                     "source": key[0],
@@ -548,7 +559,8 @@ def make_counter_state_func(late_code: int | None = None):
             "step": step,
             "reset": reset.astype("int32"),
         })
-        state.update((int(b_ts[-1]), float(b_vals[-1])))
+        state.update((int(b_ts[-1]), float(b_vals[-1]),
+                      str(b_ids[-1])))
 
     return fn
 
