@@ -519,6 +519,35 @@ def q_retained_users_1d(spark, sf_dir):
     )
 
 
+def q_churned_users_1d(spark, sf_dir):
+    """Set-DIFFERENCE over the KMV tiers: users active on day d but
+    absent on d+1 — |active(d)| - |active(d) ∩ active(d+1)|, entirely
+    from stored sketch arrays (sketch.py:kmv_difference_estimate),
+    exact in the under-k regime the oracle pins. The churn twin of
+    retained_users_1d; zero-churn pairs drop, matching the oracle's
+    anti-join."""
+    from traval_spark.sketch import distinct_tier, kmv_difference_estimate
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id",
+    )
+    t1d = distinct_tier(src, "1d", "user_id", k=4096)
+    nxt = t1d.select(
+        "source",
+        (F.col("bucket") - F.make_dt_interval(F.lit(1))).alias("bucket"),
+        F.col("kmv").alias("kmv_next"),
+    )
+    return (
+        t1d.join(nxt, ["source", "bucket"])
+        .select(
+            "source", "bucket",
+            kmv_difference_estimate("kmv", "kmv_next", k=4096)
+            .alias("n_churned"),
+        )
+        .filter(F.col("n_churned") > 0)
+    )
+
+
 def q_bloom_probe_1h(spark, sf_dir):
     """Bloom membership tiers: 1m long-form (source, bucket, bit)
     set-bit rows, merged to 1h by distinct union (set-OR of bitsets —
@@ -2409,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_1h": q_cms_point_1h,
         "bloom_probe_1h": q_bloom_probe_1h,
         "retained_users_1d": q_retained_users_1d,
+        "churned_users_1d": q_churned_users_1d,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "bm25": q_bm25,
@@ -4403,6 +4433,24 @@ def oracle_sql() -> dict[str, str]:
     from u a join u b
       on a.source = b.source and a.user_id = b.user_id
      and b.bucket = a.bucket + INTERVAL '1 day'
+    group by 1, 2
+    """
+    # churn twin: users of day d with no match on d+1, restricted to
+    # days whose successor day exists in the tier (the inner tier join)
+    sql["churned_users_1d"] = """
+    with u as (
+      select distinct event_type AS source, date_trunc('day', ts) AS bucket,
+             user_id
+      from events where user_id is not null),
+    d2 as (select distinct source, bucket from u),
+    a as (select u.* from u join d2 n
+            on n.source = u.source
+           and n.bucket = u.bucket + INTERVAL '1 day')
+    select a.source, a.bucket, count(*) AS n_churned
+    from a left join u b
+      on b.source = a.source and b.user_id = a.user_id
+     and b.bucket = a.bucket + INTERVAL '1 day'
+    where b.user_id is null
     group by 1, 2
     """
     sql["interval_events"] = """

@@ -109,7 +109,8 @@ def main() -> None:
         "asof_resample", "relative_summary", "binary_classifier",
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted", "sliding_rollup",
         "distinct_users_1h", "distinct_users_hll_1h", "cms_point_1h",
-        "bloom_probe_1h", "retained_users_1d", "hist_quantiles_1h",
+        "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
+        "hist_quantiles_1h",
         "dds_quantiles_1h", "toptok_1h",
         "sessionize", "interval_events", "interval_overlaps",
         "funnel", "cohort_retention",

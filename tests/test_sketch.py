@@ -243,3 +243,31 @@ def test_sliding_distinct_exact_regime_matches_builtin(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_kmv_difference_exact_regime_and_identity(spark):
+    """|A \\ B| from sketches == exact difference under k, and
+    |A∩B| + |A\\B| == |A| (the estimator identity on shared terms)."""
+    import pandas as pd
+
+    from traval_spark.sketch import (
+        kmv_agg,
+        kmv_difference_estimate,
+        kmv_estimate,
+        kmv_intersect_estimate,
+    )
+
+    rows = ([("a", i) for i in range(60)]          # A = 0..59
+            + [("b", i) for i in range(40, 90)])   # B = 40..89
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "u"]))
+    sk = df.groupBy("g").agg(kmv_agg("u", 256).alias("kmv"))
+    a = sk.filter(F.col("g") == "a").select(F.col("kmv").alias("ka"))
+    b = sk.filter(F.col("g") == "b").select(F.col("kmv").alias("kb"))
+    r = a.crossJoin(b).select(
+        kmv_difference_estimate("ka", "kb", 256).alias("diff"),
+        kmv_intersect_estimate("ka", "kb", 256).alias("inter"),
+        kmv_estimate("ka", 256).alias("na"),
+    ).collect()[0]
+    assert r["diff"] == 40          # 0..39
+    assert r["inter"] == 20         # 40..59
+    assert r["diff"] + r["inter"] == r["na"]

@@ -453,3 +453,14 @@ def sliding_distinct(
         .agg(kmv_merge("kmv", k).alias("kmv"))
     )
     return distinct_counts(merged, k)
+
+
+def kmv_difference_estimate(
+    a: Column | str, b: Column | str, k: int = 256
+) -> Column:
+    """Estimated |A \\ B| from two KMV sketch arrays: |A| minus the
+    intersection estimate — exact while both true cardinalities < k
+    (both terms collapse to exact counts in that regime).  The churn
+    twin of :func:`kmv_intersect_estimate`."""
+    ca = F.col(a) if isinstance(a, str) else a
+    return kmv_estimate(ca, k) - kmv_intersect_estimate(ca, b, k)
