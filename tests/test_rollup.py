@@ -702,6 +702,17 @@ def test_pipeline_sketch_stores(spark, tmp_path):
         read_routed_distinct(kstore, "1d", spark=spark, strict=True))
     assert routed.filter(F.col("n_distinct") <= 0).count() == 0
 
+    # the M4 companion store cascades exactly too
+    from traval_spark.operators.downsample import m4_downsample, m4_merge
+
+    m1d = TierStore(out + "/m4").read_tier("1d", spark).drop("day")
+    wantm = m4_merge(
+        m4_downsample(seqs, "1m", val="n_tok", bucket_col="bucket"),
+        "1d", bucket_col="bucket",
+    ).select(*m1d.columns)
+    assert m1d.exceptAll(wantm).count() == 0
+    assert wantm.exceptAll(m1d).count() == 0
+
 
 def test_routed_dds_reads(spark, seqs, tmp_path):
     """Downsample-on-read over a DDSketch tier store: stitched 1m+1h

@@ -122,15 +122,20 @@ def run(
     if sketches:
         # companion mergeable-tier stores (one root per tier kind; the
         # standard tier names inside, so the router reuses its planning):
-        # KMV distinct-n_tok sketches and exact n_tok histograms, each
-        # tier cascaded FROM the stored finer tier — never from raw.
+        # KMV distinct-n_tok sketches, exact n_tok histograms, and M4
+        # visual-downsample extremes, each tier cascaded FROM the stored
+        # finer tier — never from raw.
         from traval_spark.hist import hist_cascade, hist_tier
+        from traval_spark.operators.downsample import m4_downsample, m4_merge
         from traval_spark.sketch import distinct_cascade, distinct_tier
 
         for kind, leaf, casc in (
             ("kmv", distinct_tier(cleaned, "1m", "n_tok"),
              distinct_cascade),
             ("hist", hist_tier(cleaned, "1m"), hist_cascade),
+            ("m4", m4_downsample(cleaned, "1m", val="n_tok",
+                                 bucket_col="bucket"),
+             lambda cur, t: m4_merge(cur, t, bucket_col="bucket")),
         ):
             sub = TierStore(os.path.join(out_root, kind))
             cur = leaf
@@ -210,7 +215,8 @@ def main() -> None:
     ap.add_argument("--n-salt", type=int, default=16)
     ap.add_argument("--no-clean", action="store_true")
     ap.add_argument("--sketches", action="store_true",
-                    help="also write KMV distinct + histogram tier stores")
+                    help="also write KMV distinct + histogram + M4 "
+                         "downsample tier stores")
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "--retention", default=None,
