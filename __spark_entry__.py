@@ -1688,6 +1688,25 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(with_pq_codes(e, books), q, books, k=TOPK)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the full FAISS-style scale composition
+    (similarity.py:ivfpq_topk): coarse IVF routing to nprobe lists,
+    then ADC top-k over the PQ codes of those lists only; ~nprobe/
+    n_list of the table scanned, only the m-byte code column read.
+    Deterministic end to end, so the oracle replicates seeding,
+    assignment, probing, coding and the LUT scoring verbatim."""
+    from traval_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_seed_codebooks,
+    )
+
+    e = _emb(spark, sf_dir)
+    books = pq_seed_codebooks(e, m=PQ_M, ksub=PQ_KSUB)
+    q = _query_vec(spark, sf_dir)
+    return ivfpq_topk(e, q, books, k=TOPK, n_list=IVF_NLIST,
+                      nprobe=IVF_NPROBE)
+
+
 def q_knn_join(spark, sf_dir):
     """Exact batch KNN join: every query-batch row (vec_id % 50 == 0)
     gets its top-5 corpus neighbors by rounded cosine — the
@@ -2412,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "knn_join": q_knn_join,
         "knn_join_ivf": q_knn_join_ivf,
         "cos_dup_pairs": q_cos_dup_pairs,
@@ -3652,6 +3672,55 @@ def oracle_sql() -> dict[str, str]:
     from code join lut on code.sub = lut.sub and code.cid = lut.cid
     group by code.vec_id
     order by adc_dot desc, vec_id
+    limit {TOPK}
+    """
+
+    # IVF-PQ composition: the PQ code/LUT CTEs verbatim + the IVF
+    # routing CTEs under i-prefixed names (both reuse the md5 seed
+    # order with their own limits)
+    sql["ann_ivfpq_topk"] = f"""
+    with {_PQ_CODE_CTES},
+    q as (select embedding::DOUBLE[] qe from embeddings where vec_id = 0),
+    icent as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings order by md5(CAST(vec_id AS VARCHAR))
+      limit {IVF_NLIST}),
+    ie as (select vec_id, embedding::DOUBLE[] v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) n
+           from embeddings),
+    probes as (
+      select cid from icent, q
+      order by round(list_dot_product(ce, qe)
+                     / (sqrt(list_dot_product(ce, ce))
+                        * sqrt(list_dot_product(qe, qe))), 9) desc, cid
+      limit {IVF_NPROBE}),
+    assign as (
+      select vec_id, cid from (
+        select ie.vec_id, c.cid,
+               row_number() over (
+                 partition by ie.vec_id
+                 order by round(list_dot_product(ie.v, c.ce)
+                                / (ie.n
+                                   * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from ie, icent c)
+      where rn = 1),
+    lut as (
+      select c.cid, s.i AS sub,
+             round(list_sum(list_transform(generate_series(1, {_PQ_D}),
+                   j -> qe[s.i * {_PQ_D} + j] * ce[s.i * {_PQ_D} + j])),
+                   9) AS v
+      from cent c, unnest(generate_series(0, {PQ_M - 1})) s(i), q)
+    select code.vec_id, round(sum(lut.v), 6) AS adc_dot
+    from code
+    join lut on code.sub = lut.sub and code.cid = lut.cid
+    join assign a on a.vec_id = code.vec_id
+    where a.cid in (select cid from probes)
+    group by code.vec_id
+    order by adc_dot desc, code.vec_id
     limit {TOPK}
     """
 

@@ -134,7 +134,7 @@ def main() -> None:
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
         "semantic_keep",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "pq_codes", "pq_adc_topk",
+        "pq_codes", "pq_adc_topk", "ann_ivfpq_topk",
         "knn_join_ivf", "multimodal_meta",
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",

@@ -508,3 +508,49 @@ def test_pastas_joint_smoothing_gap_with_interior_other_bound(spark):
     pd.testing.assert_frame_equal(got, want)
     # and the reference outcome on this construction: nothing flagged
     assert (got["r_code"] == 0).all()
+
+
+def test_ivfpq_full_probe_equals_plain_adc(spark):
+    """nprobe = n_list degrades IVF-PQ to plain ADC over the whole
+    table (routing prunes nothing), and a restrictive nprobe returns
+    ids drawn only from the probed lists."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.operators.similarity import (
+        ivf_assign_col,
+        ivf_seed_centroids,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_seed_codebooks,
+        with_pq_codes,
+    )
+
+    rng = np.random.RandomState(2)
+    pdf = pd.DataFrame({
+        "vec_id": range(120),
+        "embedding": [rng.randn(16).astype("float32").tolist()
+                      for _ in range(120)],
+    })
+    emb = spark.createDataFrame(pdf)
+    books = pq_seed_codebooks(emb, m=4, ksub=8)
+    q = pdf["embedding"][0]
+
+    full = ivfpq_topk(emb, q, books, k=5, n_list=4, nprobe=4)
+    plain = pq_adc_topk(with_pq_codes(emb, books), q, books, k=5)
+    assert [r.asDict() for r in full.collect()] == [
+        r.asDict() for r in plain.collect()]
+
+    cents = ivf_seed_centroids(emb, 4)
+    pruned = ivfpq_topk(emb, q, books, k=5, n_list=4, nprobe=1,
+                        centroids=cents)
+    got_ids = {r["vec_id"] for r in pruned.collect()}
+    cid_of = {
+        r["vec_id"]: r["cid"]
+        for r in emb.withColumn("cid", ivf_assign_col("embedding", cents))
+        .collect()
+    }
+    probed = {cid_of[i] for i in got_ids}
+    assert len(probed) == 1                       # one probed list only
+    in_list = {i for i, c in cid_of.items() if c in probed}
+    assert got_ids <= in_list and len(in_list) < 120   # real pruning

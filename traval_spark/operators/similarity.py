@@ -856,3 +856,49 @@ def pq_refine_codebooks(
             for s, book in enumerate(cur)
         ]
     return cur
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    n_list: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style scale composition — coarse IVF
+    routing picks the ``nprobe`` inverted lists nearest the query, then
+    the asymmetric-distance top-k runs over the PQ CODES of those lists
+    only.
+
+    Scan cost per query: ~(nprobe/n_list) of the table, reading only
+    the m-byte code column, m lookups + adds per row, top-k as
+    TakeOrderedAndProject — the shape that serves ANN over 100 TB of
+    embeddings without ever touching a full-precision vector until the
+    caller's exact re-rank of the k survivors.  With the assignment
+    persisted as a partition column the untouched lists are never read
+    at all (the same pruning note as :func:`ivf_topk`).  Everything is
+    deterministic (md5-seeded centroids/codebooks, rounded scores, id
+    tie-breaks), so the whole composition carries a value-exact oracle.
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(emb, n_list, id_col, vec_col)
+    qn = float(sum(x * x for x in query)) ** 0.5
+
+    def qcos(c: list[float]) -> float:
+        cn = float(sum(x * x for x in c)) ** 0.5
+        return round(sum(a * b for a, b in zip(query, c)) / (qn * cn), 9)
+
+    probes = [cid for cid, c in
+              sorted(centroids, key=lambda e: (-qcos(e[1]), e[0]))[:nprobe]]
+    cand = emb.withColumn("cid", ivf_assign_col(vec_col, centroids)).filter(
+        F.col("cid").isin(probes)
+    )
+    return pq_adc_topk(
+        with_pq_codes(cand, codebooks, id_col=id_col, vec_col=vec_col),
+        query, codebooks, k=k, id_col=id_col, ndigits=ndigits,
+    )
