@@ -2201,6 +2201,21 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based rebalance (sampling.py:temperature_mix, the
+    multilingual-LM n^alpha mix — run over the LANGUAGE axis, where the
+    corpus is genuinely skewed): fractions (n_g/n_min)^(alpha-1)
+    derived from the corpus itself via one tiny groupBy-count and
+    broadcast back; deterministic hash draw; fraction rounded before
+    the comparison so libm pow noise cannot flip a boundary row."""
+    from traval_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        alpha=0.5, seed=11, source_col="lang",
+    )
+
+
 def q_pad_sequences(spark, sf_dir):
     """Loader-final pad/truncate (text.py:pad_sequences): every token
     sequence shaped to exactly 48 ids + attention mask, pure array
@@ -2486,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_rank": q_percentile_rank,
         "sliding_from_tier": q_sliding_from_tier,
         "pad_sequences": q_pad_sequences,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -4217,6 +4233,16 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # temperature mix: fractions from the corpus counts, pow rounded
+    # before the compare (sampling.py:temperature_mix, alpha=0.5)
+    sql["temperature_mix"] = f"""
+    with c as (select lang, count(*) AS n from documents group by lang),
+    m as (select min(n) AS nm from c),
+    f as (select lang, round(pow(n / nm, -0.5), 6) AS f from c, m)
+    select d.doc_id, d.lang
+    from documents d join f using (lang)
+    where {_HU.format(seed=11)} < f.f
     """
     sql["sample_k"] = f"""
     with r as (select doc_id, source,

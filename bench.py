@@ -130,7 +130,7 @@ def main() -> None:
         "span_coverage", "span_incremental",
         "decontaminate", "pack_assign", "pack_payloads",
         "curate", "curate_tokens", "epoch_upsample", "token_budget",
-        "weighted_sample",
+        "weighted_sample", "temperature_mix",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
         "semantic_keep",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -305,3 +305,25 @@ def test_curate_tokens_trim_spans_stage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="token-mode"):
         curate_corpus(tdocs, trim_spans_k=5)
+
+
+def test_temperature_mix_rebalances_toward_uniform(spark):
+    """alpha=0.5 keeps the smallest group whole and downsamples large
+    groups toward n^alpha proportions; alpha=1 is the natural mix
+    (keeps everything)."""
+    import pandas as pd
+
+    from traval_spark.operators.sampling import temperature_mix
+
+    rows = ([("big", i) for i in range(1600)]
+            + [("small", 10_000 + i) for i in range(100)])
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id"])
+    )
+    kept = temperature_mix(df, alpha=0.5, seed=3).groupBy("source").count()
+    k = {r["source"]: r["count"] for r in kept.collect()}
+    # f_small = 1 -> all 100 kept; f_big = (16)^-0.5 = 0.25 -> ~400
+    assert k["small"] == 100
+    assert 320 <= k["big"] <= 480
+    # alpha = 1: natural mix, nothing dropped
+    assert temperature_mix(df, alpha=1.0, seed=3).count() == 1700

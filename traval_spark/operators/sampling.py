@@ -300,3 +300,46 @@ def token_budget_sample(
         (F.col("__off") + F.col("__before_loc")) < budget
     )
     return joined.filter(keep).drop("__shard", "__before_loc", "__off")
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LM rebalance:
+    sample sources proportional to n_s^alpha instead of n_s, so
+    alpha=1 keeps the natural mix and alpha->0 approaches uniform).
+
+    Keep fraction per source: f_s = (n_s / n_min)^(alpha-1), anchored
+    so the SMALLEST source keeps everything — expected kept counts are
+    then exactly proportional to n_s^alpha.  Unlike
+    :func:`mixture_sample` the weights are not caller literals; they
+    derive from the corpus itself: one tiny groupBy-count, the
+    fractions broadcast-joined back, rows surviving the usual
+    deterministic ``hash_uniform`` draw (retry/backfill-safe).  The
+    fraction is rounded to ``ndigits`` BEFORE the comparison so a
+    last-ulp libm pow() disagreement between engines cannot flip a
+    boundary row.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nm"))
+    fracs = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            source_col,
+            F.round(
+                F.pow(F.col("__n") / F.col("__nm"),
+                      F.lit(float(alpha) - 1.0)),
+                ndigits,
+            ).alias("__f"),
+        )
+    )
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(hash_uniform(F.col(id_col), seed) < F.col("__f"))
+        .drop("__f")
+    )
