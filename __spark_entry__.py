@@ -2201,6 +2201,23 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_asof_join(spark, sf_dir):
+    """General point-to-point AS-OF join (functions/ts.py:asof_join):
+    every view event picks the user's latest purchase at-or-before it
+    — union-tag + one last(ignorenulls) window per key, no nested
+    loop, no row replication. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from traval_spark.functions.ts import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, by=("user_id",))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based rebalance (sampling.py:temperature_mix, the
     multilingual-LM n^alpha mix — run over the LANGUAGE axis, where the
@@ -2502,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_from_tier": q_sliding_from_tier,
         "pad_sequences": q_pad_sequences,
         "temperature_mix": q_temperature_mix,
+        "asof_join": q_asof_join,
     }
 
 
@@ -4233,6 +4251,17 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # the union-window asof join vs DuckDB's NATIVE ASOF LEFT JOIN
+    sql["asof_join"] = """
+    with l as (select event_id, user_id, ts from events
+               where event_type = 'view'),
+    r as (select user_id, ts, max(value) AS value from events
+          where event_type = 'purchase' group by user_id, ts)
+    select l.event_id, l.user_id, l.ts,
+           r.value AS r_value, r.ts AS r_ts
+    from l asof left join r
+      on l.user_id = r.user_id and l.ts >= r.ts
     """
     # temperature mix: fractions from the corpus counts, pow rounded
     # before the compare (sampling.py:temperature_mix, alpha=0.5)

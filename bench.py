@@ -112,7 +112,7 @@ def main() -> None:
         "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
         "hist_quantiles_1h",
         "dds_quantiles_1h", "toptok_1h",
-        "sessionize", "interval_events", "interval_overlaps",
+        "sessionize", "interval_events", "interval_overlaps", "asof_join",
         "funnel", "cohort_retention",
         "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
         "seasonal_profile", "seasonal_anomaly", "zorder_key",

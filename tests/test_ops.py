@@ -1420,3 +1420,37 @@ def test_pad_sequences_shapes_and_nulls(spark):
     plan = (pad_sequences(df, 5)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_asof_join_semantics_tolerance_and_plan(spark):
+    import pandas as pd
+
+    from traval_spark.functions.ts import asof_join
+
+    t = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    left = spark.createDataFrame(pd.DataFrame(
+        [("a", 1, t(50)), ("a", 2, t(100)), ("a", 3, t(100_000)),
+         ("b", 4, t(10))],
+        columns=["source", "event_id", "ts"],
+    ))
+    right = spark.createDataFrame(pd.DataFrame(
+        [("a", t(40), 1.0), ("a", t(100), 2.0),   # equal-ts: eligible
+         ("a", t(100), 5.0)],                     # dup (key, ts): max wins
+        columns=["source", "ts", "value"],
+    ))
+    out = {r["event_id"]: r for r in
+           asof_join(left, right).collect()}
+    assert out[1]["r_value"] == 1.0 and out[1]["r_ts"] == t(40)
+    assert out[2]["r_value"] == 5.0 and out[2]["r_ts"] == t(100)  # <=
+    assert out[3]["r_value"] == 5.0                # latest carries on
+    assert out[4]["r_value"] is None               # no right row for b
+
+    tol = {r["event_id"]: r for r in
+           asof_join(left, right, tolerance="1h").collect()}
+    assert tol[2]["r_value"] == 5.0
+    assert tol[3]["r_value"] is None               # stale beyond 1h
+
+    plan = (asof_join(left, right)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

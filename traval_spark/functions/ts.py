@@ -537,3 +537,82 @@ def smooth_lower_bound(b: DataFrame, col: str = "value",
                        smoothfreq: str = "1D") -> DataFrame:
     """Row-wise min counterpart (/root/reference/traval/ts_utils.py:471-475)."""
     return _smooth_bound(b, col, smoothfreq, upper=False)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    right_val: str = "value",
+    tolerance: str | None = None,
+    suffix: str = "r_",
+) -> DataFrame:
+    """General point-to-point AS-OF join: every left row picks the
+    LATEST right row with ``right.ts <= left.ts`` per key (the classic
+    timeseries enrichment join — trades against the last quote, events
+    against the last config change).
+
+    Spark has no asof-join strategy (a range join plans as
+    BroadcastNestedLoopJoin); the scalable rewrite is the union trick:
+    tag both inputs, sort per key by (ts, tag) with right rows FIRST at
+    equal timestamps (<= semantics), and forward-fill the right payload
+    onto left rows with one ``last(ignorenulls)`` window — ONE shuffle
+    on the key, no row replication, no nested loop.  Right rows with
+    duplicate (key, ts) are collapsed first (greatest payload struct —
+    deterministic) so the fill is unambiguous.
+
+    ``tolerance`` (e.g. "2h"): matches older than it are nulled out —
+    the standard asof staleness bound.  Unmatched/too-stale left rows
+    keep NULL payload (left-join semantics).  Output: all left columns
+    + ``{suffix}{right_val}`` and ``{suffix}ts``.
+
+    Per-key windows assume the bounded-series model the rule kernels
+    use; chunk unbounded keys by day first (with_chunks) if needed.
+    """
+    lcols = left.columns
+    lu = left.select(
+        *lcols, unix_us(F.col(ts)).alias("__us"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("double").alias("__rv"),
+        F.lit(None).cast("long").alias("__rus"),
+    )
+    rdedup = (
+        right.select(
+            *by, unix_us(F.col(ts)).alias("__us"),
+            F.col(right_val).cast("double").alias("__rv"),
+        )
+        .groupBy(*by, "__us")
+        .agg(F.max("__rv").alias("__rv"))
+    )
+    ru = rdedup.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          if c not in (*by,) else F.col(c) for c in lcols],
+        "__us", F.lit(0).alias("__tag"), "__rv",
+        F.col("__us").alias("__rus"),
+    )
+    u = lu.unionByName(ru)
+    w = (
+        Window.partitionBy(*by).orderBy("__us", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lcols, "__tag", "__us",
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv_ff"),
+        F.last("__rus", ignorenulls=True).over(w).alias("__rus_ff"),
+    ).filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        tol = gap_micros(tolerance)
+        stale = F.col("__us") - F.col("__rus_ff") > tol
+        filled = filled.select(
+            *lcols, "__us",
+            F.when(stale, None).otherwise(F.col("__rv_ff"))
+            .alias("__rv_ff"),
+            F.when(stale, None).otherwise(F.col("__rus_ff"))
+            .alias("__rus_ff"),
+        )
+    return filled.select(
+        *lcols,
+        F.col("__rv_ff").alias(f"{suffix}{right_val}"),
+        F.timestamp_micros(F.col("__rus_ff")).alias(f"{suffix}ts"),
+    )
