@@ -2201,6 +2201,33 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_change_points(spark, sf_dir):
+    """Run-length compaction (monitor.py:changes_only): keep only the
+    rows where the value changes per series — the storage dual of
+    gap-fill (asof_join/ffill reconstructs exactly, pytest-proven)."""
+    from traval_spark.operators.monitor import changes_only
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.round(F.col("value") / 50).alias("value"),  # coarse: real runs
+        "event_id",
+    )
+    return changes_only(ev)
+
+
+def q_trend_slope(spark, sf_dir):
+    """Per-(series, day) least-squares trend slope from exact
+    fixed-point moments (monitor.py:trend_slope): numerator and
+    denominator are exact decimal integers, the final division is
+    engine-identical."""
+    from traval_spark.operators.monitor import trend_slope
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    return trend_slope(ev, bucket="1d")
+
+
 def q_asof_join(spark, sf_dir):
     """General point-to-point AS-OF join (functions/ts.py:asof_join):
     every view event picks the user's latest purchase at-or-before it
@@ -2520,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pad_sequences": q_pad_sequences,
         "temperature_mix": q_temperature_mix,
         "asof_join": q_asof_join,
+        "change_points": q_change_points,
+        "trend_slope": q_trend_slope,
     }
 
 
@@ -4251,6 +4280,43 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # run-length compaction: keep first row + value changes per series
+    sql["change_points"] = """
+    with s as (select event_type AS source, ts, event_id,
+                      round(value / 50) AS value,
+                      lag(round(value / 50)) over
+                        (partition by event_type
+                         order by epoch_us(ts), event_id) AS vp
+               from events)
+    select source, ts, event_id, value
+    from s where vp is null or value != vp
+    """
+    # exact-moment least-squares slope per (series, day), in
+    # value-units-per-hour (num/den exact -> identical doubles)
+    sql["trend_slope"] = """
+    with src as (select event_type AS source,
+                        cast(floor(epoch_us(ts) / 86400000000) AS bigint)
+                          * 86400000000 AS bus,
+                        epoch_us(ts)
+                          - cast(floor(epoch_us(ts) / 86400000000)
+                                 AS bigint) * 86400000000 AS x,
+                        cast(round(value * 1000) AS bigint) AS y
+                 from events),
+    m as (select source, bus, count(*) AS n_points,
+                 cast(sum(cast(x AS hugeint)) AS hugeint) AS sx,
+                 cast(sum(cast(y AS hugeint)) AS hugeint) AS sy,
+                 cast(sum(cast(x AS hugeint) * x) AS hugeint) AS sxx,
+                 cast(sum(cast(x AS hugeint) * y) AS hugeint) AS sxy
+          from src group by source, bus),
+    d as (select source, bus, n_points,
+                 n_points * sxy - sx * sy AS num,
+                 n_points * sxx - sx * sx AS den
+          from m)
+    select source, make_timestamp(bus) AS bucket_start, n_points,
+           cast(num AS double) / cast(den AS double)
+             * (3600000000.0 / 1000.0) AS slope_per_hour
+    from d where den > 0
     """
     # the union-window asof join vs DuckDB's NATIVE ASOF LEFT JOIN
     sql["asof_join"] = """

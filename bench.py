@@ -116,6 +116,7 @@ def main() -> None:
         "funnel", "cohort_retention",
         "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
         "seasonal_profile", "seasonal_anomaly", "zorder_key",
+        "change_points", "trend_slope",
         "ewma_daily", "holt_daily", "xcorr_lags", "sliding_quantiles",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "sliding_from_tier", "pad_sequences",

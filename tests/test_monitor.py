@@ -215,3 +215,42 @@ def test_xcorr_detects_lagged_copy(spark):
     # the aligned-pair count shrinks with |lag| over the 7-hour span
     assert out[("a", "b", 1)]["n"] == 6
     assert out[("a", "a", 2)]["n"] == 5
+
+
+def test_changes_only_roundtrip_via_asof(spark):
+    """Compaction keeps first + changes, and the original series
+    reconstructs EXACTLY by as-of joining the raw timestamps back to
+    the compacted stream."""
+    from traval_spark.functions.ts import asof_join
+    from traval_spark.operators.monitor import changes_only
+
+    rows = [("a", _t(i * 60), v, i) for i, v in
+            enumerate([5.0, 5.0, 5.0, 7.0, 7.0, 5.0, 5.0])]
+    df = _frame(spark, rows)
+    comp = changes_only(df)
+    kept = sorted((r["ts"], r["value"]) for r in comp.collect())
+    assert kept == [(_t(0), 5.0), (_t(180), 7.0), (_t(300), 5.0)]
+
+    rec = asof_join(
+        df.select("source", "ts", "event_id"),
+        comp.select("source", "ts", "value"),
+        by=("source",),
+    )
+    j = {r["event_id"]: r["r_value"] for r in rec.collect()}
+    want = {i: v for i, (_, _, v, _) in
+            enumerate((r for r in rows))}
+    assert j == {i: rows[i][2] for i in range(len(rows))}
+
+
+def test_trend_slope_exact_line(spark):
+    """A perfect line y = 2 + 3t_hours inside one day bucket yields
+    slope_per_hour == 3 exactly (moments are exact integers)."""
+    from traval_spark.operators.monitor import trend_slope
+
+    rows = [("a", _t(i * 3600), 2.0 + 3.0 * i, i) for i in range(10)]
+    out = trend_slope(_frame(spark, rows), bucket="1d").collect()
+    assert len(out) == 1
+    # the exact ratio 3/3.6e6 per-us is not double-representable; the
+    # engine guarantee is ENGINE-IDENTICAL doubles, not decimal ones
+    assert abs(out[0]["slope_per_hour"] - 3.0) < 1e-9
+    assert out[0]["n_points"] == 10

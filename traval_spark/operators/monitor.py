@@ -58,6 +58,7 @@ __all__ = [
     "counter_windows", "gap_stats", "cusum_changepoint",
     "seasonal_profile", "seasonal_anomaly",
     "ewma_daily", "holt_daily", "xcorr_lags",
+    "changes_only", "trend_slope",
 ]
 
 
@@ -491,5 +492,88 @@ def xcorr_lags(
             "a", "b", "lag", "n",
             (num.cast("double")
              / F.sqrt(d1.cast("double") * d2.cast("double"))).alias("r"),
+        )
+    )
+
+
+def changes_only(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Run-length compaction for slowly-changing series: keep only the
+    rows where the value CHANGES (plus each series' first row).  The
+    storage dual of gap-fill — the original series reconstructs exactly
+    via an as-of join / forward fill (pytest proves the round trip), so
+    a config/state stream that repeats its value 99% of the time stores
+    1% of the rows.  One lag window per series (bounded-series model).
+
+    Output: the input columns of the kept rows, unchanged.
+    """
+    lagged = _lagged(df, by, ts, ident, val)
+    keep = F.col("__v_prev").isNull() | (
+        F.col("__v") != F.col("__v_prev")
+    )
+    return (
+        lagged.filter(keep)
+        .select(
+            *by, F.timestamp_micros(F.col("__us")).alias(ts),
+            F.col("__id").alias(ident), F.col("__v").alias(val),
+        )
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    bucket: str = "1d",
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Per-(series, bucket) least-squares trend slope from exact
+    fixed-point moments — the drift/trend read next to the level
+    (CUSUM) and seasonal (profile) monitors.
+
+    With x = microseconds since the bucket start and y = scaled value:
+
+        slope = (n*S_xy - S_x*S_y) / (n*S_xx - S_x^2)
+
+    numerator and denominator are exact decimal(38,0) integers, so the
+    double division — converted to value-units-per-HOUR — is
+    engine-identical (the xcorr/seasonal moment trick on (t, v)
+    pairs).  Single-point / zero-time-variance buckets are dropped
+    (no slope exists).  Output: ``*by, bucket_start, n_points,
+    slope_per_hour``.
+    """
+    gus = gap_micros(bucket)
+    bus = (F.floor(unix_us(F.col(ts)) / F.lit(gus)) * F.lit(gus))
+    src = df.select(
+        *by,
+        bus.alias("__bus"),
+        (unix_us(F.col(ts)) - bus).cast("decimal(38,0)").alias("__x"),
+        F.round(F.col(val) * F.lit(int(value_scale))).cast("long")
+        .alias("__yl"),
+    ).withColumn("__y", F.col("__yl").cast("decimal(38,0)"))
+    m = src.groupBy(*by, "__bus").agg(
+        F.count("*").alias("n_points"),
+        F.sum("__x").alias("sx"), F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    nd = F.col("n_points").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    per_hour = F.lit(3_600_000_000.0) / F.lit(float(value_scale))
+    return (
+        m.filter(den > 0)
+        .select(
+            *by,
+            F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
+            "n_points",
+            (num.cast("double") / den.cast("double") * per_hour)
+            .alias("slope_per_hour"),
         )
     )
