@@ -2201,6 +2201,20 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_hysteresis(spark, sf_dir):
+    """Two-threshold latched alerting (monitor.py:hysteresis_daily):
+    alerts fire above 400 and release below 300 — the debounced alarm
+    as a pure-JVM ordered array fold per (series, day); transitions
+    compare doubles against literals, so the oracle's identical
+    list_reduce lands on the same counts."""
+    from traval_spark.operators.monitor import hysteresis_daily
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return hysteresis_daily(ev, hi=400.0, lo=300.0)
+
+
 def q_change_points(spark, sf_dir):
     """Run-length compaction (monitor.py:changes_only): keep only the
     rows where the value changes per series — the storage dual of
@@ -2549,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "change_points": q_change_points,
         "trend_slope": q_trend_slope,
+        "hysteresis": q_hysteresis,
     }
 
 
@@ -4280,6 +4295,32 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # hysteresis latch fold: same init/transition as monitor.py,
+    # list accumulator prepended as init (holt's struct-mutation caveat)
+    sql["hysteresis"] = """
+    with s as (select event_type AS source, cast(ts AS date) AS day,
+                      epoch_us(ts) AS u, event_id AS i, value AS v
+               from events),
+    a as (select source, day, count(*) AS n_points,
+                 list(v order by u, i) AS lst
+          from s group by source, day),
+    r as (select source, day, n_points,
+                 list_reduce(
+                   list_prepend(
+                     [case when lst[1] > 400.0 then 1.0 else 0.0 end,
+                      case when lst[1] > 400.0 then 1.0 else 0.0 end],
+                     [[v, 0.0] for v in lst[2:]]),
+                   (acc, e) ->
+                     [acc[1] + case when acc[2] = 0.0 and e[1] > 400.0
+                               then 1.0 else 0.0 end,
+                      case when acc[2] = 0.0 and e[1] > 400.0 then 1.0
+                           when acc[2] = 1.0 and e[1] < 300.0 then 0.0
+                           else acc[2] end]) AS h
+          from a)
+    select source, day, n_points,
+           cast(h[1] AS int) AS n_alerts, cast(h[2] AS int) AS in_alert
+    from r
     """
     # run-length compaction: keep first row + value changes per series
     sql["change_points"] = """

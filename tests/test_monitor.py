@@ -254,3 +254,22 @@ def test_trend_slope_exact_line(spark):
     # engine guarantee is ENGINE-IDENTICAL doubles, not decimal ones
     assert abs(out[0]["slope_per_hour"] - 3.0) < 1e-9
     assert out[0]["n_points"] == 10
+
+
+def test_hysteresis_latches_and_counts(spark):
+    """hi=10, lo=5: [3, 12, 11, 8, 4, 12, 6] -> alert fires at 12
+    (latched through 8, which a single threshold would flap on),
+    releases at 4, fires again at the second 12 -> 2 alerts, still ON
+    at day end (6 > lo)."""
+    from traval_spark.operators.monitor import hysteresis_daily
+
+    vals = [3.0, 12.0, 11.0, 8.0, 4.0, 12.0, 6.0]
+    rows = [("a", _t(i * 60), v, i) for i, v in enumerate(vals)]
+    r = hysteresis_daily(_frame(spark, rows), hi=10, lo=5).collect()[0]
+    assert r["n_alerts"] == 2
+    assert r["in_alert"] == 1
+    # first point above hi fires immediately
+    r2 = hysteresis_daily(
+        _frame(spark, [("a", _t(0), 99.0, 0)]), hi=10, lo=5
+    ).collect()[0]
+    assert (r2["n_alerts"], r2["in_alert"]) == (1, 1)

@@ -58,7 +58,7 @@ __all__ = [
     "counter_windows", "gap_stats", "cusum_changepoint",
     "seasonal_profile", "seasonal_anomaly",
     "ewma_daily", "holt_daily", "xcorr_lags",
-    "changes_only", "trend_slope",
+    "changes_only", "trend_slope", "hysteresis_daily",
 ]
 
 
@@ -576,4 +576,59 @@ def trend_slope(
             (num.cast("double") / den.cast("double") * per_hour)
             .alias("slope_per_hour"),
         )
+    )
+
+
+def hysteresis_daily(
+    df: DataFrame,
+    hi: float,
+    lo: float,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Two-threshold (hysteresis) alerting per (series, day): the alert
+    LATCHES on when the value exceeds ``hi`` and releases only below
+    ``lo`` — the debounced alarm every monitoring system uses instead
+    of a flapping single threshold.  Inherently sequential (state
+    depends on history), so it runs as the same pure-JVM ordered array
+    fold as :func:`ewma_daily`: one groupBy per bounded day partition,
+    no per-series window, no Python.
+
+    The fold state is (alert_count, in_alert); transitions compare
+    doubles against literal thresholds — engine-exact, the oracle folds
+    the identical list (list accumulator — same DuckDB struct-mutation
+    caveat as holt_daily).  Day boundaries reset the latch (each day
+    judged from a released state; chain days via the tier read if a
+    carried latch is wanted).  Output: ``*by, day, n_points,
+    n_alerts, in_alert``.
+    """
+    h, l = F.lit(float(hi)), F.lit(float(lo))
+    arrs = _day_arrays(df, by, ts, val, ident)
+    rest = F.expr("slice(__arr, 2, greatest(size(__arr) - 1, 0))")
+    first_on = (F.element_at("__arr", 1)["v"] > h).cast("int")
+
+    def step(acc, s):
+        was = acc["st"]
+        on = F.when((was == 0) & (s["v"] > h), 1).otherwise(
+            F.when((was == 1) & (s["v"] < l), 0).otherwise(was)
+        )
+        fired = ((was == 0) & (s["v"] > h)).cast("int")
+        return F.struct(
+            (acc["n"] + fired).alias("n"), on.alias("st")
+        )
+
+    out = arrs.withColumn(
+        "__acc",
+        F.aggregate(
+            rest,
+            F.struct(first_on.alias("n"), first_on.alias("st")),
+            step,
+        ),
+    )
+    return out.select(
+        *by, "day", "n_points",
+        F.col("__acc")["n"].alias("n_alerts"),
+        F.col("__acc")["st"].alias("in_alert"),
     )
