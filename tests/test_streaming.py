@@ -1128,3 +1128,46 @@ def test_stream_counter_equal_ts_across_batches_not_late(spark, tmp_path):
     assert set(rows) == {"a", "b"}
     assert rows["a"]["step"] == 0.0        # first sample of the series
     assert rows["b"]["step"] == 15.0       # 25 - 10, NOT dropped as late
+
+
+def test_stream_changes_only_matches_batch(spark, tmp_path):
+    """Streaming run-length compaction == batch changes_only across a
+    micro-batch boundary (the carried last value suppresses an
+    unchanged first row of file 2)."""
+    import time as _time
+
+    from traval_spark.operators.monitor import changes_only
+    from traval_spark.streaming.stateful_rules import stream_changes_only
+
+    inp = str(tmp_path / "chin")
+    seqs = (
+        synth_sequences(spark, 3000, seed=23, span_days=1)
+        .groupBy("source", "ts")
+        .agg(F.max("n_tok").alias("n_tok"))
+        # coarsen so real runs of equal values exist
+        .withColumn("n_tok", (F.col("n_tok") / 64).cast("int"))
+    )
+    mid = "2024-01-01 12:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+
+    q = (stream_changes_only(spark, inp, max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "chout"))
+         .option("checkpointLocation", str(tmp_path / "chck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(tmp_path / "chout")).select(
+        "source", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    batch = changes_only(
+        seqs.select("source", "ts",
+                    F.col("n_tok").cast("double").alias("value"))
+        .withColumn("event_id", F.lit(None).cast("string"))
+    ).select("source", "ts", "value")
+    assert streamed.count() < seqs.count()          # real compaction
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

@@ -597,3 +597,95 @@ def stream_counter_steps(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: compacted rows: only change points pass through
+CHANGES_OUTPUT_SCHEMA = (
+    "source string, ts timestamp, ident string, value double"
+)
+
+
+def make_changes_state_func(late_code: int | None = None):
+    """applyInPandasWithState kernel for streaming run-length
+    compaction (operators/monitor.py:changes_only semantics): emit a
+    row only when the value differs from the carried last value —
+    slowly-changing streams compact AT INGEST, before anything lands
+    on disk.  Same O(1) (ts, value, ident) state and in-order/late
+    contract as the counter kernel; late rows (if surfaced) carry
+    NaN value and the marker ident prefix 'late:'."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.assign(
+            ident=batch["ident"].map(lambda i: "" if i is None else str(i))
+        ).sort_values(["ts", "ident"])
+        b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        b_ids = batch["ident"].to_numpy(dtype=object)
+        b_vals = batch["value"].to_numpy(dtype=float)
+
+        prev_v = float("nan")
+        if state.exists:
+            prev_us, prev_v, prev_id = state.get
+            fresh = (b_ts > prev_us) | (
+                (b_ts == prev_us)
+                & np.array([i > prev_id for i in b_ids], dtype=bool)
+            )
+            if late_code is not None and (~fresh).any():
+                yield pd.DataFrame({
+                    "source": key[0],
+                    "ts": b_ts[~fresh].astype("datetime64[us]"),
+                    "ident": ["late:" + str(i) for i in b_ids[~fresh]],
+                    "value": np.full((~fresh).sum(), np.nan),
+                })
+            b_ts, b_ids, b_vals = b_ts[fresh], b_ids[fresh], b_vals[fresh]
+        if len(b_ts) == 0:
+            return
+
+        prev_vals = np.concatenate([[prev_v], b_vals[:-1]])
+        keep = np.isnan(prev_vals) | (b_vals != prev_vals)
+        if keep.any():
+            yield pd.DataFrame({
+                "source": key[0],
+                "ts": b_ts[keep].astype("datetime64[us]"),
+                "ident": b_ids[keep],
+                "value": b_vals[keep],
+            })
+        state.update((int(b_ts[-1]), float(b_vals[-1]),
+                      str(b_ids[-1])))
+
+    return fn
+
+
+def stream_changes_only(
+    spark: SparkSession,
+    input_path: str,
+    value_col: str = "n_tok",
+    ident_col: str = "doc_id",
+    max_files_per_trigger: int = 64,
+    late_code: int | None = None,
+) -> DataFrame:
+    """Streaming run-length compaction over the sequence drop dir:
+    only change points flow downstream (the batch ``changes_only``
+    semantics, applied at ingest).  Reconstruction stays exact via
+    as-of join / forward fill, as in batch."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source", F.col("ts").cast("timestamp").alias("ts"),
+            F.col(ident_col).cast("string").alias("ident"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+    )
+    return stream.groupBy("source").applyInPandasWithState(
+        make_changes_state_func(late_code=late_code),
+        outputStructType=CHANGES_OUTPUT_SCHEMA,
+        stateStructType=COUNTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
