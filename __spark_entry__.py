@@ -2201,6 +2201,36 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_series_health(spark, sf_dir):
+    """The ops-dashboard ONE READ: per series — gap census + uptime,
+    the CUSUM level-shift candidate, and the count of seasonal
+    >2.5-sigma anomalies, three tiny per-source frames joined (each
+    engine-exact on its own; the join is on the source key)."""
+    from traval_spark.operators.monitor import (
+        cusum_changepoint,
+        gap_stats,
+        seasonal_anomaly,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    g = gap_stats(ev.drop("value"), max_gap="30m").select(
+        "source", "n_points", "n_gaps", "uptime_frac"
+    )
+    c = cusum_changepoint(ev).select("source", "t_change", "score")
+    a = (
+        seasonal_anomaly(ev.drop("event_id"), threshold=2.5)
+        .groupBy("source").agg(F.count("*").alias("n_anomalies"))
+    )
+    return (
+        g.join(c, "source")
+        .join(a, "source", "left")
+        .withColumn("n_anomalies",
+                    F.coalesce(F.col("n_anomalies"), F.lit(0)))
+    )
+
+
 def q_hysteresis(spark, sf_dir):
     """Two-threshold latched alerting (monitor.py:hysteresis_daily):
     alerts fire above 400 and release below 300 — the debounced alarm
@@ -2564,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_points": q_change_points,
         "trend_slope": q_trend_slope,
         "hysteresis": q_hysteresis,
+        "series_health": q_series_health,
     }
 
 
@@ -4295,6 +4326,64 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # the composed per-source health read: gap census + CUSUM argmax +
+    # seasonal anomaly count, each sub-oracle identical to its
+    # standalone query's
+    sql["series_health"] = """
+    with gl as (select event_type AS source, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) over (partition by event_type
+                         order by epoch_us(ts), event_id) AS up
+                from events),
+    gd as (select source, us, us - up AS delta from gl),
+    g as (select source, count(*) AS n_points,
+                 cast(sum(case when delta > 1800000000 then 1 else 0 end)
+                      AS bigint) AS n_gaps,
+                 round(case when max(us) - min(us) > 0
+                       then 1.0 - cast(sum(case when delta > 1800000000
+                                          then delta - 1800000000
+                                          else 0 end) AS double)
+                                  / (max(us) - min(us))
+                       else 1.0 end, 9) AS uptime_frac
+          from gd group by source),
+    cs as (select event_type AS source, epoch_us(ts) AS us,
+                  event_id AS id,
+                  cast(round(value * 1000) AS bigint) AS y
+           from events),
+    cp as (select source, us, id,
+                  sum(y) over (partition by source order by us, id
+                               rows unbounded preceding) AS c,
+                  row_number() over (partition by source
+                                     order by us, id) AS i,
+                  count(*) over (partition by source) AS n,
+                  sum(y) over (partition by source) AS s
+           from cs),
+    cd as (select source, us, id, n, abs(n * c - i * s) AS ad from cp),
+    cr as (select *, row_number() over (partition by source
+             order by ad desc, us, id) AS rn from cd),
+    c as (select source, make_timestamp(us) AS t_change,
+                 round(cast(ad AS double)
+                       / (cast(n AS double) * cast(n AS double))
+                       / 1000.0, 9) AS score
+          from cr where rn = 1),
+    ss as (select event_type AS source, hour(ts) AS hod, ts, value,
+                  cast(round(value * 1000) AS bigint) AS y
+           from events),
+    sp as (select source, hod, count(*) AS n,
+                  cast(sum(cast(y AS hugeint)) AS hugeint) AS s,
+                  cast(sum(cast(y AS hugeint) * y) AS hugeint) AS q
+           from ss group by source, hod),
+    sv as (select source, hod, n, s, n * q - s * s AS vn from sp),
+    an as (select s.source, count(*) AS n_anomalies
+           from ss s join sv v on s.source = v.source and s.hod = v.hod
+           where v.vn > 0
+             and abs(round(cast(s.y * v.n - v.s AS double)
+                           / sqrt(cast(v.vn AS double)), 6)) > 2.5
+           group by s.source)
+    select g.source, g.n_points, g.n_gaps, g.uptime_frac,
+           c.t_change, c.score,
+           coalesce(an.n_anomalies, 0) AS n_anomalies
+    from g join c using (source) left join an using (source)
     """
     # hysteresis latch fold: same init/transition as monitor.py,
     # list accumulator prepended as init (holt's struct-mutation caveat)
