@@ -1171,3 +1171,51 @@ def test_stream_changes_only_matches_batch(spark, tmp_path):
     assert streamed.count() < seqs.count()          # real compaction
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_alerts_latch_carries_across_batches(spark, tmp_path):
+    """The hysteresis latch survives the micro-batch boundary: a value
+    above hi in file 1 latches; file 2's first rows (still above lo)
+    emit NOTHING; the release below lo emits alert=0; transitions match
+    a sequential reference scan of the whole series."""
+    import time as _time
+
+    import pandas as pd
+
+    from traval_spark.streaming.stateful_rules import stream_alerts
+
+    t = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    def _w(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "n_tok", "ts"])
+        pdf["source"] = "s"
+        pdf["tokens"] = [[1]] * len(pdf)
+        spark.createDataFrame(pdf).selectExpr(
+            "doc_id", "cast(tokens as array<int>) tokens",
+            "cast(n_tok as int) n_tok", "source",
+            "cast(ts as timestamp_ntz) ts",
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "ain"))
+
+    f1 = [("a", 3, t(0)), ("b", 50, t(60)), ("c", 45, t(120))]
+    f2 = [("d", 30, t(180)), ("e", 4, t(240)),     # release at 4 < lo
+          ("f", 60, t(300))]                       # re-fire
+    _w(f1)
+    _time.sleep(1.1)
+    _w(f2)
+
+    q = (stream_alerts(spark, str(tmp_path / "ain"), hi=40, lo=10,
+                       max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "aout"))
+         .option("checkpointLocation", str(tmp_path / "ack"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = sorted(
+        (r["ts"], r["alert"], r["value"]) for r in
+        spark.read.parquet(str(tmp_path / "aout")).collect()
+    )
+    assert rows == [
+        (t(60), 1, 50.0),    # fired in file 1
+        (t(240), 0, 4.0),    # released in file 2 (latch carried)
+        (t(300), 1, 60.0),   # re-fired
+    ]

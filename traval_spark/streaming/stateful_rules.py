@@ -689,3 +689,114 @@ def stream_changes_only(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: alert transition events: alert=1 fired (crossed hi from released),
+#: alert=0 released (crossed lo from latched)
+ALERT_OUTPUT_SCHEMA = (
+    "source string, ts timestamp, ident string, value double, alert int"
+)
+#: latch state: last sample (in-order contract) + current latch bit
+ALERT_STATE_SCHEMA = "tsl long, il string, st int"
+
+
+def make_alert_state_func(hi: float, lo: float,
+                          late_code: int | None = None):
+    """applyInPandasWithState kernel for streaming hysteresis alerts
+    (operators/monitor.py:hysteresis_daily semantics WITHOUT the day
+    reset — the latch carries across micro-batches and days): emits one
+    row per TRANSITION (fire above ``hi`` from released, release below
+    ``lo`` from latched), nothing while the state holds.  State is the
+    last sample's (ts, ident) for the in-order contract plus one latch
+    bit — O(1).  Late rows: marker ident prefix 'late:' with alert =
+    late_code when surfaced, else dropped."""
+    h, l = float(hi), float(lo)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.assign(
+            ident=batch["ident"].map(lambda i: "" if i is None else str(i))
+        ).sort_values(["ts", "ident"])
+        b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        b_ids = batch["ident"].to_numpy(dtype=object)
+        b_vals = batch["value"].to_numpy(dtype=float)
+
+        st = 0
+        if state.exists:
+            prev_us, prev_id, st = state.get
+            fresh = (b_ts > prev_us) | (
+                (b_ts == prev_us)
+                & np.array([i > prev_id for i in b_ids], dtype=bool)
+            )
+            if late_code is not None and (~fresh).any():
+                yield pd.DataFrame({
+                    "source": key[0],
+                    "ts": b_ts[~fresh].astype("datetime64[us]"),
+                    "ident": ["late:" + str(i) for i in b_ids[~fresh]],
+                    "value": b_vals[~fresh],
+                    "alert": np.full((~fresh).sum(), late_code,
+                                     dtype="int32"),
+                })
+            b_ts, b_ids, b_vals = b_ts[fresh], b_ids[fresh], b_vals[fresh]
+        if len(b_ts) == 0:
+            return
+
+        # sequential latch scan (numpy-light loop over the micro-batch:
+        # transitions are rare, batches bounded)
+        out_idx, out_alert = [], []
+        for i, v in enumerate(b_vals):
+            if st == 0 and v > h:
+                st = 1
+                out_idx.append(i); out_alert.append(1)
+            elif st == 1 and v < l:
+                st = 0
+                out_idx.append(i); out_alert.append(0)
+        if out_idx:
+            sel = np.array(out_idx)
+            yield pd.DataFrame({
+                "source": key[0],
+                "ts": b_ts[sel].astype("datetime64[us]"),
+                "ident": b_ids[sel],
+                "value": b_vals[sel],
+                "alert": np.array(out_alert, dtype="int32"),
+            })
+        state.update((int(b_ts[-1]), str(b_ids[-1]), int(st)))
+
+    return fn
+
+
+def stream_alerts(
+    spark: SparkSession,
+    input_path: str,
+    hi: float,
+    lo: float,
+    value_col: str = "n_tok",
+    ident_col: str = "doc_id",
+    max_files_per_trigger: int = 64,
+    late_code: int | None = None,
+) -> DataFrame:
+    """Streaming hysteresis alert events over the sequence drop dir:
+    one row per latch transition, latch carried across micro-batches
+    (no day reset — the always-on alerting channel next to the batch
+    per-day report)."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source", F.col("ts").cast("timestamp").alias("ts"),
+            F.col(ident_col).cast("string").alias("ident"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+    )
+    return stream.groupBy("source").applyInPandasWithState(
+        make_alert_state_func(hi, lo, late_code=late_code),
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
