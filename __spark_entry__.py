@@ -2201,6 +2201,19 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_spearman_pairs(spark, sf_dir):
+    """Spearman rank correlation between every pair of hourly count
+    signals (monitor.py:spearman_pairs): tie-corrected exactly via
+    DOUBLED average ranks (2*rank + ties - 1 stays integer; Pearson is
+    affine-invariant), moments in decimal — engine-identical rho."""
+    from traval_spark.operators.monitor import spearman_pairs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return spearman_pairs(ev, bucket="1h")
+
+
 def q_series_health(spark, sf_dir):
     """The ops-dashboard ONE READ: per series — gap census + uptime,
     the CUSUM level-shift candidate, and the count of seasonal
@@ -2595,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "hysteresis": q_hysteresis,
         "series_health": q_series_health,
+        "spearman_pairs": q_spearman_pairs,
     }
 
 
@@ -4326,6 +4340,40 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # Spearman via doubled average ranks (integers; Pearson is
+    # affine-invariant) on zero-filled hourly count spines
+    sql["spearman_pairs"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from counts),
+    spine as (select g, u.h
+              from (select distinct g from counts) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    ranked as (select g, h,
+                      cast(2 * rank() over (partition by g order by c)
+                           + count(*) over (partition by g, c) - 1
+                           AS hugeint) AS r2
+               from sig),
+    m as (select xa.g AS a, xb.g AS b, count(*) AS n,
+                 sum(xa.r2) AS sx, sum(xb.r2) AS sy,
+                 sum(xa.r2 * xa.r2) AS sxx, sum(xb.r2 * xb.r2) AS syy,
+                 sum(xa.r2 * xb.r2) AS sxy
+          from ranked xa join ranked xb on xa.h = xb.h
+          group by xa.g, xb.g),
+    d as (select a, b, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          from m)
+    select a, b, n,
+           cast(num AS double)
+             / sqrt(cast(d1 AS double) * cast(d2 AS double)) AS rho
+    from d where d1 > 0 and d2 > 0
     """
     # the composed per-source health read: gap census + CUSUM argmax +
     # seasonal anomaly count, each sub-oracle identical to its

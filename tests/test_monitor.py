@@ -273,3 +273,44 @@ def test_hysteresis_latches_and_counts(spark):
         _frame(spark, [("a", _t(0), 99.0, 0)]), hi=10, lo=5
     ).collect()[0]
     assert (r2["n_alerts"], r2["in_alert"]) == (1, 1)
+
+
+def test_spearman_monotone_and_ties_match_scipy_definition(spark):
+    """A strictly monotonic (nonlinear) relation gives rho == 1, and a
+    tied signal reproduces the tie-corrected (average-rank) Spearman
+    computed by hand."""
+    from traval_spark.operators.monitor import spearman_pairs
+
+    # a: bursts 1..6; b: a^2 bursts (monotone, nonlinear); c has ties
+    rows = []
+    eid = 0
+    bursts = {"a": [1, 2, 3, 4, 5, 6], "b": [1, 4, 9, 16, 25, 36],
+              "c": [2, 2, 5, 5, 1, 6]}
+    for g, bs in bursts.items():
+        for h, n in enumerate(bs):
+            for _ in range(n):
+                rows.append((g, _t(h * 3600), 0.0, eid)); eid += 1
+    df = _frame(spark, rows).select("source", "ts")
+    out = {(r["a"], r["b"]): r["rho"]
+           for r in spearman_pairs(df, bucket="1h").collect()}
+    assert out[("a", "b")] == 1.0          # monotone -> rho 1 exactly
+
+    import numpy as np
+
+    def avg_ranks(v):
+        v = np.asarray(v)
+        r = np.empty(len(v), dtype=float)
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    ra, rc = avg_ranks(bursts["a"]), avg_ranks(bursts["c"])
+    want = np.corrcoef(ra, rc)[0, 1]
+    assert abs(out[("a", "c")] - want) < 1e-12

@@ -58,7 +58,7 @@ __all__ = [
     "counter_windows", "gap_stats", "cusum_changepoint",
     "seasonal_profile", "seasonal_anomaly",
     "ewma_daily", "holt_daily", "xcorr_lags",
-    "changes_only", "trend_slope", "hysteresis_daily",
+    "changes_only", "trend_slope", "hysteresis_daily", "spearman_pairs",
 ]
 
 
@@ -631,4 +631,72 @@ def hysteresis_daily(
         *by, "day", "n_points",
         F.col("__acc")["n"].alias("n_alerts"),
         F.col("__acc")["st"].alias("in_alert"),
+    )
+
+
+def spearman_pairs(
+    df: DataFrame,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Spearman rank correlation between every pair of per-series
+    bucket-count signals — the robust (monotonic, outlier-insensitive)
+    companion to :func:`xcorr_lags`' Pearson.
+
+    Tie-corrected EXACTLY without fractions: the average rank of a tie
+    group is (2*min_rank + ties - 1)/2, so DOUBLED average ranks
+
+        r2 = 2*rank() + count(ties) - 1
+
+    are integers, and Pearson is affine-invariant, so computing it on
+    r2 gives the true tie-corrected Spearman rho from exact
+    decimal(38,0) moments — engine-identical doubles, the same
+    clearing trick as everywhere else in this module.  Signals are
+    zero-filled over the global bucket span (as in xcorr); raw rows are
+    scanned once.  Output: ``a, b, n, rho``.
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        F.col(by).alias("g"),
+        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+    )
+    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        counts.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    sig = spine.join(counts, ["g", "h"], "left").select(
+        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wr = Window.partitionBy("g").orderBy("c")
+    wt = Window.partitionBy("g", "c")
+    ranked = sig.select(
+        "g", "h",
+        (F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1)
+        .cast("decimal(38,0)").alias("r2"),
+    )
+    a = ranked.select(F.col("g").alias("a"), "h", F.col("r2").alias("x"))
+    b = ranked.select(F.col("g").alias("b"), "h", F.col("r2").alias("y"))
+    m = a.join(b, "h").groupBy("a", "b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((d1 > 0) & (d2 > 0))
+        .select(
+            "a", "b", "n",
+            (num.cast("double")
+             / F.sqrt(d1.cast("double") * d2.cast("double")))
+            .alias("rho"),
+        )
     )
