@@ -2201,6 +2201,19 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted average per (series, hour)
+    (monitor.py:time_weighted_avg, LOCF convention): each observation
+    weighted by how long it held; numerator exact decimal, denominator
+    exact integer — the division is the only double op."""
+    from traval_spark.operators.monitor import time_weighted_avg
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return time_weighted_avg(ev, bucket="1h")
+
+
 def q_spearman_pairs(spark, sf_dir):
     """Spearman rank correlation between every pair of hourly count
     signals (monitor.py:spearman_pairs): tie-corrected exactly via
@@ -2609,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hysteresis": q_hysteresis,
         "series_health": q_series_health,
         "spearman_pairs": q_spearman_pairs,
+        "twa_1h": q_twa_1h,
     }
 
 
@@ -4340,6 +4354,29 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # LOCF time-weighted average: exact decimal numerator (scaled
+    # value x held-microseconds), integer denominator
+    sql["twa_1h"] = """
+    with src as (select event_type AS source,
+                        cast(floor(epoch_us(ts) / 3600000000) AS bigint)
+                          * 3600000000 AS bus,
+                        epoch_us(ts) AS us, event_id AS id,
+                        cast(round(value * 1000) AS bigint) AS y
+                 from events),
+    seg as (select source, bus, us,
+                   cast(y AS hugeint)
+                     * (coalesce(lead(us) over (partition by source, bus
+                                                order by us, id),
+                                 bus + 3600000000) - us) AS num
+            from src),
+    a as (select source, bus, count(*) AS n_points,
+                 cast(sum(num) AS hugeint) AS num, min(us) AS t0
+          from seg group by source, bus)
+    select source, make_timestamp(bus) AS bucket_start, n_points,
+           cast(num AS double)
+             / cast(bus + 3600000000 - t0 AS double) / 1000.0 AS twa
+    from a
     """
     # Spearman via doubled average ranks (integers; Pearson is
     # affine-invariant) on zero-filled hourly count spines

@@ -314,3 +314,20 @@ def test_spearman_monotone_and_ties_match_scipy_definition(spark):
     ra, rc = avg_ranks(bursts["a"]), avg_ranks(bursts["c"])
     want = np.corrcoef(ra, rc)[0, 1]
     assert abs(out[("a", "c")] - want) < 1e-12
+
+
+def test_twa_weights_by_holding_time(spark):
+    """v=10 held for 54 min then v=1 for the last 5 min of the hour
+    (first point at minute 1): twa = (10*54 + 1*5)/59 — far from the
+    plain mean of 5.5; a zero-duration duplicate contributes nothing."""
+    from traval_spark.operators.monitor import time_weighted_avg
+
+    rows = [
+        ("a", _t(60), 10.0, 1),
+        ("a", _t(3300), 99.0, 2),       # dup-ts with next: holds 0us
+        ("a", _t(3300), 1.0, 3),
+    ]
+    r = time_weighted_avg(_frame(spark, rows), bucket="1h").collect()[0]
+    want = (10.0 * 54 * 60 + 1.0 * 5 * 60) / (59 * 60)
+    assert abs(r["twa"] - want) < 1e-9
+    assert r["n_points"] == 3

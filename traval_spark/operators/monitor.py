@@ -59,6 +59,7 @@ __all__ = [
     "seasonal_profile", "seasonal_anomaly",
     "ewma_daily", "holt_daily", "xcorr_lags",
     "changes_only", "trend_slope", "hysteresis_daily", "spearman_pairs",
+    "time_weighted_avg",
 ]
 
 
@@ -699,4 +700,67 @@ def spearman_pairs(
              / F.sqrt(d1.cast("double") * d2.cast("double")))
             .alias("rho"),
         )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    bucket: str = "1h",
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Time-weighted average per (series, bucket) — the aggregate
+    irregular sampling actually needs: a plain AVG over-weights burst
+    periods; the TWA weights each observation by how long it HELD
+    (last-observation-carried-forward, the TimescaleDB
+    ``time_weight('LOCF')`` convention).
+
+    Semantics (per bucket, standalone): observation i holds from t_i to
+    t_{i+1} (or to the bucket end for the last one); the integral
+    starts at the FIRST observation — no carry-in from the previous
+    bucket, so buckets stay independently mergeable facts (a carried
+    version needs the gap-fill path).
+
+        twa = sum(v_i * dt_i) / (bucket_end - t_first)
+
+    Numerator in exact decimal (scaled value x integer microseconds),
+    denominator exact integer — the division is the only double op, so
+    results are engine-identical.  Equal-timestamp duplicates hold for
+    0us and vanish from the integral (deterministic).  Output: ``*by,
+    bucket_start, n_points, twa`` (descaled).
+    """
+    gus = gap_micros(bucket)
+    bus = (F.floor(unix_us(F.col(ts)) / F.lit(gus)) * F.lit(gus))
+    src = df.select(
+        *by,
+        bus.alias("__bus"),
+        unix_us(F.col(ts)).alias("__us"),
+        F.col(ident).alias("__id"),
+        F.round(F.col(val) * F.lit(int(value_scale))).cast("long")
+        .alias("__y"),
+    )
+    w = Window.partitionBy(*by, "__bus").orderBy("__us", "__id")
+    nxt = F.lead("__us").over(w)
+    dt = (
+        F.coalesce(nxt, F.col("__bus") + F.lit(gus)) - F.col("__us")
+    ).cast("decimal(38,0)")
+    seg = src.select(
+        *by, "__bus", "__us",
+        (F.col("__y").cast("decimal(38,0)") * dt).alias("__num"),
+    )
+    agg = seg.groupBy(*by, "__bus").agg(
+        F.count("*").alias("n_points"),
+        F.sum("__num").alias("__num"),
+        F.min("__us").alias("__t0"),
+    )
+    den = (F.col("__bus") + F.lit(gus) - F.col("__t0")).cast("double")
+    return agg.select(
+        *by,
+        F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
+        "n_points",
+        (F.col("__num").cast("double") / den
+         / F.lit(float(value_scale))).alias("twa"),
     )
