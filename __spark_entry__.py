@@ -2201,6 +2201,23 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_psi_drift(spark, sf_dir):
+    """Distribution-drift monitor (monitor.py:psi_drift): PSI between
+    the first two weeks and the rest of the month per series —
+    Laplace-smoothed over the union bin table, everything derived from
+    exact integer counts."""
+    from traval_spark.operators.monitor import psi_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return psi_drift(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        scale=1,
+    )
+
+
 def q_twa_1h(spark, sf_dir):
     """Time-weighted average per (series, hour)
     (monitor.py:time_weighted_avg, LOCF convention): each observation
@@ -2623,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_health": q_series_health,
         "spearman_pairs": q_spearman_pairs,
         "twa_1h": q_twa_1h,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -4354,6 +4372,37 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # PSI drift: Laplace-smoothed over the union bin table, exact
+    # integer counts in, identical per-term float ops
+    sql["psi_drift"] = """
+    with ha as (select event_type AS source,
+                       cast(round(value) AS bigint) AS bin,
+                       count(*) AS ca
+                from events where ts < '2024-01-15'
+                group by 1, 2),
+    hb as (select event_type AS source,
+                  cast(round(value) AS bigint) AS bin,
+                  count(*) AS cb
+           from events where ts >= '2024-01-15'
+           group by 1, 2),
+    j as (select coalesce(ha.source, hb.source) AS source,
+                 coalesce(ha.bin, hb.bin) AS bin,
+                 coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          from ha full outer join hb
+            on ha.source = hb.source and ha.bin = hb.bin),
+    tot as (select source, cast(sum(ca) AS bigint) AS na,
+                   cast(sum(cb) AS bigint) AS nb,
+                   count(*) AS n_bins
+            from j group by source)
+    select j.source, max(t.n_bins) AS n_bins,
+           round(sum(((ca + 0.5) / (na + 0.5 * t.n_bins)
+                      - (cb + 0.5) / (nb + 0.5 * t.n_bins))
+                     * ln(((ca + 0.5) / (na + 0.5 * t.n_bins))
+                          / ((cb + 0.5) / (nb + 0.5 * t.n_bins)))),
+                 6) AS psi
+    from j join tot t using (source)
+    group by j.source
     """
     # LOCF time-weighted average: exact decimal numerator (scaled
     # value x held-microseconds), integer denominator

@@ -331,3 +331,21 @@ def test_twa_weights_by_holding_time(spark):
     want = (10.0 * 54 * 60 + 1.0 * 5 * 60) / (59 * 60)
     assert abs(r["twa"] - want) < 1e-9
     assert r["n_points"] == 3
+
+
+def test_psi_zero_on_identical_and_positive_on_shift(spark):
+    import pandas as pd
+
+    from traval_spark.operators.monitor import psi_drift
+
+    base = pd.DataFrame({
+        "source": "a",
+        "value": [float(i % 10) for i in range(1000)],
+    })
+    shifted = base.assign(value=base["value"] + 4.0)
+    da = spark.createDataFrame(base)
+    r0 = psi_drift(da, spark.createDataFrame(base.copy())).collect()[0]
+    assert r0["psi"] == 0.0                     # identical distributions
+    r1 = psi_drift(da, spark.createDataFrame(shifted)).collect()[0]
+    assert r1["psi"] > 0.25                     # a real shift screams
+    assert r1["n_bins"] == 14                   # union of 0..9 and 4..13

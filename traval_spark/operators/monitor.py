@@ -59,7 +59,7 @@ __all__ = [
     "seasonal_profile", "seasonal_anomaly",
     "ewma_daily", "holt_daily", "xcorr_lags",
     "changes_only", "trend_slope", "hysteresis_daily", "spearman_pairs",
-    "time_weighted_avg",
+    "time_weighted_avg", "psi_drift",
 ]
 
 
@@ -763,4 +763,63 @@ def time_weighted_avg(
         "n_points",
         (F.col("__num").cast("double") / den
          / F.lit(float(value_scale))).alias("twa"),
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of the same
+    measure — THE standard distribution-drift monitor (is this week's
+    token-length / value distribution still the one we trained on?).
+
+        PSI = sum_bins (p_i - q_i) * ln(p_i / q_i)
+
+    Bins are the discretized-value histogram (``round(v*scale)``, the
+    hist.py convention) over the UNION of bins observed in either
+    snapshot, with Laplace smoothing (+0.5 per bin) so one-sided bins
+    contribute finitely instead of forcing an epsilon hack:
+
+        p_i = (c_a + 0.5) / (n_a + 0.5 * B)
+
+    Everything derives from exact integer counts; the only float ops
+    (division, ln, the term sum) run identically per term in any
+    engine, and the cross-engine sum-association noise is ~1e-15 —
+    far under the rounding.  Rule of thumb: PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted.  One groupBy per snapshot + a full-outer
+    join on the tiny bin table.  Output: ``*by, n_bins, psi``.
+    """
+    def hist(d, cname):
+        return d.groupBy(
+            *by, F.round(F.col(val) * scale).cast("long").alias("bin")
+        ).agg(F.count("*").alias(cname))
+
+    ha, hb = hist(df_a, "ca"), hist(df_b, "cb")
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by, "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.groupBy(*by).agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("n_bins"),
+    )
+    t = j.join(tot, list(by))
+    p = (F.col("ca") + F.lit(0.5)) / (F.col("na") + 0.5 * F.col("n_bins"))
+    q = (F.col("cb") + F.lit(0.5)) / (F.col("nb") + 0.5 * F.col("n_bins"))
+    term = (p - q) * F.log(p / q)
+    return (
+        t.groupBy(*by)
+        .agg(
+            F.max("n_bins").alias("n_bins"),
+            F.round(F.sum(term), ndigits).alias("psi"),
+        )
     )
