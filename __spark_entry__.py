@@ -2201,6 +2201,16 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_key_skew(spark, sf_dir):
+    """Shuffle-key skew profiler (layout.py:skew_report) over the
+    documents language key: max/top-k shares, normalized entropy and
+    the suggested salt fan-out — the pre-flight read that decides
+    whether a join/agg on this key needs salting."""
+    from traval_spark.sources.layout import skew_report
+
+    return skew_report(_docs(spark, sf_dir), "lang", top_k=5)
+
+
 def q_psi_drift(spark, sf_dir):
     """Distribution-drift monitor (monitor.py:psi_drift): PSI between
     the first two weeks and the rest of the month per series —
@@ -2641,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_pairs": q_spearman_pairs,
         "twa_1h": q_twa_1h,
         "psi_drift": q_psi_drift,
+        "key_skew": q_key_skew,
     }
 
 
@@ -4372,6 +4383,29 @@ def oracle_sql() -> dict[str, str]:
     sql["mix_sample"] = f"""
     select doc_id, source from documents
     where {_HU.format(seed=7)} < {_mix_case}
+    """
+    # skew profiler over the language key (shares from exact counts;
+    # entropy rounded before normalization, as in layout.py)
+    sql["key_skew"] = """
+    with c as (select lang, count(*) AS c from documents group by lang),
+    r as (select c.*, row_number() over (order by c desc, lang) AS rn,
+                 sum(c) over () AS tot
+          from c),
+    a as (select cast(sum(c) AS bigint) AS n_rows,
+                 count(*) AS n_keys, max(c) AS cmax,
+                 cast(sum(case when rn <= 5 then c else 0 end)
+                      AS bigint) AS ctop,
+                 round(-sum((c / tot) * ln(c / tot)), 6) AS h
+          from r)
+    select n_rows, n_keys,
+           cast(cmax AS double) / n_rows AS max_share,
+           cast(ctop AS double) / n_rows AS topk_share,
+           case when n_keys > 1
+                then round(h / ln(cast(n_keys AS double)), 6)
+                else 0.0 end AS entropy_norm,
+           greatest(cast(ceil(cast(cmax AS double) / n_rows * 32)
+                         AS int), 1) AS suggested_salt
+    from a
     """
     # PSI drift: Laplace-smoothed over the union bin table, exact
     # integer counts in, identical per-term float ops

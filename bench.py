@@ -119,6 +119,7 @@ def main() -> None:
         "change_points", "trend_slope",
         "ewma_daily", "holt_daily", "xcorr_lags", "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
+        "key_skew",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "sliding_from_tier", "pad_sequences",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",

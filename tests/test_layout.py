@@ -97,3 +97,36 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists bt_a")
         spark.sql("drop table if exists bt_b")
+
+
+def test_skew_report_flags_the_viral_key(spark):
+    """One key holding half the rows: max_share 0.5, suggested salt 16
+    (levels it against 32-way parallelism); a uniform key reports
+    entropy_norm 1.0 and salt 1."""
+    import pandas as pd
+
+    from traval_spark.sources.layout import skew_report
+
+    skewed = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot"] * 500 + [f"k{i}" for i in range(500)],
+    }))
+    r = skew_report(skewed, "k").collect()[0]
+    assert r["n_rows"] == 1000 and r["n_keys"] == 501
+    assert r["max_share"] == 0.5
+    assert r["suggested_salt"] == 16
+    assert r["topk_share"] == (500 + 4) / 1000
+
+    uniform = spark.createDataFrame(pd.DataFrame({
+        "k": [f"k{i % 8}" for i in range(800)],
+    }))
+    u = skew_report(uniform, "k").collect()[0]
+    assert u["entropy_norm"] == 1.0
+    # 8 uniform keys vs 32-way parallelism: each key still wants a
+    # 4-way salt to occupy the cluster (the formula is about task
+    # granularity, not only pathological skew)
+    assert u["suggested_salt"] == 4
+
+    wide = spark.createDataFrame(pd.DataFrame({
+        "k": [f"k{i % 64}" for i in range(1280)],
+    }))
+    assert skew_report(wide, "k").collect()[0]["suggested_salt"] == 1

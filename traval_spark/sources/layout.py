@@ -38,10 +38,11 @@ handled explicitly").
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "write_zordered", "file_ranges", "write_bucketed"]
+__all__ = ["zorder_key", "write_zordered", "file_ranges",
+           "write_bucketed", "skew_report"]
 
 
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
@@ -139,3 +140,58 @@ def write_bucketed(
         .option("path", path)
     )
     w.saveAsTable(table)
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+    """Partitioning-skew profiler for a prospective shuffle key — the
+    number that decides whether a join/agg on ``key`` needs salting
+    BEFORE the job straggles, not after.
+
+    One groupBy-count + driver-sized aggregates over the key table:
+
+    - ``max_share``: the heaviest key's row fraction (a 0.5 here means
+      one task does half the shuffle — the salting trigger),
+    - ``topk_share``: combined share of the ``top_k`` heaviest keys,
+    - ``entropy_norm``: Shannon entropy of the key distribution over
+      log(n_keys) (1.0 = uniform, ->0 = degenerate),
+    - ``suggested_salt``: ceil(max_share * 32) clamped to >=1 — the
+      salt fan-out that levels the heaviest key against ~32-way
+      parallelism (scale to your executor count).
+
+    All shares derive from exact integer counts; entropy is the only
+    order-dependent float sum (rounded to 6, noise ~1e-15).  Output:
+    one row — ``n_rows, n_keys, max_share, topk_share, entropy_norm,
+    suggested_salt``.
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col(key))
+    # both windows run over the bounded distinct-key table, not raw rows
+    ranked = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__tot", F.sum("c").over(Window.partitionBy()))
+    )
+    p = F.col("c") / F.col("__tot")
+    agg = ranked.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("__cmax"),
+        F.sum(F.when(F.col("__rn") <= top_k, F.col("c")).otherwise(0))
+        .alias("__ctop"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("__h"),
+    )
+    return agg.select(
+        "n_rows", "n_keys",
+        (F.col("__cmax").cast("double") / F.col("n_rows"))
+        .alias("max_share"),
+        (F.col("__ctop").cast("double") / F.col("n_rows"))
+        .alias("topk_share"),
+        F.when(F.col("n_keys") > 1,
+               F.round(F.col("__h") / F.log(F.col("n_keys")
+                                            .cast("double")), 6))
+        .otherwise(F.lit(0.0)).alias("entropy_norm"),
+        F.greatest(
+            F.ceil(F.col("__cmax").cast("double") / F.col("n_rows") * 32)
+            .cast("int"),
+            F.lit(1),
+        ).alias("suggested_salt"),
+    )
