@@ -349,3 +349,36 @@ def test_psi_zero_on_identical_and_positive_on_shift(spark):
     r1 = psi_drift(da, spark.createDataFrame(shifted)).collect()[0]
     assert r1["psi"] > 0.25                     # a real shift screams
     assert r1["n_bins"] == 14                   # union of 0..9 and 4..13
+
+
+def test_psi_served_from_hist_tier_equals_direct(spark):
+    """Drift read off the STORED hist tier: per-period bin counts
+    summed from 1m tier rows feed psi_from_hists and equal the direct
+    psi_drift on raw — no raw re-scan for the drift monitor."""
+    from traval_spark.hist import hist_tier
+    from traval_spark.operators.monitor import psi_drift, psi_from_hists
+    from traval_spark.sources.synth import synth_sequences
+
+    import pyspark.sql.functions as FF
+
+    seqs = synth_sequences(spark, 4000, seed=31, span_days=2)
+    cut = "2024-01-02"
+    tier = hist_tier(seqs, "1m", value_col="n_tok")
+
+    def period(pred, cname):
+        return (tier.filter(pred).groupBy("source", "bin")
+                .agg(FF.sum("cnt").alias(cname)))
+
+    tiered = psi_from_hists(
+        period(FF.col("bucket") < cut, "ca"),
+        period(FF.col("bucket") >= cut, "cb"),
+    )
+    direct = psi_drift(
+        seqs.filter(FF.col("ts") < cut).select("source",
+                                               FF.col("n_tok").alias("value")),
+        seqs.filter(FF.col("ts") >= cut).select("source",
+                                                FF.col("n_tok").alias("value")),
+        scale=1,
+    )
+    assert tiered.exceptAll(direct).count() == 0
+    assert direct.exceptAll(tiered).count() == 0

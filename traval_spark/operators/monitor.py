@@ -59,7 +59,7 @@ __all__ = [
     "seasonal_profile", "seasonal_anomaly",
     "ewma_daily", "holt_daily", "xcorr_lags",
     "changes_only", "trend_slope", "hysteresis_daily", "spearman_pairs",
-    "time_weighted_avg", "psi_drift",
+    "time_weighted_avg", "psi_drift", "psi_from_hists",
 ]
 
 
@@ -799,7 +799,20 @@ def psi_drift(
             *by, F.round(F.col(val) * scale).cast("long").alias("bin")
         ).agg(F.count("*").alias(cname))
 
-    ha, hb = hist(df_a, "ca"), hist(df_b, "cb")
+    return psi_from_hists(hist(df_a, "ca"), hist(df_b, "cb"),
+                          by=by, ndigits=ndigits)
+
+
+def psi_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ndigits: int = 6,
+) -> DataFrame:
+    """PSI from two histogram count frames (``*by, bin, ca`` / ``*by,
+    bin, cb``) — the tier-served drift path: feed it per-period bin
+    counts summed straight off a stored hist tier (hist.py) and the
+    drift read never re-scans raw (pytest proves tiered == direct)."""
     j = (
         ha.join(hb, [*by, "bin"], "full_outer")
         .select(
