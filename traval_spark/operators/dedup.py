@@ -1061,3 +1061,67 @@ def trim_duplicated_spans(
             ),
         )
     return out
+
+
+def contaminated_docs_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    nhash: int = 4,
+    nbits: int = 1 << 17,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — IDENTICAL output
+    to :func:`contaminated_docs`, different broadcast economics.
+
+    The exact path broadcasts the benchmark's full distinct shingle
+    set; for a large eval suite that payload grows with the suite.
+    Here the suite compresses to a CONSTANT-size Bloom bitmask
+    (``nbits`` booleans — 128Ki by default, ~128KB on the wire
+    regardless of suite size): corpus shingles probe the mask (no
+    false negatives, so nothing real is ever missed), and only the
+    surviving candidate rows — benchmark hits plus the mask's small
+    false-positive leak — pay the exact broadcast-join verify.  The
+    verify removes every false positive, so the result is value-equal
+    to the exact operator (pytest).
+
+    The mask ships as a ONE-ROW broadcast frame, not a literal inside
+    the probe lambda — literals referenced from lambdas re-convert per
+    invocation (the remap_tokens lesson).
+    """
+    from traval_spark.sketch import bloom_bits
+
+    spark = corpus.sparkSession
+    bsh = benchmark.select(
+        F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle")
+    ).distinct()
+    bits = {
+        b for r in bsh.select(
+            F.explode(bloom_bits(F.col("shingle"), nhash, nbits))
+            .alias("bit")
+        ).distinct().collect()
+        for b in [r["bit"]]
+    }
+    mask = [i in bits for i in range(int(nbits))]
+    mask_df = spark.createDataFrame([(mask,)], "`__mask` array<boolean>")
+
+    csh = corpus.select(
+        F.col(id_col),
+        F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle"),
+    )
+    cand = (
+        csh.crossJoin(F.broadcast(mask_df))
+        .filter(
+            F.forall(
+                bloom_bits(F.col("shingle"), nhash, nbits),
+                lambda b: F.element_at(F.col("__mask"), b + 1),
+            )
+        )
+        .drop("__mask")
+    )
+    return (
+        cand.join(F.broadcast(bsh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
