@@ -1573,6 +1573,68 @@ def q_decontaminate_bloom(spark, sf_dir):
     return contaminated_docs_bloom(corpus, bench, k=3)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty vs the standing corpus
+    (dedup.py:ngram_novelty): sequences with doc_id % 37 == 0 play the
+    new batch, every other sequence is the corpus; each new doc gets
+    the fraction of its distinct 3-token shingles the corpus has never
+    seen. Plan shape: corpus collapses once to its distinct-shingle
+    index, ONE equi-join on the shingle key, partial-aggregatable
+    per-doc counts — neither side broadcast (the reference set is the
+    full corpus, not a tiny eval suite)."""
+    from traval_spark.operators.dedup import ngram_novelty
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    new = s.filter(F.col("doc_id") % 37 == 0)
+    corpus = s.filter(F.col("doc_id") % 37 != 0)
+    return ngram_novelty(new, corpus, k=3)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Token-frequency coverage curve (text.py:vocab_coverage): the
+    cumulative corpus fraction covered by the r most frequent token
+    ids, top 100 ranks — the pre-migration read for vocab sizing. One
+    explode+groupBy over raw; the ranking window runs over the
+    vocab-bounded count frame only."""
+    from traval_spark.operators.text import vocab_coverage
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    return vocab_coverage(s, top_n=100)
+
+
+def q_stratified_split(spark, sf_dir):
+    """Exact-count stratified holdout (sampling.py:stratified_holdout):
+    per source, exactly ceil(0.02 * n) docs labeled 'val' by smallest
+    hash_uniform(seed=7), the rest 'train' — quota-exact where
+    split_assign is binomial. Two-phase salted top-k, no
+    one-task-per-group sort."""
+    from traval_spark.operators.sampling import stratified_holdout
+
+    d = _docs(spark, sf_dir)
+    out = stratified_holdout(d, 0.02, by="source", id_col="doc_id",
+                             seed=7)
+    return out.select("doc_id", "source", "split")
+
+
+def q_slo_burn(spark, sf_dir):
+    """Multi-window SLO burn-rate alerting (monitor.py:slo_burn):
+    hourly error-ratio burn vs a 0.1 error budget, alert only when the
+    1h AND the trailing-6h burn both exceed 2x — the SRE multiwindow
+    rule. Raw scanned once into buckets; the trailing window runs on
+    the calendar-bounded bucket frame."""
+    from traval_spark.operators.monitor import slo_burn
+
+    ev = _events(spark, sf_dir)
+    return slo_burn(
+        ev,
+        is_error=F.col("event_type") == "error",
+        budget=0.1,
+        window="1h",
+        long_windows=6,
+        threshold=2.0,
+    )
+
+
 def q_remap_tokens(spark, sf_dir):
     """Tokenizer migration: every id through a dense old->new table
     (here new = (old*7+3) mod V with the top 257 ids retired ->
@@ -2581,6 +2643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_incremental": q_span_incremental,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "ngram_novelty": q_ngram_novelty,
+        "vocab_coverage": q_vocab_coverage,
+        "stratified_split": q_stratified_split,
+        "slo_burn": q_slo_burn,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
@@ -4391,6 +4457,60 @@ def oracle_sql() -> dict[str, str]:
     from c join b using (shingle) group by 1
     """
     sql["decontaminate_bloom"] = sql["decontaminate"]
+    sql["ngram_novelty"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    s as (select doc_id, {_TOK_SHINGLES} sh from t),
+    c as (select distinct unnest(sh) AS shingle from s
+          where doc_id % 37 <> 0),
+    n as (select doc_id, unnest(sh) AS shingle from s
+          where doc_id % 37 = 0)
+    select n.doc_id,
+           count(*) AS n_grams,
+           count(c.shingle) AS n_seen,
+           round(1.0 - count(c.shingle) * 1.0 / count(*), 6) AS novelty
+    from n left join c using (shingle)
+    group by 1
+    """
+    sql["vocab_coverage"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    occ as (select unnest(tk) AS token from t),
+    c as (select token, count(*) AS cnt from occ group by 1),
+    tot as (select sum(cnt) AS s from c),
+    r as (select token, cnt,
+            row_number() over (order by cnt desc, token) AS rank,
+            sum(cnt) over (order by cnt desc, token
+                           rows between unbounded preceding
+                           and current row) AS cum
+          from c)
+    select CAST(rank AS INT) AS rank, token, cnt,
+           round(cum * 1.0 / (select s from tot), 9) AS cum_frac
+    from r where rank <= 100
+    """
+    sql["slo_burn"] = """
+    with b as (
+      select cast(floor(epoch_us(ts) / 3600000000) AS bigint)
+               * 3600000000 AS bus,
+             count(*) AS n_total,
+             sum(case when event_type = 'error' then 1 else 0 end)
+               AS n_err
+      from events group by 1),
+    w as (select bus, n_total, n_err,
+            sum(n_total) over (order by bus
+              range between 18000000000 preceding and current row)
+              AS lt,
+            sum(n_err) over (order by bus
+              range between 18000000000 preceding and current row)
+              AS le
+          from b)
+    select n_total, CAST(n_err AS BIGINT) AS n_err,
+           round(n_err * 1.0 / n_total / 0.1, 9) AS burn_short,
+           round(le * 1.0 / lt / 0.1, 9) AS burn_long,
+           CAST(case when round(n_err * 1.0 / n_total / 0.1, 9) > 2.0
+                      and round(le * 1.0 / lt / 0.1, 9) > 2.0
+                     then 1 else 0 end AS INT) AS alert,
+           make_timestamp(bus) AS window_start
+    from w
+    """
     _HU = ("cast(('0x' || substr(md5({seed} || '|' || CAST(doc_id AS VARCHAR"
            ")), 1, 8)) as bigint) / 4294967296.0")
     _mix_case = "case " + " ".join(
@@ -4659,6 +4779,17 @@ def oracle_sql() -> dict[str, str]:
                    order by {_HU.format(seed=3)}, doc_id) AS rn
                from documents)
     select doc_id, source from r where rn <= 5
+    """
+    sql["stratified_split"] = f"""
+    with r as (select doc_id, source,
+                 row_number() over (partition by source
+                   order by {_HU.format(seed=7)}, doc_id) AS rn,
+                 count(*) over (partition by source) AS n
+               from documents)
+    select doc_id, source,
+           case when rn <= ceil(n * 0.02) then 'val' else 'train' end
+             AS split
+    from r
     """
     sql["weighted_sample"] = f"""
     with r as (select doc_id, source,

@@ -119,7 +119,7 @@ def main() -> None:
         "change_points", "trend_slope",
         "ewma_daily", "holt_daily", "xcorr_lags", "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
-        "key_skew",
+        "key_skew", "slo_burn",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "sliding_from_tier", "pad_sequences",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
@@ -131,9 +131,11 @@ def main() -> None:
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
         "token_dedup_exact", "token_lsh_pairs", "dup_spans", "trim_spans",
         "span_coverage", "span_incremental",
-        "decontaminate", "decontaminate_bloom", "pack_assign", "pack_payloads",
+        "decontaminate", "decontaminate_bloom", "ngram_novelty",
+        "pack_assign", "pack_payloads",
         "curate", "curate_tokens", "epoch_upsample", "token_budget",
-        "weighted_sample", "temperature_mix",
+        "weighted_sample", "temperature_mix", "stratified_split",
+        "vocab_coverage",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
         "semantic_keep",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -903,6 +903,40 @@ def test_contaminated_docs_clean_corpus_empty(spark):
     assert contaminated_docs(corpus, bench, k=3).count() == 0
 
 
+def test_ngram_novelty_exact_fractions(spark):
+    from traval_spark.operators.dedup import ngram_novelty, token_shingles
+
+    corpus = spark.createDataFrame(
+        [("c0", [1, 2, 3, 4, 5])], "doc_id string, tokens array<int>"
+    )
+    new = spark.createDataFrame(
+        [
+            ("n_full", [1, 2, 3, 4, 5]),   # every shingle seen
+            ("n_half", [1, 2, 3, 9, 9]),   # 1 of 3 shingles seen
+            ("n_new", [7, 8, 9, 10]),      # nothing seen
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(new, corpus, k=3).collect()}
+    assert got["n_full"]["n_grams"] == 3 and got["n_full"]["novelty"] == 0.0
+    assert got["n_half"]["n_seen"] == 1
+    assert got["n_half"]["novelty"] == round(1 - 1 / 3, 6)
+    assert got["n_new"]["n_seen"] == 0 and got["n_new"]["novelty"] == 1.0
+    # persisted-index path: identical output from a shingle frame
+    idx = corpus.select(
+        F.explode(token_shingles(F.col("tokens"), 3)).alias("shingle")
+    ).distinct()
+    got2 = {
+        r["doc_id"]: r
+        for r in ngram_novelty(
+            new, idx, k=3, corpus_is_shingles=True
+        ).collect()
+    }
+    for k in got:
+        assert got[k]["novelty"] == got2[k]["novelty"]
+        assert got[k]["n_seen"] == got2[k]["n_seen"]
+
+
 def test_token_repetition_fraction_exact_values(spark):
     from traval_spark.operators.text import token_repetition_fraction
 
@@ -922,6 +956,75 @@ def test_token_repetition_fraction_exact_values(spark):
     assert got["period_two"] == 0.5   # bigrams 1-2,2-1,1-2,2-1 -> 2/4 repeats
     assert got["single"] == 0.0
     assert got["null_tokens"] is None
+
+
+def test_vocab_coverage_hand_values(spark):
+    from traval_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("a", [1, 1, 2]), ("b", [1, 3])],
+        "doc_id string, tokens array<int>",
+    )
+    rows = {r["rank"]: r for r in vocab_coverage(df, top_n=10).collect()}
+    # counts: 1 -> 3, 2 -> 1, 3 -> 1; total 5; ties by token id
+    assert rows[1]["token"] == 1 and rows[1]["cnt"] == 3
+    assert rows[1]["cum_frac"] == 0.6
+    assert rows[2]["token"] == 2 and rows[2]["cum_frac"] == 0.8
+    assert rows[3]["token"] == 3 and rows[3]["cum_frac"] == 1.0
+
+
+def test_stratified_holdout_exact_quotas(spark):
+    from traval_spark.operators.sampling import stratified_holdout
+
+    rows = [(f"a{i}", "A") for i in range(10)] + [
+        (f"b{i}", "B") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = stratified_holdout(df, 0.25, by="source", id_col="doc_id")
+    got = out.groupBy("source", "split").count().collect()
+    c = {(r["source"], r["split"]): r["count"] for r in got}
+    # ceil(10 * 0.25) = 3 val in A, ceil(3 * 0.25) = 1 val in B
+    assert c[("A", "val")] == 3 and c[("A", "train")] == 7
+    assert c[("B", "val")] == 1 and c[("B", "train")] == 2
+    # deterministic and identical to the single-window legacy plan
+    legacy = stratified_holdout(
+        df, 0.25, by="source", id_col="doc_id", salt_buckets=None
+    )
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in legacy.collect()}
+    assert a == b
+
+
+def test_slo_burn_multiwindow_rule(spark):
+    import datetime as dt
+
+    from traval_spark.operators.monitor import slo_burn
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # hour 0: 10 events, 5 errors -> burn_short 5.0 (budget 0.1)
+    for i in range(10):
+        rows.append((t0 + dt.timedelta(minutes=i), i < 5))
+    # hour 1: 10 events, 0 errors -> burn_short 0, but trailing
+    # 2-bucket burn = 5/20/0.1 = 2.5 -> long alone must NOT alert
+    for i in range(10):
+        rows.append((t0 + dt.timedelta(hours=1, minutes=i), False))
+    df = spark.createDataFrame(rows, "ts timestamp, is_err boolean")
+    out = {
+        r["window_start"].hour: r
+        for r in slo_burn(
+            df,
+            is_error=F.col("is_err"),
+            budget=0.1,
+            window="1h",
+            long_windows=2,
+            threshold=2.0,
+        ).collect()
+    }
+    assert out[0]["burn_short"] == 5.0 and out[0]["burn_long"] == 5.0
+    assert out[0]["alert"] == 1
+    assert out[1]["burn_short"] == 0.0 and out[1]["burn_long"] == 2.5
+    assert out[1]["alert"] == 0  # short window already recovered
 
 
 def test_sampling_determinism_and_mixture(spark):

@@ -1125,3 +1125,57 @@ def contaminated_docs_bloom(
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+
+
+def ngram_novelty(
+    new_seqs: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    corpus_is_shingles: bool = False,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY of a new batch against a standing
+    corpus: the fraction of each new sequence's DISTINCT k-token
+    shingles that appear nowhere in the corpus — the continuous
+    data-value / memorization read next to :func:`contaminated_docs`'
+    binary leak flag (novelty 0 = the doc adds no unseen k-grams;
+    novelty 1 = entirely unseen text). Returns
+    (id, n_grams, n_seen, novelty), one row per new doc with >= 1
+    shingle.
+
+    Shape for 100 TB: the corpus collapses ONCE to its distinct-shingle
+    index (pass ``corpus_is_shingles=True`` to hand in a persisted
+    index frame with a ``shingle`` column — the append-only
+    :func:`token_gram_index` pattern, so a daily ingest never
+    re-shingles the corpus). The join is a plain equi-join on the
+    fixed-width shingle key: both sides shuffle by shingle once, the
+    per-doc aggregate is partial-aggregatable. No broadcast assumption
+    on either side — unlike decontamination, the reference set here is
+    the full corpus.
+    """
+    if corpus_is_shingles:
+        ish = corpus.select("shingle").distinct()
+    else:
+        ish = corpus.select(
+            F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle")
+        ).distinct()
+    nsh = new_seqs.select(
+        F.col(id_col),
+        F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle"),
+    )
+    hit = ish.withColumn("__seen", F.lit(1))
+    return (
+        nsh.join(hit, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__seen").alias("n_seen"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.lit(1.0) - F.col("n_seen") / F.col("n_grams"), 6
+            ),
+        )
+    )

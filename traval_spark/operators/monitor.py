@@ -836,3 +836,75 @@ def psi_from_hists(
             F.round(F.sum(term), ndigits).alias("psi"),
         )
     )
+
+
+def slo_burn(
+    df: DataFrame,
+    is_error,
+    budget: float = 0.01,
+    window: str = "1h",
+    long_windows: int = 6,
+    threshold: float = 2.0,
+    by: tuple[str, ...] = (),
+    ts: str = "ts",
+) -> DataFrame:
+    """Multi-window SLO error-budget burn-rate alerting (the SRE
+    multiwindow rule): per short bucket, ``burn_short`` = error ratio /
+    ``budget``; ``burn_long`` = the TRAILING ``long_windows``-bucket
+    error ratio / budget; an alert fires only when BOTH exceed
+    ``threshold`` — the long window keeps one-bucket blips silent, the
+    short window ends the alert as soon as the burn actually stops.
+
+    Output: ``*by, window_start, n_total, n_err, burn_short,
+    burn_long, alert`` (int 0/1).
+
+    Scale shape: raw events are scanned ONCE into short buckets (one
+    partial-aggregatable groupBy); the trailing window is a
+    ``rangeBetween`` over bucket epoch micros on the BUCKET frame —
+    whose size is bounded by the calendar (time range / window width)
+    per series, never by event volume — so sparse buckets need no
+    zero-fill spine (absent buckets contribute nothing, exactly the
+    trailing-ratio semantics). Burn ratios are exact-integer divisions
+    rounded to 9 dp BEFORE the threshold compare, so a last-ulp
+    disagreement cannot flip an alert row cross-engine (the
+    temperature_mix guard).
+    """
+    gus = gap_micros(window)
+    bus = F.floor(unix_us(F.col(ts)) / F.lit(gus)) * F.lit(gus)
+    b = (
+        df.select(
+            *by,
+            bus.alias("__bus"),
+            F.when(is_error, F.lit(1)).otherwise(F.lit(0)).alias("__e"),
+        )
+        .groupBy(*by, "__bus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("__e").alias("n_err"),
+        )
+    )
+    span = int(long_windows - 1) * gus
+    base = Window.partitionBy(*by) if by else Window.partitionBy()
+    w = base.orderBy(F.col("__bus")).rangeBetween(-span, 0)
+    burn_s = F.round(
+        F.col("n_err") / F.col("n_total") / F.lit(float(budget)), 9
+    )
+    burn_l = F.round(
+        F.sum("n_err").over(w)
+        / F.sum("n_total").over(w)
+        / F.lit(float(budget)),
+        9,
+    )
+    return (
+        b.withColumn("burn_short", burn_s)
+        .withColumn("burn_long", burn_l)
+        .withColumn(
+            "alert",
+            (
+                (F.col("burn_short") > F.lit(float(threshold)))
+                & (F.col("burn_long") > F.lit(float(threshold)))
+            ).cast("int"),
+        )
+        .withColumn("window_start", F.timestamp_micros(F.col("__bus")))
+        .drop("__bus")
+    )

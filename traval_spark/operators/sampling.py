@@ -343,3 +343,72 @@ def temperature_mix(
         .filter(hash_uniform(F.col(id_col), seed) < F.col("__f"))
         .drop("__f")
     )
+
+
+def stratified_holdout(
+    df: DataFrame,
+    frac: float,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    salt_buckets: int | None = 32,
+) -> DataFrame:
+    """Exact-count stratified holdout: per group, EXACTLY
+    ``ceil(frac * n_g)`` rows labeled ``'val'`` (the k_g smallest
+    :func:`hash_uniform` draws, ties by id), everything else
+    ``'train'`` — the eval-set split for when :func:`split_assign`'s
+    hash-Bernoulli binomial jitter is not acceptable because every
+    stratum must hit its quota exactly. Deterministic in (id, seed):
+    retries and backfills land identical splits.
+
+    Scale shape: group quotas come from ONE partial-aggregatable
+    groupBy-count broadcast back onto the rows; candidate selection
+    rides the same two-phase salted top-k as
+    :func:`sample_k_per_group`, generalized to a per-group k — phase 1
+    bounds each (group, salt) bucket to its group's k_g, phase 2
+    resolves the <= salt_buckets * k_g survivors. The label lands via a
+    left join of the val-id set onto the unfiltered input. Design
+    point is the HOLDOUT regime (frac small, so k_g rows per group fit
+    one task in phase 2); for large fractions use ``split_assign``.
+    ``ceil`` runs on the same IEEE double product in Spark and the SQL
+    oracle, so quota boundaries cannot drift cross-engine.
+    """
+    cnt = df.groupBy(by).agg(
+        F.ceil(F.count(F.lit(1)) * F.lit(float(frac)))
+        .cast("int")
+        .alias("__k")
+    )
+    cand = (
+        df.select(by, id_col)
+        .withColumn("__u", hash_uniform(F.col(id_col), seed))
+        .join(F.broadcast(cnt), by)
+    )
+    if salt_buckets and int(salt_buckets) > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets)))
+        w1 = Window.partitionBy(by, "__salt").orderBy(
+            F.col("__u").asc(), F.col(id_col).asc()
+        )
+        cand = (
+            cand.withColumn("__salt", salt)
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= F.col("__k"))
+            .drop("__rn1", "__salt")
+        )
+    w = Window.partitionBy(by).orderBy(
+        F.col("__u").asc(), F.col(id_col).asc()
+    )
+    val = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__k"))
+        .select(F.col(id_col).alias("__vid"))
+    )
+    return (
+        df.join(val, F.col(id_col) == F.col("__vid"), "left")
+        .withColumn(
+            "split",
+            F.when(F.col("__vid").isNotNull(), F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop("__vid")
+    )

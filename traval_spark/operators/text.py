@@ -510,3 +510,46 @@ def pad_sequences(
         F.when(isnull, F.lit(None)).otherwise(n.cast("int"))
         .alias("n_real"),
     )
+
+
+def vocab_coverage(
+    seqs: DataFrame,
+    tokens_col: str = "tokens",
+    top_n: int = 100,
+) -> DataFrame:
+    """Token-frequency coverage curve: for each frequency rank r (ties
+    broken by token id), the cumulative fraction of ALL token
+    occurrences covered by the r most frequent tokens — the read that
+    answers "what vocab size covers 99% of this corpus?" before a
+    tokenizer migration (:func:`remap_tokens`) or vocab truncation.
+    Returns ``top_n`` rows (rank, token, cnt, cum_frac).
+
+    Scale shape: ONE explode -> groupBy(token) with map-side combine —
+    the only pass over raw occurrences; its output is vocab-bounded, so
+    the ranking window and the cumulative sum run over <= V rows (a
+    tier-scale frame, not a data-scale one; the single-partition window
+    is bounded by the vocabulary, not the corpus). ``cum_frac`` is a
+    ratio of exact integer counts, rounded to 9 dp so the one double
+    division is engine-identical.
+    """
+    cnt = (
+        seqs.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    w = Window.orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = cnt.agg(F.sum("cnt").alias("__tot"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(wsum))
+        .filter(F.col("rank") <= int(top_n))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.round(F.col("cum") / F.col("__tot"), 9).alias("cum_frac"),
+        )
+    )
