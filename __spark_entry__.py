@@ -1590,6 +1590,36 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(new, corpus, k=3)
 
 
+def q_gram_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (dedup.py:gram_growth): doc_id % 10
+    plays the ingest-cohort axis; per cohort, the count of 3-token
+    shingles first seen there plus the running distinct-gram total.
+    One explode + partial-aggregatable groupBy-min over the gram
+    domain; the cumulative pass runs on the 10-row cohort frame."""
+    from traval_spark.operators.dedup import gram_growth
+
+    s = _seqs_from(_docs(spark, sf_dir)).withColumn(
+        "cohort", (F.col("doc_id") % 10).cast("int")
+    )
+    return gram_growth(s, cohort_col="cohort", k=3)
+
+
+def q_burst_dedup(spark, sf_dir):
+    """At-least-once ingest cleanup (rollup.py:burst_dedup): same
+    (user, event_type) events within 1d-gap bursts collapse to the
+    burst's first event + dropped-duplicate count — the
+    fresh-id retry shape exact id-dedup can't catch. Native
+    session_window (streaming-ready, transitive bursts); oracle is the
+    classic lag + running-sum session formulation."""
+    from traval_spark.rollup import burst_dedup
+
+    return burst_dedup(
+        _events(spark, sf_dir),
+        key_cols=("user_id", "event_type"),
+        gap="1d",
+    )
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Token-frequency coverage curve (text.py:vocab_coverage): the
     cumulative corpus fraction covered by the r most frequent token
@@ -2647,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "stratified_split": q_stratified_split,
         "slo_burn": q_slo_burn,
+        "gram_growth": q_gram_growth,
+        "burst_dedup": q_burst_dedup,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
@@ -4470,6 +4502,39 @@ def oracle_sql() -> dict[str, str]:
            round(1.0 - count(c.shingle) * 1.0 / count(*), 6) AS novelty
     from n left join c using (shingle)
     group by 1
+    """
+    sql["gram_growth"] = f"""
+    with t as (select doc_id, {_TOKSEQ} tk from documents),
+    s as (select CAST(doc_id % 10 AS INT) AS cohort,
+                 {_TOK_SHINGLES} sh from t),
+    occ as (select cohort, unnest(sh) AS shingle from s),
+    first as (select shingle, min(cohort) AS cohort from occ group by 1),
+    g as (select cohort, count(*) AS new_grams from first group by 1)
+    select cohort, new_grams,
+           CAST(sum(new_grams) over (order by cohort
+             rows between unbounded preceding and current row)
+             AS BIGINT) AS vocab_size
+    from g
+    """
+    sql["burst_dedup"] = """
+    with e as (select user_id, event_type, ts, event_id,
+                      case when epoch_us(ts) - epoch_us(lag(ts) over
+                             (partition by user_id, event_type
+                              order by ts, event_id)) > 86400000000
+                           then 1 else 0 end AS ns
+               from events),
+    s as (select user_id, event_type, ts, event_id,
+                 sum(ns) over (partition by user_id, event_type
+                               order by ts, event_id
+                               rows unbounded preceding) AS sid
+          from e)
+    select user_id, event_type,
+           min(ts) AS first_ts,
+           arg_min(event_id,
+                   printf('%020d|%020d', epoch_us(ts), event_id))
+             AS first_ident,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    from s group by user_id, event_type, sid
     """
     sql["vocab_coverage"] = f"""
     with t as (select doc_id, {_TOKSEQ} tk from documents),

@@ -112,7 +112,8 @@ def main() -> None:
         "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
         "hist_quantiles_1h",
         "dds_quantiles_1h", "toptok_1h",
-        "sessionize", "interval_events", "interval_overlaps", "asof_join",
+        "sessionize", "burst_dedup", "interval_events", "interval_overlaps",
+        "asof_join",
         "funnel", "cohort_retention",
         "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
         "seasonal_profile", "seasonal_anomaly", "zorder_key",
@@ -132,6 +133,7 @@ def main() -> None:
         "token_dedup_exact", "token_lsh_pairs", "dup_spans", "trim_spans",
         "span_coverage", "span_incremental",
         "decontaminate", "decontaminate_bloom", "ngram_novelty",
+        "gram_growth",
         "pack_assign", "pack_payloads",
         "curate", "curate_tokens", "epoch_upsample", "token_budget",
         "weighted_sample", "temperature_mix", "stratified_split",

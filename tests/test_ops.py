@@ -958,6 +958,54 @@ def test_token_repetition_fraction_exact_values(spark):
     assert got["null_tokens"] is None
 
 
+def test_gram_growth_first_seen_only(spark):
+    from traval_spark.operators.dedup import gram_growth
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, [1, 2, 3, 4]),       # grams "1 2 3", "2 3 4"
+            ("b", 1, [2, 3, 4, 5]),       # "2 3 4" seen, "3 4 5" new
+            ("c", 1, [1, 2, 3]),          # all seen in cohort 0
+        ],
+        "doc_id string, cohort int, tokens array<int>",
+    )
+    got = {r["cohort"]: r for r in gram_growth(df, "cohort", k=3).collect()}
+    assert got[0]["new_grams"] == 2 and got[0]["vocab_size"] == 2
+    assert got[1]["new_grams"] == 1 and got[1]["vocab_size"] == 3
+
+
+def test_burst_dedup_transitive_and_deterministic(spark):
+    import datetime as dt
+
+    from traval_spark.rollup import burst_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # chained burst: 0m, 4m, 8m with 5m gap -> ONE burst (transitive)
+        (1, "click", t0, 103),
+        (1, "click", t0 + 4 * m, 101),
+        (1, "click", t0 + 8 * m, 102),
+        # isolated event 20m later -> own row
+        (1, "click", t0 + 20 * m, 104),
+        # equal-ts tie: keep the smaller ident
+        (2, "view", t0, 202),
+        (2, "view", t0, 201),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp, event_id int"
+    )
+    got = sorted(
+        burst_dedup(df, gap="5m").collect(),
+        key=lambda r: (r["user_id"], r["first_ts"]),
+    )
+    assert len(got) == 3
+    burst, lone, tie = got[0], got[1], got[2]
+    assert burst["first_ident"] == 103 and burst["n_dropped"] == 2
+    assert lone["first_ident"] == 104 and lone["n_dropped"] == 0
+    assert tie["first_ident"] == 201 and tie["n_dropped"] == 1
+
+
 def test_vocab_coverage_hand_values(spark):
     from traval_spark.operators.text import vocab_coverage
 

@@ -1179,3 +1179,36 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def gram_growth(
+    seqs: DataFrame,
+    cohort_col: str = "cohort",
+    k: int = 3,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) read: per ingest cohort (day,
+    batch, dump...), how many distinct k-token shingles appear for the
+    FIRST time in that cohort, plus the running distinct-gram total —
+    the curve that says whether a corpus is still contributing new
+    text or re-crawling what the model has already seen (the
+    corpus-level twin of :func:`ngram_novelty`'s per-doc score).
+    Returns (cohort, new_grams, vocab_size) ordered facts.
+
+    Scale shape: ONE explode -> groupBy(shingle).min(cohort) — the
+    first-seen reduction is partial-aggregatable (min composes), so
+    the gram domain shuffles once; the per-cohort count and running
+    sum then run on the cohort frame, whose size is the number of
+    ingest batches, not the data."""
+    occ = seqs.select(
+        F.col(cohort_col).alias("cohort"),
+        F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle"),
+    )
+    first = occ.groupBy("shingle").agg(F.min("cohort").alias("cohort"))
+    g = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("new_grams")
+    )
+    w = Window.orderBy("cohort").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.withColumn("vocab_size", F.sum("new_grams").over(w))

@@ -386,3 +386,47 @@ def sliding_from_tier(
     return expanded.groupBy("source", "window_start").agg(
         *_agg_exprs_cascade()
     )
+
+
+def burst_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    ident_col: str = "event_id",
+    gap: str = "5m",
+) -> DataFrame:
+    """At-least-once ingest cleanup: collapse every burst of same-key
+    events whose consecutive gaps stay <= ``gap`` into ONE row — the
+    burst's first event (min over (ts, ident), deterministic under
+    equal timestamps) plus how many duplicates were dropped. The
+    retry/duplicate-delivery shape exact id-dedup cannot catch: a
+    producer re-sends the same logical event seconds later under a
+    fresh event_id.
+
+    Built on the native ``session_window`` merging state machine (same
+    as :func:`session_rollup`, so the operator is streaming-ready and
+    the burst definition is transitive: A..B <= gap and B..C <= gap
+    chain into one burst even when A..C > gap). Returns
+    (*key_cols, first_ts, first_ident, n_dropped).
+    """
+    from traval_spark.functions.ts import gap_micros
+
+    g_us = gap_micros(gap)
+    df = ensure_ntz(df, ts_col)
+    first = F.min(
+        F.struct(F.col(ts_col).alias("t"), F.col(ident_col).alias("i"))
+    ).alias("__f")
+    return (
+        df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .groupBy(
+            *key_cols,
+            F.session_window(F.col("__ts"), f"{g_us} microseconds"),
+        )
+        .agg(first, (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"))
+        .select(
+            *key_cols,
+            F.col("__f.t").alias("first_ts"),
+            F.col("__f.i").alias("first_ident"),
+            "n_dropped",
+        )
+    )
