@@ -653,6 +653,23 @@ def q_hist_quantiles_1h(spark, sf_dir):
     return hist_quantiles(t1h, qs=[0.5, 0.95], scale=100)
 
 
+def q_trimmed_mean_1h(spark, sf_dir):
+    """Tier-served robust aggregate (hist.py:hist_trimmed_mean): the
+    exact 10%-symmetric trimmed mean per (source, 1h bucket) computed
+    from the SAME cascaded 1m->1h histogram tier the quantile read
+    uses — rank cuts resolved by integer arithmetic on cumulative bin
+    counts, raw never re-sorted. Oracle is the independent row-level
+    formulation (row_number trim over raw values)."""
+    from traval_spark.hist import hist_cascade, hist_tier, hist_trimmed_mean
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    t1h = hist_cascade(hist_tier(src, "1m", scale=100), "1h")
+    return hist_trimmed_mean(t1h, alpha=0.1, scale=100)
+
+
 def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
@@ -2022,6 +2039,43 @@ def q_tier_routed(spark, sf_dir):
     )
 
 
+def q_contract_check(spark, sf_dir):
+    """Data-contract gate (operators/contract.py): the dbt-test family
+    over the warehouse tables in minimum scans — all row-level orders
+    predicates in ONE aggregate scan (not-null, accepted enum, range,
+    a deliberately tight price cap that actually fires), key
+    uniqueness as count minus count-distinct, and lineitem->orders
+    referential integrity as one left-anti join. Long-form
+    (check, n_violations) report."""
+    from traval_spark.operators.contract import (
+        column_checks,
+        contract_report,
+        fk_check,
+        unique_check,
+    )
+
+    o = _tpch(spark, sf_dir, "orders")
+    li = _tpch(spark, sf_dir, "lineitem")
+    parts = [
+        column_checks(
+            o,
+            {
+                "orders_custkey_not_null": F.col("o_custkey").isNotNull(),
+                "orders_status_accepted": F.col("o_orderstatus").isin(
+                    "O", "F", "P"
+                ),
+                "orders_price_positive": F.col("o_totalprice") > 0,
+                "orders_price_cap_300k": F.col("o_totalprice") <= 300000,
+            },
+        ),
+        unique_check(o, ("o_orderkey",), "orders_key_unique"),
+        fk_check(
+            li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_fk"
+        ),
+    ]
+    return contract_report(parts)
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem: single-scan groupBy
     with partial aggregation; sums rounded for cross-engine float-sum
@@ -2679,6 +2733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn": q_slo_burn,
         "gram_growth": q_gram_growth,
         "burst_dedup": q_burst_dedup,
+        "trimmed_mean_1h": q_trimmed_mean_1h,
+        "contract_check": q_contract_check,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
@@ -3075,6 +3131,54 @@ def oracle_sql() -> dict[str, str]:
            quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) / 100.0
                AS p95
     from events where value is not null group by 1, 2
+    """
+    sql["contract_check"] = """
+    select 'orders_custkey_not_null' AS "check",
+           count(*) filter (where o_custkey is null) AS n_violations
+    from orders
+    union all
+    select 'orders_status_accepted',
+           count(*) filter (where not coalesce(
+             o_orderstatus in ('O', 'F', 'P'), true))
+    from orders
+    union all
+    select 'orders_price_positive',
+           count(*) filter (where not coalesce(o_totalprice > 0, true))
+    from orders
+    union all
+    select 'orders_price_cap_300k',
+           count(*) filter (where not coalesce(
+             o_totalprice <= 300000, true))
+    from orders
+    union all
+    select 'orders_key_unique',
+           count(*) - count(distinct o_orderkey)
+    from orders
+    union all
+    select 'lineitem_orderkey_fk',
+           count(*) filter (where not exists (
+             select 1 from orders where o_orderkey = l_orderkey))
+    from lineitem
+    """
+    sql["trimmed_mean_1h"] = """
+    with v as (select event_type AS source,
+                      date_trunc('hour', ts) AS bucket,
+                      CAST(round(value * 100) AS BIGINT) AS bin
+               from events where value is not null),
+    r as (select source, bucket, bin,
+            row_number() over (partition by source, bucket
+                               order by bin) AS rn,
+            count(*) over (partition by source, bucket) AS n
+          from v)
+    select source, bucket, CAST(max(n) AS BIGINT) AS n,
+           round(sum(case when rn > floor(0.1 * n)
+                           and rn <= n - floor(0.1 * n)
+                          then bin end) * 1.0
+                 / sum(case when rn > floor(0.1 * n)
+                             and rn <= n - floor(0.1 * n)
+                            then 1 end)
+                 / 100.0, 9) AS trimmed_mean
+    from r group by 1, 2
     """
     sql["gapfill_ffill"] = """
     with t as (

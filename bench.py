@@ -110,7 +110,7 @@ def main() -> None:
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted", "sliding_rollup",
         "distinct_users_1h", "distinct_users_hll_1h", "cms_point_1h",
         "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
-        "hist_quantiles_1h",
+        "hist_quantiles_1h", "trimmed_mean_1h",
         "dds_quantiles_1h", "toptok_1h",
         "sessionize", "burst_dedup", "interval_events", "interval_overlaps",
         "asof_join",
@@ -146,7 +146,7 @@ def main() -> None:
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
         "tpch_forecast_revenue", "tpch_late_orders", "tpch_priority_lines",
-        "tier_routed",
+        "tier_routed", "contract_check",
     ]
     for name in headline:
         timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))

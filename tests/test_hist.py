@@ -186,3 +186,32 @@ def test_percentile_ranks_no_single_partition_window(spark):
     assert want.exceptAll(got).count() == 0
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_trimmed_mean_hand_case_and_cascade(spark, raw):
+    import datetime as dt
+
+    from traval_spark.hist import hist_trimmed_mean
+
+    # hand case: values 1..10 in one bucket, alpha=0.2 -> drop 2 each
+    # side -> mean(3..8) = 5.5
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("s", t0, float(v)) for v in range(1, 11)],
+        "source string, ts timestamp, n_tok double",
+    )
+    got = hist_trimmed_mean(hist_tier(df, "1h"), alpha=0.2).collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 10 and got[0]["trimmed_mean"] == 5.5
+    # repeated values straddling the cut exercise the partial-bin path:
+    # [1,1,1,1,9,9,9,9], alpha=0.25 -> drop 2 each side -> mean = 5.0
+    df2 = spark.createDataFrame(
+        [("s", t0, float(v)) for v in [1, 1, 1, 1, 9, 9, 9, 9]],
+        "source string, ts timestamp, n_tok double",
+    )
+    got2 = hist_trimmed_mean(hist_tier(df2, "1h"), alpha=0.25).collect()
+    assert got2[0]["trimmed_mean"] == 5.0
+    # the read composes through the cascade: 1m->1h tier == direct 1h
+    a = hist_trimmed_mean(hist_cascade(hist_tier(raw, "1m"), "1h"))
+    b = hist_trimmed_mean(hist_tier(raw, "1h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -958,6 +958,50 @@ def test_token_repetition_fraction_exact_values(spark):
     assert got["null_tokens"] is None
 
 
+def test_contract_checks_counts_and_null_semantics(spark):
+    from traval_spark.operators.contract import (
+        column_checks,
+        contract_report,
+        fk_check,
+        unique_check,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (1, "O", 10.0),
+            (2, "X", -5.0),     # bad enum, bad range
+            (3, None, None),    # NULL enum passes accepted; NULL range passes
+            (1, "F", 20.0),     # duplicate key
+            (None, "P", 30.0),  # null key: not_null fires; unique ignores? no
+        ],
+        "k int, status string, price double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    rep = contract_report(
+        [
+            column_checks(
+                t,
+                {
+                    "k_not_null": F.col("k").isNotNull(),
+                    "status_accepted": F.col("status").isin("O", "F", "P"),
+                    "price_positive": F.col("price") > 0,
+                },
+            ),
+            unique_check(t, ("k",), "k_unique"),
+            fk_check(t, "k", parent, "pk", "k_fk"),
+        ]
+    )
+    got = {r["check"]: r["n_violations"] for r in rep.collect()}
+    assert got["k_not_null"] == 1
+    # NULL status is not a FALSE predicate -> passes accepted_values
+    assert got["status_accepted"] == 1
+    assert got["price_positive"] == 1
+    # 5 rows, distinct keys {1, 2, 3, NULL} -> 1 duplicate row
+    assert got["k_unique"] == 1
+    # keys 3 (no parent) and NULL (unresolvable) violate the fk
+    assert got["k_fk"] == 2
+
+
 def test_gram_growth_first_seen_only(spark):
     from traval_spark.operators.dedup import gram_growth
 

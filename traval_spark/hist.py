@@ -357,3 +357,56 @@ def percentile_ranks(
     cond = [df[c].eqNullSafe(r[f"__r_{c}"]) for c in keys]
     joined = df.join(F.broadcast(r), cond)
     return joined.drop(*[f"__r_{c}" for c in keys])
+
+
+def hist_trimmed_mean(
+    hist_df: DataFrame,
+    alpha: float = 0.1,
+    scale: int = 1,
+) -> DataFrame:
+    """Exact symmetric trimmed mean per (source, bucket) served STRAIGHT
+    from a histogram tier: drop the ``floor(alpha * n)`` smallest and
+    largest occurrences by rank and average the rest — the robust
+    location estimate that normally needs a per-bucket sort of raw
+    values, recovered EXACTLY from tier state because the bins are a
+    lossless discretization of the domain.
+
+    Per bin with cumulative range (cum - cnt, cum], the included
+    multiplicity inside rank window (lo, hi] is
+    ``max(0, min(cum, hi) - max(cum - cnt, lo))`` — pure integer
+    arithmetic on cumulative counts: one window pass + one groupBy on
+    the TIER frame (raw is never re-scanned, and the read composes
+    through any cascade coarsening because counts add). The only
+    double ops are the rank cut ``floor(alpha * n)`` and the final
+    division, both identical IEEE in the SQL oracle. Output
+    (source, bucket, n, trimmed_mean).
+    """
+    w_cum = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source", "bucket")
+    cum = F.sum("cnt").over(w_cum)
+    n = F.sum("cnt").over(w_all)
+    lo = F.floor(F.lit(float(alpha)) * n)
+    hi = n - lo
+    with_cum = hist_df.select(
+        "source", "bucket", "bin", "cnt",
+        cum.alias("__cum"), n.alias("__n"),
+        lo.alias("__lo"), hi.alias("__hi"),
+    )
+    inc = F.greatest(
+        F.lit(0),
+        F.least(F.col("__cum"), F.col("__hi"))
+        - F.greatest(F.col("__cum") - F.col("cnt"), F.col("__lo")),
+    )
+    return with_cum.groupBy("source", "bucket").agg(
+        F.max("__n").alias("n"),
+        F.round(
+            F.sum(F.col("bin") * inc)
+            / (F.max("__hi") - F.max("__lo"))
+            / F.lit(float(scale)),
+            9,
+        ).alias("trimmed_mean"),
+    )
