@@ -1637,6 +1637,27 @@ def q_burst_dedup(spark, sf_dir):
     )
 
 
+def q_recency_budget(spark, sf_dir):
+    """Newest-first token budget (sampling.py:recency_budget): doc_id %
+    30 plays the ingest-day axis (doc_id itself the intra-day clock);
+    src1 capped at its most recent 800 tokens, src3 at 400 (straddling
+    doc kept), every other source whole. Calendar-bounded offset frame
+    + per-(source, day) local cumsum — no global sort, no
+    one-task-per-source window."""
+    from traval_spark.operators.sampling import recency_budget
+
+    s = _seqs_from(_docs(spark, sf_dir)).withColumn(
+        "bucket", (F.col("doc_id") % 30).cast("int")
+    )
+    out = recency_budget(
+        s,
+        {"src1": 800, "src3": 400},
+        bucket_col="bucket",
+        ts_col="doc_id",
+    )
+    return out.select("doc_id", "source", "n_tok", "bucket")
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Token-frequency coverage curve (text.py:vocab_coverage): the
     cumulative corpus fraction covered by the r most frequent token
@@ -2735,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_dedup": q_burst_dedup,
         "trimmed_mean_1h": q_trimmed_mean_1h,
         "contract_check": q_contract_check,
+        "recency_budget": q_recency_budget,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
@@ -4639,6 +4661,22 @@ def oracle_sql() -> dict[str, str]:
              AS first_ident,
            CAST(count(*) - 1 AS BIGINT) AS n_dropped
     from s group by user_id, event_type, sid
+    """
+    sql["recency_budget"] = f"""
+    with t as (select doc_id, source, {_TOKSEQ} tk from documents),
+    s as (select doc_id, source, CAST(len(tk) AS INT) AS n_tok,
+                 CAST(doc_id % 30 AS INT) AS bucket
+          from t where tk is not null),
+    r as (select doc_id, source, n_tok, bucket,
+            coalesce(sum(n_tok) over (partition by source
+              order by bucket desc, doc_id desc
+              rows between unbounded preceding and 1 preceding), 0)
+              AS bf,
+            case source when 'src1' then 800
+                        when 'src3' then 400 end AS b
+          from s)
+    select doc_id, source, n_tok, bucket
+    from r where b is null or bf < b
     """
     sql["vocab_coverage"] = f"""
     with t as (select doc_id, {_TOKSEQ} tk from documents),

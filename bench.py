@@ -137,7 +137,7 @@ def main() -> None:
         "pack_assign", "pack_payloads",
         "curate", "curate_tokens", "epoch_upsample", "token_budget",
         "weighted_sample", "temperature_mix", "stratified_split",
-        "vocab_coverage",
+        "vocab_coverage", "recency_budget",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
         "semantic_keep",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -958,6 +958,30 @@ def test_token_repetition_fraction_exact_values(spark):
     assert got["null_tokens"] is None
 
 
+def test_recency_budget_newest_first_and_straddle(spark):
+    from traval_spark.operators.sampling import recency_budget
+
+    df = spark.createDataFrame(
+        [
+            # (id, source, n_tok, bucket); ts axis = id
+            (1, "A", 10, 1),
+            (2, "A", 10, 2),
+            (3, "A", 5, 2),
+            (4, "A", 10, 0),
+            (5, "B", 99, 0),
+        ],
+        "doc_id int, source string, n_tok int, bucket int",
+    )
+    out = recency_budget(
+        df, {"A": 18}, bucket_col="bucket", ts_col="doc_id"
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # consumption order: bucket 2 (id 3 then 2), bucket 1 (id 1),
+    # bucket 0 (id 4); budget 18 -> 3 and 2 fit (15), 1 straddles
+    # (before=15 < 18, kept), 4 is beyond (before=25, dropped)
+    assert kept == {1, 2, 3, 5}  # B has no budget: kept whole
+
+
 def test_contract_checks_counts_and_null_semantics(spark):
     from traval_spark.operators.contract import (
         column_checks,

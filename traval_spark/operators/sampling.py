@@ -412,3 +412,70 @@ def stratified_holdout(
         )
         .drop("__vid")
     )
+
+
+def recency_budget(
+    seqs: DataFrame,
+    budgets: dict[str, int],
+    bucket_col: str,
+    ts_col: str,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Newest-first per-source token budget ("train on the most recent
+    10B tokens of src0"): documents are consumed in global recency
+    order — (``bucket_col`` desc, ``ts_col`` desc, id) — until the
+    source's budget fills; the straddling document is kept (the same
+    >= budget convention as :func:`token_budget_sample`); sources
+    absent from ``budgets`` are kept whole.
+
+    Scale shape: the corpus never sees a global sort. Per-(source,
+    bucket) token totals aggregate map-side into a CALENDAR-bounded
+    frame; each bucket's newer-than-it cumulative total comes from one
+    window over that tiny frame and joins back as an offset; the
+    intra-bucket running count partitions by (source, bucket). This is
+    the time-partitioned analog of the md5-shard prefix sum — needed
+    because recency is a REAL global order the arbitrary shard
+    decomposition cannot express. Pick the bucket granularity
+    (day / hour) so one (source, bucket) slice fits a task; the
+    operator is deterministic in the data alone (no seed — the order
+    is the timeline)."""
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    base = seqs.filter(F.col(n_tok_col).isNotNull())
+    w_loc = (
+        Window.partitionBy(source_col, bucket_col)
+        .orderBy(F.col(ts_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before_loc = (
+        F.sum(F.col(n_tok_col).cast("long")).over(w_loc)
+        - F.col(n_tok_col)
+    ).cast("long")
+    totals = base.groupBy(source_col, bucket_col).agg(
+        F.sum(F.col(n_tok_col).cast("long")).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        source_col,
+        bucket_col,
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    pairs: list[Column] = []
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"negative budget for {k!r}")
+        pairs += [F.lit(k), F.lit(int(v)).cast("long")]
+    budget = F.create_map(*pairs)[F.col(source_col)]
+    joined = base.withColumn("__before_loc", before_loc).join(
+        offsets, [source_col, bucket_col]
+    )
+    keep = budget.isNull() | (
+        (F.col("__off") + F.col("__before_loc")) < budget
+    )
+    return joined.filter(keep).drop("__before_loc", "__off")
