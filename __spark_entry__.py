@@ -2589,6 +2589,19 @@ def q_percentile_rank(spark, sf_dir):
     return percentile_ranks(d, "n_chars")
 
 
+def q_percentile_rank_grouped(spark, sf_dir):
+    """GROUP-LOCAL percentile rank (hist.py:percentile_ranks, by=lang):
+    each document's length percentile within its own language — the
+    score-calibration step before mixing heterogeneous sources (a raw
+    quality score is not comparable across languages; its within-group
+    percentile is). Same no-global-sort construction, windows now
+    partitioned by the group key; the skewed lang axis exercises it."""
+    from traval_spark.hist import percentile_ranks
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return percentile_ranks(d, "n_chars", by=("lang",))
+
+
 def q_sliding_distinct(spark, sf_dir):
     """Sliding-window distinct users via KMV panes
     (sketch.py:sliding_distinct): pane sketches union into overlapping
@@ -2757,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_1h": q_trimmed_mean_1h,
         "contract_check": q_contract_check,
         "recency_budget": q_recency_budget,
+        "percentile_rank_grouped": q_percentile_rank_grouped,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
@@ -5741,6 +5755,12 @@ def oracle_sql() -> dict[str, str]:
     sql["percentile_rank"] = """
     select doc_id, n_chars,
            cume_dist() over (order by n_chars) AS prank
+    from documents
+    """
+    sql["percentile_rank_grouped"] = """
+    select doc_id, lang, n_chars,
+           cume_dist() over (partition by lang order by n_chars)
+             AS prank
     from documents
     """
     # tier-served sliding == the direct raw sliding definition (same

@@ -1219,3 +1219,54 @@ def test_stream_alerts_latch_carries_across_batches(spark, tmp_path):
         (t(240), 0, 4.0),    # released in file 2 (latch carried)
         (t(300), 1, 60.0),   # re-fired
     ]
+
+
+def test_streaming_burst_dedup_matches_batch(spark, tmp_path):
+    """Streaming burst collapse (watermark + append) == batch
+    burst_dedup for every finalized burst, across a two-file
+    micro-batch split that forces burst merges over the boundary."""
+    import time as _time
+
+    from traval_spark.rollup import burst_dedup
+    from traval_spark.streaming.rollup_stream import stream_burst_dedup
+
+    inp = str(tmp_path / "bdin")
+    out = str(tmp_path / "bdout")
+    ckpt = str(tmp_path / "bdckpt")
+
+    seqs = synth_sequences(spark, 4000, seed=33, span_days=1)
+    mid = "2024-01-01 12:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(inp)
+
+    q = (
+        stream_burst_dedup(spark, inp, gap="10m", watermark="1 minute",
+                           max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out)
+    assert streamed.count() > 0
+
+    batch = burst_dedup(
+        seqs.select("source", "ts", F.col("doc_id").alias("event_id")),
+        key_cols=("source",), ident_col="event_id", gap="10m",
+    )
+
+    # every emitted burst matches its batch twin exactly; only each
+    # source's trailing (watermark-held) burst may be missing
+    j = streamed.alias("s").join(
+        batch.alias("b"), on=["source", "first_ts"], how="left")
+    assert j.filter(F.col("b.n_dropped").isNull()).count() == 0
+    assert j.filter(
+        (F.col("s.first_ident") != F.col("b.first_ident"))
+        | (F.col("s.n_dropped") != F.col("b.n_dropped"))
+    ).count() == 0
+    n_sources = seqs.select("source").distinct().count()
+    assert streamed.count() >= batch.count() - n_sources

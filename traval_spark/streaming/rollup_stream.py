@@ -591,3 +591,49 @@ def stream_m4_1m(
         ),
     )
     return m4_project(out, ["source", "bucket"])
+
+
+def stream_burst_dedup(
+    spark: SparkSession,
+    input_path: str,
+    gap: str = "5m",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming at-least-once ingest cleanup: the SAME session_window
+    burst collapse as the batch :func:`traval_spark.rollup.burst_dedup`
+    (per source, every transitive <=gap burst reduces to its first
+    (ts, doc_id) row + dropped count), run under a watermark so a burst
+    emits once it can no longer grow. Emitted rows are exactly the
+    batch result restricted to watermark-finalized bursts — same
+    contract (and parity test shape) as :func:`stream_sessionize`."""
+    from traval_spark.functions.ts import gap_micros
+
+    g_us = gap_micros(gap)
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "doc_id",
+        )
+    )
+    first = F.min(
+        F.struct(F.col("ts").alias("t"), F.col("doc_id").alias("i"))
+    ).alias("__f")
+    out = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            "source",
+            F.session_window(F.col("ts"), f"{g_us} microseconds"),
+        )
+        .agg(first, (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"))
+    )
+    return out.select(
+        "source",
+        F.col("__f.t").cast("timestamp_ntz").alias("first_ts"),
+        F.col("__f.i").alias("first_ident"),
+        "n_dropped",
+    )
