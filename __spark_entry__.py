@@ -931,6 +931,22 @@ def q_dds_quantiles_1h(spark, sf_dir):
     return dds_quantiles(t1h, qs=[0.5, 0.95], alpha=0.05)
 
 
+def q_dds_rank_1h(spark, sf_dir):
+    """Inverse-quantile read from the DDSketch tier (hist.py:dds_rank):
+    per (source, 1h bucket), the fraction of values <= 50.0 — the SLO
+    attainment dual of the p95 read, served from the SAME cascaded
+    sketch state with one conditional aggregate (threshold binned
+    inside the engine via the shared dds_sign_bin rule)."""
+    from traval_spark.hist import dds_cascade, dds_rank, dds_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    t1h = dds_cascade(dds_tier(src, "1m", value_col="value", alpha=0.05),
+                      "1h")
+    return dds_rank(t1h, 50.0, alpha=0.05)
+
+
 def q_toptok_1h(spark, sf_dir):
     """Per-bucket token heavy hitters served from the HISTOGRAM TIER
     CASCADE: explode token ids into a 1m histogram tier (bin = token id),
@@ -2771,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_check": q_contract_check,
         "recency_budget": q_recency_budget,
         "percentile_rank_grouped": q_percentile_rank_grouped,
+        "dds_rank_1h": q_dds_rank_1h,
         "token_repetition": q_token_repetition,
         "remap_tokens": q_remap_tokens,
         "toptok_1h": q_toptok_1h,
@@ -5340,6 +5357,25 @@ def oracle_sql() -> dict[str, str]:
     group by 1
     """
     _g = (1.0 + 0.05) / (1.0 - 0.05)
+    sql["dds_rank_1h"] = f"""
+    with b as (
+      select event_type AS source, date_trunc('hour', ts) AS bucket,
+             case when value > 0 then 1 when value < 0 then -1
+                  else 0 end AS sign,
+             case when value = 0 then 0
+                  else CAST(ceil(round(ln(abs(value)) / ln({_g!r}), 9))
+                            AS BIGINT) end AS bin
+      from events where value is not null),
+    c as (select source, bucket, sign, bin, count(*) AS cnt
+          from b group by 1, 2, 3, 4)
+    select source, bucket,
+      round(sum(case when sign < 1 or (sign = 1 and bin <=
+                       CAST(ceil(round(ln(50.0) / ln({_g!r}), 9))
+                            AS BIGINT))
+                     then cnt else 0 end) * 1.0 / sum(cnt), 9)
+        AS frac_le
+    from c group by 1, 2
+    """
     sql["dds_quantiles_1h"] = f"""
     with b as (
       select event_type AS source, date_trunc('hour', ts) AS bucket,

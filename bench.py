@@ -111,7 +111,7 @@ def main() -> None:
         "distinct_users_1h", "distinct_users_hll_1h", "cms_point_1h",
         "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
         "hist_quantiles_1h", "trimmed_mean_1h",
-        "dds_quantiles_1h", "toptok_1h",
+        "dds_quantiles_1h", "dds_rank_1h", "toptok_1h",
         "sessionize", "burst_dedup", "interval_events", "interval_overlaps",
         "asof_join",
         "funnel", "cohort_retention",

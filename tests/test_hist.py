@@ -215,3 +215,37 @@ def test_trimmed_mean_hand_case_and_cascade(spark, raw):
     a = hist_trimmed_mean(hist_cascade(hist_tier(raw, "1m"), "1h"))
     b = hist_trimmed_mean(hist_tier(raw, "1h"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dds_rank_gamma_sandwich_and_cascade(spark, raw):
+    from traval_spark.hist import dds_cascade, dds_rank, dds_tier
+
+    alpha = 0.05
+    g = (1 + alpha) / (1 - alpha)
+    v = 137.0
+    t1h = dds_cascade(
+        dds_tier(raw.withColumnRenamed("n_tok", "value"), "1m",
+                 value_col="value", alpha=alpha), "1h")
+    got = {(r["source"], r["bucket"]): r["frac_le"]
+           for r in dds_rank(t1h, v, alpha=alpha).collect()}
+    # every value outside v's own bin is counted exactly, so the read
+    # is sandwiched by the exact ranks one gamma away on either side
+    exact = raw.filter(F.col("n_tok").isNotNull()).groupBy(
+        "source", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        (F.sum(F.when(F.col("n_tok") <= v / g, 1).otherwise(0))
+         / F.count(F.lit(1))).alias("lo"),
+        (F.sum(F.when(F.col("n_tok") <= v * g, 1).otherwise(0))
+         / F.count(F.lit(1))).alias("hi"),
+    ).collect()
+    assert exact
+    for r in exact:
+        fl = got[(r["source"], r["bucket"])]
+        assert r["lo"] - 1e-9 <= fl <= r["hi"] + 1e-9
+    # the read composes through the cascade
+    direct = dds_rank(
+        dds_tier(raw.withColumnRenamed("n_tok", "value"), "1h",
+                 value_col="value", alpha=alpha), v, alpha=alpha)
+    j = dds_rank(t1h, v, alpha=alpha).alias("a").join(
+        direct.alias("b"), ["source", "bucket"])
+    assert j.filter(F.col("a.frac_le") != F.col("b.frac_le")).count() == 0

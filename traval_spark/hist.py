@@ -410,3 +410,39 @@ def hist_trimmed_mean(
             9,
         ).alias("trimmed_mean"),
     )
+
+
+def dds_rank(
+    dds_df: DataFrame,
+    value: float,
+    alpha: float = 0.05,
+    out_col: str = "frac_le",
+) -> DataFrame:
+    """Inverse-quantile (rank) read from a DDSketch tier: per (source,
+    bucket), the fraction of observations <= ``value`` — the dual of
+    :func:`dds_quantiles` ("what share of requests beat the 200ms SLO?"
+    instead of "what is p95?"). Resolved at bin granularity: every
+    observation outside the threshold's own bin is counted exactly;
+    only the boundary bin's mass (relative width alpha) is attributed
+    wholesale, so the answer carries the same relative-error contract
+    as the sketch itself.
+
+    The threshold maps through THE bin definition (:func:`dds_sign_bin`
+    applied to the literal, inside the engine — never a driver-side
+    float that could bin differently), and the read is ONE conditional
+    aggregate over tier state in the sketch's value order
+    (sign asc, sign*bin asc): no raw re-scan, composes through any
+    cascade coarsening. frac_le = integer mass ratio rounded to 9 dp.
+    """
+    sv, bv = dds_sign_bin(F.lit(float(value)), alpha)
+    le = (F.col("sign") < sv) | (
+        (F.col("sign") == sv)
+        & ((F.col("sign") * F.col("bin")) <= (sv * bv))
+    )
+    return dds_df.groupBy("source", "bucket").agg(
+        F.round(
+            F.sum(F.when(le, F.col("cnt")).otherwise(F.lit(0)))
+            / F.sum("cnt"),
+            9,
+        ).alias(out_col)
+    )
