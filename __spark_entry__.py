@@ -2398,6 +2398,23 @@ def q_holt_daily(spark, sf_dir):
     return holt_daily(ev, alpha=0.3, beta=0.1)
 
 
+def q_holt_winters_daily(spark, sf_dir):
+    """Holt-Winters additive seasonal smoothing per (series, day)
+    (monitor.py:holt_winters_daily): flat double-ARRAY accumulator
+    [level, trend, consumed, s_0..s_{m-1}] folded entirely JVM-side;
+    the consumed counter yields each element's seasonal slot inside the
+    fold, and the list accumulator sidesteps DuckDB's in-place
+    struct-field mutation so the oracle's list_reduce is bit-identical
+    for the same repr'd coefficients."""
+    from traval_spark.operators.monitor import holt_winters_daily
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return holt_winters_daily(ev, alpha=0.3, beta=0.1, gamma=0.2,
+                              period=24)
+
+
 def q_key_skew(spark, sf_dir):
     """Shuffle-key skew profiler (layout.py:skew_report) over the
     documents language key: max/top-k shares, normalized entropy and
@@ -2856,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "ewma_daily": q_ewma_daily,
         "holt_daily": q_holt_daily,
+        "holt_winters_daily": q_holt_winters_daily,
         "xcorr_lags": q_xcorr_lags,
         "sliding_quantiles": q_sliding_quantiles,
         "chunk_docs": q_chunk_docs,
@@ -5667,6 +5685,41 @@ def oracle_sql() -> dict[str, str]:
           from a)
     select source, day, n_points,
            h[1] AS level, h[2] AS trend, h[1] + h[2] AS forecast_next
+    from r
+    """
+    # Holt-Winters additive: flat [l, t, consumed, s_0..s_{m-1}] LIST
+    # accumulator (same struct-mutation caveat as holt_daily); the
+    # generated lambda textually repeats the level subexpression —
+    # identical double inputs give identical doubles, and every
+    # coefficient is repr()-interpolated so both engines parse the SAME
+    # decimal literal (1 - gamma computed once in Python, never
+    # re-derived engine-side). Init = first element as [x0, 0, 1,
+    # zeros]; fold consumes elements 2..n as [v] singletons.
+    _hw_m, _hw_a, _hw_b, _hw_g = 24, 0.3, 0.1, 0.2
+    _p0 = f"(CAST(acc[3] AS INT) % {_hw_m})"
+    _sp = f"acc[4 + {_p0}]"
+    _lp = (f"({_hw_a!r} * (e[1] - {_sp}) "
+           f"+ {1.0 - _hw_a!r} * (acc[1] + acc[2]))")
+    _tp = f"({_hw_b!r} * ({_lp} - acc[1]) + {1.0 - _hw_b!r} * acc[2])"
+    _sn = f"({_hw_g!r} * (e[1] - {_lp}) + {1.0 - _hw_g!r} * {_sp})"
+    _hw_zeros = ", ".join(["0.0::DOUBLE"] * _hw_m)
+    _hw_step = (
+        f"[{_lp}, {_tp}, acc[3] + 1.0] || list_slice(acc, 4, 3 + {_p0}) "
+        f"|| [{_sn}] || list_slice(acc, 5 + {_p0}, {3 + _hw_m})"
+    )
+    sql["holt_winters_daily"] = f"""
+    with {_SMOOTH_SRC},
+    r as (select source, day, n_points,
+                 list_reduce(
+                   [[lst[1], 0.0::DOUBLE, 1.0::DOUBLE, {_hw_zeros}]]
+                     || [[v] for v in lst[2:]],
+                   (acc, e) -> {_hw_step}) AS h
+          from a)
+    select source, day, n_points,
+           h[1] AS level, h[2] AS trend,
+           h[4 + (CAST(n_points AS INT) % {_hw_m})] AS season_next,
+           h[1] + h[2] + h[4 + (CAST(n_points AS INT) % {_hw_m})]
+             AS forecast_next
     from r
     """
     # lagged cross-correlation from exact integer moments over

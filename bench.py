@@ -118,7 +118,8 @@ def main() -> None:
         "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
         "seasonal_profile", "seasonal_anomaly", "zorder_key",
         "change_points", "trend_slope",
-        "ewma_daily", "holt_daily", "xcorr_lags", "sliding_quantiles",
+        "ewma_daily", "holt_daily", "holt_winters_daily", "xcorr_lags",
+        "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
@@ -176,6 +177,22 @@ def main() -> None:
     wall = timings["rollup_pipeline"]
     extras["rollup_rows"] = synth_rows
     extras["rollup_points_per_sec"] = round(synth_rows / wall, 1)
+
+    # the north metric's second number: rule-flagged points/sec — the
+    # rule stage alone (hardmax + chunked spike + via_join nsigma +
+    # combine), forced to full evaluation by counting the flagged rows
+    # (NULLed n_tok). Input-points-evaluated per second, with the flagged
+    # row count disclosed alongside.
+    def flag_run():
+        cleaned = clean_sequences(seqs, default_ruleset())
+        extras["rule_flagged_rows"] = cleaned.filter(
+            F.col("n_tok").isNull()
+        ).count()
+
+    timed("rule_flagging", flag_run)
+    extras["rule_flagged_points_per_sec"] = round(
+        synth_rows / timings["rule_flagging"], 1
+    )
 
     # Gorilla zone-map pruning: a selective one-day predicate must beat
     # the full decode (the scan-accelerator claim). The tier is generated

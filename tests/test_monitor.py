@@ -175,6 +175,54 @@ def test_holt_daily_matches_reference_recurrence(spark):
     assert r["forecast_next"] == lvl + tr
 
 
+def test_holt_winters_matches_reference_recurrence(spark):
+    """Hand-rolled additive HW recurrence (period 3, so seasonal slots
+    wrap twice inside 8 points) must match the fold bit-for-bit."""
+    from traval_spark.operators.monitor import holt_winters_daily
+
+    a, b, g, m = 0.3, 0.1, 0.2, 3
+    vals = [5.0, 7.0, 4.0, 6.0, 9.0, 2.0, 8.0, 3.5]
+    rows = [("a", _t(i * 60), v, i) for i, v in enumerate(vals)]
+    r = holt_winters_daily(
+        _frame(spark, rows), alpha=a, beta=b, gamma=g, period=m
+    ).collect()[0]
+    lvl, tr, s = vals[0], 0.0, [0.0] * m
+    for i, x in enumerate(vals[1:], start=1):
+        p = i % m
+        nl = a * (x - s[p]) + (1.0 - a) * (lvl + tr)
+        tr = b * (nl - lvl) + (1.0 - b) * tr
+        s[p] = g * (x - nl) + (1.0 - g) * s[p]
+        lvl = nl
+    nxt = len(vals) % m
+    assert r["level"] == lvl                  # bit-identical fold
+    assert r["trend"] == tr
+    assert r["season_next"] == s[nxt]
+    assert r["forecast_next"] == lvl + tr + s[nxt]
+    assert r["n_points"] == len(vals)
+
+
+def test_holt_winters_gamma_zero_degrades_to_holt(spark):
+    """gamma=0 keeps every seasonal index at its 0 initialization, so
+    the level/trend recursion IS Holt's — exact equality per day."""
+    from traval_spark.operators.monitor import (holt_daily,
+                                                holt_winters_daily)
+
+    rows = [("a", _t(i * 60 + (i % 7) * 86400), float((i * 13) % 29), i)
+            for i in range(200)]
+    hw = {
+        (r["source"], r["day"]): r
+        for r in holt_winters_daily(
+            _frame(spark, rows), alpha=0.3, beta=0.1, gamma=0.0, period=5
+        ).collect()
+    }
+    for r in holt_daily(_frame(spark, rows), alpha=0.3, beta=0.1).collect():
+        w = hw[(r["source"], r["day"])]
+        assert w["level"] == r["level"]
+        assert w["trend"] == r["trend"]
+        assert w["season_next"] == 0.0
+        assert w["forecast_next"] == r["forecast_next"]
+
+
 def test_smoothing_fold_is_single_shuffle_no_window(spark):
     """The fold runs inside one partial-aggregatable groupBy — no
     per-series Window sort, no second exchange."""

@@ -411,6 +411,86 @@ def holt_daily(
     )
 
 
+def holt_winters_daily(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 24,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per (series, day) —
+    completes the EWMA -> Holt -> Holt-Winters family on the same
+    pure-JVM ``F.aggregate`` fold (no Python, no per-series window
+    task). Recurrence for the element at 1-based position i, seasonal
+    slot p = (i - 1) mod ``period``:
+
+        l' = a*(x - s_p) + (1-a)*(l + t)
+        t' = b*(l' - l)  + (1-b)*t
+        s_p'= g*(x - l')  + (1-g)*s_p
+
+    Initialization convention (documented, deterministic): l_0 = x_0,
+    t_0 = 0, all seasonal indices 0 — seasonals warm up over the first
+    cycles, and with ``gamma=0`` the operator degrades EXACTLY to
+    :func:`holt_daily` (identity-tested). The accumulator is a flat
+    double array ``[l, t, consumed, s_0..s_{m-1}]`` — the consumed
+    counter makes the seasonal slot derivable inside the fold without
+    zipping element indices, and a LIST accumulator sidesteps DuckDB's
+    in-place struct-field mutation (the holt_daily oracle caveat), so
+    the oracle's ``list_reduce`` lands on bit-identical doubles for the
+    same repr'd literal coefficients.
+
+    Output: ``*by, day, n_points, level, trend, season_next,
+    forecast_next`` where season_next is the seasonal index of the
+    NEXT element's slot and forecast_next = level + trend +
+    season_next (the one-step-ahead seasonal forecast).
+    """
+    m = int(period)
+    if m < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    A, AN = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    B, BN = F.lit(float(beta)), F.lit(1.0 - float(beta))
+    G, GN = F.lit(float(gamma)), F.lit(1.0 - float(gamma))
+    arrs = _day_arrays(df, by, ts, val, ident)
+    rest = F.expr("slice(__arr, 2, greatest(size(__arr) - 1, 0))")
+    init = F.concat(
+        F.array(F.element_at("__arr", 1)["v"], F.lit(0.0), F.lit(1.0)),
+        F.array_repeat(F.lit(0.0), m),
+    )
+
+    def step(acc, s):
+        x = s["v"]
+        c = F.get(acc, F.lit(2))
+        p0 = c.cast("int") % F.lit(m)
+        sp = F.get(acc, F.lit(3) + p0)
+        lvl = A * (x - sp) + AN * (
+            F.get(acc, F.lit(0)) + F.get(acc, F.lit(1))
+        )
+        trd = B * (lvl - F.get(acc, F.lit(0))) + BN * F.get(acc, F.lit(1))
+        sn = G * (x - lvl) + GN * sp
+        return F.concat(
+            F.array(lvl, trd, c + F.lit(1.0)),
+            F.slice(acc, F.lit(4), p0),
+            F.array(sn),
+            F.slice(acc, F.lit(5) + p0, F.lit(m - 1) - p0),
+        )
+
+    out = arrs.withColumn("__acc", F.aggregate(rest, init, step))
+    nxt = F.lit(3) + (F.col("n_points").cast("int") % F.lit(m))
+    lvl, trd = F.get("__acc", F.lit(0)), F.get("__acc", F.lit(1))
+    season_next = F.get("__acc", nxt)
+    return out.select(
+        *by, "day", "n_points",
+        lvl.alias("level"),
+        trd.alias("trend"),
+        season_next.alias("season_next"),
+        (lvl + trd + season_next).alias("forecast_next"),
+    )
+
+
 def xcorr_lags(
     df: DataFrame,
     max_lag: int = 3,
