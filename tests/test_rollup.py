@@ -297,6 +297,85 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
         assert m2["skipped"][tier] == m1["partitions"][tier]
 
 
+def _local_reach_ruleset():
+    # ingest_late's contract: rules with temporal reach <= margin_days
+    # (no whole-series via_join statistics)
+    from traval_spark.plans.ruleset import SparkRuleSet
+
+    rs = SparkRuleSet("local-reach")
+    rs.add_rule("cap", "rule_hardmax", apply_to=0,
+                kwargs={"threshold": 900.0})
+    rs.add_rule("spk", "rule_spike_detection", apply_to=0,
+                kwargs={"threshold": 300.0, "spike_tol": 300.0,
+                        "max_gap": "10m", "chunk": "1h"})
+    rs.add_rule("final", "rule_combine_nan_or", apply_to=(1, 2))
+    return rs
+
+
+def test_ingest_late_matches_full_rebuild_and_skips_clean_days(
+    spark, tmp_path
+):
+    """Late-batch invalidation refresh == from-scratch rebuild over the
+    merged corpus, byte-for-byte per tier; day partitions outside the
+    dirty margin keep their original manifests (proving they were never
+    rewritten); replaying the same batch is a fixpoint."""
+    from traval_spark.pipeline import ingest_late, init_raw, run
+    from traval_spark.sources.synth import synth_sequences
+
+    full = synth_sequences(spark, 3000, seed=9, span_days=4).cache()
+    days = sorted(
+        str(r[0])
+        for r in full.select(F.col("ts").cast("date")).distinct().collect()
+    )
+    late_day = days[2]
+    is_late = (F.col("ts").cast("date").cast("string") == late_day) & (
+        F.abs(F.xxhash64("doc_id")) % 2 == 0
+    )
+    late = full.filter(is_late).cache()
+    base = full.filter(~is_late)
+    assert late.count() > 0
+
+    # reference: full rebuild over everything
+    raw_a, out_a = str(tmp_path / "rawA"), str(tmp_path / "outA")
+    init_raw(full, raw_a)
+    run(spark, out_a, input_path=raw_a, ruleset=_local_reach_ruleset())
+
+    # incremental: base corpus, then the late batch
+    raw_b, out_b = str(tmp_path / "rawB"), str(tmp_path / "outB")
+    init_raw(base, raw_b)
+    run(spark, out_b, input_path=raw_b, ruleset=_local_reach_ruleset())
+    store_b = TierStore(out_b)
+    before = {t: store_b.manifests(t) for t in ("1m", "1h", "1d")}
+    m = ingest_late(spark, raw_b, out_b, late,
+                    ruleset=_local_reach_ruleset())
+    assert m["dirty_days"] == [late_day]
+    assert late_day in m["partitions"]["1m"]
+
+    store_a = TierStore(out_a)
+    for tier in ("1m", "1h", "1d"):
+        rows_a = sorted(map(str, store_a.read_tier(tier, spark).collect()))
+        rows_b = sorted(map(str, store_b.read_tier(tier, spark).collect()))
+        assert rows_a == rows_b, tier
+        # refreshed partitions stay within the dirty margin...
+        assert set(m["partitions"][tier]) <= set(m["refreshed_days"])
+        # ...and days outside it keep their ORIGINAL manifest (same
+        # written_at: the refresh never touched them)
+        after = store_b.manifests(tier)
+        for day in set(before[tier]) - set(m["refreshed_days"]):
+            assert after[day] == before[tier][day], (tier, day)
+
+    # replay fixpoint: same batch again changes nothing
+    raw_rows = spark.read.parquet(raw_b).count()
+    ingest_late(spark, raw_b, out_b, late, ruleset=_local_reach_ruleset())
+    assert spark.read.parquet(raw_b).count() == raw_rows
+    for tier in ("1m", "1h", "1d"):
+        rows_a = sorted(map(str, store_a.read_tier(tier, spark).collect()))
+        rows_b = sorted(map(str, store_b.read_tier(tier, spark).collect()))
+        assert rows_a == rows_b, tier
+    full.unpersist()
+    late.unpersist()
+
+
 def test_tierstore_resume_safe_under_static_overwrite_session(spark, tmp_path):
     """write_tier's resume-subset write enforces dynamic overwrite on the
     writer: under a STATIC-default session it would truncate every day

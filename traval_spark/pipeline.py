@@ -76,6 +76,141 @@ def clean_sequences(df: DataFrame, ruleset: SparkRuleSet | None) -> DataFrame:
     )
 
 
+def init_raw(df: DataFrame, raw_root: str) -> None:
+    """Land a tokenized-sequence frame as the DAY-PARTITIONED raw table
+    :func:`ingest_late` upserts into. Day partitioning is what makes the
+    invalidation path partition-pruned: refreshing K late days scans K
+    day directories, never the corpus."""
+    (
+        df.withColumn("day", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(raw_root)
+    )
+
+
+def _expand_days(days: set[str], margin: int) -> set[str]:
+    import datetime as dt
+
+    out: set[str] = set()
+    for d in days:
+        base = dt.date.fromisoformat(d)
+        for k in range(-margin, margin + 1):
+            out.add((base + dt.timedelta(days=k)).isoformat())
+    return out
+
+
+def ingest_late(
+    spark: SparkSession,
+    raw_root: str,
+    out_root: str,
+    late: DataFrame,
+    ruleset: SparkRuleSet | None = None,
+    n_salt: int = 16,
+    margin_days: int = 1,
+    key: str = "doc_id",
+) -> dict:
+    """Late-data invalidation refresh: upsert a late/corrected batch into
+    the day-partitioned raw table, then rebuild ONLY the invalidated day
+    partitions of every tier — the continuous-aggregate refresh path.
+
+    The dirty-day set comes from the LATE BATCH ALONE (one tiny distinct
+    over its timestamps) — never from re-fingerprinting the corpus, so
+    the cost of absorbing late data is proportional to the late batch's
+    day span, not to history size. Compare ``run(resume=True)``, which
+    re-executes the cleaning plan over ALL of raw per tier just to
+    recompute fingerprints: correct, but a full-corpus scan per refresh.
+
+    Steps:
+
+    1. **Upsert** (MERGE semantics on ``key``): the dirty days' existing
+       raw partitions union the late batch; per key the winner is the
+       row with max (is_late, ts, n_tok) — late rows beat stored rows,
+       deterministic under replay. Dynamic partition overwrite rewrites
+       only the dirty day directories, so replaying the same batch is
+       idempotent (the second merge is a fixpoint).
+    2. **Refresh**: days within ``margin_days`` of a dirty day are
+       recomputed (clean -> salted cascade) from a raw read that is
+       partition-pruned to the refresh window plus one more margin (the
+       cleaning context), and written back via the tier store's dynamic
+       partition overwrite + fresh manifests. Every aggregate in the
+       cascade is integer-exact, so the refreshed partitions are
+       BYTE-identical to a from-scratch rebuild over the merged corpus
+       (parity-tested).
+
+    Contract: exact full-rebuild parity requires every rule's temporal
+    reach <= ``margin_days`` (spike/lag/lead/bounded windows qualify).
+    Global-statistic rules — ``rule_outside_n_sigma(via_join=True)``
+    computes sigma over the WHOLE series — invalidate every day by
+    definition; for those, a late point legitimately changes history and
+    only a full ``run()`` is faithful. Derived whole-table views
+    (``1m_dense``, ``1m_gorilla``, sketch companion stores) are reads of
+    the tiers; refresh them with their builders after this returns.
+    """
+    cols = [c for c in late.columns if c != "day"]
+    dirty = sorted(
+        r["d"]
+        for r in late.select(
+            F.col("ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    if not dirty:
+        return {"dirty_days": [], "refreshed_days": [], "partitions": {}}
+
+    # -- 1. merge into the dirty raw day partitions ----------------------
+    base = (
+        spark.read.parquet(raw_root)
+        .filter(F.col("day").cast("string").isin(dirty))
+        .select(*cols)
+        .withColumn("__pri", F.lit(0))
+    )
+    merged = (
+        base.unionByName(late.select(*cols).withColumn("__pri", F.lit(1)))
+        .groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in cols if c != key]),
+                F.struct("__pri", "ts", "n_tok"),
+            ).alias("__r")
+        )
+        .select(key, "__r.*")
+    )
+    (
+        merged.withColumn("day", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(raw_root)
+    )
+
+    # -- 2. rebuild the invalidated tier partitions ----------------------
+    affected = _expand_days(set(dirty), margin_days)
+    window = sorted(_expand_days(affected, margin_days))
+    raw = (
+        spark.read.parquet(raw_root)
+        .filter(F.col("day").cast("string").isin(window))
+        .select(*cols)
+    )
+    cleaned = clean_sequences(raw, ruleset)
+    tiers = build_cascade(cleaned, salted=True, n_salt=n_salt)
+    store = TierStore(out_root)
+    metrics: dict = {
+        "dirty_days": dirty,
+        "refreshed_days": sorted(affected),
+        "partitions": {},
+    }
+    for tier_name, tier_df in tiers.items():
+        with_day = tier_df.withColumn(
+            "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+        )
+        fps = partition_fingerprints(with_day)
+        todo = sorted(set(fps) & affected)
+        res = store.write_tier(tier_name, tier_df, fps, days=todo)
+        metrics["partitions"][tier_name] = res["written_partitions"]
+    return metrics
+
+
 def run(
     spark: SparkSession,
     out_root: str,
