@@ -369,6 +369,33 @@ def q_rollup_1h_cascade(spark, sf_dir):
     )
 
 
+def q_fl_tier(spark, sf_dir):
+    """First/last observation tier, cascaded (rollup.py:fl_rollup /
+    fl_cascade): TimescaleDB-style first(value, time)/last(value, time)
+    stored as one lexicographically-ordered struct per extreme, so leaf
+    build and every coarsening are plain min/max — partial-aggregatable,
+    no window. The 1d result here is computed 1h -> 1d so the oracle
+    (row_number over raw) checks leaf AND cascade in one query."""
+    from traval_spark.rollup import fl_cascade, fl_rollup
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    day = fl_cascade(
+        fl_rollup(ev, "1h", value_col="value", ident_col="event_id"),
+        "1d",
+    )
+    return day.select(
+        "source", "bucket",
+        F.col("first.u").alias("first_us"),
+        F.col("first.i").alias("first_id"),
+        F.col("first.v").alias("first_val"),
+        F.col("last.u").alias("last_us"),
+        F.col("last.i").alias("last_id"),
+        F.col("last.v").alias("last_val"),
+    )
+
+
 def q_rollup_1d_salted(spark, sf_dir):
     """1d tier via the explicit two-phase salted aggregation (oracle is a
     plain GROUP BY: salting must never change the answer)."""
@@ -2750,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_classifier": q_binary_classifier,
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
+        "fl_tier": q_fl_tier,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -3184,6 +3212,29 @@ def oracle_sql() -> dict[str, str]:
     from counts
     """
     sql["rollup_1m"] = _rollup_sql("minute")
+    # first/last tier: the oracle takes each bucket's extreme rows
+    # straight off raw with (u, i)-ordered row_numbers — the engine's
+    # struct-min/max must land on the same deterministic observations
+    # through the 1h -> 1d cascade
+    sql["fl_tier"] = """
+    with s as (select event_type AS source, date_trunc('day', ts) AS bucket,
+                      epoch_us(ts) AS u, event_id AS i, value AS v
+               from events where value is not null),
+    r as (select *,
+                 row_number() over (partition by source, bucket
+                                    order by u, i) AS rf,
+                 row_number() over (partition by source, bucket
+                                    order by u desc, i desc) AS rl
+          from s)
+    select source, bucket,
+           max(case when rf = 1 then u end) AS first_us,
+           max(case when rf = 1 then i end) AS first_id,
+           max(case when rf = 1 then v end) AS first_val,
+           max(case when rl = 1 then u end) AS last_us,
+           max(case when rl = 1 then i end) AS last_id,
+           max(case when rl = 1 then v end) AS last_val
+    from r group by source, bucket
+    """
     sql["rollup_1h_cascade"] = _rollup_sql("hour")
     sql["rollup_1d_salted"] = _rollup_sql("day")
     # distinct sketches: exact at oracle scale by construction (KMV k=256

@@ -63,6 +63,39 @@ def test_rollup_cascade_identity(seqs):
     assert t1d_cascade == t1d_direct
 
 
+def test_fl_cascade_identity(seqs):
+    """first/last structs nest through min/max: 1d built 1m -> 1h -> 1d
+    equals 1d built from raw, field-for-field."""
+    from traval_spark.rollup import fl_cascade, fl_rollup
+
+    via = fl_cascade(fl_cascade(fl_rollup(seqs, "1m"), "1h"), "1d")
+    direct = fl_rollup(seqs, "1d")
+    a = {(r["source"], r["bucket"]): (r["first"], r["last"])
+         for r in via.collect()}
+    b = {(r["source"], r["bucket"]): (r["first"], r["last"])
+         for r in direct.collect()}
+    assert a == b
+
+
+def test_fl_rollup_tie_break_and_null_exclusion(spark):
+    """Equal-timestamp rows resolve by ident (smallest first, largest
+    last); NULL values never become an extreme even at bucket edges."""
+    from traval_spark.rollup import fl_rollup
+
+    rows = [
+        ("a", "2024-01-01 00:00:05", "d2", 20),
+        ("a", "2024-01-01 00:00:05", "d1", 10),   # same ts: ident ties
+        ("a", "2024-01-01 00:00:30", "d3", 30),
+        ("a", "2024-01-01 00:00:59", "d4", None),  # NULL at the edge
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ts string, doc_id string, n_tok int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r = fl_rollup(df, "1m").collect()[0]
+    assert r["first"]["i"] == "d1" and r["first"]["v"] == 10.0
+    assert r["last"]["i"] == "d3" and r["last"]["v"] == 30.0
+
+
 def test_salted_rollup_equals_unsalted(seqs):
     plain = _collect_tier(rollup_raw(seqs, "1h"))
     salted = _collect_tier(salted_rollup(seqs, "1h", n_salt=8))

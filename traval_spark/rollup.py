@@ -88,6 +88,58 @@ def rollup_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def fl_rollup(
+    df: DataFrame,
+    tier: str = "1m",
+    value_col: str = "n_tok",
+    ts_col: str = "ts",
+    ident_col: str = "doc_id",
+) -> DataFrame:
+    """First/last observation per (source, bucket) — the TimescaleDB
+    ``first(value, time)`` / ``last(value, time)`` continuous-aggregate
+    measures, stored MERGEABLE: each is one struct column ``(u:
+    epoch-micros, i: ident, v: value)`` whose lexicographic struct
+    ordering IS the observation order, so a plain ``min``/``max``
+    aggregates the leaf AND re-aggregates any coarser tier with zero
+    extra machinery (the same partial-aggregatable shape as
+    count/sum/min/max — no window, no sort). The ident tie-break makes
+    equal-timestamp rows deterministic in both engines. NULL values are
+    excluded, matching rollup_raw's NaN semantics.
+
+    What it unlocks from stored tiers (never re-scanning raw): exact
+    LOCF/boundary reads (the last sample at-or-before any bucket edge),
+    and counter ``increase`` per bucket as ``last.v - first.v`` for
+    reset-free ranges.
+    """
+    from traval_spark.functions.ts import unix_us
+
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    obs = F.struct(
+        unix_us(F.col(ts_col)).alias("u"),
+        F.col(ident_col).alias("i"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col("source"), bucket.alias("bucket"))
+        .agg(F.min(obs).alias("first"), F.max(obs).alias("last"))
+    )
+
+
+def fl_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
+    """Coarsen a first/last tier (1m -> 1h -> 1d): struct min/max nest
+    exactly, so the cascade is identical to building the coarse tier
+    from raw (test_fl_cascade_identity)."""
+    unit, _ = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket")).cast("timestamp_ntz")
+    return (
+        tier_df.groupBy(F.col("source"), bucket.alias("bucket"))
+        .agg(F.min("first").alias("first"), F.max("last").alias("last"))
+    )
+
+
 def salted_rollup(
     df: DataFrame,
     tier: str = "1m",
