@@ -396,6 +396,36 @@ def q_fl_tier(spark, sf_dir):
     )
 
 
+def q_locf_from_tier(spark, sf_dir):
+    """Dense LOCF read off the stored first/last tier
+    (rollup.py:locf_from_tier): the carried value is the TRUE latest
+    raw sample at-or-before each bucket end (from the tier's last
+    struct), spine + running last(ignorenulls) over the tiny tier
+    frame — raw is never re-scanned."""
+    from traval_spark.rollup import fl_rollup, locf_from_tier
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    t = fl_rollup(ev, "1h", value_col="value", ident_col="event_id")
+    return locf_from_tier(t, "1h")
+
+
+def q_fl_increase(spark, sf_dir):
+    """PromQL increase served from the stored first/last tier
+    (rollup.py:fl_increase): last-minus-previous-last with the
+    Prometheus boundary reset rule; first bucket = within-bucket
+    growth."""
+    from traval_spark.rollup import fl_increase, fl_rollup
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return fl_increase(
+        fl_rollup(ev, "1h", value_col="value", ident_col="event_id")
+    )
+
+
 def q_rollup_1d_salted(spark, sf_dir):
     """1d tier via the explicit two-phase salted aggregation (oracle is a
     plain GROUP BY: salting must never change the answer)."""
@@ -2778,6 +2808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "fl_tier": q_fl_tier,
+        "locf_from_tier": q_locf_from_tier,
+        "fl_increase": q_fl_increase,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -3234,6 +3266,56 @@ def oracle_sql() -> dict[str, str]:
            max(case when rl = 1 then i end) AS last_id,
            max(case when rl = 1 then v end) AS last_val
     from r group by source, bucket
+    """
+    # the hourly first/last tier both fl reads below serve from
+    _FL_1H = """
+    s as (select event_type AS source, date_trunc('hour', ts) AS bucket,
+                 epoch_us(ts) AS u, event_id AS i, value AS v
+          from events where value is not null),
+    r as (select *,
+                 row_number() over (partition by source, bucket
+                                    order by u, i) AS rf,
+                 row_number() over (partition by source, bucket
+                                    order by u desc, i desc) AS rl
+          from s),
+    fl as (select source, bucket,
+                  max(case when rf = 1 then v end) AS first_val,
+                  max(case when rl = 1 then u end) AS last_us,
+                  max(case when rl = 1 then v end) AS last_val
+           from r group by source, bucket)
+    """
+    sql["locf_from_tier"] = f"""
+    with {_FL_1H},
+    span as (select source, min(bucket) AS b0, max(bucket) AS b1
+             from fl group by source),
+    spine as (select source, unnest(generate_series(b0, b1,
+                                    interval 1 hour)) AS bucket
+              from span),
+    dense as (select sp.source, sp.bucket, fl.last_us, fl.last_val,
+                     fl.bucket is not null AS observed
+              from spine sp left join fl
+                on sp.source = fl.source and sp.bucket = fl.bucket)
+    select source, bucket,
+           last_value(last_us ignore nulls)
+             over (partition by source order by bucket
+                   rows unbounded preceding) AS locf_us,
+           last_value(last_val ignore nulls)
+             over (partition by source order by bucket
+                   rows unbounded preceding) AS locf_val,
+           observed
+    from dense
+    """
+    sql["fl_increase"] = f"""
+    with {_FL_1H},
+    lagged as (select source, bucket, first_val, last_val,
+                      lag(last_val) over (partition by source
+                                          order by bucket) AS prev
+               from fl)
+    select source, bucket,
+           case when prev is null then last_val - first_val
+                when last_val >= prev then last_val - prev
+                else last_val end AS increase
+    from lagged
     """
     sql["rollup_1h_cascade"] = _rollup_sql("hour")
     sql["rollup_1d_salted"] = _rollup_sql("day")

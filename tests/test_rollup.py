@@ -96,6 +96,68 @@ def test_fl_rollup_tie_break_and_null_exclusion(spark):
     assert r["last"]["i"] == "d3" and r["last"]["v"] == 30.0
 
 
+def test_locf_from_tier_carries_through_gaps(spark):
+    from traval_spark.rollup import fl_rollup, locf_from_tier
+
+    rows = [  # minutes 0 and 3 observed; 1-2 are gaps
+        ("a", "2024-01-01 00:00:10", "d1", 5),
+        ("a", "2024-01-01 00:00:50", "d2", 7),
+        ("a", "2024-01-01 00:03:20", "d3", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ts string, doc_id string, n_tok int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        str(r["bucket"]): (r["locf_val"], r["observed"])
+        for r in locf_from_tier(fl_rollup(df, "1m"), "1m").collect()
+    }
+    assert len(out) == 4  # dense spine 00:00..00:03
+    assert out["2024-01-01 00:00:00"] == (7.0, True)   # last of bucket 0
+    assert out["2024-01-01 00:01:00"] == (7.0, False)  # carried
+    assert out["2024-01-01 00:02:00"] == (7.0, False)  # carried
+    assert out["2024-01-01 00:03:00"] == (9.0, True)
+
+
+def test_fl_increase_matches_raw_on_reset_free_counter(spark):
+    """On a monotone counter the tier-served increase equals the
+    raw-derived one (last sample minus last sample before the bucket;
+    first bucket = within-bucket growth) exactly."""
+    import collections
+
+    from traval_spark.rollup import fl_increase, fl_rollup
+
+    rows, acc = [], {}
+    for i in range(240):
+        src = f"s{i % 3}"
+        acc[src] = acc.get(src, 0.0) + float((i * 7) % 13)
+        # uneven spacing -> some hours have no samples (gap spanning)
+        rows.append((src, f"2024-01-01 {i % 24:02d}:{(i * 11) % 60:02d}:00",
+                     f"d{i}", acc[src]))
+    df = spark.createDataFrame(
+        rows, "source string, ts string, doc_id string, n_tok double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["source"], str(r["bucket"])): r["increase"]
+        for r in fl_increase(fl_rollup(df, "1h")).collect()
+    }
+    # raw expectation: per (source, hour) ordered samples
+    buckets = collections.defaultdict(list)
+    for src, ts, _d, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        buckets[(src, ts[:14] + "00:00")].append(v)
+    expect = {}
+    prev_last: dict = {}
+    for (src, b) in sorted(buckets):
+        vals = buckets[(src, b)]
+        if src not in prev_last:
+            expect[(src, b)] = vals[-1] - vals[0]
+        elif vals[-1] >= prev_last[src]:
+            expect[(src, b)] = vals[-1] - prev_last[src]
+        else:
+            expect[(src, b)] = vals[-1]
+        prev_last[src] = vals[-1]
+    assert got == expect
+
+
 def test_salted_rollup_equals_unsalted(seqs):
     plain = _collect_tier(rollup_raw(seqs, "1h"))
     salted = _collect_tier(salted_rollup(seqs, "1h", n_salt=8))

@@ -140,6 +140,78 @@ def fl_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def locf_from_tier(fl_df: DataFrame, tier: str, mark: bool = True) -> DataFrame:
+    """Dense last-observation-carried-forward read off a stored
+    first/last tier: one row per (source, bucket) on the per-source
+    bucket spine, carrying the TRUE latest raw observation at-or-before
+    the bucket's end — not a bucket aggregate, the actual sample
+    (``locf_us``/``locf_val`` from the carried ``last`` struct). This is
+    the read :func:`fl_rollup` exists to serve: LOCF at any bucket edge
+    without touching raw. Same spine convention and running-window shape
+    as :func:`gap_fill`; the window runs over the TIER frame (buckets
+    per source), never raw rows. ``mark`` adds the ``observed`` lineage
+    flag (false = gap bucket, value carried)."""
+    _, step_s = TIERS[tier]
+    spine = (
+        fl_df.groupBy("source")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.col("b0"), F.col("b1"),
+                    F.expr(f"INTERVAL {step_s} SECONDS"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(fl_df, on=["source", "bucket"], how="left")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("last", ignorenulls=True).over(w)
+    out = dense.select(
+        "source",
+        "bucket",
+        carried["u"].alias("locf_us"),
+        carried["v"].alias("locf_val"),
+        F.col("last").isNotNull().alias("observed"),
+    )
+    return out if mark else out.drop("observed")
+
+
+def fl_increase(fl_df: DataFrame) -> DataFrame:
+    """PromQL-style counter ``increase`` per bucket, served from a
+    stored first/last tier (no raw scan): growth since the previous
+    stored bucket's last sample, with the Prometheus reset rule at
+    bucket boundaries —
+
+        increase(b) = last.v(b) - last.v(prev)   if no reset
+                    = last.v(b)                  if last.v(b) < last.v(prev)
+        first bucket of a source: last.v - first.v (within-bucket growth)
+
+    For reset-free counters this is EXACTLY the raw-derived increase
+    (parity-tested against the raw lag chain): the bucket's growth is
+    last-sample-minus-last-sample-before, and gaps are spanned the way
+    counters mean them (growth since last seen). Resets INSIDE a bucket
+    are invisible to first/last pairs — disclosed limit; use the raw
+    counter operators (operators/monitor.py) when intra-bucket resets
+    matter. The lag window runs on the tiny tier frame."""
+    w = Window.partitionBy("source").orderBy("bucket")
+    prev = F.lag(F.col("last")["v"]).over(w)
+    cur, first = F.col("last")["v"], F.col("first")["v"]
+    return fl_df.select(
+        "source",
+        "bucket",
+        F.when(prev.isNull(), cur - first)
+        .when(cur >= prev, cur - prev)
+        .otherwise(cur)
+        .alias("increase"),
+    )
+
+
 def salted_rollup(
     df: DataFrame,
     tier: str = "1m",
