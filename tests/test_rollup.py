@@ -887,6 +887,14 @@ def test_pipeline_sketch_stores(spark, tmp_path):
     assert m1d.exceptAll(wantm).count() == 0
     assert wantm.exceptAll(m1d).count() == 0
 
+    # ...and the first/last companion store
+    from traval_spark.rollup import fl_cascade, fl_rollup
+
+    f1d = TierStore(out + "/fl").read_tier("1d", spark).drop("day")
+    wantf = fl_cascade(fl_rollup(seqs, "1m"), "1d").select(*f1d.columns)
+    assert f1d.exceptAll(wantf).count() == 0
+    assert wantf.exceptAll(f1d).count() == 0
+
 
 def test_routed_dds_reads(spark, seqs, tmp_path):
     """Downsample-on-read over a DDSketch tier store: stitched 1m+1h
@@ -1140,6 +1148,40 @@ def test_routed_m4_reads(spark, seqs, tmp_path):
     want = m4_downsample(seqs, bucket="1h", val="n_tok", bucket_col="bucket")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_routed_fl_reads(spark, seqs, tmp_path):
+    """Downsample-on-read over first/last tiers: stitched 1m+1h read
+    equals the direct fl_rollup from raw bit-for-bit (struct extremes
+    nest through min/max), and the LOCF read serves the routed frame."""
+    from traval_spark.rollup import fl_cascade, fl_rollup, locf_from_tier
+    from traval_spark.router import read_routed_fl
+
+    days = sorted(
+        r["d"] for r in seqs.select(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    old, newest = days[:-1], days[-1]
+
+    def day_fps(df):
+        return partition_fingerprints(
+            df.withColumn("day", F.date_trunc("day", "bucket")))
+
+    store = TierStore(str(tmp_path / "fl"))
+    f1m = fl_rollup(seqs, "1m")
+    f1m_new = f1m.filter(F.col("bucket").cast("date").cast("string") == newest)
+    store.write_tier("1m", f1m_new, day_fps(f1m_new))
+    f1h = fl_cascade(f1m, "1h").filter(
+        F.col("bucket").cast("date").cast("string").isin(old))
+    store.write_tier("1h", f1h, day_fps(f1h))
+
+    got = read_routed_fl(store, "1h", spark=spark, strict=True)
+    want = fl_rollup(seqs, "1h")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    dense = locf_from_tier(got, "1h")
+    assert dense.filter(F.col("locf_val").isNull()).count() == 0
 
 
 def test_sliding_from_tier_equals_raw_sliding(spark, seqs):

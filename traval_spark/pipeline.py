@@ -262,6 +262,7 @@ def run(
         # finer tier — never from raw.
         from traval_spark.hist import hist_cascade, hist_tier
         from traval_spark.operators.downsample import m4_downsample, m4_merge
+        from traval_spark.rollup import fl_cascade, fl_rollup
         from traval_spark.sketch import distinct_cascade, distinct_tier
 
         for kind, leaf, casc in (
@@ -271,6 +272,7 @@ def run(
             ("m4", m4_downsample(cleaned, "1m", val="n_tok",
                                  bucket_col="bucket"),
              lambda cur, t: m4_merge(cur, t, bucket_col="bucket")),
+            ("fl", fl_rollup(cleaned, "1m"), fl_cascade),
         ):
             sub = TierStore(os.path.join(out_root, kind))
             cur = leaf

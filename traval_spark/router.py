@@ -493,3 +493,36 @@ def read_routed_m4(
         stored_builder=lambda df: m4_merge(
             df, bucket=resolution, bucket_col="bucket"),
     )
+
+
+def read_routed_fl(
+    store,
+    resolution: str,
+    value_col: str = "n_tok",
+    ident_col: str = "doc_id",
+    day_min: str | None = None,
+    day_max: str | None = None,
+    spark=None,
+    raw: DataFrame | None = None,
+    strict: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downsample-on-read over first/last observation tiers
+    (rollup.py:fl_rollup).
+
+    The first/last structs are lexicographic extremes, so stored
+    segments coarsen with a plain min/max groupBy and the stitched read
+    is bit-identical to the direct fl_rollup on raw (routed pytest).
+    Feed the result to ``rollup.locf_from_tier`` / ``rollup.fl_increase``
+    for LOCF and counter-increase reads at the requested resolution."""
+    from traval_spark.rollup import fl_rollup
+
+    unit_bucket = resolution
+    return _read_routed_kind(
+        store, resolution, day_min, day_max, spark, raw, strict, ts_col,
+        raw_builder=lambda df: fl_rollup(
+            df, unit_bucket, value_col=value_col, ts_col=ts_col,
+            ident_col=ident_col),
+        extra_keys=[],
+        aggs=[F.min("first").alias("first"), F.max("last").alias("last")],
+    )
