@@ -2596,6 +2596,44 @@ def q_trend_slope(spark, sf_dir):
     return trend_slope(ev, bucket="1d")
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend slope per series over the zero-filled
+    hourly bucket-count signal (monitor.py:theil_sen): median of all
+    pairwise slopes; each slope is a double of two exact integers and
+    the even-count median averages the two middle doubles — DuckDB
+    median() semantics exactly. Only raw-scale work is ONE groupBy;
+    the O(m^2) pair join and the median window run on the tiny signal
+    frame."""
+    from traval_spark.operators.monitor import theil_sen
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return theil_sen(ev, bucket="1h")
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI collocations over adjacent word pairs (text.py:pmi_bigrams):
+    unigram and bigram streams each collapse map-side into
+    vocab-bounded count tables before any shuffle; the PMI log runs on
+    one exact decimal(38,0) ratio so the double is engine-identical.
+    min_count gates the bigram table BEFORE the assembly joins."""
+    from traval_spark.operators.text import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), min_count=3)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise k-gram Jaccard between sources (text.py:source_overlap,
+    the mixture-design redundancy read): distinct (source, shingle)
+    via partial-aggregatable dedup, intersections as a self-join keyed
+    on the shingle (per-shingle fan-out bounded by the source count),
+    zero-overlap pairs kept via the tiny per-source-size cross."""
+    from traval_spark.operators.text import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir), k=2)
+
+
 def q_asof_join(spark, sf_dir):
     """General point-to-point AS-OF join (functions/ts.py:asof_join):
     every view event picks the user's latest purchase at-or-before it
@@ -2952,6 +2990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h": q_twa_1h,
         "psi_drift": q_psi_drift,
         "key_skew": q_key_skew,
+        "theil_sen": q_theil_sen,
+        "pmi_bigrams": q_pmi_bigrams,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -6006,5 +6047,74 @@ def oracle_sql() -> dict[str, str]:
                                    [0 for _ in range(48 - n_real)]), ',')
            end AS attention_mask
     from p
+    """
+    # Theil-Sen: pairwise slopes are doubles of exact integers; DuckDB
+    # median() of an even count averages the two middle values, the
+    # same semantics the engine's rank-pick + avg construction computes
+    sql["theil_sen"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    slopes as (select a.g,
+                      cast(b.c - a.c AS double)
+                        / cast(b.h - a.h AS double) AS s
+               from sig a join sig b on a.g = b.g and b.h > a.h),
+    nb as (select g, count(*) AS n_buckets from sig group by g),
+    med as (select g, count(*) AS n_pairs, median(s) AS sen_slope
+            from slopes group by g)
+    select nb.g, nb.n_buckets, med.n_pairs, med.sen_slope
+    from nb join med using (g)
+    """
+    # PMI: HUGEINT products mirror the engine's decimal(38,0) exactly;
+    # one ln of the exact-integer ratio, identical doubles both sides
+    sql["pmi_bigrams"] = """
+    with d as (select regexp_split_to_array(text, '\\s+') AS t
+               from documents where text is not null),
+    uc as (select w, count(*) AS c
+           from (select unnest(t) AS w from d) group by w),
+    nu as (select cast(sum(c) AS hugeint) AS nu from uc),
+    pairs as (select t[i] AS w1, t[i + 1] AS w2
+              from d, unnest(range(1, len(t))) AS g(i)
+              where len(t) >= 2),
+    nb as (select cast(count(*) AS hugeint) AS nb from pairs),
+    bc as (select w1, w2, count(*) AS cnt from pairs
+           group by w1, w2 having count(*) >= 3)
+    select b.w1, b.w2, b.cnt,
+           ln(cast(cast(b.cnt AS hugeint) * nu.nu * nu.nu AS double)
+              / cast(nb.nb * cast(u1.c AS hugeint)
+                     * cast(u2.c AS hugeint) AS double)) AS pmi
+    from bc b
+    join uc u1 on b.w1 = u1.w
+    join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # source overlap: k=2 shingles with kgrams' truncated-window rule
+    # (toks[i:i+1], i up to greatest(len-1, 1)); zero-overlap pairs kept
+    sql["source_overlap"] = """
+    with d as (select source, regexp_split_to_array(text, '\\s+') AS toks
+               from documents where text is not null),
+    sh as (select distinct source AS g,
+                  unnest([array_to_string(toks[i:i+1], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1) + 1)])
+                    AS sh
+           from d),
+    sizes as (select g, count(*) AS n from sh group by g),
+    inter as (select a.g AS a, b.g AS b, count(*) AS inter
+              from sh a join sh b on a.sh = b.sh and a.g < b.g
+              group by 1, 2),
+    allp as (select sa.g AS a, sa.n AS n_a, sb.g AS b, sb.n AS n_b
+             from sizes sa, sizes sb where sa.g < sb.g)
+    select allp.a, allp.b, allp.n_a, allp.n_b,
+           coalesce(inter.inter, 0) AS inter,
+           round(coalesce(inter.inter, 0) * 1.0
+                 / (allp.n_a + allp.n_b - coalesce(inter.inter, 0)),
+                 9) AS jaccard
+    from allp left join inter on allp.a = inter.a and allp.b = inter.b
     """
     return sql

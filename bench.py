@@ -122,7 +122,8 @@ def main() -> None:
         "ewma_daily", "holt_daily", "holt_winters_daily", "xcorr_lags",
         "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
-        "key_skew", "slo_burn",
+        "key_skew", "slo_burn", "theil_sen",
+        "pmi_bigrams", "source_overlap",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "sliding_from_tier", "pad_sequences",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",

@@ -430,3 +430,43 @@ def test_psi_served_from_hist_tier_equals_direct(spark):
     )
     assert tiered.exceptAll(direct).count() == 0
     assert direct.exceptAll(tiered).count() == 0
+
+
+def test_theil_sen_outlier_robust(spark):
+    """Counts [1..7] per hour minus one corrupted bucket (hour 3 ->
+    100 events): 15 of 21 pairwise slopes are exactly 1, the median
+    ignores the outlier entirely while OLS would not."""
+    from traval_spark.operators.monitor import theil_sen
+
+    rows, eid = [], 0
+    for h, c in enumerate([1, 2, 3, 100, 5, 6, 7]):
+        for k in range(c):
+            rows.append(("a", _t(h * 3600 + k), 0.0, eid)); eid += 1
+    out = theil_sen(_frame(spark, rows).select("source", "ts"),
+                    bucket="1h").collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_buckets"] == 7 and r["n_pairs"] == 21
+    assert r["sen_slope"] == 1.0
+
+
+def test_theil_sen_even_median_and_zero_fill(spark):
+    """Counts [1,2,4,8]: 6 slopes sorted [1, 1.5, 2, 7/3, 3, 4] ->
+    median (2 + 7/3)/2 = 13/6. Series b occupies only hours 0 and 2
+    of the same global span, so its spine zero-fills hours 1 and 3:
+    slopes [-1, 0, -1/3, 1, 0, -1] -> median -1/6."""
+    from traval_spark.operators.monitor import theil_sen
+
+    rows, eid = [], 0
+    for h, c in enumerate([1, 2, 4, 8]):
+        for k in range(c):
+            rows.append(("a", _t(h * 3600 + k), 0.0, eid)); eid += 1
+    rows.append(("b", _t(0), 0.0, eid)); eid += 1
+    rows.append(("b", _t(2 * 3600), 0.0, eid)); eid += 1
+    got = {r["g"]: r for r in
+           theil_sen(_frame(spark, rows).select("source", "ts"),
+                     bucket="1h").collect()}
+    assert got["a"]["n_pairs"] == 6
+    assert abs(got["a"]["sen_slope"] - 13 / 6) < 1e-12
+    assert got["b"]["n_buckets"] == 4
+    assert abs(got["b"]["sen_slope"] - (-1 / 6)) < 1e-12

@@ -1673,3 +1673,63 @@ def test_asof_join_semantics_tolerance_and_plan(spark):
             .executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pmi_bigrams_hand_values(spark):
+    """Two docs: unigrams new=3, york=3 (N_uni=6); bigrams
+    (new,york)=2, (york,new)=2 (N_bi=4) -> both PMI = ln(2*36/(4*9))
+    = ln(2) exactly (exact-integer ratio, one log)."""
+    import math
+
+    from traval_spark.operators.text import pmi_bigrams
+
+    df = spark.createDataFrame(
+        [("d1", "new york new york"), ("d2", "york new")],
+        "doc_id string, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in
+           pmi_bigrams(df, min_count=2).collect()}
+    assert set(got) == {("new", "york"), ("york", "new")}
+    for r in got.values():
+        assert r["cnt"] == 2
+        assert abs(r["pmi"] - math.log(2.0)) < 1e-12
+
+
+def test_pmi_min_count_gates_before_assembly(spark):
+    """A count-1 bigram never reaches the output (statistical floor),
+    but its tokens still count toward the unigram totals."""
+    import math
+
+    from traval_spark.operators.text import pmi_bigrams
+
+    df = spark.createDataFrame(
+        [("d1", "new york new york"), ("d2", "york new"),
+         ("d3", "rare pair")],
+        "doc_id string, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in
+           pmi_bigrams(df, min_count=2).collect()}
+    assert ("rare", "pair") not in got
+    # N_uni = 8, N_bi = 5 now: PMI(new,york) = ln(2*64 / (5*3*3))
+    assert abs(got[("new", "york")]["pmi"]
+               - math.log(2 * 64 / (5 * 9))) < 1e-12
+
+
+def test_source_overlap_hand_jaccard(spark):
+    """s1={a b, b c}, s2={b c, c d}, s3={x y}: jaccard(s1,s2)=1/3,
+    zero-overlap pairs KEPT at 0.0, and duplicate docs inside a
+    source do not inflate the distinct shingle sets."""
+    from traval_spark.operators.text import source_overlap
+
+    df = spark.createDataFrame(
+        [("d1", "a b c", "s1"), ("d2", "a b c", "s1"),
+         ("d3", "b c d", "s2"), ("d4", "x y", "s3")],
+        "doc_id string, text string, source string",
+    )
+    got = {(r["a"], r["b"]): r for r in source_overlap(df, k=2).collect()}
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = got[("s1", "s2")]
+    assert (r12["n_a"], r12["n_b"], r12["inter"]) == (2, 2, 1)
+    assert abs(r12["jaccard"] - round(1 / 3, 9)) < 1e-12
+    assert got[("s1", "s3")]["inter"] == 0
+    assert got[("s1", "s3")]["jaccard"] == 0.0

@@ -988,3 +988,79 @@ def slo_burn(
         .withColumn("window_start", F.timestamp_micros(F.col("__bus")))
         .drop("__bus")
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Theil–Sen robust trend slope per series over the zero-filled
+    bucket-COUNT signal: the median of all pairwise slopes
+
+        slope_ij = (c_j - c_i) / (h_j - h_i),   i < j
+
+    — the robust companion to the least-squares :func:`trend_slope`
+    (one wild outlier bucket moves OLS arbitrarily; Theil–Sen tolerates
+    ~29% corruption).  The signal is count-per-bucket zero-filled over
+    the global span (xcorr_lags' spine: a missing bucket is a real 0).
+
+    Exactness: each pairwise slope is a double of two EXACT integers
+    (count delta / bucket delta) — same IEEE result in both engines —
+    and the median of an even pair count averages the two middle
+    doubles, which is DuckDB ``median()``'s numeric semantics exactly.
+    The middle VALUES are well-defined regardless of how row_number
+    breaks ties between equal slopes (any total order extending the
+    slope order puts the same value at each rank).
+
+    Plan shape: the only raw-scale work is ONE partial-aggregatable
+    groupBy to bucket counts; the self-join producing the O(m^2)
+    pairs and the per-series median window run on the tiny signal
+    frame (m = span/bucket buckets per series — a monitoring read over
+    hours/days, thousands of points, not a corpus-scale op).
+
+    Output: ``g, n_buckets, n_pairs, sen_slope`` (counts per bucket
+    per bucket-step).
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        F.col(by).alias("g"),
+        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+    )
+    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        counts.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    sig = spine.join(counts, ["g", "h"], "left").select(
+        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    a = sig.select("g", F.col("h").alias("hi"), F.col("c").alias("ci"))
+    b = sig.select("g", F.col("h").alias("hj"), F.col("c").alias("cj"))
+    slopes = (
+        a.join(b, "g")
+        .filter(F.col("hj") > F.col("hi"))
+        .select(
+            "g",
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("hj") - F.col("hi")).cast("double")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("s")
+    ranked = slopes.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    mid = ranked.filter(
+        (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+    )
+    nb = sig.groupBy("g").agg(F.count(F.lit(1)).alias("n_buckets"))
+    med = mid.groupBy("g").agg(
+        F.max("__n").alias("n_pairs"), F.avg("s").alias("sen_slope")
+    )
+    return nb.join(med, "g")

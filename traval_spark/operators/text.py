@@ -553,3 +553,146 @@ def vocab_coverage(
             F.round(F.col("cum") / F.col("__tot"), 9).alias("cum_frac"),
         )
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent word
+    pairs — the phrase-mining read of a training corpus ("new york",
+    "machine learning"): which bigrams occur far more often than their
+    parts predict.  With c_xy the bigram count, c_x / c_y the unigram
+    occurrence counts, N_uni total unigram occurrences and N_bi total
+    bigram occurrences,
+
+        pmi = ln( (c_xy / N_bi) / ((c_x / N_uni) * (c_y / N_uni)) )
+            = ln( (c_xy * N_uni^2) / (N_bi * c_x * c_y) )
+
+    assembled as ONE log of a ratio of exact decimal(38,0) products
+    (N_uni^2 overflows int64 on a 10^12-token corpus; decimal mirrors
+    the oracle's HUGEINT exactly), so the double is engine-identical
+    to the ulp.
+
+    Plan shape for 100 TB: raw text is scanned twice, each time
+    straight into a partial-aggregatable groupBy count (unigrams:
+    explode(tokens); bigrams: explode(zip(toks[:-1], toks[1:]))) —
+    map-side combine collapses both streams to vocab-bounded count
+    tables before any shuffle.  The PMI assembly (two equi-joins of
+    the bigram table against the unigram table + two broadcast total
+    scalars) runs entirely on those vocab-bounded frames; the
+    ``min_count`` gate cuts the bigram table BEFORE the joins, which
+    is also the statistical floor (PMI of a count-1 pair is noise).
+    Docs with fewer than 2 tokens contribute unigrams but no bigram
+    (no truncated-window shingle here — a 1-token doc has no pair).
+
+    Output: ``w1, w2, cnt, pmi`` (pmi in nats).
+    """
+    toks = docs.select(ws_tokens(F.col(text_col)).alias("t")).filter(
+        F.col("t").isNotNull()
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.size(F.col("t"))
+    pairs = toks.filter(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, n - 1).alias("w1"),
+                F.slice(F.col("t"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    tot_uni = uni.agg(
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("__nu")
+    )
+    tot_bi = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__nb")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d("cnt") * F.col("__nu") * F.col("__nu")
+    den = F.col("__nb") * d("c1") * d("c2")
+    return (
+        bi.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_bi))
+        .select(
+            "w1", "w2", "cnt",
+            F.log(num.cast("double") / den.cast("double")).alias("pmi"),
+        )
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    k: int = 2,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Pairwise k-gram Jaccard similarity BETWEEN sources — the
+    mixture-design read ("how much does crawl overlap with curated?")
+    that decides whether two corpus components are redundant before
+    weights are assigned (mix_sample) or budgets spent (token_budget).
+
+    Each source collapses to its DISTINCT k-gram shingle set (the same
+    :func:`kgrams` window every shingle operator shares, so a fix there
+    fixes this too); for every unordered source pair (a < b)
+
+        jaccard = |A inter B| / (|A| + |B| - |A inter B|)
+
+    from exact integer counts (one double division, rounded to 9 dp).
+    Pairs with ZERO overlap are kept (jaccard 0.0) — absence of overlap
+    is the answer, not a missing row — via a cross of the tiny
+    per-source-size frame with a left join of the intersection counts.
+
+    Plan shape for 100 TB: one explode -> distinct(source, shingle)
+    (partial-aggregatable — map-side combine dedups within tasks);
+    the intersection is a self-equi-join KEYED ON THE SHINGLE, so a
+    shingle present in s sources emits C(s,2) pairs — bounded by the
+    SOURCE count (a handful), never by corpus size; per-pair counts
+    partial-aggregate.  No all-pairs document work anywhere.
+
+    Output: ``a, b, n_a, n_b, inter, jaccard``.
+    """
+    sh = (
+        docs.select(
+            F.col(by).alias("g"),
+            F.explode(kgrams(ws_tokens(F.col(text_col)), k)).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("g").alias("a"), "sh")
+    b = sh.select(F.col("g").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("g").alias("a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("b"), F.col("n").alias("n_b"))
+    allp = sa.crossJoin(sb).filter(F.col("a") < F.col("b"))
+    return (
+        allp.join(inter, ["a", "b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .select(
+            "a", "b", "n_a", "n_b", "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
