@@ -727,6 +727,42 @@ def q_trimmed_mean_1h(spark, sf_dir):
     return hist_trimmed_mean(t1h, alpha=0.1, scale=100)
 
 
+def q_hist_mad_1h(spark, sf_dir):
+    """Tier-served robust location + dispersion (hist.py:hist_mad):
+    median and MAD per (source, 1h) straight from the cascaded 1m->1h
+    histogram tier — the deviation histogram folds bins equidistant
+    from the median together (counts add, still lossless), then the
+    same integer rank pick; raw never re-sorted. Oracle is the
+    independent row-level formulation (row_number rank picks over raw
+    values and raw deviations)."""
+    from traval_spark.hist import hist_cascade, hist_mad, hist_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    t1h = hist_cascade(hist_tier(src, "1m", scale=100), "1h")
+    return hist_mad(t1h, scale=100)
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Hampel-style flags with med/MAD fences served FROM the stored
+    tier (hist.py:robust_outliers): one raw scan + one broadcast join
+    against the per-(source, 1h) stats frame, deviation kept as an
+    exact integer in bin units so the k*MAD boundary is engine-exact.
+    Oracle recomputes the fences row-level from raw."""
+    from traval_spark.hist import hist_tier, robust_outliers
+
+    src = _events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("source"), "ts", "value",
+    )
+    t1h = hist_tier(
+        src.withColumnRenamed("value", "n_tok"), "1h", scale=100,
+        value_col="n_tok",
+    )
+    return robust_outliers(src, t1h, tier="1h", k=3.0, scale=100)
+
+
 def q_distinct_users_hll_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "hll")
 
@@ -2991,6 +3027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "key_skew": q_key_skew,
         "theil_sen": q_theil_sen,
+        "hist_mad_1h": q_hist_mad_1h,
+        "robust_outliers": q_robust_outliers,
         "pmi_bigrams": q_pmi_bigrams,
         "source_overlap": q_source_overlap,
     }
@@ -6047,6 +6085,75 @@ def oracle_sql() -> dict[str, str]:
                                    [0 for _ in range(48 - n_real)]), ',')
            end AS attention_mask
     from p
+    """
+    # med/MAD and tier-served Hampel fences: independent row-level
+    # rank-pick formulations (the engine reads cumulative bin counts)
+    sql["hist_mad_1h"] = """
+    with v as (select event_type AS source,
+                      date_trunc('hour', ts) AS bucket,
+                      CAST(round(value * 100) AS BIGINT) AS bin
+               from events where value is not null),
+    r as (select source, bucket, bin,
+            row_number() over (partition by source, bucket
+                               order by bin) AS rn,
+            count(*) over (partition by source, bucket) AS n
+          from v),
+    med as (select source, bucket, max(n) AS n,
+                   max(case when rn = greatest(
+                         1, cast(ceil(0.5 * n) AS bigint))
+                       then bin end) AS medbin
+            from r group by 1, 2),
+    d as (select v.source, v.bucket, abs(v.bin - m.medbin) AS dev
+          from v join med m using (source, bucket)),
+    dr as (select source, bucket, dev,
+             row_number() over (partition by source, bucket
+                                order by dev) AS rn,
+             count(*) over (partition by source, bucket) AS n
+           from d),
+    mad as (select source, bucket,
+                   max(case when rn = greatest(
+                         1, cast(ceil(0.5 * n) AS bigint))
+                       then dev end) AS madbin
+            from dr group by 1, 2)
+    select m.source, m.bucket, m.n,
+           m.medbin / 100 AS median, mad.madbin / 100 AS mad
+    from med m join mad using (source, bucket)
+    """
+    sql["robust_outliers"] = """
+    with v as (select event_id, event_type AS source, ts, value,
+                      date_trunc('hour', ts) AS bucket,
+                      CAST(round(value * 100) AS BIGINT) AS bin
+               from events where value is not null),
+    r as (select source, bucket, bin,
+            row_number() over (partition by source, bucket
+                               order by bin) AS rn,
+            count(*) over (partition by source, bucket) AS n
+          from v),
+    med as (select source, bucket,
+                   max(case when rn = greatest(
+                         1, cast(ceil(0.5 * n) AS bigint))
+                       then bin end) AS medbin
+            from r group by 1, 2),
+    d as (select v.source, v.bucket,
+                 abs(v.bin - m.medbin) AS dev
+          from v join med m using (source, bucket)),
+    dr as (select source, bucket, dev,
+             row_number() over (partition by source, bucket
+                                order by dev) AS rn,
+             count(*) over (partition by source, bucket) AS n
+           from d),
+    mad as (select source, bucket,
+                   max(case when rn = greatest(
+                         1, cast(ceil(0.5 * n) AS bigint))
+                       then dev end) AS madbin
+            from dr group by 1, 2)
+    select v.event_id, v.source, v.ts, v.value,
+           m.medbin / 100 AS median, mad.madbin / 100 AS mad,
+           abs(v.bin - m.medbin) / 100 AS robust_dev
+    from v
+    join med m using (source, bucket)
+    join mad using (source, bucket)
+    where abs(v.bin - m.medbin) > 3.0 * mad.madbin
     """
     # Theil-Sen: pairwise slopes are doubles of exact integers; DuckDB
     # median() of an even count averages the two middle values, the

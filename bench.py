@@ -111,7 +111,8 @@ def main() -> None:
         "locf_from_tier", "fl_increase", "sliding_rollup",
         "distinct_users_1h", "distinct_users_hll_1h", "cms_point_1h",
         "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
-        "hist_quantiles_1h", "trimmed_mean_1h",
+        "hist_quantiles_1h", "trimmed_mean_1h", "hist_mad_1h",
+        "robust_outliers",
         "dds_quantiles_1h", "dds_rank_1h", "toptok_1h",
         "sessionize", "burst_dedup", "interval_events", "interval_overlaps",
         "asof_join",

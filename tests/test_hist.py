@@ -249,3 +249,54 @@ def test_dds_rank_gamma_sandwich_and_cascade(spark, raw):
     j = dds_rank(t1h, v, alpha=alpha).alias("a").join(
         direct.alias("b"), ["source", "bucket"])
     assert j.filter(F.col("a.frac_le") != F.col("b.frac_le")).count() == 0
+
+
+def test_hist_mad_hand_values(spark):
+    """Values [1,2,3,4,100] in one bucket: median = rank-3 value = 3,
+    deviations [2,1,0,1,97] -> sorted [0,1,1,2,97], MAD = rank-3 = 1 —
+    the 100 outlier moves neither statistic."""
+    from traval_spark.hist import hist_mad, hist_tier
+
+    rows = [("a", "2024-01-01 00:00:%02d" % i, float(v))
+            for i, v in enumerate([1, 2, 3, 4, 100])]
+    df = spark.createDataFrame(rows, "source string, ts string, n_tok double") \
+        .withColumn("ts", F.to_timestamp_ntz("ts"))
+    out = hist_mad(hist_tier(df, "1h"), scale=1).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert (r["n"], r["median"], r["mad"]) == (5, 3.0, 1.0)
+
+
+def test_hist_mad_composes_through_cascade(spark, raw):
+    """med/MAD read off the 1m->1h cascaded tier == read off the
+    direct 1h leaf (the deviation fold is a function of tier state
+    only, so the read composes through any coarsening)."""
+    from traval_spark.hist import hist_cascade, hist_mad
+
+    merged = hist_mad(hist_cascade(hist_tier(raw, "1m"), "1h"))
+    direct = hist_mad(hist_tier(raw, "1h"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_robust_outliers_flags_and_degenerate_mad(spark):
+    """Bucket A [10..14, 100]: med 12, MAD 1 -> only the 100 flagged
+    (dev 88 > 3). Bucket B is >50% one value -> MAD 0: every
+    off-median point flagged (the disclosed degenerate regime)."""
+    from traval_spark.hist import hist_tier, robust_outliers
+
+    rows = [("a", "2024-01-01 00:00:%02d" % i, float(v), i)
+            for i, v in enumerate([10, 11, 12, 13, 14, 100])]
+    rows += [("a", "2024-01-01 01:00:%02d" % i, float(v), 100 + i)
+             for i, v in enumerate([5, 5, 5, 5, 9])]
+    df = spark.createDataFrame(
+        rows, "source string, ts string, value double, event_id long"
+    ).withColumn("ts", F.to_timestamp_ntz("ts"))
+    tier = hist_tier(df.withColumnRenamed("value", "n_tok"), "1h",
+                     value_col="n_tok")
+    got = {r["event_id"]: r for r in
+           robust_outliers(df, tier, tier="1h", k=3.0).collect()}
+    assert set(got) == {5, 104}
+    assert got[5]["median"] == 12.0 and got[5]["mad"] == 1.0
+    assert got[5]["robust_dev"] == 88.0
+    assert got[104]["mad"] == 0.0  # degenerate regime: 9 != med 5

@@ -446,3 +446,133 @@ def dds_rank(
             9,
         ).alias(out_col)
     )
+
+
+def _hist_rank_pick(hist_df: DataFrame, q: float, out: str) -> DataFrame:
+    """Discrete-quantile pick in BIN UNITS (long, never divided): the
+    bin at 1-based rank ``max(1, ceil(q*n))`` per (source, bucket) —
+    the integer-exact core both the median/MAD read and the fence read
+    build on (hist_quantiles divides by scale for presentation; these
+    reads need the raw integer to keep later arithmetic exact)."""
+    w_cum = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source", "bucket")
+    cum = F.sum("cnt").over(w_cum)
+    n = F.sum("cnt").over(w_all)
+    rank = F.greatest(F.ceil(F.lit(float(q)) * n), F.lit(1))
+    hit = F.when(cum >= rank, F.col("bin"))
+    return hist_df.select(
+        "source", "bucket", hit.alias("__hit"), n.alias("__n")
+    ).groupBy("source", "bucket").agg(
+        F.min("__hit").alias(out), F.max("__n").alias("__n")
+    )
+
+
+def hist_mad(hist_df: DataFrame, scale: int = 1) -> DataFrame:
+    """Median + MAD (median absolute deviation) per (source, bucket)
+    served STRAIGHT from a histogram tier — the robust location AND
+    dispersion pair (the Hampel identifier's ingredients) that normally
+    needs TWO per-bucket sorts of raw values, recovered exactly from
+    tier state:
+
+    1. median = bin at rank ``max(1, ceil(n/2))`` (quantile_disc rule);
+    2. fold the histogram onto deviations ``|bin - median|`` — bins
+       equidistant from the median MERGE (counts add, still a lossless
+       histogram, now of the deviation variable);
+    3. MAD = the same rank pick over the deviation histogram.
+
+    Everything is integer arithmetic on cumulative counts; raw is never
+    re-scanned and the read composes through any cascade coarsening.
+    The groupBys and window passes all run on the tier frame.  Output
+    ``source, bucket, n, median, mad`` (bin units / scale).
+    """
+    med = _hist_rank_pick(hist_df, 0.5, "__med")
+    dev = (
+        hist_df.join(med.select("source", "bucket", "__med"),
+                     ["source", "bucket"])
+        .groupBy(
+            "source", "bucket",
+            F.abs(F.col("bin") - F.col("__med")).alias("bin"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _hist_rank_pick(dev, 0.5, "__mad")
+    return (
+        med.join(mad.select("source", "bucket", "__mad"),
+                 ["source", "bucket"])
+        .select(
+            "source", "bucket", F.col("__n").alias("n"),
+            (F.col("__med") / F.lit(int(scale))).alias("median"),
+            (F.col("__mad") / F.lit(int(scale))).alias("mad"),
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    hist_df: DataFrame,
+    tier: str = "1h",
+    k: float = 3.0,
+    scale: int = 1,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    ident: str = "event_id",
+) -> DataFrame:
+    """Hampel-style robust outlier flags where the med/MAD statistics
+    come FROM THE STORED TIER: a raw point is flagged when
+
+        |round(value*scale) - median_bin| > k * mad_bin
+
+    — the rule the rolling Hampel applies locally, here with
+    bucket-global fences served by :func:`hist_mad` so the flagging
+    pass is ONE raw scan + ONE equi-join against the tiny per-(source,
+    bucket) stats frame (broadcast: |sources| x |buckets| rows — the
+    rule-from-tier shape, raw never sorted or window-scanned).  The
+    deviation stays an exact integer in bin units; the only float op
+    is the single ``k * mad_bin`` product both engines compute
+    identically, so the flag boundary is engine-exact.
+
+    MAD = 0 (>50% of the bucket's mass on one bin) flags every
+    off-median point — the known degenerate Hampel regime, disclosed
+    rather than patched (callers wanting a sigma fallback can gate on
+    the emitted ``mad``).
+
+    ``tier`` must name the bucketing ``hist_df`` was built/cascaded at
+    (the join key is ``date_trunc(tier unit, ts)``).  Output for
+    FLAGGED rows only: ``ident, source, ts, value, median, mad,
+    robust_dev`` (median/mad/dev in value units).
+    """
+    unit, _ = TIERS[tier]
+    stats = hist_mad(hist_df, scale=1)  # bin units: exact arithmetic
+    df = ensure_ntz(df, ts_col)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    b = F.round(F.col(value_col) * scale).cast("long")
+    raw = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(ident), "source", F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        bucket.alias("bucket"), b.alias("__bin"),
+    )
+    s = F.lit(int(scale))
+    dev = F.abs(F.col("__bin") - F.col("median"))
+    return (
+        raw.join(
+            F.broadcast(
+                stats.select(
+                    "source", "bucket",
+                    F.col("median").cast("long").alias("median"),
+                    F.col("mad").cast("long").alias("mad"),
+                )
+            ),
+            ["source", "bucket"],
+        )
+        .filter(dev > F.lit(float(k)) * F.col("mad"))
+        .select(
+            ident, "source", "ts", "value",
+            (F.col("median") / s).alias("median"),
+            (F.col("mad") / s).alias("mad"),
+            (dev / s).alias("robust_dev"),
+        )
+    )
