@@ -2670,6 +2670,32 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir), k=2)
 
 
+def q_source_entropy(spark, sf_dir):
+    """Per-source token-distribution diversity + idiosyncrasy
+    (text.py:source_entropy): Shannon entropy and KL(source || corpus)
+    from one raw explode->groupBy; corpus marginals derived FROM the
+    vocab-bounded count frame, never a second raw pass."""
+    from traval_spark.operators.text import source_entropy
+
+    return source_entropy(_docs(spark, sf_dir))
+
+
+def q_join_blowup(spark, sf_dir):
+    """Pre-flight join-cardinality predictor
+    (sources/layout.py:join_blowup): exact inner-join output size
+    sum_k ca_k*cb_k from the two key-count tables WITHOUT running the
+    join — per-key products in decimal(38,0), worst key named, the
+    amplification trigger. view x purchase on user_id."""
+    from traval_spark.sources.layout import join_blowup
+
+    ev = _events(spark, sf_dir)
+    return join_blowup(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """General point-to-point AS-OF join (functions/ts.py:asof_join):
     every view event picks the user's latest purchase at-or-before it
@@ -3031,6 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "pmi_bigrams": q_pmi_bigrams,
         "source_overlap": q_source_overlap,
+        "source_entropy": q_source_entropy,
+        "join_blowup": q_join_blowup,
     }
 
 
@@ -6200,6 +6228,49 @@ def oracle_sql() -> dict[str, str]:
     from bc b
     join uc u1 on b.w1 = u1.w
     join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # entropy/KL: formula-level mirror (the c*ln c sums are the only
+    # order-dependent float reductions; rounded to 6 both sides)
+    sql["source_entropy"] = """
+    with c as (select g, w, count(*) AS c
+               from (select source AS g,
+                            unnest(regexp_split_to_array(text, '\\s+')) AS w
+                     from documents where text is not null)
+               group by 1, 2),
+    t as (select w, sum(c) AS tc from c group by 1),
+    n as (select cast(sum(tc) AS double) AS nn from t)
+    select c.g, cast(sum(c.c) AS bigint) AS n_tok,
+           count(*) AS vocab,
+           round(ln(sum(c.c)) - sum(c.c * ln(c.c)) / sum(c.c), 6)
+             AS entropy,
+           round(sum(c.c * ln(c.c)) / sum(c.c) - ln(sum(c.c))
+                 - sum(c.c * ln(t.tc)) / sum(c.c) + ln(n.nn), 6)
+             AS kl_vs_corpus
+    from c join t using (w), n
+    group by c.g, n.nn
+    """
+    # join blowup: exact inner-join size from the two key-count tables;
+    # worst key picked by (p desc, k desc) = the engine's max(struct)
+    sql["join_blowup"] = """
+    with a as (select cast(user_id AS varchar) AS k, count(*) AS ca
+               from events where event_type = 'view' group by 1),
+    b as (select cast(user_id AS varchar) AS k, count(*) AS cb
+          from events where event_type = 'purchase' group by 1),
+    j as (select a.k,
+                 cast(ca AS hugeint) * cast(cb AS hugeint) AS p
+          from a join b using (k)),
+    mx as (select p, k from j order by p desc, k desc limit 1)
+    select cast((select sum(ca) from a) AS bigint) AS n_left,
+           cast((select sum(cb) from b) AS bigint) AS n_right,
+           (select count(*) from j) AS n_keys_matched,
+           (select cast(sum(p) AS double) from j) AS est_rows,
+           cast(mx.p AS double) AS max_key_product,
+           mx.k AS max_key,
+           round((select cast(sum(p) AS double) from j)
+                 / cast(greatest((select sum(ca) from a),
+                                 (select sum(cb) from b)) AS double),
+                 6) AS amplification
+    from mx
     """
     # source overlap: k=2 shingles with kgrams' truncated-window rule
     # (toks[i:i+1], i up to greatest(len-1, 1)); zero-overlap pairs kept

@@ -124,7 +124,7 @@ def main() -> None:
         "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn", "theil_sen",
-        "pmi_bigrams", "source_overlap",
+        "pmi_bigrams", "source_overlap", "source_entropy", "join_blowup",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "sliding_from_tier", "pad_sequences",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",

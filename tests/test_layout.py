@@ -130,3 +130,19 @@ def test_skew_report_flags_the_viral_key(spark):
         "k": [f"k{i % 64}" for i in range(1280)],
     }))
     assert skew_report(wide, "k").collect()[0]["suggested_salt"] == 1
+
+
+def test_join_blowup_hand_values(spark):
+    """left keys {a:2, b:1}, right {a:3, c:4}: one matched key,
+    est_rows 2*3=6, amplification 6/max(3,7)."""
+    from traval_spark.sources.layout import join_blowup
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "user_id string")
+    right = spark.createDataFrame(
+        [("a",)] * 3 + [("c",)] * 4, "user_id string")
+    r = join_blowup(left, right, "user_id").collect()[0].asDict()
+    assert (r["n_left"], r["n_right"], r["n_keys_matched"]) == (3, 7, 1)
+    assert r["est_rows"] == 6.0
+    assert r["max_key_product"] == 6.0 and r["max_key"] == "a"
+    assert r["amplification"] == round(6 / 7, 6)

@@ -1733,3 +1733,25 @@ def test_source_overlap_hand_jaccard(spark):
     assert abs(r12["jaccard"] - round(1 / 3, 9)) < 1e-12
     assert got[("s1", "s3")]["inter"] == 0
     assert got[("s1", "s3")]["jaccard"] == 0.0
+
+
+def test_source_entropy_hand_values(spark):
+    """A='a a a a': entropy 0, KL = ln(8/5) (corpus q(a)=5/8).
+    B='a b c d': entropy ln 4, KL = (ln(2/5) + 3 ln 2)/4."""
+    import math
+
+    from traval_spark.operators.text import source_entropy
+
+    df = spark.createDataFrame(
+        [("d1", "a a a a", "A"), ("d2", "a b c d", "B")],
+        "doc_id string, text string, source string",
+    )
+    got = {r["g"]: r for r in source_entropy(df).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_tok"], a["vocab"]) == (4, 1)
+    assert a["entropy"] == 0.0
+    assert abs(a["kl_vs_corpus"] - round(math.log(8 / 5), 6)) < 1e-9
+    assert (b["n_tok"], b["vocab"]) == (4, 4)
+    assert abs(b["entropy"] - round(math.log(4.0), 6)) < 1e-9
+    assert abs(b["kl_vs_corpus"]
+               - round((math.log(2 / 5) + 3 * math.log(2)) / 4, 6)) < 1e-9

@@ -696,3 +696,64 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def source_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Token-distribution diversity and idiosyncrasy per source — the
+    other half of the mixture-design pair next to
+    :func:`source_overlap` (overlap says "are these two components the
+    same data"; this says "how diverse is each component internally,
+    and how far does it sit from the corpus mixture"):
+
+    - ``entropy``: Shannon entropy (nats) of the source's unigram
+      distribution, ``ln n − (Σ c·ln c)/n`` — low = repetitive /
+      template-heavy source;
+    - ``kl_vs_corpus``: KL(source ‖ corpus) over the source's observed
+      vocabulary, ``(Σ c·ln c)/n − ln n − (Σ c·ln tc)/n + ln N`` —
+      high = idiosyncratic source the mixture under-represents.
+
+    Plan shape for 100 TB: ONE explode feeds a partial-aggregatable
+    groupBy(source, token) count — the only raw-scale pass; the corpus
+    marginals are a second groupBy OVER THAT vocab-bounded frame, and
+    the entropy/KL assembly is one equi-join of two vocab-bounded
+    count tables plus a per-source aggregate.  Counts are exact
+    integers; the ``c·ln c`` sums are the only order-dependent float
+    reductions (rounded to 6 dp; accumulated noise ~1e-12).
+
+    Output: ``g, n_tok, vocab, entropy, kl_vs_corpus``.
+    """
+    cnt = (
+        docs.select(
+            F.col(by).alias("g"),
+            F.explode(ws_tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("w").agg(F.sum("c").alias("tc"))
+    ntot = tot.agg(F.sum("tc").alias("__N"))
+    c = F.col("c").cast("double")
+    per = (
+        cnt.join(tot, "w")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(c * F.log(c)).alias("__sclc"),
+            F.sum(c * F.log(F.col("tc").cast("double"))).alias("__scltc"),
+        )
+    )
+    n = F.col("n_tok").cast("double")
+    return per.crossJoin(F.broadcast(ntot)).select(
+        "g", "n_tok", "vocab",
+        F.round(F.log(n) - F.col("__sclc") / n, 6).alias("entropy"),
+        F.round(
+            F.col("__sclc") / n - F.log(n) - F.col("__scltc") / n
+            + F.log(F.col("__N").cast("double")),
+            6,
+        ).alias("kl_vs_corpus"),
+    )

@@ -195,3 +195,63 @@ def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
             F.lit(1),
         ).alias("suggested_salt"),
     )
+
+
+def join_blowup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Pre-flight join-cardinality predictor — :func:`skew_report`'s
+    sibling for the TWO-sided question: how many rows will
+    ``left JOIN right ON key`` actually emit, and is one hot key about
+    to amplify the output past memory?  The exact inner-join output
+    size is ``Σ_k c_left(k) · c_right(k)`` — computable from the two
+    key-count tables WITHOUT running the join.
+
+    Per-key products accumulate in decimal(38,0) (two 10^12-row inputs
+    sharing one key overflow int64 at the product already), presented
+    as doubles — this is a planning estimate read, 2^53 precision is
+    beyond what the decision needs.  ``max_key_product`` and its key
+    name the single worst offender (the salting / filter target);
+    ``amplification`` = est_rows / max(n_left, n_right) > ~4 is the
+    "this join explodes" trigger.
+
+    Plan shape: one groupBy-count per side (the only raw-scale work),
+    an equi-join of the two bounded key tables, driver-sized output.
+    Output: one row — ``n_left, n_right, n_keys_matched, est_rows,
+    max_key_product, max_key, amplification``.
+    """
+    ca = left.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    cb = right.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    na = ca.agg(F.sum("ca").alias("n_left"))
+    nb = cb.agg(F.sum("cb").alias("n_right"))
+    prod = (
+        F.col("ca").cast("decimal(38,0)")
+        * F.col("cb").cast("decimal(38,0)")
+    )
+    j = ca.join(cb, "k").select("k", prod.alias("p"))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_keys_matched"),
+        F.sum("p").alias("__est"),
+        F.max(F.struct(F.col("p"), F.col("k"))).alias("__mx"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_left", "n_right", "n_keys_matched",
+            F.col("__est").cast("double").alias("est_rows"),
+            F.col("__mx.p").cast("double").alias("max_key_product"),
+            F.col("__mx.k").alias("max_key"),
+            F.round(
+                F.col("__est").cast("double")
+                / F.greatest("n_left", "n_right").cast("double"),
+                6,
+            ).alias("amplification"),
+        )
+    )
