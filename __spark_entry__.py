@@ -2670,6 +2670,20 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir), k=2)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Index-served phrase containment (dedup.py:phrase_search): the
+    phrase's k-shingles filter the inverted index (plan-time literal
+    list — pushes to a stored index's parquet scan), ALL-shingles
+    candidates verified by word-boundary containment on a left-semi
+    pruned documents scan. Oracle is the full-scan containment the
+    index replaces."""
+    from traval_spark.operators.dedup import phrase_search, shingle_index
+
+    docs = _docs(spark, sf_dir)
+    idx = shingle_index(docs, k=3)
+    return phrase_search(idx, docs, "slow hash batch", k=3)
+
+
 def q_source_entropy(spark, sf_dir):
     """Per-source token-distribution diversity + idiosyncrasy
     (text.py:source_entropy): Shannon entropy and KL(source || corpus)
@@ -3059,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "source_entropy": q_source_entropy,
         "join_blowup": q_join_blowup,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -6228,6 +6243,15 @@ def oracle_sql() -> dict[str, str]:
     from bc b
     join uc u1 on b.w1 = u1.w
     join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # phrase search: the oracle is the full-scan word-boundary
+    # containment the index-served path replaces
+    sql["phrase_search"] = """
+    select doc_id from documents
+    where text is not null
+      and contains(' ' || array_to_string(
+                      regexp_split_to_array(text, '\\s+'), ' ') || ' ',
+                   ' slow hash batch ')
     """
     # entropy/KL: formula-level mirror (the c*ln c sums are the only
     # order-dependent float reductions; rounded to 6 both sides)

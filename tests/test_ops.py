@@ -1755,3 +1755,24 @@ def test_source_entropy_hand_values(spark):
     assert abs(b["entropy"] - round(math.log(4.0), 6)) < 1e-9
     assert abs(b["kl_vs_corpus"]
                - round((math.log(2 / 5) + 3 * math.log(2)) / 4, 6)) < 1e-9
+
+
+def test_phrase_search_verify_kills_index_false_positive(spark):
+    """'a b c x b c d' posts BOTH probes of phrase 'a b c d' but not
+    contiguously -> candidate killed by the verify stage; the true
+    match and an exact-text doc survive; <k-word phrase raises."""
+    import pytest as _pt
+
+    from traval_spark.operators.dedup import phrase_search, shingle_index
+
+    df = spark.createDataFrame(
+        [("d1", "a b c x b c d"), ("d2", "z a b c d z"),
+         ("d3", "a b c d"), ("d4", "nothing here at all")],
+        "doc_id string, text string",
+    )
+    idx = shingle_index(df, k=3)
+    got = sorted(r["doc_id"] for r in
+                 phrase_search(idx, df, "a b c d", k=3).collect())
+    assert got == ["d2", "d3"]
+    with _pt.raises(ValueError):
+        phrase_search(idx, df, "a b", k=3)

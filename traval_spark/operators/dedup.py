@@ -1212,3 +1212,82 @@ def gram_growth(
         Window.unboundedPreceding, Window.currentRow
     )
     return g.withColumn("vocab_size", F.sum("new_grams").over(w))
+
+
+def shingle_index(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted k-gram index: distinct ``(sh, doc_id)`` postings over
+    the word-shingle domain (the same :func:`~traval_spark.operators
+    .text.kgrams` window every shingle operator shares).  Build once,
+    store as a tier (long-form rows: partial-aggregatable distinct,
+    parquet dictionary-encodes the repeated shingles, the ``sh``
+    column zone-maps), serve many :func:`phrase_search` lookups from
+    it — the corpus text is never re-scanned per query.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(kgrams(ws_tokens(F.col(text_col)), k)).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+
+
+def phrase_search(
+    index: DataFrame,
+    docs: DataFrame,
+    phrase: str,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word-boundary phrase containment served FROM the stored
+    inverted index: return the doc_ids whose text contains ``phrase``
+    as a contiguous word sequence, WITHOUT a full corpus text scan.
+
+    Two-stage, exact end to end:
+
+    1. **Candidates from the index** — a doc containing the phrase
+       necessarily posts every k-shingle of the phrase, so filtering
+       the index to the phrase's shingles (a tiny plan-time literal
+       list — pushes to the parquet scan of a stored index) and
+       keeping docs matching ALL of them is a no-false-negative
+       candidate set.
+    2. **Verify on the candidates only** — a left-semi join prunes the
+       documents scan to the candidate ids, then the word-boundary
+       containment check (`' ' || normalized text || ' '` contains
+       `' ' || phrase || ' '`, the same whitespace tokenization the
+       shingles derive from) removes index false positives (shingles
+       present but non-contiguous).
+
+    The phrase must have at least ``k`` words — shorter phrases
+    produce no k-shingle to probe with (raise, don't silently full
+    scan).  Output: ``doc_id`` of matching docs.
+    """
+    words = [w for w in phrase.split() if w]
+    if len(words) < k:
+        raise ValueError(
+            f"phrase needs >= k={k} words for a k-shingle probe; "
+            f"got {len(words)}"
+        )
+    probes = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    probes = sorted(set(probes))
+    cand = (
+        index.filter(F.col("sh").isin(probes))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("__hits"))
+        .filter(F.col("__hits") == len(probes))
+        .select("doc_id")
+    )
+    norm = F.concat_ws(" ", ws_tokens(F.col(text_col)))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    return (
+        docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
+        .filter(padded.contains(" " + " ".join(words) + " "))
+        .select(F.col(id_col).alias("doc_id"))
+    )
