@@ -2670,6 +2670,28 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir), k=2)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot CDC audit (contract.py:corpus_diff): synthetic 'new
+    crawl' derived from the corpus (drop doc_id%11, upper-case
+    doc_id%13, re-id doc_id%17 as additions) diffed against the
+    original — each side collapses to (id, md5) in the scan
+    projection, one full-outer equi-join, delta-only output."""
+    from traval_spark.operators.contract import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    base = docs.filter(did % 11 != 0).withColumn(
+        "text",
+        F.when(did % 13 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    added = docs.filter(did % 17 == 0).withColumn(
+        "doc_id", did + F.lit(1000000)
+    )
+    new = base.unionByName(added)
+    return corpus_diff(docs, new)
+
+
 def q_phrase_search(spark, sf_dir):
     """Index-served phrase containment (dedup.py:phrase_search): the
     phrase's k-shingles filter the inverted index (plan-time literal
@@ -3074,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": q_source_entropy,
         "join_blowup": q_join_blowup,
         "phrase_search": q_phrase_search,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -6243,6 +6266,25 @@ def oracle_sql() -> dict[str, str]:
     from bc b
     join uc u1 on b.w1 = u1.w
     join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # corpus diff: direct string comparison (md5 equality == string
+    # equality); same NULL-coalesce convention both sides
+    sql["corpus_diff"] = """
+    with old as (select doc_id, coalesce(text, '') AS t from documents),
+    newb as (select doc_id,
+                    case when doc_id % 13 = 0
+                         then coalesce(upper(text), '')
+                         else coalesce(text, '') end AS t
+             from documents where doc_id % 11 <> 0),
+    newa as (select doc_id + 1000000 AS doc_id, coalesce(text, '') AS t
+             from documents where doc_id % 17 = 0),
+    nw as (select * from newb union all select * from newa)
+    select coalesce(o.doc_id, n.doc_id) AS doc_id,
+           case when o.doc_id is null then 'added'
+                when n.doc_id is null then 'removed'
+                when o.t <> n.t then 'modified' end AS status
+    from old o full outer join nw n on o.doc_id = n.doc_id
+    where o.doc_id is null or n.doc_id is null or o.t <> n.t
     """
     # phrase search: the oracle is the full-scan word-boundary
     # containment the index-served path replaces

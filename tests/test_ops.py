@@ -1776,3 +1776,22 @@ def test_phrase_search_verify_kills_index_false_positive(spark):
     assert got == ["d2", "d3"]
     with _pt.raises(ValueError):
         phrase_search(idx, df, "a b", k=3)
+
+
+def test_corpus_diff_statuses_and_null_convention(spark):
+    """added/removed/modified emitted, unchanged suppressed; NULL->''
+    edit is UNCHANGED (both hash ''), NULL->'x' is modified."""
+    from traval_spark.operators.contract import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, ""), (4, "x"), (6, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {2: "modified", 4: "modified",
+                   5: "removed", 6: "added"}

@@ -93,3 +93,49 @@ def contract_report(parts: list[DataFrame]) -> DataFrame:
     (check, n_violations) report — every part is already aggregated,
     so this is a driver-scale union of tiny frames."""
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot change capture for a document corpus — the
+    ingest-audit read that answers "what did yesterday's crawl refresh
+    actually change?" before tiers are rebuilt or packs re-frozen:
+
+    - ``added``   — id only in the new snapshot,
+    - ``removed`` — id only in the old snapshot,
+    - ``modified``— id in both, content hash differs.
+
+    Unchanged docs are NOT emitted (the delta is the answer; at 100 TB
+    the unchanged set is the corpus).  Content equality is md5 over
+    NULL-coalesced text, so a NULL→'' edit counts as unchanged (both
+    hash '') while NULL→'x' counts as modified — the convention the
+    exact-dedup operator uses.
+
+    Plan shape: each side collapses to ``(id, hash)`` in the scan
+    projection (two columns read, text never shuffled), then ONE
+    full-outer equi-join on the id — partial nothing, but the shuffled
+    payload is 2×16 bytes per doc, not documents.  Output:
+    ``doc_id, status`` with status in {added, removed, modified}.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__hn"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("modified"))
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
