@@ -2670,6 +2670,21 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir), k=2)
 
 
+def q_seasonal_strength(spark, sf_dir):
+    """Seasonality-strength gate (monitor.py:seasonal_strength):
+    variance fraction explained by the hour-of-day profile via the
+    one-way-ANOVA identity on the zero-filled bucket-count signal —
+    count/squared-count sums exact decimal, the only order-dependent
+    float reduction is the 24-term sum of s_h^2/n_h (rounded with the
+    result). One raw groupBy; ANOVA runs on the tiny signal frame."""
+    from traval_spark.operators.monitor import seasonal_strength
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return seasonal_strength(ev, bucket="1h", period=24)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot CDC audit (contract.py:corpus_diff): synthetic 'new
     crawl' derived from the corpus (drop doc_id%11, upper-case
@@ -3097,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_blowup": q_join_blowup,
         "phrase_search": q_phrase_search,
         "corpus_diff": q_corpus_diff,
+        "seasonal_strength": q_seasonal_strength,
     }
 
 
@@ -6266,6 +6282,37 @@ def oracle_sql() -> dict[str, str]:
     from bc b
     join uc u1 on b.w1 = u1.w
     join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # seasonal strength: one-way-ANOVA identity on the zero-filled
+    # hourly count signal (xcorr's spine); exact integer moments in
+    sql["seasonal_strength"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h % 24 AS hod, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    perh as (select g, hod, count(*) AS n_h, sum(c) AS s_h
+             from sig group by 1, 2),
+    a as (select g, sum(cast(s_h AS double) * cast(s_h AS double)
+                        / n_h) AS a
+          from perh group by 1),
+    tot as (select g, count(*) AS n_buckets, sum(c) AS s,
+                   sum(c * c) AS q
+            from sig group by 1)
+    select t.g, t.n_buckets,
+           round((a.a - cast(t.s AS double) * cast(t.s AS double)
+                          / t.n_buckets)
+                 / (cast(t.q AS double)
+                    - cast(t.s AS double) * cast(t.s AS double)
+                      / t.n_buckets), 6) AS strength
+    from tot t join a using (g)
+    where cast(t.q AS double)
+          - cast(t.s AS double) * cast(t.s AS double) / t.n_buckets > 0
     """
     # corpus diff: direct string comparison (md5 equality == string
     # equality); same NULL-coalesce convention both sides

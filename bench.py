@@ -118,7 +118,8 @@ def main() -> None:
         "asof_join",
         "funnel", "cohort_retention",
         "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
-        "seasonal_profile", "seasonal_anomaly", "zorder_key",
+        "seasonal_profile", "seasonal_anomaly", "seasonal_strength",
+        "zorder_key",
         "change_points", "trend_slope",
         "ewma_daily", "holt_daily", "holt_winters_daily", "xcorr_lags",
         "sliding_quantiles",

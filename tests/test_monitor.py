@@ -470,3 +470,30 @@ def test_theil_sen_even_median_and_zero_fill(spark):
     assert abs(got["a"]["sen_slope"] - 13 / 6) < 1e-12
     assert got["b"]["n_buckets"] == 4
     assert abs(got["b"]["sen_slope"] - (-1 / 6)) < 1e-12
+
+
+def test_seasonal_strength_periodic_vs_constant(spark):
+    """A perfectly period-3 count signal scores exactly 1.0; a
+    constant signal (SS_tot = 0) is dropped; a period-3 signal with
+    one corrupted bucket scores strictly between 0 and 1."""
+    from traval_spark.operators.monitor import seasonal_strength
+
+    rows, eid = [], 0
+    # a: counts [1,5,9] repeating over 6 hours — pure period-3 signal
+    for h, c in enumerate([1, 5, 9, 1, 5, 9]):
+        for k in range(c):
+            rows.append(("a", _t(h * 3600 + k), 0.0, eid)); eid += 1
+    # b: constant 4 per hour
+    for h in range(6):
+        for k in range(4):
+            rows.append(("b", _t(h * 3600 + k), 0.0, eid)); eid += 1
+    # c: period-3 with one corrupted bucket
+    for h, c in enumerate([1, 5, 9, 1, 5, 2]):
+        for k in range(c):
+            rows.append(("c", _t(h * 3600 + k), 0.0, eid)); eid += 1
+    got = {r["g"]: r for r in seasonal_strength(
+        _frame(spark, rows).select("source", "ts"),
+        bucket="1h", period=3).collect()}
+    assert got["a"]["strength"] == 1.0
+    assert "b" not in got
+    assert 0.0 < got["c"]["strength"] < 1.0

@@ -60,6 +60,7 @@ __all__ = [
     "ewma_daily", "holt_daily", "xcorr_lags",
     "changes_only", "trend_slope", "hysteresis_daily", "spearman_pairs",
     "time_weighted_avg", "psi_drift", "psi_from_hists",
+    "holt_winters_daily", "slo_burn", "theil_sen", "seasonal_strength",
 ]
 
 
@@ -1064,3 +1065,80 @@ def theil_sen(
         F.max("__n").alias("n_pairs"), F.avg("s").alias("sen_slope")
     )
     return nb.join(med, "g")
+
+
+def seasonal_strength(
+    df: DataFrame,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    period: int = 24,
+) -> DataFrame:
+    """How seasonal is each series, as one number in [0, 1]: the
+    fraction of bucket-count variance explained by the
+    period-of-``period`` profile (hour-of-day for hourly buckets) —
+    the gate that decides whether :func:`seasonal_anomaly`'s profile
+    is a meaningful baseline for a series at all, or the series is
+    trend/noise the profile would mis-flag.
+
+        strength = 1 − SS_res / SS_tot
+                 = (Σ_h s_h²/n_h − S²/N) / (Σ c² − S²/N)
+
+    over the zero-filled bucket-count signal (xcorr/Theil-Sen's
+    spine), where ``s_h, n_h`` are the per-phase sum and count and
+    ``S, N, Σc²`` the series totals — the one-way-ANOVA identity, so
+    no residual is ever materialized.  Sums of counts and of squared
+    counts stay exact decimal(38,0); the only order-dependent float
+    reduction is the ≤``period``-term Σ s_h²/n_h (rounded to 6 with
+    the result).  Constant series (SS_tot = 0) have no defined
+    strength and are dropped.
+
+    Plan shape: one partial-aggregatable raw groupBy to bucket
+    counts; both ANOVA aggregations run on the tiny signal frame.
+    Output: ``g, n_buckets, strength``.
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        F.col(by).alias("g"),
+        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+    )
+    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        counts.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    sig = spine.join(counts, ["g", "h"], "left").select(
+        "g",
+        F.pmod(F.col("h"), F.lit(int(period))).alias("hod"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    per_h = sig.groupBy("g", "hod").agg(
+        F.count(F.lit(1)).alias("n_h"), F.sum(cd).alias("s_h")
+    )
+    a = per_h.groupBy("g").agg(
+        F.sum(
+            F.col("s_h").cast("double") * F.col("s_h").cast("double")
+            / F.col("n_h")
+        ).alias("__a")
+    )
+    tot = sig.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(cd).alias("__s"),
+        F.sum(cd * F.col("c")).alias("__q"),
+    )
+    sn = (
+        F.col("__s").cast("double") * F.col("__s").cast("double")
+        / F.col("n_buckets")
+    )
+    ss_tot = F.col("__q").cast("double") - sn
+    return (
+        tot.join(a, "g")
+        .filter(ss_tot > 0)
+        .select(
+            "g", "n_buckets",
+            F.round((F.col("__a") - sn) / ss_tot, 6).alias("strength"),
+        )
+    )
