@@ -187,9 +187,16 @@ def main() -> None:
     # rule stage alone (hardmax + chunked spike + via_join nsigma +
     # combine), forced to full evaluation by counting the flagged rows
     # (NULLed n_tok). Input-points-evaluated per second, with the flagged
-    # row count disclosed alongside.
+    # row count disclosed alongside. The hardmax threshold is lowered to
+    # bite (~2% of the uniform[1, 256] n_tok domain): a flag stage that
+    # flags NOTHING only proves evaluation, not the flag/NULL/combine
+    # write path — the rollup_pipeline metric above keeps the production
+    # default_ruleset untouched for round-over-round comparability.
     def flag_run():
-        cleaned = clean_sequences(seqs, default_ruleset())
+        rs = default_ruleset()
+        rs.update_rule("toklen_max", "rule_hardmax", apply_to=0,
+                       kwargs={"threshold": 250.0})
+        cleaned = clean_sequences(seqs, rs)
         extras["rule_flagged_rows"] = cleaned.filter(
             F.col("n_tok").isNull()
         ).count()
