@@ -2670,6 +2670,20 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir), k=2)
 
 
+def q_forecast_backtest(spark, sf_dir):
+    """Walk-forward Holt backtest (monitor.py:forecast_backtest): each
+    step scores the standing l+t forecast against the arriving daily
+    count BEFORE consuming it (no leakage), MASE vs the naive
+    yesterday's-value forecast — one pure-JVM array fold per series,
+    bit-identical error sums in both engines."""
+    from traval_spark.operators.monitor import forecast_backtest
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return forecast_backtest(ev, bucket="1d", alpha=0.3, beta=0.1)
+
+
 def q_seasonal_strength(spark, sf_dir):
     """Seasonality-strength gate (monitor.py:seasonal_strength):
     variance fraction explained by the hour-of-day profile via the
@@ -3113,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "corpus_diff": q_corpus_diff,
         "seasonal_strength": q_seasonal_strength,
+        "forecast_backtest": q_forecast_backtest,
     }
 
 
@@ -6282,6 +6297,39 @@ def oracle_sql() -> dict[str, str]:
     from bc b
     join uc u1 on b.w1 = u1.w
     join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # Holt backtest: list_reduce with a flat [l, t, se, sn, prev] LIST
+    # accumulator (the holt_daily pattern); score-then-consume order,
+    # repr-interpolated coefficients, fold order fixed by list(ORDER BY)
+    sql["forecast_backtest"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 86400000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    a as (select g, count(*) AS n_days,
+                 list_reduce(
+                   list_transform(list(c order by h),
+                     x -> [cast(x AS double), 0.0, 0.0, 0.0,
+                           cast(x AS double)]),
+                   (acc, e) -> [
+                     0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+                     0.1 * ((0.3 * e[1] + 0.7 * (acc[1] + acc[2]))
+                            - acc[1]) + 0.9 * acc[2],
+                     acc[3] + abs(e[1] - (acc[1] + acc[2])),
+                     acc[4] + abs(e[1] - acc[5]),
+                     e[1]]) AS r
+          from sig group by g)
+    select g, n_days,
+           r[3] / (n_days - 1) AS mae_model,
+           r[4] / (n_days - 1) AS mae_naive,
+           case when r[4] > 0 then round(r[3] / r[4], 9) end AS mase
+    from a where n_days >= 2
     """
     # seasonal strength: one-way-ANOVA identity on the zero-filled
     # hourly count signal (xcorr's spine); exact integer moments in

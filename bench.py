@@ -121,7 +121,8 @@ def main() -> None:
         "seasonal_profile", "seasonal_anomaly", "seasonal_strength",
         "zorder_key",
         "change_points", "trend_slope",
-        "ewma_daily", "holt_daily", "holt_winters_daily", "xcorr_lags",
+        "ewma_daily", "holt_daily", "holt_winters_daily",
+        "forecast_backtest", "xcorr_lags",
         "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn", "theil_sen",

@@ -497,3 +497,37 @@ def test_seasonal_strength_periodic_vs_constant(spark):
     assert got["a"]["strength"] == 1.0
     assert "b" not in got
     assert 0.0 < got["c"]["strength"] < 1.0
+
+
+def test_forecast_backtest_walk_forward(spark):
+    """Hand recurrence for daily counts [4,6,5]: errors scored against
+    the STANDING forecast before the actual is consumed (walk-forward,
+    no leakage); constant series -> mae 0, mase NULL (naive error 0)."""
+    from traval_spark.operators.monitor import forecast_backtest
+
+    rows, eid = [], 0
+    for d, c in enumerate([4, 6, 5]):
+        for k in range(c):
+            rows.append(("a", _t(d * 86400 + k), 0.0, eid)); eid += 1
+    for d in range(3):
+        for k in range(3):
+            rows.append(("b", _t(d * 86400 + k), 0.0, eid)); eid += 1
+    got = {r["g"]: r for r in forecast_backtest(
+        _frame(spark, rows).select("source", "ts"),
+        bucket="1d", alpha=0.3, beta=0.1).collect()}
+
+    # reference loop: identical float ops in identical order
+    l, t, se, sn, prev = 4.0, 0.0, 0.0, 0.0, 4.0
+    for x in (6.0, 5.0):
+        fc = l + t
+        se += abs(x - fc); sn += abs(x - prev)
+        nl = 0.3 * x + 0.7 * fc
+        t = 0.1 * (nl - l) + 0.9 * t; l = nl; prev = x
+    r = got["a"]
+    assert r["n_days"] == 3
+    assert r["mae_model"] == se / 2 and r["mae_naive"] == sn / 2
+    assert r["mase"] == round(se / sn, 9)
+    # 0.3*3 + 0.7*3 = 3.0000000000000004 in binary floats, so the
+    # constant series' model error is ~1 ulp, not 0 — but the naive
+    # error IS exactly 0 (prev is the raw value), so mase is NULL
+    assert got["b"]["mae_model"] < 1e-12 and got["b"]["mase"] is None

@@ -61,6 +61,7 @@ __all__ = [
     "changes_only", "trend_slope", "hysteresis_daily", "spearman_pairs",
     "time_weighted_avg", "psi_drift", "psi_from_hists",
     "holt_winters_daily", "slo_burn", "theil_sen", "seasonal_strength",
+    "forecast_backtest",
 ]
 
 
@@ -1141,4 +1142,92 @@ def seasonal_strength(
             "g", "n_buckets",
             F.round((F.col("__a") - sn) / ss_tot, 6).alias("strength"),
         )
+    )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    bucket: str = "1d",
+    by: str = "source",
+    ts: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """One-step-ahead Holt backtest per series over the zero-filled
+    bucket-count signal — the accuracy read that decides whether the
+    EWMA/Holt family's forecasts are worth alerting on, reported as
+    MASE (MAE of the model over MAE of the naive
+    yesterday's-value forecast; < 1 = the smoother beats naive):
+
+    at each step i >= 2 the fold FIRST scores the standing forecast
+    ``l + t`` against the arriving actual (and the naive ``prev``),
+    THEN consumes the actual into the Holt recurrence — a true
+    walk-forward, no leakage.  One pure-JVM array fold per series
+    (level, trend, error sums, prev in a flat struct accumulator),
+    deterministic element order, so both engines produce bit-identical
+    sums.
+
+    Plan shape: one partial-aggregatable raw groupBy to bucket counts;
+    the per-series day array is monitoring-horizon-bounded (the
+    ewma/holt family's bounded-series model).  Output: ``g, n_days,
+    mae_model, mae_naive, mase`` (mase NULL when the naive error is 0
+    — a constant series has nothing to beat).
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        F.col(by).alias("g"),
+        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+    )
+    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        counts.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    sig = spine.join(counts, ["g", "h"], "left").select(
+        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    arrs = sig.groupBy("g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("__v")
+    )
+    a, an = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    b, bn = F.lit(float(beta)), F.lit(1.0 - float(beta))
+
+    def step(acc, x):
+        fc = acc["l"] + acc["t"]
+        lvl = a * x + an * fc
+        return F.struct(
+            lvl.alias("l"),
+            (b * (lvl - acc["l"]) + bn * acc["t"]).alias("t"),
+            (acc["se"] + F.abs(x - fc)).alias("se"),
+            (acc["sn"] + F.abs(x - acc["prev"])).alias("sn"),
+            x.alias("prev"),
+        )
+
+    first = F.element_at("__v", 1)
+    rest = F.expr("slice(__v, 2, greatest(size(__v) - 1, 0))")
+    folded = arrs.select(
+        "g",
+        F.size("__v").alias("n_days"),
+        F.aggregate(
+            rest,
+            F.struct(
+                first.alias("l"), F.lit(0.0).alias("t"),
+                F.lit(0.0).alias("se"), F.lit(0.0).alias("sn"),
+                first.alias("prev"),
+            ),
+            step,
+        ).alias("__acc"),
+    ).filter(F.col("n_days") >= 2)
+    steps = (F.col("n_days") - 1).cast("double")
+    se, sn = F.col("__acc")["se"], F.col("__acc")["sn"]
+    return folded.select(
+        "g", "n_days",
+        (se / steps).alias("mae_model"),
+        (sn / steps).alias("mae_naive"),
+        F.when(sn > 0, F.round(se / sn, 9)).alias("mase"),
     )
