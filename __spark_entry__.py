@@ -2670,6 +2670,24 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir), k=2)
 
 
+def q_lttb_from_m4(spark, sf_dir):
+    """Tiered visualization read (downsample.py:lttb_from_m4): LTTB
+    6h served from the 1m->1h-merged M4 tier — raw never re-scanned,
+    the triangle pass sees <=4 candidate points per stored bucket.
+    Oracle replicates the composition: 1h M4 candidates from raw
+    (exact-merge property makes 1m->1h == direct 1h), distinct, then
+    the same exact-integer LTTB."""
+    from traval_spark.operators.downsample import (
+        lttb_from_m4, m4_downsample, m4_merge,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    tier = m4_merge(m4_downsample(ev, bucket="1m"), "1h")
+    return lttb_from_m4(tier, bucket="6h")
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Walk-forward Holt backtest (monitor.py:forecast_backtest): each
     step scores the standing l+t forecast against the arriving daily
@@ -3128,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "seasonal_strength": q_seasonal_strength,
         "forecast_backtest": q_forecast_backtest,
+        "lttb_from_m4": q_lttb_from_m4,
     }
 
 
@@ -6297,6 +6316,78 @@ def oracle_sql() -> dict[str, str]:
     from bc b
     join uc u1 on b.w1 = u1.w
     join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # LTTB-from-M4 composition: 1h M4 candidates from raw (the m4_1h
+    # construction; exact merge makes 1m->1h == direct 1h), distinct
+    # points, then the exact-integer LTTB over the candidate frame
+    sql["lttb_from_m4"] = """
+    with src0 as (select event_type AS source,
+                         cast(floor(epoch_us(ts) / 3600000000) AS bigint)
+                           * 3600000000 AS bus,
+                         epoch_us(ts) AS us, value AS v
+                  from events where value is not null),
+    a as (select source, bus, count(*) AS n_points,
+                 min(us) AS usf, max(us) AS usl,
+                 min(v) AS v_min, max(v) AS v_max
+          from src0 group by source, bus),
+    vf as (select s.source, s.bus, min(s.v) AS v_first
+           from src0 s join a on s.source=a.source and s.bus=a.bus
+            and s.us=a.usf group by s.source, s.bus),
+    vl as (select s.source, s.bus, max(s.v) AS v_last
+           from src0 s join a on s.source=a.source and s.bus=a.bus
+            and s.us=a.usl group by s.source, s.bus),
+    tm as (select s.source, s.bus, min(s.us) AS tmin
+           from src0 s join a on s.source=a.source and s.bus=a.bus
+            and s.v=a.v_min group by s.source, s.bus),
+    tx as (select s.source, s.bus, max(s.us) AS tmax
+           from src0 s join a on s.source=a.source and s.bus=a.bus
+            and s.v=a.v_max group by s.source, s.bus),
+    cand as (
+      select a.source, a.usf AS us, vf.v_first AS v
+        from a join vf on a.source=vf.source and a.bus=vf.bus
+      union all
+      select a.source, a.usl, vl.v_last
+        from a join vl on a.source=vl.source and a.bus=vl.bus
+      union all
+      select a.source, tm.tmin, a.v_min
+        from a join tm on a.source=tm.source and a.bus=tm.bus
+      union all
+      select a.source, tx.tmax, a.v_max
+        from a join tx on a.source=tx.source and a.bus=tx.bus),
+    pts as (select distinct source, us, v from cand),
+    g0 as (select min(us) AS m from pts),
+    src as (select source,
+                   cast(us - g0.m AS hugeint) AS x,
+                   cast(floor(us / 21600000000) AS bigint)
+                     * 21600000000 AS bus,
+                   v, cast(round(v * 1000) AS hugeint) AS y
+            from pts, g0),
+    sums as (select source, bus, count(*) AS n,
+                    sum(x) AS sx, sum(y) AS sy
+             from src group by source, bus),
+    anch as (select source, bus, n,
+                    lag(n) over w AS na, lag(sx) over w AS sxa,
+                    lag(sy) over w AS sya,
+                    lead(n) over w AS nb, lead(sx) over w AS sxb,
+                    lead(sy) over w AS syb
+             from sums window w as (partition by source order by bus)),
+    j as (select s.source, s.bus, a.n, s.x, s.v,
+                 case when a.na is null or a.nb is null
+                      then cast(0 AS hugeint)
+                      else -abs((s.x*a.na - a.sxa)
+                                  * (a.syb*a.na - a.sya*a.nb)
+                                - (a.sxb*a.na - a.sxa*a.nb)
+                                  * (s.y*a.na - a.sya))
+                 end AS o1,
+                 case when a.nb is null then -s.x else s.x end AS o2
+          from src s join anch a on s.source=a.source and s.bus=a.bus),
+    r as (select *, row_number() over
+            (partition by source, bus order by o1, o2, v) AS rn from j)
+    select source, make_timestamp(bus) AS bucket_start, n AS n_points,
+           make_timestamp(cast(x + (select m from g0) AS bigint))
+             AS t_sel,
+           v AS v_sel
+    from r where rn = 1
     """
     # Holt backtest: list_reduce with a flat [l, t, se, sn, prev] LIST
     # accumulator (the holt_daily pattern); score-then-consume order,

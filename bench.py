@@ -117,7 +117,8 @@ def main() -> None:
         "sessionize", "burst_dedup", "interval_events", "interval_overlaps",
         "asof_join",
         "funnel", "cohort_retention",
-        "m4_1h", "lttb_6h", "counter_rate", "gap_stats", "cusum_change",
+        "m4_1h", "lttb_6h", "lttb_from_m4", "counter_rate", "gap_stats",
+        "cusum_change",
         "seasonal_profile", "seasonal_anomaly", "seasonal_strength",
         "zorder_key",
         "change_points", "trend_slope",

@@ -150,3 +150,49 @@ def test_lttb_no_per_series_single_task(spark):
 
     specs = re.findall(r"windowspecdefinition\(source#\d+[^)]*", plan)
     assert any("__bus" in s for s in specs)
+
+
+def test_lttb_from_m4_degrades_to_raw_lttb(spark):
+    """When every fine bucket holds exactly one point the M4 tier IS
+    the raw series (all four roles collapse to the point), so the
+    tier-served LTTB equals raw LTTB exactly; selected points are
+    always real raw samples."""
+    from traval_spark.operators.downsample import lttb_from_m4
+
+    rng = np.random.default_rng(7)
+    rows = [("a", _t(i * 60), float(v))
+            for i, v in enumerate(rng.normal(10, 3, 360))]
+    df = _frame(spark, rows)
+    tier = m4_downsample(df, bucket="1m")
+    via_tier = sorted(
+        (r["source"], r["bucket_start"], r["n_points"], r["t_sel"],
+         r["v_sel"])
+        for r in lttb_from_m4(tier, bucket="1h").collect()
+    )
+    direct = sorted(
+        (r["source"], r["bucket_start"], r["n_points"], r["t_sel"],
+         r["v_sel"])
+        for r in lttb_downsample(df, bucket="1h").collect()
+    )
+    assert via_tier == direct
+    raw = {(ts, v) for _, ts, v in rows}
+    assert all((t, v) in raw for _, _, _, t, v in via_tier)
+
+
+def test_lttb_from_m4_candidate_reduction(spark):
+    """Dense buckets: the tier path sees <= 4 candidates per fine
+    bucket (n_points in the output counts candidates, disclosed), and
+    every selected point is still a real raw sample."""
+    from traval_spark.operators.downsample import lttb_from_m4
+
+    rng = np.random.default_rng(11)
+    rows = [("a", _t(i * 2), float(v))
+            for i, v in enumerate(rng.normal(0, 1, 1800))]  # 1h of 2s pts
+    df = _frame(spark, rows)
+    tier = m4_downsample(df, bucket="1m")
+    got = lttb_from_m4(tier, bucket="10m").collect()
+    # 10m buckets over 1h = 6 rows; each sees <= 4 * 10 candidates
+    assert len(got) == 6
+    assert all(r["n_points"] <= 40 for r in got)
+    raw = {(ts, v) for _, ts, v in rows}
+    assert all((r["t_sel"], r["v_sel"]) in raw for r in got)

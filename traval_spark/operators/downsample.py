@@ -290,3 +290,52 @@ def lttb_downsample(
         F.timestamp_micros(F.col("__x") + F.col("__g0")).alias("t_sel"),
         F.col("__v").alias("v_sel"),
     )
+
+
+def lttb_from_m4(
+    m4_df: DataFrame,
+    bucket: str = "6h",
+    by: tuple[str, ...] = ("source",),
+    value_scale: int = 1000,
+) -> DataFrame:
+    """LTTB downsample-on-read served FROM the stored M4 tier — the
+    dashboard zoom-out path: the tier already keeps the four extreme
+    points per fine bucket (real timestamped samples, not aggregates),
+    so the shape-preserving pass runs over ≤4 candidate points per
+    stored bucket instead of raw — at a 1m tier under a 6h read that
+    is a ≥90× input reduction before the triangle pass, and raw is
+    never re-scanned.
+
+    The M4 envelope bounds the series' visual extent per fine bucket,
+    so the candidate set contains every point a pixel-accurate
+    renderer could need (the M4 paper's guarantee); LTTB over it is
+    the standard tiered-visualization composition.  Candidates dedup
+    on (series, t, v) — a single-point bucket posts four copies of
+    itself.  Anchors/means and ``n_points`` are computed over the
+    CANDIDATE points (disclosed: this is a read over tier state, not
+    a raw re-scan — bit-exactness is against the same composition,
+    pinned by the oracle, not against raw-LTTB).
+
+    Reuses :func:`lttb_downsample` verbatim — same exact-integer
+    triangle argmax, same tie rules, fully deterministic.
+    Output: ``*by, bucket_start, n_points, t_sel, v_sel``.
+    """
+    pair = lambda t, v: F.struct(  # noqa: E731
+        F.col(t).alias("ts"), F.col(v).alias("value")
+    )
+    pts = (
+        m4_df.select(
+            *by,
+            F.explode(
+                F.array(
+                    pair("t_first", "v_first"), pair("t_min", "v_min"),
+                    pair("t_max", "v_max"), pair("t_last", "v_last"),
+                )
+            ).alias("p"),
+        )
+        .select(*by, F.col("p.ts").alias("ts"),
+                F.col("p.value").alias("value"))
+        .dropDuplicates([*by, "ts", "value"])
+    )
+    return lttb_downsample(pts, bucket=bucket, by=by,
+                           value_scale=value_scale)
