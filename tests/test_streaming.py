@@ -1270,3 +1270,43 @@ def test_streaming_burst_dedup_matches_batch(spark, tmp_path):
     ).count() == 0
     n_sources = seqs.select("source").distinct().count()
     assert streamed.count() >= batch.count() - n_sources
+
+
+def test_stream_fl_1m_matches_batch(spark, tmp_path):
+    """Streaming first/last leaf == batch fl_rollup on every finalized
+    window (the shared struct min/max means tie rules cannot drift),
+    and fl_cascade coarsens the streamed store unchanged."""
+    from traval_spark.rollup import fl_cascade, fl_rollup
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import stream_fl_1m
+
+    inp = str(tmp_path / "flin")
+    seqs = synth_sequences(spark, 3000, seed=59, span_days=1)
+    a = seqs.filter(F.xxhash64("doc_id") % 2 == 0)
+    a.write.mode("append").parquet(inp)
+    seqs.exceptAll(a).write.mode("append").parquet(inp)
+
+    q = (stream_fl_1m(spark, inp, watermark="1 minute")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "flout"))
+         .option("checkpointLocation", str(tmp_path / "flck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(str(tmp_path / "flout"))
+    batch = fl_rollup(seqs, tier="1m")
+    assert streamed.exceptAll(batch).count() == 0
+    assert streamed.count() >= batch.count() * 0.9
+
+    # the cascade serves the streamed store unchanged: since streamed
+    # rows ARE batch rows (asserted above), coarsening the full
+    # streamed store equals coarsening the batch tier row-for-row when
+    # every window finalized (exceptAll both ways), and the struct
+    # order invariant holds after the merge
+    if streamed.count() == batch.count():
+        ms, mb = fl_cascade(streamed, "1h"), fl_cascade(batch, "1h")
+        assert ms.exceptAll(mb).count() == 0
+        assert mb.exceptAll(ms).count() == 0
+    assert fl_cascade(streamed, "1h").filter(
+        F.col("first")["u"] > F.col("last")["u"]
+    ).count() == 0

@@ -637,3 +637,35 @@ def stream_burst_dedup(
         F.col("__f.i").alias("first_ident"),
         "n_dropped",
     )
+
+
+def stream_fl_1m(
+    spark: SparkSession,
+    input_path: str,
+    value_col: str = "n_tok",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming leaf first/last tier (rollup.py:fl_rollup): the
+    TimescaleDB ``first(value, time)`` / ``last(value, time)`` pair
+    per finalized 1m window, as the SAME lexicographically-ordered
+    (epoch-us, ident, value) struct min/max the batch operator stores
+    — state per (source, window) is two structs, bounded, and the
+    streamed rows are identical to batch ``fl_rollup`` rows so
+    ``fl_cascade`` / ``read_routed_fl`` / ``locf_from_tier`` /
+    ``fl_increase`` serve the streamed store unchanged."""
+    obs = F.struct(
+        F.unix_micros(F.col("ts")).alias("u"),
+        F.col("doc_id").alias("i"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return _stream_leaf_1m(
+        spark, input_path, watermark, max_files_per_trigger,
+        extra_keys=[],
+        aggs=[F.min("__obs").alias("first"),
+              F.max("__obs").alias("last")],
+        pre_filter=F.col(value_col).isNotNull(),
+        pre_transform=lambda df: df.select(
+            "source", "ts", obs.alias("__obs")
+        ),
+    )
