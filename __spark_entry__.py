@@ -2670,6 +2670,18 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir), k=2)
 
 
+def q_retention_preview(spark, sf_dir):
+    """TTL dry run (sources/tierstore.py:retention_preview): per-day
+    row counts with the keep/drop verdict under apply_retention's
+    exact cutoff rule (as_of - keep_days, strict day < cutoff) — the
+    read that sizes a retention pass before it mutates anything."""
+    from traval_spark.sources.tierstore import retention_preview
+
+    return retention_preview(
+        _events(spark, sf_dir), keep_days=20, as_of="2024-01-31"
+    )
+
+
 def q_lttb_from_m4(spark, sf_dir):
     """Tiered visualization read (downsample.py:lttb_from_m4): LTTB
     6h served from the 1m->1h-merged M4 tier — raw never re-scanned,
@@ -3147,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_strength": q_seasonal_strength,
         "forecast_backtest": q_forecast_backtest,
         "lttb_from_m4": q_lttb_from_m4,
+        "retention_preview": q_retention_preview,
     }
 
 
@@ -6316,6 +6329,14 @@ def oracle_sql() -> dict[str, str]:
     from bc b
     join uc u1 on b.w1 = u1.w
     join uc u2 on b.w2 = u2.w, nu, nb
+    """
+    # retention dry run: same cutoff arithmetic, strict day < cutoff
+    sql["retention_preview"] = """
+    select strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_rows,
+           case when strftime(date_trunc('day', ts), '%Y-%m-%d')
+                     < '2024-01-11' then 'drop' else 'keep' end AS action
+    from events group by 1
     """
     # LTTB-from-M4 composition: 1h M4 candidates from raw (the m4_1h
     # construction; exact merge makes 1m->1h == direct 1h), distinct

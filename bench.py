@@ -128,7 +128,7 @@ def main() -> None:
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn", "theil_sen",
         "pmi_bigrams", "source_overlap", "source_entropy", "join_blowup",
-        "phrase_search", "corpus_diff",
+        "phrase_search", "corpus_diff", "retention_preview",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "sliding_from_tier", "pad_sequences",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",

@@ -1195,3 +1195,28 @@ def test_sliding_from_tier_equals_raw_sliding(spark, seqs):
     want = sliding_rollup(seqs, window="1h", slide="10m")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_retention_preview_matches_apply(spark, seqs, tmp_path):
+    """The dry run's drop set == the days apply_retention actually
+    drops (same cutoff arithmetic, same strict day < cutoff rule), and
+    per-day counts match the tier."""
+    from traval_spark.sources.tierstore import retention_preview
+
+    root = str(tmp_path / "tiers_prev")
+    store = TierStore(root)
+    t1d = rollup_raw(seqs, "1d")
+    fps = partition_fingerprints(
+        t1d.withColumn("day", F.date_trunc("day", F.col("bucket"))
+                       .cast("timestamp_ntz")))
+    store.write_tier("1d", t1d, fps)
+    days = sorted(fps)
+    as_of = days[-1]
+
+    prev = {r["day"]: r for r in retention_preview(
+        t1d, keep_days=1, as_of=as_of, ts_col="bucket").collect()}
+    predicted_drop = sorted(d for d, r in prev.items()
+                            if r["action"] == "drop")
+    res = store.apply_retention("1d", 1, as_of=as_of)
+    assert res["dropped"] == predicted_drop
+    assert sum(r["n_rows"] for r in prev.values()) == t1d.count()

@@ -449,3 +449,37 @@ def verify_cascade(
         .when(drift, F.lit("value_drift"))
     )
     return j.withColumn("status", status).filter(F.col("status").isNotNull())
+
+
+def retention_preview(
+    df: DataFrame,
+    keep_days: int,
+    as_of: str | dt.date,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dry run of :meth:`TierStore.apply_retention`'s TTL rule over any
+    timestamp-carrying frame — the read you run BEFORE retention
+    mutates anything: per day, how many rows exist and whether the TTL
+    would keep or drop them.  Uses the same cutoff arithmetic and the
+    same strict ``day < cutoff`` comparison as ``apply_retention`` (one
+    copy of the rule would be better, but the rule is one line and the
+    coherence pytest pins them together: preview's drop set == the days
+    apply_retention actually drops).
+
+    One partial-aggregatable groupBy over the frame; at scale the day
+    column is the partition key, so the scan prunes to footers.
+    Output: ``day (YYYY-MM-DD), n_rows, action`` ('keep' | 'drop').
+    """
+    if isinstance(as_of, str):
+        as_of = dt.date.fromisoformat(as_of)
+    cutoff = (as_of - dt.timedelta(days=int(keep_days))).isoformat()
+    day = F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+    return (
+        df.groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "day", "n_rows",
+            F.when(F.col("day") < cutoff, F.lit("drop"))
+            .otherwise(F.lit("keep")).alias("action"),
+        )
+    )
