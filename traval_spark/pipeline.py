@@ -234,13 +234,34 @@ def run(
         raw = synth_sequences(spark, synth_rows)
 
     cleaned = clean_sequences(raw, ruleset)
-    tiers = build_cascade(cleaned, salted=True, n_salt=n_salt)
+
+    # Stage materialization — the 100 TB shape of this job. The rule
+    # stage (windows over raw) is the dominant cost; a lazy cascade +
+    # four lazy sketch leaves would RE-EXECUTE raw->rules once per
+    # write action (7x at --sketches). Instead: land the cleaned frame
+    # once when several leaves will read it, and derive every coarser
+    # tier from the STORED finer tier (exact: integer aggregates
+    # re-aggregate bit-identically — the cascade-exactness pytests pin
+    # this), so raw->rules runs EXACTLY ONCE per job.
+    if sketches:
+        cleaned_path = os.path.join(out_root, "cleaned")
+        cleaned.write.mode("overwrite").parquet(cleaned_path)
+        cleaned = spark.read.parquet(cleaned_path)
+
+    from traval_spark.rollup import rollup_cascade, salted_rollup
 
     store = TierStore(out_root)
     metrics: dict = {"partitions": {}, "rows": {}, "skipped": {}}
     n_input = None
     max_day = None
-    for tier_name, tier_df in tiers.items():
+    tier_names = ("1m", "1h", "1d")
+    prev_stored = None
+    for tier_name in tier_names:
+        tier_df = (
+            salted_rollup(cleaned, "1m", n_salt=n_salt)
+            if tier_name == "1m"
+            else rollup_cascade(prev_stored, tier_name)
+        )
         with_day = tier_df.withColumn(
             "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
         )
@@ -253,12 +274,15 @@ def run(
         metrics["partitions"][tier_name] = res["written_partitions"]
         metrics["rows"][tier_name] = res["rows"]
         metrics["skipped"][tier_name] = skipped
+        prev_stored = store.read_tier(tier_name, spark).drop("day")
 
     if sketches:
         # companion mergeable-tier stores (one root per tier kind; the
         # standard tier names inside, so the router reuses its planning):
-        # KMV distinct-n_tok sketches, exact n_tok histograms, and M4
-        # visual-downsample extremes, each tier cascaded FROM the stored
+        # KMV distinct-n_tok sketches, exact n_tok histograms, M4 and
+        # first/last extremes. Each leaf reads the LANDED cleaned
+        # parquet (one rule pass for the whole job, column-pruned
+        # reads here), and each coarser tier cascades FROM the stored
         # finer tier — never from raw.
         from traval_spark.hist import hist_cascade, hist_tier
         from traval_spark.operators.downsample import m4_downsample, m4_merge
@@ -316,7 +340,7 @@ def run(
         metrics["retention"] = {
             t: store.apply_retention(t, keep, as_of=max_day)
             for t, keep in retention.items()
-            if t in tiers
+            if t in tier_names
         }
 
     metrics.update(
@@ -331,6 +355,11 @@ def run(
             else None,
             "wall_seconds": round(time.time() - t0, 3),
             "points_per_sec": round(n_input / (time.time() - t0), 1),
+            # stage materialization: with --sketches the cleaned frame
+            # is landed once and re-read by every leaf (raw->rules runs
+            # exactly once per job); without, the single 1m leaf is the
+            # only consumer and nothing extra is written
+            "cleaned_landed": bool(sketches),
         }
     )
     # Hadoop FS API, not builtin open(): out_root may be hdfs://, s3://,
