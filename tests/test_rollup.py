@@ -1220,3 +1220,40 @@ def test_retention_preview_matches_apply(spark, seqs, tmp_path):
     res = store.apply_retention("1d", 1, as_of=as_of)
     assert res["dropped"] == predicted_drop
     assert sum(r["n_rows"] for r in prev.values()) == t1d.count()
+
+
+def test_combined_sketch_leaf_parity(spark):
+    """The one-pass combined leaf splits byte-identically to the three
+    individual builders — including the per-kind NULL conventions
+    (kmv keeps NULL-only buckets with an empty sketch; m4/fl drop
+    them) exercised by a biting ruleset that NULLs ~20% of n_tok."""
+    from traval_spark.operators.downsample import m4_downsample
+    from traval_spark.pipeline import (
+        clean_sequences, combined_sketch_leaf, split_combined_leaf,
+    )
+    from traval_spark.plans.ruleset import SparkRuleSet
+    from traval_spark.rollup import fl_rollup
+    from traval_spark.sketch import distinct_tier
+    from traval_spark.sources.synth import synth_sequences
+
+    rs = SparkRuleSet("bite")
+    rs.add_rule("cap", "rule_hardmax", apply_to=0,
+                kwargs={"threshold": 200.0})
+    cleaned = clean_sequences(synth_sequences(spark, 6000, seed=61,
+                                              span_days=1), rs)
+    assert cleaned.filter(F.col("n_tok").isNull()).count() > 0
+
+    got = split_combined_leaf(combined_sketch_leaf(cleaned))
+    want = {
+        "kmv": distinct_tier(cleaned, "1m", "n_tok"),
+        "m4": m4_downsample(cleaned, "1m", val="n_tok",
+                            bucket_col="bucket"),
+        "fl": fl_rollup(cleaned, "1m"),
+    }
+    for kind in ("kmv", "m4", "fl"):
+        g, w = got[kind], want[kind]
+        assert [f.name for f in g.schema] == [f.name for f in w.schema]
+        assert [f.dataType for f in g.schema] == \
+               [f.dataType for f in w.schema], kind
+        assert g.exceptAll(w).count() == 0, kind
+        assert w.exceptAll(g).count() == 0, kind

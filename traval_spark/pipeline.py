@@ -52,6 +52,87 @@ def default_ruleset() -> SparkRuleSet:
     return rs
 
 
+def combined_sketch_leaf(
+    df: DataFrame,
+    tier: str = "1m",
+    value_col: str = "n_tok",
+    ts_col: str = "ts",
+    ident_col: str = "doc_id",
+    k: int = 256,
+) -> DataFrame:
+    """The kmv + M4 + first/last leaf aggregates in ONE
+    groupBy(source, bucket) pass — three tier kinds share the exact
+    same grouping key, so building them as three separate jobs scans
+    the cleaned corpus three times for no reason.  Per-kind NULL
+    conventions are preserved by masking INPUTS, not rows (kmv keeps
+    NULL-only buckets with an empty sketch, exactly like
+    ``distinct_tier`` on the unfiltered frame; the M4/fl extremes see
+    NULL for flagged rows and skip them, exactly like the builders'
+    pre-filters), so the three split projections
+    (:func:`split_combined_leaf`) are row- and byte-identical to
+    ``distinct_tier`` / ``m4_downsample`` / ``fl_rollup`` run
+    separately — pinned by the parity pytest.
+    """
+    from traval_spark.functions.ts import ensure_ntz, unix_us
+    from traval_spark.rollup import TIERS
+    from traval_spark.sketch import kmv_agg
+
+    unit, _ = TIERS[tier]
+    df = ensure_ntz(df, ts_col)
+    src = df.select(
+        "source",
+        F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+        .alias("bucket"),
+        unix_us(F.col(ts_col)).alias("__us"),
+        F.col(value_col).alias("__v"),
+        F.col(ident_col).alias("__i"),
+    )
+    nn = F.col("__v").isNotNull()
+    us_m = F.when(nn, F.col("__us"))
+    uv = F.when(nn, F.struct(F.col("__us"), F.col("__v")))
+    vu = F.when(nn, F.struct(F.col("__v"), F.col("__us")))
+    obs = F.when(
+        nn,
+        F.struct(
+            F.col("__us").alias("u"), F.col("__i").alias("i"),
+            F.col("__v").cast("double").alias("v"),
+        ),
+    )
+    return src.groupBy("source", "bucket").agg(
+        kmv_agg("__v", k).alias("kmv"),
+        F.count("__v").alias("n_points"),
+        F.min(us_m).alias("__t_first_us"),
+        F.max(us_m).alias("__t_last_us"),
+        F.min(uv)["__v"].alias("v_first"),
+        F.max(uv)["__v"].alias("v_last"),
+        F.min("__v").alias("v_min"), F.max("__v").alias("v_max"),
+        F.min(vu)["__us"].alias("__t_min_us"),
+        F.max(vu)["__us"].alias("__t_max_us"),
+        F.min(obs).alias("first"), F.max(obs).alias("last"),
+    )
+
+
+def split_combined_leaf(agg: DataFrame) -> dict[str, DataFrame]:
+    """Project the one-pass combined leaf into the three per-kind tier
+    frames, byte-identical to the individual builders (see
+    :func:`combined_sketch_leaf`)."""
+    from traval_spark.operators.downsample import m4_project
+
+    kmv = agg.select("source", "bucket", "kmv")
+    # m4_downsample emits buckets only where a non-NULL value exists,
+    # and its bucket column is TIMESTAMP (timestamp_micros of the
+    # bucket start); NTZ->TIMESTAMP cast is value-preserving under the
+    # UTC session
+    m4 = m4_project(
+        agg.filter(F.col("n_points") > 0),
+        ["source", F.col("bucket").cast("timestamp").alias("bucket")],
+    )
+    fl = agg.filter(F.col("first").isNotNull()).select(
+        "source", "bucket", "first", "last"
+    )
+    return {"kmv": kmv, "m4": m4, "fl": fl}
+
+
 def clean_sequences(df: DataFrame, ruleset: SparkRuleSet | None) -> DataFrame:
     """Run the ruleset over (source, ts, n_tok) series; flagged points get
     NULL n_tok (kept as rows — SURVEY.md §1.4) so aggregates skip them."""
@@ -285,18 +366,23 @@ def run(
         # reads here), and each coarser tier cascades FROM the stored
         # finer tier — never from raw.
         from traval_spark.hist import hist_cascade, hist_tier
-        from traval_spark.operators.downsample import m4_downsample, m4_merge
-        from traval_spark.rollup import fl_cascade, fl_rollup
-        from traval_spark.sketch import distinct_cascade, distinct_tier
+        from traval_spark.operators.downsample import m4_merge
+        from traval_spark.rollup import fl_cascade
+        from traval_spark.sketch import distinct_cascade
 
+        # kmv + m4 + fl share the grouping key, so their leaves come
+        # out of ONE pass over the landed cleaned frame; the combined
+        # frame is tier-scale, persisted so the three store writes do
+        # not re-run the pass. hist groups by (source, bucket, bin) —
+        # its own (column-pruned) pass.
+        combined = combined_sketch_leaf(cleaned).persist()
+        leaves = split_combined_leaf(combined)
         for kind, leaf, casc in (
-            ("kmv", distinct_tier(cleaned, "1m", "n_tok"),
-             distinct_cascade),
+            ("kmv", leaves["kmv"], distinct_cascade),
             ("hist", hist_tier(cleaned, "1m"), hist_cascade),
-            ("m4", m4_downsample(cleaned, "1m", val="n_tok",
-                                 bucket_col="bucket"),
+            ("m4", leaves["m4"],
              lambda cur, t: m4_merge(cur, t, bucket_col="bucket")),
-            ("fl", fl_rollup(cleaned, "1m"), fl_cascade),
+            ("fl", leaves["fl"], fl_cascade),
         ):
             sub = TierStore(os.path.join(out_root, kind))
             cur = leaf
@@ -315,6 +401,7 @@ def run(
                 metrics["skipped"][f"{kind}_{tname}"] = sorted(
                     set(fps) - set(todo))
                 cur = sub.read_tier(tname, spark).drop("day")
+        combined.unpersist()
 
     # gap-filled + packed views of the 1m tier
     t1m = store.read_tier("1m", spark)
