@@ -2985,6 +2985,68 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift (monitor.py:ks_drift):
+    worst CDF gap between the first two weeks and the rest of the
+    month per series — PSI's rank-based companion, same hist.py bin
+    discretization so the read also serves from a stored hist tier
+    (ks_from_hists, parity-tested). D's numerator stays an exact
+    decimal integer per bin; argmax bin deterministic (struct-max)."""
+    from traval_spark.operators.monitor import ks_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return ks_drift(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        scale=1,
+    )
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotone-trend test per series on the zero-filled
+    hourly bucket-count signal (monitor.py:mann_kendall) — the
+    significance gate for theil_sen's slope: S is an exact integer sum
+    of signs, the tie-corrected variance numerator an exact integer,
+    z doubles-of-exact-integers (continuity-corrected, NULL when the
+    variance is 0)."""
+    from traval_spark.operators.monitor import mann_kendall
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return mann_kendall(ev, bucket="1h")
+
+
+def q_acf_lags(spark, sf_dir):
+    """Classic full-series-mean ACF per series at lags 1..6 on the
+    zero-filled hourly bucket-count signal (monitor.py:acf_lags):
+    cleared-denominator construction d_t = n*c_t - S keeps both the
+    autocovariance numerator and the SS_tot denominator exact decimal
+    integers — one division, engine-identical r_k."""
+    from traval_spark.operators.monitor import acf_lags
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return acf_lags(ev, max_lag=6, bucket="1h")
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung–Box white-noise test per series (monitor.py:ljung_box):
+    Q = n(n+2) * sum r_k^2/(n-k) over the acf_lags autocorrelations —
+    the is-there-structure-at-all gate for the smoothing/seasonal
+    monitors; rounded 6dp (the K-term sum is the only order-dependent
+    float reduction)."""
+    from traval_spark.operators.monitor import ljung_box
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return ljung_box(ev, max_lag=6, bucket="1h")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -3160,6 +3222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "lttb_from_m4": q_lttb_from_m4,
         "retention_preview": q_retention_preview,
+        "ks_drift": q_ks_drift,
+        "mann_kendall": q_mann_kendall,
+        "acf_lags": q_acf_lags,
+        "ljung_box": q_ljung_box,
     }
 
 
@@ -6567,5 +6633,150 @@ def oracle_sql() -> dict[str, str]:
                  / (allp.n_a + allp.n_b - coalesce(inter.inter, 0)),
                  9) AS jaccard
     from allp left join inter on allp.a = inter.a and allp.b = inter.b
+    """
+    # KS drift: exact hugeint CDF-gap numerators; tie rule = largest
+    # bin among max numerators (mirrors the engine's struct-max)
+    sql["ks_drift"] = """
+    with ha as (select event_type AS source,
+                       cast(round(value) AS bigint) AS bin,
+                       count(*) AS ca
+                from events where ts < '2024-01-15' group by 1, 2),
+    hb as (select event_type AS source,
+                  cast(round(value) AS bigint) AS bin,
+                  count(*) AS cb
+           from events where ts >= '2024-01-15' group by 1, 2),
+    j as (select coalesce(ha.source, hb.source) AS source,
+                 coalesce(ha.bin, hb.bin) AS bin,
+                 coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          from ha full outer join hb
+            on ha.source = hb.source and ha.bin = hb.bin),
+    cum as (select source, bin,
+                   cast(sum(ca) over (partition by source order by bin)
+                        AS hugeint) AS cca,
+                   cast(sum(cb) over (partition by source order by bin)
+                        AS hugeint) AS ccb
+            from j),
+    tot as (select source, cast(sum(ca) AS bigint) AS n_a,
+                   cast(sum(cb) AS bigint) AS n_b
+            from j group by source),
+    sc as (select c.source, c.bin,
+                  abs(c.cca * t.n_b - c.ccb * t.n_a) AS num,
+                  t.n_a, t.n_b
+           from cum c join tot t using (source)),
+    best as (select source, max(num) AS mnum from sc group by source),
+    pick as (select sc.source, max(sc.n_a) AS n_a, max(sc.n_b) AS n_b,
+                    max(best.mnum) AS mnum, max(sc.bin) AS at_bin
+             from sc join best on sc.source = best.source
+                               and sc.num = best.mnum
+             group by sc.source)
+    select source, n_a, n_b,
+           cast(mnum AS double)
+             / cast(cast(n_a AS hugeint) * cast(n_b AS hugeint)
+                    AS double) AS ks_d,
+           at_bin
+    from pick
+    """
+    # Mann-Kendall: exact integer S and tie-corrected variance
+    # numerator; continuity-corrected z, NULL at zero variance
+    sql["mann_kendall"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    s as (select a.g, cast(sum(sign(b.c - a.c)) AS bigint) AS s_stat
+          from sig a join sig b on a.g = b.g and b.h > a.h group by a.g),
+    nb as (select g, count(*) AS n_buckets from sig group by g),
+    tie as (select g, sum(t * (t - 1) * (2 * t + 5)) AS tt
+            from (select g, c, count(*) AS t from sig group by g, c)
+            group by g)
+    select nb.g, nb.n_buckets, s.s_stat,
+           (nb.n_buckets * (nb.n_buckets - 1) * (2 * nb.n_buckets + 5)
+            - tie.tt) / 18.0 AS var_s,
+           case when (nb.n_buckets * (nb.n_buckets - 1)
+                      * (2 * nb.n_buckets + 5) - tie.tt) > 0
+                then round(case
+                    when s.s_stat > 0 then (s.s_stat - 1)
+                      / sqrt((nb.n_buckets * (nb.n_buckets - 1)
+                              * (2 * nb.n_buckets + 5) - tie.tt) / 18.0)
+                    when s.s_stat < 0 then (s.s_stat + 1)
+                      / sqrt((nb.n_buckets * (nb.n_buckets - 1)
+                              * (2 * nb.n_buckets + 5) - tie.tt) / 18.0)
+                    else 0.0 end, 9)
+           end AS z
+    from nb join s using (g) join tie using (g)
+    """
+    # ACF: cleared denominators — d_t = n*c_t - S exact hugeint, one
+    # division per (g, lag)
+    sql["acf_lags"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    tot as (select g, count(*) AS n_buckets,
+                   cast(sum(c) AS hugeint) AS s
+            from sig group by g),
+    dd as (select sig.g, sig.h, tot.n_buckets,
+                  cast(tot.n_buckets AS hugeint) * sig.c - tot.s AS d
+           from sig join tot using (g)),
+    den as (select g, max(n_buckets) AS n_buckets,
+                   sum(d * d) AS den from dd group by g),
+    lags as (select cast(unnest(range(1, 7)) AS int) AS lag),
+    num as (select a.g, l.lag, sum(a.d * b.d) AS num
+            from dd a cross join lags l
+            join dd b on b.g = a.g and b.h = a.h - l.lag
+            group by a.g, l.lag)
+    select num.g, num.lag, den.n_buckets,
+           cast(num.num AS double) / cast(den.den AS double) AS r
+    from num join den using (g)
+    where den.den > 0
+    """
+    # Ljung-Box Q over the same ACF construction, rounded 6dp
+    sql["ljung_box"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    tot as (select g, count(*) AS n_buckets,
+                   cast(sum(c) AS hugeint) AS s
+            from sig group by g),
+    dd as (select sig.g, sig.h, tot.n_buckets,
+                  cast(tot.n_buckets AS hugeint) * sig.c - tot.s AS d
+           from sig join tot using (g)),
+    den as (select g, max(n_buckets) AS n_buckets,
+                   sum(d * d) AS den from dd group by g),
+    lags as (select cast(unnest(range(1, 7)) AS int) AS lag),
+    acf as (select a.g, l.lag, den.n_buckets,
+                   cast(sum(a.d * b.d) AS double)
+                     / cast(den.den AS double) AS r
+            from dd a cross join lags l
+            join dd b on b.g = a.g and b.h = a.h - l.lag
+            join den on den.g = a.g
+            where den.den > 0
+            group by a.g, l.lag, den.n_buckets, den.den)
+    select g, max(n_buckets) AS n_buckets,
+           cast(count(*) AS int) AS k_lags,
+           round(max(cast(n_buckets AS double)
+                     * (cast(n_buckets AS double) + 2.0))
+                 * sum(r * r / (cast(n_buckets AS double)
+                                - cast(lag AS double))), 6) AS q
+    from acf group by g
     """
     return sql

@@ -531,3 +531,115 @@ def test_forecast_backtest_walk_forward(spark):
     # constant series' model error is ~1 ulp, not 0 — but the naive
     # error IS exactly 0 (prev is the raw value), so mase is NULL
     assert got["b"]["mae_model"] < 1e-12 and got["b"]["mase"] is None
+
+
+def _hour_counts(spark, per_source_counts):
+    """Events with count c_i in hour-bucket i per source: the bucket
+    count SIGNAL the trend/ACF monitors consume."""
+    rows = []
+    for src, counts in per_source_counts.items():
+        for i, c in enumerate(counts):
+            for j in range(c):
+                rows.append((src, _t(i * 3600 + j), 0.0, i * 100 + j))
+    return _frame(spark, rows)
+
+
+def test_ks_hand_value_and_identical_zero(spark):
+    """A=[0,0,1,2] vs B=[2,2,3]: CDF gaps .5, .75, 1/3, 0 -> D=0.75 at
+    bin 1; identical snapshots -> D=0."""
+    from traval_spark.operators.monitor import ks_drift
+
+    import pandas as pd
+
+    da = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 4, "value": [0.0, 0.0, 1.0, 2.0]}))
+    db = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 3, "value": [2.0, 2.0, 3.0]}))
+    r = ks_drift(da, db, scale=1).collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    assert abs(r["ks_d"] - 0.75) < 1e-12
+    assert r["at_bin"] == 1
+    r0 = ks_drift(da, da.select("source", "value"), scale=1).collect()[0]
+    assert r0["ks_d"] == 0.0
+
+
+def test_ks_served_from_hist_tier_equals_direct(spark):
+    """KS read off the STORED hist tier (per-period bin counts summed
+    from 1m tier rows) == direct ks_drift on raw — PSI's tier-served
+    property holds for the rank-based drift monitor too."""
+    from traval_spark.hist import hist_tier
+    from traval_spark.operators.monitor import ks_drift, ks_from_hists
+    from traval_spark.sources.synth import synth_sequences
+
+    import pyspark.sql.functions as FF
+
+    seqs = synth_sequences(spark, 4000, seed=31, span_days=2)
+    cut = "2024-01-02"
+    tier = hist_tier(seqs, "1m", value_col="n_tok")
+
+    def period(pred, cname):
+        return (tier.filter(pred).groupBy("source", "bin")
+                .agg(FF.sum("cnt").alias(cname)))
+
+    tiered = ks_from_hists(
+        period(FF.col("bucket") < cut, "ca"),
+        period(FF.col("bucket") >= cut, "cb"),
+    )
+    direct = ks_drift(
+        seqs.filter(FF.col("ts") < cut).select("source",
+                                               FF.col("n_tok").alias("value")),
+        seqs.filter(FF.col("ts") >= cut).select("source",
+                                                FF.col("n_tok").alias("value")),
+        scale=1,
+    )
+    assert tiered.exceptAll(direct).count() == 0
+    assert direct.exceptAll(tiered).count() == 0
+
+
+def test_mann_kendall_monotone_constant_and_ties(spark):
+    """Strictly increasing counts (no ties): S = n(n-1)/2 and the
+    continuity-corrected z matches the hand formula; a constant series
+    in the SAME frame has zero variance -> z NULL."""
+    import math
+
+    from traval_spark.operators.monitor import mann_kendall
+
+    df = _hour_counts(spark, {
+        "up": [1, 2, 3, 4, 5],          # strictly increasing
+        "flat": [2, 2, 2, 2, 2],        # all ties
+    })
+    out = {r["g"]: r.asDict()
+           for r in mann_kendall(df.select("source", "ts")).collect()}
+    up = out["up"]
+    assert up["n_buckets"] == 5 and up["s_stat"] == 10
+    var = 5 * 4 * 15 / 18.0
+    assert abs(up["var_s"] - var) < 1e-12
+    assert abs(up["z"] - round(9 / math.sqrt(var), 9)) < 1e-12
+    flat = out["flat"]
+    assert flat["s_stat"] == 0 and flat["var_s"] == 0.0
+    assert flat["z"] is None
+
+
+def test_acf_hand_values_and_constant_dropped(spark):
+    """Alternating [2,1,2,1]: d = [2,-2,2,-2], den 16 -> r1=-0.75,
+    r2=0.5, r3=-0.25; a constant series (den 0) emits no rows."""
+    from traval_spark.operators.monitor import acf_lags
+
+    df = _hour_counts(spark, {"alt": [2, 1, 2, 1], "flat": [3, 3, 3, 3]})
+    rows = acf_lags(df.select("source", "ts"), max_lag=3).collect()
+    got = {(r["g"], r["lag"]): r["r"] for r in rows}
+    assert got[("alt", 1)] == -0.75
+    assert got[("alt", 2)] == 0.5
+    assert got[("alt", 3)] == -0.25
+    assert not any(g == "flat" for g, _ in got)
+
+
+def test_ljung_box_hand_q(spark):
+    """Same alternating signal: Q = n(n+2) * sum r_k^2/(n-k)
+    = 24 * (0.5625/3 + 0.25/2 + 0.0625/1) = 9.0 exactly."""
+    from traval_spark.operators.monitor import ljung_box
+
+    df = _hour_counts(spark, {"alt": [2, 1, 2, 1]})
+    r = ljung_box(df.select("source", "ts"), max_lag=3).collect()[0]
+    assert r["n_buckets"] == 4 and r["k_lags"] == 3
+    assert r["q"] == 9.0

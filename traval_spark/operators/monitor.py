@@ -62,6 +62,7 @@ __all__ = [
     "time_weighted_avg", "psi_drift", "psi_from_hists",
     "holt_winters_daily", "slo_burn", "theil_sen", "seasonal_strength",
     "forecast_backtest",
+    "ks_drift", "ks_from_hists", "mann_kendall", "acf_lags", "ljung_box",
 ]
 
 
@@ -1230,4 +1231,301 @@ def forecast_backtest(
         (se / steps).alias("mae_model"),
         (sn / steps).alias("mae_naive"),
         F.when(sn > 0, F.round(se / sn, 9)).alias("mase"),
+    )
+
+
+def ks_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D from two histogram count frames
+    (``*by, bin, ca`` / ``*by, bin, cb``) — PSI's rank-based companion
+    (:func:`psi_from_hists`): PSI weighs every bin's log-odds shift, KS
+    reports the single worst CDF gap, so it catches a concentrated
+    shift PSI's smoothing dilutes and is distribution-free (the 1.36 *
+    sqrt((na+nb)/(na*nb)) alpha=0.05 fence applies regardless of
+    shape).  Like the PSI pair, this is the tier-served drift path:
+    feed per-period bin counts summed straight off a stored hist tier
+    (hist.py) and the read never re-scans raw.
+
+    Exactness: with per-bin cumulative counts CA_i, CB_i and totals
+    na, nb,
+
+        D = max_i |CA_i/na - CB_i/nb| = max_i |CA_i*nb - CB_i*na| / (na*nb)
+
+    — the numerator is an EXACT integer per bin (decimal(38,0); counts
+    up to 1e12 x 1e12 fit), so the argmax bin and the max numerator are
+    engine-identical; the one division to ``ks_d`` runs on the same two
+    decimal-cast doubles in both engines.  Tie rule: equal numerators
+    resolve to the LARGEST bin (struct-max), deterministic.
+
+    Plan shape: one full-outer join on the tiny bin table, one cumsum
+    window per series over bins (bin-table-sized, never raw-sized),
+    one groupBy.  Output: ``*by, n_a, n_b, ks_d, at_bin``.
+    """
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by, "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy(*by).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.select(
+        *by, "bin",
+        F.sum(F.col("ca").cast("decimal(38,0)")).over(w).alias("cca"),
+        F.sum(F.col("cb").cast("decimal(38,0)")).over(w).alias("ccb"),
+    )
+    tot = j.groupBy(*by).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    t = cum.join(tot, list(by))
+    num = F.abs(
+        F.col("cca") * F.col("n_b").cast("decimal(38,0)")
+        - F.col("ccb") * F.col("n_a").cast("decimal(38,0)")
+    )
+    best = t.groupBy(*by).agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.max(F.struct(num.alias("num"), F.col("bin"))).alias("__m"),
+    )
+    return best.select(
+        *by, "n_a", "n_b",
+        (
+            F.col("__m")["num"].cast("double")
+            / (
+                F.col("n_a").cast("decimal(38,0)")
+                * F.col("n_b").cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("ks_d"),
+        F.col("__m")["bin"].alias("at_bin"),
+    )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+) -> DataFrame:
+    """Two-sample KS drift between two snapshots of the same measure,
+    binned by the hist.py discretization (``round(v*scale)``) so the
+    same read serves from raw or from a stored histogram tier
+    (:func:`ks_from_hists`, parity-tested).  One groupBy per snapshot;
+    everything downstream runs on the tiny bin table."""
+    def hist(d, cname):
+        return d.groupBy(
+            *by, F.round(F.col(val) * scale).cast("long").alias("bin")
+        ).agg(F.count("*").alias(cname))
+
+    return ks_from_hists(hist(df_a, "ca"), hist(df_b, "cb"), by=by)
+
+
+def mann_kendall(
+    df: DataFrame,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per series over the
+    zero-filled bucket-count signal — the SIGNIFICANCE gate for
+    :func:`theil_sen`: Theil–Sen reports a robust slope for every
+    series; MK's normalized Z says whether the monotone tendency is
+    real or noise (|z| > 1.96 ~ alpha=0.05).
+
+        S = sum_{i<j} sign(c_j - c_i)                (exact integer)
+        Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+                                        (t = tie-group sizes, exact)
+        z = (S -/+ 1) / sqrt(Var(S))    (continuity-corrected; 0 at S=0)
+
+    Exactness: S is an integer sum of signs; the variance NUMERATOR is
+    an exact integer assembled from n and the tie-group sizes (one
+    groupBy on the tiny signal frame), so z is doubles-of-exact-
+    integers through one /18, one sqrt, one division — identical IEEE
+    results in both engines, rounded to ``ndigits`` only as a guard.
+    Constant series (Var = 0) report z NULL — no trend is decidable.
+
+    Plan shape: theil_sen's exactly — ONE raw-scale partial-
+    aggregatable groupBy to bucket counts; the O(m^2) sign pairs and
+    the tie census run on the tiny signal frame.  Output: ``g,
+    n_buckets, s_stat, var_s, z``.
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        F.col(by).alias("g"),
+        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+    )
+    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        counts.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    sig = spine.join(counts, ["g", "h"], "left").select(
+        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    a = sig.select("g", F.col("h").alias("hi"), F.col("c").alias("ci"))
+    b = sig.select("g", F.col("h").alias("hj"), F.col("c").alias("cj"))
+    s = (
+        a.join(b, "g")
+        .filter(F.col("hj") > F.col("hi"))
+        .groupBy("g")
+        .agg(F.sum(F.signum(F.col("cj") - F.col("ci")).cast("long"))
+             .alias("s_stat"))
+    )
+    nb = sig.groupBy("g").agg(F.count(F.lit(1)).alias("n_buckets"))
+    tie = (
+        sig.groupBy("g", "c").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g")
+        .agg(F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).alias("__tt"))
+    )
+    n = F.col("n_buckets")
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("__tt")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    return (
+        nb.join(s, "g").join(tie, "g")
+        .select(
+            "g", "n_buckets", "s_stat", var_s.alias("var_s"),
+            F.when(var_num > 0, F.round(z, ndigits)).alias("z"),
+        )
+    )
+
+
+def acf_lags(
+    df: DataFrame,
+    max_lag: int = 6,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Classic autocorrelation function per series over the zero-filled
+    bucket-count signal: for lag k,
+
+        r_k = sum_{t>k} (c_t - mean)(c_{t-k} - mean) / sum_t (c_t - mean)^2
+
+    — the FULL-SERIES-mean, SS_tot-denominator definition statistics
+    texts (and :func:`ljung_box`) require, distinct from
+    :func:`xcorr_lags`' windowed-pair normalization (xcorr re-centers
+    per aligned window; ACF centers once, so r_k values plug into
+    portmanteau tests).
+
+    Exactness via cleared denominators: with S = sum c and n buckets,
+    work on d_t = n*c_t - S (EXACT integers, decimal(38,0));
+
+        r_k = sum d_t d_{t-k} / sum d_t^2
+
+    both sums exact, one division of decimal-cast doubles — engine-
+    identical, no float mean ever materialized.  Constant series
+    (den = 0) are dropped.
+
+    Plan shape: ONE raw-scale partial-aggregatable groupBy to bucket
+    counts; the lag joins run on the tiny signal frame x ``max_lag``.
+    Output: ``g, lag, n_buckets, r``.
+    """
+    gus = gap_micros(bucket)
+    src = df.select(
+        F.col(by).alias("g"),
+        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+    )
+    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        counts.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    sig = spine.join(counts, ["g", "h"], "left").select(
+        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot = sig.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("__s"),
+    )
+    dd = sig.join(tot, "g").select(
+        "g", "h", "n_buckets",
+        (
+            F.col("n_buckets").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+            - F.col("__s")
+        ).alias("d"),
+    )
+    den = dd.groupBy("g").agg(
+        F.max("n_buckets").alias("n_buckets"),
+        F.sum(F.col("d") * F.col("d")).alias("__den"),
+    )
+    lags = F.broadcast(
+        sig.sparkSession.range(1, max_lag + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    al = dd.select("g", F.col("h").alias("ht"), F.col("d").alias("dt"))
+    bl = dd.select("g", F.col("h").alias("hp"), F.col("d").alias("dp"))
+    num = (
+        al.crossJoin(lags)
+        .join(bl, (F.col("hp") == F.col("ht") - F.col("lag"))
+              & (al["g"] == bl["g"]))
+        .select(al["g"].alias("g"), "lag",
+                (F.col("dt") * F.col("dp")).alias("__p"))
+        .groupBy("g", "lag")
+        .agg(F.sum("__p").alias("__num"))
+    )
+    return (
+        num.join(den, "g")
+        .filter(F.col("__den") > 0)
+        .select(
+            "g", "lag", "n_buckets",
+            (F.col("__num").cast("double")
+             / F.col("__den").cast("double")).alias("r"),
+        )
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    max_lag: int = 6,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Ljung–Box portmanteau statistic per series — "is this signal
+    white noise?", the gate that tells the EWMA/Holt/seasonal monitors
+    whether there is any structure to model at all:
+
+        Q = n(n+2) * sum_{k=1..K} r_k^2 / (n-k)
+
+    with the :func:`acf_lags` autocorrelations (chi^2_K under the
+    null; Q > the chi^2 fence means real structure).  Each r_k is
+    engine-identical (exact-integer construction); the K-term float
+    sum is the only order-dependent reduction and Q is rounded to
+    ``ndigits`` with ~1e-15 association noise far under it (the
+    seasonal_strength budget).  Output: ``g, n_buckets, k_lags, q``.
+    """
+    r = acf_lags(df, max_lag=max_lag, bucket=bucket, by=by, ts=ts)
+    n = F.col("n_buckets").cast("double")
+    term = F.col("r") * F.col("r") / (n - F.col("lag").cast("double"))
+    return (
+        r.groupBy("g")
+        .agg(
+            F.max("n_buckets").alias("n_buckets"),
+            F.count(F.lit(1)).cast("int").alias("k_lags"),
+            F.round(
+                F.max(n * (n + 2.0)) * F.sum(term), ndigits
+            ).alias("q"),
+        )
     )
