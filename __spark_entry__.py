@@ -3047,6 +3047,42 @@ def q_ljung_box(spark, sf_dir):
     return ljung_box(ev, max_lag=6, bucket="1h")
 
 
+def q_theil_sen_tiered(spark, sf_dir):
+    """Theil–Sen served FROM the rollup tier (monitor.py:counts_from_tier
+    -> bucket_count_signal counts= path): the hourly count signal is
+    re-aggregated from the 1m tier's n_points — integer sums are
+    lossless, so the tier-served slope equals the raw-served one
+    EXACTLY and the oracle is the same raw construction. Monitoring
+    without re-scanning raw: the 100 TB read path."""
+    from traval_spark.operators.monitor import counts_from_tier, theil_sen
+    from traval_spark.rollup import rollup_raw
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.lit(1).alias("n_tok"),  # count rows: n_points == count(*)
+    )
+    tier = rollup_raw(ev, "1m")
+    return theil_sen(counts=counts_from_tier(tier, bucket="1h"),
+                     bucket="1h")
+
+
+def q_acf_tiered(spark, sf_dir):
+    """ACF served FROM the rollup tier: same counts_from_tier feed at
+    the 1h grain — bit-identical to the raw-served acf_lags (oracle is
+    the same raw SQL), raw scanned once into the tier and never
+    again."""
+    from traval_spark.operators.monitor import acf_lags, counts_from_tier
+    from traval_spark.rollup import rollup_raw
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.lit(1).alias("n_tok"),  # count rows: n_points == count(*)
+    )
+    tier = rollup_raw(ev, "1m")
+    return acf_lags(counts=counts_from_tier(tier, bucket="1h"),
+                    max_lag=6, bucket="1h")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -3226,6 +3262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "acf_lags": q_acf_lags,
         "ljung_box": q_ljung_box,
+        "theil_sen_tiered": q_theil_sen_tiered,
+        "acf_tiered": q_acf_tiered,
     }
 
 
@@ -6779,4 +6817,8 @@ def oracle_sql() -> dict[str, str]:
                                 - cast(lag AS double))), 6) AS q
     from acf group by g
     """
+    # tier-served monitors: counts re-aggregated from the 1m tier are
+    # integer-exact, so the oracles ARE the raw constructions
+    sql["theil_sen_tiered"] = sql["theil_sen"]
+    sql["acf_tiered"] = sql["acf_lags"]
     return sql

@@ -643,3 +643,44 @@ def test_ljung_box_hand_q(spark):
     r = ljung_box(df.select("source", "ts"), max_lag=3).collect()[0]
     assert r["n_buckets"] == 4 and r["k_lags"] == 3
     assert r["q"] == 9.0
+
+
+def test_monitors_served_from_rollup_tier_equal_raw(spark):
+    """The tier-served monitor feed: counts_from_tier re-aggregates the
+    STORED 1m rollup tier's n_points to the monitor grain and every
+    signal monitor (theil_sen, mann_kendall, acf_lags, ljung_box,
+    seasonal_strength, forecast_backtest, xcorr_lags) produces
+    EXACTLY the raw-served result — integer count sums re-aggregate
+    losslessly, so monitoring never re-scans raw."""
+    from traval_spark.operators.monitor import (
+        acf_lags, bucket_count_signal, counts_from_tier, forecast_backtest,
+        ljung_box, mann_kendall, seasonal_strength, spearman_pairs,
+        theil_sen, xcorr_lags,
+    )
+    from traval_spark.rollup import rollup_raw
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 4000, seed=13, span_days=2)
+    raw = seqs.select("source", "ts")
+    tier = rollup_raw(seqs, "1m")
+
+    for fn, kw in [
+        (theil_sen, {"bucket": "1h"}),
+        (mann_kendall, {"bucket": "1h"}),
+        (acf_lags, {"bucket": "1h", "max_lag": 3}),
+        (ljung_box, {"bucket": "1h", "max_lag": 3}),
+        (seasonal_strength, {"bucket": "1h", "period": 6}),
+        (forecast_backtest, {"bucket": "6h"}),
+        (xcorr_lags, {"bucket": "1h", "max_lag": 1}),
+        (spearman_pairs, {"bucket": "1h"}),
+    ]:
+        direct = fn(raw, **kw)
+        tiered = fn(counts=counts_from_tier(tier, bucket=kw["bucket"]), **kw)
+        assert tiered.exceptAll(direct).count() == 0, fn.__name__
+        assert direct.exceptAll(tiered).count() == 0, fn.__name__
+
+    # the shared signal itself is identical too
+    s_raw = bucket_count_signal(raw, bucket="1h")
+    s_tier = bucket_count_signal(counts=counts_from_tier(tier, "1h"))
+    assert s_raw.exceptAll(s_tier).count() == 0
+    assert s_tier.exceptAll(s_raw).count() == 0

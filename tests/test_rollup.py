@@ -1257,3 +1257,140 @@ def test_combined_sketch_leaf_parity(spark):
                [f.dataType for f in w.schema], kind
         assert g.exceptAll(w).count() == 0, kind
         assert w.exceptAll(g).count() == 0, kind
+
+
+def test_tier_maintenance_census_compact_freshness(spark, seqs, tmp_path):
+    """file_census flags a fragmented day, compact_tier_day rewrites it
+    to one file with rows verified against the manifest (values
+    untouched), tier_freshness reports staleness from manifests alone."""
+    import pytest
+
+    from traval_spark.sources.tierstore import (
+        compact_tier_day, file_census, tier_freshness,
+    )
+
+    root = str(tmp_path / "tiers")
+    store = TierStore(root)
+    t1m = rollup_raw(seqs, "1m").withColumn(
+        "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+    )
+    fps = partition_fingerprints(t1m)
+    # fragment: 12 write tasks -> up to 12 files in every day partition
+    store.write_tier("1m", t1m.drop("day").repartition(12), fps)
+    before = store.read_tier("1m", spark).drop("day")
+
+    census = file_census(store, "1m", max_files_per_day=4)
+    days = sorted(fps)
+    assert [r["day"] for r in census] == days
+    frag = {r["day"]: r for r in census}
+    assert all(r["n_files"] > 4 and r["needs_compaction"]
+               for r in census)
+
+    res = compact_tier_day(store, "1m", days[0], target_files=1)
+    assert res["verified"] and res["files_after"] == 1
+    assert res["files_before"] == frag[days[0]]["n_files"]
+    assert res["rows"] == store.read_manifest("1m", days[0])["rows"]
+    assert "compacted_at" in store.read_manifest("1m", days[0])
+
+    after = store.read_tier("1m", spark).drop("day")
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+    census2 = {r["day"]: r for r in file_census(store, "1m",
+                                                max_files_per_day=4)}
+    assert census2[days[0]]["n_files"] == 1
+    assert not census2[days[0]]["needs_compaction"]
+    assert census2[days[1]]["needs_compaction"]  # untouched day still flagged
+
+    import datetime as dt
+
+    as_of = dt.date.fromisoformat(days[-1]) + dt.timedelta(days=2)
+    fresh = tier_freshness(store, ["1m"], as_of)
+    assert fresh == [{
+        "tier": "1m", "n_days": len(days), "min_day": days[0],
+        "max_day": days[-1],
+        "rows_total": sum(store.read_manifest("1m", d)["rows"]
+                          for d in days),
+        "staleness_days": 2,
+    }]
+    # empty tier: its own alert, never a crash
+    assert tier_freshness(store, ["1h"], as_of)[0]["staleness_days"] is None
+
+    with pytest.raises(ValueError):
+        compact_tier_day(store, "1m", "1999-01-01")
+
+
+def test_run_maintenance_cli_surface(spark, seqs, tmp_path):
+    """The spark-submit maintenance pass: census sees every landed
+    tier, compact rewrites exactly the flagged days, freshness reads
+    the same manifests — all against a store the pipeline built."""
+    from traval_spark.pipeline import run_maintenance
+
+    root = str(tmp_path / "tiers")
+    store = TierStore(root)
+    t1m = rollup_raw(seqs, "1m").withColumn(
+        "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+    )
+    store.write_tier("1m", t1m.drop("day").repartition(10),
+                     partition_fingerprints(t1m))
+    t1h = rollup_cascade(rollup_raw(seqs, "1m"), "1h").withColumn(
+        "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+    )
+    store.write_tier("1h", t1h.drop("day"), partition_fingerprints(t1h))
+    # a stray non-tier dir is never touched (no _manifests commit log)
+    (tmp_path / "tiers" / "scratch").mkdir()
+
+    census = run_maintenance(spark, root, "census", max_files_per_day=4)
+    assert sorted(census["tiers"]) == ["1h", "1m"]
+    flagged = [(t, r["day"]) for t, reps in census["tiers"].items()
+               for r in reps if r["needs_compaction"]]
+    assert ("1m", sorted(r["day"] for r in census["tiers"]["1m"])[0]) \
+        in flagged
+
+    before = store.read_tier("1m", spark).drop("day")
+    comp = run_maintenance(spark, root, "compact", max_files_per_day=4)
+    assert sorted((c["tier"], c["day"]) for c in comp["compacted"]) \
+        == sorted(flagged)
+    assert all(c["verified"] for c in comp["compacted"])
+    after = store.read_tier("1m", spark).drop("day")
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+    census2 = run_maintenance(spark, root, "census", max_files_per_day=4)
+    assert not any(r["needs_compaction"]
+                   for reps in census2["tiers"].values() for r in reps)
+
+    days = sorted(r["day"] for r in census["tiers"]["1m"])
+    fresh = run_maintenance(spark, root, "freshness",
+                            as_of=days[-1])["tiers"]
+    assert [(r["tier"], r["staleness_days"]) for r in fresh] \
+        == [("1h", 0), ("1m", 0)]
+
+
+def test_run_maintenance_audit_detects_drift(spark, seqs, tmp_path):
+    """--maintenance audit: consistent stored 1m->1h pair reports
+    mismatches 0; silently dropping a stored-coarse day flips the
+    verdict with the missing rows counted."""
+    from traval_spark.pipeline import run_maintenance
+
+    root = str(tmp_path / "tiers")
+    store = TierStore(root)
+    t1m = rollup_raw(seqs, "1m")
+    t1h = rollup_cascade(t1m, "1h")
+    for name, frame in (("1m", t1m), ("1h", t1h)):
+        framed = frame.withColumn(
+            "day", F.date_trunc("day", F.col("bucket")).cast("timestamp_ntz")
+        )
+        store.write_tier(name, framed.drop("day"),
+                         partition_fingerprints(framed))
+
+    ok = run_maintenance(spark, root, "audit")
+    assert ok["consistent"] and ok["pairs"]["1m->1h"]["mismatches"] == 0
+
+    # simulate a partial rewrite that lost a coarse day
+    day0 = sorted(store.manifests("1h"))[0]
+    import shutil
+
+    shutil.rmtree(f"{root}/1h/day={day0}")
+    bad = run_maintenance(spark, root, "audit")
+    assert not bad["consistent"]
+    assert bad["pairs"]["1m->1h"]["missing_in_coarser"] > 0

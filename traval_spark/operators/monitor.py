@@ -63,6 +63,7 @@ __all__ = [
     "holt_winters_daily", "slo_burn", "theil_sen", "seasonal_strength",
     "forecast_backtest",
     "ks_drift", "ks_from_hists", "mann_kendall", "acf_lags", "ljung_box",
+    "bucket_count_signal", "counts_from_tier",
 ]
 
 
@@ -76,6 +77,75 @@ def _lagged(df: DataFrame, by, ts: str, ident: str, val: str | None):
     if val is not None:
         out = out.withColumn("__v_prev", F.lag("__v").over(w))
     return out
+
+
+def bucket_count_signal(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """The zero-filled bucket-count signal ``(g, h, c)`` every trend/
+    noise monitor consumes (a missing bucket is a real 0 of activity;
+    zero-fill over the GLOBAL span makes aligned-pair counts a pure
+    function of span and lag).
+
+    Two inputs, identical output:
+
+    - ``df``: raw events — ONE partial-aggregatable groupBy to bucket
+      counts, the only raw-scale work any signal monitor does;
+    - ``counts``: a pre-aggregated ``(g, h, c)`` frame — the
+      TIER-SERVED path (see :func:`counts_from_tier`): at 100 TB the
+      count signal already sits in the stored rollup tier's
+      ``n_points``, so the monitors never re-scan raw.  Integer count
+      sums re-aggregate exactly, so tier-served == raw-served
+      bit-for-bit (parity-tested).
+
+    The spine and everything downstream run on the tiny signal frame
+    (|series| x span/bucket).
+    """
+    if counts is None:
+        gus = gap_micros(bucket)
+        src = df.select(
+            F.col(by).alias("g"),
+            F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
+        )
+        counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        counts.select("g").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    return spine.join(counts, ["g", "h"], "left").select(
+        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+
+
+def counts_from_tier(
+    tier_df: DataFrame,
+    bucket: str = "1h",
+    by: str = "source",
+) -> DataFrame:
+    """Re-aggregate a STORED rollup tier's per-bucket ``n_points`` to
+    the requested (coarser or equal) bucket grain as the monitors'
+    ``(g, h, c)`` count signal — the tier-served feed for
+    :func:`bucket_count_signal`'s ``counts=``.  Count sums are
+    integers, so the signal equals the raw-derived one EXACTLY at any
+    grain the cascade can produce; the read touches only the tiny tier
+    frame (day-partition-pruned at the scan when the caller filters).
+    """
+    gus = gap_micros(bucket)
+    return (
+        tier_df.select(
+            F.col(by).alias("g"),
+            F.floor(unix_us(F.col("bucket")) / F.lit(gus)).alias("h"),
+            F.col("n_points").alias("__n"),
+        )
+        .groupBy("g", "h")
+        .agg(F.sum("__n").cast("long").alias("c"))
+    )
 
 
 def counter_windows(
@@ -495,11 +565,12 @@ def holt_winters_daily(
 
 
 def xcorr_lags(
-    df: DataFrame,
+    df: DataFrame | None = None,
     max_lag: int = 3,
     bucket: str = "1h",
     by: str = "source",
     ts: str = "ts",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Lagged Pearson cross-correlation between per-series bucket-count
     signals (which series leads which — error bursts preceding purchase
@@ -525,23 +596,8 @@ def xcorr_lags(
     join and the moment aggregation all run on it.  Output: ``a, b,
     lag, n, r``.
     """
-    gus = gap_micros(bucket)
-    src = df.select(
-        F.col(by).alias("g"),
-        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
-    )
-    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    # span and the series set both derive from the TINY counts frame —
-    # raw rows are scanned exactly once (the groupBy above)
-    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        counts.select("g").distinct()
-        .crossJoin(F.broadcast(span))
-        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
-    )
-    sig = spine.join(counts, ["g", "h"], "left").select(
-        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
     lags = F.broadcast(
         sig.sparkSession.range(-max_lag, max_lag + 1)
         .select(F.col("id").cast("int").alias("lag"))
@@ -719,10 +775,11 @@ def hysteresis_daily(
 
 
 def spearman_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     bucket: str = "1h",
     by: str = "source",
     ts: str = "ts",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Spearman rank correlation between every pair of per-series
     bucket-count signals — the robust (monotonic, outlier-insensitive)
@@ -740,21 +797,8 @@ def spearman_pairs(
     zero-filled over the global bucket span (as in xcorr); raw rows are
     scanned once.  Output: ``a, b, n, rho``.
     """
-    gus = gap_micros(bucket)
-    src = df.select(
-        F.col(by).alias("g"),
-        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
-    )
-    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        counts.select("g").distinct()
-        .crossJoin(F.broadcast(span))
-        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
-    )
-    sig = spine.join(counts, ["g", "h"], "left").select(
-        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
     wr = Window.partitionBy("g").orderBy("c")
     wt = Window.partitionBy("g", "c")
     ranked = sig.select(
@@ -994,10 +1038,11 @@ def slo_burn(
 
 
 def theil_sen(
-    df: DataFrame,
+    df: DataFrame | None = None,
     bucket: str = "1h",
     by: str = "source",
     ts: str = "ts",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend slope per series over the zero-filled
     bucket-COUNT signal: the median of all pairwise slopes
@@ -1026,21 +1071,8 @@ def theil_sen(
     Output: ``g, n_buckets, n_pairs, sen_slope`` (counts per bucket
     per bucket-step).
     """
-    gus = gap_micros(bucket)
-    src = df.select(
-        F.col(by).alias("g"),
-        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
-    )
-    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        counts.select("g").distinct()
-        .crossJoin(F.broadcast(span))
-        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
-    )
-    sig = spine.join(counts, ["g", "h"], "left").select(
-        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
     a = sig.select("g", F.col("h").alias("hi"), F.col("c").alias("ci"))
     b = sig.select("g", F.col("h").alias("hj"), F.col("c").alias("cj"))
     slopes = (
@@ -1070,11 +1102,12 @@ def theil_sen(
 
 
 def seasonal_strength(
-    df: DataFrame,
+    df: DataFrame | None = None,
     bucket: str = "1h",
     by: str = "source",
     ts: str = "ts",
     period: int = 24,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """How seasonal is each series, as one number in [0, 1]: the
     fraction of bucket-count variance explained by the
@@ -1099,22 +1132,9 @@ def seasonal_strength(
     counts; both ANOVA aggregations run on the tiny signal frame.
     Output: ``g, n_buckets, strength``.
     """
-    gus = gap_micros(bucket)
-    src = df.select(
-        F.col(by).alias("g"),
-        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
-    )
-    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        counts.select("g").distinct()
-        .crossJoin(F.broadcast(span))
-        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
-    )
-    sig = spine.join(counts, ["g", "h"], "left").select(
-        "g",
-        F.pmod(F.col("h"), F.lit(int(period))).alias("hod"),
-        F.coalesce("c", F.lit(0)).alias("c"),
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts).select(
+        "g", F.pmod(F.col("h"), F.lit(int(period))).alias("hod"), "c"
     )
     cd = F.col("c").cast("decimal(38,0)")
     per_h = sig.groupBy("g", "hod").agg(
@@ -1147,12 +1167,13 @@ def seasonal_strength(
 
 
 def forecast_backtest(
-    df: DataFrame,
+    df: DataFrame | None = None,
     bucket: str = "1d",
     by: str = "source",
     ts: str = "ts",
     alpha: float = 0.3,
     beta: float = 0.1,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """One-step-ahead Holt backtest per series over the zero-filled
     bucket-count signal — the accuracy read that decides whether the
@@ -1174,21 +1195,8 @@ def forecast_backtest(
     mae_model, mae_naive, mase`` (mase NULL when the naive error is 0
     — a constant series has nothing to beat).
     """
-    gus = gap_micros(bucket)
-    src = df.select(
-        F.col(by).alias("g"),
-        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
-    )
-    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        counts.select("g").distinct()
-        .crossJoin(F.broadcast(span))
-        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
-    )
-    sig = spine.join(counts, ["g", "h"], "left").select(
-        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
     arrs = sig.groupBy("g").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("h", "c"))),
@@ -1327,11 +1335,12 @@ def ks_drift(
 
 
 def mann_kendall(
-    df: DataFrame,
+    df: DataFrame | None = None,
     bucket: str = "1h",
     by: str = "source",
     ts: str = "ts",
     ndigits: int = 9,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Mann–Kendall monotonic-trend test per series over the
     zero-filled bucket-count signal — the SIGNIFICANCE gate for
@@ -1356,21 +1365,8 @@ def mann_kendall(
     the tie census run on the tiny signal frame.  Output: ``g,
     n_buckets, s_stat, var_s, z``.
     """
-    gus = gap_micros(bucket)
-    src = df.select(
-        F.col(by).alias("g"),
-        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
-    )
-    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        counts.select("g").distinct()
-        .crossJoin(F.broadcast(span))
-        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
-    )
-    sig = spine.join(counts, ["g", "h"], "left").select(
-        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
     a = sig.select("g", F.col("h").alias("hi"), F.col("c").alias("ci"))
     b = sig.select("g", F.col("h").alias("hj"), F.col("c").alias("cj"))
     s = (
@@ -1408,11 +1404,12 @@ def mann_kendall(
 
 
 def acf_lags(
-    df: DataFrame,
+    df: DataFrame | None = None,
     max_lag: int = 6,
     bucket: str = "1h",
     by: str = "source",
     ts: str = "ts",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Classic autocorrelation function per series over the zero-filled
     bucket-count signal: for lag k,
@@ -1438,21 +1435,8 @@ def acf_lags(
     counts; the lag joins run on the tiny signal frame x ``max_lag``.
     Output: ``g, lag, n_buckets, r``.
     """
-    gus = gap_micros(bucket)
-    src = df.select(
-        F.col(by).alias("g"),
-        F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
-    )
-    counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
-    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        counts.select("g").distinct()
-        .crossJoin(F.broadcast(span))
-        .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
-    )
-    sig = spine.join(counts, ["g", "h"], "left").select(
-        "g", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
     tot = sig.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.col("c").cast("decimal(38,0)")).alias("__s"),
@@ -1496,12 +1480,13 @@ def acf_lags(
 
 
 def ljung_box(
-    df: DataFrame,
+    df: DataFrame | None = None,
     max_lag: int = 6,
     bucket: str = "1h",
     by: str = "source",
     ts: str = "ts",
     ndigits: int = 6,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Ljung–Box portmanteau statistic per series — "is this signal
     white noise?", the gate that tells the EWMA/Holt/seasonal monitors
@@ -1516,7 +1501,8 @@ def ljung_box(
     ``ndigits`` with ~1e-15 association noise far under it (the
     seasonal_strength budget).  Output: ``g, n_buckets, k_lags, q``.
     """
-    r = acf_lags(df, max_lag=max_lag, bucket=bucket, by=by, ts=ts)
+    r = acf_lags(df, max_lag=max_lag, bucket=bucket, by=by, ts=ts,
+                 counts=counts)
     n = F.col("n_buckets").cast("double")
     term = F.col("r") * F.col("r") / (n - F.col("lag").cast("double"))
     return (

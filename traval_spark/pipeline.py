@@ -458,6 +458,77 @@ def run(
     return metrics
 
 
+def run_maintenance(
+    spark: SparkSession,
+    out_root: str,
+    action: str,
+    as_of: str | None = None,
+    target_bytes: int = 128 << 20,
+    max_files_per_day: int = 8,
+) -> dict:
+    """Maintenance pass over an EXISTING store (the spark-submit
+    surface for the tier-trust ops): ``census`` reports per-day file
+    fragmentation for every tier, ``compact`` rewrites the days the
+    census flags (manifest-verified, values untouched), ``freshness``
+    reports per-tier staleness from manifests alone, ``audit`` runs
+    the verify_cascade cross-tier consistency check over every stored
+    adjacent tier pair (1m->1h, 1h->1d) and reports mismatch counts
+    by status.  Tiers are discovered by their ``_manifests`` commit
+    log — a directory without one was never landed by this engine and
+    is left alone.
+    """
+    import datetime as real_dt
+
+    from traval_spark.sources import fsutil
+    from traval_spark.sources.tierstore import (
+        MANIFEST_DIR, compact_tier_day, file_census, tier_freshness,
+    )
+
+    store = TierStore(out_root, spark)
+    tiers = sorted(
+        t for t in fsutil.list_names(spark, out_root)
+        if fsutil.exists(spark, os.path.join(out_root, t, MANIFEST_DIR))
+    )
+    if action == "freshness":
+        ref = as_of or real_dt.datetime.now(real_dt.timezone.utc).strftime(
+            "%Y-%m-%d")
+        return {"action": "freshness", "as_of": ref,
+                "tiers": tier_freshness(store, tiers, ref)}
+    if action == "census":
+        return {"action": "census",
+                "tiers": {t: file_census(store, t, target_bytes,
+                                         max_files_per_day)
+                          for t in tiers}}
+    if action == "compact":
+        done = []
+        for t in tiers:
+            for rep in file_census(store, t, target_bytes,
+                                   max_files_per_day):
+                if rep["needs_compaction"]:
+                    done.append(compact_tier_day(store, t, rep["day"]))
+        return {"action": "compact", "compacted": done}
+    if action == "audit":
+        from traval_spark.sources.tierstore import verify_cascade
+
+        order = [t for t in ("1m", "1h", "1d") if t in tiers]
+        pairs = list(zip(order, order[1:]))
+        out = {}
+        for fine, coarse in pairs:
+            mism = verify_cascade(store, fine, coarse, spark)
+            counts = {
+                r["status"]: r["n"]
+                for r in mism.groupBy("status")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            out[f"{fine}->{coarse}"] = {
+                "mismatches": sum(counts.values()), **counts
+            }
+        return {"action": "audit", "pairs": out,
+                "consistent": all(v["mismatches"] == 0
+                                  for v in out.values())}
+    raise ValueError(f"unknown maintenance action: {action!r}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", default=None, help="parquet input path")
@@ -471,6 +542,18 @@ def main() -> None:
                     help="also write KMV distinct + histogram + M4 "
                          "downsample tier stores")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--maintenance", default=None,
+        choices=["census", "compact", "freshness", "audit"],
+        help="operate on the EXISTING store at --output instead of "
+             "building: census = per-day small-file report, compact = "
+             "rewrite the days the census flags (manifest-verified), "
+             "freshness = per-tier staleness from manifests, audit = "
+             "verify_cascade cross-tier consistency over stored pairs",
+    )
+    ap.add_argument("--as-of", default=None,
+                    help="freshness reference day YYYY-MM-DD "
+                         "(default: today UTC)")
     ap.add_argument(
         "--retention", default=None,
         help="per-tier TTL in days, e.g. 'raw=7,1m=30,1h=365' or 'default' "
@@ -490,6 +573,13 @@ def main() -> None:
         }
 
     spark = get_spark("traval-spark-pipeline", master=args.master)
+    if args.maintenance:
+        print(json.dumps(
+            run_maintenance(spark, args.output, args.maintenance,
+                            as_of=args.as_of),
+            default=str,
+        ))
+        return
     rs = None if args.no_clean else default_ruleset()
     metrics = run(
         spark,

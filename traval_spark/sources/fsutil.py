@@ -87,3 +87,18 @@ def glob(spark: SparkSession, pattern: str) -> list[str]:
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, p = _fs(spark, path)
     return bool(fs.delete(p, recursive))
+
+
+def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(name, bytes) for the PLAIN FILES directly under a directory
+    ([] if it does not exist) — the metadata read behind the small-file
+    census. One listStatus round-trip per directory, same cost model as
+    :func:`list_names`."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        (st.getPath().getName(), int(st.getLen()))
+        for st in fs.listStatus(p)
+        if st.isFile()
+    ]

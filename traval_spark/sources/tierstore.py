@@ -483,3 +483,143 @@ def retention_preview(
             .otherwise(F.lit("keep")).alias("action"),
         )
     )
+
+
+def tier_freshness(
+    store: TierStore,
+    tiers: list[str],
+    as_of: str | dt.date,
+) -> list[dict]:
+    """Staleness census over the store's manifests — "is every tier
+    still being fed?", the first question an on-call asks before
+    trusting a dashboard served from tiers.  Per tier: day count, day
+    span, total manifest rows, and ``staleness_days`` = as_of − max
+    day (None for an empty tier, which is its own alert).
+
+    Pure metadata: one manifest-directory listing per tier (the
+    manifests ARE the commit log — a day partition without its
+    manifest never counts as landed), nothing touches data files, so
+    the read is namenode-only at any data scale.  Driver-sized output
+    (|tiers| rows) returned as plain dicts sorted by tier.
+    """
+    as_of_d = dt.date.fromisoformat(as_of) if isinstance(as_of, str) else as_of
+    out = []
+    for tier in tiers:
+        m = store.manifests(tier)
+        days = sorted(m)
+        out.append({
+            "tier": tier,
+            "n_days": len(days),
+            "min_day": days[0] if days else None,
+            "max_day": days[-1] if days else None,
+            "rows_total": sum(v.get("rows", 0) for v in m.values()),
+            "staleness_days": (
+                (as_of_d - dt.date.fromisoformat(days[-1])).days
+                if days else None
+            ),
+        })
+    return sorted(out, key=lambda r: r["tier"])
+
+
+def file_census(
+    store: TierStore,
+    tier: str,
+    target_bytes: int = 128 << 20,
+    max_files_per_day: int = 8,
+) -> list[dict]:
+    """Small-file census per day partition — the pre-flight read for
+    tier maintenance: streaming/resume/late-data writers each land
+    their own files, and a day fragmented into hundreds of small
+    parquet files costs a task per file + a footer read per task on
+    every downstream scan.  Per day: file count, bytes, mean file
+    size, and ``needs_compaction`` (more than one file AND either mean
+    size under ``target_bytes``/2 or more than ``max_files_per_day``
+    files).
+
+    Pure metadata (one listStatus per day directory; underscore
+    markers and sidecar dirs excluded by Hadoop's hidden-file rule) —
+    at scale this is the namenode listing a compaction scheduler polls,
+    never a data read.  Driver-sized output (|days| rows).
+    """
+    spark = store.spark
+    root = store.tier_path(tier)
+    out = []
+    for name in sorted(fsutil.list_names(spark, root)):
+        if not name.startswith("day="):
+            continue
+        files = [
+            (fn, sz)
+            for fn, sz in fsutil.list_files(spark, os.path.join(root, name))
+            if not fn.startswith(("_", "."))
+        ]
+        n, total = len(files), sum(sz for _, sz in files)
+        out.append({
+            "day": name[4:],
+            "n_files": n,
+            "bytes": total,
+            "avg_bytes": (total // n) if n else 0,
+            "needs_compaction": bool(
+                n > 1 and (total // n < target_bytes // 2
+                           or n > max_files_per_day)
+            ),
+        })
+    return out
+
+
+def compact_tier_day(
+    store: TierStore,
+    tier: str,
+    day: str,
+    target_files: int = 1,
+) -> dict:
+    """Rewrite ONE day partition of a tier into ``target_files`` files —
+    the maintenance action :func:`file_census` schedules.  The data is
+    read back from the store, repartitioned, re-sorted to the tier's
+    layout convention (source, bucket — keeps the row-group zone maps
+    tight), and rewritten through the store's own writer (dynamic
+    partition overwrite ENFORCED per-writer, so sibling days are safe
+    even under a STATIC-default session).
+
+    The day's manifest is the verification contract: after the
+    rewrite, the partition is re-read FROM DISK and its row count must
+    equal the manifest's — a mismatch raises RuntimeError (alarm, not
+    silent loss) and the manifest is left untouched so the resume
+    machinery sees the day as suspect.  On success the manifest is
+    rewritten with a ``compacted_at`` stamp (rows/min/max unchanged:
+    compaction moves bytes, never values).
+    """
+    spark = store.spark
+    manifest = store.read_manifest(tier, day)
+    if manifest is None:
+        raise ValueError(f"no manifest for {tier} day={day}: not a "
+                         "landed partition (nothing to compact)")
+    part = store._read_data(spark, tier).filter(
+        F.col("day").cast("string") == day
+    )
+    before = file_census(store, tier)
+    nb = next((r["n_files"] for r in before if r["day"] == day), 0)
+    sub = part.repartition(int(target_files))
+    cols = [c for c in ("source", "bucket") if c in sub.columns]
+    if cols:
+        sub = sub.sortWithinPartitions(*cols)
+    store._write_data(sub, tier)
+    reread = store._read_data(spark, tier).filter(
+        F.col("day").cast("string") == day
+    )
+    rows_after = reread.count()
+    if rows_after != manifest["rows"]:
+        raise RuntimeError(
+            f"compaction verification FAILED for {tier} day={day}: "
+            f"{rows_after} rows on disk vs {manifest['rows']} in the "
+            "manifest — partition left as-is, manifest untouched"
+        )
+    manifest = dict(manifest)
+    manifest["compacted_at"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+    )
+    fsutil.write_text(spark, store._manifest_path(tier, day),
+                      json.dumps(manifest, indent=2))
+    after = file_census(store, tier)
+    na = next((r["n_files"] for r in after if r["day"] == day), 0)
+    return {"tier": tier, "day": day, "rows": rows_after,
+            "files_before": nb, "files_after": na, "verified": True}
