@@ -1277,7 +1277,10 @@ def test_tier_maintenance_census_compact_freshness(spark, seqs, tmp_path):
     fps = partition_fingerprints(t1m)
     # fragment: 12 write tasks -> up to 12 files in every day partition
     store.write_tier("1m", t1m.drop("day").repartition(12), fps)
-    before = store.read_tier("1m", spark).drop("day")
+    # materialize pre-compaction rows: the lazy plan's file listing dies
+    # when compaction replaces the files underneath it
+    before = sorted(map(tuple, store.read_tier("1m", spark).drop("day")
+                        .collect()))
 
     census = file_census(store, "1m", max_files_per_day=4)
     days = sorted(fps)
@@ -1292,9 +1295,9 @@ def test_tier_maintenance_census_compact_freshness(spark, seqs, tmp_path):
     assert res["rows"] == store.read_manifest("1m", days[0])["rows"]
     assert "compacted_at" in store.read_manifest("1m", days[0])
 
-    after = store.read_tier("1m", spark).drop("day")
-    assert after.exceptAll(before).count() == 0
-    assert before.exceptAll(after).count() == 0
+    after = sorted(map(tuple, store.read_tier("1m", spark).drop("day")
+                       .collect()))
+    assert after == before
 
     census2 = {r["day"]: r for r in file_census(store, "1m",
                                                 max_files_per_day=4)}
@@ -1347,14 +1350,15 @@ def test_run_maintenance_cli_surface(spark, seqs, tmp_path):
     assert ("1m", sorted(r["day"] for r in census["tiers"]["1m"])[0]) \
         in flagged
 
-    before = store.read_tier("1m", spark).drop("day")
+    before = sorted(map(tuple, store.read_tier("1m", spark).drop("day")
+                        .collect()))
     comp = run_maintenance(spark, root, "compact", max_files_per_day=4)
     assert sorted((c["tier"], c["day"]) for c in comp["compacted"]) \
         == sorted(flagged)
     assert all(c["verified"] for c in comp["compacted"])
-    after = store.read_tier("1m", spark).drop("day")
-    assert after.exceptAll(before).count() == 0
-    assert before.exceptAll(after).count() == 0
+    after = sorted(map(tuple, store.read_tier("1m", spark).drop("day")
+                       .collect()))
+    assert after == before
     census2 = run_maintenance(spark, root, "census", max_files_per_day=4)
     assert not any(r["needs_compaction"]
                    for reps in census2["tiers"].values() for r in reps)
