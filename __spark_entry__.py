@@ -6711,7 +6711,13 @@ def oracle_sql() -> dict[str, str]:
            cast(mnum AS double)
              / cast(cast(n_a AS hugeint) * cast(n_b AS hugeint)
                     AS double) AS ks_d,
-           at_bin
+           at_bin,
+           cast(round(cast(mnum AS double)
+                      / cast(cast(n_a AS hugeint) * cast(n_b AS hugeint)
+                             AS double), 9)
+                > round(1.358 * sqrt(cast(n_a + n_b AS double)
+                        / cast(cast(n_a AS hugeint) * cast(n_b AS hugeint)
+                               AS double)), 9) AS int) AS drifted
     from pick
     """
     # Mann-Kendall: exact integer S and tie-corrected variance

@@ -559,8 +559,18 @@ def test_ks_hand_value_and_identical_zero(spark):
     assert r["n_a"] == 4 and r["n_b"] == 3
     assert abs(r["ks_d"] - 0.75) < 1e-12
     assert r["at_bin"] == 1
+    # fence at these tiny sizes = 1.358*sqrt(7/12) ~ 1.037 > 0.75
+    assert r["drifted"] == 0
     r0 = ks_drift(da, da.select("source", "value"), scale=1).collect()[0]
-    assert r0["ks_d"] == 0.0
+    assert r0["ks_d"] == 0.0 and r0["drifted"] == 0
+    # disjoint supports at larger n: D=1 clears any fence
+    import pandas as pd
+    big_a = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 40, "value": [0.0] * 40}))
+    big_b = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 40, "value": [9.0] * 40}))
+    r1 = ks_drift(big_a, big_b, scale=1).collect()[0]
+    assert r1["ks_d"] == 1.0 and r1["drifted"] == 1
 
 
 def test_ks_served_from_hist_tier_equals_direct(spark):

@@ -1795,3 +1795,40 @@ def test_corpus_diff_statuses_and_null_convention(spark):
            for r in corpus_diff(old, new).collect()}
     assert got == {2: "modified", 4: "modified",
                    5: "removed", 6: "added"}
+
+
+def test_audio_features_sine_and_dc_hand_values(spark):
+    """PCM16 decode is real (no codec needed): a 440 Hz sine at
+    amplitude 0.5 yields RMS ~ 0.5/sqrt(2), ~2f/sr zero crossings per
+    sample and a spectral centroid at ~440 Hz; a DC payload yields
+    RMS == level, zcr 0, centroid 0; a 3000-sample payload drops the
+    trailing partial frame (2 complete frames of 1024)."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.operators.multimodal import audio_features
+
+    sr, f, amp, n = 8000, 440.0, 0.5, 4096
+    t = np.arange(n) / sr
+    sine = (amp * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    dc = (np.full(3000, 0.25) * 32767).astype("<i2")
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "payload": [sine.tobytes(), dc.tobytes()],
+        "sample_rate": [sr, sr],
+    }))
+    rows = audio_features(df, frame_len=1024).collect()
+    sine_rows = [r for r in rows if r["doc_id"] == 1]
+    dc_rows = [r for r in rows if r["doc_id"] == 2]
+    assert len(sine_rows) == 4 and [r["frame"] for r in sine_rows] \
+        == [0, 1, 2, 3]
+    for r in sine_rows:
+        assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+        expected_zc = 2 * f * 1024 / sr          # ~112.6
+        assert abs(r["zcr"] - expected_zc) <= 2
+        assert abs(r["centroid_hz"] - f) < 30    # leakage skirt
+    assert len(dc_rows) == 2                     # partial frame dropped
+    for r in dc_rows:
+        assert abs(r["rms"] - 0.25) < 0.001
+        assert r["zcr"] == 0
+        assert r["centroid_hz"] == 0.0

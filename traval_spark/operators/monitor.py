@@ -1270,7 +1270,8 @@ def ks_from_hists(
 
     Plan shape: one full-outer join on the tiny bin table, one cumsum
     window per series over bins (bin-table-sized, never raw-sized),
-    one groupBy.  Output: ``*by, n_a, n_b, ks_d, at_bin``.
+    one groupBy.  Output: ``*by, n_a, n_b, ks_d, at_bin, drifted``
+    (drifted = D above the alpha=0.05 distribution-free fence).
     """
     j = (
         ha.join(hb, [*by, "bin"], "full_outer")
@@ -1301,16 +1302,30 @@ def ks_from_hists(
         F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
         F.max(F.struct(num.alias("num"), F.col("bin"))).alias("__m"),
     )
+    ks_d = (
+        F.col("__m")["num"].cast("double")
+        / (
+            F.col("n_a").cast("decimal(38,0)")
+            * F.col("n_b").cast("decimal(38,0)")
+        ).cast("double")
+    )
+    # the alpha=0.05 large-sample fence c(alpha)*sqrt((na+nb)/(na*nb)),
+    # c(0.05)=1.358 — distribution-free, so the drifted verdict needs no
+    # assumption about the measure's shape; both operands are doubles of
+    # exact integers, rounded 9dp before the compare (the slo_burn guard
+    # against a last-ulp flip flipping the verdict cross-engine)
+    fence = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (
+            F.col("n_a").cast("decimal(38,0)")
+            * F.col("n_b").cast("decimal(38,0)")
+        ).cast("double")
+    )
     return best.select(
         *by, "n_a", "n_b",
-        (
-            F.col("__m")["num"].cast("double")
-            / (
-                F.col("n_a").cast("decimal(38,0)")
-                * F.col("n_b").cast("decimal(38,0)")
-            ).cast("double")
-        ).alias("ks_d"),
+        ks_d.alias("ks_d"),
         F.col("__m")["bin"].alias("at_bin"),
+        (F.round(ks_d, 9) > F.round(fence, 9)).cast("int").alias("drifted"),
     )
 
 

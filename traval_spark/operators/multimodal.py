@@ -13,6 +13,11 @@ falling back to the deterministic fake otherwise — the sandbox stays
 green, a real deployment with the libs installed decodes for real. The
 probe result is per-worker; on a homogeneous cluster (the only sane
 deployment) every task takes the same branch.
+
+One audio path needs no codec at all: :func:`audio_features` decodes
+raw PCM16-mono payloads with numpy (bytes -> int16 -> frames) and
+computes real frame-level DSP features (RMS, zero crossings, power-
+weighted spectral centroid) — fully real in this container, no stub.
 """
 
 from __future__ import annotations
@@ -325,3 +330,77 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = ("doc_id long, frame int, n_samples int, "
+                      "rms double, zcr int, centroid_hz double")
+
+
+def audio_features(
+    df: DataFrame,
+    audio_col: str = "payload",
+    id_col: str = "doc_id",
+    rate_col: str = "sample_rate",
+    frame_len: int = 1024,
+) -> DataFrame:
+    """Frame-level audio features from raw PCM16-mono payloads — the
+    one audio path that needs NO codec library (PCM is just bytes;
+    numpy decodes it), so unlike the image/video operators this decode
+    is REAL in this container, not a stub: per ``frame_len``-sample
+    frame, RMS level, zero-crossing count and spectral centroid (Hz,
+    magnitude-weighted mean of the rfft bins — the brightness feature
+    audio dedup/quality filters key on).
+
+    1 -> N rows per document (one per complete frame; the trailing
+    partial frame is DROPPED so output shape is a pure function of
+    length, never of padding). Arrow-batched ``mapInPandas``, the same
+    batch-iteration shape as :func:`extract_features`; compressed
+    formats (mp3/flac) plug in exactly like PIL does for images —
+    decode to PCM in front of this kernel.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame", "n_samples",
+                                   "rms", "zcr", "centroid_hz")}
+            for did, payload, sr in zip(
+                pdf[id_col], pdf[audio_col], pdf[rate_col]
+            ):
+                x = (np.frombuffer(bytes(payload), dtype="<i2")
+                     .astype(np.float64) / 32768.0)
+                n = (len(x) // frame_len) * frame_len
+                if n == 0:
+                    continue
+                fr = x[:n].reshape(-1, frame_len)
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                # signbit diff, not product<0: a quantized PCM
+                # sample can land EXACTLY on 0 at a crossing and a
+                # zero product would silently drop that crossing
+                zcr = (np.signbit(fr[:, 1:])
+                       != np.signbit(fr[:, :-1])).sum(axis=1)
+                # POWER-weighted centroid (|X|^2): magnitude
+                # weighting lets the rectangular window's ~1/df leakage
+                # tail drag a pure 440 Hz tone to ~700 Hz; power decays
+                # ~1/df^2, landing within a few Hz, and a DC frame
+                # stays EXACTLY at bin 0 (a Hann window would smear it)
+                pw = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+                freqs = np.fft.rfftfreq(frame_len, d=1.0 / float(sr))
+                denom = pw.sum(axis=1)
+                cent = np.where(
+                    denom > 0.0,
+                    (pw * freqs).sum(axis=1) / np.where(denom > 0.0,
+                                                        denom, 1.0),
+                    0.0,
+                )
+                k = fr.shape[0]
+                out["doc_id"].extend([did] * k)
+                out["frame"].extend(range(k))
+                out["n_samples"].extend([frame_len] * k)
+                out["rms"].extend(rms.tolist())
+                out["zcr"].extend(zcr.tolist())
+                out["centroid_hz"].extend(cent.tolist())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, audio_col, rate_col).mapInPandas(
+        run, schema=AUDIO_FRAME_SCHEMA
+    )
