@@ -1311,13 +1311,32 @@ def test_tier_maintenance_census_compact_freshness(spark, seqs, tmp_path):
     fresh = tier_freshness(store, ["1m"], as_of)
     assert fresh == [{
         "tier": "1m", "n_days": len(days), "min_day": days[0],
-        "max_day": days[-1],
+        "max_day": days[-1], "missing_days": 0,
         "rows_total": sum(store.read_manifest("1m", d)["rows"]
                           for d in days),
         "staleness_days": 2,
     }]
     # empty tier: its own alert, never a crash
     assert tier_freshness(store, ["1h"], as_of)[0]["staleness_days"] is None
+    # an interior hole (manifest lost, e.g. a botched backfill) is
+    # reported as missing_days — worse than staleness, range reads
+    # over the span silently lose that day; freshness is pure
+    # manifest metadata, so synthesize the commit log directly
+    import json as _json
+
+    from traval_spark.sources import fsutil
+
+    for d in ("2024-02-01", "2024-02-02", "2024-02-04"):
+        fsutil.write_text(
+            spark, f"{root}/holey/_manifests/day={d}.json",
+            _json.dumps({"tier": "holey", "day": d, "rows": 10}),
+        )
+    holed = tier_freshness(store, ["holey"], "2024-02-05")[0]
+    assert holed == {
+        "tier": "holey", "n_days": 3, "min_day": "2024-02-01",
+        "max_day": "2024-02-04", "missing_days": 1, "rows_total": 30,
+        "staleness_days": 1,
+    }
 
     with pytest.raises(ValueError):
         compact_tier_day(store, "1m", "1999-01-01")

@@ -507,11 +507,21 @@ def tier_freshness(
     for tier in tiers:
         m = store.manifests(tier)
         days = sorted(m)
+        holes = 0
+        if days:
+            lo = dt.date.fromisoformat(days[0])
+            hi = dt.date.fromisoformat(days[-1])
+            # interior holes: days inside the landed span with no
+            # manifest — a tier with a hole serves silently wrong
+            # range reads, worse than a stale one (retention tombstones
+            # move min_day forward, so aged-out days never count)
+            holes = (hi - lo).days + 1 - len(days)
         out.append({
             "tier": tier,
             "n_days": len(days),
             "min_day": days[0] if days else None,
             "max_day": days[-1] if days else None,
+            "missing_days": holes,
             "rows_total": sum(v.get("rows", 0) for v in m.values()),
             "staleness_days": (
                 (as_of_d - dt.date.fromisoformat(days[-1])).days
