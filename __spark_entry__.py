@@ -3004,6 +3004,27 @@ def q_ks_drift(spark, sf_dir):
     )
 
 
+def q_mann_whitney(spark, sf_dir):
+    """Mann–Whitney rank-sum location drift (monitor.py:mw_from_hists):
+    did the measure systematically move between the first two weeks and
+    the rest of the month, per series — KS's signed companion on the
+    SAME hist-tier bin discretization (so the read also serves from a
+    stored hist tier, parity-tested). 2R/2U/variance numerator stay
+    exact decimal integers assembled off the bin table (no per-row
+    ranking anywhere); one fixed-parenthesization double combine to
+    the tie-corrected continuity-corrected z."""
+    from traval_spark.operators.monitor import mann_whitney
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return mann_whitney(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        scale=1,
+    )
+
+
 def q_mann_kendall(spark, sf_dir):
     """Mann–Kendall monotone-trend test per series on the zero-filled
     hourly bucket-count signal (monitor.py:mann_kendall) — the
@@ -3259,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_from_m4": q_lttb_from_m4,
         "retention_preview": q_retention_preview,
         "ks_drift": q_ks_drift,
+        "mann_whitney": q_mann_whitney,
         "mann_kendall": q_mann_kendall,
         "acf_lags": q_acf_lags,
         "ljung_box": q_ljung_box,
@@ -6719,6 +6741,61 @@ def oracle_sql() -> dict[str, str]:
                         / cast(cast(n_a AS hugeint) * cast(n_b AS hugeint)
                                AS double)), 9) AS int) AS drifted
     from pick
+    """
+    # Mann-Whitney: doubled rank sums off the bin table (2R/2U exact
+    # hugeint), tie-corrected variance from exact integer pieces, one
+    # fixed-order double combine to the continuity-corrected z
+    sql["mann_whitney"] = """
+    with ha as (select event_type AS source,
+                       cast(round(value) AS bigint) AS bin,
+                       count(*) AS ca
+                from events where ts < '2024-01-15' group by 1, 2),
+    hb as (select event_type AS source,
+                  cast(round(value) AS bigint) AS bin,
+                  count(*) AS cb
+           from events where ts >= '2024-01-15' group by 1, 2),
+    j as (select coalesce(ha.source, hb.source) AS source,
+                 coalesce(ha.bin, hb.bin) AS bin,
+                 cast(coalesce(ca, 0) AS hugeint) AS ca,
+                 cast(coalesce(cb, 0) AS hugeint) AS cb
+          from ha full outer join hb
+            on ha.source = hb.source and ha.bin = hb.bin),
+    pb as (select source, ca, cb, ca + cb AS t,
+                  coalesce(sum(ca + cb) over (
+                      partition by source order by bin
+                      rows between unbounded preceding and 1 preceding),
+                    0) AS cum_lt
+           from j),
+    g as (select source,
+                 sum(ca) AS n_a, sum(cb) AS n_b,
+                 sum(ca * (2 * cum_lt + t + 1)) AS r2,
+                 sum(t * t * t - t) AS tt
+          from pb group by source),
+    d as (select source, n_a, n_b,
+                 r2 - n_a * (n_a + 1) AS u2,
+                 r2 - n_a * (n_a + 1) - n_a * n_b AS d2,
+                 (n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                   - (n_a + n_b) - tt AS var_num,
+                 cast(n_a * n_b AS double) * cast(
+                     (n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                     - (n_a + n_b) - tt AS double)
+                   / cast(12 * (n_a + n_b)
+                          * (n_a + n_b - 1) AS double) AS var_s
+          from g),
+    zz as (select source, n_a, n_b, u2,
+                  case when n_a * n_b > 0 and var_num > 0
+                       then round(case
+                           when d2 > 0 then cast(d2 - 1 AS double)
+                                / (2 * sqrt(var_s))
+                           when d2 < 0 then cast(d2 + 1 AS double)
+                                / (2 * sqrt(var_s))
+                           else 0.0 end, 9)
+                  end AS z
+           from d)
+    select source, cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
+           cast(u2 AS double) / 2.0 AS u_a, z,
+           cast(round(abs(z), 9) > 1.96 AS int) AS shifted
+    from zz
     """
     # Mann-Kendall: exact integer S and tie-corrected variance
     # numerator; continuity-corrected z, NULL at zero variance

@@ -606,6 +606,85 @@ def test_ks_served_from_hist_tier_equals_direct(spark):
     assert direct.exceptAll(tiered).count() == 0
 
 
+def test_mann_whitney_hand_values(spark):
+    """A=[0,0,1,2] vs B=[2,2,3]: tied ranks 1.5,1.5,3,5,5,5,7 ->
+    R_a=11, U_a=1; T=30, Var=4*3*306/(12*7*6); continuity-corrected
+    z=-9/(2*sqrt(Var)) ~ -1.667 (not shifted). Identical samples ->
+    z=0; disjoint big samples -> shifted=1 with the right sign;
+    one-sample-only and all-tied groups -> NULL z."""
+    import math
+
+    import pandas as pd
+
+    from traval_spark.operators.monitor import mann_whitney
+
+    da = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 4, "value": [0.0, 0.0, 1.0, 2.0]}))
+    db = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 3, "value": [2.0, 2.0, 3.0]}))
+    r = mann_whitney(da, db, scale=1).collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    assert r["u_a"] == 1.0
+    var = 4 * 3 * 306 / (12 * 7 * 6)
+    assert abs(r["z"] - round(-9 / (2 * math.sqrt(var)), 9)) < 1e-12
+    assert r["shifted"] == 0
+    # identical snapshots: U == mu exactly -> z = 0
+    r0 = mann_whitney(da, da.select("source", "value"), scale=1).collect()[0]
+    assert r0["z"] == 0.0 and r0["shifted"] == 0
+    # disjoint supports, a below b: strongly negative z, shifted
+    big_a = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 40, "value": [0.0] * 40}))
+    big_b = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 40, "value": [9.0] * 40}))
+    r1 = mann_whitney(big_a, big_b, scale=1).collect()[0]
+    assert r1["u_a"] == 0.0 and r1["z"] < -1.96 and r1["shifted"] == 1
+    # degenerate regimes: group in only one sample / all values tied
+    one = spark.createDataFrame(pd.DataFrame(
+        {"source": ["only_a"] * 3, "value": [1.0, 2.0, 3.0]}))
+    r2 = mann_whitney(one, db, scale=1)
+    row = {x["source"]: x for x in r2.collect()}
+    assert row["only_a"]["z"] is None and row["only_a"]["shifted"] is None
+    tied = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 5, "value": [7.0] * 5}))
+    r3 = mann_whitney(tied, tied.select("source", "value"),
+                      scale=1).collect()[0]
+    assert r3["z"] is None
+
+
+def test_mann_whitney_served_from_hist_tier_equals_direct(spark):
+    """MW read off the STORED hist tier == direct mann_whitney on raw —
+    the tier-served property KS and PSI already carry holds for the
+    rank-sum monitor too (rank sums are a pure function of the bin
+    counts, which the tier stores losslessly)."""
+    from traval_spark.hist import hist_tier
+    from traval_spark.operators.monitor import mann_whitney, mw_from_hists
+    from traval_spark.sources.synth import synth_sequences
+
+    import pyspark.sql.functions as FF
+
+    seqs = synth_sequences(spark, 4000, seed=31, span_days=2)
+    cut = "2024-01-02"
+    tier = hist_tier(seqs, "1m", value_col="n_tok")
+
+    def period(pred, cname):
+        return (tier.filter(pred).groupBy("source", "bin")
+                .agg(FF.sum("cnt").alias(cname)))
+
+    tiered = mw_from_hists(
+        period(FF.col("bucket") < cut, "ca"),
+        period(FF.col("bucket") >= cut, "cb"),
+    )
+    direct = mann_whitney(
+        seqs.filter(FF.col("ts") < cut).select("source",
+                                               FF.col("n_tok").alias("value")),
+        seqs.filter(FF.col("ts") >= cut).select("source",
+                                                FF.col("n_tok").alias("value")),
+        scale=1,
+    )
+    assert tiered.exceptAll(direct).count() == 0
+    assert direct.exceptAll(tiered).count() == 0
+
+
 def test_mann_kendall_monotone_constant_and_ties(spark):
     """Strictly increasing counts (no ties): S = n(n-1)/2 and the
     continuity-corrected z matches the hand formula; a constant series

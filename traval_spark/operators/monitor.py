@@ -62,7 +62,8 @@ __all__ = [
     "time_weighted_avg", "psi_drift", "psi_from_hists",
     "holt_winters_daily", "slo_burn", "theil_sen", "seasonal_strength",
     "forecast_backtest",
-    "ks_drift", "ks_from_hists", "mann_kendall", "acf_lags", "ljung_box",
+    "ks_drift", "ks_from_hists", "mann_whitney", "mw_from_hists",
+    "mann_kendall", "acf_lags", "ljung_box",
     "bucket_count_signal", "counts_from_tier",
 ]
 
@@ -1347,6 +1348,128 @@ def ks_drift(
         ).agg(F.count("*").alias(cname))
 
     return ks_from_hists(hist(df_a, "ca"), hist(df_b, "cb"), by=by)
+
+
+def mw_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ndigits: int = 9,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) location-shift test from two
+    histogram count frames (``*by, bin, ca`` / ``*by, bin, cb``) — the
+    third member of the tier-served drift family: PSI weighs every
+    bin's log-odds shift, KS reports the worst CDF gap (shape), MW asks
+    the LOCATION question "did the measure systematically move up or
+    down?" with a signed, tie-corrected z.  A distribution can drift
+    heavily (KS fires) with zero median shift (MW silent) and vice
+    versa, so monitors want both verdicts.
+
+    Rank sums straight off the bin table — no per-row ranking ever
+    happens: with tie-group size t_v = ca_v + cb_v at bin v and
+    cum_lt(v) = count of observations in smaller bins, every member of
+    bin v has average rank cum_lt + (t_v + 1)/2, so
+
+        2*R_a = sum_v ca_v * (2*cum_lt(v) + t_v + 1)   (EXACT integer)
+        2*U_a = 2*R_a - n_a*(n_a + 1)                  (EXACT integer)
+
+    (doubling clears the half-integer average ranks).  The normal
+    approximation with tie correction (T = sum_v t_v^3 - t_v):
+
+        Var(U) = n_a*n_b * (n^3 - n - T) / (12*n*(n-1)),  n = n_a+n_b
+        z = (2U - n_a*n_b -/+ 1) / (2*sqrt(Var))   (continuity-corrected)
+
+    Exactness: 2R, 2U, the variance numerator ``n^3 - n - T`` and the
+    denominator ``12n(n-1)`` are all exact decimal(38,0) integers
+    (magnitude budget: n^3 fits 38 digits to n ~ 10^12 observations per
+    group); each is cast to double ONCE and combined in a fixed
+    parenthesization, so z is engine-identical and only rounded to
+    ``ndigits`` as a guard.  Degenerate regimes return NULL z: a group
+    present in only one sample (n_a*n_b = 0) and the all-tied group
+    (T = n^3 - n, variance 0) — no shift is decidable.  ``shifted`` is
+    the alpha=0.05 two-sided verdict |z| > 1.96 (NULL propagates).
+
+    Plan shape: ks_from_hists' exactly — full-outer join of the two
+    tiny bin tables, one cumsum window over bins per group, one
+    groupBy.  Serve per-period ``ca``/``cb`` by summing a stored hist
+    tier's counts (parity-tested) and the read never re-scans raw.
+    Output: ``*by, n_a, n_b, u_a, z, shifted``.
+    """
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by, "bin",
+            F.coalesce("ca", F.lit(0)).cast("decimal(38,0)").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("decimal(38,0)").alias("cb"),
+        )
+    )
+    w_lt = (
+        Window.partitionBy(*by).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("ca") + F.col("cb")
+    per_bin = j.select(
+        *by, "ca", "cb", t.alias("t"),
+        F.coalesce(F.sum(t).over(w_lt), F.lit(0).cast("decimal(38,0)"))
+        .alias("cum_lt"),
+    )
+    g = per_bin.groupBy(*by).agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_lt") + F.col("t") + 1)
+        ).alias("__r2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("__tt"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u2 = F.col("__r2") - F.col("n_a") * (F.col("n_a") + 1)  # 2*U_a, exact
+    d2 = u2 - F.col("n_a") * F.col("n_b")                   # 2*(U - mu)
+    var_num = n * n * n - n - F.col("__tt")                 # exact
+    var_s = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        * var_num.cast("double")
+        / (12 * n * (n - 1)).cast("double")
+    )
+    z = F.when(d2 > 0, (d2 - 1).cast("double") / (2 * F.sqrt(var_s))) \
+         .when(d2 < 0, (d2 + 1).cast("double") / (2 * F.sqrt(var_s))) \
+         .otherwise(F.lit(0.0))
+    z_out = F.when(
+        (F.col("n_a") * F.col("n_b") > 0) & (var_num > 0),
+        F.round(z, ndigits),
+    )
+    return g.select(
+        *by,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        z_out.alias("z"),
+        (F.round(F.abs(z_out), ndigits) > 1.96).cast("int").alias("shifted"),
+    )
+
+
+def mann_whitney(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+) -> DataFrame:
+    """Two-sample Mann–Whitney location-shift drift between two
+    snapshots of the same measure, binned by the hist.py discretization
+    (``round(v*scale)``) so the same read serves from raw or from a
+    stored histogram tier (:func:`mw_from_hists`, parity-tested) —
+    ks_drift's signed companion: KS says THAT the distribution moved,
+    MW says WHICH WAY and whether the shift survives the alpha=0.05
+    rank test.  One groupBy per snapshot; everything downstream runs on
+    the tiny bin table."""
+    def hist(d, cname):
+        return d.groupBy(
+            *by, F.round(F.col(val) * scale).cast("long").alias("bin")
+        ).agg(F.count("*").alias(cname))
+
+    return mw_from_hists(hist(df_a, "ca"), hist(df_b, "cb"), by=by)
 
 
 def mann_kendall(
