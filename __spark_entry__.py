@@ -445,6 +445,25 @@ def q_rollup_1d_salted(spark, sf_dir):
     )
 
 
+def q_rollup_sets(spark, sf_dir):
+    """Multi-dimensional marginal tier (rollup.py:rollup_sets): Spark's
+    native CUBE over (source, day) — all four marginals (source x day,
+    per source, per day, grand total) from ONE Expand + one shuffle,
+    grouping flags disambiguating rolled-up NULLs. Values fixed-point
+    scaled to exact longs so every sum is engine-exact. At 100 TB the
+    coarser marginals re-aggregate off the stored finest grouping
+    instead (marginals_from_tier, parity-tested == this)."""
+    from traval_spark.rollup import rollup_sets
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1000).cast("long").alias("v_i"),
+    )
+    return rollup_sets(src, dims=("source", "day"), value_col="v_i",
+                       cube=True)
+
+
 def q_gapfill_ffill(spark, sf_dir):
     from traval_spark.rollup import gap_fill, rollup_raw
 
@@ -3125,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_from_tier": q_locf_from_tier,
         "fl_increase": q_fl_increase,
         "rollup_1d_salted": q_rollup_1d_salted,
+        "rollup_sets": q_rollup_sets,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "offset_detection": q_offset_detection,
@@ -3653,6 +3673,24 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["rollup_1h_cascade"] = _rollup_sql("hour")
     sql["rollup_1d_salted"] = _rollup_sql("day")
+    # CUBE marginals: same grouping-sets semantics in both engines;
+    # fixed-point longs keep every sum exact, GROUPING() flags mark
+    # rolled-up dimensions
+    sql["rollup_sets"] = """
+    with src as (select event_type AS source,
+                        strftime(ts, '%Y-%m-%d') AS day,
+                        cast(round(value * 1000) AS bigint) AS v_i
+                 from events)
+    select source, day,
+           count(*) AS n_rows,
+           sum(v_i) AS sum_v,
+           min(v_i) AS min_v,
+           max(v_i) AS max_v,
+           cast(grouping(source) AS int) AS g_source,
+           cast(grouping(day) AS int) AS g_day
+    from src
+    group by cube (source, day)
+    """
     # distinct sketches: exact at oracle scale by construction (KMV k=256
     # and HLL sparse mode both exceed the max per-bucket cardinality)
     sql["distinct_users_1h"] = sql["distinct_users_hll_1h"] = """

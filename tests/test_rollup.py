@@ -1417,3 +1417,37 @@ def test_run_maintenance_audit_detects_drift(spark, seqs, tmp_path):
     bad = run_maintenance(spark, root, "audit")
     assert not bad["consistent"]
     assert bad["pairs"]["1m->1h"]["missing_in_coarser"] > 0
+
+
+def test_rollup_sets_tier_served_parity_and_plan(spark, seqs):
+    """Grouping-set marginals served FROM the stored finest grouping ==
+    Spark's native rollup/cube on raw (count/sum add, min/max nest —
+    the cascade identity in the grouping-sets direction), for BOTH
+    rollup and cube; the native plan lowers to ONE Expand feeding a
+    single aggregation (one shuffle for all marginals)."""
+    from traval_spark.rollup import marginals_from_tier, rollup_sets
+
+    src = seqs.select(
+        "source", F.date_format("ts", "yyyy-MM-dd").alias("day"), "n_tok"
+    )
+    for cube in (False, True):
+        native = rollup_sets(src, dims=("source", "day"),
+                             value_col="n_tok", cube=cube)
+        finest = (
+            src.groupBy("source", "day")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("n_tok").alias("sum_v"),
+                 F.min("n_tok").alias("min_v"),
+                 F.max("n_tok").alias("max_v"))
+        )
+        served = marginals_from_tier(finest, dims=("source", "day"),
+                                     cube=cube)
+        assert native.exceptAll(served).count() == 0
+        assert served.exceptAll(native).count() == 0
+        assert native.count() == served.count()
+        # grand total present exactly once, flags (1, 1)
+        gt = native.filter("g_source = 1 and g_day = 1").collect()
+        assert len(gt) == 1 and gt[0]["n_rows"] == src.count()
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1

@@ -88,6 +88,91 @@ def rollup_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def _sets_aggs(dims: tuple[str, ...], value_col: str) -> list[Column]:
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
+    ]
+
+
+def rollup_sets(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("source", "day"),
+    value_col: str = "n_tok",
+    cube: bool = False,
+) -> DataFrame:
+    """Multi-dimensional marginal tier in ONE pass: Spark's native
+    ``rollup``/``cube`` grouping sets over ``dims``.  ``rollup(a, b)``
+    emits (a,b), (a) and the grand total; ``cube`` adds (b) — every
+    marginal a dashboard drill-down wants, computed together.
+
+    Plan shape: Catalyst lowers grouping sets to ONE Expand (each input
+    row fans out once per grouping) feeding a single partial+final
+    hash aggregation — one shuffle for ALL marginals, not one scan per
+    grouping.  The Expand multiplies pre-shuffle rows by the grouping
+    count, but partial aggregation collapses them map-side, so the
+    exchange carries per-grouping partials only.  At 100 TB prefer
+    computing the FINEST grouping once, storing it, and deriving the
+    coarser marginals from the stored tier — that is
+    :func:`marginals_from_tier`, parity-tested equal to this operator
+    (count/sum/min/max re-aggregate exactly, the cascade identity).
+
+    Rolled-up rows carry NULL in the rolled dimension; the ``g_<dim>``
+    grouping flags (0 = real key, 1 = rolled) disambiguate a rolled-up
+    NULL from a genuine NULL key, so consumers never guess.  Aggregates
+    stay exact: counts and integer sums in longs, min/max nest.
+    Output: ``*dims, n_rows, sum_v, min_v, max_v, g_<dim>...``.
+    """
+    base = df.cube(*dims) if cube else df.rollup(*dims)
+    return base.agg(*_sets_aggs(dims, value_col))
+
+
+def marginals_from_tier(
+    tier_df: DataFrame,
+    dims: tuple[str, ...] = ("source", "day"),
+    cube: bool = False,
+) -> DataFrame:
+    """The coarser grouping-set marginals served FROM the stored finest
+    tier (the ``(dims...)`` grouping of :func:`rollup_sets`, i.e. rows
+    with every ``g_<dim>`` = 0): counts and sums add, min/max nest, so
+    each marginal is an exact re-aggregation of the tiny tier frame and
+    raw is never re-scanned — the same tier-serving identity the 1m ->
+    1h -> 1d cascade rides.  Returns finest ∪ all coarser groupings,
+    byte-identical to :func:`rollup_sets` on raw (parity-tested).
+    """
+    aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ]
+    finest = tier_df.select(
+        *dims, "n_rows", "sum_v", "min_v", "max_v",
+        *[F.lit(0).alias(f"g_{d}") for d in dims],
+    )
+    if cube:
+        # every proper subset of dims, by descending size
+        from itertools import combinations
+        keeps = [list(c) for r in range(len(dims) - 1, -1, -1)
+                 for c in combinations(dims, r)]
+    else:
+        keeps = [list(dims[:r]) for r in range(len(dims) - 1, -1, -1)]
+    out = finest
+    for keep in keeps:
+        g = tier_df.groupBy(*keep).agg(*aggs)
+        out = out.unionByName(g.select(
+            *[F.col(d) if d in keep else
+              F.lit(None).cast(tier_df.schema[d].dataType).alias(d)
+              for d in dims],
+            "n_rows", "sum_v", "min_v", "max_v",
+            *[F.lit(0 if d in keep else 1).alias(f"g_{d}") for d in dims],
+        ))
+    return out
+
+
 def fl_rollup(
     df: DataFrame,
     tier: str = "1m",
