@@ -464,6 +464,22 @@ def q_rollup_sets(spark, sf_dir):
                        cube=True)
 
 
+def q_swing_compress(spark, sf_dir):
+    """Swinging-door error-bounded compression (compress.py:
+    swing_compress): the lossy industrial-historian reduction ahead of
+    the lossless Gorilla packer — exact-integer rational-slope doors
+    (cross-multiplied, sentinel infinities) make the kept set
+    engine-identical; one whole-stage-codegen aggregate() fold per
+    bounded series, eps 2.0 value units at the x1000 fixed-point
+    scale."""
+    from traval_spark.compress import swing_compress
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return swing_compress(ev, eps_scaled=2000)
+
+
 def q_gapfill_ffill(spark, sf_dir):
     from traval_spark.rollup import gap_fill, rollup_raw
 
@@ -3145,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fl_increase": q_fl_increase,
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_sets": q_rollup_sets,
+        "swing_compress": q_swing_compress,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "offset_detection": q_offset_detection,
@@ -3673,6 +3690,59 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["rollup_1h_cascade"] = _rollup_sql("hour")
     sql["rollup_1d_salted"] = _rollup_sql("day")
+    # Swinging-door: identical exact-integer door state machine as a
+    # flat BIGINT LIST accumulator ([ta,va,tp,vp,un,ud,dn,dd] + kept
+    # pairs); rational slopes compared by cross-multiplication so the
+    # kept set is engine-identical; (+-1, 0) sentinel infinities need
+    # no special case under the cross-multiply
+    _sw_e = 2000
+    _sw_sun = f"(e[2] + {_sw_e} - acc[2])"
+    _sw_sdn = f"(e[2] - {_sw_e} - acc[2])"
+    _sw_den = "(e[1] - acc[1])"
+    _sw_ult = f"({_sw_sun} * acc[6] < acc[5] * {_sw_den})"
+    _sw_un1 = f"CASE WHEN {_sw_ult} THEN {_sw_sun} ELSE acc[5] END"
+    _sw_ud1 = f"CASE WHEN {_sw_ult} THEN {_sw_den} ELSE acc[6] END"
+    _sw_dgt = f"({_sw_sdn} * acc[8] > acc[7] * {_sw_den})"
+    _sw_dn1 = f"CASE WHEN {_sw_dgt} THEN {_sw_sdn} ELSE acc[7] END"
+    _sw_dd1 = f"CASE WHEN {_sw_dgt} THEN {_sw_den} ELSE acc[8] END"
+    _sw_closed = f"(({_sw_dn1}) * ({_sw_ud1}) > ({_sw_un1}) * ({_sw_dd1}))"
+    _sw_closed_l = (
+        f"[acc[3], acc[4], e[1], e[2], e[2] + {_sw_e} - acc[4], "
+        f"e[1] - acc[3], e[2] - {_sw_e} - acc[4], e[1] - acc[3]] "
+        "|| list_slice(acc, 9, len(acc)) || [acc[3], acc[4]]"
+    )
+    _sw_open_l = (
+        f"[acc[1], acc[2], e[1], e[2], {_sw_un1}, {_sw_ud1}, "
+        f"{_sw_dn1}, {_sw_dd1}] || list_slice(acc, 9, len(acc))"
+    )
+    sql["swing_compress"] = f"""
+    with src as (select event_type AS source,
+                        epoch_us(ts) // 1000 AS t,
+                        cast(round(value * 1000) AS bigint) AS v,
+                        event_id
+                 from events),
+    ded as (select source, t, arg_max(v, event_id) AS v
+            from src group by source, t),
+    arrs as (select source, array_agg([t, v] ORDER BY t) AS lst
+             from ded group by source),
+    r as (select source,
+                 list_reduce(
+                   [[lst[1][1], lst[1][2], lst[1][1], lst[1][2],
+                     1::BIGINT, 0::BIGINT, -1::BIGINT, 0::BIGINT,
+                     lst[1][1], lst[1][2]]]
+                   || lst[2:],
+                   (acc, e) -> CASE WHEN {_sw_closed}
+                               THEN {_sw_closed_l}
+                               ELSE {_sw_open_l} END) AS h
+          from arrs),
+    fin as (select source,
+                   CASE WHEN h[3] = h[1] THEN list_slice(h, 9, len(h))
+                        ELSE list_slice(h, 9, len(h)) || [h[3], h[4]]
+                   END AS kept
+            from r)
+    select source, kept[2 * i - 1] AS t_ms, kept[2 * i] AS v_i
+    from fin, unnest(generate_series(1, len(kept) // 2)) AS u(i)
+    """
     # CUBE marginals: same grouping-sets semantics in both engines;
     # fixed-point longs keep every sum exact, GROUPING() flags mark
     # rolled-up dimensions

@@ -127,7 +127,8 @@ def main() -> None:
         "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn", "theil_sen", "mann_kendall",
-        "ks_drift", "mann_whitney", "rollup_sets", "acf_lags", "ljung_box",
+        "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
+        "acf_lags", "ljung_box",
         "pmi_bigrams", "source_overlap", "source_entropy", "join_blowup",
         "phrase_search", "corpus_diff", "retention_preview",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",

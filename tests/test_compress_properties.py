@@ -82,3 +82,65 @@ def test_timestamps_roundtrip(start, deltas):
     blob = pack_timestamps(ts)
     assert np.array_equal(unpack_timestamps(blob), ts)
     assert np.array_equal(_unpack_timestamps_scalar(blob), ts)
+
+
+def test_swing_compress_bound_and_hand_cases(spark):
+    """Swinging-door: (a) collinear series -> endpoints only; (b) spike
+    -> everything kept; (c) single point kept; (d) duplicate-timestamp
+    last-by-ident wins; (e) the provable 2*eps deviation bound holds on
+    randomized walks, verified in EXACT integer arithmetic (the
+    interpolated value at t_i is rational — cross-multiplied, never a
+    float)."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.compress import swing_compress
+
+    def run(ts_s, vals, eps, ids=None):
+        n = len(ts_s)
+        pdf = pd.DataFrame({
+            "source": ["s"] * n,
+            "ts": pd.to_datetime(ts_s, unit="s"),
+            "value": vals,
+            "event_id": ids if ids is not None else range(1, n + 1),
+        })
+        out = swing_compress(spark.createDataFrame(pdf), eps_scaled=eps)
+        return sorted((r["t_ms"], r["v_i"]) for r in out.collect())
+
+    # (a) collinear within corridor
+    assert run([0, 1, 2, 3], [0.0, 0.1, 0.2, 0.3], 50) == \
+        [(0, 0), (3000, 300)]
+    # (b) spike breaks every door
+    assert len(run([0, 1, 2, 3, 4], [0.0, 0.0, 5.0, 0.0, 0.0], 50)) == 5
+    # (c) single point
+    assert run([7], [1.0], 50) == [(7000, 1000)]
+    # (d) duplicate timestamp: ident 9 beats ident 2 at t=1
+    # ident 9's 0.0 beats ident 2's 9.0 at t=1 -> collinear zeros ->
+    # endpoints only (the 9.0 spike never existed after dedup)
+    kept = run([0, 1, 1, 2], [0.0, 9.0, 0.0, 0.0], 50, ids=[1, 2, 9, 3])
+    assert kept == [(0, 0), (2000, 0)]
+    # (e) exact-integer 2*eps bound on randomized walks
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        n = 200
+        ts_s = np.arange(n) * (trial + 1)
+        vals = np.cumsum(rng.normal(0, 0.8, n)).round(3)
+        eps = [500, 1000, 2000, 4000, 250][trial]
+        kept = run(ts_s, vals, eps)
+        pts = sorted(zip((ts_s * 1000).tolist(),
+                         [int(round(v * 1000)) for v in vals]))
+        kt = [t for t, _ in kept]
+        assert kt[0] == pts[0][0] and kt[-1] == pts[-1][0]
+        assert set(kept) <= set(pts)  # kept points are real samples
+        j = 0
+        for t, v in pts:
+            while kt[j + 1] < t:
+                j += 1
+            (t0, v0), (t1, v1) = kept[j], kept[j + 1]
+            # |v0 + (v1-v0)(t-t0)/(t1-t0) - v| <= 2*eps, cross-multiplied
+            lhs = abs(v0 * (t1 - t0) + (v1 - v0) * (t - t0)
+                      - v * (t1 - t0))
+            assert lhs <= 2 * eps * (t1 - t0), (trial, t)
+        # and it actually compresses a smooth-ish walk
+        if eps >= 2000:
+            assert len(kept) < n

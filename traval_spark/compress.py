@@ -662,3 +662,118 @@ def unpack_tier(
     if val_max is not None:
         out = out.filter(F.col("value") <= F.lit(float(val_max)))
     return out
+
+
+def swing_compress(
+    df: DataFrame,
+    eps_scaled: int = 2000,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Swinging-door trending (SDT) — ERROR-BOUNDED lossy compression,
+    the industrial-historian companion to the lossless Gorilla codec
+    above: keep the minimal-ish subset of points such that the linear
+    interpolation between consecutive KEPT points stays within a
+    deviation bound of every dropped point (OSIsoft PI "compdev"
+    semantics; Bristol 1990).  A 100:1 reduction on slowly-varying
+    channels before the bytes ever reach the Gorilla packer.
+
+    Exact-integer state machine — no float slope ever exists: values are
+    fixed-point scaled (``round(v * value_scale)`` longs), timestamps
+    integer milliseconds, and each candidate point's corridor slopes
+    ``(v ± eps - v_anchor) / (t - t_anchor)`` stay RATIONAL PAIRS
+    (num, den) compared by cross-multiplication with positive
+    denominators, so door ordering — hence the kept set — is
+    engine-identical bit for bit.  Open doors start at ±infinity,
+    encoded as (±1, 0): the cross-multiply comparison handles the
+    sentinel with no special case (n*0 < 1*d reduces to 0 < d).
+    Magnitude budget: |num| <= value span + eps, den <= series span in
+    ms; their product must fit int64 — ~1e5-scaled values over a month
+    (2.7e9 ms) sit at ~5e14, 4 orders inside the 9.2e18 limit.
+
+    Per point e after the anchor a: U' = min(U, (v_e + eps - v_a,
+    t_e - t_a)), D' = max(D, (v_e - eps - v_a, t_e - t_a)).  If D' > U'
+    the doors CLOSED: the previous point becomes the new stored anchor
+    and the doors reset to e's corridor w.r.t. it.  The first and last
+    points are always kept.
+
+    Guarantee (provable for this stored-point variant, property-tested
+    in exact integer arithmetic): every dropped point lies within
+    **2 * eps_scaled** (scaled units) of the kept-point polyline at its
+    own timestamp.  Proof sketch: doors open through prev means some
+    slope s* is within eps of every intermediate point; s* is within
+    eps of prev too, so |s* - slope(anchor->prev)| * (t_p - t_a) <= eps,
+    and the triangle inequality gives 2*eps against the stored segment.
+    Pass ``eps_scaled = bound/2`` for a user-facing bound.
+
+    Duplicate timestamps cannot anchor a door (zero denominator), so
+    per (series, t_ms) the LAST row by ``ident`` wins first — one
+    partial-aggregatable ``max_by`` groupBy, deterministic.
+
+    Plan shape: dedup groupBy -> per-series sorted array -> ONE
+    whole-stage-codegen ``aggregate()`` fold (the ewma/holt/BPE shape:
+    bounded-series model, no Python, no per-row UDF).  Output: one row
+    per KEPT point, ``*by, t_ms, v_i``.
+
+    Reference: traval has no compression; this is north-rule retention
+    machinery (BASELINE.json "Gorilla/delta-of-delta compression,
+    continuous aggregates" family).
+    """
+    from traval_spark.functions.ts import unix_us
+
+    E = int(eps_scaled)
+    src = df.select(
+        *by,
+        unix_us(F.col(ts)).alias("__u"),
+        F.round(F.col(val) * value_scale).cast("long").alias("__v"),
+        F.col(ident).alias("__i"),
+    ).select(*by, F.expr("__u div 1000").alias("t"), "__v", "__i")
+    ded = src.groupBy(*by, "t").agg(F.expr("max_by(__v, __i)").alias("v"))
+    arrs = ded.groupBy(*by).agg(
+        F.array_sort(F.collect_list(F.struct("t", "v"))).alias("__arr")
+    )
+    # rational corridor slopes of e w.r.t. the standing anchor
+    su_n = f"(e.v + {E} - acc.va)"
+    sd_n = f"(e.v - {E} - acc.va)"
+    den = "(e.t - acc.ta)"
+    u_lt = f"({su_n} * acc.ud < acc.un * {den})"      # su < U ?
+    un1 = f"IF({u_lt}, {su_n}, acc.un)"
+    ud1 = f"IF({u_lt}, {den}, acc.ud)"
+    d_gt = f"({sd_n} * acc.dd > acc.dn * {den})"      # sd > D ?
+    dn1 = f"IF({d_gt}, {sd_n}, acc.dn)"
+    dd1 = f"IF({d_gt}, {den}, acc.dd)"
+    closed = f"({dn1} * {ud1} > {un1} * {dd1})"
+    closed_state = (
+        "named_struct("
+        "'ta', acc.tp, 'va', acc.vp, 'tp', e.t, 'vp', e.v, "
+        f"'un', (e.v + {E} - acc.vp), 'ud', (e.t - acc.tp), "
+        f"'dn', (e.v - {E} - acc.vp), 'dd', (e.t - acc.tp), "
+        "'kept', concat(acc.kept, "
+        "array(named_struct('t', acc.tp, 'v', acc.vp))))"
+    )
+    open_state = (
+        "named_struct("
+        "'ta', acc.ta, 'va', acc.va, 'tp', e.t, 'vp', e.v, "
+        f"'un', {un1}, 'ud', {ud1}, 'dn', {dn1}, 'dd', {dd1}, "
+        "'kept', acc.kept)"
+    )
+    fold = f"""aggregate(
+      slice(__arr, 2, greatest(size(__arr) - 1, 0)),
+      named_struct(
+        'ta', element_at(__arr, 1).t, 'va', element_at(__arr, 1).v,
+        'tp', element_at(__arr, 1).t, 'vp', element_at(__arr, 1).v,
+        'un', 1L, 'ud', 0L, 'dn', -1L, 'dd', 0L,
+        'kept', array(named_struct('t', element_at(__arr, 1).t,
+                                   'v', element_at(__arr, 1).v))),
+      (acc, e) -> IF({closed}, {closed_state}, {open_state}),
+      acc -> IF(acc.tp = acc.ta, acc.kept,
+                concat(acc.kept,
+                       array(named_struct('t', acc.tp, 'v', acc.vp)))))"""
+    return (
+        arrs.select(*by, F.explode(F.expr(fold)).alias("__k"))
+        .select(*by, F.col("__k")["t"].alias("t_ms"),
+                F.col("__k")["v"].alias("v_i"))
+    )
