@@ -1425,6 +1425,27 @@ def _docs_with_near_dups(spark, sf_dir):
     return d.unionByName(dups)
 
 
+def q_lev_verify(spark, sf_dir):
+    """Blocking -> EXACT edit-distance verify (dedup.py:
+    length_block_pairs + lev_verify_pairs): candidate pairs from the
+    SQL-trivial (lang, length-div-64) blocking key, then JVM-side
+    Levenshtein on 128-char prefixes with normalized similarity >= 0.8
+    — the exact-verify stage any candidate generator (LSH bands,
+    SimHash buckets) composes with; DP cost bounded by prefix^2 per
+    CANDIDATE, never corpus-quadratic. Run on the near-dup fixture so
+    true near-pairs exist."""
+    from traval_spark.operators.dedup import (
+        length_block_pairs,
+        lev_verify_pairs,
+    )
+
+    d = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "len", F.length("text"))
+    pairs = length_block_pairs(d, block_cols=("lang",), len_col="len",
+                               width=64)
+    return lev_verify_pairs(d, pairs, threshold=0.8, prefix=128)
+
+
 def q_minhash_sig(spark, sf_dir):
     from traval_spark.operators.dedup import with_minhash
 
@@ -3162,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_sets": q_rollup_sets,
         "swing_compress": q_swing_compress,
+        "lev_verify": q_lev_verify,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "offset_detection": q_offset_detection,
@@ -5047,6 +5069,29 @@ def oracle_sql() -> dict[str, str]:
         f"md5(sig_{2 * i} || '|' || sig_{2 * i + 1}) AS key from sig"
         for i in range(4)
     )
+    # blocking -> exact Levenshtein verify: same (lang, len//64) block
+    # key, same 128-char prefix window, same rounded normalized sim
+    sql["lev_verify"] = """
+    with ndl as (select doc_id, text, lang from documents
+                 union all
+                 select doc_id + 1000000, text || ' qq zz', lang
+                 from documents where doc_id % 25 = 0),
+    s as (select doc_id, lang, substr(text, 1, 128) AS t,
+                 length(text) // 64 AS blk
+          from ndl),
+    p as (select a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
+          from s a join s b on a.lang = b.lang and a.blk = b.blk
+                            and a.doc_id < b.doc_id),
+    v as (select id_a, id_b, levenshtein(ta, tb) AS lev,
+                 greatest(length(ta), length(tb)) AS mx
+          from p)
+    select id_a, id_b, lev,
+           round(case when mx > 0 then 1.0 - lev / mx else 1.0 end, 6)
+             AS sim
+    from v
+    where round(case when mx > 0 then 1.0 - lev / mx else 1.0 end, 6)
+          >= 0.8
+    """
     sql["lsh_banded"] = f"""
     with {_ND_DOCS},
     t as (select doc_id, {_TOKS} toks from nd),

@@ -140,7 +140,8 @@ def main() -> None:
         "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
-        "token_dedup_exact", "token_lsh_pairs", "dup_spans", "trim_spans",
+        "token_dedup_exact", "token_lsh_pairs", "lev_verify", "dup_spans",
+        "trim_spans",
         "span_coverage", "span_incremental",
         "decontaminate", "decontaminate_bloom", "ngram_novelty",
         "gram_growth",

@@ -1832,3 +1832,47 @@ def test_audio_features_sine_and_dc_hand_values(spark):
         assert abs(r["rms"] - 0.25) < 0.001
         assert r["zcr"] == 0
         assert r["centroid_hz"] == 0.0
+
+
+def test_lev_verify_hand_values_and_blocking(spark):
+    """kitten->sitting = 3 edits; identical prefixes sim 1; empty texts
+    sim 1; threshold filters; blocking only pairs same (lang, bucket)."""
+    import pandas as pd
+
+    from traval_spark.operators.dedup import (
+        length_block_pairs,
+        lev_verify_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["kitten", "sitting", "kitten", "", "",
+                 "x" * 300],
+        "lang": ["en", "en", "en", "en", "en", "de"],
+    })).withColumn("len", F.length("text"))
+    pairs = length_block_pairs(d, block_cols=("lang",), len_col="len",
+                               width=64)
+    got = {(r["id_a"], r["id_b"]): r for r in
+           lev_verify_pairs(d, pairs, threshold=0.0, prefix=128).collect()}
+    # same bucket pairs only: 300-char 'de' doc pairs with nobody
+    assert all(6 not in k for k in got)
+    assert got[(1, 2)]["lev"] == 3
+    assert abs(got[(1, 2)]["sim"] - (1 - 3 / 7)) < 1e-6
+    assert got[(1, 3)]["lev"] == 0 and got[(1, 3)]["sim"] == 1.0
+    assert got[(4, 5)]["lev"] == 0 and got[(4, 5)]["sim"] == 1.0
+    # threshold keeps only exact-ish pairs
+    kept = lev_verify_pairs(d, pairs, threshold=0.9, prefix=128)
+    assert {(r["id_a"], r["id_b"]) for r in kept.collect()} == \
+        {(1, 3), (4, 5)}
+    # prefix window: long texts differing only past the window verify
+    # as identical (the disclosed trade-off)
+    d2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [7, 8],
+        "text": ["a" * 200, "a" * 128 + "b" * 72],
+        "lang": ["en", "en"],
+    })).withColumn("len", F.length("text"))
+    p2 = length_block_pairs(d2, block_cols=("lang",), len_col="len",
+                            width=64)
+    r2 = lev_verify_pairs(d2, p2, threshold=0.9, prefix=128).collect()
+    assert len(r2) == 1 and r2[0]["sim"] == 1.0

@@ -1291,3 +1291,82 @@ def phrase_search(
         .filter(padded.contains(" " + " ".join(words) + " "))
         .select(F.col(id_col).alias("doc_id"))
     )
+
+
+def length_block_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    len_col: str = "n_chars",
+    width: int = 64,
+) -> DataFrame:
+    """Cheap deterministic blocking for an exact-verify stage: candidate
+    pairs are all (a < b) pairs sharing ``block_cols`` AND the same
+    ``len_col div width`` length bucket — the classic record-linkage
+    blocking key (two texts whose lengths differ by more than the
+    bucket width can't be high-similarity anyway, modulo the boundary
+    straddle every blocking scheme accepts).  Pair generation is a
+    per-block self-join keyed on the block — never all-pairs across the
+    corpus; worst-case fan-out is the largest block squared, so feed a
+    skew-capped blocking key at scale (or the LSH band families above,
+    which are the production candidate generators — this one exists as
+    the SQL-trivial baseline their verify stage composes with).
+    Output: ``id_a, id_b`` with ``id_a < id_b``."""
+    side = docs.select(
+        F.col(id_col), *block_cols,
+        (F.col(len_col) / width).cast("long").alias("__blk"),
+    )
+    a = side.withColumnRenamed(id_col, "id_a")
+    b = side.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, [*block_cols, "__blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def lev_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.6,
+    prefix: int | None = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """EXACT edit-distance verification of candidate near-dup pairs —
+    the verify stage that sits downstream of ANY candidate generator
+    (LSH bands, SimHash buckets, length blocking): for each (id_a,
+    id_b) pair, Levenshtein distance on the first ``prefix`` characters
+    (``None`` = full text; the prefix window bounds the O(m*n) DP cost
+    per pair, the standard dedup-verify trade-off, disclosed in the
+    column name semantics below) and the normalized similarity
+
+        sim = 1 - lev / max(len_a, len_b)      (prefix lengths)
+
+    kept when ``sim >= threshold``.  ``F.levenshtein`` runs JVM-side
+    inside codegen (character-level edits, same unit as DuckDB's
+    ``levenshtein``); the DP never touches Python.  Identical-prefix
+    pairs (lev = 0, including two empty prefixes) report sim = 1.
+
+    Scale: cost is pairs x prefix^2 DP cells, linear in the CANDIDATE
+    count — the generator bounds the quadratic, this stage never
+    re-pairs.  Two broadcast-sized joins fetch the texts when ``docs``
+    is a dimension; at corpus scale they are plain equi-joins on the
+    id, co-partitioned with the pair frame.
+    Output: ``id_a, id_b, lev, sim``."""
+    t = F.col(text_col) if prefix is None else F.substring(text_col, 1,
+                                                           int(prefix))
+    side = docs.select(F.col(id_col), t.alias("__t"))
+    ta = side.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    tb = side.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    j = pairs.join(ta, "id_a").join(tb, "id_b")
+    lev = F.levenshtein("__ta", "__tb")
+    mx = F.greatest(F.length("__ta"), F.length("__tb"))
+    sim = F.when(mx > 0, F.lit(1.0) - lev.cast("double") / mx.cast("double")) \
+           .otherwise(F.lit(1.0))
+    return (
+        j.select("id_a", "id_b", lev.alias("lev"),
+                 F.round(sim, ndigits).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
