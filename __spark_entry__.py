@@ -1371,6 +1371,18 @@ def q_top_tokens(spark, sf_dir):
     return top_tokens(_docs(spark, sf_dir), k=5, by="source")
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent per source (text.py:zipf_fit): OLS of ln(count) on
+    ln(rank) over the top-64 token ranks of the vocab-bounded count
+    table — natural text decays near -1; flatter flags boilerplate,
+    steeper flags vocabulary starvation. Mixture diagnostic next to
+    source_entropy; sums rounded 6dp (the k-term float reductions are
+    the only order-dependent step)."""
+    from traval_spark.operators.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), k=64)
+
+
 def q_quality(spark, sf_dir):
     from traval_spark.operators.text import quality_columns
 
@@ -3184,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sets": q_rollup_sets,
         "swing_compress": q_swing_compress,
         "lev_verify": q_lev_verify,
+        "zipf_fit": q_zipf_fit,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "offset_detection": q_offset_detection,
@@ -4247,6 +4260,41 @@ def oracle_sql() -> dict[str, str]:
                                     order by cnt desc, tok) AS rn
           from c)
     select source, tok, cnt from r where rn <= 5
+    """
+    # Zipf OLS on the same count table: identical rank tie-break,
+    # identical closed forms, 6dp rounding
+    sql["zipf_fit"] = """
+    with t as (select source,
+                      unnest(regexp_split_to_array(text, '\\s+')) AS tok
+               from documents),
+    c as (select source, tok, count(*) AS cnt from t group by 1, 2),
+    r as (select source, cnt,
+                 row_number() over (partition by source
+                                    order by cnt desc, tok) AS rn
+          from c),
+    xy as (select source, ln(cast(rn AS double)) AS x,
+                  ln(cast(cnt AS double)) AS y
+           from r where rn <= 64),
+    g as (select source, count(*) AS n_ranks,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          from xy group by source)
+    select source, n_ranks,
+           case when n_ranks * sxx - sx * sx > 0
+                then round((n_ranks * sxy - sx * sy)
+                           / (n_ranks * sxx - sx * sx), 6) end AS slope,
+           case when n_ranks * sxx - sx * sx > 0
+                then round((sy - (n_ranks * sxy - sx * sy)
+                                 / (n_ranks * sxx - sx * sx) * sx)
+                           / n_ranks, 6) end AS intercept,
+           case when n_ranks * sxx - sx * sx > 0
+                 and n_ranks * syy - sy * sy > 0
+                then round((n_ranks * sxy - sx * sy)
+                           * (n_ranks * sxy - sx * sy)
+                           / ((n_ranks * sxx - sx * sx)
+                              * (n_ranks * syy - sy * sy)), 6)
+           end AS r2
+    from g
     """
     en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     sql["quality_score"] = f"""

@@ -129,7 +129,8 @@ def main() -> None:
         "key_skew", "slo_burn", "theil_sen", "mann_kendall",
         "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
         "acf_lags", "ljung_box",
-        "pmi_bigrams", "source_overlap", "source_entropy", "join_blowup",
+        "pmi_bigrams", "source_overlap", "source_entropy", "zipf_fit",
+        "join_blowup",
         "phrase_search", "corpus_diff", "retention_preview",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",
         "sliding_from_tier", "pad_sequences",

@@ -1876,3 +1876,30 @@ def test_lev_verify_hand_values_and_blocking(spark):
                             width=64)
     r2 = lev_verify_pairs(d2, p2, threshold=0.9, prefix=128).collect()
     assert len(r2) == 1 and r2[0]["sim"] == 1.0
+
+
+def test_zipf_fit_exact_line_and_degenerate(spark):
+    """Counts 6/3/2 are EXACTLY C/r (ln c = ln 6 - ln r): slope -1,
+    r2 = 1 to rounding; a single-token source reports NULLs (no line
+    through one rank); two ranks fit exactly (r2 = 1)."""
+    import pandas as pd
+
+    from traval_spark.operators.text import zipf_fit
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "source": ["zipf", "one", "two"],
+        "text": ["a a a a a a b b b c c", "solo solo solo", "x x y"],
+    }))
+    rows = {r["source"]: r for r in zipf_fit(d, k=64).collect()}
+    z = rows["zipf"]
+    assert z["n_ranks"] == 3
+    assert abs(z["slope"] - (-1.0)) < 1e-6
+    assert abs(z["r2"] - 1.0) < 1e-6
+    import math
+    assert abs(z["intercept"] - math.log(6)) < 1e-6
+    assert rows["one"]["n_ranks"] == 1
+    assert rows["one"]["slope"] is None and rows["one"]["r2"] is None
+    t = rows["two"]
+    assert t["n_ranks"] == 2 and abs(t["r2"] - 1.0) < 1e-6
+    # slope through (ln1, ln2) and (ln2, ln1): -ln2/ln2 = -1
+    assert abs(t["slope"] - (-1.0)) < 1e-6

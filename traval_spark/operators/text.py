@@ -757,3 +757,74 @@ def source_entropy(
             6,
         ).alias("kl_vs_corpus"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    k: int = 64,
+    text_col: str = "text",
+    by: str = "source",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Zipf exponent per source — the mixture-diagnostic companion to
+    :func:`source_entropy`: fit ``ln(count) = intercept + slope *
+    ln(rank)`` by OLS over the top-``k`` token ranks and report the
+    decay.  Natural text sits near slope -1 (Zipf's law); a source
+    decaying much flatter is template/boilerplate-heavy (few dominant
+    tokens repeated), much steeper is vocabulary-starved — either way a
+    mixture designer wants the flag before the source dominates a
+    training blend.
+
+    Plan shape: the same two-stage reduction as :func:`top_tokens` —
+    explode feeds ONE partial-aggregatable groupBy(by, tok) count
+    (map-side combine bounds the stream at |vocab| rows per group per
+    task), the rank window and the OLS sums then run on the tiny
+    counts table (k rows per group).  Ranks tie-break by token
+    ascending, deterministic.
+
+    Exactness: x = ln(rank), y = ln(count) are doubles of exact
+    integers; the five OLS sums are k-term float reductions (the only
+    order-dependent step, same convention as source_entropy) and the
+    closed forms
+
+        slope = (k*Sxy - Sx*Sy) / (k*Sxx - Sx^2)
+        r2    = (k*Sxy - Sx*Sy)^2 / ((k*Sxx - Sx^2)(k*Syy - Sy^2))
+
+    are rounded to ``ndigits``.  Groups with fewer than 2 distinct
+    ranks (constant x) report NULL slope.  Output: ``by, n_ranks,
+    slope, intercept, r2``.
+    """
+    counts = (
+        docs.select(F.col(by), F.explode(ws_tokens(F.col(text_col)))
+                    .alias("tok"))
+        .groupBy(by, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select(by, F.log(F.col("__rn").cast("double")).alias("x"),
+                F.log(F.col("cnt").cast("double")).alias("y"))
+    )
+    g = ranked.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return g.select(
+        by, "n_ranks",
+        F.when(den > 0, F.round(slope, ndigits)).alias("slope"),
+        F.when(den > 0, F.round(
+            (F.col("sy") - slope * F.col("sx")) / n, ndigits)
+        ).alias("intercept"),
+        F.when((den > 0) & (deny > 0), F.round(
+            num * num / (den * deny), ndigits)).alias("r2"),
+    )
