@@ -3122,6 +3122,20 @@ def q_acf_lags(spark, sf_dir):
     return acf_lags(ev, max_lag=6, bucket="1h")
 
 
+def q_dominant_period(spark, sf_dir):
+    """Seasonality-period detection (monitor.py:dominant_period): the
+    arg-max ACF lag in [2, 30] on the zero-filled hourly bucket-count
+    signal, with the 1.96/sqrt(n) white-noise band verdict — finds the
+    P that seasonal_profile/seasonal_strength then score. Exact ties
+    break to the smallest lag (fundamental over harmonics)."""
+    from traval_spark.operators.monitor import dominant_period
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return dominant_period(ev, max_lag=30, bucket="1h")
+
+
 def q_ljung_box(spark, sf_dir):
     """Ljung–Box white-noise test per series (monitor.py:ljung_box):
     Q = n(n+2) * sum r_k^2/(n-k) over the acf_lags autocorrelations —
@@ -3356,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "acf_lags": q_acf_lags,
         "ljung_box": q_ljung_box,
+        "dominant_period": q_dominant_period,
         "theil_sen_tiered": q_theil_sen_tiered,
         "acf_tiered": q_acf_tiered,
     }
@@ -7063,6 +7078,48 @@ def oracle_sql() -> dict[str, str]:
            cast(num.num AS double) / cast(den.den AS double) AS r
     from num join den using (g)
     where den.den > 0
+    """
+    # dominant period: argmax ACF lag in [2, 30] over the same ACF
+    # construction; exact-double equality join for the pick, smallest
+    # lag on ties, 9dp-rounded white-noise fence verdict
+    sql["dominant_period"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    tot as (select g, count(*) AS n_buckets,
+                   cast(sum(c) AS hugeint) AS s
+            from sig group by g),
+    dd as (select sig.g, sig.h, tot.n_buckets,
+                  cast(tot.n_buckets AS hugeint) * sig.c - tot.s AS d
+           from sig join tot using (g)),
+    den as (select g, max(n_buckets) AS n_buckets,
+                   sum(d * d) AS den from dd group by g),
+    lags as (select cast(unnest(range(2, 31)) AS int) AS lag),
+    acfq as (select a.g, l.lag, den.n_buckets,
+                    cast(sum(a.d * b.d) AS double)
+                      / cast(max(den.den) AS double) AS r
+             from dd a cross join lags l
+             join dd b on b.g = a.g and b.h = a.h - l.lag
+             join den on den.g = a.g
+             where den.den > 0
+             group by a.g, l.lag, den.n_buckets),
+    best as (select g, max(r) AS r, max(n_buckets) AS n_buckets
+             from acfq group by g),
+    pick as (select a.g, min(a.lag) AS period
+             from acfq a join best on a.g = best.g and a.r = best.r
+             group by a.g)
+    select best.g, best.n_buckets, pick.period, best.r,
+           cast(round(best.r, 9)
+                > round(1.96 / sqrt(cast(best.n_buckets AS double)), 9)
+                AS int) AS significant
+    from best join pick using (g)
     """
     # Ljung-Box Q over the same ACF construction, rounded 6dp
     sql["ljung_box"] = """

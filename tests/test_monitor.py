@@ -773,3 +773,38 @@ def test_monitors_served_from_rollup_tier_equal_raw(spark):
     s_tier = bucket_count_signal(counts=counts_from_tier(tier, "1h"))
     assert s_raw.exceptAll(s_tier).count() == 0
     assert s_tier.exceptAll(s_raw).count() == 0
+
+
+def test_dominant_period_detects_and_tier_parity(spark):
+    """A 5-hour-periodic event stream peaks ACF at lag 5 (harmonics at
+    10/15 have fewer aligned pairs, so the fundamental wins) and clears
+    the white-noise fence; serving the same read from a 1m rollup tier
+    (counts= path) is bit-identical to raw."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from traval_spark.operators.monitor import (
+        counts_from_tier,
+        dominant_period,
+    )
+    from traval_spark.rollup import rollup_raw
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for h in range(120):
+        n = 10 if h % 5 == 0 else 1
+        for i in range(n):
+            rows.append(("s", base + pd.Timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts"]))
+    r = dominant_period(df, max_lag=12, bucket="1h").collect()[0]
+    assert r["period"] == 5
+    assert r["significant"] == 1
+    ev = df.withColumn("n_tok", F.lit(1))
+    tier = rollup_raw(ev, "1m")
+    tiered = dominant_period(counts=counts_from_tier(tier, bucket="1h"),
+                             max_lag=12, bucket="1h")
+    direct = dominant_period(df, max_lag=12, bucket="1h")
+    assert tiered.exceptAll(direct).count() == 0
+    assert direct.exceptAll(tiered).count() == 0

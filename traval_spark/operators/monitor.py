@@ -63,7 +63,7 @@ __all__ = [
     "holt_winters_daily", "slo_burn", "theil_sen", "seasonal_strength",
     "forecast_backtest",
     "ks_drift", "ks_from_hists", "mann_whitney", "mw_from_hists",
-    "mann_kendall", "acf_lags", "ljung_box",
+    "mann_kendall", "acf_lags", "ljung_box", "dominant_period",
     "bucket_count_signal", "counts_from_tier",
 ]
 
@@ -1614,6 +1614,55 @@ def acf_lags(
             (F.col("__num").cast("double")
              / F.col("__den").cast("double")).alias("r"),
         )
+    )
+
+
+def dominant_period(
+    df: DataFrame | None = None,
+    max_lag: int = 30,
+    min_lag: int = 2,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Seasonality-period DETECTION per series — the missing front end
+    of the seasonal family: :func:`seasonal_profile` /
+    :func:`seasonal_strength` score a KNOWN period P; this finds the
+    candidate P as the lag of the maximum autocorrelation in
+    ``[min_lag, max_lag]`` (lag 1 excluded by default — trend/smooth
+    series peak there trivially, which is persistence, not
+    seasonality), plus the classic white-noise 95% band verdict
+    ``r > 1.96/sqrt(n)`` saying whether the peak is real structure.
+
+    Exactness: :func:`acf_lags`' r values are single divisions of
+    exact decimal integers — engine-identical doubles — so the argmax
+    is deterministic; exact r ties break to the SMALLEST lag (the
+    fundamental beats its harmonics), and the fence compare rounds
+    both sides 9dp (the slo_burn last-ulp guard).
+
+    Plan shape: acf_lags' one raw-scale groupBy; the max/pick run on
+    the (groups x max_lag) frame.  Serve from a stored rollup tier via
+    ``counts=`` exactly like theil_sen/acf (tier parity holds because
+    the bucket-count signal is lossless off the tier).  Output: ``g,
+    n_buckets, period, r, significant``.
+    """
+    acf = acf_lags(df, max_lag=max_lag, bucket=bucket, by=by, ts=ts,
+                   counts=counts)
+    cand = acf.filter(F.col("lag") >= int(min_lag))
+    best = cand.groupBy("g").agg(
+        F.max("r").alias("r"), F.max("n_buckets").alias("n_buckets")
+    )
+    pick = (
+        cand.select("g", "lag", "r")
+        .join(best.select("g", "r"), ["g", "r"])
+        .groupBy("g").agg(F.min("lag").alias("period"))
+    )
+    fence = F.lit(1.96) / F.sqrt(F.col("n_buckets").cast("double"))
+    return best.join(pick, "g").select(
+        "g", "n_buckets", "period", "r",
+        (F.round(F.col("r"), 9) > F.round(fence, 9)).cast("int")
+        .alias("significant"),
     )
 
 
