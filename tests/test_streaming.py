@@ -1310,3 +1310,58 @@ def test_stream_fl_1m_matches_batch(spark, tmp_path):
     assert fl_cascade(streamed, "1h").filter(
         F.col("first")["u"] > F.col("last")["u"]
     ).count() == 0
+
+
+def test_stream_swing_compress_matches_batch(spark, tmp_path):
+    """Streaming swinging-door across a micro-batch boundary == the
+    batch fold's kept list minus the per-series trailing point (the
+    stream can't know a point is final); door state carried in the
+    8-integer tuple, maxFilesPerTrigger=1 forces file 2 to continue
+    file 1's doors."""
+    import time as _time
+
+    from traval_spark.compress import swing_compress
+    from traval_spark.streaming.stateful_rules import stream_swing_compress
+
+    inp = str(tmp_path / "swin")
+    seqs = (
+        synth_sequences(spark, 4000, seed=23, span_days=1)
+        .withColumn("ts", F.date_trunc("second", F.col("ts")))
+        .groupBy("source", "ts").agg(F.max("n_tok").alias("n_tok"))
+        .withColumn("doc_id", F.lit("1"))
+        .withColumn("tokens", F.array().cast("array<int>"))
+    )
+    mid = "2024-01-01 12:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+
+    q = (stream_swing_compress(spark, inp, eps_scaled=50,
+                               max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "swout"))
+         .option("checkpointLocation", str(tmp_path / "swck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["source"], r["t_ms"], r["v_i"])
+                for r in spark.read.parquet(str(tmp_path / "swout"))
+                .collect()}
+
+    batch = swing_compress(
+        seqs.select("source", "ts", F.col("n_tok").alias("value"),
+                    F.col("doc_id").alias("event_id")),
+        eps_scaled=50, value_scale=1,
+    ).collect()
+    per = {}
+    for r in batch:
+        per.setdefault(r["source"], []).append((r["t_ms"], r["v_i"]))
+    want = set()
+    for s, pts in per.items():
+        for t, v in sorted(pts)[:-1]:
+            want.add((s, t, v))
+    assert streamed == want
+    # and the stream actually compressed (anchors < inputs) while
+    # keeping at least the first point per series
+    assert 0 < len(streamed) < seqs.count()

@@ -800,3 +800,118 @@ def stream_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: streaming swinging-door: emitted rows are the STORED anchors
+SWING_OUTPUT_SCHEMA = "source string, t_ms long, v_i long"
+#: (ta, va, tp, vp, un, ud, dn, dd) — the exact-integer door state
+SWING_STATE_SCHEMA = (
+    "ta long, va long, tp long, vp long, "
+    "un long, ud long, dn long, dd long"
+)
+
+
+def make_swing_state_func(eps_scaled: int, value_scale: int = 1):
+    """applyInPandasWithState kernel for STREAMING swinging-door
+    compression — identical exact-integer door state machine as the
+    batch ``compress.swing_compress`` fold (rational slopes compared by
+    cross-multiplication; Python ints are arbitrary-precision, so the
+    comparisons are exact by construction, same verdicts as the JVM
+    fold inside its documented magnitude budget).
+
+    Emission contract: an anchor row is emitted THE MOMENT its doors
+    close (plus the series' first point, always kept, on arrival);
+    the trailing candidate point stays pending in state because the
+    stream cannot know it is final — so after draining the same input,
+    the streamed rows are exactly the batch operator's kept list MINUS
+    its last point per series (parity-tested).  A production flush
+    would emit the pending point on state timeout; deliberately not
+    wired here to keep replay idempotent.
+
+    Late/duplicate rule: rows at or before the carried candidate's
+    timestamp (same ms) are dropped — the stream's analog of the batch
+    last-by-ident same-ms dedup, disclosed (a late row can't reopen
+    doors that already advanced past its instant).  State is O(1): the
+    8-tuple of door integers.
+    """
+    E = int(eps_scaled)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "ident"])
+        t_arr = (batch["ts"].to_numpy("datetime64[us]").astype("int64")
+                 // 1000)
+        v_arr = np.rint(batch["value"].to_numpy(dtype=float)
+                        * value_scale).astype("int64")
+        if state.exists:
+            ta, va, tp, vp, un, ud, dn, dd = (int(x) for x in state.get)
+            started = True
+        else:
+            ta = va = tp = vp = un = ud = dn = dd = 0
+            started = False
+        kept: list[tuple[int, int]] = []
+        for t, v in zip(t_arr.tolist(), v_arr.tolist()):
+            if started and t <= tp:
+                continue
+            if not started:
+                ta, va, tp, vp = t, v, t, v
+                un, ud, dn, dd = 1, 0, -1, 0
+                kept.append((t, v))
+                started = True
+                continue
+            sun, sdn, den = v + E - va, v - E - va, t - ta
+            un1, ud1 = (sun, den) if sun * ud < un * den else (un, ud)
+            dn1, dd1 = (sdn, den) if sdn * dd > dn * den else (dn, dd)
+            if dn1 * ud1 > un1 * dd1:
+                kept.append((tp, vp))
+                ta, va = tp, vp
+                un, ud = v + E - va, t - ta
+                dn, dd = v - E - va, t - ta
+            else:
+                un, ud, dn, dd = un1, ud1, dn1, dd1
+            tp, vp = t, v
+        state.update((ta, va, tp, vp, un, ud, dn, dd))
+        if kept:
+            yield pd.DataFrame({
+                "source": key[0],
+                "t_ms": np.array([k[0] for k in kept], dtype="int64"),
+                "v_i": np.array([k[1] for k in kept], dtype="int64"),
+            })
+
+    return fn
+
+
+def stream_swing_compress(
+    spark: SparkSession,
+    input_path: str,
+    eps_scaled: int,
+    value_col: str = "n_tok",
+    ident_col: str = "doc_id",
+    value_scale: int = 1,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming error-bounded (swinging-door) compression over the
+    sequence drop dir: stored anchors stream out as their doors close,
+    bit-identical to the batch ``swing_compress`` kept list minus the
+    per-series trailing point (see :func:`make_swing_state_func`)."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source", F.col("ts").cast("timestamp").alias("ts"),
+            F.col(ident_col).cast("string").alias("ident"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+    )
+    return stream.groupBy("source").applyInPandasWithState(
+        make_swing_state_func(eps_scaled, value_scale=value_scale),
+        outputStructType=SWING_OUTPUT_SCHEMA,
+        stateStructType=SWING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
