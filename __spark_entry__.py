@@ -480,6 +480,26 @@ def q_swing_compress(spark, sf_dir):
     return swing_compress(ev, eps_scaled=2000)
 
 
+def q_swing_reconstruct(spark, sf_dir):
+    """Interpolated reads served FROM the swinging-door representation
+    (compress.py:swing_reconstruct): hourly probe instants evaluated
+    against the kept-point polyline via the merged-stream bracket idiom
+    (one union + two ordered windows, never probes x kept) — within
+    2*eps of every original sample by the compressor's guarantee."""
+    from traval_spark.compress import swing_compress, swing_reconstruct
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    from traval_spark.functions.ts import unix_us
+
+    kept = swing_compress(ev, eps_scaled=2000)
+    probes = ev.select(
+        "source", unix_us(F.date_trunc("hour", F.col("ts"))).alias("__u")
+    ).select("source", F.expr("__u div 1000").alias("t_ms")).distinct()
+    return swing_reconstruct(kept, probes)
+
+
 def q_gapfill_ffill(spark, sf_dir):
     from traval_spark.rollup import gap_fill, rollup_raw
 
@@ -3209,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_sets": q_rollup_sets,
         "swing_compress": q_swing_compress,
+        "swing_reconstruct": q_swing_reconstruct,
         "lev_verify": q_lev_verify,
         "zipf_fit": q_zipf_fit,
         "gapfill_ffill": q_gapfill_ffill,
@@ -3792,6 +3813,42 @@ def oracle_sql() -> dict[str, str]:
             from r)
     select source, kept[2 * i - 1] AS t_ms, kept[2 * i] AS v_i
     from fin, unnest(generate_series(1, len(kept) // 2)) AS u(i)
+    """
+    # reads served from the swinging-door representation: nest the full
+    # swing_compress query as the kept frame, identical merged-stream
+    # bracket windows and interpolation arithmetic
+    sql["swing_reconstruct"] = f"""
+    with sk as (select * from ({sql["swing_compress"]}) x),
+    probes as (select distinct event_type AS source,
+                      epoch_us(date_trunc('hour', ts)) // 1000 AS t
+               from events),
+    m as (select source, t_ms AS t, v_i AS v, 1 AS is_kept from sk
+          union all
+          select source, t, NULL::BIGINT AS v, 0 AS is_kept from probes),
+    br as (select source, t, is_kept,
+                  last_value(case when is_kept = 1 then [t, v] end
+                             IGNORE NULLS) over (
+                      partition by source
+                      order by t, is_kept desc
+                      rows between unbounded preceding and current row)
+                    AS l,
+                  first_value(case when is_kept = 1 then [t, v] end
+                              IGNORE NULLS) over (
+                      partition by source
+                      order by t, is_kept
+                      rows between current row and unbounded following)
+                    AS r
+           from m)
+    select source, t AS t_ms,
+           case when l is not null and r is not null then
+             round(case when r[1] = l[1] then cast(l[2] AS double)
+                        else cast(l[2] AS double)
+                             + cast(r[2] - l[2] AS double)
+                               * cast(t - l[1] AS double)
+                               / cast(r[1] - l[1] AS double) end, 6)
+           end AS v_rec,
+           cast(l is not null and r is not null AS int) AS covered
+    from br where is_kept = 0
     """
     # CUBE marginals: same grouping-sets semantics in both engines;
     # fixed-point longs keep every sum exact, GROUPING() flags mark

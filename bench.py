@@ -128,7 +128,7 @@ def main() -> None:
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn", "theil_sen", "mann_kendall",
         "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
-        "dominant_period",
+        "dominant_period", "swing_reconstruct",
         "acf_lags", "ljung_box",
         "pmi_bigrams", "source_overlap", "source_entropy", "zipf_fit",
         "join_blowup",

@@ -144,3 +144,48 @@ def test_swing_compress_bound_and_hand_cases(spark):
         # and it actually compresses a smooth-ish walk
         if eps >= 2000:
             assert len(kept) < n
+
+
+def test_swing_reconstruct_bound_and_edges(spark):
+    """Read path end to end: reconstructing at EVERY original sample
+    instant stays within 2*eps (the compressor's guarantee, now
+    verified THROUGH the serving read); probes on kept instants return
+    the exact kept value; probes outside the span report covered=0
+    with NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.compress import swing_compress, swing_reconstruct
+
+    rng = np.random.default_rng(29)
+    n = 300
+    ts_s = np.arange(n) * 2
+    vals = np.cumsum(rng.normal(0, 1.0, n)).round(3)
+    eps = 1500
+    pdf = pd.DataFrame({
+        "source": ["s"] * n,
+        "ts": pd.to_datetime(ts_s, unit="s"),
+        "value": vals,
+        "event_id": range(n),
+    })
+    df = spark.createDataFrame(pdf)
+    kept = swing_compress(df, eps_scaled=eps)
+    n_kept = kept.count()
+    assert 2 <= n_kept < n  # it compresses
+    probes = df.sparkSession.createDataFrame(pd.DataFrame({
+        "source": ["s"] * (n + 2),
+        "t_ms": [-5000] + (ts_s * 1000).tolist() + [10_000_000],
+    }))
+    rec = {r["t_ms"]: r for r in
+           swing_reconstruct(kept, probes).collect()}
+    # outside the span
+    assert rec[-5000]["covered"] == 0 and rec[-5000]["v_rec"] is None
+    assert rec[10_000_000]["covered"] == 0
+    kept_map = {r["t_ms"]: r["v_i"] for r in kept.collect()}
+    for t, v in zip((ts_s * 1000).tolist(),
+                    [int(round(v * 1000)) for v in vals]):
+        r = rec[t]
+        assert r["covered"] == 1
+        assert abs(r["v_rec"] - v) <= 2 * eps + 1e-3
+        if t in kept_map:  # probe exactly on a kept instant
+            assert r["v_rec"] == float(kept_map[t])

@@ -777,3 +777,74 @@ def swing_compress(
         .select(*by, F.col("__k")["t"].alias("t_ms"),
                 F.col("__k")["v"].alias("v_i"))
     )
+
+
+def swing_reconstruct(
+    kept: DataFrame,
+    probes: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Serve reads FROM the swinging-door representation: for each
+    probe instant, linearly interpolate between the bracketing kept
+    points — the read path that makes :func:`swing_compress` a storage
+    tier rather than a one-way filter.  By the operator's guarantee the
+    reconstruction is within 2*eps of every original sample at its own
+    timestamp (property-tested end to end through this read).
+
+    Inputs: ``kept`` = (*by, t_ms, v_i) from swing_compress; ``probes``
+    = (*by, t_ms) instants to evaluate (bucket edges, alignment grids).
+
+    Plan shape: ONE union of the two frames and two per-series ordered
+    windows (last kept at-or-before, first kept at-or-after) — the
+    merged-stream bracket idiom, no join of probes x kept, cost
+    O((kept + probes) log) per series partition.  A probe exactly on a
+    kept instant returns that value (both orderings place the kept row
+    inside the window via the is_kept sort key).  Probes outside the
+    kept span report ``covered = 0`` and NULL value — extrapolation is
+    a policy, not a default.
+
+    Exactness: v0 + (v1 - v0) * (t - t0) / (t1 - t0) on doubles of
+    exact integers, one division, rounded ``ndigits`` (default 6: the
+    value scale is fixed-point x1000, so 6dp is 1e-9 of a raw unit —
+    rounding finer collides with double ulp once the integer part has
+    5+ digits).  Output: ``*by, t_ms, v_rec, covered``.
+    """
+    k = kept.select(
+        *by, F.col("t_ms").cast("long").alias("t"),
+        F.col("v_i").cast("long").alias("v"), F.lit(1).alias("is_kept"),
+    )
+    p = probes.select(
+        *by, F.col("t_ms").cast("long").alias("t"),
+        F.lit(None).cast("long").alias("v"), F.lit(0).alias("is_kept"),
+    )
+    m = k.unionByName(p)
+    ks = F.when(F.col("is_kept") == 1, F.struct("t", "v"))
+    from pyspark.sql import Window as W
+
+    wl = (
+        W.partitionBy(*by).orderBy(F.col("t"), F.col("is_kept").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wr = (
+        W.partitionBy(*by).orderBy(F.col("t"), F.col("is_kept"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    br = m.select(
+        *by, "t", "is_kept",
+        F.last(ks, ignorenulls=True).over(wl).alias("l"),
+        F.first(ks, ignorenulls=True).over(wr).alias("r"),
+    ).filter(F.col("is_kept") == 0)
+    t0, v0 = F.col("l")["t"], F.col("l")["v"]
+    t1, v1 = F.col("r")["t"], F.col("r")["v"]
+    interp = F.when(t1 == t0, v0.cast("double")).otherwise(
+        v0.cast("double")
+        + (v1 - v0).cast("double")
+        * (F.col("t") - t0).cast("double") / (t1 - t0).cast("double")
+    )
+    covered = (F.col("l").isNotNull() & F.col("r").isNotNull()).cast("int")
+    return br.select(
+        *by, F.col("t").alias("t_ms"),
+        F.when(covered == 1, F.round(interp, ndigits)).alias("v_rec"),
+        covered.alias("covered"),
+    )
