@@ -539,6 +539,29 @@ def q_distinct_users_1h(spark, sf_dir):
     return _distinct_users(spark, sf_dir, "kmv")
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """Set algebra over STORED KMV sketches (sketch.py:kmv_overlap):
+    overlap between two bucket periods — users active in the first two
+    weeks vs the last four days — estimated from the stored 1h distinct
+    tier alone (Theta-framework |M ∩ A ∩ B|/|M| with M = k-smallest of
+    the merged union), raw never re-scanned. k=4096 keeps sf-scale
+    cardinalities in the EXACT regime so the oracle is plain
+    COUNT(DISTINCT) set arithmetic; the estimator regime is pinned by
+    the relative-error pytest."""
+    from traval_spark.sketch import distinct_tier, kmv_overlap
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id",
+    )
+    t1h = distinct_tier(src, "1h", "user_id", k=4096, method="kmv")
+    return kmv_overlap(
+        t1h,
+        F.col("bucket") < "2024-01-15",
+        F.col("bucket") >= "2024-01-28",
+        k=4096,
+    )
+
+
 CMS_KEYS = ["1", "7", "42", "9999"]
 
 
@@ -3331,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_priority_lines": q_tpch_priority_lines,
         "tier_routed": q_tier_routed,
         "distinct_users_1h": q_distinct_users_1h,
+        "kmv_overlap": q_kmv_overlap,
         "cms_point_1h": q_cms_point_1h,
         "bloom_probe_1h": q_bloom_probe_1h,
         "retained_users_1d": q_retained_users_1d,
@@ -3875,6 +3899,32 @@ def oracle_sql() -> dict[str, str]:
            date_trunc('hour', ts) AS bucket,
            count(distinct user_id) AS n_users
     from events group by 1, 2
+    """
+    # exact-regime KMV set algebra: k=4096 > every period cardinality,
+    # so sketch arithmetic degenerates to exact distinct-set arithmetic
+    sql["kmv_overlap"] = """
+    with ua as (select distinct event_type AS source, user_id
+                from events where ts < '2024-01-15'),
+    ub as (select distinct event_type AS source, user_id
+           from events where ts >= '2024-01-28'),
+    na as (select source, count(*) AS n_a from ua group by source),
+    nb as (select source, count(*) AS n_b from ub group by source),
+    ix as (select ua.source, count(*) AS ni
+           from ua join ub on ua.source = ub.source
+                          and ua.user_id = ub.user_id
+           group by ua.source),
+    un as (select source, count(distinct user_id) AS nu
+           from (select * from ua union all select * from ub)
+           group by source)
+    select na.source,
+           cast(n_a AS bigint) AS n_a_est,
+           cast(n_b AS bigint) AS n_b_est,
+           cast(nu AS bigint) AS union_est,
+           cast(coalesce(ni, 0) AS bigint) AS inter_est,
+           round(cast(coalesce(ni, 0) AS double)
+                 / cast(nu AS double), 6) AS jaccard
+    from na join nb using (source) join un using (source)
+    left join ix using (source)
     """
     sql["hist_quantiles_1h"] = """
     select event_type AS source,

@@ -109,7 +109,8 @@ def main() -> None:
         "asof_resample", "relative_summary", "binary_classifier",
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_salted", "fl_tier",
         "locf_from_tier", "fl_increase", "sliding_rollup",
-        "distinct_users_1h", "distinct_users_hll_1h", "cms_point_1h",
+        "distinct_users_1h", "distinct_users_hll_1h", "kmv_overlap",
+        "cms_point_1h",
         "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
         "hist_quantiles_1h", "trimmed_mean_1h", "hist_mad_1h",
         "robust_outliers",

@@ -271,3 +271,35 @@ def test_kmv_difference_exact_regime_and_identity(spark):
     assert r["diff"] == 40          # 0..39
     assert r["inter"] == 20         # 40..59
     assert r["diff"] + r["inter"] == r["na"]
+
+
+def test_kmv_overlap_exact_and_estimator_regimes(spark):
+    """Exact regime (cardinalities < k): overlap reads equal true set
+    arithmetic. Estimator regime (20k-id cohorts, k=256, true jaccard
+    1/3): union/intersection within 15% relative error, jaccard within
+    0.1 absolute — from the stored sketches alone."""
+    import pandas as pd
+
+    from traval_spark.sketch import distinct_tier, kmv_overlap
+
+    def tier_for(ids_a, ids_b, k):
+        rows = [("s", pd.Timestamp("2024-01-01 00:00"), i) for i in ids_a]
+        rows += [("s", pd.Timestamp("2024-01-02 00:00"), i) for i in ids_b]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "ts", "user_id"]))
+        t = distinct_tier(df, "1h", "user_id", k=k, method="kmv")
+        return kmv_overlap(
+            t, F.col("bucket") < "2024-01-02",
+            F.col("bucket") >= "2024-01-02", k=k,
+        ).collect()[0]
+
+    r = tier_for(range(100), range(60, 160), k=4096)
+    assert (r["n_a_est"], r["n_b_est"]) == (100, 100)
+    assert r["union_est"] == 160 and r["inter_est"] == 40
+    assert abs(r["jaccard"] - 40 / 160) < 1e-6
+
+    e = tier_for(range(20_000), range(10_000, 30_000), k=256)
+    assert abs(e["n_a_est"] - 20_000) / 20_000 < 0.15
+    assert abs(e["union_est"] - 30_000) / 30_000 < 0.15
+    assert abs(e["inter_est"] - 10_000) / 10_000 < 0.25
+    assert abs(e["jaccard"] - 1 / 3) < 0.1

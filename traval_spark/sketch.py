@@ -169,6 +169,69 @@ def distinct_counts(
     return tier_df.withColumn(out_col, est).drop(drop)
 
 
+def kmv_overlap(
+    tier_df: DataFrame,
+    in_a: Column,
+    in_b: Column,
+    by: tuple[str, ...] = ("source",),
+    sketch_col: str = "kmv",
+    k: int = 256,
+) -> DataFrame:
+    """Set ALGEBRA over stored KMV sketches — the Theta-sketch-family
+    read Druid/DataSketches users reach for: from a stored distinct
+    tier alone, estimate the overlap between two bucket periods (users
+    active in both January and the last week; cohort retention without
+    ever re-scanning raw).  ``in_a`` / ``in_b`` are boolean Columns
+    over the tier rows (typically bucket-range predicates; they may
+    overlap).
+
+    Estimator (Beyer et al. 2007 / the Theta framework): merge each
+    period's sketches, let M = the k smallest of A ∪ B (itself a valid
+    KMV of the union); then
+
+        jaccard  = |M ∩ A ∩ B| / |M|
+        union    = KMV estimate of M
+        intersect = round(jaccard * union)
+
+    While true union cardinality < k every sketch is the full hash set
+    and all four outputs are EXACT (the oracle pins this regime);
+    beyond k the estimator regime takes over (relative-error pytest).
+    All set ops run on the ≤k-element sorted integer arrays — array
+    built-ins, engine-deterministic given the stored hashes.
+
+    Sources missing from either period are dropped (inner join —
+    overlap against an absent period is a policy question, not a 0).
+    Output: ``*by, n_a_est, n_b_est, union_est, inter_est, jaccard``
+    (jaccard rounded 6dp; NULL when both periods are empty sketches).
+    """
+    def side(pred, name):
+        return (
+            tier_df.filter(pred)
+            .groupBy(*by)
+            .agg(kmv_merge(sketch_col, k).alias(name))
+        )
+
+    j = side(in_a, "__a").join(side(in_b, "__b"), list(by))
+    m = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__a", "__b"))), 1, k
+    )
+    j = j.withColumn("__m", m)
+    matches = F.size(
+        F.array_intersect("__m", F.array_intersect("__a", "__b"))
+    )
+    msize = F.size("__m")
+    jac = F.when(msize > 0, matches.cast("double") / msize.cast("double"))
+    union_est = kmv_estimate("__m", k)
+    return j.select(
+        *by,
+        kmv_estimate("__a", k).alias("n_a_est"),
+        kmv_estimate("__b", k).alias("n_b_est"),
+        union_est.alias("union_est"),
+        F.round(jac * union_est).cast("long").alias("inter_est"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 # -- Count-min (frequency sketch) --------------------------------------------
 # The frequency twin of the distinct sketches above: per-key COUNTS over
 # unbounded key domains (n-grams, user ids, URLs — anything too wide for
