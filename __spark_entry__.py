@@ -2003,6 +2003,27 @@ def q_ann_ivf_topk(spark, sf_dir):
                     nprobe=IVF_NPROBE)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k audit of the IVF-probed KNN join against the exact
+    brute join (similarity.py:knn_recall): per query-batch row, how
+    much of the true top-5 the probed path returned — the
+    observability read that keeps the approximate retrieval path
+    honest; missed-entirely queries report recall 0 on the brute-side
+    spine. Oracle composes the two existing path oracles verbatim."""
+    from traval_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_join,
+        knn_recall,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    c = e.filter(F.col("vec_id") % 50 != 0)
+    brute = knn_join(q, c, k=5)
+    approx = ivf_knn_join(q, c, k=5, n_list=IVF_NLIST, nprobe=IVF_NPROBE)
+    return knn_recall(brute, approx, k=5)
+
+
 PQ_M = 8
 PQ_KSUB = 16
 
@@ -3333,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "knn_join": q_knn_join,
         "knn_join_ivf": q_knn_join_ivf,
+        "ann_recall": q_ann_recall,
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
@@ -5017,6 +5039,22 @@ def oracle_sql() -> dict[str, str]:
                            AS INTEGER) AS rank
                from scored)
     select qid, nn_id, cos, rank from ranked where rank <= 5
+    """
+
+    # recall audit = pure composition of the two path oracles: per
+    # brute-side query, |approx ∩ brute| / k with missed queries kept
+    sql["ann_recall"] = f"""
+    with b as (select qid, nn_id from ({sql["knn_join"]}) x),
+    a as (select qid, nn_id from ({sql["knn_join_ivf"]}) y),
+    hits as (select b.qid, count(*) AS hits
+             from b join a on b.qid = a.qid and b.nn_id = a.nn_id
+             group by b.qid),
+    base as (select distinct qid from b)
+    select base.qid,
+           cast(coalesce(hits.hits, 0) AS bigint) AS hits,
+           round(cast(coalesce(hits.hits, 0) AS double) / 5.0, 6)
+             AS recall
+    from base left join hits using (qid)
     """
 
     # 64-bit SimHash: bit j of a token = bit (3 - j%4) of hex digit j//4 of

@@ -1903,3 +1903,24 @@ def test_zipf_fit_exact_line_and_degenerate(spark):
     assert t["n_ranks"] == 2 and abs(t["r2"] - 1.0) < 1e-6
     # slope through (ln1, ln2) and (ln2, ln1): -ln2/ln2 = -1
     assert abs(t["slope"] - (-1.0)) < 1e-6
+
+
+def test_knn_recall_hand_case_and_missed_query(spark):
+    """q1: 3 of 5 true neighbors returned -> 0.6; q2: approx returned
+    nothing -> recall 0 still reported (brute-side spine); approx-only
+    extra neighbors never inflate hits."""
+    import pandas as pd
+
+    from traval_spark.operators.similarity import knn_recall
+
+    brute = spark.createDataFrame(pd.DataFrame({
+        "qid": [1] * 5 + [2] * 5,
+        "nn_id": list(range(10, 15)) + list(range(20, 25)),
+    }))
+    approx = spark.createDataFrame(pd.DataFrame({
+        "qid": [1] * 5,
+        "nn_id": [10, 11, 12, 99, 98],  # 3 hits + 2 wrong
+    }))
+    got = {r["qid"]: r for r in knn_recall(brute, approx, k=5).collect()}
+    assert got[1]["hits"] == 3 and abs(got[1]["recall"] - 0.6) < 1e-9
+    assert got[2]["hits"] == 0 and got[2]["recall"] == 0.0

@@ -902,3 +902,48 @@ def ivfpq_topk(
         with_pq_codes(cand, codebooks, id_col=id_col, vec_col=vec_col),
         query, codebooks, k=k, id_col=id_col, ndigits=ndigits,
     )
+
+
+def knn_recall(
+    brute: DataFrame,
+    approx: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    nn_col: str = "nn_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Recall@k AUDIT of an approximate neighbor path against the exact
+    one — the observability read that keeps an ANN deployment honest:
+    before trusting IVF/LSH results at scale, sample a query batch, run
+    both paths, and measure how much of the true top-k the approximate
+    path returned.  Inputs are any two result frames carrying
+    ``(qid_col, nn_col)`` (knn_join / ivf_knn_join / lsh variants);
+    per query, ``hits`` = |approx ∩ brute| via ONE equi-join on
+    (query, neighbor) and ``recall`` = hits / k.
+
+    Queries the approximate path missed ENTIRELY still report (recall
+    0): the base spine is the brute side's distinct query set, left-
+    joined — an audit that silently drops its worst cases is not an
+    audit.  Cost: the join runs on two k-rows-per-query result frames,
+    never on the corpus.  Output: ``qid, hits, recall``.
+    """
+    b = brute.select(F.col(qid_col).alias("qid"),
+                     F.col(nn_col).alias("nn_id"))
+    a = approx.select(F.col(qid_col).alias("qid"),
+                      F.col(nn_col).alias("nn_id"))
+    hits = (
+        b.join(a, ["qid", "nn_id"])
+        .groupBy("qid").agg(F.count(F.lit(1)).alias("hits"))
+    )
+    base = b.select("qid").distinct()
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double") / float(k),
+                ndigits,
+            ).alias("recall"),
+        )
+    )
