@@ -2378,6 +2378,51 @@ def q_tpch_top_orders(spark, sf_dir):
         F.desc("revenue"), "o_orderdate", "l_orderkey").limit(10)
 
 
+def q_tpch_returned_revenue(spark, sf_dir):
+    """TPC-H Q10-style returned-item report: which customers returned
+    the most revenue in a quarter — lineitem(R) x orders(quarter) with
+    customer and nation dims BROADCAST, top-20 via
+    TakeOrderedAndProject with a full deterministic tie-break."""
+    c = _tpch(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    n = _tpch(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _tpch(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(rev, 2).alias("revenue"))
+    return g.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+def q_tpch_promo_share(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: one month of lineitem
+    joined to the BROADCAST part dim, conditional-aggregate ratio (the
+    case-when-inside-sum shape) — 100 * promo revenue / total revenue,
+    single global row, rounded 6dp."""
+    p = _tpch(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0.0)))
+            / F.sum(rev), 6
+        ).alias("promo_share")
+    )
+
+
 def q_tpch_regional_revenue(spark, sf_dir):
     """TPC-H Q5-style local-supplier volume: the full 6-table join chain
     with every dimension broadcast; per-nation revenue."""
@@ -3371,6 +3416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
+        "tpch_returned_revenue": q_tpch_returned_revenue,
+        "tpch_promo_share": q_tpch_promo_share,
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
         "tpch_late_orders": q_tpch_late_orders,
         "tpch_priority_lines": q_tpch_priority_lines,
@@ -5189,6 +5236,30 @@ def oracle_sql() -> dict[str, str]:
     group by l.l_orderkey, o.o_orderdate, o.o_orderpriority
     order by revenue desc, o.o_orderdate, l.l_orderkey
     limit 10
+    """
+    sql["tpch_returned_revenue"] = """
+    select c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    where l.l_returnflag = 'R'
+      and o.o_orderdate >= '1996-10-01' and o.o_orderdate < '1997-01-01'
+    group by 1, 2, 3
+    order by revenue desc, c.c_custkey
+    limit 20
+    """
+    sql["tpch_promo_share"] = """
+    select round(100.0 * sum(case when p.p_type = 'PROMO'
+                                  then l.l_extendedprice
+                                       * (1 - l.l_discount)
+                                  else 0.0 end)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS promo_share
+    from lineitem l join part p on l.l_partkey = p.p_partkey
+    where l.l_shipdate >= '1996-09-01' and l.l_shipdate < '1996-10-01'
     """
     sql["tpch_regional_revenue"] = """
     select n.n_name,

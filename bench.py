@@ -160,6 +160,7 @@ def main() -> None:
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
         "tpch_forecast_revenue", "tpch_late_orders", "tpch_priority_lines",
+        "tpch_returned_revenue", "tpch_promo_share",
         "tier_routed", "contract_check",
     ]
     for name in headline:

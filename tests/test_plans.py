@@ -244,6 +244,19 @@ def test_tpch_join_chain_broadcasts_dims(spark):
         spark, "/root/testdata/sf0.001"))
     assert "LeftSemi" in plan4, plan4
 
+    # Q10-shape: customer + nation dims broadcast, top-20 as
+    # TakeOrderedAndProject (never a global sort of the agg output)
+    plan10 = fmt_plan(em.queries()["tpch_returned_revenue"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan10.count("BroadcastHashJoin") >= 2, plan10
+    assert "TakeOrderedAndProject" in plan10, plan10
+
+    # Q14-shape: part dim broadcast into the one-month lineitem scan
+    plan14 = fmt_plan(em.queries()["tpch_promo_share"](
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan14, plan14
+    assert "SortMergeJoin" not in plan14, plan14
+
 
 def test_hist_cascade_is_codegen_partial_agg(spark, seq_parquet):
     """The histogram tier path must be pure whole-stage-codegen hash
