@@ -1365,3 +1365,56 @@ def test_stream_swing_compress_matches_batch(spark, tmp_path):
     # and the stream actually compressed (anchors < inputs) while
     # keeping at least the first point per series
     assert 0 < len(streamed) < seqs.count()
+
+
+def test_stream_range_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream range join drained over two files ==
+    the batch inner join with the identical key + time-range predicate
+    (inner stream-stream joins change WHEN pairs emit, never WHICH),
+    and cross-file pairs prove join state carries across micro-batches."""
+    import time as _time
+
+    from traval_spark.streaming.join_stream import stream_range_join
+
+    inp = str(tmp_path / "jin")
+    seqs = synth_sequences(spark, 3000, seed=41, span_days=1)
+    # left = "trigger" rows, right = "follow-up" rows (disjoint halves)
+    lp = F.col("n_tok") % 2 == 0
+    rp = F.col("n_tok") % 2 == 1
+    mid = "2024-01-01 12:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+
+    q = (stream_range_join(spark, inp, lp, rp, window="10 minutes",
+                           watermark="1 hour", max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "jout"))
+         .option("checkpointLocation", str(tmp_path / "jck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(tmp_path / "jout"))
+
+    b = seqs.select("source", F.col("ts").cast("timestamp").alias("ts"),
+                    "doc_id", "n_tok")
+    l = b.filter(lp).select(
+        F.col("source").alias("k"), F.col("ts").alias("l_ts"),
+        F.col("doc_id").alias("l_id"))
+    r = b.filter(rp).select(
+        F.col("source").alias("k2"), F.col("ts").alias("r_ts"),
+        F.col("doc_id").alias("r_id"))
+    batch = l.join(
+        r,
+        (F.col("k") == F.col("k2")) & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 10 minutes"))
+        & (F.col("l_id") != F.col("r_id")),
+    )
+    want = {(x["k"], x["l_id"], x["r_id"]) for x in batch.collect()}
+    got = {(x["source"], x["l_id"], x["r_id"]) for x in streamed.collect()}
+    assert got == want and len(want) > 0
+    # pairs straddling the file boundary exist (state carried across)
+    straddle = [x for x in streamed.collect()
+                if str(x["l_ts"]) < mid <= str(x["r_ts"])]
+    assert len(straddle) > 0
