@@ -189,3 +189,31 @@ def test_swing_reconstruct_bound_and_edges(spark):
         assert abs(r["v_rec"] - v) <= 2 * eps + 1e-3
         if t in kept_map:  # probe exactly on a kept instant
             assert r["v_rec"] == float(kept_map[t])
+
+
+def test_swing_engines_identical(spark):
+    """engine='arrow' (Arrow kernel, production) == engine='sql' (pure
+    JVM fold) on randomized data INCLUDING same-ms duplicate
+    timestamps — one door machine, two execution paths, byte-identical
+    kept sets."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.compress import swing_compress
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for s in ("a", "b"):
+        t = 0
+        for i in range(400):
+            t += int(rng.integers(0, 3))  # duplicate seconds included
+            rows.append((s, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(seconds=t),
+                         float(np.round(rng.normal(0, 2.0), 3)), i))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["source", "ts", "value", "event_id"]))
+    for eps in (500, 2000):
+        a = swing_compress(df, eps_scaled=eps, engine="arrow")
+        s = swing_compress(df, eps_scaled=eps, engine="sql")
+        assert a.exceptAll(s).count() == 0
+        assert s.exceptAll(a).count() == 0

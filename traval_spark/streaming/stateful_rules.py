@@ -847,34 +847,12 @@ def make_swing_state_func(eps_scaled: int, value_scale: int = 1):
                  // 1000)
         v_arr = np.rint(batch["value"].to_numpy(dtype=float)
                         * value_scale).astype("int64")
-        if state.exists:
-            ta, va, tp, vp, un, ud, dn, dd = (int(x) for x in state.get)
-            started = True
-        else:
-            ta = va = tp = vp = un = ud = dn = dd = 0
-            started = False
-        kept: list[tuple[int, int]] = []
-        for t, v in zip(t_arr.tolist(), v_arr.tolist()):
-            if started and t <= tp:
-                continue
-            if not started:
-                ta, va, tp, vp = t, v, t, v
-                un, ud, dn, dd = 1, 0, -1, 0
-                kept.append((t, v))
-                started = True
-                continue
-            sun, sdn, den = v + E - va, v - E - va, t - ta
-            un1, ud1 = (sun, den) if sun * ud < un * den else (un, ud)
-            dn1, dd1 = (sdn, den) if sdn * dd > dn * den else (dn, dd)
-            if dn1 * ud1 > un1 * dd1:
-                kept.append((tp, vp))
-                ta, va = tp, vp
-                un, ud = v + E - va, t - ta
-                dn, dd = v - E - va, t - ta
-            else:
-                un, ud, dn, dd = un1, ud1, dn1, dd1
-            tp, vp = t, v
-        state.update((ta, va, tp, vp, un, ud, dn, dd))
+        from traval_spark.compress import _swing_loop
+
+        st = (tuple(int(x) for x in state.get) if state.exists else None)
+        kept, new_state = _swing_loop(
+            t_arr.tolist(), v_arr.tolist(), E, state=st)
+        state.update(new_state)
         if kept:
             yield pd.DataFrame({
                 "source": key[0],
