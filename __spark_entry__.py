@@ -771,6 +771,28 @@ def q_interval_overlaps(spark, sf_dir):
     )
 
 
+def q_quantile_drift(spark, sf_dir):
+    """Quantile drift served from the STORED histogram tier
+    (hist.py:hist_quantile_drift): did p50/p95 move between the first
+    two weeks and the last four days, in VALUE units — the SLO-owner
+    companion to the PSI/KS/Mann-Whitney verdicts; each period's bin
+    counts sum off the tier (cascade identity), raw never re-scanned,
+    values exact at the tier's lossless x100 discretization."""
+    from traval_spark.hist import hist_quantile_drift, hist_tier
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    t1h = hist_tier(src, "1h", scale=100)
+    return hist_quantile_drift(
+        t1h,
+        F.col("bucket") < "2024-01-15",
+        F.col("bucket") >= "2024-01-28",
+        qs=(0.5, 0.95), scale=100,
+    )
+
+
 def q_hist_quantiles_1h(spark, sf_dir):
     """Exact percentile continuous aggregate: long-form histogram tier at
     1m, merged to 1h by plain groupBy-sum (counts add; no percentile is
@@ -3231,6 +3253,21 @@ def q_acf_lags(spark, sf_dir):
     return acf_lags(ev, max_lag=6, bucket="1h")
 
 
+def q_fano_dispersion(spark, sf_dir):
+    """Burstiness gate per series (monitor.py:fano_dispersion): index
+    of dispersion variance/mean of the zero-filled hourly bucket
+    counts — Poisson sits at 1, bursty above, machine-paced below; the
+    one-number input to the should-this-source-be-salted decision.
+    Cleared-denominator exactness: (n*Q - S^2)/(n*S) on exact decimal
+    integers, one division."""
+    from traval_spark.operators.monitor import fano_dispersion
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return fano_dispersion(ev, bucket="1h")
+
+
 def q_dominant_period(spark, sf_dir):
     """Seasonality-period detection (monitor.py:dominant_period): the
     arg-max ACF lag in [2, 30] on the zero-filled hourly bucket-count
@@ -3435,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlaps": q_interval_overlaps,
         "distinct_users_hll_1h": q_distinct_users_hll_1h,
         "hist_quantiles_1h": q_hist_quantiles_1h,
+        "quantile_drift": q_quantile_drift,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "m4_1h": q_m4_1h,
@@ -3485,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_lags": q_acf_lags,
         "ljung_box": q_ljung_box,
         "dominant_period": q_dominant_period,
+        "fano_dispersion": q_fano_dispersion,
         "theil_sen_tiered": q_theil_sen_tiered,
         "acf_tiered": q_acf_tiered,
     }
@@ -3994,6 +4033,27 @@ def oracle_sql() -> dict[str, str]:
                  / cast(nu AS double), 6) AS jaccard
     from na join nb using (source) join un using (source)
     left join ix using (source)
+    """
+    sql["quantile_drift"] = """
+    with a as (select event_type AS source,
+                      quantile_disc(CAST(round(value * 100) AS BIGINT),
+                                    0.5) / 100.0 AS p50_a,
+                      quantile_disc(CAST(round(value * 100) AS BIGINT),
+                                    0.95) / 100.0 AS p95_a
+               from events
+               where value is not null and ts < '2024-01-15'
+               group by 1),
+    b as (select event_type AS source,
+                 quantile_disc(CAST(round(value * 100) AS BIGINT),
+                               0.5) / 100.0 AS p50_b,
+                 quantile_disc(CAST(round(value * 100) AS BIGINT),
+                               0.95) / 100.0 AS p95_b
+          from events
+          where value is not null and ts >= '2024-01-28'
+          group by 1)
+    select source, p50_a, p50_b, p50_b - p50_a AS d_p50,
+           p95_a, p95_b, p95_b - p95_a AS d_p95
+    from a join b using (source)
     """
     sql["hist_quantiles_1h"] = """
     select event_type AS source,
@@ -7294,6 +7354,34 @@ def oracle_sql() -> dict[str, str]:
            cast(num.num AS double) / cast(den.den AS double) AS r
     from num join den using (g)
     where den.den > 0
+    """
+    # Fano: exact hugeint (n*Q - S^2)/(n*S) over the zero-filled spine
+    sql["fano_dispersion"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    t as (select g, count(*) AS n_buckets,
+                 cast(sum(c) AS hugeint) AS s,
+                 cast(sum(cast(c AS hugeint) * c) AS hugeint) AS q
+          from sig group by g)
+    select g, n_buckets,
+           round(cast(s AS double) / cast(n_buckets AS double), 9)
+             AS mean_c,
+           case when s > 0 then
+             round(cast(n_buckets * q - s * s AS double)
+                   / cast(n_buckets * s AS double), 9) end AS fano,
+           case when s > 0 then
+             cast(round(cast(n_buckets * q - s * s AS double)
+                        / cast(n_buckets * s AS double), 9) > 1.0
+                  AS int) end AS over_dispersed
+    from t
     """
     # dominant period: argmax ACF lag in [2, 30] over the same ACF
     # construction; exact-double equality join for the pick, smallest

@@ -112,7 +112,8 @@ def main() -> None:
         "distinct_users_1h", "distinct_users_hll_1h", "kmv_overlap",
         "cms_point_1h",
         "bloom_probe_1h", "retained_users_1d", "churned_users_1d",
-        "hist_quantiles_1h", "trimmed_mean_1h", "hist_mad_1h",
+        "hist_quantiles_1h", "quantile_drift", "trimmed_mean_1h",
+        "hist_mad_1h",
         "robust_outliers",
         "dds_quantiles_1h", "dds_rank_1h", "toptok_1h",
         "sessionize", "burst_dedup", "interval_events", "interval_overlaps",
@@ -128,6 +129,7 @@ def main() -> None:
         "sliding_quantiles",
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn", "theil_sen", "mann_kendall",
+        "fano_dispersion",
         "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
         "dominant_period", "swing_reconstruct",
         "acf_lags", "ljung_box",

@@ -300,3 +300,35 @@ def test_robust_outliers_flags_and_degenerate_mad(spark):
     assert got[5]["median"] == 12.0 and got[5]["mad"] == 1.0
     assert got[5]["robust_dev"] == 88.0
     assert got[104]["mad"] == 0.0  # degenerate regime: 9 != med 5
+
+
+def test_hist_quantile_drift_hand_and_cascade_served(spark):
+    """Period A values 1..10 (p50=5), period B 11..20 (p50=15): drift
+    +10 at every quantile; serving from the COARSENED tier (1m->1h
+    cascade) is identical — counts add, the rank pick can't move."""
+    import pandas as pd
+
+    from traval_spark.hist import (
+        hist_cascade,
+        hist_quantile_drift,
+        hist_tier,
+    )
+
+    rows = []
+    for i in range(1, 11):
+        rows.append(("s", pd.Timestamp("2024-01-01 00:00:30")
+                     + pd.Timedelta(minutes=i), float(i)))
+    for i in range(11, 21):
+        rows.append(("s", pd.Timestamp("2024-01-02 00:00:30")
+                     + pd.Timedelta(minutes=i), float(i)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "n_tok"]))
+    t1m = hist_tier(df, "1m", scale=1)
+    args = (F.col("bucket") < "2024-01-02",
+            F.col("bucket") >= "2024-01-02")
+    r = hist_quantile_drift(t1m, *args, qs=(0.5, 0.95)).collect()[0]
+    assert (r["p50_a"], r["p50_b"], r["d_p50"]) == (5.0, 15.0, 10.0)
+    assert (r["p95_a"], r["p95_b"], r["d_p95"]) == (10.0, 20.0, 10.0)
+    t1h = hist_cascade(t1m, "1h")
+    r2 = hist_quantile_drift(t1h, *args, qs=(0.5, 0.95)).collect()[0]
+    assert r.asDict() == r2.asDict()

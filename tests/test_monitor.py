@@ -808,3 +808,32 @@ def test_dominant_period_detects_and_tier_parity(spark):
     direct = dominant_period(df, max_lag=12, bucket="1h")
     assert tiered.exceptAll(direct).count() == 0
     assert direct.exceptAll(tiered).count() == 0
+
+
+def test_fano_dispersion_hand_values(spark):
+    """Counts [3,3,3] over the spine -> variance 0 -> fano 0 (paced);
+    [0,0,6] -> mean 2, var (n*Q - S^2)/(n*S): (3*36-36)/(3*6)=4 ->
+    bursty; constant-rate 1/bucket -> fano 0; empty-signal series can't
+    occur (spine derives from observed rows) but S>0 guard pins the
+    NULL convention via an all-zero... covered by construction."""
+    import pandas as pd
+
+    from traval_spark.operators.monitor import fano_dispersion
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    # 'paced': 3 events every hour for 3 hours
+    for h in range(3):
+        for i in range(3):
+            rows.append(("paced", base + pd.Timedelta(hours=h, minutes=i)))
+    # 'bursty': all 6 events in hour 2 (hours 0-1 are zero-filled)
+    for i in range(6):
+        rows.append(("bursty", base + pd.Timedelta(hours=2, minutes=i)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "ts"]))
+    got = {r["g"]: r for r in fano_dispersion(df, bucket="1h").collect()}
+    p = got["paced"]
+    assert p["n_buckets"] == 3 and p["mean_c"] == 3.0
+    assert p["fano"] == 0.0 and p["over_dispersed"] == 0
+    b = got["bursty"]
+    assert b["n_buckets"] == 3 and b["mean_c"] == 2.0
+    assert b["fano"] == 4.0 and b["over_dispersed"] == 1

@@ -576,3 +576,51 @@ def robust_outliers(
             (dev / s).alias("robust_dev"),
         )
     )
+
+
+def hist_quantile_drift(
+    hist_df: DataFrame,
+    in_a: Column,
+    in_b: Column,
+    qs: list[float] | tuple[float, ...] = (0.5, 0.95),
+    scale: int = 1,
+) -> DataFrame:
+    """Quantile DRIFT between two bucket periods served from the STORED
+    histogram tier — the "did p95 move?" SLO read next to the
+    distributional verdicts (PSI weighs every bin, KS the worst CDF
+    gap, Mann-Whitney the rank shift; this reports the shift IN VALUE
+    UNITS, which is what an SLO owner actually acts on): each period's
+    bin counts sum off the tier (counts add — the cascade identity),
+    one rank-pick per period per q, deltas joined per source.  Raw is
+    never re-scanned; cost is two tier-frame groupBys + the tiny
+    per-period quantile extraction.
+
+    ``in_a`` / ``in_b`` are boolean Columns over tier rows (bucket
+    ranges).  Sources present in only one period drop (inner join —
+    same policy as kmv_overlap).  Values are exact: bin/scale with the
+    tier's lossless discretization, deltas differences of those.
+    Output: ``source`` then per q: ``p{q}_a, p{q}_b, d_p{q}``.
+    """
+    def period(pred, tag):
+        h = (
+            hist_df.filter(pred)
+            .groupBy("source", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("bucket", F.lit(tag))
+        )
+        out = hist_quantiles(h, list(qs), scale=scale).drop("bucket")
+        cols = [F.col("source")]
+        for q in qs:
+            name = f"p{round(q * 100):d}"
+            cols.append(F.col(name).alias(f"{name}_{tag}"))
+        return out.select(*cols)
+
+    j = period(in_a, "a").join(period(in_b, "b"), "source")
+    sel = [F.col("source")]
+    for q in qs:
+        name = f"p{round(q * 100):d}"
+        sel += [
+            F.col(f"{name}_a"), F.col(f"{name}_b"),
+            (F.col(f"{name}_b") - F.col(f"{name}_a")).alias(f"d_{name}"),
+        ]
+    return j.select(*sel)

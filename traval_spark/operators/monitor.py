@@ -64,6 +64,7 @@ __all__ = [
     "forecast_backtest",
     "ks_drift", "ks_from_hists", "mann_whitney", "mw_from_hists",
     "mann_kendall", "acf_lags", "ljung_box", "dominant_period",
+    "fano_dispersion",
     "bucket_count_signal", "counts_from_tier",
 ]
 
@@ -1348,6 +1349,60 @@ def ks_drift(
         ).agg(F.count("*").alias(cname))
 
     return ks_from_hists(hist(df_a, "ca"), hist(df_b, "cb"), by=by)
+
+
+def fano_dispersion(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) per series over the
+    zero-filled bucket-count signal — the burstiness gate the queueing
+    literature uses: variance / mean of the per-bucket counts.  A
+    Poisson arrival stream sits at 1; > 1 is bursty/clumped (sessions,
+    batch ingest), < 1 is regular/paced (schedulers, rate limiters) —
+    the one-number answer to "is this source's traffic machine-paced
+    or bursty?" that decides whether a rollup tier needs salting.
+
+    Exactness via cleared denominators (the acf_lags convention): with
+    S = sum c, Q = sum c^2 and n buckets,
+
+        fano = (n*Q - S^2) / (n*S)
+
+    — numerator and denominator EXACT decimal integers off one
+    partial-aggregatable groupBy, a single division, rounded
+    ``ndigits``.  Empty series (S = 0) report NULL.  ``over_dispersed``
+    = fano > 1 with both sides rounded (the usual last-ulp guard).
+    Tier-servable via ``counts=`` like every signal monitor.  Output:
+    ``g, n_buckets, mean_c, fano, over_dispersed``.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    g = sig.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+        ).alias("__q"),
+    )
+    n = F.col("n_buckets").cast("decimal(38,0)")
+    num = n * F.col("__q") - F.col("__s") * F.col("__s")
+    den = n * F.col("__s")
+    fano = F.round(num.cast("double") / den.cast("double"), ndigits)
+    return g.select(
+        "g", "n_buckets",
+        F.round(
+            F.col("__s").cast("double")
+            / F.col("n_buckets").cast("double"), ndigits
+        ).alias("mean_c"),
+        F.when(F.col("__s") > 0, fano).alias("fano"),
+        F.when(F.col("__s") > 0,
+               (fano > 1.0).cast("int")).alias("over_dispersed"),
+    )
 
 
 def mw_from_hists(
