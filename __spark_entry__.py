@@ -1448,6 +1448,17 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(_docs(spark, sf_dir), k=64)
 
 
+def q_doc_entropy(spark, sf_dir):
+    """Per-doc unigram entropy (text.py:doc_entropy): distributional-
+    collapse quality signal, computed SHUFFLE-FREE — the token multiset
+    never leaves its row (sorted-array run-length fold, whole-stage
+    codegen projection; the per-source read explodes because its
+    groups span rows, a per-doc group IS the row)."""
+    from traval_spark.operators.text import doc_entropy
+
+    return doc_entropy(_docs(spark, sf_dir))
+
+
 def q_quality(spark, sf_dir):
     from traval_spark.operators.text import quality_columns
 
@@ -3358,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swing_reconstruct": q_swing_reconstruct,
         "lev_verify": q_lev_verify,
         "zipf_fit": q_zipf_fit,
+        "doc_entropy": q_doc_entropy,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "offset_detection": q_offset_detection,
@@ -4511,6 +4523,24 @@ def oracle_sql() -> dict[str, str]:
                                     order by cnt desc, tok) AS rn
           from c)
     select source, tok, cnt from r where rn <= 5
+    """
+    # per-doc entropy: ln n - (sum c ln c)/n over per-doc token runs
+    sql["doc_entropy"] = """
+    with t as (select doc_id,
+                      unnest(regexp_split_to_array(text, '\\s+')) AS tok
+               from documents),
+    c as (select doc_id, tok, count(*) AS c from t group by 1, 2),
+    g as (select doc_id, cast(sum(c) AS bigint) AS n_toks,
+                 count(*) AS n_distinct,
+                 sum(cast(c AS double) * ln(c)) AS s
+          from c group by doc_id)
+    select d.doc_id,
+           coalesce(g.n_toks, 0) AS n_toks,
+           g.n_distinct,
+           case when g.n_toks > 0
+                then round(ln(g.n_toks) - g.s / g.n_toks, 6) end
+             AS entropy
+    from documents d left join g using (doc_id)
     """
     # Zipf OLS on the same count table: identical rank tie-break,
     # identical closed forms, 6dp rounding

@@ -140,7 +140,8 @@ def main() -> None:
         "sliding_from_tier", "pad_sequences",
         "gapfill_ffill", "gorilla_roundtrip", "offset_detection",
         "manual_obs_shift", "pastas_pi_bounds",
-        "token_counts", "top_tokens", "quality_score", "fingerprint",
+        "token_counts", "top_tokens", "quality_score", "doc_entropy",
+        "fingerprint",
         "lm_score", "bpe_pairs", "bpe_apply", "bm25",
         "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",

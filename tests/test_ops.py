@@ -1924,3 +1924,24 @@ def test_knn_recall_hand_case_and_missed_query(spark):
     got = {r["qid"]: r for r in knn_recall(brute, approx, k=5).collect()}
     assert got[1]["hits"] == 3 and abs(got[1]["recall"] - 0.6) < 1e-9
     assert got[2]["hits"] == 0 and got[2]["recall"] == 0.0
+
+
+def test_doc_entropy_hand_values(spark):
+    """'a a a a' -> 0 (collapse), 'a b c d' -> ln 4 (uniform),
+    'a a b b' -> ln 2; distinct counts from the same fold."""
+    import math
+
+    import pandas as pd
+
+    from traval_spark.operators.text import doc_entropy
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a a", "a b c d", "a a b b"],
+    }))
+    got = {r["doc_id"]: r for r in doc_entropy(d).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_distinct"] == 1
+    assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 1e-9
+    assert got[2]["n_distinct"] == 4
+    assert abs(got[3]["entropy"] - round(math.log(2), 6)) < 1e-9
+    assert got[3]["n_toks"] == 4 and got[3]["n_distinct"] == 2

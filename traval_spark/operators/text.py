@@ -828,3 +828,62 @@ def zipf_fit(
         F.when((den > 0) & (deny > 0), F.round(
             num * num / (den * deny), ndigits)).alias("r2"),
     )
+
+
+def doc_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-DOCUMENT unigram entropy — the row-level quality signal next
+    to the per-source :func:`source_entropy` (a low-entropy doc repeats
+    its own tokens: keyword stuffing, boilerplate, degenerate
+    generations — the Gopher-style repetition gates catch structural
+    repeats, this catches distributional collapse in one number).
+
+    Shuffle-free by construction: the token multiset never leaves its
+    row — sort the token array, run-length it with ONE ``aggregate()``
+    fold (state: current run token/length + the running Σ c·ln c and
+    distinct count), and
+
+        entropy = ln n − (Σ c·ln c)/n        (nats)
+
+    so the whole read is a per-row whole-stage-codegen projection; no
+    explode, no groupBy, nothing corpus-scale shuffles (the per-source
+    read explodes because its groups SPAN rows; a per-doc group is the
+    row).  Σ c·ln c accumulates in sorted-token order (deterministic);
+    rounded ``ndigits`` per the source_entropy convention.  NULL text
+    and empty token lists report NULL entropy.  Output: ``id_col,
+    n_toks, n_distinct, entropy``.
+    """
+    toks = ws_tokens(F.col(text_col))
+    # fold state: (prev token, current run length, sum of c*ln(c) over
+    # CLOSED runs, distinct-count so far incl. the open run)
+    fold = """aggregate(
+      slice(__st, 2, greatest(size(__st) - 1, 0)),
+      named_struct('p', element_at(__st, 1), 'r', 1L,
+                   's', cast(0.0 as double), 'd', 1L),
+      (acc, e) -> IF(e = acc.p,
+        named_struct('p', acc.p, 'r', acc.r + 1L, 's', acc.s,
+                     'd', acc.d),
+        named_struct('p', e, 'r', 1L,
+                     's', acc.s + cast(acc.r as double) * ln(acc.r),
+                     'd', acc.d + 1L)),
+      acc -> named_struct(
+        's', acc.s + cast(acc.r as double) * ln(acc.r), 'd', acc.d))"""
+    out = docs.select(
+        F.col(id_col),
+        F.array_sort(toks).alias("__st"),
+    ).select(
+        id_col,
+        F.size("__st").alias("n_toks"),
+        F.when(F.size("__st") > 0, F.expr(fold)).alias("__f"),
+    )
+    n = F.col("n_toks").cast("double")
+    ent = F.log(n) - F.col("__f")["s"] / n
+    return out.select(
+        id_col, "n_toks",
+        F.col("__f")["d"].alias("n_distinct"),
+        F.when(F.col("n_toks") > 0, F.round(ent, ndigits)).alias("entropy"),
+    )
