@@ -2036,6 +2036,17 @@ def q_ann_ivf_topk(spark, sf_dir):
                     nprobe=IVF_NPROBE)
 
 
+def q_label_sim(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids
+    (similarity.py:label_centroid_sim): the are-my-labels-actually-
+    distinct read ahead of label-level mixture/dedup decisions; one
+    partial-aggregatable posexplode->avg corpus pass, everything else
+    on |labels|-sized frames with ordered folds."""
+    from traval_spark.operators.similarity import label_centroid_sim
+
+    return label_centroid_sim(_emb(spark, sf_dir))
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@k audit of the IVF-probed KNN join against the exact
     brute join (similarity.py:knn_recall): per query-batch row, how
@@ -3449,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_join_ivf": q_knn_join_ivf,
         "ann_recall": q_ann_recall,
+        "label_sim": q_label_sim,
         "cos_dup_pairs": q_cos_dup_pairs,
         "cos_dup_pairs_lsh": q_cos_dup_pairs_lsh,
         "cos_dup_pairs_multi": q_cos_dup_pairs_multi,
@@ -5178,6 +5190,25 @@ def oracle_sql() -> dict[str, str]:
     select qid, nn_id, cos, rank from ranked where rank <= 5
     """
 
+    # centroid cosines: avg per (label, dim) then list_dot_product on
+    # ordered re-assembled centroid lists
+    sql["label_sim"] = """
+    with pe as (select label AS lbl, t.i - 1 AS pos,
+                       (embedding::DOUBLE[])[t.i] AS m
+                from embeddings,
+                     unnest(generate_series(1, len(embedding)))
+                       AS t(i)),
+    cent as (select lbl, pos, avg(m) AS m from pe group by 1, 2),
+    arr as (select lbl, list(m ORDER BY pos) AS c from cent group by lbl),
+    n as (select label AS lbl, count(*) AS n from embeddings group by 1),
+    side as (select arr.lbl, arr.c, n.n from arr join n using (lbl))
+    select a.lbl AS label_a, b.lbl AS label_b,
+           cast(a.n AS bigint) AS n_a, cast(b.n AS bigint) AS n_b,
+           round(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 6) AS cos
+    from side a join side b on a.lbl < b.lbl
+    """
     # recall audit = pure composition of the two path oracles: per
     # brute-side query, |approx ∩ brute| / k with missed queries kept
     sql["ann_recall"] = f"""

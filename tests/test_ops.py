@@ -1945,3 +1945,25 @@ def test_doc_entropy_hand_values(spark):
     assert got[2]["n_distinct"] == 4
     assert abs(got[3]["entropy"] - round(math.log(2), 6)) < 1e-9
     assert got[3]["n_toks"] == 4 and got[3]["n_distinct"] == 2
+
+
+def test_label_centroid_sim_hand_values(spark):
+    """Labels along +x and +y axes: centroid cosine 0; identical-
+    direction labels: cosine 1; counts carried per label."""
+    import pandas as pd
+
+    from traval_spark.operators.similarity import label_centroid_sim
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5],
+        "embedding": [[1.0, 0.0], [3.0, 0.0],      # x: centroid (2, 0)
+                      [0.0, 2.0], [0.0, 4.0],      # y: centroid (0, 3)
+                      [5.0, 0.0]],                  # x2: centroid (5, 0)
+        "label": ["x", "x", "y", "y", "x2"],
+    }))
+    got = {(r["label_a"], r["label_b"]): r
+           for r in label_centroid_sim(d).collect()}
+    assert got[("x", "y")]["cos"] == 0.0
+    assert got[("x", "x2")]["cos"] == 1.0
+    assert got[("x2", "y")]["cos"] == 0.0
+    assert got[("x", "y")]["n_a"] == 2 and got[("x", "y")]["n_b"] == 2

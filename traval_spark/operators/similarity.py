@@ -947,3 +947,58 @@ def knn_recall(
             ).alias("recall"),
         )
     )
+
+
+def label_centroid_sim(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    cluster-closeness read a mixture designer runs before trusting
+    label-level decisions (two labels whose centroids sit at cos 0.99
+    are one population wearing two names; semantic dedup thresholds and
+    per-label sampling rates both assume labels are actually distinct).
+
+    Plan shape built for corpus scale even though the output is tiny:
+    the ONLY corpus-scale pass is ``posexplode -> groupBy(label, pos)
+    avg`` — partial-aggregatable, state bounded by |labels| x dim per
+    task; centroids then reassemble to arrays (ordered collect on the
+    |labels| x dim frame) and the pairwise cosine runs on the
+    |labels|^2 frame with ordered ``zip_with``/``aggregate`` folds
+    (deterministic accumulation).  The component means are the one
+    unordered float reduction (engine noise ~1e-16); the cosine rounds
+    ``ndigits``.  Output: ``label_a, label_b, n_a, n_b, cos`` with
+    ``label_a < label_b``.
+    """
+    pe = emb.select(F.col(label_col).alias("lbl"),
+                    F.posexplode(F.col(vec_col)))
+    cent = (
+        pe.groupBy("lbl", "pos").agg(F.avg("col").alias("m"))
+        .groupBy("lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+             .alias("__s"))
+        .select("lbl",
+                F.expr("transform(__s, x -> x.m)").alias("c"))
+    )
+    n = emb.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).alias("n"))
+    side = cent.join(n, "lbl")
+    a = side.select(F.col("lbl").alias("label_a"), F.col("c").alias("ca"),
+                    F.col("n").alias("n_a"))
+    b = side.select(F.col("lbl").alias("label_b"), F.col("c").alias("cb"),
+                    F.col("n").alias("n_b"))
+    j = a.crossJoin(b).filter(F.col("label_a") < F.col("label_b"))
+
+    def dot(x, y):
+        return F.expr(
+            f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    cos = dot("ca", "cb") / (
+        F.sqrt(dot("ca", "ca")) * F.sqrt(dot("cb", "cb"))
+    )
+    return j.select("label_a", "label_b", "n_a", "n_b",
+                    F.round(cos, ndigits).alias("cos"))
