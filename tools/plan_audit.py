@@ -56,7 +56,7 @@ BROADCAST_CROSS_ALLOWED = {
     # tiny-frame pair enumerations: O(sources^2) / O(m^2) on frames
     # the size of the source list or bucket signal, never the corpus
     "source_overlap", "join_blowup", "theil_sen", "theil_sen_tiered",
-    "spearman_pairs", "mann_kendall",
+    "spearman_pairs", "mann_kendall", "fano_dispersion", "label_sim",
     # broadcast params/manual-obs dimension crossed per series
     "pastas_pi_bounds", "manual_obs_compare", "manual_obs_shift",
     # range/point containment against broadcast-small literal frames
