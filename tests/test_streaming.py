@@ -1418,3 +1418,28 @@ def test_stream_range_join_matches_batch(spark, tmp_path):
     straddle = [x for x in streamed.collect()
                 if str(x["l_ts"]) < mid <= str(x["r_ts"])]
     assert len(straddle) > 0
+
+
+def test_swing_kernel_rounds_half_away_from_zero():
+    """The streaming kernel's fixed-point rounding must match the batch
+    paths' Spark F.round / DuckDB round (half AWAY from zero): at
+    value_scale=10, 0.25 -> 3 and -0.25 -> -3 (np.rint's half-even
+    would give 2 / -2 and flip door verdicts vs batch). Kernel driven
+    directly via the fake GroupState — no stream needed."""
+    import pandas as pd
+
+    from traval_spark.streaming.stateful_rules import make_swing_state_func
+
+    fn = make_swing_state_func(eps_scaled=1, value_scale=10)
+    f = pd.DataFrame({
+        "ts": pd.to_datetime([0, 1, 2], unit="s"),
+        "ident": ["1", "2", "3"],
+        "value": [0.25, -0.25, 0.85],
+    })
+    state = _FakeState()
+    list(fn(("s",), iter([f]), state))
+    ta, va, tp, vp, *_ = state.get
+    # first point anchored at v=round(2.5)=3 (half-even would say 2)
+    assert va == 3
+    # trailing candidate: 0.85*10 = 8.5 -> 9
+    assert vp == 9

@@ -845,8 +845,12 @@ def make_swing_state_func(eps_scaled: int, value_scale: int = 1):
         batch = batch.sort_values(["ts", "ident"])
         t_arr = (batch["ts"].to_numpy("datetime64[us]").astype("int64")
                  // 1000)
-        v_arr = np.rint(batch["value"].to_numpy(dtype=float)
-                        * value_scale).astype("int64")
+        # half-AWAY-from-zero, matching the batch paths' Spark
+        # F.round/DuckDB round (np.rint is half-even: 0.5*scale would
+        # round 0 here but 1 there and flip a door verdict)
+        x = batch["value"].to_numpy(dtype=float) * value_scale
+        v_arr = np.where(x >= 0, np.floor(x + 0.5),
+                         np.ceil(x - 0.5)).astype("int64")
         from traval_spark.compress import _swing_loop
 
         st = (tuple(int(x) for x in state.get) if state.exists else None)
