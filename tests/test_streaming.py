@@ -1437,9 +1437,11 @@ def test_swing_kernel_rounds_half_away_from_zero():
         "value": [0.25, -0.25, 0.85],
     })
     state = _FakeState()
-    list(fn(("s",), iter([f]), state))
-    ta, va, tp, vp, *_ = state.get
-    # first point anchored at v=round(2.5)=3 (half-even would say 2)
-    assert va == 3
-    # trailing candidate: 0.85*10 = 8.5 -> 9
-    assert vp == 9
+    import pandas as _pd
+    emitted = _pd.concat(list(fn(("s",), iter([f]), state)))
+    # first point emitted at v=round(2.5)=3 (half-even would say 2);
+    # the tight eps closes the doors at the third point, emitting the
+    # -2.5 -> -3 anchor too
+    assert emitted["v_i"].tolist() == [3, -3]
+    # trailing candidate pending in state: 0.85*10 = 8.5 -> 9
+    assert state.get[3] == 9
