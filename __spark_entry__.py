@@ -3354,6 +3354,108 @@ def q_acf_tiered(spark, sf_dir):
                     max_lag=6, bucket="1h")
 
 
+
+
+def q_mixture_conc(spark, sf_dir):
+    """One-row mixture-concentration census (sampling.py:
+    mixture_concentration): Gini / HHI / top-share of the per-source
+    whitespace-token totals — the is-one-source-about-to-dominate read
+    a mixture designer runs before picking mixture_sample fractions.
+    ONE partial-aggregatable corpus pass; the rank window sorts the
+    |sources|-sized totals frame, never raw; Gini and HHI assembled
+    from exact decimal integers, one division each (9dp)."""
+    from traval_spark.operators.sampling import mixture_concentration
+    from traval_spark.operators.text import token_count_ws
+
+    d = _docs(spark, sf_dir).select(
+        "source", token_count_ws(F.col("text")).alias("w")
+    )
+    return mixture_concentration(d, "w")
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit per event_type (monitor.py:
+    benford_digits): chi-square of the leading-significant-digit
+    distribution of |value| against log10(1+1/d) — the data-forensics
+    tripwire that needs no baseline window (PSI/KS compare two
+    periods; this tests SHAPE against an absolute law). Digits extract
+    engine-exactly via fixed-point int64 -> decimal string (no
+    log10/pow float tricks); one partial-aggregatable groupBy(g, digit)
+    over raw, then a <=9-rows-per-group assembly."""
+    from traval_spark.operators.monitor import benford_digits
+
+    return benford_digits(
+        _events(spark, sf_dir), value_col="value", by="event_type"
+    )
+
+
+def q_topk_churn(spark, sf_dir):
+    """Head-of-distribution churn served from the TOKEN HISTOGRAM TIER
+    (hist.py:topk_churn): per (source, 1h bucket), the exact top-5
+    token set vs the previous bucket's — n_added/n_dropped/jaccard.
+    The rank window runs on the vocab-bounded tier (raw scanned once
+    into the 1m tier, cascaded to 1h by count-sum, never re-read);
+    first bucket per source reports NULLs. Same tier feed as
+    toptok_1h."""
+    from traval_spark.hist import hist_cascade, hist_tier, topk_churn
+
+    s = _seqs_from(_docs(spark, sf_dir))
+    ts = F.to_timestamp_ntz(F.lit("2024-01-01")) + F.make_dt_interval(
+        F.lit(0), F.lit(0), (F.col("doc_id") % 600).cast("double"), F.lit(0.0)
+    )
+    tok_rows = s.select(
+        "source", ts.alias("ts"), F.explode("tokens").alias("tok")
+    )
+    t1h = hist_cascade(hist_tier(tok_rows, "1m", value_col="tok"), "1h")
+    return topk_churn(t1h, k=5)
+
+
+def q_rbo_drift(spark, sf_dir):
+    """Rank-biased overlap between two hash-split corpus halves' top-32
+    token rankings per source (text.py:rbo_overlap, Webber RBO_ext
+    p=0.9; the halves split on hash_uniform(doc_id) — the synth data's
+    source IS a function of doc_id, so a parity split would put every
+    source wholly in one half):
+    the top-weighted is-the-HEAD-still-the-same-list drift read next
+    to PSI/KS (which weigh the whole distribution). The per-token
+    regrouping turns the depth sum into ONE equi-join of two
+    k-rows-per-group frames + an element_at over driver-computed tail
+    literals — no d-spine, no range join; sources present in only one
+    half report rbo 0 over the union spine."""
+    from traval_spark.operators.sampling import hash_uniform
+    from traval_spark.operators.text import rbo_overlap, ws_tokens
+
+    d = _docs(spark, sf_dir)
+    u = hash_uniform(F.col("doc_id"), seed=7)
+
+    def counts(cond):
+        return (
+            d.filter(cond)
+            .select(
+                "source",
+                F.explode(ws_tokens(F.col("text"))).alias("tok"),
+            )
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return rbo_overlap(counts(u < 0.5), counts(u >= 0.5), k=32, p=0.9)
+
+
+def q_bigram_entropy(spark, sf_dir):
+    """Conditional next-token entropy per source (text.py:
+    bigram_entropy): the sequence-PREDICTABILITY diagnostic unigram
+    entropy misses — rich vocabulary with near-zero H(next|prev) is
+    templated markup/logs/boilerplate. Bigrams form ROW-LOCALLY (a
+    sequence transform over each doc's token array, no self-join) and
+    feed one partial-aggregatable groupBy(source, prev, next) count —
+    the only corpus-scale pass; marginals + assembly run on the
+    bigram-vocab-bounded frame; c*ln c sums rounded 6dp."""
+    from traval_spark.operators.text import bigram_entropy
+
+    return bigram_entropy(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -3381,6 +3483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_verify": q_lev_verify,
         "zipf_fit": q_zipf_fit,
         "doc_entropy": q_doc_entropy,
+        "mixture_conc": q_mixture_conc,
+        "benford": q_benford,
+        "topk_churn": q_topk_churn,
+        "rbo_drift": q_rbo_drift,
+        "bigram_entropy": q_bigram_entropy,
         "gapfill_ffill": q_gapfill_ffill,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "offset_detection": q_offset_detection,
@@ -3676,6 +3783,8 @@ _BC_STATS_SQL = """
 def oracle_sql() -> dict[str, str]:
     from traval_spark.operators.similarity import hyperplanes
     from traval_spark.operators.text import BPE_PATTERN, STOPWORDS
+    from traval_spark.operators.monitor import BENFORD_P
+    from traval_spark.operators.text import rbo_tail_weights
 
     sql: dict[str, str] = {}
 
@@ -7527,4 +7636,135 @@ def oracle_sql() -> dict[str, str]:
     # integer-exact, so the oracles ARE the raw constructions
     sql["theil_sen_tiered"] = sql["theil_sen"]
     sql["acf_tiered"] = sql["acf_lags"]
+
+    sql["mixture_conc"] = """
+    with t as (select source AS g,
+                      len(regexp_split_to_array(text, '\\s+')) AS w
+               from documents),
+    tot as (select g, cast(sum(w) AS hugeint) AS w from t group by g),
+    r as (select g, w,
+                 cast(row_number() over (order by w asc, g asc) AS hugeint)
+                   AS i
+          from tot),
+    a as (select count(*) AS n_groups, sum(w) AS wsum, sum(w * w) AS q,
+                 sum(i * w) AS iw,
+                 max(struct_pack(w := w, g := g)) AS top
+          from r)
+    select n_groups, cast(wsum AS bigint) AS total_w,
+           case when wsum > 0 then round(
+             (2 * iw - (n_groups + 1) * wsum) / (n_groups * wsum), 9)
+           end AS gini,
+           case when wsum > 0 then round(
+             q / (cast(wsum AS double) * cast(wsum AS double)), 9)
+           end AS hhi,
+           case when wsum > 0 then round(
+             cast(top.w AS double) / cast(wsum AS double), 9)
+           end AS top_share,
+           top.g AS top_g
+    from a
+    """
+    # Benford expected probabilities: the SAME repr-stable literals as
+    # monitor.BENFORD_P (neither engine computes log10 at query time)
+    benford_p = ", ".join(repr(x) for x in BENFORD_P)
+    sql["benford"] = f"""
+    with f as (select event_type AS g,
+                      cast(round(abs(value) * 1000.0) AS bigint) AS i
+               from events where value is not null),
+    d as (select g, cast(substr(cast(i AS varchar), 1, 1) AS int) AS dg
+          from f where i > 0),
+    c as (select g, dg, count(*) AS o from d group by 1, 2),
+    a as (select g, sum(o) AS n,
+                 sum(o * o / ([{benford_p}])[dg]) AS soop,
+                 sum(case when dg = 1 then o else 0 end) AS o1
+          from c group by g)
+    select g, cast(n AS bigint) AS n,
+           round(soop / n - n, 6) AS chi2,
+           round(o1 / (n + 0.0), 6) AS d1_share,
+           cast(round(soop / n - n, 6) <= 15.50731 AS int) AS benford_ok
+    from a
+    """
+    sql["topk_churn"] = f"""
+    with t as (select doc_id, source, {_TOKSEQ} tk from documents),
+    e as (select source,
+            date_trunc('hour', timestamp '2024-01-01'
+                       + (doc_id % 600) * interval 1 minute) AS bucket,
+            unnest(tk) AS bin
+          from t),
+    c as (select source, bucket, bin, count(*) AS cnt from e
+          group by 1, 2, 3),
+    r as (select *, row_number() over (partition by source, bucket
+                                       order by cnt desc, bin) AS rn
+          from c),
+    st as (select source, bucket, list_sort(list(bin)) AS cur
+           from r where rn <= 5 group by 1, 2),
+    l as (select source, bucket,
+                 lag(bucket) over (partition by source order by bucket)
+                   AS prev_bucket,
+                 cur,
+                 lag(cur) over (partition by source order by bucket)
+                   AS prv
+          from st)
+    select source, bucket, prev_bucket,
+           cast(len(cur) AS int) AS k_eff,
+           cast(case when prv is not null then
+             len(list_filter(cur, x -> not list_contains(prv, x)))
+           end AS int) AS n_added,
+           cast(case when prv is not null then
+             len(list_filter(prv, x -> not list_contains(cur, x)))
+           end AS int) AS n_dropped,
+           case when prv is not null then round(
+             len(list_intersect(cur, prv))
+             / (len(cur) + len(prv) - len(list_intersect(cur, prv)) + 0.0),
+             9)
+           end AS jaccard
+    from l
+    """
+    # RBO tail constants: the SAME driver-computed literals the Spark
+    # query ships (rbo_tail_weights(32, 0.9)); (1-p) and p^k/k likewise
+    rbo_tails = ", ".join(repr(x) for x in rbo_tail_weights(32, 0.9))
+    sql["rbo_drift"] = f"""
+    with ta as (select source AS g,
+                       unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                from documents where {_HU.format(seed="'7'")} < 0.5),
+    ca as (select g, tok, count(*) AS cnt from ta group by 1, 2),
+    ra as (select g, tok, row_number() over (partition by g
+             order by cnt desc, tok) AS rn from ca qualify rn <= 32),
+    tb as (select source AS g,
+                       unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                from documents where {_HU.format(seed="'7'")} >= 0.5),
+    cb as (select g, tok, count(*) AS cnt from tb group by 1, 2),
+    rb as (select g, tok, row_number() over (partition by g
+             order by cnt desc, tok) AS rn from cb qualify rn <= 32),
+    j as (select a.g,
+                 ([{rbo_tails}])[greatest(a.rn, b.rn)] AS t
+          from ra a join rb b using (g, tok)),
+    per as (select g, count(*) AS n_common, sum(t) AS st
+            from j group by g),
+    spine as (select distinct g from
+              (select g from ra union all select g from rb))
+    select g, coalesce(n_common, 0) AS n_common,
+           round({1.0 - 0.9!r} * coalesce(st, 0.0)
+                 + {0.9 ** 32 / 32!r} * coalesce(n_common, 0), 6) AS rbo
+    from spine left join per using (g)
+    """
+    sql["bigram_entropy"] = """
+    with t as (select source AS g,
+                      regexp_split_to_array(text, '\\s+') AS tk
+               from documents),
+    b0 as (select g, unnest(list_zip(tk[1:len(tk) - 1], tk[2:len(tk)]))
+                    AS z
+           from t where len(tk) >= 2),
+    bi as (select g, z[1] AS p, z[2] AS nx, count(*) AS c
+           from b0 group by 1, 2, 3),
+    pf as (select g, p, sum(c) AS cp from bi group by 1, 2),
+    sb as (select g, sum(c) AS n_bigrams, count(*) AS n_bigram_types,
+                  sum(c * ln(c)) AS sbi from bi group by g),
+    sp as (select g, count(*) AS n_prefixes, sum(cp * ln(cp)) AS spf
+           from pf group by g)
+    select g, cast(n_bigrams AS bigint) AS n_bigrams, n_prefixes,
+           n_bigram_types,
+           round((spf - sbi) / n_bigrams, 6) AS cond_entropy,
+           round(exp((spf - sbi) / n_bigrams), 6) AS branching
+    from sb join sp using (g)
+    """
     return sql

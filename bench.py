@@ -134,6 +134,8 @@ def main() -> None:
         "dominant_period", "swing_reconstruct",
         "acf_lags", "ljung_box",
         "pmi_bigrams", "source_overlap", "source_entropy", "zipf_fit",
+        "mixture_conc", "benford", "topk_churn", "rbo_drift",
+        "bigram_entropy",
         "join_blowup",
         "phrase_search", "corpus_diff", "retention_preview",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",

@@ -332,3 +332,52 @@ def test_hist_quantile_drift_hand_and_cascade_served(spark):
     t1h = hist_cascade(t1m, "1h")
     r2 = hist_quantile_drift(t1h, *args, qs=(0.5, 0.95)).collect()[0]
     assert r.asDict() == r2.asDict()
+
+
+def test_topk_churn_hand_case(spark):
+    """Day 1 top-3 {1,2,3}; day 2 counts rank {1,4,5} (bin 6 misses the
+    cut) -> added {4,5}, dropped {2,3}, jaccard 1/5; first bucket
+    reports NULLs."""
+    from pyspark.sql import functions as F
+
+    from traval_spark.hist import topk_churn
+
+    h = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:00", 1, 10),
+         ("s", "2024-01-01 00:00:00", 2, 9),
+         ("s", "2024-01-01 00:00:00", 3, 8),
+         ("s", "2024-01-02 00:00:00", 1, 10),
+         ("s", "2024-01-02 00:00:00", 4, 9),
+         ("s", "2024-01-02 00:00:00", 5, 8),
+         ("s", "2024-01-02 00:00:00", 6, 1)],
+        "source string, bucket string, bin long, cnt long",
+    ).withColumn("bucket", F.to_timestamp_ntz("bucket"))
+    rows = topk_churn(h, k=3).orderBy("bucket").collect()
+    first, second = rows
+    assert first["k_eff"] == 3
+    assert first["n_added"] is None and first["jaccard"] is None
+    assert second["prev_bucket"] == first["bucket"]
+    assert second["n_added"] == 2 and second["n_dropped"] == 2
+    assert second["jaccard"] == 0.2
+
+
+def test_topk_churn_tie_break_matches_hist_topk(spark):
+    """Count ties resolve bin-ascending (the hist_topk rule), so the
+    sets — and hence the churn — are deterministic: bins 7 and 8 tie at
+    cnt 5; k=2 keeps {1,7} both days -> jaccard 1."""
+    from pyspark.sql import functions as F
+
+    from traval_spark.hist import topk_churn
+
+    h = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:00", 1, 9),
+         ("s", "2024-01-01 00:00:00", 7, 5),
+         ("s", "2024-01-01 00:00:00", 8, 5),
+         ("s", "2024-01-02 00:00:00", 1, 9),
+         ("s", "2024-01-02 00:00:00", 7, 5),
+         ("s", "2024-01-02 00:00:00", 8, 5)],
+        "source string, bucket string, bin long, cnt long",
+    ).withColumn("bucket", F.to_timestamp_ntz("bucket"))
+    rows = topk_churn(h, k=2).orderBy("bucket").collect()
+    assert rows[1]["n_added"] == 0 and rows[1]["n_dropped"] == 0
+    assert rows[1]["jaccard"] == 1.0

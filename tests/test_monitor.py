@@ -837,3 +837,44 @@ def test_fano_dispersion_hand_values(spark):
     b = got["bursty"]
     assert b["n_buckets"] == 3 and b["mean_c"] == 2.0
     assert b["fano"] == 4.0 and b["over_dispersed"] == 1
+
+
+def test_benford_digits_hand_values(spark):
+    """Values [1.0, 1.2, 25.0, 0.0, NULL, −3.5] -> digits 1,1,2,3 (zero
+    and NULL drop, sign ignored): n=4, chi2 = (Σo²/p)/n − n against the
+    shipped literals, d1_share 0.5; a 9-digit one-each spread is as
+    non-Benford as 4 rows get but still under the 8-df fence."""
+    from traval_spark.operators.monitor import BENFORD_P, benford_digits
+
+    ev = spark.createDataFrame(
+        [("x", 1.0), ("x", 1.2), ("x", 25.0), ("x", 0.0), ("x", None),
+         ("x", -3.5)],
+        "source string, value double",
+    )
+    r = benford_digits(ev).collect()[0]
+    exp = round((4 / BENFORD_P[0] + 1 / BENFORD_P[1] + 1 / BENFORD_P[2])
+                / 4 - 4, 6)
+    assert r["n"] == 4 and r["chi2"] == exp
+    assert r["d1_share"] == 0.5 and r["benford_ok"] == 1
+    # uniform-first-digit fabrication: chi2 = Σ(1/9)²·9/p − n form
+    fab = spark.createDataFrame(
+        [("u", float(d)) for d in range(1, 10)], "source string, value double"
+    )
+    r = benford_digits(fab).collect()[0]
+    exp = round(sum(1.0 / p for p in BENFORD_P) / 9 - 9, 6)
+    assert r["n"] == 9 and r["chi2"] == exp
+    assert r["d1_share"] == round(1 / 9, 6)
+
+
+def test_benford_digits_fixed_point_extraction(spark):
+    """Digit comes from the SCALED int64: 0.025 -> 25 -> digit 2;
+    |v| < 0.0005 rounds to 0 and drops (no leading digit exists)."""
+    from traval_spark.operators.monitor import benford_digits
+
+    ev = spark.createDataFrame(
+        [("x", 0.025), ("x", 0.0004), ("x", 0.0006)],
+        "source string, value double",
+    )
+    r = benford_digits(ev).collect()[0]
+    assert r["n"] == 2  # 0.0004 dropped; 0.025->25 (d=2), 0.0006->1 (d=1)
+    assert r["d1_share"] == 0.5

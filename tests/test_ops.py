@@ -1967,3 +1967,120 @@ def test_label_centroid_sim_hand_values(spark):
     assert got[("x", "x2")]["cos"] == 1.0
     assert got[("x2", "y")]["cos"] == 0.0
     assert got[("x", "y")]["n_a"] == 2 and got[("x", "y")]["n_b"] == 2
+
+
+def test_mixture_concentration_hand_values(spark):
+    """Weights 1/2/3 across three sources: W=6, sorted Σi·w = 14 ->
+    gini (2·14 − 4·6)/(3·6) = 4/18; hhi 14/36; top = c at 0.5."""
+    from traval_spark.operators.sampling import mixture_concentration
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "source string, w int"
+    )
+    r = mixture_concentration(df, "w").collect()[0]
+    assert r["n_groups"] == 3 and r["total_w"] == 6
+    assert r["gini"] == round(4 / 18, 9)
+    assert r["hhi"] == round(14 / 36, 9)
+    assert r["top_share"] == 0.5 and r["top_g"] == "c"
+
+
+def test_mixture_concentration_balance_and_monopoly(spark):
+    """Perfect balance -> gini 0, hhi 1/n; monopoly -> gini (n−1)/n,
+    hhi 1, top_share 1."""
+    from traval_spark.operators.sampling import mixture_concentration
+
+    eq = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5), ("d", 5)], "source string, w int"
+    )
+    r = mixture_concentration(eq, "w").collect()[0]
+    assert r["gini"] == 0.0 and r["hhi"] == 0.25
+    mono = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 12)], "source string, w int"
+    )
+    r = mixture_concentration(mono, "w").collect()[0]
+    assert r["gini"] == round(2 / 3, 9)
+    assert r["hhi"] == 1.0 and r["top_share"] == 1.0 and r["top_g"] == "c"
+
+
+def test_rbo_overlap_hand_cases(spark):
+    """Identical top-k lists -> RBO_ext exactly 1; disjoint -> 0 with
+    the union spine keeping both groups; swapping ranks 1<->2 drops
+    only the d=1 agreement term: (1−p)·Σ_{d≥2} p^(d−1) + p^k."""
+    from traval_spark.operators.text import rbo_overlap
+
+    ca = spark.createDataFrame(
+        [("s", f"t{i}", 100 - i) for i in range(5)],
+        "source string, tok string, cnt long",
+    )
+    r = rbo_overlap(ca, ca, k=5, p=0.9).collect()[0]
+    assert r["rbo"] == 1.0 and r["n_common"] == 5
+    cb = spark.createDataFrame(
+        [("s", f"u{i}", 100 - i) for i in range(5)],
+        "source string, tok string, cnt long",
+    )
+    r = rbo_overlap(ca, cb, k=5, p=0.9).collect()[0]
+    assert r["rbo"] == 0.0 and r["n_common"] == 0
+    swapped = spark.createDataFrame(
+        [("s", "t1", 100), ("s", "t0", 99)]
+        + [("s", f"t{i}", 100 - i) for i in range(2, 5)],
+        "source string, tok string, cnt long",
+    )
+    r = rbo_overlap(ca, swapped, k=5, p=0.9).collect()[0]
+    exp = round(
+        0.1 * sum(0.9 ** (d - 1) for d in range(2, 6)) + 0.9 ** 5, 6
+    )
+    assert r["rbo"] == exp and r["n_common"] == 5
+
+
+def test_rbo_overlap_one_sided_group(spark):
+    """A source present in only one period reports rbo 0 over the
+    union spine (a vanished source IS maximal churn)."""
+    from traval_spark.operators.text import rbo_overlap
+
+    ca = spark.createDataFrame(
+        [("only_a", "x", 3)], "source string, tok string, cnt long"
+    )
+    cb = spark.createDataFrame(
+        [("only_b", "x", 3)], "source string, tok string, cnt long"
+    )
+    got = {r["g"]: r for r in rbo_overlap(ca, cb, k=4, p=0.9).collect()}
+    assert got["only_a"]["rbo"] == 0.0 and got["only_a"]["n_common"] == 0
+    assert got["only_b"]["rbo"] == 0.0
+
+
+def test_bigram_entropy_hand_values(spark):
+    """'a b a b c': bigrams ab×2, ba, bc; prefixes a:2, b:2 ->
+    H(next|prev) = (4·ln2 − 2·ln2)/4 = ln2/2, branching √2. A fully
+    deterministic chain ('x y x y …' wraps nothing: every prefix has
+    one successor) -> H = 0, branching 1. Docs under 2 tokens drop."""
+    import math
+
+    from traval_spark.operators.text import bigram_entropy
+
+    d = spark.createDataFrame(
+        [("s", "a b a b c"), ("det", "x y z x y z x y z"), ("tiny", "q")],
+        "source string, text string",
+    )
+    got = {r["g"]: r for r in bigram_entropy(d).collect()}
+    s = got["s"]
+    assert s["n_bigrams"] == 4 and s["n_prefixes"] == 2
+    assert s["n_bigram_types"] == 3
+    assert s["cond_entropy"] == round(math.log(2) / 2, 6)
+    assert s["branching"] == round(math.sqrt(2), 6)
+    det = got["det"]
+    assert det["cond_entropy"] == 0.0 and det["branching"] == 1.0
+    assert "tiny" not in got  # no bigram can form
+
+
+def test_bigram_entropy_tokens_col(spark):
+    """The pre-tokenized graft shape feeds tokens_col= directly and
+    matches the text-mode hand value."""
+    import math
+
+    from traval_spark.operators.text import bigram_entropy
+
+    d = spark.createDataFrame(
+        [("s", [1, 2, 1, 2, 3])], "source string, tokens array<int>"
+    )
+    r = bigram_entropy(d, tokens_col="tokens").collect()[0]
+    assert r["cond_entropy"] == round(math.log(2) / 2, 6)

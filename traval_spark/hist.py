@@ -624,3 +624,60 @@ def hist_quantile_drift(
             (F.col(f"{name}_b") - F.col(f"{name}_a")).alias(f"d_{name}"),
         ]
     return j.select(*sel)
+
+
+def topk_churn(hist_df: DataFrame, k: int = 5, ndigits: int = 9) -> DataFrame:
+    """Period-over-period churn of the top-k bin SET, served straight
+    from a histogram tier at whatever coarseness the caller cascaded to
+    — over a token-id histogram this answers "how fast is each source's
+    token head turning over?": a crawl source whose top-k churns every
+    period is volatile news/chatter; one that never churns is static
+    boilerplate (and a sudden churn spike is an ingest-change tripwire
+    next to :func:`~traval_spark.operators.monitor.psi_drift`, which
+    weighs the whole distribution — this isolates the HEAD, where
+    training-token mass concentrates).
+
+    Per (source, bucket): the top-k set under :func:`hist_topk`'s exact
+    rule (count desc, bin asc — deterministic ties), compared to the
+    source's PREVIOUS bucket's set: ``n_added``/``n_dropped`` set
+    differences and ``jaccard`` overlap.  The first bucket of a source
+    reports NULLs (nothing to churn against).
+
+    Plan shape: the rank window runs on the tier frame (≤ |bins| rows
+    per (source, bucket), never raw); per-bucket sets assemble via
+    ``array_sort(collect_list)`` over exactly k rows; the lag window is
+    one row per (source, bucket) — all three stages shuffle on the same
+    source-dominant keys.  Set sizes are exact integers; jaccard is one
+    division rounded ``ndigits``.  Output: ``source, bucket,
+    prev_bucket, k_eff, n_added, n_dropped, jaccard``.
+    """
+    w = Window.partitionBy("source", "bucket").orderBy(
+        F.col("cnt").desc(), F.col("bin")
+    )
+    tops = (
+        hist_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .groupBy("source", "bucket")
+        .agg(F.array_sort(F.collect_list("bin")).alias("__set"))
+    )
+    lw = Window.partitionBy("source").orderBy("bucket")
+    cur, prev = F.col("__set"), F.lag("__set").over(lw)
+    both = tops.select(
+        "source", "bucket",
+        F.lag("bucket").over(lw).alias("prev_bucket"),
+        cur.alias("__cur"), prev.alias("__prev"),
+    )
+    inter = F.size(F.array_intersect(F.col("__cur"), F.col("__prev")))
+    union = (
+        F.size(F.col("__cur")) + F.size(F.col("__prev")) - inter
+    )
+    return both.select(
+        "source", "bucket", "prev_bucket",
+        F.size("__cur").alias("k_eff"),
+        F.size(F.array_except(F.col("__cur"), F.col("__prev")))
+        .alias("n_added"),
+        F.size(F.array_except(F.col("__prev"), F.col("__cur")))
+        .alias("n_dropped"),
+        F.round(inter.cast("double") / union.cast("double"), ndigits)
+        .alias("jaccard"),
+    )

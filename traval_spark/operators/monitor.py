@@ -64,7 +64,7 @@ __all__ = [
     "forecast_backtest",
     "ks_drift", "ks_from_hists", "mann_whitney", "mw_from_hists",
     "mann_kendall", "acf_lags", "ljung_box", "dominant_period",
-    "fano_dispersion",
+    "fano_dispersion", "benford_digits",
     "bucket_count_signal", "counts_from_tier",
 ]
 
@@ -1756,4 +1756,88 @@ def ljung_box(
                 F.max(n * (n + 2.0)) * F.sum(term), ndigits
             ).alias("q"),
         )
+    )
+
+
+#: chi-square critical value at 8 degrees of freedom, alpha = 0.05 — the
+#: Benford first-digit test has 9 categories, hence 8 df.
+_CHI2_8DF_05 = 15.50731
+#: Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9,
+#: as repr-stable literals shared verbatim with the DuckDB oracle (the
+#: forecast_backtest coefficient convention — neither engine computes a
+#: log at query time, so there is no libm to disagree about).
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "source",
+    scale: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benford first-significant-digit audit per group — the classic
+    data-forensics read over a measure column: naturally-grown
+    magnitudes (populations, latencies spanning decades, financial
+    amounts) follow ``P(d) = log10(1 + 1/d)``; fabricated, clipped,
+    defaulted, or unit-mangled feeds don't.  A per-source chi-square
+    against the Benford law is the cheap "did this ingest change how
+    its numbers are made?" tripwire next to the distribution monitors
+    (PSI/KS watch drift between two windows; this tests SHAPE against
+    an absolute law, no baseline window needed).
+
+    Digit extraction is engine-exact: values are fixed-pointed first
+    (``round(|v|·scale)`` as int64 — the repo's standard scaling, both
+    engines round the identical double half-away-from-zero), zeros and
+    NULLs drop (no leading digit), and the first digit is character 1
+    of the INTEGER's decimal string — integer-to-string is
+    bit-identical everywhere, so no ``log10``/``pow`` float tricks can
+    flip a digit cross-engine.
+
+    Statistic: with per-digit counts o_d and n = Σo_d,
+
+        chi2 = Σ_d (o_d − n·p_d)²/(n·p_d) = (Σ_d o_d²/p_d)/n − n
+
+    — the algebraic form means digits with ZERO observations need no
+    zero-fill row (they contribute nothing to Σ o²/p).  o_d and n are
+    exact integers; Σ o²/p is the only float reduction (≤ 9 terms,
+    rounded ``ndigits``).  ``benford_ok`` = chi2 ≤ 15.50731 (8 df,
+    alpha = 0.05), both sides rounded before comparing (the usual
+    last-ulp guard).  ``d1_share`` = leading-1 fraction (Benford
+    expects 0.30103) as the human-readable companion number.
+
+    Plan shape for 100 TB: ONE partial-aggregatable groupBy(by, digit)
+    count over raw (map-side combine bounds the stream at ≤ 9 rows per
+    group per task), then a ≤ 9-rows-per-group assembly.  Output:
+    ``g, n, chi2, d1_share, benford_ok``.
+    """
+    fixed = F.round(F.abs(F.col(value_col)) * F.lit(float(scale)), 0).cast(
+        "long"
+    )
+    digit = F.substring(F.col("__i").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.select(F.col(by).alias("g"), fixed.alias("__i"))
+        .filter(F.col("__i") > 0)
+        .select("g", digit.alias("d"))
+        .groupBy("g", "d")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    p = F.element_at(F.array(*[F.lit(x) for x in BENFORD_P]), F.col("d"))
+    o = F.col("o").cast("double")
+    g = counts.groupBy("g").agg(
+        F.sum("o").alias("n"),
+        F.sum(o * o / p).alias("__soop"),
+        F.sum(F.when(F.col("d") == 1, F.col("o")).otherwise(F.lit(0)))
+        .alias("__o1"),
+    )
+    n = F.col("n").cast("double")
+    chi2 = F.round(F.col("__soop") / n - n, ndigits)
+    return g.select(
+        "g", "n", chi2.alias("chi2"),
+        F.round(F.col("__o1").cast("double") / n, ndigits).alias("d1_share"),
+        (chi2 <= F.lit(_CHI2_8DF_05)).cast("int").alias("benford_ok"),
     )

@@ -479,3 +479,85 @@ def recency_budget(
         (F.col("__off") + F.col("__before_loc")) < budget
     )
     return joined.filter(keep).drop("__before_loc", "__off")
+
+
+def mixture_concentration(
+    df: DataFrame,
+    weight_col: str,
+    by: str = "source",
+    ndigits: int = 9,
+) -> DataFrame:
+    """One-row concentration census of a training mixture — the "is one
+    source about to dominate this blend?" read a mixture designer runs
+    BEFORE picking :func:`mixture_sample` fractions or trusting a
+    per-source dedup threshold.  Three standard concentration numbers
+    over the per-group totals of ``weight_col`` (token counts, bytes,
+    doc counts — any non-negative integer weight):
+
+    - ``gini``: the Lorenz-curve Gini coefficient,
+      ``(2·Σ i·w_(i) − (n+1)·W) / (n·W)`` with w ascending (0 = every
+      source equal, →1 = one source holds everything);
+    - ``hhi``: Herfindahl–Hirschman index ``Σ (w_g/W)²`` (the
+      antitrust-literature number; 1/n at perfect balance, 1.0 at
+      monopoly);
+    - ``top_share``: the largest single group's weight fraction, with
+      the group name (``top_g``; weight ties break to the
+      lexicographically LARGEST name — max over the (w, g) struct).
+
+    Plan shape for 100 TB: ONE partial-aggregatable groupBy(by) sum is
+    the only corpus-scale pass; everything after runs on the
+    |groups|-sized totals frame (the rank window sorts n rows, not the
+    corpus).  Exactness: with integer weights, W, Σw², and the Gini
+    numerator/denominator are EXACT decimal(38,0) integers — each
+    ratio is ONE float division rounded ``ndigits``, engine-identical.
+    Rank ties (equal weights) cannot perturb Gini: Σ i·w over a tied
+    block is order-invariant because w is constant inside the block.
+    Empty input returns an empty frame.  Output: ``n_groups, total_w,
+    gini, hhi, top_share, top_g``.
+    """
+    totals = df.groupBy(F.col(by).alias("g")).agg(
+        F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("w")
+    )
+    rw = Window.orderBy(F.col("w").asc(), F.col("g").asc())
+    ranked = totals.select(
+        "g", "w", F.row_number().over(rw).cast("decimal(38,0)").alias("i")
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("w").alias("__W"),
+        F.sum(F.col("w") * F.col("w")).alias("__Q"),
+        F.sum(F.col("i") * F.col("w")).alias("__IW"),
+        F.max(F.struct(F.col("w"), F.col("g"))).alias("__top"),
+    )
+    n = F.col("n_groups").cast("decimal(38,0)")
+    W = F.col("__W")
+    gini_num = F.lit(2).cast("decimal(38,0)") * F.col("__IW") - (
+        n + F.lit(1).cast("decimal(38,0)")
+    ) * W
+    gini_den = n * W
+    return g.select(
+        "n_groups",
+        W.cast("long").alias("total_w"),
+        F.when(
+            W > 0,
+            F.round(
+                gini_num.cast("double") / gini_den.cast("double"), ndigits
+            ),
+        ).alias("gini"),
+        F.when(
+            W > 0,
+            F.round(
+                F.col("__Q").cast("double")
+                / (W.cast("double") * W.cast("double")),
+                ndigits,
+            ),
+        ).alias("hhi"),
+        F.when(
+            W > 0,
+            F.round(
+                F.col("__top")["w"].cast("double") / W.cast("double"),
+                ndigits,
+            ),
+        ).alias("top_share"),
+        F.col("__top")["g"].alias("top_g"),
+    )

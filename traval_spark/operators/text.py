@@ -887,3 +887,163 @@ def doc_entropy(
         F.col("__f")["d"].alias("n_distinct"),
         F.when(F.col("n_toks") > 0, F.round(ent, ndigits)).alias("entropy"),
     )
+
+
+def rbo_tail_weights(k: int, p: float) -> list[float]:
+    """Rank-biased-overlap tail constants: ``tail[m] = Σ_{d=m..k}
+    p^(d−1)/d`` for m = 1..k, computed ONCE driver-side (plain Python
+    floats, summed high-d-first so the recurrence is a single add per
+    term) and shipped into both engines as literals — the
+    forecast_backtest coefficient convention: no query-time ``pow``
+    for libm to disagree about."""
+    tails = [0.0] * (k + 1)
+    acc = 0.0
+    for d in range(k, 0, -1):
+        acc += p ** (d - 1) / d
+        tails[d - 1] = acc
+    return tails[:k]
+
+
+def rbo_overlap(
+    ca: DataFrame,
+    cb: DataFrame,
+    k: int = 64,
+    p: float = 0.9,
+    by: str = "source",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS'10) between two periods'
+    top-k token RANKINGS per group — the head-of-distribution drift
+    read next to PSI/KS/MW (those weigh the whole value distribution;
+    RBO asks "is the head still the same list in the same order?",
+    top-weighted so a swap at rank 2 moves the number far more than one
+    at rank 60 — exactly how training-token mass concentrates).
+
+    Inputs are two count frames ``(by, tok, cnt)`` (one per period —
+    the same vocab-bounded shape :func:`top_tokens` reduces to).  Each
+    side ranks cnt desc / tok asc (deterministic ties), truncates at
+    ``k``; the truncated RBO is
+
+        RBO = (1−p) · Σ_{d=1..k} p^(d−1) · X_d / d
+
+    with X_d = |top_d(A) ∩ top_d(B)|, plus Webber's extrapolation term
+    ``p^k · X_k / k`` (RBO_ext: assume the depth-k agreement holds
+    beyond the truncation, so IDENTICAL lists score exactly 1.0 rather
+    than 1 − p^k).  A token in both lists at ranks (ra, rb) enters
+    every X_d with d ≥ max(ra, rb), so the double sum regroups per
+    token:  RBO = (1−p) · Σ_tokens tail[max(ra, rb)] + p^k·X_k/k with
+    :func:`rbo_tail_weights` literals — ONE equi-join of two k-rows-
+    per-group frames and one element_at, no d-spine, no range join
+    (X_k is just ``n_common``: both ranks are ≤ k by construction).
+    1.0 = identical lists, 0 = disjoint heads; groups present in only
+    one period report rbo 0 over the union spine (a vanished source IS
+    maximal churn — the knn_recall missed-query convention).  The
+    per-group Σ tail is the only float reduction (≤ k terms, rounded
+    ``ndigits``).  Output: ``g, n_common, rbo``.
+    """
+    tails = rbo_tail_weights(int(k), float(p))
+    tail_arr = F.array(*[F.lit(t) for t in tails])
+
+    def _ranked(cf: DataFrame, rname: str) -> DataFrame:
+        w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("tok"))
+        return (
+            cf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(k))
+            .select(F.col(by).alias("g"), "tok",
+                    F.col("__rn").alias(rname))
+        )
+    ra, rb = _ranked(ca, "ra"), _ranked(cb, "rb")
+    joined = ra.join(rb, ["g", "tok"]).select(
+        "g", F.element_at(tail_arr, F.greatest("ra", "rb")).alias("__t")
+    )
+    per = joined.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("__t").alias("__st"),
+    )
+    spine = ra.select("g").union(rb.select("g")).distinct()
+    ext = F.lit(float(p) ** int(k) / int(k))
+    nc = F.coalesce("n_common", F.lit(0))
+    return spine.join(per, "g", "left").select(
+        "g",
+        nc.alias("n_common"),
+        F.round(
+            F.lit(1.0 - float(p)) * F.coalesce("__st", F.lit(0.0))
+            + ext * nc.cast("double"),
+            ndigits,
+        ).alias("rbo"),
+    )
+
+
+def bigram_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    tokens_col: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Conditional next-token entropy H(next | prev) per source over
+    token bigrams — the PREDICTABILITY diagnostic next to
+    :func:`source_entropy` (unigram entropy says how diverse the token
+    MULTISET is; this says how templated the SEQUENCES are: a source
+    can have rich vocabulary yet near-zero conditional entropy when
+    every token determines its successor — markup, logs, generated
+    boilerplate — and such text is low-value training data that unigram
+    screens miss).
+
+    With bigram counts c_pn, prefix marginals c_p = Σ_n c_pn and
+    N = Σ c_pn:
+
+        H(next|prev) = (Σ_p c_p·ln c_p − Σ_pn c_pn·ln c_pn) / N   (nats)
+
+    ``branching`` = exp(H), the effective next-token choice count
+    (perplexity of the bigram model given the prefix).
+
+    Plan shape for 100 TB: bigrams form ROW-LOCALLY (a sequence
+    transform over each doc's token array — no self-join, no
+    posexplode pairing) and feed ONE partial-aggregatable
+    groupBy(by, prev, next) count — the only corpus-scale pass; the
+    prefix marginals are a second groupBy over that bigram-vocab-
+    bounded frame and the assembly is one per-group aggregate.  Counts
+    are exact integers; the two c·ln c sums are the only
+    order-dependent float reductions (rounded ``ndigits``, the
+    source_entropy convention).  Docs with < 2 tokens contribute
+    nothing; groups with zero bigrams are absent.  ``tokens_col=``
+    accepts the pre-tokenized graft shape directly (array column);
+    otherwise whitespace tokens of ``text_col``.  Output: ``g,
+    n_bigrams, n_prefixes, n_bigram_types, cond_entropy, branching``.
+    """
+    toks = (
+        F.col(tokens_col) if tokens_col
+        else ws_tokens(F.col(text_col))
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS p, "
+        "element_at(__toks, i + 1) AS nx))"
+    )
+    bi = (
+        docs.select(F.col(by).alias("g"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select("g", F.explode(pairs).alias("b"))
+        .groupBy("g", F.col("b.p").alias("p"), F.col("b.nx").alias("nx"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c").cast("double")
+    pref = bi.groupBy("g", "p").agg(F.sum("c").alias("cp"))
+    cp = F.col("cp").cast("double")
+    s_bi = bi.groupBy("g").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_bigram_types"),
+        F.sum(c * F.log(c)).alias("__sbi"),
+    )
+    s_pref = pref.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_prefixes"),
+        F.sum(cp * F.log(cp)).alias("__spf"),
+    )
+    n = F.col("n_bigrams").cast("double")
+    h = (F.col("__spf") - F.col("__sbi")) / n
+    return s_bi.join(s_pref, "g").select(
+        "g", "n_bigrams", "n_prefixes", "n_bigram_types",
+        F.round(h, ndigits).alias("cond_entropy"),
+        F.round(F.exp(h), ndigits).alias("branching"),
+    )
