@@ -2267,6 +2267,22 @@ def q_semantic_incremental(spark, sf_dir):
     )
 
 
+def q_kmeans_components(spark, sf_dir):
+    """Distributed k-means TRAINING state after two Lloyd passes from
+    the md5-seeded IVF centroids (similarity.py:kmeans_components) —
+    the iterative loop ivf_seed_centroids' one-pass seeding defers.
+    Per-iteration 6dp-rounded component means pin the whole trajectory
+    engine-exact (Spark side exact decimal sums, oracle avg noise
+    absorbed by the round), so the oracle unrolls BOTH passes in SQL:
+    seed -> argmax round(cos, 9) assignment (ties to smallest cid) ->
+    per-dim rounded avg -> repeat, then reads off the same
+    (cid, dim, m, n) long-form model artifact, empty clusters carried
+    at their previous centroid with n = 0."""
+    from traval_spark.operators.similarity import kmeans_components
+
+    return kmeans_components(_emb(spark, sf_dir), k=IVF_NLIST, iters=2)
+
+
 def _tpch(spark, sf_dir, name):
     _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -3574,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "semantic_keep": q_semantic_keep,
         "semantic_incremental": q_semantic_incremental,
+        "kmeans_components": q_kmeans_components,
         "roc_sweep": q_roc_sweep,
         "gopher_repetition": q_gopher_repetition,
         "dup_clusters": q_dup_clusters,
@@ -5078,6 +5095,71 @@ def oracle_sql() -> dict[str, str]:
     where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
             >= {COS_DUP_THR}
       and (a.vec_id % 10 = 0 or b.vec_id % 10 = 0)
+    """
+
+    # k-means training unrolled: two Lloyd passes from the md5-seeded
+    # centroids. Each pass = argmax round(cos, 9) assignment (ties to
+    # smallest cid — the ivf_assign_struct rule) then per-dim
+    # round(avg, 6) means; a cluster with no members carries its
+    # previous centroid (n = 0). The rounded means make iteration 2's
+    # centroid literals identical on both engines, so the trajectory
+    # (and the final (cid, dim, m, n) artifact) is engine-exact.
+    sql["kmeans_components"] = f"""
+    with cent0 as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings order by md5(CAST(vec_id AS VARCHAR))
+      limit {IVF_NLIST}),
+    e as (select vec_id, embedding::DOUBLE[] v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) n
+          from embeddings),
+    a1 as (
+      select vec_id, cid from (
+        select e.vec_id, c.cid,
+               row_number() over (
+                 partition by e.vec_id
+                 order by round(list_dot_product(e.v, c.ce)
+                                / (e.n * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from e, cent0 c)
+      where rn = 1),
+    m1 as (
+      select a1.cid, g.i - 1 AS dim, round(avg(e.v[g.i]), 6) AS m
+      from e join a1 using (vec_id),
+           unnest(generate_series(1, 64)) AS g(i)
+      group by a1.cid, g.i),
+    cent1 as (
+      select c0.cid,
+             case when count(m1.m) = 0 then c0.ce
+                  else list(m1.m order by m1.dim) end AS ce
+      from cent0 c0 left join m1 on m1.cid = c0.cid
+      group by c0.cid, c0.ce),
+    a2 as (
+      select vec_id, cid from (
+        select e.vec_id, c.cid,
+               row_number() over (
+                 partition by e.vec_id
+                 order by round(list_dot_product(e.v, c.ce)
+                                / (e.n * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from e, cent1 c)
+      where rn = 1),
+    m2 as (
+      select a2.cid, g.i - 1 AS dim, round(avg(e.v[g.i]), 6) AS m
+      from e join a2 using (vec_id),
+           unnest(generate_series(1, 64)) AS g(i)
+      group by a2.cid, g.i),
+    s2 as (select cid, count(*) AS n from a2 group by cid)
+    select CAST(c1.cid AS INTEGER) AS cid,
+           CAST(g.i - 1 AS INTEGER) AS dim,
+           coalesce(m2.m, c1.ce[g.i]) AS m,
+           CAST(coalesce(s2.n, 0) AS BIGINT) AS n
+    from cent1 c1
+    cross join unnest(generate_series(1, 64)) AS g(i)
+    left join m2 on m2.cid = c1.cid and m2.dim = g.i - 1
+    left join s2 on s2.cid = c1.cid
     """
 
     # IVF: centroids = IVF_NLIST rows with smallest md5(vec_id) (cid =

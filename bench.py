@@ -158,7 +158,7 @@ def main() -> None:
         "weighted_sample", "temperature_mix", "stratified_split",
         "vocab_coverage", "recency_budget",
         "cos_dup_pairs_lsh", "cos_dup_pairs_multi", "semantic_dup_pairs",
-        "semantic_keep",
+        "semantic_keep", "kmeans_components",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
         "pq_codes", "pq_adc_topk", "ann_ivfpq_topk",
         "knn_join_ivf", "ann_recall", "label_sim", "multimodal_meta",

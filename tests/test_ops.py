@@ -359,6 +359,66 @@ def test_lloyd_refine_deterministic_and_tightens(emb):
     assert mean_ccos(ref) > mean_ccos(cents)
 
 
+def test_kmeans_refine_rounded_trajectory_and_artifact(emb):
+    """kmeans_refine is lloyd_refine's trajectory with every component
+    mean rounded: iterating with mean_digits large enough to be lossless
+    reproduces lloyd_refine exactly; kmeans_components exposes the SAME
+    centroids long-form with sizes that total the corpus."""
+    from traval_spark.operators.similarity import (
+        ivf_seed_centroids,
+        kmeans_components,
+        kmeans_refine,
+        lloyd_refine,
+    )
+
+    cents = ivf_seed_centroids(emb, n_list=4)
+    # at 12 rounded digits the trajectory cannot diverge from the exact
+    # one on this well-separated cloud: same assignments, means equal to
+    # the rounding grid
+    wide = kmeans_refine(emb, k=4, iters=2, centroids=cents,
+                         mean_digits=12)
+    exact = lloyd_refine(emb, cents, iters=2)
+    assert [cid for cid, _ in wide] == [cid for cid, _ in exact]
+    for (_, cw), (_, ce) in zip(wide, exact):
+        assert cw == pytest.approx(ce, abs=1e-11)
+
+    ref = kmeans_refine(emb, k=4, iters=2, centroids=cents)
+    assert ref == kmeans_refine(emb, k=4, iters=2, centroids=cents)
+    assert [cid for cid, _ in ref] == [cid for cid, _ in cents]
+    # every component carries the 6dp contract
+    assert all(round(m, 6) == m for _, c in ref for m in c)
+
+    comp = kmeans_components(emb, k=4, iters=2, centroids=cents).collect()
+    assert len(comp) == 4 * 8  # k x dim long form
+    got = {}
+    sizes = {}
+    for r in comp:
+        got.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        sizes[r["cid"]] = r["n"]
+    assert sum(sizes.values()) == emb.count()
+    for cid, c in ref:
+        assert [got[cid][d] for d in range(8)] == c
+
+
+def test_kmeans_empty_cluster_carry(spark):
+    """A centroid that attracts no members keeps its previous position
+    and reports n = 0 — cid space is a contract with the IVF servers."""
+    from traval_spark.operators.similarity import kmeans_components
+
+    # two tight groups on the axes; a third seed points at -x and loses
+    # every vector to the 0/1 seeds from pass one onward
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0])
+            for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = [(0, [1.0, 0.1]), (1, [0.1, 1.0]), (2, [-1.0, -1.0])]
+    comp = kmeans_components(emb, iters=2, centroids=seeds).collect()
+    by = {(r["cid"], r["dim"]): r for r in comp}
+    assert by[(2, 0)]["n"] == 0
+    assert [by[(2, d)]["m"] for d in range(2)] == [-1.0, -1.0]
+    assert by[(0, 0)]["n"] == 5 and by[(1, 0)]["n"] == 5
+    assert by[(0, 0)]["m"] == 1.0 and by[(0, 1)]["m"] == 0.0
+
+
 def test_hyperplanes_deterministic():
     assert hyperplanes(2, 4, seed=42) == hyperplanes(2, 4, seed=42)
     assert hyperplanes(2, 4, seed=42) != hyperplanes(2, 4, seed=43)

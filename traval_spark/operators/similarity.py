@@ -475,35 +475,7 @@ def lloyd_refine(
     the literal-expression plan stops scaling; that regime wants the
     centroid table broadcast-joined instead (documented trade, same as
     ivf_topk)."""
-    cur = centroids
-    for _ in range(int(iters)):
-        # two selects: Spark's analyzer mis-resolves a struct-field
-        # extraction placed next to a generator (posexplode) in one
-        # projection (FIELD_NOT_FOUND against the generator's output)
-        assigned = emb.select(
-            ivf_assign_struct(vec_col, cur, ndigits)["cid"].alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        ).select("cid", F.posexplode("__v"))
-        # decimal sum, not F.avg(double): double partial-aggregate
-        # merges are shuffle-fetch-order dependent, so avg(double)
-        # gives bit-different centroids run-to-run on a multi-executor
-        # cluster. decimal(38,18) addition is exact (associative +
-        # commutative) — 20 integer digits of headroom over unit-norm
-        # coordinates — so the mean is layout-independent and the
-        # 'deterministic for a fixed input' contract holds off-sandbox.
-        means = (
-            assigned.groupBy("cid", "pos")
-            .agg(
-                (F.sum(F.col("col").cast("decimal(38,18)"))
-                 / F.count("col")).cast("double").alias("m")
-            )
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
-            .select("cid", F.transform("e", lambda s: s["m"]).alias("c"))
-            .collect()
-        )
-        got = {r["cid"]: list(r["c"]) for r in means}
-        cur = [(cid, got.get(cid, c)) for cid, c in cur]
+    cur, _ = _lloyd_loop(emb, centroids, iters, vec_col, ndigits, None)
     return cur
 
 
@@ -1002,3 +974,138 @@ def label_centroid_sim(
     )
     return j.select("label_a", "label_b", "n_a", "n_b",
                     F.round(cos, ndigits).alias("cos"))
+
+
+def _lloyd_loop(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iters: int,
+    vec_col: str,
+    assign_digits: int,
+    mean_digits: int | None,
+) -> tuple[list[tuple[int, list[float]]], dict[int, int]]:
+    """The ONE Lloyd implementation behind :func:`lloyd_refine` (exact
+    unrounded means, engine-internal) and :func:`kmeans_refine` /
+    :func:`kmeans_components` (means rounded ``mean_digits`` so the
+    whole trajectory is reproducible cross-engine — the oracle path).
+
+    Per iteration ONE corpus pass: assignment is the shuffle-free
+    :func:`ivf_assign_struct` projection from centroid literals; the
+    update is a partial-aggregatable ``posexplode -> groupBy(cid, pos)``
+    mean with reduced output only k x dim rows, collected to the driver
+    as the next pass's literals (the ivf_seed_centroids driver budget).
+    The component mean is an exact decimal(38,18) sum / count — NOT
+    avg(double), whose partial-merge order varies with shuffle fetch
+    timing — so centroids are layout-independent run-to-run; the cast
+    to double (and optional round) happens once per component.  A
+    cluster that loses all members carries its previous centroid
+    (standard empty-cluster rule, keeps cid space stable).  Returns
+    (centroids, sizes from the LAST pass's assignment)."""
+    cur = list(cents)
+    sizes: dict[int, int] = {}
+    for _ in range(int(iters)):
+        # two selects: Spark's analyzer mis-resolves a struct-field
+        # extraction placed next to a generator (posexplode) in one
+        # projection (FIELD_NOT_FOUND against the generator's output)
+        assigned = emb.select(
+            ivf_assign_struct(vec_col, cur, assign_digits)["cid"]
+            .alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).select("cid", F.posexplode("__v"))
+        m = (
+            F.sum(F.col("col").cast("decimal(38,18)")) / F.count("col")
+        ).cast("double")
+        if mean_digits is not None:
+            m = F.round(m, mean_digits)
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(m.alias("m"), F.count("col").alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m")))
+                .alias("e"),
+                F.max("n").alias("n"),
+            )
+            .select("cid", F.expr("transform(e, x -> x.m)").alias("c"),
+                    "n")
+            .collect()
+        )
+        got = {r["cid"]: list(r["c"]) for r in rows}
+        sizes = {r["cid"]: int(r["n"]) for r in rows}
+        cur = [(cid, got.get(cid, c)) for cid, c in cur]
+    return cur, sizes
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    mean_digits: int = 6,
+    assign_digits: int = 9,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the IVF coarse centroids — the iterative
+    TRAINING loop the one-pass :func:`ivf_seed_centroids` seeding
+    defers ("production would refine the seeds offline with a few
+    Lloyd passes"; this is that refinement, on the same engine).
+    Spherical-k-means flavor matching the serving path: assignment by
+    argmax ROUNDED cosine (``assign_digits``, ties to the smallest cid
+    — :func:`ivf_assign_col`'s exact rule, so trained centroids drop
+    into ivf_topk / ivf_knn_join / semantic_dup_pairs unchanged);
+    update = plain per-dimension component means (NOT re-normalized —
+    downstream assignment only reads the centroid's direction, and
+    cosine is scale-invariant), each rounded ``mean_digits``.
+
+    Determinism across engines and iterations: the rounded means make
+    every iteration's centroids identical literals on both engines
+    (the label_centroid_sim 6dp convention — the Spark side is an
+    exact decimal sum so only the oracle's avg(double) carries
+    ~1e-16 reduction noise, absorbed by the round), the rounded-cosine
+    argmax then assigns identically, by induction the whole trajectory
+    is engine-exact. An iteration that EMPTIES a cluster carries its
+    previous centroid forward (size 0) rather than dropping it — k is
+    a contract with the serving path.
+
+    Scale shape: ``iters`` passes over the corpus, each one scan + one
+    k×dim-bounded partial aggregation; nothing corpus-sized ever hits
+    the driver or a single task.  Returns the refined centroid list
+    (the ``centroids=`` input shape of every IVF consumer).
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(emb, k, id_col, vec_col)
+    cents, _ = _lloyd_loop(emb, centroids, iters, vec_col,
+                           assign_digits, mean_digits)
+    return cents
+
+
+def kmeans_components(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    mean_digits: int = 6,
+    assign_digits: int = 9,
+) -> DataFrame:
+    """:func:`kmeans_refine`'s trained state as a long-form frame
+    ``(cid, dim, m, n)`` — one row per centroid component plus the
+    cluster size, the SQL-friendly layout an oracle can recompute and a
+    catalog can store as the model artifact.  Carried (emptied)
+    clusters appear with ``n = 0`` and their last non-empty centroid.
+    Driver-sized (k×dim rows) by construction."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(emb, k, id_col, vec_col)
+    cents, sizes = _lloyd_loop(emb, centroids, iters, vec_col,
+                               assign_digits, mean_digits)
+    spark = emb.sparkSession
+    data = [
+        (int(cid), int(dim), float(m), int(sizes.get(cid, 0)))
+        for cid, c in cents
+        for dim, m in enumerate(c)
+    ]
+    return spark.createDataFrame(
+        data, "cid int, dim int, m double, n long"
+    )
