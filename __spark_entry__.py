@@ -3472,6 +3472,109 @@ def q_bigram_entropy(spark, sf_dir):
     return bigram_entropy(_docs(spark, sf_dir))
 
 
+def q_emd_drift(spark, sf_dir):
+    """1-D Wasserstein-1 drift (monitor.py:emd_from_hists): how FAR did
+    the measure's distribution move between the first two weeks and the
+    rest of the month, per series — KS's magnitude companion on the
+    same hist-tier bin discretization (so the read also serves from a
+    stored hist tier, parity-tested).  Per-step numerators |CA*nb -
+    CB*na| * bin_gap stay exact decimal integers; their sum is exact;
+    ONE final division — no rounding guard anywhere."""
+    from traval_spark.operators.monitor import emd_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return emd_drift(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        scale=1,
+    )
+
+
+def q_jsd_drift(spark, sf_dir):
+    """Jensen-Shannon drift (monitor.py:jsd_from_hists): the bounded
+    symmetric divergence between the same two snapshots — finite on
+    one-sided bins without PSI's Laplace smoothing, capped at ln 2 so
+    thresholds transfer across measures.  Per-bin terms are doubles of
+    exact integers; the term sum is the one order-dependent float
+    reduction (6dp round, the source_entropy convention)."""
+    from traval_spark.operators.monitor import jsd_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return jsd_drift(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        scale=1,
+    )
+
+
+def q_chi2_drift(spark, sf_dir):
+    """Chi-square homogeneity drift (monitor.py:chi2_from_hists): the
+    SIGNIFICANCE member of the drift family on the same snapshots —
+    exact-decimal per-bin difference ca*nb - cb*na squared as a double
+    (the square can exceed decimal(38) at design scale), 6dp-rounded
+    term sum, Wilson-Hilferty alpha=0.05 verdict and Cramer's V effect
+    size."""
+    from traval_spark.operators.monitor import chi2_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return chi2_drift(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        scale=1,
+    )
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch's t mean-shift test (monitor.py:welch_ttest): did the MEAN
+    of the measure move between the two snapshots, in value units with
+    a significance verdict — the parametric companion to mann_whitney.
+    Fixed-point moments are exact decimal aggregates; one fixed-
+    parenthesization double combine to t and the Welch-Satterthwaite
+    df; |t| > 1.96 verdict at 9dp rounding."""
+    from traval_spark.operators.monitor import welch_ttest
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return welch_ttest(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        value_scale=1000,
+    )
+
+
+def q_kendall_pairs(spark, sf_dir):
+    """Kendall tau-b co-movement (monitor.py:kendall_pairs): concordant
+    minus discordant bucket pairs between every pair of hourly
+    bucket-count signals — spearman_pairs' concordance companion on the
+    same zero-filled spine.  S and both tie corrections are exact
+    integers; the one float op is the final division by the sqrt of a
+    product of exact decimals."""
+    from traval_spark.operators.monitor import kendall_pairs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return kendall_pairs(ev, bucket="1h")
+
+
+def q_tfidf_top(spark, sf_dir):
+    """Per-source TF-IDF signature tokens (text.py:tfidf_top): top-5
+    DISTINCTIVE tokens per source — idf = ln(S/df) at group granularity
+    zeroes out the corpus-wide stopword head that dominates top_tokens.
+    tf/S/df exact integers, one deterministic ln+product per row (no
+    sums), ranking on 9dp-rounded scores with token-ascending ties."""
+    from traval_spark.operators.text import tfidf_top
+
+    return tfidf_top(_docs(spark, sf_dir), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -3674,6 +3777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_dispersion": q_fano_dispersion,
         "theil_sen_tiered": q_theil_sen_tiered,
         "acf_tiered": q_acf_tiered,
+        "emd_drift": q_emd_drift,
+        "jsd_drift": q_jsd_drift,
+        "chi2_drift": q_chi2_drift,
+        "welch_ttest": q_welch_ttest,
+        "kendall_pairs": q_kendall_pairs,
+        "tfidf_top": q_tfidf_top,
     }
 
 
@@ -7848,5 +7957,201 @@ def oracle_sql() -> dict[str, str]:
            round((spf - sbi) / n_bigrams, 6) AS cond_entropy,
            round(exp((spf - sbi) / n_bigrams), 6) AS branching
     from sb join sp using (g)
+    """
+    # shared snapshot hists for the emd/jsd/chi2 drift family — same
+    # CTE text as ks_drift's
+    _H2 = """
+    with ha as (select event_type AS source,
+                       cast(round(value) AS bigint) AS bin,
+                       count(*) AS ca
+                from events where ts < '2024-01-15' group by 1, 2),
+    hb as (select event_type AS source,
+                  cast(round(value) AS bigint) AS bin,
+                  count(*) AS cb
+           from events where ts >= '2024-01-15' group by 1, 2),
+    j as (select coalesce(ha.source, hb.source) AS source,
+                 coalesce(ha.bin, hb.bin) AS bin,
+                 coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          from ha full outer join hb
+            on ha.source = hb.source and ha.bin = hb.bin)"""
+    # EMD: exact hugeint per-step numerators |CA*nb - CB*na| * bin_gap,
+    # exact sum, one final division — no rounding anywhere
+    sql["emd_drift"] = _H2 + """,
+    cum as (select source, bin,
+                   cast(sum(ca) over (partition by source order by bin)
+                        AS hugeint) AS cca,
+                   cast(sum(cb) over (partition by source order by bin)
+                        AS hugeint) AS ccb,
+                   lead(bin) over (partition by source order by bin)
+                     - bin AS gap
+            from j),
+    tot as (select source, cast(sum(ca) AS bigint) AS n_a,
+                   cast(sum(cb) AS bigint) AS n_b
+            from j group by source)
+    select t.source, t.n_a, t.n_b,
+           cast(sum(abs(c.cca * t.n_b - c.ccb * t.n_a)
+                    * cast(coalesce(c.gap, 0) AS hugeint)) AS double)
+             / cast(cast(t.n_a AS hugeint) * cast(t.n_b AS hugeint)
+                    AS double) AS emd
+    from cum c join tot t using (source)
+    group by t.source, t.n_a, t.n_b
+    """
+    # JSD: per-bin doubles of exact integers, 0*ln(0) limit via CASE,
+    # order-dependent term sum absorbed by the 6dp round
+    sql["jsd_drift"] = _H2 + """,
+    tot as (select source, sum(ca) AS na, sum(cb) AS nb,
+                   count(*) AS n_bins
+            from j group by source),
+    t as (select j.source, j.ca, j.cb, tot.na, tot.nb, tot.n_bins,
+                 cast(j.ca AS double) / cast(tot.na AS double) AS p,
+                 cast(j.cb AS double) / cast(tot.nb AS double) AS q
+          from j join tot using (source))
+    select source, max(n_bins) AS n_bins,
+           cast(max(na) AS bigint) AS n_a, cast(max(nb) AS bigint) AS n_b,
+           round(sum((case when ca > 0 then p * ln(p / ((p + q) / 2.0))
+                           else 0.0 end
+                      + case when cb > 0 then q * ln(q / ((p + q) / 2.0))
+                             else 0.0 end) / 2.0), 6) AS jsd,
+           round(sum((case when ca > 0 then p * ln(p / ((p + q) / 2.0))
+                           else 0.0 end
+                      + case when cb > 0 then q * ln(q / ((p + q) / 2.0))
+                             else 0.0 end) / 2.0)
+                 / 0.6931471805599453, 6) AS jsd_norm
+    from t group by source
+    """
+    # chi-square homogeneity: d = ca*nb - cb*na exact hugeint, term
+    # d*d/t as doubles OF exact integers (the square can pass 1e38 at
+    # design scale), 6dp-rounded sum; Wilson-Hilferty 0.05 fence at 9dp
+    sql["chi2_drift"] = _H2 + """,
+    tot as (select source, sum(ca) AS na, sum(cb) AS nb,
+                   count(*) AS n_bins
+            from j group by source),
+    t as (select j.source, tot.na, tot.nb, tot.n_bins,
+                 cast(cast(j.ca AS hugeint) * tot.nb
+                      - cast(j.cb AS hugeint) * tot.na AS double) AS d,
+                 cast(j.ca + j.cb AS double) AS tt
+          from j join tot using (source)),
+    g as (select source, cast(max(na) AS bigint) AS n_a,
+                 cast(max(nb) AS bigint) AS n_b,
+                 max(n_bins) - 1 AS dof,
+                 sum(d * d / tt) AS s
+          from t group by source),
+    c as (select source, n_a, n_b, dof,
+                 round(s / cast(cast(n_a AS hugeint)
+                                * cast(n_b AS hugeint) AS double), 6)
+                   AS chi2,
+                 cast(dof AS double) AS dd
+          from g where dof >= 1)
+    select source, n_a, n_b, dof, chi2,
+           round(sqrt(chi2 / cast(n_a + n_b AS double)), 6) AS cramers_v,
+           cast(round(chi2, 9)
+                > round(dd * pow(1.0 - 2.0 / (9.0 * dd)
+                                 + 1.6449 * sqrt(2.0 / (9.0 * dd)),
+                                 3.0), 9) AS int) AS drifted
+    from c
+    """
+    # Welch t: exact decimal fixed-point moments, the engine's exact
+    # parenthesization chain to t / Welch-Satterthwaite df
+    sql["welch_ttest"] = """
+    with ma as (select event_type AS source,
+                       count(*) AS n_a,
+                       sum(cast(round(value * 1000) AS hugeint)) AS s_a,
+                       sum(cast(round(value * 1000) AS hugeint)
+                           * cast(round(value * 1000) AS hugeint)) AS q_a
+                from events where ts < '2024-01-15' group by 1),
+    mb as (select event_type AS source,
+                  count(*) AS n_b,
+                  sum(cast(round(value * 1000) AS hugeint)) AS s_b,
+                  sum(cast(round(value * 1000) AS hugeint)
+                      * cast(round(value * 1000) AS hugeint)) AS q_b
+           from events where ts >= '2024-01-15' group by 1),
+    m as (select * from ma join mb using (source)),
+    d as (select source, n_a, n_b,
+                 cast(s_a AS double) / cast(n_a AS double) / 1000.0
+                   AS mean_a,
+                 cast(s_b AS double) / cast(n_b AS double) / 1000.0
+                   AS mean_b,
+                 cast(n_a * q_a - s_a * s_a AS double) AS va_num,
+                 cast(n_b * q_b - s_b * s_b AS double) AS vb_num,
+                 cast(n_a AS double) AS nad, cast(n_b AS double) AS nbd
+          from m),
+    e as (select source, n_a, n_b, mean_a, mean_b, va_num, vb_num,
+                 va_num / (nad * (nad - 1.0)) / nad / 1000000.0 AS sa,
+                 vb_num / (nbd * (nbd - 1.0)) / nbd / 1000000.0 AS sb,
+                 nad, nbd
+          from d)
+    select source, n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           case when n_a >= 2 and n_b >= 2 and va_num + vb_num > 0
+                then round((mean_a - mean_b) / sqrt(sa + sb), 6) end AS t,
+           case when n_a >= 2 and n_b >= 2 and va_num + vb_num > 0
+                then round((sa + sb) * (sa + sb)
+                           / (sa * sa / (nad - 1.0)
+                              + sb * sb / (nbd - 1.0)), 6) end AS df,
+           case when n_a >= 2 and n_b >= 2 and va_num + vb_num > 0
+                then cast(round(abs((mean_a - mean_b) / sqrt(sa + sb)), 9)
+                          > 1.96 AS int) end AS shifted
+    from e
+    """
+    # Kendall tau-b over the spearman spine: exact-integer S and tie
+    # corrections, one final division by sqrt of an exact product
+    sql["kendall_pairs"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from counts),
+    spine as (select g, u.h
+              from (select distinct g from counts) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    ab as (select xa.g AS a, xb.g AS b, xa.h AS h, xa.c AS x, xb.c AS y
+           from sig xa join sig xb on xa.h = xb.h and xa.g < xb.g),
+    s as (select p1.a, p1.b,
+                 cast(sum(sign(p2.x - p1.x) * sign(p2.y - p1.y))
+                      AS bigint) AS s_stat
+          from ab p1 join ab p2
+            on p1.a = p2.a and p1.b = p2.b and p2.h > p1.h
+          group by p1.a, p1.b),
+    n as (select a, b, count(*) AS n from ab group by a, b),
+    tx as (select a, b, cast(sum(t * (t - 1)) / 2 AS bigint) AS n1
+           from (select a, b, x, count(*) AS t from ab group by a, b, x)
+           group by a, b),
+    ty as (select a, b, cast(sum(t * (t - 1)) / 2 AS bigint) AS n2
+           from (select a, b, y, count(*) AS t from ab group by a, b, y)
+           group by a, b),
+    g as (select n.a, n.b, n.n, s.s_stat, tx.n1, ty.n2,
+                 cast(n.n AS hugeint) * (n.n - 1) / 2 AS n0
+          from n join s using (a, b) join tx using (a, b)
+                join ty using (a, b))
+    select a, b, n, s_stat,
+           case when n0 - n1 > 0 and n0 - n2 > 0
+                then cast(s_stat AS double)
+                     / sqrt(cast((n0 - n1) * (n0 - n2) AS double)) end
+             AS tau
+    from g
+    """
+    # TF-IDF signature tokens: group-granularity df, idf = ln(S/df),
+    # rank on 9dp-rounded scores with token-ascending ties
+    sql["tfidf_top"] = """
+    with t as (select source,
+                      unnest(regexp_split_to_array(text, '\\s+')) AS tok
+               from documents),
+    c as (select source, tok, count(*) AS cnt from t group by 1, 2),
+    d as (select tok, count(*) AS n_src from c group by tok),
+    s as (select count(distinct source) AS s from c),
+    sc as (select c.source, c.tok, c.cnt, d.n_src,
+                  cast(c.cnt AS double)
+                    * ln(cast(s.s AS double) / cast(d.n_src AS double))
+                    AS score
+           from c join d using (tok), s),
+    r as (select source, tok, cnt, n_src, score,
+                 row_number() over (partition by source
+                                    order by round(score, 9) desc, tok)
+                   AS rn
+          from sc)
+    select source, tok, cnt, n_src, round(score, 6) AS tfidf
+    from r where rn <= 5
     """
     return sql

@@ -136,6 +136,8 @@ def main() -> None:
         "pmi_bigrams", "source_overlap", "source_entropy", "zipf_fit",
         "mixture_conc", "benford", "topk_churn", "rbo_drift",
         "bigram_entropy",
+        "emd_drift", "jsd_drift", "chi2_drift", "welch_ttest",
+        "kendall_pairs", "tfidf_top",
         "join_blowup",
         "phrase_search", "corpus_diff", "retention_preview",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",

@@ -878,3 +878,128 @@ def test_benford_digits_fixed_point_extraction(spark):
     r = benford_digits(ev).collect()[0]
     assert r["n"] == 2  # 0.0004 dropped; 0.025->25 (d=2), 0.0006->1 (d=1)
     assert r["d1_share"] == 0.5
+
+
+def test_emd_hand_value_identical_and_unit_shift(spark):
+    """A=[0,0,1,2] vs B=[2,2,3] (the KS test's snapshots): exact
+    numerator |CA*nb-CB*na|*gap sums to 6+9+4=19 over na*nb=12 ->
+    19/12; identical -> 0; whole mass shifted one bin -> exactly 1."""
+    from traval_spark.operators.monitor import emd_drift
+
+    da = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 4, "value": [0.0, 0.0, 1.0, 2.0]}))
+    db = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 3, "value": [2.0, 2.0, 3.0]}))
+    r = emd_drift(da, db, scale=1).collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    assert abs(r["emd"] - 19.0 / 12.0) < 1e-15
+    r0 = emd_drift(da, da.select("source", "value"), scale=1).collect()[0]
+    assert r0["emd"] == 0.0
+    sa = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 3, "value": [0.0, 1.0, 2.0]}))
+    sb = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 3, "value": [1.0, 2.0, 3.0]}))
+    r1 = emd_drift(sa, sb, scale=1).collect()[0]
+    assert r1["emd"] == 1.0
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark):
+    """Identical snapshots -> jsd 0; disjoint supports -> exactly ln 2
+    (jsd_norm 1) — the boundedness PSI lacks without smoothing."""
+    import math
+
+    from traval_spark.operators.monitor import jsd_drift
+
+    da = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 4, "value": [0.0, 0.0, 1.0, 2.0]}))
+    r0 = jsd_drift(da, da.select("source", "value"), scale=1).collect()[0]
+    assert r0["jsd"] == 0.0 and r0["jsd_norm"] == 0.0
+    xa = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 2, "value": [0.0, 0.0]}))
+    xb = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 2, "value": [1.0, 1.0]}))
+    r1 = jsd_drift(xa, xb, scale=1).collect()[0]
+    assert abs(r1["jsd"] - round(math.log(2.0), 6)) < 1e-12
+    assert r1["jsd_norm"] == 1.0
+    assert r1["n_bins"] == 2
+
+
+def test_chi2_hand_value_and_verdicts(spark):
+    """Identical 2x2 table -> chi2 0, not drifted; fully separated
+    20-vs-20 table -> chi2 = 40 exactly (hand: per-bin d^2/t = 8000
+    each, /(na*nb)=400), Cramer's V = 1, drifted at the
+    Wilson-Hilferty dof=1 fence (~3.75)."""
+    from traval_spark.operators.monitor import chi2_drift
+
+    same = pd.DataFrame({"source": ["s"] * 20,
+                         "value": [0.0] * 10 + [1.0] * 10})
+    r0 = chi2_drift(spark.createDataFrame(same),
+                    spark.createDataFrame(same), scale=1).collect()[0]
+    assert r0["chi2"] == 0.0 and r0["drifted"] == 0 and r0["dof"] == 1
+    xa = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 20, "value": [0.0] * 20}))
+    xb = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 20, "value": [1.0] * 20}))
+    r1 = chi2_drift(xa, xb, scale=1).collect()[0]
+    assert r1["chi2"] == 40.0
+    assert r1["cramers_v"] == 1.0
+    assert r1["drifted"] == 1
+
+
+def test_welch_hand_values_and_null_gates(spark):
+    """A=[1,2,3,4] vs B=[2,4,6,8,10]: va=5/3, vb=10, t=-3.5/sqrt(va/4
+    + vb/5), Welch-Satterthwaite df — hand recurrence; identical
+    snapshots -> t=0 not shifted; n=1 side -> NULL t."""
+    import math
+
+    from traval_spark.operators.monitor import welch_ttest
+
+    da = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 4 + ["one"],
+         "value": [1.0, 2.0, 3.0, 4.0, 7.0]}))
+    db = spark.createDataFrame(pd.DataFrame(
+        {"source": ["s"] * 5 + ["one", "one"],
+         "value": [2.0, 4.0, 6.0, 8.0, 10.0, 1.0, 2.0]}))
+    got = {r["source"]: r for r in
+           welch_ttest(da, db, value_scale=1000).collect()}
+    r = got["s"]
+    va, vb = 5.0 / 3.0, 10.0
+    sa, sb = va / 4.0, vb / 5.0
+    t_exp = (2.5 - 6.0) / math.sqrt(sa + sb)
+    df_exp = (sa + sb) ** 2 / (sa * sa / 3.0 + sb * sb / 4.0)
+    assert abs(r["t"] - round(t_exp, 6)) < 1e-9
+    assert abs(r["df"] - round(df_exp, 6)) < 1e-9
+    assert r["shifted"] == (1 if abs(t_exp) > 1.96 else 0)
+    assert r["mean_a"] == 2.5 and r["mean_b"] == 6.0
+    assert got["one"]["t"] is None and got["one"]["shifted"] is None
+    r0 = welch_ttest(da, da.select("source", "value"),
+                     value_scale=1000).collect()
+    s0 = {x["source"]: x for x in r0}["s"]
+    assert s0["t"] == 0.0 and s0["shifted"] == 0
+
+
+def test_kendall_hand_taus_ties_and_constant_null(spark):
+    """Hourly signals a=[1,2,3,4], b=[2,3,4,5], c=[4,3,2,1],
+    k=[2,2,2,2]: tau(a,b)=1 (S=6), tau(a,c)=-1, tau(b,c)=-1, any pair
+    with the constant k is NULL (tau-b denominator hits 0)."""
+    from traval_spark.operators.monitor import kendall_pairs
+
+    rows = []
+    for src, counts in [("a", [1, 2, 3, 4]), ("b", [2, 3, 4, 5]),
+                        ("c", [4, 3, 2, 1]), ("k", [2, 2, 2, 2])]:
+        for h, c in enumerate(counts):
+            for i in range(c):
+                rows.append((src, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(hours=h, minutes=i)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["source",
+                                                           "ts"]))
+    got = {(r["a"], r["b"]): r for r in
+           kendall_pairs(df, bucket="1h").collect()}
+    assert len(got) == 6
+    assert got[("a", "b")]["tau"] == 1.0
+    assert got[("a", "b")]["s_stat"] == 6
+    assert got[("a", "b")]["n"] == 4
+    assert got[("a", "c")]["tau"] == -1.0
+    assert got[("b", "c")]["tau"] == -1.0
+    for pair in [("a", "k"), ("b", "k"), ("c", "k")]:
+        assert got[pair]["tau"] is None

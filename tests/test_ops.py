@@ -2144,3 +2144,43 @@ def test_bigram_entropy_tokens_col(spark):
     )
     r = bigram_entropy(d, tokens_col="tokens").collect()[0]
     assert r["cond_entropy"] == round(math.log(2) / 2, 6)
+
+
+def test_tfidf_top_stopword_suppression_and_ties(spark):
+    """'the' appears in all 3 sources -> idf = ln(3/3) = 0, so each
+    source's signature token (df=1, idf=ln 3) outranks it regardless
+    of raw count; tf scales the score (cherry x2 = 2 ln 3); ties on
+    the 9dp-rounded score break token-ascending."""
+    import math
+
+    from traval_spark.operators.text import tfidf_top
+
+    df = spark.createDataFrame(
+        [("d1", "the apple the the the", "A"),
+         ("d2", "the banana", "B"),
+         ("d3", "the cherry cherry", "C")],
+        "doc_id string, text string, source string",
+    )
+    out = tfidf_top(df, k=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], []).append(r)
+    ln3 = math.log(3.0)
+    a = got["A"]
+    assert (a[0]["tok"], a[0]["cnt"], a[0]["n_src"]) == ("apple", 1, 1)
+    assert abs(a[0]["tfidf"] - round(ln3, 6)) < 1e-12
+    # 'the' scores 0 everywhere yet still fills the k=2 slot
+    assert a[1]["tok"] == "the" and a[1]["tfidf"] == 0.0
+    c = got["C"]
+    assert c[0]["tok"] == "cherry"
+    assert abs(c[0]["tfidf"] - round(2 * ln3, 6)) < 1e-12
+    # zero-score tie (idf=0 tokens) would break token-ascending: give
+    # B two extra shared tokens and check ordering on the tie
+    df2 = spark.createDataFrame(
+        [("d1", "x y", "A"), ("d2", "y x", "B")],
+        "doc_id string, text string, source string",
+    )
+    o2 = {r["source"]: [] for r in tfidf_top(df2, k=2).collect()}
+    for r in tfidf_top(df2, k=2).collect():
+        o2[r["source"]].append(r["tok"])
+    assert o2["A"] == ["x", "y"] and o2["B"] == ["x", "y"]

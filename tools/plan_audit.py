@@ -57,6 +57,11 @@ BROADCAST_CROSS_ALLOWED = {
     # the size of the source list or bucket signal, never the corpus
     "source_overlap", "join_blowup", "theil_sen", "theil_sen_tiered",
     "spearman_pairs", "mann_kendall", "fano_dispersion", "label_sim",
+    # kendall: spearman's spine (distinct-groups x global-span literal)
+    # plus the O(m^2) bucket-pair join, all on the tiny signal frame
+    "kendall_pairs",
+    # 1-row group-count S broadcast into the vocab-bounded counts table
+    "tfidf_top",
     # broadcast params/manual-obs dimension crossed per series
     "pastas_pi_bounds", "manual_obs_compare", "manual_obs_shift",
     # range/point containment against broadcast-small literal frames

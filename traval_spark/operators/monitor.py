@@ -65,6 +65,8 @@ __all__ = [
     "ks_drift", "ks_from_hists", "mann_whitney", "mw_from_hists",
     "mann_kendall", "acf_lags", "ljung_box", "dominant_period",
     "fano_dispersion", "benford_digits",
+    "emd_drift", "emd_from_hists", "jsd_drift", "jsd_from_hists",
+    "chi2_drift", "chi2_from_hists", "welch_ttest", "kendall_pairs",
     "bucket_count_signal", "counts_from_tier",
 ]
 
@@ -1840,4 +1842,455 @@ def benford_digits(
         "g", "n", chi2.alias("chi2"),
         F.round(F.col("__o1").cast("double") / n, ndigits).alias("d1_share"),
         (chi2 <= F.lit(_CHI2_8DF_05)).cast("int").alias("benford_ok"),
+    )
+
+
+def _pair_hists(df_a, df_b, by, val, scale):
+    """The psi/ks/mw snapshot discretization (``round(v*scale)``, the
+    hist.py bin convention) — two count frames ready for any
+    ``*_from_hists`` read, so every drift statistic in this family can
+    also be served from a stored histogram tier."""
+    def hist(d, cname):
+        return d.groupBy(
+            *by, F.round(F.col(val) * scale).cast("long").alias("bin")
+        ).agg(F.count("*").alias(cname))
+
+    return hist(df_a, "ca"), hist(df_b, "cb")
+
+
+def emd_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """1-D earth mover's distance (Wasserstein-1) between two histogram
+    count frames (``*by, bin, ca`` / ``*by, bin, cb``) — the
+    MAGNITUDE companion to :func:`ks_from_hists`: KS reports the single
+    worst CDF gap (did it drift?), EMD integrates |CDF_a - CDF_b| over
+    the value axis (by how MUCH, in bin units — divide by the hist
+    scale for value units), so a small shift of the whole mass and a
+    large shift of a sliver score differently where KS can tie them.
+
+    Exactness: on a discrete support the CDF is a step function —
+    constant between observed bins — so
+
+        W1 = sum_i |CA_i*nb - CB_i*na| * (bin_{i+1} - bin_i) / (na*nb)
+
+    where the per-step numerator |CA*nb - CB*na| * gap is an EXACT
+    decimal integer (the ks_from_hists CDF-gap numerator times an
+    integer gap), the sum of exact decimals is exact, and the ONE
+    final division runs on the same two doubles in any engine — no
+    rounding guard needed, unlike the ln-based family.  The last bin
+    contributes nothing (both CDFs have reached 1, the numerator is
+    identically 0), so ``lead`` needing no default is not a hole.
+
+    Like the PSI/KS pair this is the tier-served drift path: feed
+    per-period bin counts summed straight off a stored hist tier and
+    the read never re-scans raw.  Plan shape: one full-outer join on
+    the tiny bin table, one cumsum + lead window per series over bins,
+    one groupBy.  Output: ``*by, n_a, n_b, emd`` (bin units).
+    """
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by, "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    wo = Window.partitionBy(*by).orderBy("bin")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = j.select(
+        *by, "bin",
+        F.sum(F.col("ca").cast("decimal(38,0)")).over(w).alias("cca"),
+        F.sum(F.col("cb").cast("decimal(38,0)")).over(w).alias("ccb"),
+        (F.lead("bin").over(wo) - F.col("bin")).alias("__gap"),
+    )
+    tot = j.groupBy(*by).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    t = cum.join(tot, list(by))
+    num = F.abs(
+        F.col("cca") * F.col("n_b").cast("decimal(38,0)")
+        - F.col("ccb") * F.col("n_a").cast("decimal(38,0)")
+    ) * F.coalesce(F.col("__gap"), F.lit(0)).cast("decimal(38,0)")
+    agg = t.groupBy(*by).agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.sum(num).alias("__num"),
+    )
+    return agg.select(
+        *by, "n_a", "n_b",
+        (
+            F.col("__num").cast("double")
+            / (
+                F.col("n_a").cast("decimal(38,0)")
+                * F.col("n_b").cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("emd"),
+    )
+
+
+def emd_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+) -> DataFrame:
+    """Wasserstein-1 drift between two snapshots of the same measure,
+    binned by the hist.py discretization so the same read serves from
+    raw or from a stored histogram tier (:func:`emd_from_hists`,
+    parity-tested).  One groupBy per snapshot; everything downstream
+    runs on the tiny bin table."""
+    ha, hb = _pair_hists(df_a, df_b, by, val, scale)
+    return emd_from_hists(ha, hb, by=by)
+
+
+def jsd_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two histogram count frames —
+    the BOUNDED, symmetric member of the drift family: PSI is unbounded
+    and needs Laplace smoothing to survive one-sided bins; JSD is
+    finite by construction (a bin observed on one side only contributes
+    p/2 * ln 2 through the mixture), symmetric, and capped at ln 2, so
+    thresholds transfer across measures with different supports.
+
+        JSD = ( KL(p || m) + KL(q || m) ) / 2,    m = (p + q)/2
+
+    with p_i = ca_i/na, q_i = cb_i/nb — doubles of exact integers, so
+    every per-bin term is engine-identical; the term SUM is the one
+    order-dependent float reduction, rounded to ``ndigits`` (the
+    source_entropy convention; association noise ~1e-15 sits far under
+    it).  Zero-count bins contribute exactly 0 for their side (the
+    0*ln(0) limit), taken via a WHEN guard, never an epsilon.
+
+    Tier-served like the rest of the family (feed per-period bin counts
+    off a stored hist tier).  Output: ``*by, n_bins, n_a, n_b, jsd,
+    jsd_norm`` (jsd_norm = jsd/ln 2 in [0, 1]).
+    """
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by,
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.groupBy(*by).agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("n_bins"),
+    )
+    t = j.join(tot, list(by))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    out = t.groupBy(*by).agg(
+        F.max("n_bins").alias("n_bins"),
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.sum(term).alias("__jsd"),
+    )
+    return out.select(
+        *by, "n_bins", "n_a", "n_b",
+        F.round(F.col("__jsd"), ndigits).alias("jsd"),
+        F.round(F.col("__jsd") / F.lit(float(_LN2)), ndigits)
+        .alias("jsd_norm"),
+    )
+
+
+_LN2 = 0.6931471805599453
+
+
+def jsd_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """JSD drift between two snapshots of the same measure, binned by
+    the hist.py discretization so the same read serves from raw or from
+    a stored histogram tier (:func:`jsd_from_hists`, parity-tested)."""
+    ha, hb = _pair_hists(df_a, df_b, by, val, scale)
+    return jsd_from_hists(ha, hb, by=by, ndigits=ndigits)
+
+
+def chi2_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    alpha_z: float = 1.6449,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square homogeneity test between two histogram count
+    frames — the SIGNIFICANCE member of the drift family: PSI/JSD/EMD
+    report effect sizes with rule-of-thumb thresholds; chi-square turns
+    the same 2 x B contingency table into a test statistic with a
+    calibrated false-alarm rate, so tiny drifts on huge samples and
+    huge drifts on tiny samples are judged on the same footing.
+
+    For the 2 x B table with row totals na, nb (N = na + nb) and bin
+    column totals t_i = ca_i + cb_i, the classic statistic collapses to
+
+        chi2 = sum_i (ca_i*nb - cb_i*na)^2 / t_i   /   (na * nb)
+
+    (derivation: both rows' (o-e)^2/e terms share the numerator
+    (ca*nb - cb*na)^2/N^2 and their 1/e factors sum to N^2/(t*na*nb)).
+    The per-bin difference ca*nb - cb*na is an exact decimal integer;
+    SQUARING it can exceed decimal(38) at the 1e12-count design scale,
+    so each term is computed as a double OF exact integers (d*d/t —
+    engine-identical per term) and the term sum is the one
+    order-dependent float reduction, rounded to ``ndigits`` with the
+    result (association noise ~1e-15 relative).
+
+    Verdict: ``drifted`` compares chi2 against the Wilson-Hilferty
+    alpha≈0.05 critical value  dof*(1 - 2/(9 dof) + z*sqrt(2/(9 dof)))^3
+    with z = ``alpha_z`` (1.6449 = one-sided 0.05 normal quantile) —
+    the standard closed-form chi-square quantile approximation (exact
+    enough for dof >= 3, slightly conservative below), both sides
+    rounded to 9 dp before the compare (the slo_burn guard).  Also
+    reported: ``cramers_v`` = sqrt(chi2/N) (the 2-row Cramer's V),
+    the sample-size-free effect size.
+
+    Tier-served like the rest of the family.  Output: ``*by, n_a, n_b,
+    dof, chi2, cramers_v, drifted``.  Bins empty on BOTH sides can't
+    occur (the join only yields observed bins); dof = n_bins - 1.
+    """
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by,
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.groupBy(*by).agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("n_bins"),
+    )
+    t = j.join(tot, list(by))
+    d = (
+        F.col("ca").cast("decimal(38,0)") * F.col("nb").cast("decimal(38,0)")
+        - F.col("cb").cast("decimal(38,0)") * F.col("na").cast("decimal(38,0)")
+    ).cast("double")
+    term = d * d / (F.col("ca") + F.col("cb")).cast("double")
+    g = t.groupBy(*by).agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        (F.max("n_bins") - 1).alias("dof"),
+        F.sum(term).alias("__s"),
+    )
+    chi2 = F.round(
+        F.col("__s")
+        / (
+            F.col("n_a").cast("decimal(38,0)")
+            * F.col("n_b").cast("decimal(38,0)")
+        ).cast("double"),
+        ndigits,
+    )
+    dofd = F.col("dof").cast("double")
+    wh = dofd * F.pow(
+        F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofd)
+        + F.lit(float(alpha_z)) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+        F.lit(3.0),
+    )
+    n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    return (
+        g.filter(F.col("dof") >= 1)
+        .withColumn("chi2", chi2)
+        .select(
+            *by, "n_a", "n_b", "dof", "chi2",
+            F.round(F.sqrt(F.col("chi2") / n_tot), ndigits)
+            .alias("cramers_v"),
+            (F.round(F.col("chi2"), 9) > F.round(wh, 9)).cast("int")
+            .alias("drifted"),
+        )
+    )
+
+
+def chi2_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chi-square homogeneity drift between two snapshots of the same
+    measure, binned by the hist.py discretization so the same read
+    serves from raw or from a stored histogram tier
+    (:func:`chi2_from_hists`, parity-tested)."""
+    ha, hb = _pair_hists(df_a, df_b, by, val, scale)
+    return chi2_from_hists(ha, hb, by=by, ndigits=ndigits)
+
+
+def welch_ttest(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    value_scale: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test on the MEAN of a measure between
+    two snapshots — the parametric companion to :func:`mann_whitney`:
+    MW asks "did the distribution's location shift" rank-wise (robust,
+    but a verdict only); Welch reports the mean shift IN VALUE UNITS
+    with a significance verdict, which is what a capacity model or a
+    cost forecast actually consumes.  Welch rather than pooled Student:
+    snapshot variances genuinely differ under drift, which is the very
+    thing being tested.
+
+    Exactness: values are fixed-point scaled (``round(v*value_scale)``
+    -> int64, the cusum convention), so each side's n, sum, and sum of
+    squares are EXACT decimal(38,0) aggregates with no float-
+    association noise; the variance numerator  n*S2 - S^2  stays an
+    exact decimal; then ONE fixed-parenthesization double combine
+
+        t  = (ma - mb) / sqrt(va/na + vb/nb)
+        df = (va/na + vb/nb)^2 /
+             ( (va/na)^2/(na-1) + (vb/nb)^2/(nb-1) )
+
+    (v = sample variance, computed va = (n*S2 - S^2)/(n*(n-1)) as
+    doubles of exact decimals) runs identically in any engine; t and
+    df are rounded to ``ndigits`` and the ``shifted`` verdict compares
+    |t| > 1.96 (the large-sample two-sided alpha=0.05 normal fence —
+    at monitoring sample sizes the t quantile is indistinguishable)
+    with both sides rounded 9 dp first.
+
+    Plan shape: ONE partial-aggregatable groupBy per snapshot; the
+    combine runs on the |groups|-sized frame.  Output: ``*by, n_a,
+    n_b, mean_a, mean_b, t, df, shifted`` (means descaled; groups
+    with n < 2 on either side or zero variance on both report NULL t).
+    """
+    def moments(d, suf):
+        y = F.round(F.col(val) * F.lit(int(value_scale))).cast("long")
+        yd = y.cast("decimal(38,0)")
+        return d.groupBy(*by).agg(
+            F.count(F.lit(1)).alias(f"n_{suf}"),
+            F.sum(yd).alias(f"s_{suf}"),
+            F.sum(yd * y).alias(f"q_{suf}"),
+        )
+
+    m = moments(df_a, "a").join(moments(df_b, "b"), list(by))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    vs = float(value_scale)
+    mean_a = F.col("s_a").cast("double") / na / F.lit(vs)
+    mean_b = F.col("s_b").cast("double") / nb / F.lit(vs)
+    va_num = (
+        F.col("n_a").cast("decimal(38,0)") * F.col("q_a")
+        - F.col("s_a") * F.col("s_a")
+    ).cast("double")
+    vb_num = (
+        F.col("n_b").cast("decimal(38,0)") * F.col("q_b")
+        - F.col("s_b") * F.col("s_b")
+    ).cast("double")
+    # va/na with va = va_num/(na*(na-1)) — keep the parenthesization
+    # IDENTICAL in the oracle: (va_num / (na * (na - 1.0))) / na
+    sa = va_num / (na * (na - F.lit(1.0))) / na / F.lit(vs * vs)
+    sb = vb_num / (nb * (nb - F.lit(1.0))) / nb / F.lit(vs * vs)
+    se2 = sa + sb
+    t_stat = (mean_a - mean_b) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        sa * sa / (na - F.lit(1.0)) + sb * sb / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (va_num + vb_num > 0)
+    return m.select(
+        *by, "n_a", "n_b",
+        F.round(mean_a, ndigits).alias("mean_a"),
+        F.round(mean_b, ndigits).alias("mean_b"),
+        F.when(ok, F.round(t_stat, ndigits)).alias("t"),
+        F.when(ok, F.round(dfw, ndigits)).alias("df"),
+        F.when(ok, (F.round(F.abs(t_stat), 9) > F.lit(1.96)).cast("int"))
+        .alias("shifted"),
+    )
+
+
+def kendall_pairs(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Kendall's tau-b between every pair of per-series bucket-count
+    signals — :func:`spearman_pairs`' concordance companion: Spearman
+    correlates the RANKS (one wild bucket still moves its rank far),
+    tau counts concordant vs discordant bucket pairs, so it is the
+    most outlier-insensitive of the three co-movement reads and its
+    value has a direct probabilistic reading (P(concordant) -
+    P(discordant)).
+
+    Exactness: everything up to the last step is exact integers —
+
+        S   = sum_{i<j} sign(x_j - x_i) * sign(y_j - y_i)
+        tau = S / sqrt( (n0 - n1) * (n0 - n2) )
+
+    with n0 = n(n-1)/2 and the tie corrections n1 = sum t_x(t_x-1)/2,
+    n2 = sum t_y(t_y-1)/2 (tau-b: ties in either signal shrink the
+    denominator instead of silently diluting S).  The one float op is
+    the final division by the sqrt of a product of exact decimals —
+    engine-identical, no rounding guard needed (the spearman_pairs
+    convention).
+
+    Plan shape: one partial-aggregatable raw groupBy to bucket counts;
+    the O(m^2) bucket-pair join and the tie tables run on the tiny
+    zero-filled signal frame (m = span/bucket — a monitoring read, not
+    a corpus-scale op).  Pairs are emitted once (a < b).  Output:
+    ``a, b, n, s_stat, tau`` (NULL tau when either signal is constant
+    — concordance is undefined against a flat line).
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    a = sig.select(F.col("g").alias("a"), "h", F.col("c").alias("x"))
+    b = sig.select(F.col("g").alias("b"), "h", F.col("c").alias("y"))
+    ab = a.join(b, "h").filter(F.col("a") < F.col("b"))
+    p1 = ab.select("a", "b", "h", "x", "y")
+    p2 = ab.select(
+        "a", "b", F.col("h").alias("h2"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    pairs = p1.join(p2, ["a", "b"]).filter(F.col("h2") > F.col("h"))
+    s = pairs.groupBy("a", "b").agg(
+        F.sum(
+            F.signum((F.col("x2") - F.col("x")).cast("double")).cast("long")
+            * F.signum((F.col("y2") - F.col("y")).cast("double"))
+            .cast("long")
+        ).alias("s_stat"),
+    )
+    n = ab.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    tx = (
+        ab.groupBy("a", "b", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("a", "b")
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2).cast("long")
+             .alias("n1"))
+    )
+    ty = (
+        ab.groupBy("a", "b", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("a", "b")
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2).cast("long")
+             .alias("n2"))
+    )
+    g = n.join(s, ["a", "b"]).join(tx, ["a", "b"]).join(ty, ["a", "b"])
+    n0 = (F.col("n").cast("decimal(38,0)") * (F.col("n") - 1) / 2).cast(
+        "decimal(38,0)"
+    )
+    d1 = (n0 - F.col("n1")).cast("decimal(38,0)")
+    d2 = (n0 - F.col("n2")).cast("decimal(38,0)")
+    return g.select(
+        "a", "b", "n", "s_stat",
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.col("s_stat").cast("double")
+            / F.sqrt((d1 * d2).cast("double")),
+        ).alias("tau"),
     )

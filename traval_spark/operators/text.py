@@ -1047,3 +1047,71 @@ def bigram_entropy(
         F.round(h, ndigits).alias("cond_entropy"),
         F.round(F.exp(h), ndigits).alias("branching"),
     )
+
+
+def tfidf_top(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    by: str = "source",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k DISTINCTIVE tokens per group by TF-IDF — the mixture
+    designer's "what is this source actually about" read, and the
+    complement of :func:`top_tokens`: raw heavy hitters are dominated
+    by the corpus-wide stopword head, TF-IDF down-weights any token
+    that appears in every group (idf = ln(S/df) = 0 when df = S), so
+    what survives is each group's signature vocabulary.
+
+        tfidf(g, t) = tf(g, t) * ln( S / df(t) )
+
+    with tf = the token's count within the group, S = number of
+    groups, df = number of groups containing the token (document
+    frequency at GROUP granularity — the per-source profile read;
+    per-doc idf is a different, retrieval-shaped statistic, which is
+    bm25's job).
+
+    Exactness: tf, S, df are exact integers; ln and the product are
+    one deterministic float op per (group, token) row — no sums, no
+    association order — and ranking compares scores rounded to 9 dp
+    (ties break by token ascending), so the kept set is
+    engine-identical.  Scores are reported rounded to ``ndigits``.
+
+    Plan shape (the top_tokens two-stage): the explode feeds ONE
+    partial-aggregatable groupBy(by, tok) — map-side combine bounds
+    the shuffle at |vocab| rows per group per task — then df comes
+    from a groupBy(tok) of that REDUCED counts table and joins back
+    on tok; the group count S is a 1-row aggregate broadcast in (the
+    audited global-scalar cross).  The top-k window runs per group
+    over the counts table, never over raw tokens.  Output: ``by, tok,
+    cnt, n_src, tfidf``.
+    """
+    counts = (
+        docs.select(F.col(by), F.explode(ws_tokens(F.col(text_col)))
+                    .alias("tok"))
+        .groupBy(by, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfreq = counts.groupBy("tok").agg(F.count(F.lit(1)).alias("n_src"))
+    n_groups = counts.select(F.col(by)).distinct().agg(
+        F.count(F.lit(1)).alias("__s")
+    )
+    scored = (
+        counts.join(dfreq, "tok")
+        .join(F.broadcast(n_groups))
+        .withColumn(
+            "__score",
+            F.col("cnt").cast("double")
+            * F.log(F.col("__s").cast("double")
+                    / F.col("n_src").cast("double")),
+        )
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.round(F.col("__score"), 9).desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(by, "tok", "cnt", "n_src",
+                F.round("__score", ndigits).alias("tfidf"))
+    )
