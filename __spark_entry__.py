@@ -3575,6 +3575,67 @@ def q_tfidf_top(spark, sf_dir):
     return tfidf_top(_docs(spark, sf_dir), k=5)
 
 
+def q_threshold_episodes(spark, sf_dir):
+    """Above-threshold excursion episodes (monitor.py:
+    threshold_episodes): contiguous runs of fixed-point value > 90
+    collapsed to one row per breach with duration / peak / integrated
+    excess — the SLO breach-EPISODE audit (hysteresis counts latches,
+    rules flag points; a postmortem wants episodes).  Gaps-and-islands
+    over ONE per-series sort; peak/excess exact integer aggregates
+    descaled by one division."""
+    from traval_spark.operators.monitor import threshold_episodes
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return threshold_episodes(ev, threshold=90.0)
+
+
+def q_decayed_topk(spark, sf_dir):
+    """Time-decayed heavy hitters (monitor.py:decayed_topk): per-type
+    top-5 users by activity weight halving every 7 days — "who matters
+    NOW", the freshness ranking recency budgets and review queues
+    consume.  EXACT decay: whole half-life units u clamped to [0,63],
+    score Σ 2^(63−u) an exact decimal integer, ranking compares exact
+    integers with key-ascending ties, ONE division to the reported
+    weight."""
+    from traval_spark.operators.monitor import decayed_topk
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id"
+    )
+    return decayed_topk(ev, k=5, asof="2024-02-01", half_life_days=7)
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX daily-shape words (downsample.py:sax_words): per-series
+    z-normalized PAA over 6h slices of the hourly count signal mapped
+    to Gaussian-breakpoint letters — each day collapses to a 4-letter
+    word equality joins can mine.  Symbol verdicts compare exact-
+    integer cleared-denominator z numerators against 9dp-rounded
+    beta*sigma fences; zero-variance series report NULL words by
+    rule."""
+    from traval_spark.operators.downsample import sax_words
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return sax_words(ev, bucket="1h", segments=4, alphabet=4)
+
+
+def q_sax_pairs(spark, sf_dir):
+    """Co-behaving series via SAX-word agreement (downsample.py:
+    sax_pairs): equality join on (day, word) generates candidates —
+    never all-pairs against raw — then exact match/day counts and ONE
+    division to the matching-day share."""
+    from traval_spark.operators.downsample import sax_pairs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return sax_pairs(ev, bucket="1h", segments=4, alphabet=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -3783,6 +3844,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "kendall_pairs": q_kendall_pairs,
         "tfidf_top": q_tfidf_top,
+        "threshold_episodes": q_threshold_episodes,
+        "decayed_topk": q_decayed_topk,
+        "sax_words": q_sax_words,
+        "sax_pairs": q_sax_pairs,
     }
 
 
@@ -8131,6 +8196,114 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt(cast((n0 - n1) * (n0 - n2) AS double)) end
              AS tau
     from g
+    """
+    # excursion episodes: gaps-and-islands on fixed-point membership;
+    # peak/excess exact integers descaled by ONE division, duration an
+    # exact micros difference over 1e6 — identical in both engines
+    sql["threshold_episodes"] = """
+    with b as (select event_type AS source, ts, event_id,
+                      cast(round(value * 1000) AS bigint) AS y
+               from events),
+    m as (select *, coalesce(y > 90000, false) AS inx,
+                 coalesce(lag(y > 90000) over
+                            (partition by source order by ts, event_id),
+                          false) AS pin
+          from b),
+    e as (select *, sum(case when inx and not pin then 1 else 0 end)
+                   over (partition by source order by ts, event_id
+                         rows between unbounded preceding
+                                  and current row) AS episode
+          from m)
+    select source, episode, min(ts) AS t_start, max(ts) AS t_end,
+           count(*) AS n_pts,
+           cast(epoch_us(max(ts)) - epoch_us(min(ts)) AS double) / 1e6
+             AS duration_s,
+           cast(max(y) AS double) / 1000.0 AS peak,
+           cast(sum(cast(y - 90000 AS hugeint)) AS double) / 1000.0
+             AS excess
+    from e where inx group by source, episode
+    """
+    # SAX words: cleared-denominator z numerators vs 9dp beta*sigma
+    # fences, NULL word at zero variance, string_agg in seg order
+    _SAXW = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by 1, 2),
+    span as (select min(h) AS h0, max(h) AS h1 from counts),
+    spine as (select g, u.h
+              from (select distinct g from counts) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    stats as (select g, count(*) AS n, sum(cast(c AS hugeint)) AS s,
+                     sum(cast(c AS hugeint) * c) AS q
+              from sig group by g),
+    slc as (select g, h // 24 AS day, (h % 24) // 6 AS seg,
+                   count(*) AS ns, sum(cast(c AS hugeint)) AS cs
+            from sig group by 1, 2, 3),
+    z as (select slc.g, day, seg, ns,
+                 round(cast(n * cs - ns * s AS double)
+                       / (cast(ns AS double) * cast(n AS double)), 9)
+                   AS lhs,
+                 cast(n * q - s * s AS double) AS varnum,
+                 sqrt(cast(n * q - s * s AS double)) / cast(n AS double)
+                   AS sigma
+          from slc join stats using (g)),
+    sym as (select g, day, seg, ns,
+                   case when varnum > 0 then
+                     list_extract(['a','b','c','d'],
+                       1 + cast(lhs >= round(-0.6744897501960817 * sigma,
+                                             9) AS int)
+                         + cast(lhs >= round(0.0 * sigma, 9) AS int)
+                         + cast(lhs >= round(0.6744897501960817 * sigma,
+                                             9) AS int)) end AS sym
+            from z),
+    words as (select g, date '1970-01-01' + cast(day AS int) AS day,
+                     cast(sum(ns) AS bigint) AS n_hours,
+                     case when count(*) = count(sym)
+                          then string_agg(sym, '' order by seg) end
+                       AS word
+              from sym group by g, day)"""
+    sql["sax_words"] = _SAXW + """
+    select g, day, n_hours, word from words
+    """
+    sql["sax_pairs"] = _SAXW + """,
+    w as (select * from words where word is not null),
+    days as (select g, count(*) AS days from w group by g),
+    pairs as (select a.g AS a, b.g AS b, count(*) AS matches
+              from w a join w b on a.day = b.day and a.word = b.word
+                               and a.g < b.g
+              group by 1, 2)
+    select p.a, p.b, p.matches, da.days AS days_a, db.days AS days_b,
+           cast(p.matches AS double)
+             / cast(least(da.days, db.days) AS double) AS share
+    from pairs p join days da on p.a = da.g join days db on p.b = db.g
+    """
+    # decayed heavy hitters: whole half-life units clamped [0,63],
+    # score sum 2^(63-u) exact hugeint, rank on exact integers with
+    # key-ascending ties, ONE division to the reported weight
+    sql["decayed_topk"] = """
+    with b as (select event_type AS source, user_id,
+                      least(greatest(datediff('day', cast(ts AS date),
+                                              date '2024-02-01'), 0)
+                            // 7, 63) AS u
+               from events),
+    pu as (select source, user_id, u, count(*) AS c
+           from b group by 1, 2, 3),
+    s as (select source, user_id,
+                 cast(sum(c) AS bigint) AS n_events,
+                 sum(cast(c AS hugeint)
+                     * cast(power(2.0, 63 - u) AS hugeint)) AS s
+          from pu group by 1, 2),
+    r as (select source, user_id, n_events, s,
+                 row_number() over (partition by source
+                                    order by s desc, user_id) AS rank
+          from s)
+    select source, user_id, n_events,
+           cast(s AS double) / 9223372036854775808.0 AS decayed,
+           cast(rank AS int) AS rank
+    from r where rank <= 5
     """
     # TF-IDF signature tokens: group-granularity df, idf = ln(S/df),
     # rank on 9dp-rounded scores with token-ascending ties

@@ -196,3 +196,66 @@ def test_lttb_from_m4_candidate_reduction(spark):
     assert all(r["n_points"] <= 40 for r in got)
     raw = {(ts, v) for _, ts, v in rows}
     assert all((r["t_sel"], r["v_sel"]) in raw for r in got)
+
+
+def test_sax_words_hand_symbols_and_null_rule(spark):
+    """Series s: 12h of 0 then 12h of 10, mirrored on day 2 -> mu=5,
+    sigma=5 exactly, slice z's are -1/+1 -> words 'aadd' then 'ddaa';
+    a constant series reports NULL words (z-norm undefined by rule)."""
+    import pytest
+
+    from traval_spark.operators.downsample import sax_words
+
+    rows = []
+    for day in range(2):
+        for h in range(24):
+            hot = (h >= 12) if day == 0 else (h < 12)
+            n = 10 if hot else 0
+            for i in range(n):
+                rows.append(("s", pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day, hours=h, minutes=i)))
+            rows.append(("k", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=day, hours=h)))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    # drop the count-0 placeholder trick: 's' hours with n=0 came from
+    # the zero-fill spine ('k' rows define the global span)
+    out = {(r["g"], str(r["day"])): r for r in sax_words(df).collect()}
+    assert out[("s", "2024-01-01")]["word"] == "aadd"
+    assert out[("s", "2024-01-02")]["word"] == "ddaa"
+    assert out[("s", "2024-01-01")]["n_hours"] == 24
+    assert out[("k", "2024-01-01")]["word"] is None
+    assert out[("k", "2024-01-02")]["word"] is None
+    with pytest.raises(ValueError):
+        sax_words(df, segments=5)
+    with pytest.raises(ValueError):
+        sax_words(df, alphabet=7)
+
+
+def test_sax_pairs_identical_series_share_one(spark):
+    """A clone of s emits identical words every day -> share 1.0 with
+    two matching days; the constant series never pairs (NULL words
+    dropped before the join)."""
+    from traval_spark.operators.downsample import sax_pairs
+
+    rows = []
+    for src in ("s", "t"):
+        for day in range(2):
+            for h in range(24):
+                hot = (h >= 12) if day == 0 else (h < 12)
+                for i in range(10 if hot else 1):
+                    rows.append((src, pd.Timestamp("2024-01-01")
+                                 + pd.Timedelta(days=day, hours=h,
+                                                minutes=i)))
+    for day in range(2):
+        for h in range(24):
+            rows.append(("k", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=day, hours=h)))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    got = sax_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"]) == ("s", "t")
+    assert r["matches"] == 2 and r["days_a"] == 2 and r["days_b"] == 2
+    assert r["share"] == 1.0

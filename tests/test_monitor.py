@@ -1003,3 +1003,53 @@ def test_kendall_hand_taus_ties_and_constant_null(spark):
     assert got[("b", "c")]["tau"] == -1.0
     for pair in [("a", "k"), ("b", "k"), ("c", "k")]:
         assert got[pair]["tau"] is None
+
+
+def test_threshold_episodes_hand_values(spark):
+    """[0, 5, 6, 0, 7, 4, None] at minute spacing, threshold 4:
+    episode 1 = rows 1-2 (peak 6, excess 3, 60s), episode 2 = row 4
+    (peak 7, excess 3, 0s); the exactly-4 row and the NULL row join
+    nothing (strict > on scaled integers; NULL-safe gate)."""
+    from traval_spark.operators.monitor import threshold_episodes
+
+    rows = [("s", _t(60 * i), v, i) for i, v in
+            enumerate([0.0, 5.0, 6.0, 0.0, 7.0, 4.0, None])]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "value", "event_id"]))
+    out = sorted(threshold_episodes(df, threshold=4.0).collect(),
+                 key=lambda r: r["episode"])
+    assert len(out) == 2
+    e1, e2 = out
+    assert e1["episode"] == 1 and e1["n_pts"] == 2
+    assert e1["t_start"] == _t(60) and e1["t_end"] == _t(120)
+    assert e1["duration_s"] == 60.0
+    assert e1["peak"] == 6.0 and e1["excess"] == 3.0
+    assert e2["episode"] == 2 and e2["n_pts"] == 1
+    assert e2["duration_s"] == 0.0
+    assert e2["peak"] == 7.0 and e2["excess"] == 3.0
+
+
+def test_decayed_topk_exact_weights_and_order(spark):
+    """Three events 8 days old (u=1, 0.5 each) outrank one event today
+    (1.0) which outranks one 70 days old (u=10 -> 2^-10); weights are
+    exact dyadic rationals; future events clamp to full weight."""
+    from traval_spark.operators.monitor import decayed_topk
+
+    asof = pd.Timestamp("2024-03-01")
+    rows = (
+        [("s", asof, 1)]
+        + [("s", asof - pd.Timedelta(days=8), 2)] * 3
+        + [("s", asof - pd.Timedelta(days=70), 3)]
+        + [("s", asof + pd.Timedelta(days=2), 4)]  # future -> u=0
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "user_id"]))
+    out = decayed_topk(df, k=10, asof="2024-03-01",
+                       half_life_days=7).collect()
+    got = {r["user_id"]: r for r in out}
+    assert got[2]["decayed"] == 1.5 and got[2]["rank"] == 1
+    # users 1 and 4 tie at exactly 1.0 -> key-ascending tie-break
+    assert got[1]["decayed"] == 1.0 and got[1]["rank"] == 2
+    assert got[4]["decayed"] == 1.0 and got[4]["rank"] == 3
+    assert got[3]["decayed"] == 2.0 ** -10 and got[3]["rank"] == 4
+    assert got[2]["n_events"] == 3

@@ -60,6 +60,9 @@ BROADCAST_CROSS_ALLOWED = {
     # kendall: spearman's spine (distinct-groups x global-span literal)
     # plus the O(m^2) bucket-pair join, all on the tiny signal frame
     "kendall_pairs",
+    # SAX reads ride the same signal spine; sax_pairs repeats the
+    # words subtree per self-join side, everything |series|xdays-sized
+    "sax_words", "sax_pairs",
     # 1-row group-count S broadcast into the vocab-bounded counts table
     "tfidf_top",
     # broadcast params/manual-obs dimension crossed per series

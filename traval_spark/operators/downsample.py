@@ -81,7 +81,7 @@ from traval_spark.functions.ts import gap_micros, unix_us
 
 __all__ = [
     "m4_downsample", "m4_merge", "m4_aggs", "m4_project",
-    "lttb_downsample",
+    "lttb_downsample", "sax_words", "sax_pairs",
 ]
 
 _DEC = "decimal(38,0)"
@@ -339,3 +339,171 @@ def lttb_from_m4(
     )
     return lttb_downsample(pts, bucket=bucket, by=by,
                            value_scale=value_scale)
+
+
+_SAX_BREAKS = {
+    3: (-0.4307272992954576, 0.4307272992954576),
+    4: (-0.6744897501960817, 0.0, 0.6744897501960817),
+    5: (-0.8416212335729143, -0.2533471031357997,
+        0.2533471031357997, 0.8416212335729143),
+}
+
+
+def sax_words(
+    df=None,
+    bucket: str = "1h",
+    segments: int = 4,
+    alphabet: int = 4,
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003, Symbolic Aggregate
+    approXimation) of each series' daily activity shape: the
+    zero-filled bucket-count signal is z-normalized per SERIES, PAA-
+    averaged into ``segments`` equal slices of each day, and each
+    slice mean maps to a letter through the standard Gaussian
+    equiprobable breakpoints — so a day's behavior collapses to a
+    short word like ``'abdc'`` that equality-joins can compare,
+    bucket, and mine (motifs, co-behaving series, regime labels)
+    without ever touching raw again.
+
+    Engine-exact symbol verdicts without trusting float z-scores: the
+    comparison z >= beta is evaluated as
+
+        round( (n*Cs - ns*S) / (ns*n), 9 )  >=  round( beta*sigma, 9 )
+
+    where Cs = the slice's count sum, ns = its hour count, S/n the
+    series totals — the LHS numerator is an exact decimal integer and
+    sigma = sqrt(n*Q - S^2)/n is one sqrt of a double OF exact
+    integers, so both sides are identical doubles in any engine and
+    the 9dp fence keeps a last-ulp from flipping a letter (the house
+    slo_burn guard).  Symbol index = #{breakpoints <= z}.  Constant
+    series (zero variance) report a NULL word by rule — z-norm is
+    undefined, not "all letters equal".
+
+    Plan shape: one raw groupBy to the signal (or none: pass
+    ``counts=`` straight off a stored rollup tier — the monitors'
+    tier-served path), then everything runs on the tiny
+    (|series| x days x segments) frame.  ``segments`` must divide 24.
+    Output: ``g, day, n_hours, word``.
+
+    Reference: traval has no symbolic layer; this serves the
+    fleet-behavior reads (which wells behave alike today?) its
+    per-series plots answer by eye.
+    """
+    if 24 % segments:
+        raise ValueError("segments must divide 24")
+    if alphabet not in _SAX_BREAKS:
+        raise ValueError("alphabet must be one of 3, 4, 5")
+    from traval_spark.operators.monitor import bucket_count_signal
+
+    seg_h = 24 // segments
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    stats = sig.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast(_DEC)).alias("s"),
+        F.sum(F.col("c").cast(_DEC) * F.col("c")).alias("q"),
+    )
+    slc = sig.groupBy(
+        "g",
+        F.floor(F.col("h") / 24).alias("day"),
+        F.floor((F.col("h") % 24) / seg_h).alias("seg"),
+    ).agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum(F.col("c").cast(_DEC)).alias("cs"),
+    )
+    j = slc.join(F.broadcast(stats), "g")
+    nd = F.col("n").cast("double")
+    varnum = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    sigma = F.sqrt(varnum) / nd
+    lhs = F.round(
+        (F.col("n") * F.col("cs") - F.col("ns") * F.col("s"))
+        .cast("double")
+        / (F.col("ns").cast("double") * nd),
+        9,
+    )
+    idx = F.lit(0)
+    for beta in _SAX_BREAKS[alphabet]:
+        idx = idx + (lhs >= F.round(F.lit(beta) * sigma, 9)).cast("int")
+    sym = F.when(varnum > 0, F.element_at(
+        F.lit(list("abcde"[:alphabet])), idx + 1
+    ))
+    words = (
+        j.select("g", "day", "ns", F.col("seg"), sym.alias("sym"))
+        .groupBy("g", "day")
+        .agg(
+            F.sum("ns").alias("n_hours"),
+            F.when(
+                F.count(F.lit(1)) == F.count("sym"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seg", "sym"))
+                        ),
+                        lambda st: st["sym"],
+                    ),
+                    "",
+                ),
+            ).alias("word"),
+        )
+    )
+    return words.select(
+        "g", F.date_from_unix_date(F.col("day").cast("int")).alias("day"),
+        "n_hours", "word",
+    )
+
+
+def sax_pairs(
+    df=None,
+    bucket: str = "1h",
+    segments: int = 4,
+    alphabet: int = 4,
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Co-behaving series pairs via SAX-word agreement: two series that
+    emit the SAME word on the same day had the same z-shaped daily
+    profile, so the share of matching days over the days both have
+    words is a cheap, interpretable behavioral similarity — the
+    series-level analog of the token near-dup families (candidate
+    generation by equality join on (day, word), never all-pairs
+    against raw).
+
+    Everything runs on the words frame (|series| x days): one
+    self-join on (day, word) keyed by the word bucket, then exact
+    integer match / day counts and ONE division to the share.  Pairs
+    emitted once (a < b); series pairs with zero matching days are
+    dropped (the join is the candidate generator — absence IS the
+    verdict), so ``min_share`` only tightens further.  Output: ``a, b,
+    matches, days_a, days_b, share`` (share = matches / least(days)).
+    """
+    w = sax_words(df, bucket=bucket, segments=segments,
+                  alphabet=alphabet, by=by, ts=ts, counts=counts)
+    w = w.filter(F.col("word").isNotNull())
+    days = w.groupBy("g").agg(F.count(F.lit(1)).alias("days"))
+    pairs = (
+        w.select(F.col("g").alias("a"), "day", "word")
+        .join(w.select(F.col("g").alias("b"), "day", "word"),
+              ["day", "word"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    out = (
+        pairs.join(days.select(F.col("g").alias("a"),
+                               F.col("days").alias("days_a")), "a")
+        .join(days.select(F.col("g").alias("b"),
+                          F.col("days").alias("days_b")), "b")
+        .select(
+            "a", "b", "matches", "days_a", "days_b",
+            (F.col("matches").cast("double")
+             / F.least("days_a", "days_b").cast("double")).alias("share"),
+        )
+    )
+    return out.filter(F.col("share") >= float(min_share))

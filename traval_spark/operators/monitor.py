@@ -67,6 +67,7 @@ __all__ = [
     "fano_dispersion", "benford_digits",
     "emd_drift", "emd_from_hists", "jsd_drift", "jsd_from_hists",
     "chi2_drift", "chi2_from_hists", "welch_ttest", "kendall_pairs",
+    "threshold_episodes", "decayed_topk",
     "bucket_count_signal", "counts_from_tier",
 ]
 
@@ -2293,4 +2294,151 @@ def kendall_pairs(
             F.col("s_stat").cast("double")
             / F.sqrt((d1 * d2).cast("double")),
         ).alias("tau"),
+    )
+
+
+def threshold_episodes(
+    df: DataFrame,
+    threshold: float,
+    by: tuple[str, ...] = ("source",),
+    ts: str = "ts",
+    val: str = "value",
+    ident: str = "event_id",
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Above-threshold EXCURSION episodes per series — the alarm-audit
+    read none of the pointwise monitors give: :func:`hysteresis_daily`
+    counts latch events and rule_hardmax flags points, but an SLO
+    review asks "how many breach EPISODES, how long, how deep" —
+    contiguous runs of above-threshold points collapsed to one row
+    each with duration, peak, and integrated excess.
+
+    Membership is judged on FIXED-POINT values (``round(v *
+    value_scale)`` int64 vs the identically-scaled threshold literal —
+    the cusum convention), so the in/out verdict per point is
+    engine-exact; the boundary rule is strict ``>`` on the scaled
+    integers.  Episode ids come from the classic gaps-and-islands
+    form: a run starts at an in-excursion row whose lagged predecessor
+    is out (or absent), and the running count of starts over ALL rows
+    numbers episodes 1..K contiguously per series.  Row order within a
+    series is (ts, ident) — deterministic under duplicate timestamps.
+
+    Exactness: peak and the excess sum Σ(y − thr) are exact int64 /
+    decimal(38,0) aggregates descaled by ONE division; duration is an
+    exact integer micros difference over 1e6.  No rounding guard
+    needed anywhere.
+
+    Plan shape: ONE hash partition by series feeds both ordered
+    windows (lag + running start-count share the sort), then the
+    groupBy(series, episode) is partial-aggregatable.  Output: ``*by,
+    episode, t_start, t_end, n_pts, duration_s, peak, excess``.
+    NULL values never join an excursion (the gate is tri-state-safe).
+    """
+    thr_fp = int(round(float(threshold) * value_scale))
+    y = F.round(F.col(val) * F.lit(int(value_scale))).cast("long")
+    base = df.select(
+        *by, F.col(ts).alias("__ts"), F.col(ident).alias("__id"),
+        y.alias("__y"),
+    ).withColumn(
+        "__in",
+        F.coalesce(F.col("__y") > F.lit(thr_fp), F.lit(False)),
+    )
+    wo = Window.partitionBy(*by).orderBy("__ts", "__id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    started = F.col("__in") & ~F.coalesce(
+        F.lag("__in").over(wo), F.lit(False)
+    )
+    eids = base.select(
+        *by, "__ts", "__y", "__in",
+        F.sum(started.cast("long")).over(wrun).alias("episode"),
+    )
+    vs = float(value_scale)
+    return (
+        eids.filter(F.col("__in"))
+        .groupBy(*by, "episode")
+        .agg(
+            F.min("__ts").alias("t_start"),
+            F.max("__ts").alias("t_end"),
+            F.count(F.lit(1)).alias("n_pts"),
+            F.max("__y").alias("__peak"),
+            F.sum((F.col("__y") - F.lit(thr_fp)).cast("decimal(38,0)"))
+            .alias("__exc"),
+        )
+        .select(
+            *by, "episode", "t_start", "t_end", "n_pts",
+            ((unix_us(F.col("t_end")) - unix_us(F.col("t_start")))
+             .cast("double") / F.lit(1e6)).alias("duration_s"),
+            (F.col("__peak").cast("double") / F.lit(vs)).alias("peak"),
+            (F.col("__exc").cast("double") / F.lit(vs)).alias("excess"),
+        )
+    )
+
+
+def decayed_topk(
+    df: DataFrame,
+    k: int = 10,
+    asof: str = "2024-02-01",
+    half_life_days: int = 7,
+    by: str = "source",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Exponentially time-decayed heavy hitters per group — "who
+    matters NOW": a plain top-k ranks a user who burst six weeks ago
+    above one active today; decayed counting halves every
+    ``half_life_days`` so recent activity dominates, which is the
+    freshness-weighted ranking feeds (mixture recency budgets, abuse
+    review queues) actually want.
+
+    The decay is EXACT, not float: age is measured in whole half-life
+    units u = floor(days(asof − ts) / half_life_days) (a step decay —
+    documented semantics, not an approximation of the continuous one),
+    clamped to [0, 63], and the score is assembled as
+
+        S = Σ_events 2^(63 − u)        (exact decimal(38,0))
+
+    so ranking compares exact integers — ties break by key ascending,
+    engine-identical — and the reported ``decayed`` weight is the ONE
+    division S / 2^63.  A same-unit event pair always outweighs any
+    single event one unit fresher (2^n > 2^(n−1)·1), exactly as the
+    continuous form would.
+
+    Plan shape: ONE partial-aggregatable groupBy(by, key, u) corpus
+    pass (state bounded at |keys|·64 per task), the exact sum and the
+    top-k rank window run on the |keys|-per-group frame.  Events after
+    ``asof`` clamp to u = 0 (full weight).  Output: ``by, key,
+    n_events, decayed, rank``.
+    """
+    age = F.datediff(F.lit(asof).cast("date"), F.col(ts).cast("date"))
+    u = F.least(
+        F.greatest(
+            (age / F.lit(int(half_life_days))).cast("long"), F.lit(0)
+        ),
+        F.lit(63),
+    )
+    per_unit = (
+        df.select(F.col(by).alias("g"), F.col(key).alias("k"),
+                  u.alias("u"))
+        .groupBy("g", "k", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = per_unit.groupBy("g", "k").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.pow(F.lit(2.0), (F.lit(63) - F.col("u")).cast("double"))
+            .cast("decimal(38,0)")
+        ).alias("__s"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("__s").desc(),
+                                        F.col("k").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("g").alias(by), F.col("k").alias(key), "n_events",
+            (F.col("__s").cast("double") / F.lit(float(2 ** 63)))
+            .alias("decayed"),
+            "rank",
+        )
     )
