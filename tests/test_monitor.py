@@ -1053,3 +1053,58 @@ def test_decayed_topk_exact_weights_and_order(spark):
     assert got[4]["decayed"] == 1.0 and got[4]["rank"] == 3
     assert got[3]["decayed"] == 2.0 ** -10 and got[3]["rank"] == 4
     assert got[2]["n_events"] == 3
+
+
+def test_emd_jsd_chi2_served_from_hist_tier_equal_direct(spark):
+    """The whole drift-statistic family serves from the STORED hist
+    tier: per-period bin counts summed off 1m tier rows fed to
+    emd/jsd/chi2_from_hists equal the direct raw reads exactly — the
+    PSI/KS tier-served property holds for all three new members."""
+    from traval_spark.hist import hist_tier
+    from traval_spark.operators.monitor import (
+        chi2_drift, chi2_from_hists, emd_drift, emd_from_hists,
+        jsd_drift, jsd_from_hists,
+    )
+    from traval_spark.sources.synth import synth_sequences
+
+    import pyspark.sql.functions as FF
+
+    seqs = synth_sequences(spark, 4000, seed=47, span_days=2)
+    cut = "2024-01-02"
+    tier = hist_tier(seqs, "1m", value_col="n_tok")
+
+    def period(pred, cname):
+        return (tier.filter(pred).groupBy("source", "bin")
+                .agg(FF.sum("cnt").alias(cname)))
+
+    ha = period(FF.col("bucket") < cut, "ca")
+    hb = period(FF.col("bucket") >= cut, "cb")
+    ra = seqs.filter(FF.col("ts") < cut).select(
+        "source", FF.col("n_tok").alias("value"))
+    rb = seqs.filter(FF.col("ts") >= cut).select(
+        "source", FF.col("n_tok").alias("value"))
+    for from_hists, direct_fn in [
+        (emd_from_hists, emd_drift),
+        (jsd_from_hists, jsd_drift),
+        (chi2_from_hists, chi2_drift),
+    ]:
+        tiered = from_hists(ha, hb)
+        direct = direct_fn(ra, rb, scale=1)
+        assert tiered.exceptAll(direct).count() == 0, from_hists.__name__
+        assert direct.exceptAll(tiered).count() == 0, from_hists.__name__
+
+
+def test_sax_words_served_from_rollup_tier_equal_raw(spark):
+    """SAX words off the stored 1m rollup tier (counts= path) are
+    bit-identical to raw — the symbolic layer never re-scans events."""
+    from traval_spark.operators.downsample import sax_words
+    from traval_spark.operators.monitor import counts_from_tier
+    from traval_spark.rollup import rollup_raw
+    from traval_spark.sources.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 4000, seed=49, span_days=2)
+    tier = rollup_raw(seqs, "1m")
+    direct = sax_words(seqs.select("source", "ts"), bucket="1h")
+    tiered = sax_words(counts=counts_from_tier(tier, bucket="1h"))
+    assert tiered.exceptAll(direct).count() == 0
+    assert direct.exceptAll(tiered).count() == 0

@@ -1445,3 +1445,74 @@ def test_swing_kernel_rounds_half_away_from_zero():
     assert emitted["v_i"].tolist() == [3, -3]
     # trailing candidate pending in state: 0.85*10 = 8.5 -> 9
     assert state.get[3] == 9
+
+
+def test_stream_threshold_episodes_match_batch(spark, tmp_path):
+    """Streamed CLOSED breach episodes == batch threshold_episodes
+    minus each series' trailing still-open episode, across a forced
+    micro-batch boundary (maxFilesPerTrigger=1 — an episode whose
+    points straddle the file split must carry its accumulators in
+    state, not restart)."""
+    import time as _time
+
+    from traval_spark.operators.monitor import threshold_episodes
+    from traval_spark.streaming.stateful_rules import (
+        stream_threshold_episodes,
+    )
+
+    inp = str(tmp_path / "ein")
+    seqs = (
+        synth_sequences(spark, 4000, seed=23, span_days=1)
+        .groupBy("source", "ts").agg(F.max("n_tok").alias("n_tok"),
+                                     F.max("doc_id").alias("doc_id"))
+    )
+    mid = "2024-01-01 12:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+
+    thr = 200.0
+    q = (stream_threshold_episodes(spark, inp, threshold=thr,
+                                   max_files_per_trigger=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "eout"))
+         .option("checkpointLocation", str(tmp_path / "eck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(tmp_path / "eout"))
+    assert streamed.count() > 0
+
+    batch_in = seqs.select(
+        "source", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("n_tok").cast("double").alias("value"),
+        F.col("doc_id").alias("event_id"),
+    )
+    batch = threshold_episodes(batch_in, threshold=thr)
+
+    # drop each series' trailing OPEN episode: the last sample in
+    # (ts, ident) order is in excursion -> its episode never closed
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    last = (batch_in.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.round(F.col("value") * 1000).cast("long")
+                    > int(thr * 1000))
+            .select("source"))
+    open_eps = (batch.join(last, "source", "left_semi")
+                .groupBy("source")
+                .agg(F.max("episode").alias("episode")))
+    want = batch.join(open_eps, ["source", "episode"], "left_anti")
+
+    assert streamed.exceptAll(want).count() == 0
+    assert want.exceptAll(streamed).count() == 0
+
+    # boundary carry actually exercised: seed 23 has exactly one
+    # episode spanning the file split — if the kernel restarted its
+    # accumulators at the boundary this row (and the equality above)
+    # would break
+    assert streamed.filter(
+        (F.col("t_start") < mid) & (F.col("t_end") >= mid)
+    ).count() == 1

@@ -897,3 +897,141 @@ def stream_swing_compress(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EPISODE_OUTPUT_SCHEMA = (
+    "source string, episode long, t_start timestamp, t_end timestamp, "
+    "n_pts long, duration_s double, peak double, excess double"
+)
+# carried pair-order key + started-episode counter + the open episode's
+# accumulators (fixed-point integers — Python ints keep them exact)
+EPISODE_STATE_SCHEMA = (
+    "last_us long, last_id string, n_started long, open int, "
+    "ep_start long, ep_end long, ep_n long, ep_peak long, ep_exc long"
+)
+
+
+def make_episode_state_func(threshold: float, value_scale: int = 1000):
+    """applyInPandasWithState kernel for streaming threshold-excursion
+    episodes (operators/monitor.py:threshold_episodes semantics).
+
+    Emits one row per CLOSED episode: an out-of-excursion (or NaN)
+    sample arriving while an episode is open closes and emits it.  The
+    per-series trailing OPEN episode stays in state — the stream
+    cannot know it is final (the swing compressor's trailing-candidate
+    rule; a timeout flush is the production hook, deliberately unwired
+    to keep replay idempotent).  Membership is the batch operator's
+    exact rule: fixed-point value (half-AWAY-from-zero, matching Spark
+    F.round / DuckDB round — np.rint's half-even would flip boundary
+    points) strictly greater than the identically-scaled threshold.
+    Episode ids are the running started-count, so streamed ids equal
+    the batch operator's 1..K numbering under the same row order.
+
+    Late/duplicate rule: rows at or before the carried (ts, ident) are
+    dropped (disclosed — a late row can't extend an episode whose span
+    already advanced past it).  State is O(1): the 9-field tuple.
+    """
+    thr_fp = int(round(float(threshold) * value_scale))
+    vs = float(value_scale)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.assign(
+            ident=batch["ident"].map(lambda i: "" if i is None else str(i))
+        ).sort_values(["ts", "ident"])
+        b_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        b_ids = batch["ident"].to_numpy(dtype=object)
+        x = batch["value"].to_numpy(dtype=float) * vs
+        b_y = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+        b_nan = ~np.isfinite(x)
+
+        if state.exists:
+            (last_us, last_id, n_started, open_, ep_start, ep_end,
+             ep_n, ep_peak, ep_exc) = state.get
+        else:
+            last_us, last_id, n_started, open_ = -1, "", 0, 0
+            ep_start = ep_end = ep_n = ep_peak = ep_exc = 0
+        fresh = (b_ts > last_us) | (
+            (b_ts == last_us)
+            & np.array([i > last_id for i in b_ids], dtype=bool)
+        )
+        b_ts, b_ids = b_ts[fresh], b_ids[fresh]
+        b_y, b_nan = b_y[fresh], b_nan[fresh]
+        if len(b_ts) == 0:
+            return
+
+        closed = []
+        for us, nan, yf in zip(b_ts.tolist(), b_nan.tolist(),
+                               b_y.tolist()):
+            y = None if nan else int(yf)
+            if y is not None and y > thr_fp:
+                if not open_:
+                    n_started += 1
+                    open_ = 1
+                    ep_start, ep_n, ep_peak, ep_exc = us, 0, y, 0
+                ep_end = us
+                ep_n += 1
+                ep_peak = max(ep_peak, y)
+                ep_exc += y - thr_fp
+            elif open_:
+                closed.append((n_started, ep_start, ep_end, ep_n,
+                               ep_peak, ep_exc))
+                open_ = 0
+        state.update((int(b_ts[-1]), str(b_ids[-1]), int(n_started),
+                      int(open_), int(ep_start), int(ep_end),
+                      int(ep_n), int(ep_peak), int(ep_exc)))
+        if closed:
+            yield pd.DataFrame({
+                "source": key[0],
+                "episode": np.array([c[0] for c in closed], "int64"),
+                "t_start": np.array([c[1] for c in closed],
+                                    "int64").astype("datetime64[us]"),
+                "t_end": np.array([c[2] for c in closed],
+                                  "int64").astype("datetime64[us]"),
+                "n_pts": np.array([c[3] for c in closed], "int64"),
+                "duration_s": np.array(
+                    [(c[2] - c[1]) / 1e6 for c in closed], "float64"),
+                "peak": np.array([c[4] / vs for c in closed], "float64"),
+                "excess": np.array([c[5] / vs for c in closed],
+                                   "float64"),
+            })
+
+    return fn
+
+
+def stream_threshold_episodes(
+    spark: SparkSession,
+    input_path: str,
+    threshold: float,
+    value_col: str = "n_tok",
+    ident_col: str = "doc_id",
+    value_scale: int = 1000,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming threshold-excursion episodes over the sequence drop
+    dir: closed breach episodes land as they close (the alerting
+    shape — a postmortem row exists the moment the series recovers),
+    bit-identical to batch ``threshold_episodes`` minus each series'
+    trailing still-open episode (parity-tested across micro-batch
+    boundaries)."""
+    stream = (
+        spark.readStream.schema(SEQUENCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .select(
+            "source", F.col("ts").cast("timestamp").alias("ts"),
+            F.col(ident_col).cast("string").alias("ident"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+    )
+    return stream.groupBy("source").applyInPandasWithState(
+        make_episode_state_func(threshold, value_scale=value_scale),
+        outputStructType=EPISODE_OUTPUT_SCHEMA,
+        stateStructType=EPISODE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
