@@ -3636,6 +3636,21 @@ def q_sax_pairs(spark, sf_dir):
     return sax_pairs(ev, bucket="1h", segments=4, alphabet=4)
 
 
+def q_embedding_cov(spark, sf_dir):
+    """Embedding component covariance/correlation audit (similarity.py:
+    embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
+    the redundancy read ahead of trusting cosine thresholds, and the
+    exact input of a driver-side PCA/whitening step.  Fixed-point
+    components make every moment an exact decimal aggregate; one cast
+    to double per numerator, variance product multiplied as doubles
+    (the decimal product can pass 1e38 at design scale); NO self-join
+    (the pair stream is row-local posexplode -> tail-slice
+    posexplode)."""
+    from traval_spark.operators.similarity import embedding_cov
+
+    return embedding_cov(_emb(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -3848,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_topk": q_decayed_topk,
         "sax_words": q_sax_words,
         "sax_pairs": q_sax_pairs,
+        "embedding_cov": q_embedding_cov,
     }
 
 
@@ -8222,6 +8238,35 @@ def oracle_sql() -> dict[str, str]:
            cast(sum(cast(y - 90000 AS hugeint)) AS double) / 1000.0
              AS excess
     from e where inx group by source, episode
+    """
+    # embedding covariance: exact fixed-point moments, numerators cast
+    # to double once, variance product multiplied AS doubles, NULL
+    # corr at exact-zero variance; 0-based dims to match posexplode
+    sql["embedding_cov"] = """
+    with e as (select list_transform(embedding,
+                        x -> cast(round(cast(x AS double) * 1000000)
+                                  AS bigint)) AS v
+               from embeddings where embedding is not null),
+    pairs as (select i.i AS i, j.j AS j, count(*) AS n,
+                     sum(cast(v[i.i] AS hugeint) * v[j.j]) AS p
+              from e, generate_series(1, 64) AS i(i),
+                   generate_series(1, 64) AS j(j)
+              where j.j >= i.i group by 1, 2),
+    m as (select i AS k, p AS q from pairs where i = j),
+    s as (select i.i AS k, sum(cast(v[i.i] AS hugeint)) AS s
+          from e, generate_series(1, 64) AS i(i) group by 1),
+    ms as (select m.k, m.q, s.s from m join s using (k))
+    select p.i - 1 AS i, p.j - 1 AS j, cast(p.n AS bigint) AS n,
+           cast(p.n * p.p - a.s * b.s AS double)
+             / (cast(p.n AS double) * cast(p.n AS double)
+                * 1000000000000.0) AS cov,
+           case when p.n * a.q - a.s * a.s > 0
+                 and p.n * b.q - b.s * b.s > 0
+                then cast(p.n * p.p - a.s * b.s AS double)
+                     / sqrt(cast(p.n * a.q - a.s * a.s AS double)
+                            * cast(p.n * b.q - b.s * b.s AS double))
+           end AS corr
+    from pairs p join ms a on p.i = a.k join ms b on p.j = b.k
     """
     # SAX words: cleared-denominator z numerators vs 9dp beta*sigma
     # fences, NULL word at zero variance, string_agg in seg order

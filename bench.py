@@ -164,7 +164,8 @@ def main() -> None:
         "semantic_keep", "kmeans_components",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
         "pq_codes", "pq_adc_topk", "ann_ivfpq_topk",
-        "knn_join_ivf", "ann_recall", "label_sim", "multimodal_meta",
+        "knn_join_ivf", "ann_recall", "label_sim", "embedding_cov",
+        "multimodal_meta",
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
         "tpch_forecast_revenue", "tpch_late_orders", "tpch_priority_lines",

@@ -2029,6 +2029,26 @@ def test_label_centroid_sim_hand_values(spark):
     assert got[("x", "y")]["n_a"] == 2 and got[("x", "y")]["n_b"] == 2
 
 
+def test_embedding_cov_hand_values(spark):
+    """Three 3-dim vectors: d1 = 2·d0 (corr exactly 1 up to the one
+    sqrt ulp), d2 constant (cov 0, corr NULL by the exact-integer
+    zero-variance rule); a NULL embedding row drops out of n."""
+    from traval_spark.operators.similarity import embedding_cov
+
+    d = spark.createDataFrame(
+        [(1, [1.0, 2.0, 5.0]), (2, [2.0, 4.0, 5.0]),
+         (3, [3.0, 6.0, 5.0]), (4, None)],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {(r["i"], r["j"]): r for r in embedding_cov(d).collect()}
+    assert len(rows) == 6 and all(r["n"] == 3 for r in rows.values())
+    assert rows[(0, 0)]["cov"] == 2 / 3        # E[x²]−E[x]² = 14/3 − 4
+    assert rows[(0, 1)]["cov"] == 4 / 3        # cov(x, 2x) = 2·var(x)
+    assert round(rows[(0, 1)]["corr"], 12) == 1.0
+    assert rows[(0, 2)]["cov"] == 0.0 and rows[(0, 2)]["corr"] is None
+    assert rows[(2, 2)]["cov"] == 0.0 and rows[(2, 2)]["corr"] is None
+
+
 def test_mixture_concentration_hand_values(spark):
     """Weights 1/2/3 across three sources: W=6, sorted Σi·w = 14 ->
     gini (2·14 − 4·6)/(3·6) = 4/18; hhi 14/36; top = c at 0.5."""

@@ -1109,3 +1109,98 @@ def kmeans_components(
     return spark.createDataFrame(
         data, "cid int, dim int, m double, n long"
     )
+
+
+def embedding_cov(
+    df: DataFrame,
+    emb: str = "embedding",
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """Covariance + correlation matrix of the embedding components,
+    long-form ``(i, j, n, cov, corr)`` for i <= j — the redundancy
+    audit an embedding column gets before anything expensive trusts
+    it: near-duplicate dimensions (corr ~ 1) inflate every cosine the
+    ANN/dedup paths compute, dead dimensions (cov ~ 0) waste index
+    width, and the matrix is exactly the input a driver-side PCA /
+    whitening step consumes.
+
+    Exactness (the kmeans/label_sim convention): components are
+    fixed-point scaled (``round(x * value_scale)`` -> int64), so every
+    moment — S_i, Q_i = P_ii, and the pair sums P_ij — is an EXACT
+    decimal(38,0) aggregate; then
+
+        cov_ij  = (n*P_ij − S_i*S_j) / (n² * scale²)
+        corr_ij = (n*P_ij − S_i*S_j)
+                  / sqrt((n*Q_i − S_i²) · (n*Q_j − S_j²))
+
+    with every numerator an exact decimal cast to double ONCE and the
+    variance product multiplied AS DOUBLES (the decimal product can
+    pass 1e38 at design scale) — deterministic in any engine, no
+    rounding guard needed.  Zero-variance dimensions report NULL corr
+    (exact-integer zero test, never a float epsilon).
+
+    Plan shape: NO self-join — the upper-triangle pair stream is
+    row-local (posexplode to (i, v_i, tail-slice) then posexplode the
+    slice), one partial-aggregatable groupBy(i, j) whose state is
+    bounded at d(d+1)/2 rows per task; marginals come from the same
+    construction's diagonal, and the assembly joins run on the
+    d²-sized frame.  Rows with NULL embeddings are dropped (counted
+    out of n); the table is assumed fixed-dimension.
+    """
+    # cast float32 -> double BEFORE scaling: x * scale computed in
+    # float32 has ~7 significant digits and rounds to a different
+    # integer than the double product (the cross-engine trap — DuckDB
+    # widens mixed float/int arithmetic differently than Spark)
+    fp = F.transform(
+        F.col(emb).cast("array<double>"),
+        lambda x: F.round(x * F.lit(int(value_scale))).cast("long"),
+    )
+    base = df.filter(F.col(emb).isNotNull()).select(fp.alias("e"))
+    lead = base.select(
+        F.posexplode("e").alias("i", "vi"), F.col("e"),
+    ).select(
+        "i", "vi",
+        F.posexplode(F.expr("slice(e, i + 1, size(e))"))
+        .alias("joff", "vj"),
+    )
+    pairs = (
+        lead.select(
+            "i", (F.col("i") + F.col("joff")).alias("j"),
+            (F.col("vi").cast("decimal(38,0)") * F.col("vj")).alias("__p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__p").alias("p"))
+    )
+    marg = pairs.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("p").alias("q"),
+    )
+    s = (
+        base.select(F.posexplode("e").alias("k", "v"))
+        .groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+    )
+    m = marg.join(s, "k")
+    j = (
+        pairs.join(
+            F.broadcast(m.select(F.col("k").alias("i"),
+                                 F.col("s").alias("si"),
+                                 F.col("q").alias("qi"))), "i")
+        .join(
+            F.broadcast(m.select(F.col("k").alias("j"),
+                                 F.col("s").alias("sj"),
+                                 F.col("q").alias("qj"))), "j")
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("p") - F.col("si") * F.col("sj")).cast("double")
+    vi = (nd * F.col("qi") - F.col("si") * F.col("si"))
+    vj = (nd * F.col("qj") - F.col("sj") * F.col("sj"))
+    n_dbl = F.col("n").cast("double")
+    denom_cov = n_dbl * n_dbl * F.lit(float(value_scale) ** 2)
+    return j.select(
+        "i", "j", "n",
+        (num / denom_cov).alias("cov"),
+        F.when(
+            (vi > 0) & (vj > 0),
+            num / F.sqrt(vi.cast("double") * vj.cast("double")),
+        ).alias("corr"),
+    )
