@@ -2525,6 +2525,155 @@ def q_tpch_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_cust_dist(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution (the
+    left-outer + double-aggregation shape; status<>'P' stands in for
+    the kit's o_comment NOT LIKE filter — this schema carries no
+    comment column).  Plan: the aggregate is PUSHED THROUGH the join —
+    orders pre-collapse to one (custkey, count) row each (partial-
+    aggregatable, shrinks the probe side ~|orders|/|customers|×) and
+    the left join runs customer × counts instead of customer × orders;
+    coalesce(count, 0) restores the zero-order customers the kit's
+    LEFT JOIN keeps.  Exact: pure integer counts."""
+    c = _tpch(spark, sf_dir, "customer").select("c_custkey")
+    per = (
+        _tpch(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    j = c.join(per, F.col("c_custkey") == F.col("o_custkey"), "left")
+    per_cust = j.select(
+        F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-style small-quantity-order revenue (the correlated
+    scalar-subquery shape: lineitems below 20% of their part's average
+    quantity).  Plan: the correlated avg is ONE window over the
+    brand-filtered join — never a second scan or a re-join of the
+    aggregate (partition = partkey, bounded ~30-row groups, no skew).
+    Exact: l_quantity is integer-valued, so the per-part avg is an
+    exact-integer sum / count — correctly rounded identically in any
+    engine regardless of order — and 0.2*avg is the same IEEE product
+    both sides; only the final revenue sum needs the 2dp guard."""
+    p = (
+        _tpch(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    l = _tpch(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    from pyspark.sql import Window
+
+    lp = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    keep = lp.withColumn("__aq", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("__aq"))
+    return keep.agg(
+        F.round(F.sum("l_extendedprice") / F.lit(7.0), 2)
+        .alias("avg_yearly"))
+
+
+def q_tpch_big_orders(spark, sf_dir):
+    """TPC-H Q18-style large-volume customers (the group-HAVING-IN
+    shape).  Plan: lineitem collapses FIRST to per-order quantity sums
+    (partial-aggregatable) and the HAVING filter shrinks it to the
+    handful of big orders BEFORE any join; the qualifying-order frame
+    then joins orders, and the customer dim is broadcast; top-100 via
+    TakeOrderedAndProject with a full deterministic tie-break
+    (orderkey is unique).  Exact: quantity sums are integer-valued."""
+    big = (
+        _tpch(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _tpch(spark, sf_dir, "orders")
+    c = _tpch(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    out = j.select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                   "o_totalprice", "sum_qty")
+    return out.orderBy(
+        F.desc("o_totalprice"), "o_orderdate", "o_orderkey").limit(100)
+
+
+def q_tpch_disjunct_revenue(spark, sf_dir):
+    """TPC-H Q19-style disjunctive-predicate revenue (the OR-of-
+    conjuncts shape the kit hand-optimizes; brand/size/quantity bands
+    stand in for the kit's container/shipmode columns this schema
+    doesn't carry).  Plan: the per-side ENVELOPES of the disjunction
+    are pushed redundantly — part pre-filters to the brand set + the
+    size hull, lineitem to the quantity hull (both reach the parquet
+    scan as PushedFilters) — then the exact OR runs on the joined rows
+    with the small filtered part dim broadcast."""
+    brands = ["Brand#12", "Brand#23", "Brand#34"]
+    p = (
+        _tpch(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(brands)
+                & F.col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    disj = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(disj).agg(F.round(rev, 2).alias("revenue"))
+
+
+def q_tpch_quiet_customers(spark, sf_dir):
+    """TPC-H Q22-style dormant-value customers (the global-scalar-
+    subquery + ANTI-join shape): above-average-balance customers with
+    no urgent order, per market segment (segment stands in for the
+    kit's phone country code).  Plan: the positive-balance average is
+    ONE scalar row broadcast-crossed in (the audited global-scalar
+    class), the no-urgent-order test is a LEFT ANTI join against the
+    priority-filtered orders projection.  Exact: the above-average
+    test clears the denominator — round(bal*100) int64 cents, compare
+    cents*n > sum_cents as exact integers, so no float-avg ulp can
+    flip a membership cross-engine; only the reported balance total
+    carries the 2dp guard."""
+    c = _tpch(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    tot = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("__s"),
+             F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"))
+    )
+    urgent = (
+        _tpch(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(cents.cast("decimal(38,0)") * F.col("__n") > F.col("__s"))
+    )
+    keep = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return keep.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: parse the events.props JSON column
     JVM-side (get_json_object — codegen'd, no Python) and aggregate per
@@ -3785,6 +3934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
         "tpch_late_orders": q_tpch_late_orders,
         "tpch_priority_lines": q_tpch_priority_lines,
+        "tpch_cust_dist": q_tpch_cust_dist,
+        "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
+        "tpch_big_orders": q_tpch_big_orders,
+        "tpch_disjunct_revenue": q_tpch_disjunct_revenue,
+        "tpch_quiet_customers": q_tpch_quiet_customers,
         "tier_routed": q_tier_routed,
         "distinct_users_1h": q_distinct_users_1h,
         "kmv_overlap": q_kmv_overlap,
@@ -5807,6 +5961,66 @@ def oracle_sql() -> dict[str, str]:
       and l_shipdate < TIMESTAMP '1995-01-01'
       and l_discount between 0.05 and 0.07
       and l_quantity < 24
+    """
+    sql["tpch_cust_dist"] = """
+    select c_count, count(*) AS custdist
+    from (select c.c_custkey, count(o.o_custkey) AS c_count
+          from customer c
+          left join orders o on c.c_custkey = o.o_custkey
+                            and o.o_orderstatus <> 'P'
+          group by 1)
+    group by 1
+    """
+    # Q17: per-part avg is exact (integer-valued quantities -> exact
+    # sum / count, correctly rounded identically in any engine), so
+    # the 0.2*avg fence is the same IEEE double both sides
+    sql["tpch_small_qty_revenue"] = """
+    select round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    from (select l.l_extendedprice, l.l_quantity,
+                 avg(l.l_quantity) over (partition by l.l_partkey) AS aq
+          from lineitem l join part p on l.l_partkey = p.p_partkey
+          where p.p_brand = 'Brand#23')
+    where l_quantity < 0.2 * aq
+    """
+    sql["tpch_big_orders"] = """
+    select c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, t.sum_qty
+    from orders o
+    join customer c on o.o_custkey = c.c_custkey
+    join (select l_orderkey, sum(l_quantity) AS sum_qty
+          from lineitem group by 1
+          having sum(l_quantity) > 300) t
+      on o.o_orderkey = t.l_orderkey
+    order by o.o_totalprice desc, o.o_orderdate, o.o_orderkey
+    limit 100
+    """
+    sql["tpch_disjunct_revenue"] = """
+    select round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    from lineitem l join part p on l.l_partkey = p.p_partkey
+    where (p.p_brand = 'Brand#12' and p.p_size between 1 and 5
+           and l.l_quantity between 1 and 11)
+       or (p.p_brand = 'Brand#23' and p.p_size between 1 and 10
+           and l.l_quantity between 10 and 20)
+       or (p.p_brand = 'Brand#34' and p.p_size between 1 and 15
+           and l.l_quantity between 20 and 30)
+    """
+    # Q22: the above-average membership test clears the denominator
+    # (cents * n > sum_cents on exact integers) so a float-avg last
+    # ulp can never flip a customer in or out cross-engine
+    sql["tpch_quiet_customers"] = """
+    with t as (select cast(sum(cast(round(c_acctbal * 100) AS bigint))
+                           AS hugeint) AS s,
+                      cast(count(*) AS hugeint) AS n
+               from customer where c_acctbal > 0.0)
+    select c.c_mktsegment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    from customer c, t
+    where cast(round(c.c_acctbal * 100) AS hugeint) * t.n > t.s
+      and not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey
+                        and o.o_orderpriority = '1-URGENT')
+    group by 1
     """
     # tier routing is answer-invariant in the serving tier (cascade
     # composition identity), so the stitched multi-tier read oracles

@@ -170,6 +170,8 @@ def main() -> None:
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
         "tpch_forecast_revenue", "tpch_late_orders", "tpch_priority_lines",
         "tpch_returned_revenue", "tpch_promo_share",
+        "tpch_cust_dist", "tpch_small_qty_revenue", "tpch_big_orders",
+        "tpch_disjunct_revenue", "tpch_quiet_customers",
         "tier_routed", "contract_check",
     ]
     for name in headline:

@@ -258,6 +258,45 @@ def test_tpch_join_chain_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan14, plan14
 
 
+def test_tpch_round2_plan_shapes(spark):
+    """Q13/Q17/Q18/Q19/Q22-shape plan contracts: aggregates pushed
+    below joins, dims broadcast, disjunction envelopes reaching the
+    parquet scan, the anti join planned as LeftAnti."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    # Q13: orders collapse to (custkey, count) BEFORE the left join —
+    # a partial_count must exist upstream of the join
+    plan13 = fmt_plan(em.queries()["tpch_cust_dist"](spark, sf))
+    assert "partial_count" in plan13, plan13
+
+    # Q17: brand-filtered part dim broadcast; the correlated avg is a
+    # window, never a re-join of an aggregate
+    plan17 = fmt_plan(em.queries()["tpch_small_qty_revenue"](spark, sf))
+    assert "BroadcastHashJoin" in plan17, plan17
+    assert "SortMergeJoin" not in plan17, plan17
+    assert plan17.count("Window") >= 1, plan17
+
+    # Q18: HAVING shrinks lineitem's per-order sums before any join,
+    # customer broadcast, top-100 as TakeOrderedAndProject
+    plan18 = fmt_plan(em.queries()["tpch_big_orders"](spark, sf))
+    assert "partial_sum" in plan18, plan18
+    assert "BroadcastHashJoin" in plan18, plan18
+    assert "TakeOrderedAndProject" in plan18, plan18
+
+    # Q19: the quantity hull of the disjunction reaches the lineitem
+    # parquet scan as a pushed filter; filtered part dim broadcast
+    plan19 = fmt_plan(em.queries()["tpch_disjunct_revenue"](spark, sf))
+    assert "BroadcastHashJoin" in plan19, plan19
+    pushed = [ln for ln in plan19.splitlines()
+              if "PushedFilters" in ln and "l_quantity" in ln]
+    assert pushed, plan19
+
+    # Q22: no-urgent-order test planned as a real anti join
+    plan22 = fmt_plan(em.queries()["tpch_quiet_customers"](spark, sf))
+    assert "LeftAnti" in plan22, plan22
+
+
 def test_hist_cascade_is_codegen_partial_agg(spark, seq_parquet):
     """The histogram tier path must be pure whole-stage-codegen hash
     aggregation (no ObjectHashAggregate — nothing collects), with the

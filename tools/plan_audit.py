@@ -65,6 +65,9 @@ BROADCAST_CROSS_ALLOWED = {
     "sax_words", "sax_pairs",
     # 1-row group-count S broadcast into the vocab-bounded counts table
     "tfidf_top",
+    # 1-row exact cents-total broadcast crossed into the customer scan
+    # (the Q22 global-scalar-subquery shape)
+    "tpch_quiet_customers",
     # broadcast params/manual-obs dimension crossed per series
     "pastas_pi_bounds", "manual_obs_compare", "manual_obs_shift",
     # range/point containment against broadcast-small literal frames
@@ -79,7 +82,8 @@ BROADCAST_CROSS_ALLOWED = {
 DIMS_MUST_BROADCAST = {
     "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",
     "tpch_late_orders", "tpch_priority_lines", "tpch_returned_revenue",
-    "tpch_promo_share",
+    "tpch_promo_share", "tpch_small_qty_revenue", "tpch_big_orders",
+    "tpch_disjunct_revenue", "tpch_quiet_customers",
 }
 
 MARKERS = [
