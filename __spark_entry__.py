@@ -3800,6 +3800,75 @@ def q_embedding_cov(spark, sf_dir):
     return embedding_cov(_emb(spark, sf_dir))
 
 
+def q_embedding_cov_merged(spark, sf_dir):
+    """Covariance served FROM stored moment tiers (similarity.py:
+    embedding_moments / cov_from_moments): moments build per
+    vec_id-parity half (standing in for per-day / per-ingest-batch
+    tiers), the serve merges the halves by exact integer sums — BIT-
+    identical to the direct read because integer sums re-associate
+    losslessly and the float tail is the same three ops.  The oracle
+    is the DIRECT computation, so the gate proves the tier identity:
+    covariance monitoring never re-scans the embedding corpus."""
+    from traval_spark.operators.similarity import (
+        cov_from_moments,
+        embedding_moments,
+    )
+
+    e = _emb(spark, sf_dir).withColumn(
+        "h", (F.col("vec_id") % 2).cast("int"))
+    return cov_from_moments(embedding_moments(e, by=["h"]))
+
+
+def _proj_matrix(k: int, d: int) -> list:
+    """Deterministic data-independent k×d test matrix in [-1, 1) from
+    md5 — generated identically into the Spark plan literals and the
+    oracle SQL text (the rbo tail-literal convention), so both engines
+    project with the exact same doubles."""
+    import hashlib
+
+    return [
+        [int(hashlib.md5(f"proj:{r}:{c}".encode()).hexdigest()[:12], 16)
+         / float(1 << 48) * 2.0 - 1.0
+         for c in range(d)]
+        for r in range(k)
+    ]
+
+
+def q_embedding_project(spark, sf_dir):
+    """Distributed fixed-matrix projection (similarity.py:
+    embedding_project — the serving half of the PCA/whitening path;
+    the eigensolve itself is driver-side O(d³), pytest-gated): each
+    output coordinate is one plan-literal zip_with/aggregate fold,
+    pure whole-stage codegen, row-local, no shuffle; long-form
+    (vec_id, r, y) with the 6dp dot guard (fold order is
+    deterministic, a serving engine's dot order may not be)."""
+    from traval_spark.operators.similarity import embedding_project
+
+    out = embedding_project(_emb(spark, sf_dir), _proj_matrix(4, 64))
+    return out.select("vec_id", F.posexplode("proj").alias("r", "y"))
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Embedding-centroid drift between consecutive periods, served
+    FROM the stored moment tier's DIAGONAL cells (similarity.py:
+    centroid_drift — the drift read for the embedding column itself,
+    next to PSI/KS for value columns): centroid cosine needs no
+    division by n (the n's cancel), so dot and norms are EXACT decimal
+    integers with one double cast each; the L2 shift clears
+    denominators chi2-style (exact term, squared as double, 6dp
+    guard).  vec_id%4 stands in for the ingest-period key; everything
+    after the tier build runs on the |periods|×d diagonal frame."""
+    from traval_spark.operators.similarity import (
+        centroid_drift,
+        embedding_moments,
+    )
+
+    e = _emb(spark, sf_dir).withColumn(
+        "period", (F.col("vec_id") % 4).cast("int"))
+    return centroid_drift(
+        embedding_moments(e, by=["period"]), "period")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -4018,6 +4087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": q_sax_words,
         "sax_pairs": q_sax_pairs,
         "embedding_cov": q_embedding_cov,
+        "embedding_cov_merged": q_embedding_cov_merged,
+        "embedding_project": q_embedding_project,
+        "centroid_drift": q_centroid_drift,
     }
 
 
@@ -8482,6 +8554,58 @@ def oracle_sql() -> dict[str, str]:
            end AS corr
     from pairs p join ms a on p.i = a.k join ms b on p.j = b.k
     """
+    # tier-merged covariance is answer-invariant (exact integer moment
+    # sums re-associate losslessly), so the merged serve oracles
+    # against the DIRECT computation — the gate IS the tier identity
+    sql["embedding_cov_merged"] = sql["embedding_cov"]
+    # centroid drift off the moment-tier diagonal: cosine on exact
+    # integer sums (the n's cancel), L2 via cleared-denominator terms
+    # squared as double, 6dp guard on the d-term sum; periods pair
+    # with their previous present period, first period NULL
+    sql["centroid_drift"] = """
+    with e as (select cast(vec_id % 4 AS int) AS period,
+                      list_transform(embedding,
+                        x -> cast(round(cast(x AS double) * 1000000)
+                                  AS bigint)) AS v
+               from embeddings where embedding is not null),
+    diag as (select period, i.i AS i,
+                    sum(cast(v[i.i] AS hugeint)) AS s,
+                    count(*) AS n
+             from e, generate_series(1, 64) AS i(i) group by 1, 2),
+    lagged as (select period, i, s, n,
+                      lag(s) over (partition by i order by period) AS sp,
+                      lag(n) over (partition by i order by period) AS np
+               from diag),
+    g as (select period, max(n) AS n, max(np) AS n_prev,
+                 count(s) AS d, count(sp) AS dp,
+                 sum(s * sp) AS dot, sum(s * s) AS qa,
+                 sum(sp * sp) AS qb,
+                 sum(cast(s * np - sp * n AS double)
+                     * cast(s * np - sp * n AS double)) AS t2
+          from lagged group by 1)
+    select period, cast(n AS bigint) AS n,
+           cast(n_prev AS bigint) AS n_prev,
+           case when dp = d and qa > 0 and qb > 0
+                then cast(dot AS double)
+                     / sqrt(cast(qa AS double) * cast(qb AS double))
+           end AS cos_prev,
+           case when dp = d
+                then round(sqrt(t2) / (cast(n AS double)
+                           * cast(n_prev AS double) * 1000000.0), 6)
+           end AS l2_prev
+    from g
+    """
+    # fixed-matrix projection: identical plan literals both engines
+    # (md5 test matrix), 6dp dot guard for engine fold order
+    _W = _proj_matrix(4, 64)
+    sql["embedding_project"] = " union all ".join(
+        "select vec_id, {r} AS r,"
+        " round(list_dot_product(list_transform(embedding,"
+        " x -> cast(x AS double)), [{lits}]), 6) AS y"
+        " from embeddings".format(
+            r=r, lits=", ".join(repr(w) for w in _W[r]))
+        for r in range(4)
+    )
     # SAX words: cleared-denominator z numerators vs 9dp beta*sigma
     # fences, NULL word at zero variance, string_agg in seg order
     _SAXW = """

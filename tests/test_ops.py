@@ -2049,6 +2049,113 @@ def test_embedding_cov_hand_values(spark):
     assert rows[(2, 2)]["cov"] == 0.0 and rows[(2, 2)]["corr"] is None
 
 
+def test_embedding_moments_merge_is_bit_identical(spark):
+    """Moment tiers built per partition then merged must serve the
+    EXACT direct covariance (integer sums re-associate losslessly;
+    the float tail is the same three ops) — bitwise float equality,
+    no tolerance."""
+    import pandas as pd
+
+    from traval_spark.operators.similarity import (
+        cov_from_moments,
+        embedding_cov,
+        embedding_moments,
+    )
+
+    rng = __import__("numpy").random.default_rng(7)
+    d = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(40),
+        "embedding": [rng.normal(size=6).astype("float32").tolist()
+                      for _ in range(40)],
+        "h": [i % 3 for i in range(40)],
+    }))
+    direct = {(r["i"], r["j"]): (r["n"], r["cov"], r["corr"])
+              for r in embedding_cov(d).collect()}
+    merged = {(r["i"], r["j"]): (r["n"], r["cov"], r["corr"])
+              for r in cov_from_moments(
+                  embedding_moments(d, by=["h"])).collect()}
+    assert direct == merged and len(direct) == 21
+
+
+def test_centroid_drift_hand_values(spark):
+    """Centroids (1,0) → (0,2) → (0,4): cos 0 then 1, L2 √5 then 2;
+    first period reports NULL metrics."""
+    import pandas as pd
+
+    from traval_spark.operators.similarity import (
+        centroid_drift,
+        embedding_moments,
+    )
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 2.0], [0.0, 4.0]],
+        "period": [0, 0, 1, 2],
+    }))
+    rows = {r["period"]: r for r in centroid_drift(
+        embedding_moments(d, by=["period"]), "period").collect()}
+    assert rows[0]["cos_prev"] is None and rows[0]["l2_prev"] is None
+    assert rows[0]["n"] == 2 and rows[0]["n_prev"] is None
+    assert rows[1]["cos_prev"] == 0.0
+    assert rows[1]["l2_prev"] == round(5**0.5, 6)
+    assert round(rows[2]["cos_prev"], 12) == 1.0
+    assert rows[2]["l2_prev"] == 2.0 and rows[2]["n_prev"] == 1
+
+
+def test_pca_components_hand_values(spark):
+    """Points on the line y=x: eigenvalues (5, 0), first component
+    (1/√2, 1/√2) with the positive-lead sign convention, mean 0."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.operators.similarity import (
+        embedding_moments,
+        pca_components,
+    )
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [[1.0, 1.0], [-1.0, -1.0], [2.0, 2.0],
+                      [-2.0, -2.0]],
+    }))
+    mean, w, comps = pca_components(embedding_moments(d))
+    assert np.allclose(mean, [0.0, 0.0])
+    assert np.allclose(w, [5.0, 0.0], atol=1e-9)
+    assert np.allclose(comps[0], [2**-0.5, 2**-0.5])
+
+
+def test_embedding_project_whiten_unit_variance(spark):
+    """Axis-aligned data with variances (2, 0.5): whitened projection
+    has population variance exactly 1 per output dimension; mean
+    subtraction centers a shifted copy to the same projection."""
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.operators.similarity import (
+        embedding_moments,
+        embedding_project,
+        pca_components,
+    )
+
+    pts = [[2.0, 0.0], [-2.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
+    d = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(4), "embedding": pts}))
+    mean, w, comps = pca_components(embedding_moments(d))
+    out = embedding_project(d, comps, mean=mean, eigenvalues=w,
+                            whiten=True).orderBy("vec_id").collect()
+    proj = np.array([r["proj"] for r in out])
+    assert np.allclose(proj.var(axis=0), [1.0, 1.0], atol=1e-6)
+    # shifted copy + mean handling: same projection after centering
+    shifted = [[x + 10.0, y - 3.0] for x, y in pts]
+    d2 = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(4), "embedding": shifted}))
+    mean2, w2, comps2 = pca_components(embedding_moments(d2))
+    out2 = embedding_project(d2, comps2, mean=mean2, eigenvalues=w2,
+                             whiten=True).orderBy("vec_id").collect()
+    proj2 = np.array([r["proj"] for r in out2])
+    assert np.allclose(np.abs(proj2), np.abs(proj), atol=1e-5)
+
+
 def test_mixture_concentration_hand_values(spark):
     """Weights 1/2/3 across three sources: W=6, sorted Σi·w = 14 ->
     gini (2·14 − 4·6)/(3·6) = 4/18; hhi 14/36; top = c at 0.5."""

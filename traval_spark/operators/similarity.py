@@ -1146,7 +1146,44 @@ def embedding_cov(
     construction's diagonal, and the assembly joins run on the
     d²-sized frame.  Rows with NULL embeddings are dropped (counted
     out of n); the table is assumed fixed-dimension.
+
+    Implemented as ``cov_from_moments(embedding_moments(df))`` — the
+    direct read is the one-tier special case of the mergeable moment
+    path, so tiered and direct serves share every closed form.
     """
+    return cov_from_moments(
+        embedding_moments(df, emb=emb, value_scale=value_scale),
+        value_scale=value_scale,
+    )
+
+
+def embedding_moments(
+    df: DataFrame,
+    emb: str = "embedding",
+    by: list | None = None,
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """MERGEABLE sufficient statistics of the embedding component
+    covariance: one row per ``(by..., i, j)``, i <= j, carrying
+    ``(n, p, si, sj)`` = (row count, sum v_i·v_j, sum v_i, sum v_j)
+    over fixed-point components v = round(x·value_scale).
+
+    Each cell is SELF-CONTAINED — si/sj ride on the pair row, so
+    merging ANY partition of the corpus (periods, sources, ingest
+    batches) is a groupBy(i, j) SUM of four exact integer columns.
+    This is the covariance analog of the rollup cascade: store
+    per-period moment tiers once, then serve the covariance of any
+    period union from the stored cells without re-scanning raw — and
+    the serve is BIT-identical to the direct read because integer
+    sums re-associate losslessly (parity-tested).
+
+    Plan: row-local upper-triangle pair stream (posexplode →
+    tail-slice posexplode — never a self-join), ONE partial-
+    aggregatable groupBy with state bounded at |groups|·d(d+1)/2 rows
+    per task.  Overflow headroom: |v| ≤ scale (unit-normalized
+    embeddings), so p ≤ n·scale² ≈ 1e9·1e12 = 1e21 ≪ 10³⁸.
+    """
+    by = list(by) if by else []
     # cast float32 -> double BEFORE scaling: x * scale computed in
     # float32 has ~7 significant digits and rounds to a different
     # integer than the double product (the cross-engine trap — DuckDB
@@ -1155,40 +1192,64 @@ def embedding_cov(
         F.col(emb).cast("array<double>"),
         lambda x: F.round(x * F.lit(int(value_scale))).cast("long"),
     )
-    base = df.filter(F.col(emb).isNotNull()).select(fp.alias("e"))
+    base = df.filter(F.col(emb).isNotNull()).select(*by, fp.alias("e"))
     lead = base.select(
-        F.posexplode("e").alias("i", "vi"), F.col("e"),
+        *by, F.posexplode("e").alias("i", "vi"), F.col("e"),
     ).select(
-        "i", "vi",
+        *by, "i", "vi",
         F.posexplode(F.expr("slice(e, i + 1, size(e))"))
         .alias("joff", "vj"),
     )
-    pairs = (
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
         lead.select(
-            "i", (F.col("i") + F.col("joff")).alias("j"),
-            (F.col("vi").cast("decimal(38,0)") * F.col("vj")).alias("__p"),
+            *by, "i", (F.col("i") + F.col("joff")).alias("j"),
+            "vi", "vj",
         )
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("__p").alias("p"))
+        .groupBy(*by, "i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("vi") * F.col("vj")).alias("p"),
+            F.sum(dec("vi")).alias("si"),
+            F.sum(dec("vj")).alias("sj"),
+        )
     )
-    marg = pairs.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("k"), F.col("p").alias("q"),
+
+
+def cov_from_moments(
+    m: DataFrame,
+    by: list | None = None,
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """Serve the covariance/correlation read from STORED moment cells
+    (:func:`embedding_moments`) — ``(by..., i, j, n, cov, corr)``.
+    Finer-grained moment tiers (per day, per source, per batch) merge
+    by exact integer sums down to ``by`` (pass the groups to KEEP;
+    default merges everything), then the same closed forms as
+    :func:`embedding_cov`:
+
+        cov  = (n·P_ij − S_i·S_j) / (n²·scale²)
+        corr = (n·P_ij − S_i·S_j) / sqrt((n·Q_i − S_i²)(n·Q_j − S_j²))
+
+    with Q_k read off the merged DIAGONAL cells, every numerator an
+    exact decimal cast to double ONCE, the variance product multiplied
+    as doubles, NULL corr at exact-integer zero variance.  Because the
+    merge is lossless and the float tail identical, the tiered serve
+    is bit-identical to the direct read from raw.
+    """
+    by = list(by) if by else []
+    g = (
+        m.groupBy(*by, "i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("p").alias("p"),
+             F.sum("si").alias("si"), F.sum("sj").alias("sj"))
     )
-    s = (
-        base.select(F.posexplode("e").alias("k", "v"))
-        .groupBy("k")
-        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
-    )
-    m = marg.join(s, "k")
+    diag = g.filter(F.col("i") == F.col("j")).select(
+        *by, F.col("i").alias("k"), F.col("p").alias("q"))
+    qi = diag.select(*by, F.col("k").alias("i"), F.col("q").alias("qi"))
+    qj = diag.select(*by, F.col("k").alias("j"), F.col("q").alias("qj"))
     j = (
-        pairs.join(
-            F.broadcast(m.select(F.col("k").alias("i"),
-                                 F.col("s").alias("si"),
-                                 F.col("q").alias("qi"))), "i")
-        .join(
-            F.broadcast(m.select(F.col("k").alias("j"),
-                                 F.col("s").alias("sj"),
-                                 F.col("q").alias("qj"))), "j")
+        g.join(F.broadcast(qi), [*by, "i"])
+        .join(F.broadcast(qj), [*by, "j"])
     )
     nd = F.col("n").cast("decimal(38,0)")
     num = (nd * F.col("p") - F.col("si") * F.col("sj")).cast("double")
@@ -1197,10 +1258,174 @@ def embedding_cov(
     n_dbl = F.col("n").cast("double")
     denom_cov = n_dbl * n_dbl * F.lit(float(value_scale) ** 2)
     return j.select(
-        "i", "j", "n",
+        *by, "i", "j", "n",
         (num / denom_cov).alias("cov"),
         F.when(
             (vi > 0) & (vj > 0),
             num / F.sqrt(vi.cast("double") * vj.cast("double")),
         ).alias("corr"),
     )
+
+
+def centroid_drift(
+    m: DataFrame,
+    period: str,
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-period embedding-centroid drift served FROM the stored
+    moment tier (:func:`embedding_moments` built with ``by=[period]``)
+    — is the embedding space itself moving between ingest periods?
+    (A drifting encoder or a shifting corpus silently invalidates
+    every stored ANN index and cosine threshold; this is the drift
+    read for the EMBEDDING column, next to the PSI/KS family for
+    value columns.)
+
+    Only the DIAGONAL cells are read (i == j carries n and S_i = the
+    exact component sum).  Centroid cosine needs no division by n at
+    all — the n's cancel:
+
+        cos(c_a, c_b) = Σ S_i^a·S_i^b / (√Σ(S_i^a)² · √Σ(S_i^b)²)
+
+    so the dot and both norms are EXACT decimal integers (one double
+    cast each, one division) — engine-deterministic with no guard.
+    The centroid L2 shift (in value units) clears denominators the
+    chi2 way: per-dim term (S_i^a·n_b − S_i^b·n_a) exact decimal,
+    SQUARED AS DOUBLE (the square can pass 1e38), summed, one
+    sqrt / (n_a·n_b·scale) descale, 6dp guard on the d-term float
+    sum.  Periods pair with their previous PRESENT period (lag per
+    dim — a wholly absent period never breaks pairing); the first
+    period and incomplete pairings report NULL.
+
+    Plan: everything on the |periods|×d diagonal frame — one lag
+    window per dim, one groupBy(period); raw is never re-scanned.
+    """
+    diag = m.filter(F.col("i") == F.col("j")).select(
+        period, "i", "si", "n")
+    w = Window.partitionBy("i").orderBy(period)
+    lagged = diag.select(
+        period, "i", "si", "n",
+        F.lag("si").over(w).alias("sp"),
+        F.lag("n").over(w).alias("np"),
+    )
+    term = (F.col("si") * F.col("np") - F.col("sp") * F.col("n")) \
+        .cast("double")
+    g = lagged.groupBy(period).agg(
+        F.max("n").alias("n"),
+        F.max("np").alias("n_prev"),
+        F.count("si").alias("__d"),
+        F.count("sp").alias("__dp"),
+        F.sum(F.col("si") * F.col("sp")).alias("__dot"),
+        F.sum(F.col("si") * F.col("si")).alias("__qa"),
+        F.sum(F.col("sp") * F.col("sp")).alias("__qb"),
+        F.sum(term * term).alias("__t2"),
+    )
+    paired = (F.col("__dp") == F.col("__d"))
+    pos = (F.col("__qa") > 0) & (F.col("__qb") > 0)
+    cos = F.col("__dot").cast("double") / F.sqrt(
+        F.col("__qa").cast("double") * F.col("__qb").cast("double"))
+    l2 = F.sqrt(F.col("__t2")) / (
+        F.col("n").cast("double") * F.col("n_prev").cast("double")
+        * F.lit(float(value_scale)))
+    return g.select(
+        period, "n", "n_prev",
+        F.when(paired & pos, cos).alias("cos_prev"),
+        F.when(paired, F.round(l2, 6)).alias("l2_prev"),
+    )
+
+
+def pca_components(
+    moments: DataFrame,
+    value_scale: int = 1_000_000,
+    k: int | None = None,
+):
+    """Driver-side PCA over the EXACT moment cells — the step the
+    :func:`embedding_cov` docstring promises: collect the d(d+1)/2
+    merged cells (a d²-sized frame, never the corpus), assemble the
+    covariance matrix in float, ``numpy.linalg.eigh`` it, and return
+    ``(mean, eigenvalues, components)`` with eigenvalues descending
+    and components as rows.  Sign convention: each component's
+    largest-|entry| coordinate is made positive, so the basis is
+    deterministic (eigh's sign is otherwise arbitrary).
+
+    The heavy work (the corpus scan) happened in
+    :func:`embedding_moments`; this is O(d³) on the driver — at
+    d ≤ a few thousand that is milliseconds, and distributing an
+    eigensolve of a d×d matrix would be all overhead.
+    """
+    import numpy as np
+
+    rows = (
+        moments.groupBy("i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("p").alias("p"),
+             F.sum("si").alias("si"), F.sum("sj").alias("sj"))
+        .collect()
+    )
+    d = 1 + max(r["j"] for r in rows)
+    n = next(r["n"] for r in rows)
+    scale = float(value_scale)
+    s = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in rows:
+        num = float(int(n) * int(r["p"]) - int(r["si"]) * int(r["sj"]))
+        c = num / (float(n) * float(n) * scale * scale)
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+        if r["i"] == r["j"]:
+            s[r["i"]] = float(int(r["si"]))
+    mean = s / (float(n) * scale)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    comps = v.T.copy()
+    for r_ in range(comps.shape[0]):
+        lead = np.argmax(np.abs(comps[r_]))
+        if comps[r_, lead] < 0:
+            comps[r_] = -comps[r_]
+    if k is not None:
+        w, comps = w[:k], comps[:k]
+    return mean, w, comps
+
+
+def embedding_project(
+    df: DataFrame,
+    components,
+    mean=None,
+    eigenvalues=None,
+    whiten: bool = False,
+    emb: str = "embedding",
+    out: str = "proj",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed projection of the embedding column onto a k×d
+    component matrix (PCA reduce / whitening / any fixed linear map):
+    ``y_r = Σ_d W_rd·(x_d − μ_d)``, optionally scaled by 1/√λ_r
+    (whitening — unit variance per output dimension).
+
+    Plan: PURE whole-stage-codegen projection — the matrix is folded
+    into plan-time literals (the LSH plane-literal convention), each
+    output coordinate is one ``aggregate(zip_with(x, w_r, ·), +)``
+    fold, row-local, no shuffle, no Python.  The mean offset collapses
+    to a per-row constant c_r = W_r·μ at plan time.  Output rounded
+    ``round_dp`` dp (the fold is deterministic left-to-right, but a
+    serving engine's dot order may differ — the usual 6dp guard).
+    """
+    import numpy as np
+
+    W = np.asarray(components, dtype=float)
+    if whiten:
+        if eigenvalues is None:
+            raise ValueError("whiten=True requires eigenvalues")
+        lam = np.asarray(eigenvalues, dtype=float)[: W.shape[0]]
+        W = W / np.sqrt(np.maximum(lam, 1e-300))[:, None]
+    offs = W @ np.asarray(mean, dtype=float) if mean is not None \
+        else np.zeros(W.shape[0])
+    x = F.col(emb).cast("array<double>")
+    cols = []
+    for r in range(W.shape[0]):
+        wlit = F.array(*[F.lit(float(c)) for c in W[r]])
+        dot = F.aggregate(
+            F.zip_with(x, wlit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, t: acc + t,
+        )
+        cols.append(F.round(dot - F.lit(float(offs[r])), round_dp))
+    return df.withColumn(out, F.array(*cols))
