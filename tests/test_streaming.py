@@ -711,6 +711,75 @@ def test_streaming_dedup_matches_batch_and_replays_safely(spark, tmp_path):
                 f"{root}/pairs").collect()} == want
 
 
+def test_streaming_moments_serve_bit_identical_and_replay_safe(
+    spark, tmp_path
+):
+    """Streaming moment tier: a forced multi-micro-batch drain serves
+    the EXACT batch covariance (lossless integer merges), PCA consumes
+    the store directly, and a foreachBatch replay of a committed batch
+    changes nothing."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from traval_spark.operators.similarity import (
+        cov_from_moments,
+        embedding_cov,
+        embedding_moments,
+        pca_components,
+    )
+    from traval_spark.streaming.moments_stream import (
+        committed_moments,
+        moments_upsert_batch,
+        run_streaming_moments,
+    )
+
+    inp = str(tmp_path / "min")
+    root = str(tmp_path / "mstore")
+    ckpt = str(tmp_path / "mckpt")
+
+    rng = np.random.default_rng(11)
+    vecs = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(30),
+        "embedding": [rng.normal(size=5).astype("float32").tolist()
+                      for _ in range(30)],
+        "label": [i % 3 for i in range(30)],
+    })).select("vec_id", F.col("embedding").cast("array<float>"),
+               F.col("label").cast("int").alias("label"))
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        vecs.filter(f"vec_id >= {lo} and vec_id < {hi}").coalesce(
+            1).write.mode("append").parquet(inp)
+
+    run_streaming_moments(
+        spark, inp, root, ckpt,
+        schema="vec_id long, embedding array<float>, label int",
+        max_files_per_trigger=1,
+    )
+
+    store = committed_moments(spark, root)
+    # three committed batches, 15 cells each
+    assert store.count() == 45
+    direct = {(r["i"], r["j"]): (r["n"], r["cov"], r["corr"])
+              for r in embedding_cov(vecs).collect()}
+    served = {(r["i"], r["j"]): (r["n"], r["cov"], r["corr"])
+              for r in cov_from_moments(store).collect()}
+    assert served == direct
+
+    # PCA off the store == PCA off a batch moment build
+    m1, w1, c1 = pca_components(store)
+    m2, w2, c2 = pca_components(embedding_moments(vecs))
+    assert np.array_equal(m1, m2) and np.array_equal(w1, w2)
+    assert np.array_equal(c1, c2)
+
+    # replay a committed batch (same qid + batch_id): write skips,
+    # the serve is unchanged
+    with open(f"{ckpt}/metadata") as f:
+        qid = json.load(f)["id"]
+    moments_upsert_batch(vecs.filter("vec_id < 10"), 0, root, run_id=qid)
+    assert committed_moments(spark, root).count() == 45
+
+
 def test_streaming_dedup_probe_ignores_uncommitted_batches(spark, tmp_path):
     """A partially-written fingerprint directory (no _COMMITTED marker —
     a crashed run whose checkpoint was deleted, so it will never be
