@@ -3869,6 +3869,25 @@ def q_centroid_drift(spark, sf_dir):
         embedding_moments(e, by=["period"]), "period")
 
 
+def q_cluster_drift(spark, sf_dir):
+    """Embedding SHAPE drift (similarity.py:cluster_occupancy_drift):
+    PSI over IVF coarse-list occupancy between consecutive periods —
+    centroid_drift watches the mean, this watches the mass (and the
+    ANN index's own inverted lists going stale); assignment is the
+    same md5-seeded plan-literal argmax every IVF path uses, occupancy
+    one partial-aggregatable corpus pass, PSI on the |periods|×n_list
+    frame.  vec_id%4 stands in for the ingest-period key."""
+    from traval_spark.operators.similarity import (
+        cluster_occupancy_drift,
+        ivf_seed_centroids,
+    )
+
+    e = _emb(spark, sf_dir).withColumn(
+        "period", (F.col("vec_id") % 4).cast("int"))
+    cents = ivf_seed_centroids(e, n_list=IVF_NLIST)
+    return cluster_occupancy_drift(e, cents, "period")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hardmax": q_hardmax,
@@ -4090,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cov_merged": q_embedding_cov_merged,
         "embedding_project": q_embedding_project,
         "centroid_drift": q_centroid_drift,
+        "cluster_drift": q_cluster_drift,
     }
 
 
@@ -8594,6 +8614,56 @@ def oracle_sql() -> dict[str, str]:
                            * cast(n_prev AS double) * 1000000.0), 6)
            end AS l2_prev
     from g
+    """
+    # cluster-occupancy drift: the ivf oracle's seeding/assignment
+    # verbatim, occupancy counts per period, psi_drift's smoothing SQL
+    # per period-successor pair; periods without a predecessor drop
+    sql["cluster_drift"] = f"""
+    with cent as (
+      select row_number() over (order by md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid,
+             embedding::DOUBLE[] AS ce
+      from embeddings order by md5(CAST(vec_id AS VARCHAR))
+      limit {IVF_NLIST}),
+    e as (select cast(vec_id % 4 AS int) AS period, vec_id,
+                 embedding::DOUBLE[] v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) n
+          from embeddings where embedding is not null),
+    assign as (
+      select period, vec_id, cid from (
+        select e.period, e.vec_id, c.cid,
+               row_number() over (
+                 partition by e.vec_id
+                 order by round(list_dot_product(e.v, c.ce)
+                                / (e.n * sqrt(list_dot_product(c.ce, c.ce))),
+                                9) desc, c.cid) AS rn
+        from e, cent c)
+      where rn = 1),
+    occ as (select period, cid AS bin, count(*) AS cnt
+            from assign group by 1, 2),
+    j as (select coalesce(p.period, c.period) AS period,
+                 coalesce(p.bin, c.bin) AS bin,
+                 coalesce(p.cnt, 0) AS ca, coalesce(c.cnt, 0) AS cb
+          from (select period + 1 AS period, bin, cnt from occ) p
+          full outer join occ c
+            on p.period = c.period and p.bin = c.bin),
+    tot as (select period, cast(sum(ca) AS bigint) AS na,
+                   cast(sum(cb) AS bigint) AS nb, count(*) AS n_bins
+            from j group by 1),
+    valid as (select a.period
+              from (select distinct period from occ) a
+              join (select distinct period + 1 AS period from occ) b
+                using (period))
+    select j.period, max(t.n_bins) AS n_bins,
+           round(sum(((ca + 0.5) / (na + 0.5 * t.n_bins)
+                      - (cb + 0.5) / (nb + 0.5 * t.n_bins))
+                     * ln(((ca + 0.5) / (na + 0.5 * t.n_bins))
+                          / ((cb + 0.5) / (nb + 0.5 * t.n_bins)))),
+                 6) AS psi
+    from j join tot t using (period)
+    where j.period in (select period from valid)
+    group by j.period
     """
     # fixed-matrix projection: identical plan literals both engines
     # (md5 test matrix), 6dp dot guard for engine fold order

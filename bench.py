@@ -166,6 +166,7 @@ def main() -> None:
         "pq_codes", "pq_adc_topk", "ann_ivfpq_topk",
         "knn_join_ivf", "ann_recall", "label_sim", "embedding_cov",
         "embedding_cov_merged", "embedding_project", "centroid_drift",
+        "cluster_drift",
         "multimodal_meta",
         "roc_sweep", "gopher_repetition", "dup_clusters",
         "tpch_pricing", "tpch_top_orders", "tpch_regional_revenue",

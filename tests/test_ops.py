@@ -2102,6 +2102,33 @@ def test_centroid_drift_hand_values(spark):
     assert rows[2]["l2_prev"] == 2.0 and rows[2]["n_prev"] == 1
 
 
+def test_cluster_occupancy_drift_hand_values(spark):
+    """Fixed axis centroids, occupancy [3,0] → [1,2]: PSI =
+    0.5·ln(7/3) + 0.5·ln(5); the first period drops (no predecessor),
+    and non-consecutive periods produce no pair."""
+    import math
+
+    import pandas as pd
+
+    from traval_spark.operators.similarity import cluster_occupancy_drift
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    d = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(6),
+        "embedding": [[1.0, 0.1], [2.0, 0.0], [1.0, -0.1],
+                      [3.0, 0.2], [0.1, 1.0], [-0.2, 2.0]],
+        "period": [0, 0, 0, 1, 1, 1],
+    }))
+    rows = cluster_occupancy_drift(d, cents, "period").collect()
+    assert len(rows) == 1 and rows[0]["period"] == 1
+    assert rows[0]["n_bins"] == 2
+    want = 0.5 * math.log(7 / 3) + 0.5 * math.log(5)
+    assert rows[0]["psi"] == round(want, 6)
+
+    gap = d.withColumn("period", F.col("period") * 2)  # periods 0, 2
+    assert cluster_occupancy_drift(gap, cents, "period").count() == 0
+
+
 def test_pca_components_hand_values(spark):
     """Points on the line y=x: eigenvalues (5, 0), first component
     (1/√2, 1/√2) with the positive-lead sign convention, mean 0."""

@@ -1333,6 +1333,53 @@ def centroid_drift(
     )
 
 
+def cluster_occupancy_drift(
+    df: DataFrame,
+    centroids: list,
+    period: str,
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding-distribution SHAPE drift between consecutive ingest
+    periods: PSI over IVF coarse-list occupancy.  The companion of
+    :func:`centroid_drift` — that read answers "did the centroid
+    MOVE"; this one answers "did the mass REDISTRIBUTE" (a corpus
+    splitting into two new modes can keep its centroid perfectly
+    still).  It is also the drift monitor FOR the ANN index itself:
+    occupancy shift = inverted lists going stale.
+
+    Assignment is the plan-literal JVM argmax (:func:`ivf_assign_col`
+    — no shuffle, no Python, same 9dp-rounded-cosine tie rule as every
+    IVF path, so the monitor watches exactly the partition the index
+    serves).  Occupancy is ONE partial-aggregatable groupBy(period,
+    cid) corpus pass; the PSI runs per period-successor pair on the
+    |periods|·n_list count frame with :func:`psi_from_hists`' exact-
+    count + Laplace conventions (one-sided lists contribute finitely).
+    Periods are integers; period p pairs with p−1, and only pairs
+    present on BOTH sides report (a first/absent period drops rather
+    than scoring against an empty ghost).  Output: (period, n_bins,
+    psi) — PSI of period vs its predecessor.
+    """
+    from traval_spark.operators.monitor import psi_from_hists
+
+    occ = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(
+            period,
+            ivf_assign_col(vec_col, centroids, ndigits=9).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prev = occ.select((F.col(period) + 1).alias(period), "bin",
+                      F.col("cnt").alias("ca"))
+    cur = occ.select(period, "bin", F.col("cnt").alias("cb"))
+    pres = occ.select(period).distinct()
+    valid = pres.join(
+        pres.select((F.col(period) + 1).alias(period)), [period])
+    return psi_from_hists(prev, cur, by=(period,), ndigits=ndigits).join(
+        F.broadcast(valid), [period], "left_semi")
+
+
 def pca_components(
     moments: DataFrame,
     value_scale: int = 1_000_000,
