@@ -2674,6 +2674,121 @@ def q_tpch_quiet_customers(spark, sf_dir):
     )
 
 
+def q_tpch_nation_volume(spark, sf_dir):
+    """TPC-H Q7-style bilateral shipping volume (the two-dimension-
+    lookup + symmetric-pair shape): revenue NATION_1 ↔ NATION_2 per
+    ship year.  Plan: supplier and customer each pre-filter to the two
+    nations BEFORE their broadcast (the join fans lineitem down ~25×
+    per side at the scan), nation lookups resolve inside the broadcast
+    dims, the exact symmetric-pair OR runs on the joined rows."""
+    pair = ["NATION_1", "NATION_2"]
+    n = _tpch(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair)).select("n_nationkey", "n_name")
+    s = (
+        _tpch(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _tpch(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _tpch(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _tpch(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    j = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0])
+             & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1])
+               & (F.col("cust_nation") == pair[0])))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(F.round(rev, 2).alias("revenue"))
+
+
+def q_tpch_market_share(spark, sf_dir):
+    """TPC-H Q8-style market share (the share-of-one-group-inside-a-
+    filtered-market shape): NATION_3's fraction of ECONOMY-part revenue
+    sold into AMERICA-region customers, per order year.  Plan: region→
+    nation resolves inside the broadcast customer dim, part pre-filters
+    to the type before ITS broadcast, the supplier nation arrives as
+    one more broadcast lookup, and the share is a conditional-aggregate
+    ratio (the Q14 shape) — one corpus pass, no second scan for the
+    denominator."""
+    n = _tpch(spark, sf_dir, "nation")
+    r = _tpch(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    c = (
+        _tpch(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    p = _tpch(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = (
+        _tpch(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = _tpch(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    l = _tpch(spark, sf_dir, "lineitem")
+    j = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
+                  .otherwise(F.lit(0.0))) / F.sum(rev), 6
+        ).alias("mkt_share"))
+
+
+def q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style top supplier (the aggregate-equals-MAX-of-
+    aggregate shape the kit phrases as a view + scalar subquery).
+    Exact: per-row revenue is fixed-point cents (round(ep·(1−disc)·100)
+    — the same IEEE product and half-away round in both engines), so
+    per-supplier totals are exact integers and the == MAX tie test can
+    never be flipped by float-sum association; the reported revenue is
+    one descale division.  Plan: one partial-aggregatable quarter scan,
+    the MAX is a 1-row broadcast cross (the audited global-scalar
+    class), supplier dim broadcast."""
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        _tpch(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("__rc"))
+    )
+    mx = rev.agg(F.max("__rc").alias("__mx"))
+    s = _tpch(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("__rc") == F.col("__mx"))
+    return top.join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "s_suppkey", "s_name",
+        (F.col("__rc").cast("double") / 100.0).alias("total_revenue"),
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: parse the events.props JSON column
     JVM-side (get_json_object — codegen'd, no Python) and aggregate per
@@ -4027,6 +4142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_big_orders": q_tpch_big_orders,
         "tpch_disjunct_revenue": q_tpch_disjunct_revenue,
         "tpch_quiet_customers": q_tpch_quiet_customers,
+        "tpch_nation_volume": q_tpch_nation_volume,
+        "tpch_market_share": q_tpch_market_share,
+        "tpch_top_supplier": q_tpch_top_supplier,
         "tier_routed": q_tier_routed,
         "distinct_users_1h": q_distinct_users_1h,
         "kmv_overlap": q_kmv_overlap,
@@ -6113,6 +6231,59 @@ def oracle_sql() -> dict[str, str]:
                       where o.o_custkey = c.c_custkey
                         and o.o_orderpriority = '1-URGENT')
     group by 1
+    """
+    sql["tpch_nation_volume"] = """
+    select sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join supplier s on l.l_suppkey = s.s_suppkey
+    join nation sn on s.s_nationkey = sn.n_nationkey
+    join customer c on o.o_custkey = c.c_custkey
+    join nation cn on c.c_nationkey = cn.n_nationkey
+    where l.l_shipdate >= TIMESTAMP '1996-01-01'
+      and l.l_shipdate < TIMESTAMP '1998-01-01'
+      and ((sn.n_name = 'NATION_1' and cn.n_name = 'NATION_2')
+           or (sn.n_name = 'NATION_2' and cn.n_name = 'NATION_1'))
+    group by 1, 2, 3
+    """
+    sql["tpch_market_share"] = """
+    select year(o.o_orderdate) AS o_year,
+           round(sum(case when sn.n_name = 'NATION_3'
+                          then l.l_extendedprice * (1 - l.l_discount)
+                          else 0.0 end)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS mkt_share
+    from lineitem l
+    join part p on l.l_partkey = p.p_partkey
+    join orders o on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    join nation cn on c.c_nationkey = cn.n_nationkey
+    join region r on cn.n_regionkey = r.r_regionkey
+    join supplier s on l.l_suppkey = s.s_suppkey
+    join nation sn on s.s_nationkey = sn.n_nationkey
+    where r.r_name = 'AMERICA' and p.p_type = 'ECONOMY'
+      and o.o_orderdate >= TIMESTAMP '1996-01-01'
+      and o.o_orderdate < TIMESTAMP '1998-01-01'
+    group by 1
+    """
+    # Q15: exact-cents per-supplier totals make the == MAX tie test
+    # float-association-proof; one descale division for the report
+    sql["tpch_top_supplier"] = """
+    with rev as (
+      select l_suppkey,
+             sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS bigint)) AS rc
+      from lineitem
+      where l_shipdate >= TIMESTAMP '1996-01-01'
+        and l_shipdate < TIMESTAMP '1996-04-01'
+      group by 1)
+    select s.s_suppkey, s.s_name,
+           cast(rc AS double) / 100.0 AS total_revenue
+    from rev join supplier s on rev.l_suppkey = s.s_suppkey
+    where rc = (select max(rc) from rev)
     """
     # tier routing is answer-invariant in the serving tier (cascade
     # composition identity), so the stitched multi-tier read oracles

@@ -174,6 +174,7 @@ def main() -> None:
         "tpch_returned_revenue", "tpch_promo_share",
         "tpch_cust_dist", "tpch_small_qty_revenue", "tpch_big_orders",
         "tpch_disjunct_revenue", "tpch_quiet_customers",
+        "tpch_nation_volume", "tpch_market_share", "tpch_top_supplier",
         "tier_routed", "contract_check",
     ]
     for name in headline:

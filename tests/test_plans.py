@@ -296,6 +296,27 @@ def test_tpch_round2_plan_shapes(spark):
     plan22 = fmt_plan(em.queries()["tpch_quiet_customers"](spark, sf))
     assert "LeftAnti" in plan22, plan22
 
+    # Q7: both nation-filtered dims broadcast, symmetric-pair OR
+    # applied post-join (never a cartesian)
+    plan7 = fmt_plan(em.queries()["tpch_nation_volume"](spark, sf))
+    assert plan7.count("BroadcastHashJoin") >= 2, plan7
+    assert "CartesianProduct" not in plan7, plan7
+
+    # Q8: filtered part + region-resolved customer + supplier-nation
+    # lookups all broadcast; share is one conditional aggregate
+    plan8 = fmt_plan(em.queries()["tpch_market_share"](spark, sf))
+    assert plan8.count("BroadcastHashJoin") >= 3, plan8
+
+    # Q15: per-supplier totals partial-aggregate; the == MAX test is a
+    # 1-row broadcast (Catalyst pushes the equality filter INTO the
+    # cross, planning BroadcastHashJoin Cross — never a shuffle of the
+    # totals against one row)
+    plan15 = fmt_plan(em.queries()["tpch_top_supplier"](spark, sf))
+    assert "partial_sum" in plan15, plan15
+    assert ("BroadcastNestedLoopJoin" in plan15
+            or "BroadcastHashJoin Cross" in plan15), plan15
+    assert "SortMergeJoin" not in plan15, plan15
+
 
 def test_hist_cascade_is_codegen_partial_agg(spark, seq_parquet):
     """The histogram tier path must be pure whole-stage-codegen hash

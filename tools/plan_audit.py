@@ -68,6 +68,9 @@ BROADCAST_CROSS_ALLOWED = {
     # 1-row exact cents-total broadcast crossed into the customer scan
     # (the Q22 global-scalar-subquery shape)
     "tpch_quiet_customers",
+    # 1-row MAX-revenue broadcast crossed into the per-supplier totals
+    # (the Q15 aggregate-equals-max shape)
+    "tpch_top_supplier",
     # broadcast params/manual-obs dimension crossed per series
     "pastas_pi_bounds", "manual_obs_compare", "manual_obs_shift",
     # range/point containment against broadcast-small literal frames
@@ -84,6 +87,7 @@ DIMS_MUST_BROADCAST = {
     "tpch_late_orders", "tpch_priority_lines", "tpch_returned_revenue",
     "tpch_promo_share", "tpch_small_qty_revenue", "tpch_big_orders",
     "tpch_disjunct_revenue", "tpch_quiet_customers",
+    "tpch_nation_volume", "tpch_market_share", "tpch_top_supplier",
 }
 
 MARKERS = [
