@@ -2183,6 +2183,58 @@ def test_embedding_project_whiten_unit_variance(spark):
     assert np.allclose(np.abs(proj2), np.abs(proj), atol=1e-5)
 
 
+def test_embedding_pipeline_end_to_end(spark, tmp_path):
+    """embpipe.run on real testdata: every artifact lands, the stored
+    cov equals the direct read exactly, the PCA model is well-formed,
+    vectors land cid-partitioned, both drift reads populate, and the
+    metrics manifest discloses the stage counts."""
+    import json
+
+    from traval_spark import embpipe
+    from traval_spark.operators.similarity import embedding_cov
+    from traval_spark.sources import fsutil
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).withColumn("period", (F.col("vec_id") % 3).cast("int"))
+    out = str(tmp_path / "embout")
+    m = embpipe.run(spark, emb, out, period_col="period", n_list=4,
+                    lloyd_iters=1, metrics={})
+
+    assert m["rows_clean"] > 0 and m["rows_null_dropped"] >= 0
+    assert m["moment_cells"] == 3 * (64 * 65) // 2
+
+    cov = spark.read.parquet(f"{out}/cov")
+    direct = {(r["i"], r["j"]): (r["n"], r["cov"], r["corr"])
+              for r in embedding_cov(emb).collect()}
+    stored = {(r["i"], r["j"]): (r["n"], r["cov"], r["corr"])
+              for r in cov.collect()}
+    assert stored == direct
+
+    model = json.loads(fsutil.read_text(spark, f"{out}/pca_model.json"))
+    assert len(model["eigenvalues"]) == 64
+    assert model["eigenvalues"] == sorted(
+        model["eigenvalues"], reverse=True)
+    assert len(model["components"]) == 64
+    assert len(model["mean"]) == 64
+
+    assert spark.read.parquet(f"{out}/centroids").count() == 4
+    vecs = spark.read.parquet(f"{out}/vectors")
+    assert vecs.count() == m["rows_clean"]
+    assert "cid" in vecs.columns
+    assert any("cid=" in p for p in fsutil.list_names(
+        spark, f"{out}/vectors"))
+
+    assert spark.read.parquet(f"{out}/drift_centroid").count() == 3
+    occ = spark.read.parquet(f"{out}/drift_occupancy")
+    assert {r["period"] for r in occ.collect()} == {1, 2}
+
+    manifest = json.loads(fsutil.read_text(
+        spark, f"{out}/run_metrics.json"))
+    assert manifest["rows_in"] == m["rows_in"]
+    assert manifest["n_list"] == 4
+
+
 def test_mixture_concentration_hand_values(spark):
     """Weights 1/2/3 across three sources: W=6, sorted Σi·w = 14 ->
     gini (2·14 − 4·6)/(3·6) = 4/18; hhi 14/36; top = c at 0.5."""
