@@ -3900,6 +3900,55 @@ def q_sax_pairs(spark, sf_dir):
     return sax_pairs(ev, bucket="1h", segments=4, alphabet=4)
 
 
+def q_motif_words(spark, sf_dir):
+    """Sliding-window SAX subsequence words (downsample.py:
+    subsequence_words): every 24h window of the hourly count signal
+    z-normalized against ITS OWN window stats (the standard
+    subsequence normalization), PAA'd into four 6h slices and
+    symbolized — the candidate frame for motif/discord reads.  Same
+    exact-integer cleared-denominator symbol verdicts as sax_words,
+    with window (S, Q) substituted for series stats; ONE raw groupBy
+    then one ordered window pass over the tiny signal frame."""
+    from traval_spark.operators.downsample import subsequence_words
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    w = subsequence_words(ev, m=24, segments=4, alphabet=4)
+    return w.select("g", "h0", "n_events", "varnum", "word")
+
+
+def q_motif_pairs(spark, sf_dir):
+    """Motif discovery (downsample.py:motif_pairs, the Lin/Chiu SAX-
+    motif shape): candidates by equality join on the subsequence word
+    — never all-pairs — verified by the exact-integer-numerator
+    Pearson correlation of the raw count windows (zip_with/aggregate
+    decimal fold; variance numerators multiplied AS DOUBLE per the
+    house overflow rule), non-overlap h_b-h_a >= m enforced, top-5
+    pairs per series on the 9dp-rounded r."""
+    from traval_spark.operators.downsample import motif_pairs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return motif_pairs(ev, m=24, segments=4, alphabet=4,
+                       min_corr=0.5, top_k=5)
+
+
+def q_rare_windows(spark, sf_dir):
+    """Discord candidates by symbolic rarity (downsample.py:
+    rare_windows, the HOT-SAX outer-loop screen): windows whose SAX
+    word is unique within their series — one partial-aggregatable
+    groupBy on the words frame, no pairs ever formed, linear in the
+    window count."""
+    from traval_spark.operators.downsample import rare_windows
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return rare_windows(ev, m=24, segments=4, alphabet=4, max_count=1)
+
+
 def q_embedding_cov(spark, sf_dir):
     """Embedding component covariance/correlation audit (similarity.py:
     embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
@@ -4223,6 +4272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_topk": q_decayed_topk,
         "sax_words": q_sax_words,
         "sax_pairs": q_sax_pairs,
+        "motif_words": q_motif_words,
+        "motif_pairs": q_motif_pairs,
+        "rare_windows": q_rare_windows,
         "embedding_cov": q_embedding_cov,
         "embedding_cov_merged": q_embedding_cov_merged,
         "embedding_project": q_embedding_project,
@@ -8891,6 +8943,93 @@ def oracle_sql() -> dict[str, str]:
               from sym group by g, day)"""
     sql["sax_words"] = _SAXW + """
     select g, day, n_hours, word from words
+    """
+    # sliding-window SAX subsequences (m=24, 4 segments of 6h,
+    # alphabet 4): per-WINDOW z-norm — lhs = (24*Cs - 6*S)/144 exact
+    # integer numerator, sigma = sqrt(24*Q - S^2)/24, both 9dp-fenced;
+    # flat windows (varnum 0) report NULL words by the sax_words rule
+    _SUBW = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by 1, 2),
+    span as (select min(h) AS h0, max(h) AS h1 from counts),
+    spine as (select g, u.h
+              from (select distinct g from counts) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    wins as (select g, h AS w0 from sig, span where h + 23 <= span.h1),
+    elem as (select w.g, w.w0, s.h - w.w0 AS k, s.c
+             from wins w
+             join sig s on s.g = w.g and s.h between w.w0 and w.w0 + 23),
+    wstats as (select g, w0, sum(cast(c AS hugeint)) AS s,
+                      sum(cast(c AS hugeint) * c) AS q
+               from elem group by 1, 2),
+    slc as (select g, w0, k // 6 AS seg, sum(cast(c AS hugeint)) AS cs
+            from elem group by 1, 2, 3),
+    z as (select slc.g, slc.w0, seg,
+                 round(cast(24 * cs - 6 * s AS double) / 144.0, 9) AS lhs,
+                 cast(24 * q - s * s AS double) AS varnum,
+                 sqrt(cast(24 * q - s * s AS double)) / 24.0 AS sigma
+          from slc join wstats using (g, w0)),
+    sym as (select g, w0, seg,
+                   case when varnum > 0 then
+                     list_extract(['a','b','c','d'],
+                       1 + cast(lhs >= round(-0.6744897501960817 * sigma,
+                                             9) AS int)
+                         + cast(lhs >= round(0.0 * sigma, 9) AS int)
+                         + cast(lhs >= round(0.6744897501960817 * sigma,
+                                             9) AS int)) end AS sym
+            from z),
+    subw as (select s.g, s.w0 AS h0,
+                    cast(ws.s AS bigint) AS n_events,
+                    cast(24 * ws.q - ws.s * ws.s AS bigint) AS varnum,
+                    case when count(*) = count(sym)
+                         then string_agg(sym, '' order by seg) end AS word
+             from sym s join wstats ws on s.g = ws.g and s.w0 = ws.w0
+             group by 1, 2, 3, 4)"""
+    sql["motif_words"] = _SUBW + """
+    select g, h0, n_events, varnum, word from subw
+    """
+    # motif pairs: candidates by (g, word) equality with non-overlap
+    # h_b - h_a >= 24; exact hugeint dot-product numerator, variance
+    # numerators multiplied AS DOUBLE, r 9dp-fenced, top-5 per series
+    sql["motif_pairs"] = _SUBW + """,
+    w as (select * from subw where word is not null),
+    pairs as (select a.g, a.h0 AS h_a, b.h0 AS h_b, a.word
+              from w a join w b on a.g = b.g and a.word = b.word
+                               and b.h0 - a.h0 >= 24),
+    dots as (select p.g, p.h_a, p.h_b, p.word,
+                    sum(cast(x.c AS hugeint) * y.c) AS sxy
+             from pairs p
+             join sig x on x.g = p.g
+                       and x.h between p.h_a and p.h_a + 23
+             join sig y on y.g = p.g and y.h = x.h - p.h_a + p.h_b
+             group by 1, 2, 3, 4),
+    sc as (select d.g, d.h_a, d.h_b, d.word,
+                  round(cast(24 * d.sxy - wa.s * wb.s AS double)
+                        / sqrt(cast(24 * wa.q - wa.s * wa.s AS double)
+                               * cast(24 * wb.q - wb.s * wb.s AS double)),
+                        9) AS r
+           from dots d
+           join wstats wa on wa.g = d.g and wa.w0 = d.h_a
+           join wstats wb on wb.g = d.g and wb.w0 = d.h_b),
+    rk as (select *, row_number() over (partition by g
+                                        order by r desc, h_a, h_b) AS rn
+           from sc where r >= 0.5)
+    select g, h_a, h_b, word, r,
+           round(sqrt(48.0 * (1.0 - r)), 6) AS dist
+    from rk where rn <= 5
+    """
+    # discord candidates: unique-word windows, one groupBy, no pairs
+    sql["rare_windows"] = _SUBW + """,
+    w as (select * from subw where word is not null),
+    freq as (select g, word, count(*) AS word_count
+             from w group by 1, 2)
+    select w.g, w.h0, w.word, f.word_count, w.n_events
+    from w join freq f on w.g = f.g and w.word = f.word
+    where f.word_count <= 1
     """
     sql["sax_pairs"] = _SAXW + """,
     w as (select * from words where word is not null),

@@ -259,3 +259,93 @@ def test_sax_pairs_identical_series_share_one(spark):
     assert (r["a"], r["b"]) == ("s", "t")
     assert r["matches"] == 2 and r["days_a"] == 2 and r["days_b"] == 2
     assert r["share"] == 1.0
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows,
+                                              columns=["g", "h", "c"]))
+
+
+def test_subsequence_words_hand_symbols_and_flat_null(spark):
+    """72h signal: day0 = 12h of 0 then 12h of 10 (window mu=5,
+    sigma=5 exactly -> slice z's -1,-1,+1,+1 -> 'aadd'), day1 flat 5
+    (window at h0=24 has zero variance -> NULL word by rule), day2 =
+    day0 again."""
+    import pytest
+
+    from traval_spark.operators.downsample import subsequence_words
+
+    def c_at(h):
+        d, hh = divmod(h, 24)
+        return 5 if d == 1 else (0 if hh < 12 else 10)
+
+    cnts = _counts(spark, [("s", h, c_at(h)) for h in range(72)])
+    out = {r["h0"]: r for r in
+           subsequence_words(counts=cnts, m=24, segments=4).collect()}
+    assert len(out) == 49                     # h0 = 0..48 fit fully
+    for h0 in (0, 48):
+        r = out[h0]
+        assert r["word"] == "aadd"
+        assert r["n_events"] == 120
+        assert r["varnum"] == 24 * 1200 - 120 * 120
+    assert out[24]["word"] is None and out[24]["varnum"] == 0
+    with pytest.raises(ValueError):
+        subsequence_words(counts=cnts, m=24, segments=5)
+    with pytest.raises(ValueError):
+        subsequence_words(counts=cnts, m=24, alphabet=9)
+
+
+def test_motif_pairs_exact_repeat_r_one(spark):
+    """The day0/day2 windows are identical vectors -> their pair must
+    surface with r == 1.0, dist == 0.0 exactly; overlap (h_b - h_a <
+    m) and flat windows never pair; every returned r honors
+    min_corr."""
+    from traval_spark.operators.downsample import motif_pairs
+
+    def c_at(h):
+        d, hh = divmod(h, 24)
+        return 5 if d == 1 else (0 if hh < 12 else 10)
+
+    cnts = _counts(spark, [("s", h, c_at(h)) for h in range(72)])
+    got = motif_pairs(counts=cnts, m=24, segments=4, min_corr=0.9,
+                      top_k=10).collect()
+    assert all(r["r"] >= 0.9 for r in got)
+    assert all(r["h_b"] - r["h_a"] >= 24 for r in got)
+    exact = [r for r in got if (r["h_a"], r["h_b"]) == (0, 48)]
+    assert len(exact) == 1
+    assert exact[0]["r"] == 1.0 and exact[0]["dist"] == 0.0
+    assert exact[0]["word"] == "aadd"
+
+
+def test_motif_pairs_top_k_bound_per_series(spark):
+    """top_k caps output size per series regardless of bucket heat: a
+    pure 12h square wave repeats its window every 24h, giving many
+    same-word non-overlapping pairs — only top_k survive."""
+    from traval_spark.operators.downsample import motif_pairs
+
+    cnts = _counts(
+        spark,
+        [("s", h, 0 if h % 24 < 12 else 10) for h in range(24 * 10)],
+    )
+    got = motif_pairs(counts=cnts, m=24, segments=4, min_corr=0.5,
+                      top_k=3).collect()
+    assert len(got) == 3
+    assert all(r["r"] == 1.0 for r in got)   # aligned repeats tie at 1
+    # deterministic tie-break: earliest (h_a, h_b) pairs win
+    assert [(r["h_a"], r["h_b"]) for r in got] == [(0, 24), (0, 48),
+                                                   (0, 72)]
+
+
+def test_rare_windows_hand_census(spark):
+    """8h signal [0,10,0,10,5,5,0,10], m=4, 2 segments: window words
+    are cc,bc,cc,da,cc -> unique words are 'bc'@1 and 'da'@3; flat
+    windows would be excluded (none here)."""
+    from traval_spark.operators.downsample import rare_windows
+
+    cnts = _counts(spark, list(zip(
+        ["u"] * 8, range(8), [0, 10, 0, 10, 5, 5, 0, 10])))
+    got = sorted(
+        rare_windows(counts=cnts, m=4, segments=2, max_count=1)
+        .collect(), key=lambda r: r["h0"])
+    assert [(r["h0"], r["word"], r["word_count"], r["n_events"])
+            for r in got] == [(1, "bc", 1, 25), (3, "da", 1, 20)]

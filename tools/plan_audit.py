@@ -63,6 +63,10 @@ BROADCAST_CROSS_ALLOWED = {
     # SAX reads ride the same signal spine; sax_pairs repeats the
     # words subtree per self-join side, everything |series|xdays-sized
     "sax_words", "sax_pairs",
+    # subsequence-SAX family rides the same 1-row span broadcast cross
+    # (once per self-join/back-join side); windows, pairs and rarity
+    # all run on the |series|xspan words frame, never the corpus
+    "motif_words", "motif_pairs", "rare_windows",
     # 1-row group-count S broadcast into the vocab-bounded counts table
     "tfidf_top",
     # 1-row exact cents-total broadcast crossed into the customer scan

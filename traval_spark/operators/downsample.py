@@ -82,6 +82,7 @@ from traval_spark.functions.ts import gap_micros, unix_us
 __all__ = [
     "m4_downsample", "m4_merge", "m4_aggs", "m4_project",
     "lttb_downsample", "sax_words", "sax_pairs",
+    "subsequence_words", "motif_pairs", "rare_windows",
 ]
 
 _DEC = "decimal(38,0)"
@@ -507,3 +508,232 @@ def sax_pairs(
         )
     )
     return out.filter(F.col("share") >= float(min_share))
+
+
+def subsequence_words(
+    df=None,
+    m: int = 24,
+    segments: int = 4,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+) -> DataFrame:
+    """Sliding-window SAX symbolization (the subsequence form of
+    :func:`sax_words`, Lin et al. 2003 / the HOT-SAX candidate
+    machinery): every length-``m`` window of the zero-filled bucket-
+    count signal is z-normalized AGAINST ITS OWN window statistics
+    (the standard subsequence normalization — a window is a motif by
+    its shape, not by where it sits on the series' overall level),
+    PAA-averaged into ``segments`` slices and symbolized through the
+    Gaussian equiprobable breakpoints.
+
+    Output one row per (series, window start): ``g, h0, n_events``
+    (window activity total), ``varnum`` (the exact integer variance
+    numerator ``m*Q - S^2``; 0 = flat window, word NULL by the
+    :func:`sax_words` rule), ``word``, and ``xs`` — the window's raw
+    count vector (array<long>, for downstream exact verification).
+
+    Engine exactness is the :func:`sax_words` contract with window
+    stats substituted for series stats: slice verdicts compare
+
+        round((m*Cs - ns*S) / (ns*m), 9)  >=  round(beta*sigma, 9)
+
+    where every numerator is an exact integer and ``sigma =
+    sqrt(m*Q - S^2)/m`` is one sqrt of a double OF exact integers.
+
+    Plan shape: ONE raw groupBy to the signal (or none — pass
+    ``counts=`` off a stored rollup tier and raw is never touched),
+    then ONE ordered window pass over the tiny (|series| x span)
+    signal frame builds every subsequence array; slice sums come from
+    ``F.slice`` on the array, never a second shuffle.  Windows that
+    would run past the series span (fewer than ``m`` buckets
+    collected) are dropped.  ``segments`` must divide ``m``.
+
+    Reference: traval has no subsequence layer; this is the candidate
+    generator for :func:`motif_pairs` / :func:`rare_windows`.
+    """
+    if m % segments:
+        raise ValueError("segments must divide m")
+    if alphabet not in _SAX_BREAKS:
+        raise ValueError("alphabet must be one of 3, 4, 5")
+    from traval_spark.operators.monitor import bucket_count_signal
+
+    ns = m // segments
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    w = (Window.partitionBy("g").orderBy("h")
+         .rowsBetween(Window.currentRow, m - 1))
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "c")).over(w)),
+        lambda st: st["c"],
+    )
+    wins = (
+        sig.select(F.col("g"), F.col("h").alias("h0"), xs.alias("xs"))
+        .filter(F.size("xs") == m)
+    )
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    s_tot = F.aggregate("xs", F.lit(0).cast(_DEC),
+                        lambda acc, x: acc + dec(x))
+    q_tot = F.aggregate("xs", F.lit(0).cast(_DEC),
+                        lambda acc, x: acc + dec(x) * dec(x))
+    wins = wins.select(
+        "g", "h0", "xs", s_tot.alias("s"), q_tot.alias("q"),
+    )
+    varnum = F.lit(m).cast(_DEC) * F.col("q") - F.col("s") * F.col("s")
+    sigma = F.sqrt(varnum.cast("double")) / F.lit(float(m))
+    syms = []
+    for k in range(segments):
+        cs = F.aggregate(F.slice("xs", k * ns + 1, ns),
+                         F.lit(0).cast(_DEC), lambda acc, x: acc + dec(x))
+        lhs = F.round(
+            (F.lit(m).cast(_DEC) * cs
+             - F.lit(ns).cast(_DEC) * F.col("s")).cast("double")
+            / F.lit(float(ns * m)),
+            9,
+        )
+        idx = F.lit(0)
+        for beta in _SAX_BREAKS[alphabet]:
+            idx = idx + (lhs >= F.round(F.lit(beta) * sigma, 9)).cast("int")
+        syms.append(F.element_at(F.lit(list("abcde"[:alphabet])), idx + 1))
+    word = F.when(varnum > 0, F.concat(*syms))
+    return wins.select(
+        "g", "h0",
+        F.col("s").cast("long").alias("n_events"),
+        varnum.cast("long").alias("varnum"),
+        word.alias("word"),
+        "xs",
+    )
+
+
+def motif_pairs(
+    df=None,
+    m: int = 24,
+    segments: int = 4,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+    min_corr: float = 0.5,
+    top_k: int = 5,
+) -> DataFrame:
+    """Motif discovery (recurring temporal patterns WITHIN a series,
+    the SAX-motif shape of Lin et al. / Chiu et al. 2003): candidate
+    window pairs come from an equality join on the subsequence SAX
+    word — never all-pairs against the window set — and survive only
+    if their exact z-normalized similarity confirms the symbolic
+    match.  The verdict statistic is the Pearson correlation of the
+    two raw count windows,
+
+        r = (m*Sxy - Sx*Sy) / sqrt((m*Qx - Sx^2) * (m*Qy - Sy^2))
+
+    whose numerator is an EXACT integer (the windows ride along as
+    long arrays from :func:`subsequence_words`; the dot product is a
+    ``zip_with``/``aggregate`` fold on decimal(38,0)) and whose
+    denominator is one sqrt of a product of exact integer variance
+    numerators (multiplied AS DOUBLE — the house chi2/centroid-L2
+    overflow rule); the z-normalized Euclidean distance is then the
+    standard identity ``d = sqrt(2*m*(1-r))``.  Identical float
+    tails in any engine; ranking and the ``min_corr`` gate run on the
+    9dp-rounded r (the slo_burn fence).
+
+    Trivial matches are excluded the classic way: paired windows must
+    not overlap (``h_b - h_a >= m``).  Output is the ``top_k`` best
+    pairs per series by (r desc, h_a, h_b) — ``g, h_a, h_b, word,
+    r, dist`` — so result size is |series| x k regardless of how
+    hot a word bucket gets.
+
+    Plan shape at 100 TB: raw is touched once (or never, via
+    ``counts=`` from a stored tier); the join, fold and top-k window
+    all run on the (|series| x span) words frame.  Within one
+    (g, word) bucket the join is quadratic in that bucket's window
+    count — bounded by the series span at signal grain (tier-sized),
+    the same disclosed trade as :func:`sax_pairs` and the LSH
+    families.
+    """
+    wds = subsequence_words(df, m=m, segments=segments,
+                            alphabet=alphabet, bucket=bucket, by=by,
+                            ts=ts, counts=counts)
+    wds = wds.filter(F.col("word").isNotNull())
+    a = wds.select("g", F.col("h0").alias("h_a"), "word",
+                   F.col("xs").alias("xa"),
+                   F.col("n_events").alias("sa"),
+                   F.col("varnum").alias("va"))
+    b = wds.select("g", F.col("h0").alias("h_b"), "word",
+                   F.col("xs").alias("xb"),
+                   F.col("n_events").alias("sb"),
+                   F.col("varnum").alias("vb"))
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    cand = a.join(b, ["g", "word"]).filter(
+        F.col("h_b") - F.col("h_a") >= m
+    )
+    sxy = F.aggregate(
+        F.zip_with("xa", "xb", lambda x, y: dec(x) * dec(y)),
+        F.lit(0).cast(_DEC), lambda acc, v: acc + v,
+    )
+    num = (F.lit(m).cast(_DEC) * sxy
+           - dec(F.col("sa")) * dec(F.col("sb")))
+    den = F.sqrt(F.col("va").cast("double") * F.col("vb").cast("double"))
+    r = F.round(num.cast("double") / den, 9)
+    scored = cand.select(
+        "g", "h_a", "h_b", "word", r.alias("r"),
+    ).filter(F.col("r") >= float(min_corr))
+    rn = F.row_number().over(
+        Window.partitionBy("g")
+        .orderBy(F.col("r").desc(), "h_a", "h_b")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= top_k)
+        .select(
+            "g", "h_a", "h_b", "word", "r",
+            F.round(F.sqrt(F.lit(2.0 * m) * (F.lit(1.0) - F.col("r"))),
+                    6).alias("dist"),
+        )
+    )
+
+
+def rare_windows(
+    df=None,
+    m: int = 24,
+    segments: int = 4,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+    max_count: int = 1,
+) -> DataFrame:
+    """Discord CANDIDATES by symbolic rarity (the HOT-SAX outer-loop
+    heuristic, Keogh et al. 2005): a window whose SAX word appears at
+    most ``max_count`` times in its own series has a shape no other
+    stretch of that series repeats — the cheap, mergeable screen a
+    true discord search would order its exact-distance passes by, and
+    on its own the "show me the strangest day-long stretches" read.
+
+    Rarity is counted per (series, word) with ONE partial-aggregatable
+    groupBy on the words frame, joined back by (g, word) — no window
+    pairs are ever formed, so unlike a full discord verification this
+    read stays linear in the window count.  Flat windows (NULL word:
+    zero variance) are excluded — "no activity at all" is gap_stats'
+    finding, not a shape anomaly.  Output: ``g, h0, word, word_count,
+    n_events`` ordered deterministically by rarity then start.
+
+    Plan shape: raw touched once for the signal (or never via
+    ``counts=``); everything else runs on the (|series| x span) words
+    frame.
+    """
+    wds = subsequence_words(df, m=m, segments=segments,
+                            alphabet=alphabet, bucket=bucket, by=by,
+                            ts=ts, counts=counts)
+    wds = wds.filter(F.col("word").isNotNull())
+    freq = wds.groupBy("g", "word").agg(
+        F.count(F.lit(1)).alias("word_count")
+    )
+    return (
+        wds.join(freq, ["g", "word"])
+        .filter(F.col("word_count") <= max_count)
+        .select("g", "h0", "word", "word_count", "n_events")
+    )
