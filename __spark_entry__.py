@@ -3949,6 +3949,24 @@ def q_rare_windows(spark, sf_dir):
     return rare_windows(ev, m=24, segments=4, alphabet=4, max_count=1)
 
 
+def q_discord_topk(spark, sf_dir):
+    """True discord verification (downsample.py:discord_topk, the
+    HOT-SAX inner loop): rarity-screened candidate windows scored by
+    EXACT nearest-neighbor z-normalized distance against every
+    non-overlapping same-series window — the quadratic inner loop runs
+    only |candidates| x |windows|, the HOT-SAX economy.  NN = argmax
+    of the 9dp-rounded exact-numerator Pearson r; neighbor start =
+    smallest h0 attaining the max (deterministic without struct-max
+    ordering); top-5 largest nn_dist per series."""
+    from traval_spark.operators.downsample import discord_topk
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return discord_topk(ev, m=24, segments=4, alphabet=4,
+                        rare_max=1, top_k=5)
+
+
 def q_embedding_cov(spark, sf_dir):
     """Embedding component covariance/correlation audit (similarity.py:
     embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
@@ -4275,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_words": q_motif_words,
         "motif_pairs": q_motif_pairs,
         "rare_windows": q_rare_windows,
+        "discord_topk": q_discord_topk,
         "embedding_cov": q_embedding_cov,
         "embedding_cov_merged": q_embedding_cov_merged,
         "embedding_project": q_embedding_project,
@@ -9030,6 +9049,48 @@ def oracle_sql() -> dict[str, str]:
     select w.g, w.h0, w.word, f.word_count, w.n_events
     from w join freq f on w.g = f.g and w.word = f.word
     where f.word_count <= 1
+    """
+    # true discords (HOT-SAX inner loop): rarity-screened candidates
+    # vs every non-overlapping same-series window; NN = max 9dp r,
+    # neighbor start = min h0 attaining it; top-5 SMALLEST nn_r
+    sql["discord_topk"] = _SUBW + """,
+    w as (select * from subw where word is not null),
+    freq as (select g, word, count(*) AS word_count
+             from w group by 1, 2),
+    cand as (select w.g, w.h0, w.word
+             from w join freq f on w.g = f.g and w.word = f.word
+             where f.word_count <= 1),
+    cpairs as (select c.g, c.h0, c.word, b.h0 AS hw
+               from cand c join w b on c.g = b.g
+                                   and abs(b.h0 - c.h0) >= 24),
+    cdots as (select p.g, p.h0, p.word, p.hw,
+                     sum(cast(x.c AS hugeint) * y.c) AS sxy
+              from cpairs p
+              join sig x on x.g = p.g
+                        and x.h between p.h0 and p.h0 + 23
+              join sig y on y.g = p.g and y.h = x.h - p.h0 + p.hw
+              group by 1, 2, 3, 4),
+    csc as (select d.g, d.h0, d.word, d.hw,
+                   round(cast(24 * d.sxy - wa.s * wb.s AS double)
+                         / sqrt(cast(24 * wa.q - wa.s * wa.s AS double)
+                                * cast(24 * wb.q - wb.s * wb.s
+                                       AS double)),
+                         9) AS r
+            from cdots d
+            join wstats wa on wa.g = d.g and wa.w0 = d.h0
+            join wstats wb on wb.g = d.g and wb.w0 = d.hw),
+    cbest as (select g, h0, word, max(r) AS nn_r
+              from csc group by 1, 2, 3),
+    cnn as (select s.g, s.h0, s.word, b.nn_r, min(s.hw) AS nn_h0
+            from csc s join cbest b on s.g = b.g and s.h0 = b.h0
+                                   and s.r = b.nn_r
+            group by 1, 2, 3, 4),
+    crk as (select *, row_number() over (partition by g
+                                         order by nn_r asc, h0) AS rn
+            from cnn)
+    select g, h0, word, nn_h0, nn_r,
+           round(sqrt(48.0 * (1.0 - nn_r)), 6) AS nn_dist
+    from crk where rn <= 5
     """
     sql["sax_pairs"] = _SAXW + """,
     w as (select * from words where word is not null),

@@ -139,7 +139,7 @@ def main() -> None:
         "emd_drift", "jsd_drift", "chi2_drift", "welch_ttest",
         "kendall_pairs", "tfidf_top",
         "threshold_episodes", "decayed_topk", "sax_words", "sax_pairs",
-        "motif_words", "motif_pairs", "rare_windows",
+        "motif_words", "motif_pairs", "rare_windows", "discord_topk",
         "join_blowup",
         "phrase_search", "corpus_diff", "retention_preview",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",

@@ -349,3 +349,51 @@ def test_rare_windows_hand_census(spark):
         .collect(), key=lambda r: r["h0"])
     assert [(r["h0"], r["word"], r["word_count"], r["n_events"])
             for r in got] == [(1, "bc", 1, 25), (3, "da", 1, 20)]
+
+
+def test_discord_topk_hand_nn_and_ordering(spark):
+    """16h signal: a [0,10] square wave with a [7,1,1,1] tail anomaly.
+    m=4/2 segments gives 13 windows — h0 0..8 all word 'cc', then
+    bc@9, cb@10, da@11, cb@12 — so the unique-word candidates are
+    h0=9 ([10,0,10,7]) and h0=11 ([10,7,1,1]).  Hand NN (best exact
+    Pearson r vs any non-overlapping window, all of which are the
+    square-wave phases [0,10,0,10]/[10,0,10,0]):
+      h0=9:  r = (4*200 - 27*20)/sqrt(267*400) vs the odd phase,
+             attained first at h0_w=1
+      h0=11: r = (4*110 - 19*20)/sqrt(243*400), also first at h0_w=1
+    Discord order is nn_r ASC: the anomaly tail (farther from
+    everything) outranks the boundary window."""
+    import math
+
+    import pytest as pt
+
+    from traval_spark.operators.downsample import discord_topk
+
+    cnts = _counts(spark, list(zip(["s"] * 16, range(16),
+                                   [0, 10] * 6 + [7, 1, 1, 1])))
+    got = discord_topk(counts=cnts, m=4, segments=2, rare_max=1,
+                       top_k=5).collect()
+    rows = {r["h0"]: r for r in got}
+    assert set(rows) == {9, 11}
+    r9 = round(260 / math.sqrt(267 * 400), 9)
+    r11 = round(60 / math.sqrt(243 * 400), 9)
+    assert rows[9]["word"] == "bc" and rows[11]["word"] == "da"
+    assert rows[9]["nn_h0"] == 1 and rows[11]["nn_h0"] == 1
+    assert rows[9]["nn_r"] == pt.approx(r9, abs=1e-12)
+    assert rows[11]["nn_r"] == pt.approx(r11, abs=1e-12)
+    for r in got:
+        assert r["nn_dist"] == round(
+            math.sqrt(8.0 * (1.0 - r["nn_r"])), 6)
+    assert rows[11]["nn_r"] < rows[9]["nn_r"]
+
+
+def test_discord_topk_no_neighbor_drops(spark):
+    """A candidate with no non-overlapping comparison window reports
+    nothing: the 8h rare-windows signal's unique words at h0=1 and
+    h0=3 have no window at distance >= m on either side."""
+    from traval_spark.operators.downsample import discord_topk
+
+    cnts = _counts(spark, list(zip(
+        ["u"] * 8, range(8), [0, 10, 0, 10, 5, 5, 0, 10])))
+    assert discord_topk(counts=cnts, m=4, segments=2,
+                        rare_max=1).count() == 0

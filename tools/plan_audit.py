@@ -66,7 +66,7 @@ BROADCAST_CROSS_ALLOWED = {
     # subsequence-SAX family rides the same 1-row span broadcast cross
     # (once per self-join/back-join side); windows, pairs and rarity
     # all run on the |series|xspan words frame, never the corpus
-    "motif_words", "motif_pairs", "rare_windows",
+    "motif_words", "motif_pairs", "rare_windows", "discord_topk",
     # 1-row group-count S broadcast into the vocab-bounded counts table
     "tfidf_top",
     # 1-row exact cents-total broadcast crossed into the customer scan

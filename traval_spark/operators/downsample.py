@@ -82,7 +82,7 @@ from traval_spark.functions.ts import gap_micros, unix_us
 __all__ = [
     "m4_downsample", "m4_merge", "m4_aggs", "m4_project",
     "lttb_downsample", "sax_words", "sax_pairs",
-    "subsequence_words", "motif_pairs", "rare_windows",
+    "subsequence_words", "motif_pairs", "rare_windows", "discord_topk",
 ]
 
 _DEC = "decimal(38,0)"
@@ -736,4 +736,101 @@ def rare_windows(
         wds.join(freq, ["g", "word"])
         .filter(F.col("word_count") <= max_count)
         .select("g", "h0", "word", "word_count", "n_events")
+    )
+
+
+def discord_topk(
+    df=None,
+    m: int = 24,
+    segments: int = 4,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+    rare_max: int = 1,
+    top_k: int = 5,
+) -> DataFrame:
+    """TRUE discord verification (the HOT-SAX inner loop, Keogh et al.
+    2005): each rarity-screened candidate window (word count <=
+    ``rare_max`` in its series — :func:`rare_windows`' finding) is
+    scored by its EXACT nearest-neighbor distance against every
+    non-overlapping window of the same series; the windows farthest
+    from everything the series ever does are its discords.  Distance
+    is the z-normalized Euclidean d = sqrt(2*m*(1-r)) with
+    :func:`motif_pairs`' exact-integer-numerator Pearson r, so the
+    nearest neighbor is argMAX r — computed as a per-candidate max of
+    the 9dp-rounded r (identical doubles in any engine), with the
+    neighbor start reported as the SMALLEST h0 attaining that max
+    (deterministic under ties without trusting struct-max ordering).
+
+    Cost model (why this stays feasible where full matrix-profile
+    wouldn't): the quadratic inner loop runs only for |candidates| x
+    |windows| per series, and rarity screening keeps |candidates|
+    small by construction — the classic HOT-SAX economy.  Flat (NULL
+    word) windows are excluded on BOTH sides; a candidate with no
+    non-overlapping comparison window at all drops out (no neighbor
+    -> no verdict).  Output: ``g, h0, word, nn_h0, nn_r, nn_dist``,
+    the ``top_k`` largest nn_dist per series (ties: earlier h0 wins).
+
+    Plan shape: the raw groupBy's exchange is shared across the three
+    words-frame branches by ReuseExchange (or raw is never read, via
+    ``counts=``, the motif-family rule); candidates, the NN join and
+    both aggregations run on the (|series| x span) words frame.
+    """
+    wds = subsequence_words(df, m=m, segments=segments,
+                            alphabet=alphabet, bucket=bucket, by=by,
+                            ts=ts, counts=counts)
+    wds = wds.filter(F.col("word").isNotNull())
+    freq = wds.groupBy("g", "word").agg(
+        F.count(F.lit(1)).alias("word_count")
+    )
+    cand = (
+        wds.join(freq, ["g", "word"])
+        .filter(F.col("word_count") <= rare_max)
+        .select("g", "h0", "word", "xs",
+                F.col("n_events").alias("sa"),
+                F.col("varnum").alias("va"))
+    )
+    w = wds.select("g", F.col("h0").alias("h0_w"),
+                   F.col("xs").alias("xw"),
+                   F.col("n_events").alias("sw"),
+                   F.col("varnum").alias("vw"))
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    pairs = cand.join(w, "g").filter(
+        F.abs(F.col("h0_w") - F.col("h0")) >= m
+    )
+    sxy = F.aggregate(
+        F.zip_with("xs", "xw", lambda x, y: dec(x) * dec(y)),
+        F.lit(0).cast(_DEC), lambda acc, v: acc + v,
+    )
+    num = (F.lit(m).cast(_DEC) * sxy
+           - dec(F.col("sa")) * dec(F.col("sw")))
+    den = F.sqrt(F.col("va").cast("double") * F.col("vw").cast("double"))
+    scored = pairs.select(
+        "g", "h0", "word", "h0_w",
+        F.round(num.cast("double") / den, 9).alias("r"),
+    )
+    best = scored.groupBy("g", "h0", "word").agg(
+        F.max("r").alias("nn_r")
+    )
+    nn = (
+        scored.join(best, ["g", "h0", "word"])
+        .filter(F.col("r") == F.col("nn_r"))
+        .groupBy("g", "h0", "word", "nn_r")
+        .agg(F.min("h0_w").alias("nn_h0"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("g")
+        .orderBy(F.col("nn_r").asc(), "h0")
+    )
+    return (
+        nn.withColumn("rn", rn)
+        .filter(F.col("rn") <= top_k)
+        .select(
+            "g", "h0", "word", "nn_h0", "nn_r",
+            F.round(F.sqrt(F.lit(2.0 * m)
+                           * (F.lit(1.0) - F.col("nn_r"))),
+                    6).alias("nn_dist"),
+        )
     )
