@@ -3584,6 +3584,36 @@ def q_dominant_period(spark, sf_dir):
     return dominant_period(ev, max_lag=30, bucket="1h")
 
 
+def q_stl_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (monitor.py:
+    stl_decompose): c = trend + seasonal + resid over the zero-filled
+    hourly bucket-count signal at period 24 — centered 2xP moving-
+    average trend as the exact integer T2/(2P), per-phase seasonal
+    means of the exact integer detrended values centered by the global
+    interior mean (all single divisions, 9dp-fenced), edges trimmed to
+    NULL by the standard rule."""
+    from traval_spark.operators.monitor import stl_decompose
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return stl_decompose(ev, period=24, bucket="1h")
+
+
+def q_stl_anomaly(spark, sf_dir):
+    """Seasonally-adjusted robust anomalies (monitor.py:stl_anomaly):
+    stl_decompose residuals scored with the Iglewicz-Hoaglin modified
+    z-score 0.6745(resid - median)/MAD — median/MAD as selections over
+    the engine-identical 9dp residual multiset, |mz| > 3.5 flags,
+    MAD == 0 series emit nothing by rule."""
+    from traval_spark.operators.monitor import stl_anomaly
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return stl_anomaly(ev, period=24, bucket="1h", threshold=3.5)
+
+
 def q_ljung_box(spark, sf_dir):
     """Ljung–Box white-noise test per series (monitor.py:ljung_box):
     Q = n(n+2) * sum r_k^2/(n-k) over the acf_lags autocorrelations —
@@ -3967,6 +3997,23 @@ def q_discord_topk(spark, sf_dir):
                         rare_max=1, top_k=5)
 
 
+def q_dtw_pairs(spark, sf_dir):
+    """Elastic motif verification (downsample.py:dtw_pairs): random-
+    projection SAX candidates (Chiu et al. masked equality joins —
+    words differing in <= 1 symbol pair, never all-pairs) verified by
+    an EXACT-integer Sakoe-Chiba banded DTW (band=3) computed as one
+    JVM anti-diagonal fold over the raw count windows; d2 (lock-step
+    squared distance) and gain = d2 - dtw ride along; top-5 nearest
+    pairs per series by the exact integer dtw."""
+    from traval_spark.operators.downsample import dtw_pairs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return dtw_pairs(ev, m=24, segments=4, alphabet=4, band=3,
+                     top_k=5)
+
+
 def q_embedding_cov(spark, sf_dir):
     """Embedding component covariance/correlation audit (similarity.py:
     embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
@@ -4277,6 +4324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_lags": q_acf_lags,
         "ljung_box": q_ljung_box,
         "dominant_period": q_dominant_period,
+        "stl_decompose": q_stl_decompose,
+        "stl_anomaly": q_stl_anomaly,
         "fano_dispersion": q_fano_dispersion,
         "theil_sen_tiered": q_theil_sen_tiered,
         "acf_tiered": q_acf_tiered,
@@ -4294,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_pairs": q_motif_pairs,
         "rare_windows": q_rare_windows,
         "discord_topk": q_discord_topk,
+        "dtw_pairs": q_dtw_pairs,
         "embedding_cov": q_embedding_cov,
         "embedding_cov_merged": q_embedding_cov_merged,
         "embedding_project": q_embedding_project,
@@ -8415,6 +8465,74 @@ def oracle_sql() -> dict[str, str]:
                 AS int) AS significant
     from best join pick using (g)
     """
+    # classical additive decomposition, P=24 even: 2xP-MA trend as the
+    # exact integer T2 = S1 + S2 (the two 24-row windows offset by
+    # one) / 48; seasonal = per-phase mean of det2p = 48c - T2 minus
+    # the global interior mean (both exact-integer ratios, 9dp); resid
+    # on the rounded parts; edge buckets without full windows NULL
+    _STL = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    tr as (select g, h, c, h % 24 AS phase,
+                  case when count(*) over w1 = 24
+                        and count(*) over w2 = 24
+                       then cast(sum(c) over w1 AS hugeint)
+                          + cast(sum(c) over w2 AS hugeint) end AS t2
+           from sig
+           window w1 as (partition by g order by h
+                         rows between 12 preceding and 11 following),
+                  w2 as (partition by g order by h
+                         rows between 11 preceding and 12 following)),
+    base as (select *, 48 * cast(c AS hugeint) - t2 AS det2p from tr),
+    ph as (select g, phase, sum(det2p) AS sd, count(det2p) AS nd
+           from base group by 1, 2),
+    tot as (select g, sum(det2p) AS sa, count(det2p) AS na
+            from base group by 1),
+    seas as (select ph.g, ph.phase,
+                    case when nd > 0 and na > 0 then
+                      round(cast(sd AS double) / (48.0 * nd)
+                            - cast(sa AS double) / (48.0 * na), 9)
+                    end AS seasonal
+             from ph join tot using (g)),
+    stldec as (select b.g, b.h, b.c, b.phase,
+                      round(cast(b.t2 AS double) / 48.0, 9) AS trend,
+                      s.seasonal,
+                      round(cast(b.c AS double)
+                            - round(cast(b.t2 AS double) / 48.0, 9)
+                            - s.seasonal, 9) AS resid
+               from base b
+               left join seas s on s.g = b.g and s.phase = b.phase)"""
+    sql["stl_decompose"] = _STL + """
+    select g, h, c, phase, trend, seasonal, resid from stldec
+    """
+    # S-H-ESD one-shot core: modified z = 0.6745 (resid - med) / MAD
+    # over stldec's interior residuals; median/MAD are continuous
+    # 0.5-quantiles (selection, not summation) of the engine-identical
+    # residual multiset; MAD == 0 series emit nothing by rule
+    sql["stl_anomaly"] = _STL + """,
+    interior as (select * from stldec where resid is not null),
+    med as (select g, quantile_cont(resid, 0.5) AS med
+            from interior group by g),
+    fence as (select i.g,
+                     quantile_cont(abs(i.resid - m.med), 0.5) AS mad,
+                     max(m.med) AS med
+              from interior i join med m using (g) group by i.g),
+    scored as (select i.*,
+                      case when f.mad > 0 then
+                        round(0.6745 * (i.resid - f.med) / f.mad, 9)
+                      end AS mz
+               from interior i join fence f using (g))
+    select g, h, c, phase, trend, seasonal, resid, mz
+    from scored where abs(mz) > 3.5
+    """
     # Ljung-Box Q over the same ACF construction, rounded 6dp
     sql["ljung_box"] = """
     with src as (select event_type AS g,
@@ -9092,6 +9210,75 @@ def oracle_sql() -> dict[str, str]:
            round(sqrt(48.0 * (1.0 - nn_r)), 6) AS nn_dist
     from crk where rn <= 5
     """
+    # elastic motifs: masked-word candidates (<=1 differing symbol via
+    # 4 drop-one-position equality joins), verified by exact-integer
+    # Sakoe-Chiba DTW (band 3) — the DP replayed as a recursive CTE
+    # over anti-diagonals carrying the previous two diagonal lists
+    # (each diag cell reads only diag-1 / diag-2: the wavefront
+    # dependency structure); out-of-band cells pin to a 10^30 hugeint
+    # sentinel that provably never reaches a finite path.  The
+    # "with src" -> "with recursive src" rewrite lets the dp CTE
+    # recurse inside the shared _SUBW prefix.
+    _HUGE = "cast('1000000000000000000000000000000' AS hugeint)"
+    sql["dtw_pairs"] = _SUBW.replace(
+        "\n    with src", "\n    with recursive src", 1
+    ) + """,
+    w as (select * from subw where word is not null),
+    vec as (select g, w0, list(c order by k) AS xs
+            from elem group by 1, 2),
+    mk as (select g, h0, word, t.k,
+                  concat(substr(word, 1, t.k), substr(word, t.k + 2))
+                    AS mword
+           from w, unnest([0, 1, 2, 3]) AS t(k)),
+    cand as (select distinct a.g, a.h0 AS h_a, b.h0 AS h_b,
+                    a.word AS word_a, b.word AS word_b
+             from mk a join mk b on a.g = b.g and a.k = b.k
+                                and a.mword = b.mword
+                                and b.h0 - a.h0 >= 24),
+    cv as (select c.*, va.xs AS xa, vb.xs AS xb
+           from cand c
+           join vec va on va.g = c.g and va.w0 = c.h_a
+           join vec vb on vb.g = c.g and vb.w0 = c.h_b),
+    dp as (
+      select g, h_a, h_b, word_a, word_b, xa, xb, 0 AS d,
+             [cast(xa[1] - xb[1] AS hugeint) * (xa[1] - xb[1])] AS cur,
+             cast(NULL AS hugeint[]) AS prev
+      from cv
+      union all
+      select g, h_a, h_b, word_a, word_b, xa, xb, d + 1,
+             list_transform(
+               generate_series(greatest(0, d + 1 - 23),
+                               least(d + 1, 23)),
+               i -> case when abs(2 * i - (d + 1)) > 3 then {H}
+                    else cast(xa[i + 1] - xb[d + 1 - i + 1] AS hugeint)
+                           * (xa[i + 1] - xb[d + 1 - i + 1])
+                       + least(
+                           coalesce(cur[(i - 1)
+                                        - greatest(0, d - 23) + 1], {H}),
+                           coalesce(cur[i - greatest(0, d - 23) + 1],
+                                    {H}),
+                           coalesce(prev[(i - 1)
+                                         - greatest(0, d - 24) + 1],
+                                    {H}))
+                    end),
+             cur
+      from dp where d < 46
+    ),
+    fin as (select g, h_a, h_b, word_a, word_b, xa, xb,
+                   cast(cur[1] AS bigint) AS dtw
+            from dp where d = 46),
+    sc as (select g, h_a, h_b, word_a, word_b, dtw,
+                  cast(list_sum(list_transform(generate_series(1, 24),
+                         i -> cast(xa[i] - xb[i] AS hugeint)
+                                * (xa[i] - xb[i]))) AS bigint) AS d2
+           from fin),
+    rk as (select *, row_number() over (partition by g
+                                        order by dtw asc, h_a, h_b)
+                       AS rn
+           from sc)
+    select g, h_a, h_b, word_a, word_b, dtw, d2, d2 - dtw AS gain
+    from rk where rn <= 5
+    """.replace("{H}", _HUGE)
     sql["sax_pairs"] = _SAXW + """,
     w as (select * from words where word is not null),
     days as (select g, count(*) AS days from w group by g),

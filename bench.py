@@ -131,7 +131,8 @@ def main() -> None:
         "key_skew", "slo_burn", "theil_sen", "mann_kendall",
         "fano_dispersion",
         "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
-        "dominant_period", "swing_reconstruct",
+        "dominant_period", "stl_decompose", "stl_anomaly",
+        "swing_reconstruct",
         "acf_lags", "ljung_box",
         "pmi_bigrams", "source_overlap", "source_entropy", "zipf_fit",
         "mixture_conc", "benford", "topk_churn", "rbo_drift",
@@ -140,6 +141,7 @@ def main() -> None:
         "kendall_pairs", "tfidf_top",
         "threshold_episodes", "decayed_topk", "sax_words", "sax_pairs",
         "motif_words", "motif_pairs", "rare_windows", "discord_topk",
+        "dtw_pairs",
         "join_blowup",
         "phrase_search", "corpus_diff", "retention_preview",
         "chunk_docs", "redact_pii", "sliding_distinct", "percentile_rank",

@@ -397,3 +397,72 @@ def test_discord_topk_no_neighbor_drops(spark):
         ["u"] * 8, range(8), [0, 10, 0, 10, 5, 5, 0, 10])))
     assert discord_topk(counts=cnts, m=4, segments=2,
                         rare_max=1).count() == 0
+
+
+def test_dtw_pairs_jitter_zero_under_band(spark):
+    """A 1h-jittered spike repeat: windows [0,10,0,0,0,0] @0 and
+    [0,0,10,0,0,0] @6 share the word 'cb' (same PAA slice sums), lock-
+    step distance d2 = 200, but band-1 DTW warps the spike onto its
+    neighbor for an exact dtw of 0 (gain 200).  With band=0 the path
+    is forced diagonal, so dtw == d2 exactly."""
+    from traval_spark.operators.downsample import dtw_pairs
+
+    sig = [0, 10, 0, 0, 0, 0, 0, 0, 10, 0, 0, 0]
+    cnts = _counts(spark, [("s", h, c) for h, c in enumerate(sig)])
+    got = {(r["h_a"], r["h_b"]): r
+           for r in dtw_pairs(counts=cnts, m=6, segments=2, band=1,
+                              top_k=50).collect()}
+    r = got[(0, 6)]
+    assert r["word_a"] == "cb" and r["word_b"] == "cb"
+    assert (r["dtw"], r["d2"], r["gain"]) == (0, 200, 200)
+    tight = {(r["h_a"], r["h_b"]): r
+             for r in dtw_pairs(counts=cnts, m=6, segments=2, band=0,
+                                top_k=50).collect()}
+    r0 = tight[(0, 6)]
+    assert r0["dtw"] == r0["d2"] == 200 and r0["gain"] == 0
+
+
+def test_dtw_pairs_masked_candidate_one_symbol_apart(spark):
+    """Windows [0,0,10,10,0,0] ('ada') and [0,0,10,10,0,4] ('adb')
+    differ in exactly ONE symbol, so only the drop-position-3
+    projection mask pairs them — and the exact DTW equals the hand DP
+    (the trailing 0-vs-4 cost of 16 is unavoidable at any warp)."""
+    from traval_spark.operators.downsample import dtw_pairs
+
+    sig = [0, 0, 10, 10, 0, 0, 0, 0, 10, 10, 0, 4]
+    cnts = _counts(spark, [("s", h, c) for h, c in enumerate(sig)])
+    got = {(r["h_a"], r["h_b"]): r
+           for r in dtw_pairs(counts=cnts, m=6, segments=3, band=1,
+                              top_k=50).collect()}
+    r = got[(0, 6)]
+    assert r["word_a"] == "ada" and r["word_b"] == "adb"
+    assert (r["dtw"], r["d2"], r["gain"]) == (16, 16, 0)
+
+
+def test_dtw_pairs_two_symbols_apart_never_pair(spark):
+    """[4,0,10,10,0,4] symbolizes to 'bdb' — two positions away from
+    'ada' — so no projection mask joins the pair: (0, 6) is absent,
+    and every emitted pair's words differ in at most one position (the
+    candidate-generation contract)."""
+    from traval_spark.operators.downsample import dtw_pairs
+
+    sig = [0, 0, 10, 10, 0, 0, 4, 0, 10, 10, 0, 4]
+    cnts = _counts(spark, [("s", h, c) for h, c in enumerate(sig)])
+    got = dtw_pairs(counts=cnts, m=6, segments=3, band=1,
+                    top_k=50).collect()
+    assert (0, 6) not in {(r["h_a"], r["h_b"]) for r in got}
+    for r in got:
+        diffs = sum(a != b for a, b in zip(r["word_a"], r["word_b"]))
+        assert diffs <= 1
+
+
+def test_dtw_pairs_param_guards(spark):
+    import pytest as pt
+
+    from traval_spark.operators.downsample import dtw_pairs
+
+    cnts = _counts(spark, [("s", h, h % 3) for h in range(12)])
+    with pt.raises(ValueError):
+        dtw_pairs(counts=cnts, m=6, segments=2, band=-1)
+    with pt.raises(ValueError):
+        dtw_pairs(counts=cnts, m=1, segments=1)

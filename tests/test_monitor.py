@@ -1108,3 +1108,148 @@ def test_sax_words_served_from_rollup_tier_equal_raw(spark):
     tiered = sax_words(counts=counts_from_tier(tier, bucket="1h"))
     assert tiered.exceptAll(direct).count() == 0
     assert direct.exceptAll(tiered).count() == 0
+
+
+def test_stl_decompose_hand_periodic_even(spark):
+    """Pure period-4 signal [0,4,8,4] x 3 cycles, P=4 (even, 2xP MA):
+    every interior trend is the series mean 4 (T2 = 32 exactly),
+    seasonal = [-4, 0, 4, 0], resid = 0 everywhere interior; the two
+    edge buckets each side report NULL trend/resid."""
+    import pandas as pd
+
+    from traval_spark.operators.monitor import stl_decompose
+
+    pat = [0, 4, 8, 4]
+    cnts = spark.createDataFrame(pd.DataFrame(
+        [("s", h, pat[h % 4]) for h in range(12)],
+        columns=["g", "h", "c"]))
+    rows = {r["h"]: r for r in
+            stl_decompose(counts=cnts, period=4).collect()}
+    assert len(rows) == 12
+    seas = {0: -4.0, 1: 0.0, 2: 4.0, 3: 0.0}
+    for h in range(12):
+        r = rows[h]
+        assert r["phase"] == h % 4
+        assert r["seasonal"] == seas[h % 4]
+        if 2 <= h <= 9:
+            assert r["trend"] == 4.0 and r["resid"] == 0.0
+        else:
+            assert r["trend"] is None and r["resid"] is None
+
+
+def test_stl_decompose_hand_odd_period_and_trend(spark):
+    """Period-3 pattern [0,3,6] on a +1/bucket linear ramp, P=3 (odd):
+    the centered MA of a linear ramp is the ramp itself plus the
+    pattern mean (3), so trend = h + 3 + ... exactly: c(h) = pat + h;
+    MA3(c)(h) = h + 3; seasonal = [-3+1?, ...] — hand-derive: det =
+    c - trend = pat(h%3) + h - (h + 3) = pat - 3 = [-3, 0, 3] per
+    phase BUT each phase's interior det also picks up the ramp-free
+    residue exactly, and centering subtracts the global det mean 0;
+    resid = 0 interior."""
+    import pandas as pd
+
+    from traval_spark.operators.monitor import stl_decompose
+
+    pat = [0, 3, 6]
+    cnts = spark.createDataFrame(pd.DataFrame(
+        [("s", h, pat[h % 3] + h) for h in range(9)],
+        columns=["g", "h", "c"]))
+    rows = {r["h"]: r for r in
+            stl_decompose(counts=cnts, period=3).collect()}
+    # interior h = 1..7; phases 1,2,0,1,2,0,1 -> every phase sampled
+    for h in range(1, 8):
+        r = rows[h]
+        assert r["trend"] == float(h + 3)
+    # det2p = 6*c - T2 = 6*(pat + h) - 6*(h+3) = 6*pat - 18
+    # phase means: (pat - 3) = [-3, 0, 3]; global det mean over
+    # interior: phases 0 x2, 1 x3, 2 x2 -> (2*(-3) + 3*0 + 2*3)/7 = 0
+    seas = {0: -3.0, 1: 0.0, 2: 3.0}
+    for h in range(9):
+        assert rows[h]["seasonal"] == seas[h % 3]
+        if 1 <= h <= 7:
+            assert rows[h]["resid"] == 0.0
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        stl_decompose(counts=cnts, period=1)
+
+
+def _stl_anomaly_ref(cs, p=4, threshold=3.5):
+    """Mini numpy replay of the documented stl_anomaly arithmetic
+    (2xP even-period MA, exact-integer det2p, global-interior
+    centering, linear-interp median/MAD, 9dp fences)."""
+    import numpy as np
+
+    n = len(cs)
+    c = np.asarray(cs, dtype=object)
+    t2 = {}
+    for h in range(n):
+        if h - p // 2 >= 0 and h + p // 2 <= n - 1:
+            t2[h] = (sum(cs[h - p // 2:h + p // 2])
+                     + sum(cs[h - p // 2 + 1:h + p // 2 + 1]))
+    det = {h: 2 * p * cs[h] - t2[h] for h in t2}
+    sa, na = sum(det.values()), len(det)
+    seas = {}
+    for ph in range(p):
+        vs = [det[h] for h in det if h % p == ph]
+        if vs:
+            seas[ph] = round(sum(vs) / (2.0 * p * len(vs))
+                             - sa / (2.0 * p * na), 9)
+    out = {}
+    for h in t2:
+        if h % p not in seas:
+            continue
+        trend = round(t2[h] / (2.0 * p), 9)
+        out[h] = round(cs[h] - trend - seas[h % p], 9)
+    resids = np.array(sorted(out.values()))
+    med = float(np.percentile(resids, 50))
+    mad = float(np.percentile(np.abs(resids - med), 50))
+    if mad <= 0:
+        return {}
+    flags = {}
+    for h, r in out.items():
+        mz = round(0.6745 * (r - med) / mad, 9)
+        if abs(mz) > threshold:
+            flags[h] = (r, mz)
+    return flags
+
+
+def test_stl_anomaly_matches_numpy_reference(spark):
+    """Period-4 pattern + period-3 ripple (keeps MAD > 0) + one +60
+    spike at h=13: the flagged set and every mz match the independent
+    numpy replay exactly; the spike bucket carries the largest |mz|."""
+    import pandas as pd
+
+    from traval_spark.operators.monitor import stl_anomaly
+
+    pat, rip = [0, 10, 20, 10], [0, 1, 2]
+    cs = [pat[h % 4] + rip[h % 3] + (60 if h == 13 else 0)
+          for h in range(36)]
+    want = _stl_anomaly_ref(cs, p=4)
+    assert 13 in want and len(want) >= 1
+    cnts = spark.createDataFrame(pd.DataFrame(
+        [("s", h, c) for h, c in enumerate(cs)],
+        columns=["g", "h", "c"]))
+    got = {r["h"]: r for r in
+           stl_anomaly(counts=cnts, period=4, threshold=3.5).collect()}
+    assert set(got) == set(want)
+    for h, (resid, mz) in want.items():
+        assert abs(got[h]["resid"] - resid) < 1e-9
+        assert abs(got[h]["mz"] - mz) < 1e-9
+    top = max(want, key=lambda h: abs(want[h][1]))
+    assert top == 13
+
+
+def test_stl_anomaly_mad_zero_emits_nothing(spark):
+    """Constant signal: every residual is exactly 0, MAD == 0, and the
+    series emits NOTHING by rule (the documented S-H-ESD degenerate
+    edge).  This pins the mad > 0 guard itself: without it mz = 0/0 =
+    NaN, and Spark orders NaN ABOVE every double, so abs(NaN) > 3.5
+    would flag every interior bucket."""
+    import pandas as pd
+
+    from traval_spark.operators.monitor import stl_anomaly
+
+    cnts = spark.createDataFrame(pd.DataFrame(
+        [("s", h, 7) for h in range(40)], columns=["g", "h", "c"]))
+    assert stl_anomaly(counts=cnts, period=4).count() == 0

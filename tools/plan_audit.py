@@ -47,7 +47,7 @@ BROADCAST_CROSS_ALLOWED = {
     # crossed into the tiny per-series signal/bucket frame — the plan
     # text repeats the subtree per consumer branch, hence counts > 1
     "acf_lags", "acf_tiered", "ljung_box", "dominant_period",
-    "xcorr_lags", "lttb_6h", "lttb_from_m4",
+    "stl_decompose", "xcorr_lags", "lttb_6h", "lttb_from_m4",
     # global-scalar broadcast (corpus totals / vocab stats / eval
     # bloom bitmap / mixture weights) crossed into the main frame
     "bm25", "lm_score", "source_entropy", "vocab_coverage",
@@ -67,6 +67,7 @@ BROADCAST_CROSS_ALLOWED = {
     # (once per self-join/back-join side); windows, pairs and rarity
     # all run on the |series|xspan words frame, never the corpus
     "motif_words", "motif_pairs", "rare_windows", "discord_topk",
+    "dtw_pairs",
     # 1-row group-count S broadcast into the vocab-bounded counts table
     "tfidf_top",
     # 1-row exact cents-total broadcast crossed into the customer scan

@@ -83,6 +83,7 @@ __all__ = [
     "m4_downsample", "m4_merge", "m4_aggs", "m4_project",
     "lttb_downsample", "sax_words", "sax_pairs",
     "subsequence_words", "motif_pairs", "rare_windows", "discord_topk",
+    "dtw_pairs",
 ]
 
 _DEC = "decimal(38,0)"
@@ -833,4 +834,183 @@ def discord_topk(
                            * (F.lit(1.0) - F.col("nn_r"))),
                     6).alias("nn_dist"),
         )
+    )
+
+
+def dtw_pairs(
+    df=None,
+    m: int = 24,
+    segments: int = 4,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+    band: int = 3,
+    top_k: int = 5,
+) -> DataFrame:
+    """Elastic motif verification: recurring patterns that repeat with
+    TIMING JITTER, found by random-projection SAX candidate generation
+    (Chiu et al. 2003) and verified by an EXACT-integer Sakoe-Chiba
+    banded Dynamic Time Warping distance.  :func:`motif_pairs` demands
+    lock-step alignment (its Pearson r compares position i with
+    position i); a daily pattern that drifts by an hour scores poorly
+    there yet is the SAME behavior — DTW's elastic alignment (warp up
+    to ``band`` buckets) is the standard fix, and the candidate
+    generator must loosen to match: windows whose SAX words differ in
+    at most ONE symbol become candidates, via ``segments`` masked
+    equality joins (each drops one word position — two words share a
+    mask iff they agree everywhere else), never all-pairs.
+
+    Exactness end to end: the DTW cost is the squared difference of
+    raw bucket counts — an exact decimal(38,0) integer — and the DP
+    recurrence is pure integer min/plus, so the reported ``dtw`` is an
+    exact integer identical in any engine (no float fences needed).
+    Out-of-band cells pin to a 10^30 sentinel and are provably never
+    on an optimal path (every in-band cell has an in-band predecessor),
+    so the sentinel never contaminates a finite value.  The DP runs
+    JVM-side as ONE anti-diagonal fold (``aggregate`` over 2m-1
+    diagonals, each diagonal a ``transform`` reading only the previous
+    two — the classic wavefront parallelization, here a wavefront
+    SERIALIZATION that keeps state O(m) instead of O(m^2)); the DuckDB
+    oracle replays the identical recurrence as a recursive CTE over
+    diagonals.  ``d2`` (the lock-step squared distance, dtw's upper
+    bound) and ``gain = d2 - dtw`` (how much warping explained) ride
+    along from one ``zip_with`` fold; gain > 0 is the signature of a
+    time-shifted repeat that motif_pairs under-scores.
+
+    Trivial matches are excluded as in :func:`motif_pairs` (pairs must
+    not overlap, ``h_b - h_a >= m``); flat (NULL-word) windows never
+    pair.  Output: ``g, h_a, h_b, word_a, word_b, dtw, d2, gain`` —
+    the ``top_k`` NEAREST pairs per series by (dtw asc, h_a, h_b),
+    deterministic because dtw is an exact integer.
+
+    Plan shape at 100 TB: raw is touched once for the signal (or never
+    via ``counts=`` off a stored rollup tier); masked candidates,
+    the DP fold and the top-k window all run on the (|series| x span
+    x segments) words frame.  Per (g, mask-position, masked-word)
+    bucket the join is quadratic in the bucket's window count — the
+    same disclosed trade as :func:`motif_pairs`, widened by the
+    ``segments`` projection masks; the DP itself is O(m^2) decimal ops
+    per surviving candidate, driver-free and shuffle-free.
+
+    Reference: traval has no elastic-distance layer; this serves the
+    jitter-tolerant recurrence reads its per-series plots answer by
+    eye.
+    """
+    if band < 0:
+        raise ValueError("band must be >= 0")
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    wds = subsequence_words(df, m=m, segments=segments,
+                            alphabet=alphabet, bucket=bucket, by=by,
+                            ts=ts, counts=counts)
+    wds = wds.filter(F.col("word").isNotNull())
+    masks = wds.select(
+        "g", "h0", "word", "xs",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.concat(
+                    F.substring("word", 1, k),
+                    F.substring("word", k + 2, segments - k - 1),
+                ).alias("mword"),
+            )
+            for k in range(segments)
+        ])).alias("mk"),
+    ).select("g", "h0", "word", "xs",
+             F.col("mk.k").alias("k"), F.col("mk.mword").alias("mword"))
+    a = masks.select("g", "k", "mword", F.col("h0").alias("h_a"),
+                     F.col("word").alias("word_a"),
+                     F.col("xs").alias("xa"))
+    b = masks.select("g", "k", "mword", F.col("h0").alias("h_b"),
+                     F.col("word").alias("word_b"),
+                     F.col("xs").alias("xb"))
+    # The per-pair DP below is pure compute on a tiny-in-bytes frame;
+    # series-keyed upstream partitioning (and AQE byte-based
+    # coalescing) would serialize it onto |series| tasks.  An explicit
+    # pair-keyed repartition fans the DP out — and dropDuplicates
+    # reuses the same hash partitioning, so this is the ONLY exchange
+    # the dedup needs, not an extra one.
+    npart = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                        "32"))
+    cand = (
+        a.join(b, ["g", "k", "mword"])
+        .filter(F.col("h_b") - F.col("h_a") >= m)
+        .select("g", "h_a", "h_b", "word_a", "word_b", "xa", "xb")
+        .repartition(npart, "g", "h_a", "h_b")
+        .dropDuplicates(["g", "h_a", "h_b"])
+    )
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    inf = F.lit("1" + "0" * 30).cast(_DEC)
+
+    def _cost(i, j):
+        d = dec(F.get("xa", i)) - dec(F.get("xb", j))
+        return d * d
+
+    # Diagonal arrays hold ONLY the in-band cells: for anti-diagonal
+    # dd the cell (i, j=dd-i) is in the Sakoe-Chiba band iff
+    # |2i - dd| <= band, so i spans [ceil((dd-band)/2),
+    # floor((dd+band)/2)] intersected with the matrix bounds — at most
+    # band+1 cells per diagonal instead of min(dd, m), an O(m/band)
+    # compute saving.  Truncating int division stands in for
+    # ceil((dd-band)/2) = trunc((dd-band+1)/2): exact when dd > band,
+    # and when dd <= band the greatest(0, ...) clamp absorbs the
+    # truncation error (the true ceil is <= 0 there too).
+    def _lo(d):
+        return F.greatest(
+            F.lit(0), d - F.lit(m - 1),
+            ((d - F.lit(band - 1)) / F.lit(2)).cast("int"),
+        )
+
+    def _hi(d):
+        return F.least(
+            d, F.lit(m - 1), ((d + F.lit(band)) / F.lit(2)).cast("int")
+        )
+
+    def _cell(cur, prev, dd, i):
+        j = dd - i
+        up = F.coalesce(F.get(cur, (i - 1) - _lo(dd - 1)), inf)
+        left = F.coalesce(F.get(cur, i - _lo(dd - 1)), inf)
+        dia = F.coalesce(F.get(prev, (i - 1) - _lo(dd - 2)), inf)
+        return F.when(F.abs(i - j) > band, inf).otherwise(
+            _cost(i, j) + F.least(up, left, dia)
+        )
+
+    # band=0 leaves odd diagonals with NO in-band cell (lo > hi); the
+    # greatest() keeps the sequence ascending and the band guard in
+    # _cell pins the one spurious cell to the sentinel, which the next
+    # diagonal's coalesce treats exactly like an absent predecessor.
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.lit(2 * m - 2)),
+        F.struct(
+            F.array(_cost(F.lit(0), F.lit(0))).alias("cur"),
+            F.lit(None).cast(f"array<{_DEC}>").alias("prev"),
+        ),
+        lambda acc, dd: F.struct(
+            F.transform(
+                F.sequence(_lo(dd), F.greatest(_lo(dd), _hi(dd))),
+                lambda i: _cell(acc["cur"], acc["prev"], dd, i),
+            ).alias("cur"),
+            acc["cur"].alias("prev"),
+        ),
+    )
+    d2 = F.aggregate(
+        F.zip_with("xa", "xb",
+                   lambda x, y: (dec(x) - dec(y)) * (dec(x) - dec(y))),
+        F.lit(0).cast(_DEC), lambda acc, v: acc + v,
+    )
+    scored = cand.select(
+        "g", "h_a", "h_b", "word_a", "word_b",
+        F.element_at(dp["cur"], 1).cast("long").alias("dtw"),
+        d2.cast("long").alias("d2"),
+    ).withColumn("gain", F.col("d2") - F.col("dtw"))
+    rn = F.row_number().over(
+        Window.partitionBy("g").orderBy(F.col("dtw").asc(), "h_a", "h_b")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= top_k)
+        .select("g", "h_a", "h_b", "word_a", "word_b",
+                "dtw", "d2", "gain")
     )

@@ -68,7 +68,8 @@ __all__ = [
     "emd_drift", "emd_from_hists", "jsd_drift", "jsd_from_hists",
     "chi2_drift", "chi2_from_hists", "welch_ttest", "kendall_pairs",
     "threshold_episodes", "decayed_topk",
-    "bucket_count_signal", "counts_from_tier",
+    "bucket_count_signal", "counts_from_tier", "stl_decompose",
+    "stl_anomaly",
 ]
 
 
@@ -2441,4 +2442,189 @@ def decayed_topk(
             .alias("decayed"),
             "rank",
         )
+    )
+
+
+def stl_decompose(
+    df: DataFrame | None = None,
+    period: int = 24,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the bucket-count
+    signal (the moving-average trend + period-mean seasonal of
+    Makridakis et al.; the deterministic skeleton STL's loess variant
+    smooths): per bucket, ``c = trend + seasonal + resid``.  The
+    monitors read its parts separately — seasonal_anomaly flags
+    against the cyclic profile, trend_slope fits the drift — this read
+    reports the full decomposition in one frame, the "why is this
+    series doing that" dashboard panel.
+
+    Deterministic arithmetic (nothing but exact-integer numerators,
+    one division each, 9dp-fenced):
+
+    - ``trend`` = the standard centered moving average; for EVEN
+      ``period`` the 2xP form (endpoints half-weighted) computed as
+      the exact integer ``T2 = S1 + S2`` — the sums of the two P-row
+      windows offset by one — divided ONCE by 2P; for odd ``period``,
+      ``T2 = 2*S`` over the single centered window.  Buckets without a
+      full window on both sides report NULL trend (the standard
+      edge-trim).
+    - ``seasonal`` = per-phase mean of the detrended signal, centered.
+      The detrended value is kept as the exact integer
+      ``det2p = 2P*c - T2``; the phase mean and the centering term are
+      both single divisions of exact integer sums (centering uses the
+      GLOBAL detrended-interior mean — phases with unequal interior
+      counts make the mean-of-phase-means variant order-sensitive;
+      this convention keeps every number an exact-integer ratio and
+      still zeroes the weighted seasonal sum).  Phases with no
+      interior buckets report NULL seasonal.
+    - ``resid = c - trend - seasonal`` on the 9dp-rounded parts.
+
+    Plan shape at 100 TB: ONE raw groupBy to the signal (or none — via
+    ``counts=`` off a stored rollup tier, the monitor-family rule);
+    the trend window, phase aggregation and the broadcast join of the
+    tiny (|series| x period) seasonal frame all run on the
+    (|series| x span) signal frame.
+
+    Output: ``g, h, c, phase, trend, seasonal, resid``.
+
+    Reference: traval detects level shifts and spikes on raw series
+    (rulelib.py rule_spike_detection / rule_outside_n_sigma) but has
+    no trend/seasonal separation; this supplies the decomposition its
+    plots leave to the analyst's eye.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    p = int(period)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ow = Window.partitionBy("g").orderBy("h")
+    if p % 2 == 0:
+        w1 = ow.rowsBetween(-(p // 2), p // 2 - 1)
+        w2 = ow.rowsBetween(-(p // 2) + 1, p // 2)
+        full = (F.count("c").over(w1) == p) & (F.count("c").over(w2) == p)
+        t2 = F.when(full, dec(F.sum("c").over(w1))
+                    + dec(F.sum("c").over(w2)))
+    else:
+        w1 = ow.rowsBetween(-(p // 2), p // 2)
+        full = F.count("c").over(w1) == p
+        t2 = F.when(full, F.lit(2).cast("decimal(38,0)")
+                    * dec(F.sum("c").over(w1)))
+    base = sig.select(
+        "g", "h", "c", F.pmod("h", F.lit(p)).alias("phase"),
+        t2.alias("t2"),
+    ).withColumn("det2p", F.lit(2 * p).cast("decimal(38,0)") * dec(F.col("c"))
+                 - F.col("t2"))
+    ph = base.groupBy("g", "phase").agg(
+        F.sum("det2p").alias("sd"), F.count("det2p").alias("nd"),
+    )
+    tot = base.groupBy("g").agg(
+        F.sum("det2p").alias("sa"), F.count("det2p").alias("na"),
+    )
+    two_p = float(2 * p)
+    seas = (
+        ph.join(F.broadcast(tot), "g")
+        .select(
+            "g", "phase",
+            F.when(
+                (F.col("nd") > 0) & (F.col("na") > 0),
+                F.round(
+                    F.col("sd").cast("double")
+                    / (F.lit(two_p) * F.col("nd").cast("double"))
+                    - F.col("sa").cast("double")
+                    / (F.lit(two_p) * F.col("na").cast("double")),
+                    9,
+                ),
+            ).alias("seasonal"),
+        )
+    )
+    trend = F.round(F.col("t2").cast("double") / F.lit(two_p), 9)
+    return (
+        base.join(F.broadcast(seas), ["g", "phase"], "left")
+        .select(
+            "g", "h", "c", "phase",
+            trend.alias("trend"),
+            "seasonal",
+            F.round(
+                F.col("c").cast("double") - trend - F.col("seasonal"), 9
+            ).alias("resid"),
+        )
+    )
+
+
+def stl_anomaly(
+    df: DataFrame | None = None,
+    period: int = 24,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts: DataFrame | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonally-adjusted robust anomaly flags: the Seasonal-Hybrid-
+    ESD-shaped read (Twitter's S-H-ESD, Hochenbaum et al. 2017,
+    simplified to its one-shot core) — decompose the bucket-count
+    signal with :func:`stl_decompose`, then score each interior
+    bucket's residual with the Iglewicz-Hoaglin MODIFIED z-score
+    ``mz = 0.6745 (resid - median) / MAD`` and report buckets with
+    ``|mz| > threshold`` (3.5 is the published cutoff).  Plain
+    n-sigma rules (rule_outside_n_sigma) fire on every rush hour;
+    subtracting trend+seasonal first flags only what the series'
+    own rhythm cannot explain — and median/MAD keep the fence itself
+    immune to the anomalies it hunts (an outlier inflates a stddev
+    fence quadratically, a MAD fence not at all).
+
+    Determinism: residuals are stl_decompose's 9dp-rounded doubles
+    (exact-integer numerators, proven engine-identical); median and
+    MAD are SELECTIONS over that identical multiset (continuous
+    0.5-quantile, the two-middle average on even counts — the same
+    convention in Spark ``percentile`` and DuckDB ``quantile_cont``),
+    never an order-sensitive float sum; ``mz`` is one multiply-divide
+    on those, 9dp-rounded, and the flag compares the rounded value.
+    ``MAD == 0`` (a majority-identical residual multiset) makes the
+    score undefined — those series report NOTHING by rule rather than
+    dividing by a degenerate scale (documented S-H-ESD edge; the
+    stddev fallback would reintroduce the order-sensitive sum).
+
+    Plan shape at 100 TB: raw is touched once by the decomposition's
+    groupBy (or never, via ``counts=`` off a stored rollup tier); the
+    median/MAD aggregations and the final probe all run on the
+    (|series| x span) residual frame, with the two |series|-row
+    fence frames broadcast back — monitor-family economics.
+
+    Output: ``g, h, c, phase, trend, seasonal, resid, mz`` — interior
+    buckets only, flagged rows only.
+
+    Reference: traval flags raw-value outliers (rulelib.py
+    rule_outside_n_sigma, rule_spike_detection) with no seasonal
+    adjustment; this is the calendar-aware anomaly read its users
+    build manually on top of detrended series.
+    """
+    parts = stl_decompose(df, period=period, bucket=bucket, by=by,
+                          ts=ts, counts=counts)
+    interior = parts.filter(F.col("resid").isNotNull())
+    med = interior.groupBy("g").agg(
+        F.expr("percentile(resid, 0.5)").alias("med"))
+    dev = interior.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("resid") - F.col("med")).alias("adev"),
+        "med",
+    )
+    fence = dev.groupBy("g").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.max("med").alias("med"),
+    )
+    mz = F.round(
+        F.lit(0.6745) * (F.col("resid") - F.col("med")) / F.col("mad"),
+        9,
+    )
+    return (
+        interior.join(F.broadcast(fence), "g")
+        .withColumn("mz", F.when(F.col("mad") > 0, mz))
+        .filter(F.abs(F.col("mz")) > F.lit(float(threshold)))
+        .select("g", "h", "c", "phase", "trend", "seasonal", "resid",
+                "mz")
     )
