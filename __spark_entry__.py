@@ -4014,6 +4014,68 @@ def q_dtw_pairs(spark, sf_dir):
                      top_k=5)
 
 
+def q_kruskal_drift(spark, sf_dir):
+    """Kruskal-Wallis omnibus k-group drift (monitor.py:kw_from_hists):
+    do the weeks of the month differ in the value distribution, per
+    series, in ONE tie-corrected rank test (H = (N-1)*SSB/SST of ranks
+    in exact half-units; the ANOVA-on-ranks identity absorbs the tie
+    correction)?  Rank sums assembled straight off the bin table —
+    no per-row ranking; chi-square 0.05 verdict at df = k-1."""
+    from traval_spark.operators.monitor import kruskal_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        F.floor((F.dayofmonth("ts") - 1) / 7).cast("int").alias("grp"),
+        "value",
+    )
+    return kruskal_drift(ev, by=("source",), grp="grp", val="value",
+                         scale=1)
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (monitor.py:runs_test): is each
+    series' hourly count signal random around its median?  2c vs the
+    exact-integer 2*median (continuous 0.5-quantile selection), ties
+    drop, run count exact, z from one fixed parenthesization of exact
+    integers with the cleared-mu numerator R*n - 2*n1*n2 - n."""
+    from traval_spark.operators.monitor import runs_test
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return runs_test(ev, bucket="1h")
+
+
+def q_symbol_transitions(spark, sf_dir):
+    """First-order Markov regime model (downsample.py:
+    symbol_transitions): per-bucket SAX symbols (series-level z-norm,
+    exact-integer verdicts, constant series emit nothing) paired by
+    ONE lag window into (sym_from, sym_to) counts and row-conditional
+    probabilities — zero-fill guarantees adjacency, so no gap ever
+    fakes a transition."""
+    from traval_spark.operators.downsample import symbol_transitions
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return symbol_transitions(ev, alphabet=4, bucket="1h")
+
+
+def q_symbol_entropy(spark, sf_dir):
+    """Markov entropy rate per series (downsample.py:symbol_entropy):
+    H = -sum (n_ss'/T) ln(n_ss'/n_s) over the symbol transition
+    counts — 0 for a deterministic cycle, ln(k) for i.i.d. noise;
+    predictability = 1 - H/ln(k_used) rides along (NULL at a single
+    regime).  Every ratio exact-integer; the <= alphabet^2-term sum is
+    the one order-dependent reduction, 6dp-fenced."""
+    from traval_spark.operators.downsample import symbol_entropy
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return symbol_entropy(ev, alphabet=4, bucket="1h")
+
+
 def q_embedding_cov(spark, sf_dir):
     """Embedding component covariance/correlation audit (similarity.py:
     embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
@@ -4344,6 +4406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_windows": q_rare_windows,
         "discord_topk": q_discord_topk,
         "dtw_pairs": q_dtw_pairs,
+        "kruskal_drift": q_kruskal_drift,
+        "runs_test": q_runs_test,
+        "symbol_transitions": q_symbol_transitions,
+        "symbol_entropy": q_symbol_entropy,
         "embedding_cov": q_embedding_cov,
         "embedding_cov_merged": q_embedding_cov_merged,
         "embedding_project": q_embedding_project,
@@ -9279,6 +9345,184 @@ def oracle_sql() -> dict[str, str]:
     select g, h_a, h_b, word_a, word_b, dtw, d2, d2 - dtw AS gain
     from rk where rn <= 5
     """.replace("{H}", _HUGE)
+    # Kruskal-Wallis: half-unit ranks off the bin table; tie-corrected
+    # H = (N-1)*SSB2/SST2 (the ANOVA-on-ranks identity), exact hugeint
+    # numerators, k-term SSB2 double sum 6dp-fenced; chi2 0.05 verdict
+    sql["kruskal_drift"] = """
+    with h as (select event_type AS source,
+                      cast(floor((day(ts) - 1) / 7) AS int) AS grp,
+                      cast(round(value) AS bigint) AS bin,
+                      cast(count(*) AS hugeint) AS cnt
+               from events group by 1, 2, 3),
+    binf as (select source, bin, sum(cnt) AS t from h group by 1, 2),
+    cum as (select source, bin, t,
+                   coalesce(sum(t) over (
+                       partition by source order by bin
+                       rows between unbounded preceding and 1 preceding),
+                     0) AS cum_lt
+            from binf),
+    tot as (select source, sum(t) AS n_tot,
+                   sum(t * (2 * cum_lt + t + 1)
+                         * (2 * cum_lt + t + 1)) AS bsum
+            from cum group by 1),
+    pg as (select h.source, h.grp, sum(cnt) AS n_g,
+                  sum(cnt * (2 * cum_lt + t + 1)) AS r2
+           from h join cum on h.source = cum.source
+                          and h.bin = cum.bin
+           group by 1, 2),
+    g as (select pg.source, count(*) AS k, max(n_tot) AS n_tot,
+                 max(bsum) AS bsum,
+                 sum(cast((r2 - n_g * (n_tot + 1))
+                            * (r2 - n_g * (n_tot + 1)) AS double)
+                     / cast(n_g AS double)) AS ssb2
+          from pg join tot on pg.source = tot.source
+          group by 1),
+    fin as (select source, k, n_tot,
+                   bsum - n_tot * (n_tot + 1) * (n_tot + 1) AS sst2,
+                   ssb2
+            from g),
+    hh as (select source, k, n_tot,
+                  case when sst2 > 0 and k >= 2
+                       then round(cast(n_tot - 1 AS double) * ssb2
+                                  / cast(sst2 AS double), 6)
+                  end AS h_stat
+           from fin)
+    select source, cast(k AS int) AS k, cast(n_tot AS bigint) AS n,
+           h_stat, cast(k - 1 AS int) AS df_kw,
+           case when h_stat is not null and k - 1 <= 20
+                then cast(h_stat > list_extract(
+                    [3.841, 5.991, 7.815, 9.488, 11.070, 12.592,
+                     14.067, 15.507, 16.919, 18.307, 19.675, 21.026,
+                     22.362, 23.685, 24.996, 26.296, 27.587, 28.869,
+                     30.144, 31.410], cast(k AS int) - 1) AS int)
+           end AS significant
+    from hh
+    """
+    # Wald-Wolfowitz runs test: 2c vs exact-integer 2*median
+    # (quantile_cont selection), ties drop, cleared-mu z numerator
+    sql["runs_test"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by 1, 2),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c
+              on s.g = c.g and s.h = c.h),
+    med as (select g, quantile_cont(c, 0.5) AS med from sig group by g),
+    sg as (select sig.g, h,
+                  case when 2 * c > 2 * med then 1
+                       when 2 * c < 2 * med then -1 end AS sgn
+           from sig join med on sig.g = med.g),
+    fl as (select g, sgn,
+                  lag(sgn) over (partition by g order by h) AS prev
+           from (select * from sg where sgn is not null)),
+    agg as (select g, cast(count(*) AS hugeint) AS n_used,
+                   cast(sum(case when sgn = 1 then 1 else 0 end)
+                        AS hugeint) AS n1,
+                   cast(sum(case when sgn = -1 then 1 else 0 end)
+                        AS hugeint) AS n2,
+                   cast(1 + sum(case when prev is not null
+                                      and sgn != prev
+                                     then 1 else 0 end)
+                        AS hugeint) AS runs
+            from fl group by g),
+    fin as (select g, n_used, n1, n2, runs,
+                   2 * n1 * n2 AS two,
+                   2 * n1 * n2 * (2 * n1 * n2 - n_used) AS var_num,
+                   n_used * n_used * (n_used - 1) AS var_den
+            from agg),
+    zz as (select g, n_used, n1, n2, runs,
+                  case when n1 > 0 and n2 > 0 and var_num > 0 then
+                    round(cast(runs * n_used - two - n_used AS double)
+                          / (cast(n_used AS double)
+                             * sqrt(cast(var_num AS double)
+                                    / cast(var_den AS double))), 9)
+                  end AS z
+           from fin)
+    select g, cast(n_used AS bigint) AS n_used,
+           cast(n1 AS bigint) AS n1, cast(n2 AS bigint) AS n2,
+           cast(runs AS bigint) AS runs, z,
+           case when z is not null
+                then cast(abs(z) <= 1.96 AS int) end AS random_ok
+    from zz
+    """
+    # per-bucket SAX symbol stream (series-level z-norm, exact-integer
+    # verdicts, alphabet 4) shared by the Markov regime reads
+    _SYMS = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by 1, 2),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c
+              on s.g = c.g and s.h = c.h),
+    stats as (select g, cast(count(*) AS hugeint) AS n,
+                     sum(cast(c AS hugeint)) AS s,
+                     sum(cast(c AS hugeint) * c) AS q
+              from sig group by g),
+    z as (select sig.g, h, c,
+                 round(cast(n * c - s AS double)
+                       / cast(n AS double), 9) AS lhs,
+                 cast(n * q - s * s AS double) AS varnum,
+                 sqrt(cast(n * q - s * s AS double))
+                   / cast(n AS double) AS sigma
+          from sig join stats on sig.g = stats.g),
+    st as (select g, h, c, sym from (
+             select g, h, c,
+                    case when varnum > 0 then
+                      list_extract(['a','b','c','d'],
+                        1 + cast(lhs >= round(-0.6744897501960817
+                                              * sigma, 9) AS int)
+                          + cast(lhs >= round(0.0 * sigma, 9) AS int)
+                          + cast(lhs >= round(0.6744897501960817
+                                              * sigma, 9) AS int))
+                    end AS sym
+             from z) where sym is not null)"""
+    sql["symbol_transitions"] = _SYMS + """,
+    tr as (select g, sym AS sym_from,
+                  lead(sym) over (partition by g order by h) AS sym_to
+           from st),
+    cnts as (select g, sym_from, sym_to, count(*) AS cnt
+             from tr where sym_to is not null group by 1, 2, 3)
+    select g, sym_from, sym_to, cnt,
+           round(cast(cnt AS double)
+                 / cast(sum(cnt) over (partition by g, sym_from)
+                        AS double), 9) AS p
+    from cnts
+    """
+    sql["symbol_entropy"] = _SYMS + """,
+    tr as (select g, sym AS sym_from,
+                  lead(sym) over (partition by g order by h) AS sym_to
+           from st),
+    cnts as (select g, sym_from, sym_to, count(*) AS cnt
+             from tr where sym_to is not null group by 1, 2, 3),
+    sc as (select g, sym_from, cnt,
+                  sum(cnt) over (partition by g, sym_from) AS n_s,
+                  sum(cnt) over (partition by g) AS t_tot
+           from cnts),
+    agg as (select g, max(t_tot) AS n_trans,
+                   count(distinct sym_from) AS k_used,
+                   round(sum(-(cast(cnt AS double)
+                               / cast(t_tot AS double))
+                             * ln(cast(cnt AS double)
+                                  / cast(n_s AS double))), 6) AS h_rate
+            from sc group by g)
+    select g, cast(n_trans AS bigint) AS n_trans,
+           cast(k_used AS int) AS k_used, h_rate,
+           case when k_used > 1
+                then round(1.0 - h_rate
+                           / ln(cast(k_used AS double)), 6)
+           end AS predictability
+    from agg
+    """
     sql["sax_pairs"] = _SAXW + """,
     w as (select * from words where word is not null),
     days as (select g, count(*) AS days from w group by g),

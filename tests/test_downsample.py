@@ -466,3 +466,58 @@ def test_dtw_pairs_param_guards(spark):
         dtw_pairs(counts=cnts, m=6, segments=2, band=-1)
     with pt.raises(ValueError):
         dtw_pairs(counts=cnts, m=1, segments=1)
+
+
+def test_symbol_transitions_deterministic_cycle(spark):
+    """Counts alternating low/high: symbols alternate between two
+    letters, every transition row has p = 1.0, and symbol_entropy
+    reports h_rate 0 / predictability 1 — the deterministic-cycle
+    fixed point."""
+    from traval_spark.operators.downsample import (
+        symbol_entropy, symbol_transitions)
+
+    rows = [("x", pd.Timestamp("2024-01-01")
+             + pd.Timedelta(hours=i, minutes=j))
+            for i in range(24) for j in range(1 if i % 2 == 0 else 10)]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    tr = sorted((r["sym_from"], r["sym_to"], r["cnt"], r["p"])
+                for r in symbol_transitions(df, alphabet=3).collect())
+    assert len(tr) == 2
+    assert all(p == 1.0 for *_, p in tr)
+    assert {t[0] for t in tr} == {t[1] for t in tr}  # a 2-cycle
+    assert sum(t[2] for t in tr) == 23               # 24 buckets -> 23
+
+    ent = symbol_entropy(df, alphabet=3).collect()[0]
+    assert ent["n_trans"] == 23 and ent["k_used"] == 2
+    assert ent["h_rate"] == 0.0 and ent["predictability"] == 1.0
+
+
+def test_symbol_stream_constant_series_emits_nothing(spark):
+    """Zero-variance series: z-normalization undefined, the stream is
+    empty by rule (sax_words' NULL-word convention)."""
+    from traval_spark.operators.downsample import symbol_stream
+
+    rows = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i))
+            for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    assert symbol_stream(df, alphabet=4).count() == 0
+
+
+def test_symbol_entropy_tier_served_equals_raw(spark):
+    """counts= off a pre-aggregated (g, h, c) frame reproduces the
+    raw-served entropy exactly — integer counts re-aggregate
+    losslessly, so the Markov reads never re-scan raw."""
+    from traval_spark.operators.downsample import symbol_entropy
+    from traval_spark.operators.monitor import bucket_count_signal
+
+    rows = [("x", pd.Timestamp("2024-01-01")
+             + pd.Timedelta(hours=i, minutes=j))
+            for i in range(30) for j in range((i * 7) % 5 + (i % 3))]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    raw = symbol_entropy(df, alphabet=4).collect()
+    cnts = bucket_count_signal(df)
+    tiered = symbol_entropy(counts=cnts, alphabet=4).collect()
+    assert sorted(map(tuple, raw)) == sorted(map(tuple, tiered))

@@ -1253,3 +1253,113 @@ def test_stl_anomaly_mad_zero_emits_nothing(spark):
     cnts = spark.createDataFrame(pd.DataFrame(
         [("s", h, 7) for h in range(40)], columns=["g", "h", "c"]))
     assert stl_anomaly(counts=cnts, period=4).count() == 0
+
+
+def test_kruskal_hand_untied_and_tiecorrected(spark):
+    """{1,2} vs {3,4} -> H = 2.4 (textbook untied value, df=1, not
+    significant at 0.05); {1,1} vs {2,2} -> H = 3.0 = 2.4/0.8 — the
+    (N-1)*SSB/SST formulation absorbs the tie correction exactly."""
+    from traval_spark.operators.monitor import kruskal_drift
+
+    df = spark.createDataFrame(
+        [("s", "a", 1.0), ("s", "a", 2.0), ("s", "b", 3.0),
+         ("s", "b", 4.0)],
+        "source string, grp string, value double")
+    r = kruskal_drift(df).collect()[0]
+    assert abs(r["h_stat"] - 2.4) < 1e-12
+    assert r["df_kw"] == 1 and r["significant"] == 0
+
+    tied = spark.createDataFrame(
+        [("s", "a", 1.0), ("s", "a", 1.0), ("s", "b", 2.0),
+         ("s", "b", 2.0)],
+        "source string, grp string, value double")
+    r2 = kruskal_drift(tied).collect()[0]
+    assert abs(r2["h_stat"] - 3.0) < 1e-12
+
+
+def test_kruskal_three_groups_significant_and_degenerate(spark):
+    """Three cleanly separated 5-value groups -> the textbook
+    H = 12.5 (ranks 1-5 / 6-10 / 11-15), df=2, significant; an
+    all-tied partition (SST = 0) reports NULL H by rule."""
+    from traval_spark.operators.monitor import kruskal_drift
+
+    rows = [("s", g, float(v)) for g, b in
+            [("a", 0), ("b", 100), ("c", 200)]
+            for v in range(b, b + 5)]
+    r = kruskal_drift(spark.createDataFrame(
+        rows, "source string, grp string, value double")).collect()[0]
+    assert abs(r["h_stat"] - 12.5) < 1e-12
+    assert r["df_kw"] == 2 and r["significant"] == 1
+
+    flat = spark.createDataFrame(
+        [("s", "a", 7.0), ("s", "b", 7.0), ("s", "c", 7.0)],
+        "source string, grp string, value double")
+    r3 = kruskal_drift(flat).collect()[0]
+    assert r3["h_stat"] is None and r3["significant"] is None
+
+
+def test_runs_test_hand_alternating_and_clustered(spark):
+    """Perfectly alternating counts [1,5]x3 -> R=6, n1=n2=3,
+    z = 12/(6*sqrt(1.2)) = 1.825741858 (random_ok); two solid blocks
+    of 12 -> R=2, z < -1.96 (clustered, not random)."""
+    from traval_spark.operators.monitor import runs_test
+
+    alt = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                           minutes=j))
+           for i in range(6) for j in range(1 if i % 2 == 0 else 5)]
+    r = runs_test(spark.createDataFrame(
+        pd.DataFrame(alt, columns=["source", "ts"]))).collect()[0]
+    assert (r["runs"], r["n1"], r["n2"]) == (6, 3, 3)
+    assert abs(r["z"] - 1.825741858) < 1e-9
+    assert r["random_ok"] == 1
+
+    blk = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                           minutes=j))
+           for i in range(24) for j in range(1 if i < 12 else 10)]
+    r2 = runs_test(spark.createDataFrame(
+        pd.DataFrame(blk, columns=["source", "ts"]))).collect()[0]
+    assert r2["runs"] == 2 and r2["z"] < -1.96
+    assert r2["random_ok"] == 0
+
+
+def test_runs_test_all_median_ties_emit_nothing(spark):
+    """A constant signal: every bucket equals the median, every row
+    drops under the tie rule, and the series emits no verdict."""
+    from traval_spark.operators.monitor import runs_test
+
+    rows = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i))
+            for i in range(8)]
+    out = runs_test(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts"])))
+    assert out.count() == 0
+
+
+def test_kruskal_from_hists_equals_raw_and_counts_parity(spark):
+    """kw_from_hists fed pre-aggregated bin counts reproduces
+    kruskal_drift on raw exactly (the hist-tier-served path), and
+    runs_test served via counts= equals the raw-served verdict —
+    integer counts re-aggregate losslessly."""
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, kruskal_drift, kw_from_hists, runs_test)
+    import pyspark.sql.functions as F
+
+    rows = [("s", str(g), float(v % 17 + 3 * g))
+            for g in range(3) for v in range(40)]
+    df = spark.createDataFrame(rows,
+                               "source string, grp string, value double")
+    raw = kruskal_drift(df).collect()
+    hist = df.groupBy(
+        "source", "grp",
+        F.round(F.col("value")).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    tiered = kw_from_hists(hist).collect()
+    assert sorted(map(tuple, raw)) == sorted(map(tuple, tiered))
+
+    ev = [("x", pd.Timestamp("2024-01-01")
+           + pd.Timedelta(hours=i, minutes=j))
+          for i in range(30) for j in range((i * 5) % 7)]
+    evdf = spark.createDataFrame(pd.DataFrame(ev,
+                                              columns=["source", "ts"]))
+    r_raw = runs_test(evdf).collect()
+    r_tier = runs_test(counts=bucket_count_signal(evdf)).collect()
+    assert sorted(map(tuple, r_raw)) == sorted(map(tuple, r_tier))

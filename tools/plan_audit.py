@@ -47,7 +47,9 @@ BROADCAST_CROSS_ALLOWED = {
     # crossed into the tiny per-series signal/bucket frame — the plan
     # text repeats the subtree per consumer branch, hence counts > 1
     "acf_lags", "acf_tiered", "ljung_box", "dominant_period",
-    "stl_decompose", "xcorr_lags", "lttb_6h", "lttb_from_m4",
+    "stl_decompose", "stl_anomaly", "runs_test",
+    "symbol_transitions", "symbol_entropy",
+    "xcorr_lags", "lttb_6h", "lttb_from_m4",
     # global-scalar broadcast (corpus totals / vocab stats / eval
     # bloom bitmap / mixture weights) crossed into the main frame
     "bm25", "lm_score", "source_entropy", "vocab_coverage",

@@ -84,6 +84,7 @@ __all__ = [
     "lttb_downsample", "sax_words", "sax_pairs",
     "subsequence_words", "motif_pairs", "rare_windows", "discord_topk",
     "dtw_pairs",
+    "symbol_stream", "symbol_transitions", "symbol_entropy",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1013,4 +1014,175 @@ def dtw_pairs(
         .filter(F.col("rn") <= top_k)
         .select("g", "h_a", "h_b", "word_a", "word_b",
                 "dtw", "d2", "gain")
+    )
+
+
+def symbol_stream(
+    df=None,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+) -> DataFrame:
+    """Per-BUCKET SAX symbol stream: every bucket of the zero-filled
+    count signal z-normalized against the SERIES stats and mapped to a
+    letter through the Gaussian equiprobable breakpoints — the
+    single-symbol degenerate of :func:`sax_words`' per-slice PAA
+    (slice length 1: ns = 1, cs = c), sharing its exact-integer
+    verdict arithmetic so the letter assignment is engine-identical:
+
+        round( (n*c - S) / n, 9 )  >=  round( beta * sigma, 9 )
+
+    with S/n the series count sum / bucket count and sigma one sqrt of
+    a double OF exact integers.  Constant series (zero variance) emit
+    no rows by rule.  One raw groupBy (or none via ``counts=`` off a
+    stored rollup tier); output ``g, h, c, sym`` on the tiny
+    (|series| x span) frame — the regime-label feed
+    :func:`symbol_transitions` models.
+    """
+    if alphabet not in _SAX_BREAKS:
+        raise ValueError("alphabet must be one of 3, 4, 5")
+    from traval_spark.operators.monitor import bucket_count_signal
+
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    stats = sig.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast(_DEC)).alias("s"),
+        F.sum(F.col("c").cast(_DEC) * F.col("c")).alias("q"),
+    )
+    j = sig.join(F.broadcast(stats), "g")
+    nd = F.col("n").cast("double")
+    varnum = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    sigma = F.sqrt(varnum) / nd
+    lhs = F.round(
+        (F.col("n") * F.col("c").cast(_DEC) - F.col("s"))
+        .cast("double") / nd,
+        9,
+    )
+    idx = F.lit(0)
+    for beta in _SAX_BREAKS[alphabet]:
+        idx = idx + (lhs >= F.round(F.lit(beta) * sigma, 9)).cast("int")
+    sym = F.when(varnum > 0, F.element_at(
+        F.lit(list("abcde"[:alphabet])), idx + 1
+    ))
+    return (
+        j.select("g", "h", "c", sym.alias("sym"))
+        .filter(F.col("sym").isNotNull())
+    )
+
+
+def symbol_transitions(
+    df=None,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+) -> DataFrame:
+    """First-order Markov TRANSITION MODEL of each series' regime
+    labels: consecutive buckets of the :func:`symbol_stream` pair into
+    (sym_from, sym_to) counts and conditional probabilities — the
+    model behind "after a quiet hour, how often does this series
+    spike?", the regime-dynamics read the symbolic family's static
+    word censuses (:func:`sax_words`, :func:`rare_windows`) cannot
+    answer.  Because the signal is zero-filled, consecutive h values
+    are genuinely adjacent hours — no gap ever masquerades as a
+    transition.
+
+    Exactness: transition counts are exact integers off ONE lag window
+    + groupBy on the symbol stream; ``p`` is one division of two exact
+    integers (row-conditional: p(sym_to | sym_from), denominator the
+    per-(g, sym_from) transition total), rounded 9dp as the fence.
+
+    Plan shape: one raw groupBy to the signal (or none via ``counts=``
+    off a stored tier), one window, one groupBy — all on the
+    (|series| x span) frame; output is at most |series| x alphabet^2
+    rows.  Output: ``g, sym_from, sym_to, cnt, p``.
+
+    Reference: traval has no regime model; this is the transition
+    structure its per-series plots let users eyeball.
+    """
+    st = symbol_stream(df, alphabet=alphabet, bucket=bucket, by=by,
+                       ts=ts, counts=counts)
+    w = Window.partitionBy("g").orderBy("h")
+    pairs = (
+        st.withColumn("sym_to", F.lead("sym").over(w))
+        .filter(F.col("sym_to").isNotNull())
+        .groupBy("g", F.col("sym").alias("sym_from"), "sym_to")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_from = Window.partitionBy("g", "sym_from")
+    return pairs.select(
+        "g", "sym_from", "sym_to", "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(w_from).cast("double"),
+            9,
+        ).alias("p"),
+    )
+
+
+def symbol_entropy(
+    df=None,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+) -> DataFrame:
+    """Markov ENTROPY RATE per series — how predictable is the next
+    hour's regime given this hour's?  Aggregates
+    :func:`symbol_transitions` to
+
+        H_rate = - sum_{s,s'} (n_ss' / T) * ln(n_ss' / n_s)
+
+    (T total transitions, n_s the from-state total): 0 for a
+    deterministic cycle, ln(alphabet) for i.i.d. noise — THE scalar
+    that separates "duty-cycled but regular" from "genuinely erratic"
+    where variance and ACF both conflate them.  ``h_max = ln(k_used)``
+    (k_used = distinct from-states observed) and the ratio
+    ``predictability = 1 - H_rate/h_max`` ride along (NULL when
+    k_used = 1 — a single regime has no transition structure to
+    score).
+
+    Exactness: every n_ss'/n_s and n_ss'/T is a ratio of exact
+    integers; each ln() term is a double of one exact division, and
+    the <= alphabet^2-term sum is the only order-dependent float
+    reduction, fenced by rounding to 6dp (the ljung_box convention).
+
+    Same plan shape as :func:`symbol_transitions` plus one groupBy on
+    the |series| x alphabet^2 frame.  Output: ``g, n_trans, k_used,
+    h_rate, predictability``.
+    """
+    tr = symbol_transitions(df, alphabet=alphabet, bucket=bucket,
+                            by=by, ts=ts, counts=counts)
+    w_from = Window.partitionBy("g", "sym_from")
+    w_g = Window.partitionBy("g")
+    scored = tr.select(
+        "g", "sym_from", "cnt",
+        F.sum("cnt").over(w_from).alias("n_s"),
+        F.sum("cnt").over(w_g).alias("t_tot"),
+    )
+    term = -(
+        F.col("cnt").cast("double") / F.col("t_tot").cast("double")
+    ) * F.log(
+        F.col("cnt").cast("double") / F.col("n_s").cast("double")
+    )
+    g = scored.groupBy("g").agg(
+        F.max("t_tot").cast("long").alias("n_trans"),
+        F.countDistinct("sym_from").alias("k_used"),
+        F.round(F.sum(term), 6).alias("h_rate"),
+    )
+    hmax = F.log(F.col("k_used").cast("double"))
+    return g.select(
+        "g", "n_trans", F.col("k_used").cast("int").alias("k_used"),
+        "h_rate",
+        F.when(
+            F.col("k_used") > 1,
+            F.round(1.0 - F.col("h_rate") / hmax, 6),
+        ).alias("predictability"),
     )

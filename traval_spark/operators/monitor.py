@@ -69,7 +69,7 @@ __all__ = [
     "chi2_drift", "chi2_from_hists", "welch_ttest", "kendall_pairs",
     "threshold_episodes", "decayed_topk",
     "bucket_count_signal", "counts_from_tier", "stl_decompose",
-    "stl_anomaly",
+    "stl_anomaly", "kw_from_hists", "kruskal_drift", "runs_test",
 ]
 
 
@@ -2627,4 +2627,271 @@ def stl_anomaly(
         .filter(F.abs(F.col("mz")) > F.lit(float(threshold)))
         .select("g", "h", "c", "phase", "trend", "seasonal", "resid",
                 "mz")
+    )
+
+
+_CHI2_CRIT_05 = (
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507,
+    16.919, 18.307, 19.675, 21.026, 22.362, 23.685, 24.996, 26.296,
+    27.587, 28.869, 30.144, 31.410,
+)  # upper 5% chi-square quantiles, df 1..20 (standard public table)
+
+
+def kw_from_hists(
+    h: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    grp: str = "grp",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H omnibus rank test from a histogram count frame
+    (``*by, grp, bin, cnt``) — the k-group extension of
+    :func:`mw_from_hists`: MW answers "did the measure move between
+    these TWO snapshots?"; KW asks "do ANY of these k groups (weeks,
+    shards, sources) differ in distribution?" in ONE test, the fleet
+    regression gate that avoids k(k-1)/2 pairwise MW runs and their
+    multiple-comparison inflation.
+
+    Rank arithmetic straight off the bin table, no per-row ranking:
+    with tie-group size t_v = sum-over-groups cnt at bin v and
+    cum_lt(v) the count in smaller bins, every member of bin v has
+    average rank (2*cum_lt + t_v + 1)/2, so in HALF-UNITS (doubling
+    clears the half-integer ranks):
+
+        r2_g   = sum_v cnt_gv * (2*cum_lt + t_v + 1)      (= 2*R_g, exact)
+        B      = sum_v t_v * (2*cum_lt + t_v + 1)^2       (exact)
+        SST2   = B - N*(N+1)^2                            (exact; = 4*SST)
+        A_g    = (r2_g - n_g*(N+1))^2                     (exact; = 4*n_g^2*(Rbar_g - rbar)^2 / ...)
+        SSB2   = sum_g A_g / n_g                          (= 4*SSB)
+
+    and the TIE-CORRECTED statistic is identically
+
+        H = (N - 1) * SSB2 / SST2
+
+    (the ANOVA-on-ranks identity H = (N-1)*SSB/SST absorbs the usual
+    1 - sum(t^3-t)/(N^3-N) correction, because SST of ranks already
+    shrinks under ties; the factor 4 cancels in the ratio).  Checked
+    by hand: {1,2} vs {3,4} -> H = 2.4 (untied textbook value);
+    {1,1} vs {2,2} -> H = 3.0 = 2.4 / 0.8 (tie-corrected).
+
+    Exactness: r2_g, A_g, B, SST2 and N are exact decimal(38,0)
+    integers (magnitude budget: A_g <= 4*N^4 caps N at ~2*10^9
+    observations per ``by`` partition — beyond that pre-bucket or
+    shard); each A_g/n_g is ONE division of exact-integer-cast
+    doubles, and the k-term SSB2 sum is the only order-dependent float
+    reduction (k = group count, tiny), fenced by rounding H to
+    ``ndigits`` (the ljung_box convention).  ``significant`` compares
+    the rounded H against the standard chi-square 0.05 critical value
+    at df = k-1 (literal table, df <= 20; NULL beyond).  Degenerate
+    regimes return NULL H: all values tied (SST2 = 0) and k < 2.
+
+    Plan shape: one window cumsum + two partial-aggregatable groupBys
+    and one equi-join, all on the tiny bin-by-group table; serve
+    per-group ``cnt`` by summing a stored hist tier's counts
+    (parity-tested) and the read never re-scans raw.  Output:
+    ``*by, k, n, h_stat, df_kw, significant``.
+
+    Reference: traval compares two series (SeriesComparison,
+    comparison.py); it has no k-sample omnibus — this is the fleet-
+    wide "did anything drift" gate its users run pairwise by hand.
+    """
+    j = h.select(
+        *by, grp, "bin",
+        F.col("cnt").cast("decimal(38,0)").alias("cnt"),
+    )
+    binf = j.groupBy(*by, "bin").agg(F.sum("cnt").alias("t"))
+    w_lt = (
+        Window.partitionBy(*by).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binf = binf.select(
+        *by, "bin", "t",
+        F.coalesce(
+            F.sum("t").over(w_lt), F.lit(0).cast("decimal(38,0)")
+        ).alias("cum_lt"),
+    )
+    r2v = 2 * F.col("cum_lt") + F.col("t") + 1
+    tot = binf.groupBy(*by).agg(
+        F.sum("t").alias("n_tot"),
+        F.sum(F.col("t") * r2v * r2v).alias("__b"),
+    )
+    pg = (
+        j.join(binf.select(*by, "bin", "cum_lt", "t"), [*by, "bin"])
+        .groupBy(*by, grp)
+        .agg(
+            F.sum("cnt").alias("n_g"),
+            F.sum(F.col("cnt") * r2v).alias("r2"),
+        )
+    )
+    ag = (
+        F.col("r2") - F.col("n_g") * (F.col("n_tot") + 1)
+    )
+    term = (ag * ag).cast("double") / F.col("n_g").cast("double")
+    g = (
+        pg.join(tot, [*by])
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("n_tot").alias("n_tot"),
+            F.max("__b").alias("__b"),
+            F.sum(term).alias("__ssb2"),
+        )
+    )
+    sst2 = (
+        F.col("__b")
+        - F.col("n_tot") * (F.col("n_tot") + 1) * (F.col("n_tot") + 1)
+    )
+    h_stat = F.when(
+        (sst2 > 0) & (F.col("k") >= 2),
+        F.round(
+            (F.col("n_tot") - 1).cast("double") * F.col("__ssb2")
+            / sst2.cast("double"),
+            ndigits,
+        ),
+    )
+    crit = F.element_at(
+        F.lit(list(_CHI2_CRIT_05)), F.col("k").cast("int") - 1
+    )
+    return g.select(
+        *by,
+        F.col("k").cast("int").alias("k"),
+        F.col("n_tot").cast("long").alias("n"),
+        h_stat.alias("h_stat"),
+        (F.col("k") - 1).cast("int").alias("df_kw"),
+        F.when(
+            h_stat.isNotNull() & (F.col("k") - 1 <= 20),
+            (h_stat > crit).cast("int"),
+        ).alias("significant"),
+    )
+
+
+def kruskal_drift(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    grp: str = "grp",
+    val: str = "value",
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis omnibus drift over raw rows: bins ``val`` with
+    the hist.py discretization (``round(v*scale)``) so the identical
+    read serves from raw or from a stored histogram tier
+    (:func:`kw_from_hists`, parity-tested), then runs the exact
+    half-unit rank construction per ``by`` partition across the
+    ``grp`` groups.  One partial-aggregatable groupBy is the only
+    raw-scale stage; everything downstream runs on the tiny
+    bin-by-group table."""
+    hist = df.groupBy(
+        *by, grp,
+        F.round(F.col(val) * scale).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    return kw_from_hists(hist, by=by, grp=grp, ndigits=ndigits)
+
+
+def runs_test(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of each series' bucket-
+    count signal around its median — the NONPARAMETRIC companion to
+    :func:`ljung_box`: Ljung-Box measures LINEAR autocorrelation; the
+    runs test fires on any sign-level clustering (level shifts, slow
+    regime drift, on/off duty cycles) including patterns whose linear
+    ACF is near zero, and is immune to the heavy tails that inflate
+    ACF denominators.
+
+    Construction over the zero-filled signal: the per-series median is
+    the continuous 0.5-quantile (a SELECTION over the integer count
+    multiset — same convention in Spark ``percentile`` and DuckDB
+    ``quantile_cont``, the :func:`stl_anomaly` determinism argument);
+    comparing 2*c against 2*median keeps the comparison on exact
+    integers (2*median is always an integer for integer counts: the
+    middle value doubled, or the sum of the two middles).  Buckets
+    equal to the median DROP (the standard convention), leaving n1
+    above / n2 below and the run count
+
+        R = 1 + #{t : sign_t != sign_{t-1}}      (exact integer)
+
+    Normal approximation: mu = 2*n1*n2/n + 1, and z clears mu's
+    denominator so every input is an exact integer cast once:
+
+        z = (R*n - 2*n1*n2 - n) / (n * sqrt(Var)),
+        Var = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n - 1))
+
+    — numerator and Var's numerator/denominator are exact decimal
+    integers combined in one fixed parenthesization, so z is engine-
+    identical, rounded to ``ndigits`` as the fence.  ``random_ok`` is
+    the alpha=0.05 two-sided verdict |z| <= 1.96.  Degenerate regimes
+    (n1 = 0, n2 = 0, or Var <= 0) return NULL z — randomness is not
+    decidable when one side is empty.
+
+    Plan shape: monitor-family economics — ONE raw-scale partial-
+    aggregatable groupBy to the signal (or none via ``counts=`` off a
+    stored rollup tier), the median selection, the lag window and the
+    final agg all on the tiny (|series| x span) frame.  Output:
+    ``g, n_used, n1, n2, runs, z, random_ok``.
+
+    Reference: traval's rule_flat_signal flags literal flatness;
+    this is the statistical "is this series even random?" gate its
+    docs leave to visual inspection.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    med = sig.groupBy("g").agg(
+        F.expr("percentile(c, 0.5)").alias("med"))
+    signed = (
+        sig.join(F.broadcast(med), "g")
+        .withColumn(
+            "sgn",
+            F.when(2 * F.col("c").cast("double") > 2 * F.col("med"),
+                   F.lit(1))
+             .when(2 * F.col("c").cast("double") < 2 * F.col("med"),
+                   F.lit(-1)),
+        )
+        .filter(F.col("sgn").isNotNull())
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    runs = (
+        signed.withColumn("prev", F.lag("sgn").over(w))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_used"),
+            F.sum((F.col("sgn") == 1).cast("int"))
+             .cast("decimal(38,0)").alias("n1"),
+            F.sum((F.col("sgn") == -1).cast("int"))
+             .cast("decimal(38,0)").alias("n2"),
+            (
+                F.lit(1)
+                + F.sum(
+                    (F.col("prev").isNotNull()
+                     & (F.col("sgn") != F.col("prev"))).cast("int")
+                )
+            ).cast("decimal(38,0)").alias("runs"),
+        )
+    )
+    n = F.col("n_used")
+    two = 2 * F.col("n1") * F.col("n2")
+    var_num = two * (two - n)
+    var_den = n * n * (n - 1)
+    var = var_num.cast("double") / var_den.cast("double")
+    z = F.round(
+        (F.col("runs") * n - two - n).cast("double")
+        / (n.cast("double") * F.sqrt(var)),
+        ndigits,
+    )
+    z_out = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (var_num > 0), z
+    )
+    return runs.select(
+        "g",
+        n.cast("long").alias("n_used"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("runs").cast("long").alias("runs"),
+        z_out.alias("z"),
+        F.when(z_out.isNotNull(),
+               (F.abs(z_out) <= 1.96).cast("int")).alias("random_ok"),
     )
