@@ -4076,6 +4076,34 @@ def q_symbol_entropy(spark, sf_dir):
     return symbol_entropy(ev, alphabet=4, bucket="1h")
 
 
+def q_lead_lag(spark, sf_dir):
+    """Dominant lead-lag per ordered series pair (monitor.py:
+    lead_lag): argmax of the 9dp-rounded |r| over xcorr_lags'
+    correlogram, ties to the smallest |lag| then lag (contemporaneous
+    over displaced), 1.96/sqrt(n) white-noise gate at the winning
+    lag's own aligned-pair count; self-pairs excluded."""
+    from traval_spark.operators.monitor import lead_lag
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return lead_lag(ev, max_lag=3, bucket="1h")
+
+
+def q_symbol_mi(spark, sf_dir):
+    """Regime mutual information between series pairs (downsample.py:
+    symbol_mi): joint symbol counts over the shared zero-fill spine,
+    MI = sum (n_st/T) ln(n_st*T/(n_s*n_t)) in nats with marginal
+    entropies and NMI = MI/sqrt(H_a*H_b); every log argument an
+    exact-integer ratio, sums 6dp-fenced."""
+    from traval_spark.operators.downsample import symbol_mi
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return symbol_mi(ev, alphabet=4, bucket="1h")
+
+
 def q_embedding_cov(spark, sf_dir):
     """Embedding component covariance/correlation audit (similarity.py:
     embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
@@ -4410,6 +4438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "symbol_transitions": q_symbol_transitions,
         "symbol_entropy": q_symbol_entropy,
+        "lead_lag": q_lead_lag,
+        "symbol_mi": q_symbol_mi,
         "embedding_cov": q_embedding_cov,
         "embedding_cov_merged": q_embedding_cov_merged,
         "embedding_project": q_embedding_project,
@@ -9497,6 +9527,92 @@ def oracle_sql() -> dict[str, str]:
                  / cast(sum(cnt) over (partition by g, sym_from)
                         AS double), 9) AS p
     from cnts
+    """
+    # dominant lead-lag: xcorr correlogram -> 9dp-rounded |r| argmax
+    # with the (|lag|, lag) tie ladder and the 1.96/sqrt(n) gate
+    sql["lead_lag"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    pairs as (select xa.g AS a, xb.g AS b, l.lag,
+                     xa.c AS x, xb.c AS y
+              from sig xa,
+                   unnest(generate_series(-3, 3)) AS l(lag),
+                   sig xb
+              where xb.h = xa.h + l.lag and xa.g != xb.g),
+    m as (select a, b, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          from pairs group by a, b, lag),
+    d as (select a, b, lag, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          from m),
+    rr as (select a, b, lag, n,
+                  round(cast(num AS double)
+                        / sqrt(cast(d1 AS double)
+                               * cast(d2 AS double)), 9) AS r
+           from d where d1 > 0 and d2 > 0),
+    rk as (select *, row_number() over (
+               partition by a, b
+               order by abs(r) desc, abs(lag) asc, lag asc) AS rn
+           from rr)
+    select a, b, cast(lag AS int) AS lag, n, r,
+           cast(abs(r) > round(1.96 / sqrt(cast(n AS double)), 9)
+                AS int) AS significant
+    from rk where rn = 1
+    """
+    sql["symbol_mi"] = _SYMS + """,
+    joint as (select a.g AS a, b.g AS b, a.sym AS sa, b.sym AS sb,
+                     count(*) AS n_st
+              from st a join st b on a.h = b.h and a.g < b.g
+              group by 1, 2, 3, 4),
+    sc as (select a, b, n_st,
+                  sum(n_st) over (partition by a, b, sa) AS n_s,
+                  sum(n_st) over (partition by a, b, sb) AS n_t,
+                  sum(n_st) over (partition by a, b) AS t_tot
+           from joint),
+    mi as (select a, b, max(t_tot) AS n,
+                  round(sum((cast(n_st AS double)
+                             / cast(t_tot AS double))
+                            * ln(cast(n_st AS double)
+                                 * cast(t_tot AS double)
+                                 / (cast(n_s AS double)
+                                    * cast(n_t AS double)))), 6) AS mi
+           from sc group by 1, 2),
+    ma as (select a, b,
+                  round(sum(-(cast(n_m AS double) / cast(t AS double))
+                            * ln(cast(n_m AS double)
+                                 / cast(t AS double))), 6) AS h_a
+           from (select a, b, sa, sum(n_st) AS n_m,
+                        sum(sum(n_st)) over (partition by a, b) AS t
+                 from joint group by 1, 2, 3)
+           group by 1, 2),
+    mb as (select a, b,
+                  round(sum(-(cast(n_m AS double) / cast(t AS double))
+                            * ln(cast(n_m AS double)
+                                 / cast(t AS double))), 6) AS h_b
+           from (select a, b, sb, sum(n_st) AS n_m,
+                        sum(sum(n_st)) over (partition by a, b) AS t
+                 from joint group by 1, 2, 3)
+           group by 1, 2)
+    select mi.a, mi.b, cast(mi.n AS bigint) AS n, mi.mi,
+           ma.h_a, mb.h_b,
+           case when ma.h_a > 0 and mb.h_b > 0
+                then round(mi.mi / sqrt(ma.h_a * mb.h_b), 6)
+           end AS nmi
+    from mi
+    join ma on mi.a = ma.a and mi.b = ma.b
+    join mb on mi.a = mb.a and mi.b = mb.b
     """
     sql["symbol_entropy"] = _SYMS + """,
     tr as (select g, sym AS sym_from,

@@ -132,8 +132,8 @@ def main() -> None:
         "fano_dispersion",
         "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
         "dominant_period", "stl_decompose", "stl_anomaly",
-        "kruskal_drift", "runs_test",
-        "symbol_transitions", "symbol_entropy",
+        "kruskal_drift", "runs_test", "lead_lag",
+        "symbol_transitions", "symbol_entropy", "symbol_mi",
         "swing_reconstruct",
         "acf_lags", "ljung_box",
         "pmi_bigrams", "source_overlap", "source_entropy", "zipf_fit",

@@ -521,3 +521,49 @@ def test_symbol_entropy_tier_served_equals_raw(spark):
     cnts = bucket_count_signal(df)
     tiered = symbol_entropy(counts=cnts, alphabet=4).collect()
     assert sorted(map(tuple, raw)) == sorted(map(tuple, tiered))
+
+
+def test_symbol_mi_identical_series_nmi_one(spark):
+    """Two identical alternating series: the joint table is the
+    diagonal, MI equals both marginal entropies (= ln 2 for the 50/50
+    two-regime split) and NMI is 1 — the deterministic-relation fixed
+    point MI shares with no Pearson-style measure."""
+    import math
+    from traval_spark.operators.downsample import symbol_mi
+
+    rows = []
+    for i in range(24):
+        for j in range(1 if i % 2 == 0 else 10):
+            for s in ("x", "y"):
+                rows.append((s, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(hours=i, minutes=j)))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    r = symbol_mi(df, alphabet=3).collect()[0]
+    assert (r["a"], r["b"]) == ("x", "y") and r["n"] == 24
+    assert abs(r["mi"] - math.log(2)) < 2e-2   # 12/12 split, 6dp sums
+    assert abs(r["mi"] - r["h_a"]) <= 2e-6
+    assert abs(r["mi"] - r["h_b"]) <= 2e-6
+    assert abs(r["nmi"] - 1.0) <= 2e-6
+
+
+def test_symbol_mi_opposite_regimes_full_information(spark):
+    """y is x's regime INVERSE (high when x is low): word-equality
+    measures score 0, Pearson r is negative — but the relation is
+    deterministic, so NMI is still 1 (the anti-coupling read)."""
+    from traval_spark.operators.downsample import symbol_mi
+
+    rows = []
+    for i in range(24):
+        kx = 1 if i % 2 == 0 else 10
+        ky = 10 if i % 2 == 0 else 1
+        for j in range(kx):
+            rows.append(("x", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=i, minutes=j)))
+        for j in range(ky):
+            rows.append(("y", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=i, minutes=j)))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    r = symbol_mi(df, alphabet=3).collect()[0]
+    assert abs(r["nmi"] - 1.0) <= 2e-6

@@ -1363,3 +1363,30 @@ def test_kruskal_from_hists_equals_raw_and_counts_parity(spark):
     r_raw = runs_test(evdf).collect()
     r_tier = runs_test(counts=bucket_count_signal(evdf)).collect()
     assert sorted(map(tuple, r_raw)) == sorted(map(tuple, r_tier))
+
+
+def test_lead_lag_shifted_clone_and_tie_rule(spark):
+    """b = a delayed 2h: winner is lag +2 with r exactly 1.0 for
+    (a,b) (identical aligned vectors; sqrt(x*x)==x keeps the double
+    exact) and lag -2 for (b,a) — the sign convention 'lag>0 means a
+    leads b'; both significant against 1.96/sqrt(n)."""
+    from traval_spark.operators.monitor import lead_lag
+
+    pat = [1, 9, 2, 8, 3, 7, 1, 6, 4, 5, 2, 9,
+           1, 8, 3, 7, 2, 6, 4, 5, 1, 9, 2, 8]
+    rows = []
+    for i, k in enumerate(pat):
+        for j in range(k):
+            rows.append(("a", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=i, minutes=j)))
+            rows.append(("b", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=i + 2, minutes=j)))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["source", "ts"]))
+    got = {(r["a"], r["b"]): r for r in
+           lead_lag(df, max_lag=3).collect()}
+    assert got[("a", "b")]["lag"] == 2
+    assert got[("a", "b")]["r"] == 1.0
+    assert got[("a", "b")]["significant"] == 1
+    assert got[("b", "a")]["lag"] == -2
+    assert got[("b", "a")]["r"] == 1.0

@@ -48,7 +48,8 @@ BROADCAST_CROSS_ALLOWED = {
     # text repeats the subtree per consumer branch, hence counts > 1
     "acf_lags", "acf_tiered", "ljung_box", "dominant_period",
     "stl_decompose", "stl_anomaly", "runs_test",
-    "symbol_transitions", "symbol_entropy",
+    "symbol_transitions", "symbol_entropy", "symbol_mi",
+    "lead_lag",
     "xcorr_lags", "lttb_6h", "lttb_from_m4",
     # global-scalar broadcast (corpus totals / vocab stats / eval
     # bloom bitmap / mixture weights) crossed into the main frame

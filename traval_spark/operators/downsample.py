@@ -85,6 +85,7 @@ __all__ = [
     "subsequence_words", "motif_pairs", "rare_windows", "discord_topk",
     "dtw_pairs",
     "symbol_stream", "symbol_transitions", "symbol_entropy",
+    "symbol_mi",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1186,3 +1187,103 @@ def symbol_entropy(
             F.round(1.0 - F.col("h_rate") / hmax, 6),
         ).alias("predictability"),
     )
+
+
+def symbol_mi(
+    df=None,
+    alphabet: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts=None,
+) -> DataFrame:
+    """Regime MUTUAL INFORMATION between series pairs: how much does
+    knowing series a's hourly regime letter tell you about series b's,
+    in nats — the nonlinear coupling read :func:`lead_lag`'s Pearson r
+    cannot see (two series locked in an XOR-like regime relation have
+    r near 0 and MI near ln 2) and :func:`sax_pairs`' word-equality
+    share undercounts (systematically OPPOSITE regimes score 0 there
+    but carry full information).
+
+    Construction per unordered pair (a < b) over the shared zero-fill
+    spine (same h set by construction, so the bucket join is exact
+    alignment): joint counts n_st over hours where BOTH series emit a
+    symbol, marginals n_s / n_t and total T from the SAME joint table
+    (so conditioning on co-presence is consistent), and
+
+        MI  = sum_st (n_st / T) * ln( n_st * T / (n_s * n_t) )
+        NMI = MI / sqrt(H_a * H_b)      (1 = deterministic relation)
+
+    with H the marginal regime entropies.  Every ratio inside every
+    ``ln`` is exact-integer; the <= alphabet^2-term MI sum and the
+    <= alphabet-term entropy sums are the only order-dependent float
+    reductions, 6dp-fenced (the ljung_box convention).  NMI is NULL
+    when either marginal entropy is 0 (a single-regime side carries no
+    information to normalize by).  Constant series never appear
+    (:func:`symbol_stream` drops them).
+
+    Plan shape: one raw groupBy to the signal (or none via
+    ``counts=``), the bucket self-join and all aggregations on the
+    tiny symbol frame; output |series|^2/2 rows — the same disclosed
+    quadratic-in-series trade as :func:`xcorr_lags`.
+
+    Output: ``a, b, n, mi, h_a, h_b, nmi``.
+
+    Reference: traval has no cross-series information measure; this
+    quantifies the co-behavior its stacked plots show qualitatively.
+    """
+    st = symbol_stream(df, alphabet=alphabet, bucket=bucket, by=by,
+                       ts=ts, counts=counts)
+    a = st.select(F.col("g").alias("a"), "h", F.col("sym").alias("sa"))
+    b = st.select(F.col("g").alias("b"), "h", F.col("sym").alias("sb"))
+    joint = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    w_s = Window.partitionBy("a", "b", "sa")
+    w_t = Window.partitionBy("a", "b", "sb")
+    w_p = Window.partitionBy("a", "b")
+    sc = joint.select(
+        "a", "b", "n_st",
+        F.sum("n_st").over(w_s).alias("n_s"),
+        F.sum("n_st").over(w_t).alias("n_t"),
+        F.sum("n_st").over(w_p).alias("t_tot"),
+    )
+    mi_term = (
+        F.col("n_st").cast("double") / F.col("t_tot").cast("double")
+    ) * F.log(
+        F.col("n_st").cast("double") * F.col("t_tot").cast("double")
+        / (F.col("n_s").cast("double") * F.col("n_t").cast("double"))
+    )
+    mi = sc.groupBy("a", "b").agg(
+        F.max("t_tot").cast("long").alias("n"),
+        F.round(F.sum(mi_term), 6).alias("mi"),
+    )
+
+    def _marginal_entropy(col, alias):
+        m = joint.groupBy("a", "b", col).agg(
+            F.sum("n_st").alias("n_m"))
+        tt = F.sum("n_m").over(Window.partitionBy("a", "b"))
+        term = -(
+            F.col("n_m").cast("double") / F.col("t_tot").cast("double")
+        ) * F.log(
+            F.col("n_m").cast("double") / F.col("t_tot").cast("double")
+        )
+        return (
+            m.withColumn("t_tot", tt)
+            .groupBy("a", "b")
+            .agg(F.round(F.sum(term), 6).alias(alias))
+        )
+
+    ha = _marginal_entropy("sa", "h_a")
+    hb = _marginal_entropy("sb", "h_b")
+    out = mi.join(ha, ["a", "b"]).join(hb, ["a", "b"])
+    nmi = F.when(
+        (F.col("h_a") > 0) & (F.col("h_b") > 0),
+        F.round(F.col("mi")
+                / F.sqrt(F.col("h_a") * F.col("h_b")), 6),
+    )
+    return out.select("a", "b", "n", "mi", "h_a", "h_b",
+                      nmi.alias("nmi"))

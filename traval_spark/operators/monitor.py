@@ -70,6 +70,7 @@ __all__ = [
     "threshold_episodes", "decayed_topk",
     "bucket_count_signal", "counts_from_tier", "stl_decompose",
     "stl_anomaly", "kw_from_hists", "kruskal_drift", "runs_test",
+    "lead_lag",
 ]
 
 
@@ -2894,4 +2895,66 @@ def runs_test(
         z_out.alias("z"),
         F.when(z_out.isNotNull(),
                (F.abs(z_out) <= 1.96).cast("int")).alias("random_ok"),
+    )
+
+
+def lead_lag(
+    df: DataFrame | None = None,
+    max_lag: int = 3,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Dominant lead-lag extraction per ordered series pair — the
+    DECISION layer over :func:`xcorr_lags`' full correlogram: which
+    series leads which, by how many buckets, and is the alignment
+    real?  For every pair (a, b), the winning lag maximizes the
+    9dp-rounded |r| (strength regardless of sign — an inhibitory
+    coupling is still a coupling); exact ties break to the SMALLEST
+    |lag| then the smallest lag (contemporaneous beats displaced, lead
+    beats echo — the :func:`dominant_period` fundamental-over-harmonics
+    convention).  ``significant`` gates |r| against the 1.96/sqrt(n)
+    white-noise band at the winning lag's own n (aligned-pair count
+    shrinks with |lag|), with the usual 9dp fence guard.
+
+    Determinism: xcorr's r is already a double of exact integer
+    moments; the argmax runs on the ROUNDED |r| so a last-ulp
+    difference can never flip the winner, and the (|lag|, lag) tie
+    ladder is total.  Self-pairs (a = b) are excluded — lag-0 self
+    correlation is identically 1 and says nothing.
+
+    Plan shape: xcorr_lags' exactly (ONE raw groupBy or none via
+    ``counts=``; the lag cross and pair join on the tiny signal
+    frame), then one row_number window over the (|series|^2 x
+    (2*max_lag+1))-row correlogram.  Pair count is quadratic in
+    |series| by construction — the same disclosed trade as
+    :func:`xcorr_lags` and :func:`sax_pairs`.
+
+    Output: ``a, b, lag, n, r, significant`` — one row per ordered
+    pair; ``lag > 0`` means a's signal at t aligns with b's at t+lag,
+    i.e. a LEADS b by ``lag`` buckets.
+
+    Reference: traval users eyeball lead-lag from stacked plots
+    (plots.py); this is that read as a fleet-wide query.
+    """
+    xc = xcorr_lags(df, max_lag=max_lag, bucket=bucket, by=by, ts=ts,
+                    counts=counts).filter(F.col("a") != F.col("b"))
+    r9 = F.round(F.col("r"), ndigits)
+    rn = F.row_number().over(
+        Window.partitionBy("a", "b").orderBy(
+            F.abs(r9).desc(), F.abs(F.col("lag")).asc(),
+            F.col("lag").asc(),
+        )
+    )
+    band = F.round(F.lit(1.96) / F.sqrt(F.col("n").cast("double")),
+                   ndigits)
+    return (
+        xc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "a", "b", "lag", "n", r9.alias("r"),
+            (F.abs(r9) > band).cast("int").alias("significant"),
+        )
     )
