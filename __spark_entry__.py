@@ -4104,6 +4104,36 @@ def q_symbol_mi(spark, sf_dir):
     return symbol_mi(ev, alphabet=4, bucket="1h")
 
 
+def q_turning_points(spark, sf_dir):
+    """Turning-point randomness test (monitor.py:turning_points): how
+    often does each series' hourly count signal change direction?
+    Strict-inequality turns on exact integer counts (ties are null
+    events — conservative on heavily tied signals), exact-decimal z
+    numerator 3T - 2n + 4 against E[T] = 2(n-2)/3 and
+    Var[T] = (16n-29)/90, 9dp fence, |z| <= 1.96 verdict."""
+    from traval_spark.operators.monitor import turning_points
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return turning_points(ev, bucket="1h")
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance ratio VR(q=4) (monitor.py:
+    variance_ratio): variance of overlapping 4h changes over 4x the
+    variance of 1h changes — >1 trending persistence, <1 mean
+    reversion.  Exact-decimal variance numerators via the
+    cleared-mean identity, two-ratio fixed parenthesization, the
+    homoskedastic z with phi(q) = 2(2q-1)(q-1)/(3q), 9dp fence."""
+    from traval_spark.operators.monitor import variance_ratio
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return variance_ratio(ev, q=4, bucket="1h")
+
+
 def q_embedding_cov(spark, sf_dir):
     """Embedding component covariance/correlation audit (similarity.py:
     embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
@@ -4436,6 +4466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_pairs": q_dtw_pairs,
         "kruskal_drift": q_kruskal_drift,
         "runs_test": q_runs_test,
+        "turning_points": q_turning_points,
+        "variance_ratio": q_variance_ratio,
         "symbol_transitions": q_symbol_transitions,
         "symbol_entropy": q_symbol_entropy,
         "lead_lag": q_lead_lag,
@@ -9479,6 +9511,89 @@ def oracle_sql() -> dict[str, str]:
            case when z is not null
                 then cast(abs(z) <= 1.96 AS int) end AS random_ok
     from zz
+    """
+    # turning-point test: strict-inequality turns on exact integers,
+    # cleared-mean z numerator 3T - 2n + 4, Var = (16n-29)/90
+    sql["turning_points"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by 1, 2),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c
+              on s.g = c.g and s.h = c.h),
+    tp as (select g, h, c,
+                  lag(c) over (partition by g order by h) AS p,
+                  lead(c) over (partition by g order by h) AS x
+           from sig),
+    agg as (select g, cast(count(*) AS hugeint) AS n,
+                   cast(sum(case when p is not null and x is not null
+                                  and ((p < c and c > x)
+                                       or (p > c and c < x))
+                                 then 1 else 0 end) AS hugeint) AS t
+            from tp group by g),
+    zz as (select g, n, t,
+                  case when n >= 4 then
+                    round(cast(3 * t - 2 * n + 4 AS double)
+                          / (3.0 * sqrt(cast(16 * n - 29 AS double)
+                                        / 90.0)), 9)
+                  end AS z
+           from agg)
+    select g, cast(n AS bigint) AS n, cast(t AS bigint) AS t, z,
+           case when z is not null
+                then cast(abs(z) <= 1.96 AS int) end AS random_ok
+    from zz
+    """
+    # Lo-MacKinlay VR(q=4): cleared-mean exact variance numerators,
+    # two-ratio fixed parenthesization, phi(4) factor 12/42
+    sql["variance_ratio"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by 1, 2),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c
+              on s.g = c.g and s.h = c.h),
+    dd as (select g, h, c,
+                  c - lag(c, 1) over (partition by g order by h) AS d1,
+                  c - lag(c, 4) over (partition by g order by h) AS dq
+           from sig),
+    agg as (select g, cast(count(*) AS hugeint) AS n,
+                   cast(count(d1) AS hugeint) AS n1,
+                   sum(cast(d1 AS hugeint)) AS s1,
+                   sum(cast(d1 AS hugeint) * d1) AS q1,
+                   cast(count(dq) AS hugeint) AS nq,
+                   sum(cast(dq AS hugeint)) AS sq,
+                   sum(cast(dq AS hugeint) * dq) AS qq
+            from dd group by g),
+    v as (select g, n, n1, nq,
+                 n1 * q1 - s1 * s1 AS v1,
+                 nq * qq - sq * sq AS vq
+          from agg),
+    r as (select g, n, nq,
+                 case when nq >= 2 and v1 > 0 then
+                   (cast(vq AS double) / cast(v1 AS double))
+                   * (cast(n1 * n1 AS double)
+                      / cast(4 * nq * nq AS double))
+                 end AS vr_raw
+          from v)
+    select g, cast(n AS bigint) AS n, cast(nq AS bigint) AS nq,
+           round(vr_raw, 9) AS vr,
+           round((vr_raw - 1.0)
+                 * sqrt(cast(nq AS double) * (12.0 / 42.0)), 9) AS z,
+           case when vr_raw is not null
+                then cast(abs(round((vr_raw - 1.0)
+                       * sqrt(cast(nq AS double) * (12.0 / 42.0)), 9))
+                       > 1.96 AS int) end AS significant
+    from r
     """
     # per-bucket SAX symbol stream (series-level z-norm, exact-integer
     # verdicts, alphabet 4) shared by the Markov regime reads

@@ -133,6 +133,7 @@ def main() -> None:
         "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
         "dominant_period", "stl_decompose", "stl_anomaly",
         "kruskal_drift", "runs_test", "lead_lag",
+        "turning_points", "variance_ratio",
         "symbol_transitions", "symbol_entropy", "symbol_mi",
         "swing_reconstruct",
         "acf_lags", "ljung_box",

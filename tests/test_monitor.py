@@ -1390,3 +1390,118 @@ def test_lead_lag_shifted_clone_and_tie_rule(spark):
     assert got[("a", "b")]["significant"] == 1
     assert got[("b", "a")]["lag"] == -2
     assert got[("b", "a")]["r"] == 1.0
+
+
+def test_turning_points_hand_alternating_ramp_and_short(spark):
+    """Alternating [1,5]x3 (span 6): every interior bucket turns, T=4,
+    z = 4/(3*sqrt(67/90)) (random_ok); a 20-bucket strict ramp has
+    T=0 and z << -1.96 (too smooth); span 3 emits NULL z."""
+    import math
+    from traval_spark.operators.monitor import turning_points
+
+    alt = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                           minutes=j))
+           for i in range(6) for j in range(1 if i % 2 == 0 else 5)]
+    r = turning_points(spark.createDataFrame(
+        pd.DataFrame(alt, columns=["source", "ts"]))).collect()[0]
+    assert (r["n"], r["t"]) == (6, 4)
+    assert abs(r["z"] - 4.0 / (3.0 * math.sqrt(67.0 / 90.0))) < 1e-9
+    assert r["random_ok"] == 1
+
+    ramp = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                            minutes=j))
+            for i in range(20) for j in range(i + 1)]
+    r2 = turning_points(spark.createDataFrame(
+        pd.DataFrame(ramp, columns=["source", "ts"]))).collect()[0]
+    assert r2["t"] == 0 and r2["z"] < -1.96 and r2["random_ok"] == 0
+
+    short = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i))
+             for i in range(3)]
+    r3 = turning_points(spark.createDataFrame(
+        pd.DataFrame(short, columns=["source", "ts"]))).collect()[0]
+    assert r3["z"] is None and r3["random_ok"] is None
+
+
+def test_turning_points_ties_are_null_events(spark):
+    """A constant signal has zero strict turns — the all-tied series
+    lands maximally smooth (T=0, z negative), never errors."""
+    from traval_spark.operators.monitor import turning_points
+
+    rows = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                            minutes=j))
+            for i in range(12) for j in range(3)]
+    r = turning_points(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts"]))).collect()[0]
+    assert r["t"] == 0 and r["z"] < 0 and r["random_ok"] == 0
+
+
+def test_variance_ratio_alternating_period2_vr_zero(spark):
+    """Period-2 alternation with even q: every q-bucket change
+    telescopes to 0, so VR == 0.0 EXACTLY (vq integer zero) and the
+    mean-reversion verdict fires once nq is large enough —
+    z = -sqrt(nq*12/42) at q=4, span 24 -> nq=20, z ~ -2.390."""
+    import math
+    from traval_spark.operators.monitor import variance_ratio
+
+    alt = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                           minutes=j))
+           for i in range(24) for j in range(1 if i % 2 == 0 else 5)]
+    r = variance_ratio(spark.createDataFrame(
+        pd.DataFrame(alt, columns=["source", "ts"])), q=4).collect()[0]
+    assert (r["n"], r["nq"]) == (24, 20)
+    assert r["vr"] == 0.0
+    assert abs(r["z"] - round(-math.sqrt(20.0 * (12.0 / 42.0)), 9)) < 1e-12
+    assert r["significant"] == 1
+
+
+def test_variance_ratio_numpy_replay_and_degenerate(spark):
+    """A deterministic pseudo-random count pattern replayed in pure
+    Python with the identical fixed parenthesization matches to the
+    9dp fence; a perfect ramp (constant increments, V1=0) and a
+    constant signal both return NULL."""
+    import math
+    from traval_spark.operators.monitor import variance_ratio
+
+    c = [(i * 7) % 11 + (i * 3) % 5 for i in range(40)]
+    rows = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                            minutes=j))
+            for i, k in enumerate(c) for j in range(k + 1)]
+    q = 4
+    r = variance_ratio(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts"])), q=q).collect()[0]
+    cc = [k + 1 for k in c]
+    d1 = [cc[i] - cc[i - 1] for i in range(1, len(cc))]
+    dq = [cc[i] - cc[i - q] for i in range(q, len(cc))]
+    n1, nq = len(d1), len(dq)
+    v1 = n1 * sum(x * x for x in d1) - sum(d1) ** 2
+    vq = nq * sum(x * x for x in dq) - sum(dq) ** 2
+    vr_raw = (float(vq) / float(v1)) * (float(n1 * n1)
+                                        / float(q * nq * nq))
+    z_raw = (vr_raw - 1.0) * math.sqrt(float(nq) * (12.0 / 42.0))
+    assert abs(r["vr"] - round(vr_raw, 9)) < 1e-12
+    assert abs(r["z"] - round(z_raw, 9)) < 1e-12
+
+    ramp = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                            minutes=j))
+            for i in range(12) for j in range(i + 1)]
+    r2 = variance_ratio(spark.createDataFrame(
+        pd.DataFrame(ramp, columns=["source", "ts"])), q=4).collect()[0]
+    assert r2["vr"] is None and r2["z"] is None and r2["significant"] is None
+
+
+def test_turning_points_and_vr_counts_parity(spark):
+    """Both new monitors served via counts= (the stored-tier path)
+    equal the raw-served verdicts bit-for-bit."""
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, turning_points, variance_ratio)
+
+    ev = [("x" if i % 3 else "y",
+           pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i, minutes=j))
+          for i in range(30) for j in range((i * 5) % 7)]
+    evdf = spark.createDataFrame(pd.DataFrame(ev,
+                                              columns=["source", "ts"]))
+    sig = bucket_count_signal(evdf)
+    assert sorted(map(tuple, turning_points(evdf).collect())) == \
+        sorted(map(tuple, turning_points(counts=sig).collect()))
+    assert sorted(map(tuple, variance_ratio(evdf, q=4).collect())) == \
+        sorted(map(tuple, variance_ratio(counts=sig, q=4).collect()))

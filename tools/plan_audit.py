@@ -48,6 +48,7 @@ BROADCAST_CROSS_ALLOWED = {
     # text repeats the subtree per consumer branch, hence counts > 1
     "acf_lags", "acf_tiered", "ljung_box", "dominant_period",
     "stl_decompose", "stl_anomaly", "runs_test",
+    "turning_points", "variance_ratio",
     "symbol_transitions", "symbol_entropy", "symbol_mi",
     "lead_lag",
     "xcorr_lags", "lttb_6h", "lttb_from_m4",

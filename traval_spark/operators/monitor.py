@@ -2958,3 +2958,188 @@ def lead_lag(
             (F.abs(r9) > band).cast("int").alias("significant"),
         )
     )
+
+
+def turning_points(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Turning-point test for randomness of each series' bucket-count
+    signal — the LOCAL-shape companion to :func:`runs_test`: runs
+    count sign persistence around the GLOBAL median (level shifts,
+    regime drift), while the turning-point count measures how often
+    the signal changes direction bucket-to-bucket, catching
+    over-smooth trends (too few turns) and oscillatory / thrashing
+    behavior (too many turns) that a median-split can miss entirely —
+    a slow ramp crosses the median once and the runs test screams,
+    but a ramp PLUS superimposed alternation looks median-balanced
+    and only the turn count sees the thrash.
+
+    Construction over the zero-filled signal: an interior bucket i is
+    a turning point iff (c_{i-1} < c_i > c_{i+1}) or (c_{i-1} > c_i <
+    c_{i+1}) — STRICT inequalities on exact integer counts, so a tie
+    with either neighbor yields no turn (the classical test assumes a
+    continuous law where ties are null events; on integer counts the
+    strict rule undercounts T for heavily tied signals, making the
+    "non-random: too smooth" verdict conservative — documented, and
+    the all-tied constant signal correctly lands maximally smooth).
+    Under H0 (exchangeable i.i.d. signal) for span n:
+
+        E[T] = 2*(n - 2) / 3,    Var[T] = (16*n - 29) / 90
+
+    and clearing E[T]'s denominator keeps the z numerator an exact
+    decimal integer combined in one fixed parenthesization:
+
+        z = (3*T - 2*n + 4) / (3 * sqrt((16*n - 29) / 90))
+
+    rounded to ``ndigits`` as the cross-engine fence; ``random_ok``
+    is the alpha=0.05 two-sided verdict |z| <= 1.96.  Series with
+    n < 4 (no interior pair to turn on, or Var undefined) return NULL.
+
+    Plan shape: monitor-family economics — ONE raw-scale partial-
+    aggregatable groupBy to the signal (or none via ``counts=`` off a
+    stored rollup tier), then one lag/lead window pass and the final
+    agg on the tiny (|series| x span) frame.  Output: ``g, n, t, z,
+    random_ok``.
+
+    Reference: traval's rule_flat_signal flags literal flatness; the
+    turning-point count is the graded version of that read — "how
+    UN-jittery is this series?" — as a fleet-wide query.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    w = Window.partitionBy("g").orderBy("h")
+    turned = (
+        sig.withColumn("p", F.lag("c").over(w))
+        .withColumn("x", F.lead("c").over(w))
+        .withColumn(
+            "tp",
+            (
+                F.col("p").isNotNull() & F.col("x").isNotNull()
+                & (
+                    ((F.col("p") < F.col("c")) & (F.col("c") > F.col("x")))
+                    | ((F.col("p") > F.col("c")) & (F.col("c") < F.col("x")))
+                )
+            ).cast("int"),
+        )
+    )
+    agg = turned.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("tp").cast("decimal(38,0)").alias("t"),
+    )
+    n = F.col("n")
+    num = (3 * F.col("t") - 2 * n + 4).cast("double")
+    var = (16 * n - 29).cast("double") / F.lit(90.0)
+    z = F.round(num / (F.lit(3.0) * F.sqrt(var)), ndigits)
+    z_out = F.when(n >= 4, z)
+    return agg.select(
+        "g",
+        n.cast("long").alias("n"),
+        F.col("t").cast("long").alias("t"),
+        z_out.alias("z"),
+        F.when(z_out.isNotNull(),
+               (F.abs(z_out) <= 1.96).cast("int")).alias("random_ok"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame | None = None,
+    q: int = 4,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per series — the SCALED
+    random-walk read next to :func:`ljung_box` (which tests each ACF
+    lag separately) and :func:`runs_test` (sign clustering): VR(q)
+    compares the variance of q-bucket changes against q times the
+    variance of 1-bucket changes.  For an uncorrelated-increment
+    signal VR = 1 exactly in expectation; VR > 1 means positive
+    drift persistence (trending — q-step moves compound), VR < 1
+    means mean reversion (oscillation — q-step moves cancel), and the
+    statistic aggregates the first q-1 autocorrelations with Bartlett
+    weights in ONE number, catching weak-but-consistent persistence
+    that no single Ljung-Box lag flags.
+
+    Construction over the zero-filled signal: 1-diffs d1_t = c_t -
+    c_{t-1} (n1 = n - 1 values) and OVERLAPPING q-diffs dq_t = c_t -
+    c_{t-q} (nq = n - q values), both exact integers off one ordered
+    window pass.  Each variance keeps an exact decimal numerator via
+    the cleared-mean identity  Vk = nk * sum(dk^2) - (sum dk)^2  so
+
+        VR = (Vq / V1) * (n1^2 / (q * nq^2))
+
+    is two exact-integer ratios multiplied once — evaluated in that
+    fixed parenthesization (two casts, two divisions, one multiply)
+    so both engines produce the identical double, rounded to
+    ``ndigits``.  The homoskedastic asymptotic z uses the standard
+    phi(q) = 2*(2q-1)*(q-1)/(3q):
+
+        z = (VR - 1) * sqrt(nq * 3q / (2*(2q-1)*(q-1)))
+
+    with the unrounded VR inside (same expression both engines) and
+    the final ``ndigits`` fence; ``significant`` is |z| > 1.96 —
+    reject the uncorrelated-increment hypothesis at alpha=0.05.
+    NULL when q < 2, nq < 2, or V1 = 0 (a constant signal has no
+    increment variance to ratio).
+
+    Magnitude budget: |d| <= max count c_max, so Vk <= n^2 * c_max^2
+    (~1e18 at n=1e4, c_max=1e5) — far inside decimal(38,0); the
+    cross-ratio n1^2/(q*nq^2) stays ~1/q, so the double multiply
+    loses nothing representable at 9dp.
+
+    Plan shape: monitor-family economics — ONE raw-scale partial-
+    aggregatable groupBy to the signal (or none via ``counts=``), one
+    lag window pass, final agg on the tiny (|series| x span) frame.
+    Output: ``g, n, nq, vr, z, significant``.
+
+    Reference: traval's docs suggest eyeballing drift from smoothed
+    plots (plots.py); VR(q) is that judgment as a calibrated test.
+    """
+    if q < 2:
+        raise ValueError("variance_ratio requires q >= 2")
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    w = Window.partitionBy("g").orderBy("h")
+    d = (
+        sig.withColumn("d1", F.col("c") - F.lag("c", 1).over(w))
+        .withColumn("dq", F.col("c") - F.lag("c", q).over(w))
+    )
+    dec = "decimal(38,0)"
+    agg = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.count("d1").cast(dec).alias("n1"),
+        F.sum(F.col("d1").cast(dec)).alias("s1"),
+        F.sum(F.col("d1").cast(dec) * F.col("d1")).alias("q1"),
+        F.count("dq").cast(dec).alias("nq"),
+        F.sum(F.col("dq").cast(dec)).alias("sq"),
+        F.sum(F.col("dq").cast(dec) * F.col("dq")).alias("qq"),
+    )
+    v1 = F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")
+    vq = F.col("nq") * F.col("qq") - F.col("sq") * F.col("sq")
+    ratio = (
+        (vq.cast("double") / v1.cast("double"))
+        * ((F.col("n1") * F.col("n1")).cast("double")
+           / (q * F.col("nq") * F.col("nq")).cast("double"))
+    )
+    phi_fac = float(3 * q) / float(2 * (2 * q - 1) * (q - 1))
+    z_raw = (ratio - F.lit(1.0)) * F.sqrt(
+        F.col("nq").cast("double") * F.lit(phi_fac))
+    ok = (F.col("nq") >= 2) & (v1 > 0)
+    vr_out = F.when(ok, F.round(ratio, ndigits))
+    z_out = F.when(ok, F.round(z_raw, ndigits))
+    return agg.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("nq").cast("long").alias("nq"),
+        vr_out.alias("vr"),
+        z_out.alias("z"),
+        F.when(z_out.isNotNull(),
+               (F.abs(z_out) > 1.96).cast("int")).alias("significant"),
+    )
