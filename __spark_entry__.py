@@ -4134,6 +4134,33 @@ def q_variance_ratio(spark, sf_dir):
     return variance_ratio(ev, q=4, bucket="1h")
 
 
+def q_pettitt_change(spark, sf_dir):
+    """Pettitt single change-point per series (monitor.py:
+    pettitt_change): U_t over every split of the hourly count signal
+    via the exact midrank identity (half-unit-rank trick, O(n) not
+    O(n^2)), K = max|U_t|, change point the smallest h attaining K,
+    p = min(1, 2 exp(-6K^2/(n^3+n^2))) 9dp-fenced, alpha 0.05."""
+    from traval_spark.operators.monitor import pettitt_change
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return pettitt_change(ev, bucket="1h")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (lm.py:dsir_weights): hashed
+    unigram+bigram bag log-likelihood ratio of each document under
+    the English slice (target) vs the whole corpus (raw) — Laplace
+    +1 over 1024 md5 buckets, each bucket's log-ratio ONE log of an
+    exact-integer ratio, per-doc dot product 6dp-fenced."""
+    from traval_spark.operators.lm import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                        buckets=1024)
+
+
 def q_embedding_cov(spark, sf_dir):
     """Embedding component covariance/correlation audit (similarity.py:
     embedding_cov): long-form upper-triangle (i, j, n, cov, corr) —
@@ -4468,6 +4495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "turning_points": q_turning_points,
         "variance_ratio": q_variance_ratio,
+        "dsir_weights": q_dsir_weights,
+        "pettitt_change": q_pettitt_change,
         "symbol_transitions": q_symbol_transitions,
         "symbol_entropy": q_symbol_entropy,
         "lead_lag": q_lead_lag,
@@ -9511,6 +9540,99 @@ def oracle_sql() -> dict[str, str]:
            case when z is not null
                 then cast(abs(z) <= 1.96 AS int) end AS random_ok
     from zz
+    """
+    # Pettitt change point: exact midrank identity (2r integer),
+    # one rank cumsum, argmax |U_t|, clamped 2exp(-6K^2/(n^3+n^2))
+    sql["pettitt_change"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by 1, 2),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src) gg, span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c
+              on s.g = c.g and s.h = c.h),
+    vals as (select g, c, cast(count(*) AS hugeint) AS cnt
+             from sig group by 1, 2),
+    v2 as (select g, c, cnt,
+                  coalesce(sum(cnt) over (
+                      partition by g order by c
+                      rows between unbounded preceding
+                               and 1 preceding), 0) AS cum_lt
+           from vals),
+    tot as (select g, cast(count(*) AS hugeint) AS n
+            from sig group by g),
+    terms as (select sig.g, sig.h, tot.n,
+                     2 * cum_lt + cnt - n AS term
+              from sig join v2 on sig.g = v2.g and sig.c = v2.c
+                       join tot on sig.g = tot.g),
+    uu as (select g, h, n,
+                  sum(term) over (partition by g order by h
+                      rows between unbounded preceding
+                               and current row) AS u,
+                  max(h) over (partition by g) AS hmax
+           from terms),
+    best as (select g, h, n, abs(u) AS k,
+                    row_number() over (partition by g
+                        order by abs(u) desc, h asc) AS rn
+             from uu where h < hmax),
+    fin as (select g, n, k, h AS t_change from best where rn = 1),
+    pp as (select g, n, k, t_change,
+                  case when n >= 2 then
+                    round(least(1.0,
+                      2 * exp(-cast(6 * k * k AS double)
+                              / cast(n * n * n + n * n AS double))), 9)
+                  end AS p
+           from fin)
+    select g, cast(n AS bigint) AS n, cast(k AS bigint) AS k_stat,
+           cast(t_change AS bigint) AS t_change, p,
+           case when p is not null
+                then cast(p < 0.05 AS int) end AS significant
+    from pp
+    """
+    # DSIR importance weights: md5-bucketed unigram+bigram bags,
+    # Laplace-smoothed exact-integer log-ratios, 6dp per-doc dot fence
+    sql["dsir_weights"] = """
+    with c as (select doc_id, regexp_split_to_array(text, '\\s+') AS t
+               from documents where text is not null),
+    cg as (select doc_id, unnest(t) AS g from c
+           union all
+           select doc_id, t[i] || ' ' || t[i + 1] AS g
+           from c, unnest(range(1, len(t))) AS r(i)
+           where len(t) >= 2),
+    cb as (select doc_id,
+                  cast(('0x' || substr(md5(g), 1, 8)) as bigint)
+                    % 1024 AS b
+           from cg),
+    db as (select doc_id, b, count(*) AS n_db from cb group by 1, 2),
+    raw as (select b, cast(sum(n_db) AS hugeint) AS r_b
+            from db group by b),
+    tg as (select regexp_split_to_array(text, '\\s+') AS t
+           from documents where text is not null and lang = 'en'),
+    tgg as (select unnest(t) AS g from tg
+            union all
+            select t[i] || ' ' || t[i + 1]
+            from tg, unnest(range(1, len(t))) AS r(i)
+            where len(t) >= 2),
+    tgt as (select cast(('0x' || substr(md5(g), 1, 8)) as bigint)
+                     % 1024 AS b,
+                   cast(count(*) AS hugeint) AS t_b
+            from tgg group by 1),
+    rt as (select sum(r_b) AS rtot from raw),
+    tt as (select cast(coalesce(sum(t_b), 0) AS hugeint) AS ttot
+           from tgt),
+    lr as (select raw.b,
+                  ln(cast((coalesce(t_b, 0) + 1) * (rtot + 1024)
+                          AS double)
+                     / cast((r_b + 1) * (ttot + 1024) AS double)) AS lr
+           from raw left join tgt on raw.b = tgt.b, rt, tt)
+    select db.doc_id, cast(sum(n_db) AS bigint) AS n_grams,
+           round(sum(n_db * lr), 6) AS logw
+    from db join lr on db.b = lr.b
+    group by db.doc_id
     """
     # turning-point test: strict-inequality turns on exact integers,
     # cleared-mean z numerator 3T - 2n + 4, Var = (16n-29)/90

@@ -133,7 +133,7 @@ def main() -> None:
         "ks_drift", "mann_whitney", "rollup_sets", "swing_compress",
         "dominant_period", "stl_decompose", "stl_anomaly",
         "kruskal_drift", "runs_test", "lead_lag",
-        "turning_points", "variance_ratio",
+        "turning_points", "variance_ratio", "pettitt_change",
         "symbol_transitions", "symbol_entropy", "symbol_mi",
         "swing_reconstruct",
         "acf_lags", "ljung_box",
@@ -153,7 +153,7 @@ def main() -> None:
         "manual_obs_shift", "pastas_pi_bounds",
         "token_counts", "top_tokens", "quality_score", "doc_entropy",
         "fingerprint",
-        "lm_score", "bpe_pairs", "bpe_apply", "bm25",
+        "lm_score", "bpe_pairs", "bpe_apply", "bm25", "dsir_weights",
         "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",

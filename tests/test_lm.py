@@ -125,3 +125,81 @@ def test_bm25_hand_computed(spark):
     assert got[10] == (1, pytest.approx(s10, rel=1e-12))
     assert got[11] == (1, pytest.approx(s11, rel=1e-12))
     assert got[11][1] > got[10][1]  # higher tf wins despite longer doc
+
+
+def test_dsir_weights_python_replay_and_ordering(spark):
+    """A 6-doc corpus with two vocabularies: docs made of target-side
+    grams must outscore docs of off-target grams, and every (n_grams,
+    logw) matches a pure-Python replay of the identical construction
+    (md5 bucket, Laplace +1 over B, one log per bucket, 6dp dot)."""
+    import hashlib
+    from traval_spark.operators.lm import dsir_weights
+
+    corpus_rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "beta alpha beta"),
+        (3, "delta epsilon zeta"),
+        (4, "zeta epsilon delta delta"),
+        (5, "alpha zeta"),
+        (6, None),
+    ]
+    target_rows = [(101, "alpha beta gamma alpha"),
+                   (102, "beta gamma alpha")]
+    B = 64
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "doc_id bigint, text string")
+    target = spark.createDataFrame(target_rows,
+                                   "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["logw"])
+           for r in dsir_weights(corpus, target, buckets=B).collect()}
+
+    def grams(text):
+        t = text.split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    raw, tgt, db = {}, {}, {}
+    for did, txt in corpus_rows:
+        if txt is None:
+            continue
+        for g in grams(txt):
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            db.setdefault(did, {})
+            db[did][b] = db[did][b] + 1 if b in db[did] else 1
+    for _, txt in target_rows:
+        for g in grams(txt):
+            b = bucket(g)
+            tgt[b] = tgt.get(b, 0) + 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    exp = {}
+    for did, bs in db.items():
+        lw = sum(
+            n * math.log(((tgt.get(b, 0) + 1) * (R + B))
+                         / ((raw[b] + 1) * (T + B)))
+            for b, n in bs.items()
+        )
+        exp[did] = (sum(bs.values()), round(lw, 6))
+    assert set(got) == set(exp)  # doc 6 (NULL text) emits nothing
+    for did in exp:
+        assert got[did][0] == exp[did][0]
+        assert got[did][1] == pytest.approx(exp[did][1], abs=1e-6)
+    # target-like docs over off-target docs
+    assert min(got[1][1], got[2][1]) > max(got[3][1], got[4][1])
+
+
+def test_dsir_weights_empty_target_degenerates_to_rarity(spark):
+    """With an empty target every bucket's t_b is 0, so logw collapses
+    to sum_b n_db * ln((R+B)/((r_b+1)*B)) — still defined, no NULLs,
+    and docs of common grams score LOWER than docs of rare grams
+    (pure inverse-frequency)."""
+    from traval_spark.operators.lm import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "x x x x"), (2, "y q")], "doc_id bigint, text string")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    rows = {r["doc_id"]: r["logw"]
+            for r in dsir_weights(corpus, empty, buckets=32).collect()}
+    assert set(rows) == {1, 2} and all(v is not None for v in rows.values())

@@ -1505,3 +1505,67 @@ def test_turning_points_and_vr_counts_parity(spark):
         sorted(map(tuple, turning_points(counts=sig).collect()))
     assert sorted(map(tuple, variance_ratio(evdf, q=4).collect())) == \
         sorted(map(tuple, variance_ratio(counts=sig, q=4).collect()))
+
+
+def test_pettitt_step_signal_hand_values(spark):
+    """Counts [1]x10 then [5]x10: midranks give value-1 rows term
+    -10 and value-5 rows +10, so U_t = -10t dips to K=100 at the last
+    pre-change bucket (t_change = h0+9), p = 2*exp(-60000/8400)
+    ~ 0.001584 -> significant; a constant signal has K=0, p=1."""
+    import math
+    from traval_spark.operators.monitor import pettitt_change
+
+    step = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                            minutes=j))
+            for i in range(20) for j in range(1 if i < 10 else 5)]
+    r = pettitt_change(spark.createDataFrame(
+        pd.DataFrame(step, columns=["source", "ts"]))).collect()[0]
+    assert (r["n"], r["k_stat"]) == (20, 100)
+    h0 = int(pd.Timestamp("2024-01-01").value // 1000 // 3600000000)
+    assert r["t_change"] == h0 + 9
+    exp_p = round(min(1.0, 2 * math.exp(-60000.0 / 8400.0)), 9)
+    assert abs(r["p"] - exp_p) < 1e-12
+    assert r["significant"] == 1
+
+    const = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i))
+             for i in range(12)]
+    r2 = pettitt_change(spark.createDataFrame(
+        pd.DataFrame(const, columns=["source", "ts"]))).collect()[0]
+    assert r2["k_stat"] == 0 and r2["p"] == 1.0 and r2["significant"] == 0
+
+
+def test_pettitt_brute_force_replay_and_counts_parity(spark):
+    """U_t from the midrank cumsum equals the O(n^2) textbook double
+    sum on a deterministic tied pseudo-random signal (K, location,
+    p all match), and counts=-served equals raw-served."""
+    import math
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, pettitt_change)
+
+    c = [(i * 7) % 5 + (i * 3) % 4 for i in range(30)]
+    rows = [("x", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i,
+                                                            minutes=j))
+            for i, k in enumerate(c) for j in range(k + 1)]
+    evdf = spark.createDataFrame(pd.DataFrame(rows,
+                                              columns=["source", "ts"]))
+    r = pettitt_change(evdf).collect()[0]
+    cc = [k + 1 for k in c]
+    n = len(cc)
+    us = []
+    for t in range(1, n):  # t = size of prefix, 1..n-1
+        u = sum(
+            (1 if cc[i] > cc[j] else -1 if cc[i] < cc[j] else 0)
+            for i in range(t) for j in range(t, n)
+        )
+        us.append((abs(u), t))
+    k_exp = max(a for a, _ in us)
+    t_exp = min(t for a, t in us if a == k_exp)
+    h0 = int(pd.Timestamp("2024-01-01").value // 1000 // 3600000000)
+    assert r["k_stat"] == k_exp
+    assert r["t_change"] == h0 + t_exp - 1
+    exp_p = round(min(1.0, 2 * math.exp(
+        -6.0 * k_exp * k_exp / float(n ** 3 + n ** 2))), 9)
+    assert abs(r["p"] - exp_p) < 1e-12
+
+    r_tier = pettitt_change(counts=bucket_count_signal(evdf)).collect()[0]
+    assert tuple(r) == tuple(r_tier)

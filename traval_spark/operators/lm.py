@@ -293,3 +293,112 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("__s").alias("score"))
     )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    ndigits: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how much more likely its hashed-n-gram bag is under a
+    small TARGET domain sample than under the raw corpus — the
+    principled version of "keep the docs that look like Wikipedia".
+    Downstream, compose with the deterministic samplers (sampling.py)
+    to resample the corpus proportionally to these weights.
+
+    Features are unigrams + space-joined bigrams of the shared
+    whitespace tokenization (text.py:ws_tokens — a fix there fixes
+    this too), hashed into ``buckets`` cells via the portable md5
+    bucket (first 8 hex digits as an integer, mod B — bit-identical
+    in Spark and DuckDB, the sampling.py convention).  Both bag
+    distributions get Laplace +1 smoothing over the B cells, so each
+    bucket's log-ratio is ONE log of an exact-integer ratio:
+
+        lr_b = ln( ((t_b + 1) * (R + B)) / ((r_b + 1) * (T + B)) )
+
+    with t_b / r_b the target / raw bucket counts and T / R their
+    totals (decimal(38,0) products — a 10^12-gram corpus times (R+B)
+    stays far inside 38 digits).  The document weight is the bag dot
+    product  logw_d = sum_b n_db * lr_b  — the one order-dependent
+    float reduction (<= B terms), fenced at ``ndigits``; everything
+    upstream of that sum is exact.
+
+    Plan shape for 100 TB: the corpus is scanned ONCE — explode grams
+    -> partial-aggregatable groupBy to the (doc, bucket) count frame;
+    the raw bucket distribution is a second groupBy OFF THAT FRAME
+    (B-bounded, map-side combined), never a re-scan.  The target
+    sample (small by definition — a curated slice) collapses to <= B
+    rows; the log-ratio table is B rows broadcast back onto the
+    (doc, bucket) frame.  No join ever carries the corpus by gram
+    string — only by the dense integer bucket.  Corpus-doc buckets
+    are a subset of raw buckets by construction, so a left join with
+    the raw side is total; target buckets absent from the corpus can
+    only lower unseen docs and are irrelevant to corpus scoring.
+
+    Docs with NULL text or an empty gram bag emit nothing (no bag, no
+    weight — the curation gates upstream already drop them).  Output:
+    ``doc_id, n_grams, logw`` (nats; higher = more target-like).
+
+    Reference: ArtesiaWater/traval has no corpus-selection machinery;
+    this is the training-data-pipeline read the brief's token axis
+    asks for, next to lm_score (absolute fluency) — dsir is RELATIVE
+    domain affinity.
+    """
+    from traval_spark.operators.text import ws_tokens
+
+    B = int(buckets)
+
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        t = ws_tokens(F.col(text_col))
+        n = F.size(t)
+        bi = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(F.element_at(t, i), F.lit(" "),
+                                   F.element_at(t, i + 1)),
+            ),
+        ).otherwise(F.array())
+        cols = [F.col(id_col)] if keep_id else []
+        g = df.filter(F.col(text_col).isNotNull()).select(
+            *cols, F.explode(F.concat(t, bi)).alias("g")
+        )
+        b = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+        return g.select(*cols, (b.cast("long") % B).alias("b"))
+
+    db = grams(corpus, True).groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("n_db"))
+    raw = db.groupBy("b").agg(
+        F.sum("n_db").cast("decimal(38,0)").alias("r_b"))
+    tgt = grams(target, False).groupBy("b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("t_b"))
+    rt = raw.agg(F.sum("r_b").alias("rtot"))
+    tt = tgt.agg(F.coalesce(F.sum("t_b"), F.lit(0))
+                 .cast("decimal(38,0)").alias("ttot"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(rt)).crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("t_b"), F.lit(0)) + 1)
+                 * (F.col("rtot") + B)).cast("double")
+                / ((F.col("r_b") + 1)
+                   * (F.col("ttot") + B)).cast("double")
+            ).alias("lr"),
+        )
+    )
+    return (
+        db.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_db").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("n_db") * F.col("lr")),
+                    ndigits).alias("logw"),
+        )
+    )

@@ -3143,3 +3143,104 @@ def variance_ratio(
         F.when(z_out.isNotNull(),
                (F.abs(z_out) > 1.96).cast("int")).alias("significant"),
     )
+
+
+def pettitt_change(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Pettitt change-point test per series (Pettitt 1979) — WHERE did
+    the level shift, and is it real?  The drift monitors (ks_drift,
+    mann_whitney, kruskal_drift) compare CALLER-CHOSEN periods; the
+    Pettitt statistic scans every possible split point t of the
+    bucket-count signal and returns the strongest one — the
+    nonparametric single-change-point locator, rank-based and hence
+    immune to the heavy tails that wreck CUSUM-of-means.
+
+    Construction over the zero-filled signal: U_t = sum_{i<=t}
+    sum_{j>t} sgn(c_i - c_j) via the exact midrank identity
+
+        U_t = sum_{i<=t} (2*r_i - n - 1),
+        2*r_i = 2*cum_lt(c_i) + ties(c_i) + 1     (exact integer)
+
+    (the :func:`kruskal_drift` half-unit-rank trick: twice the
+    midrank is always an integer; the antisymmetric i,j <= t block
+    cancels, so the double sum collapses to one rank cumsum — O(n)
+    per series, not O(n^2)).  K = max_{1<=t<n} |U_t|, the change
+    point reports the LAST bucket of the pre-change segment (the
+    smallest h attaining K on exact ties — deterministic), and the
+    standard approximation
+
+        p = min(1, 2 * exp(-6*K^2 / (n^3 + n^2)))
+
+    is one exp of an exact-integer ratio in a fixed parenthesization,
+    rounded to ``ndigits``; ``significant`` is p < 0.05.  An all-tied
+    (constant) signal has every U_t = 0: K = 0, p clamps to 1, never
+    significant.  A single-bucket span has no interior split point
+    and emits nothing.
+
+    Plan shape: monitor-family economics — ONE raw-scale partial-
+    aggregatable groupBy to the signal (or none via ``counts=``);
+    ranks via a (g, c) value-census join (tiny frames), one cumsum
+    window, one argmax window.  Output: ``g, n, k_stat, t_change,
+    p, significant``.
+
+    Reference: traval's rule_offset_detection finds level shifts with
+    a threshold the user must tune (rulelib.py); Pettitt is the
+    calibrated, threshold-free fleet query for the same question.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    vals = sig.groupBy("g", "c").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+    wv = (
+        Window.partitionBy("g").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vals = vals.withColumn(
+        "cum_lt", F.coalesce(F.sum("cnt").over(wv), F.lit(0)))
+    tot = sig.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    wh = (
+        Window.partitionBy("g").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = (
+        sig.join(vals, ["g", "c"])
+        .join(F.broadcast(tot), "g")
+        .withColumn("term", 2 * F.col("cum_lt") + F.col("cnt")
+                    - F.col("n"))
+        .withColumn("u", F.sum("term").over(wh))
+        .withColumn("hmax",
+                    F.max("h").over(Window.partitionBy("g")))
+        .filter(F.col("h") < F.col("hmax"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("g").orderBy(
+            F.abs(F.col("u")).desc(), F.col("h").asc())
+    )
+    best = terms.withColumn("rn", rn).filter(F.col("rn") == 1)
+    k = F.abs(F.col("u"))
+    den = (F.col("n") * F.col("n") * F.col("n")
+           + F.col("n") * F.col("n"))
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            2 * F.exp(-(6 * k * k).cast("double") / den.cast("double")),
+        ),
+        ndigits,
+    )
+    p_out = F.when(F.col("n") >= 2, p)
+    return best.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        k.cast("long").alias("k_stat"),
+        F.col("h").cast("long").alias("t_change"),
+        p_out.alias("p"),
+        F.when(p_out.isNotNull(),
+               (p_out < 0.05).cast("int")).alias("significant"),
+    )
