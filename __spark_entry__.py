@@ -2674,6 +2674,64 @@ def q_tpch_quiet_customers(spark, sf_dir):
     )
 
 
+def q_tpch_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21-shape suppliers-who-kept-orders-waiting (the
+    EXISTS + NOT-EXISTS double self-join shape — the hardest plan in
+    the kit's join family): for finished orders, count per supplier
+    the line items that shipped late (> 75 days after the order date
+    — the testdata has no receipt/commit dates, so lateness adapts to
+    ship-vs-order-date, same shape) where the order HAD other
+    suppliers (EXISTS -> LEFT SEMI on orderkey with a suppkey
+    inequality) but NO OTHER supplier was late (NOT EXISTS -> LEFT
+    ANTI against the late subset, same compound condition).  Both
+    self-joins key on l_orderkey — one shuffle key, no row inflation
+    (semi/anti preserve l1 multiplicity like the kit's count(*)).
+    Supplier + nation resolve as broadcast dims AFTER the heavy
+    self-joins cut the fact side to sole-late rows."""
+    o = _tpch(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = _tpch(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS"))
+        .alias("late"),
+    )
+    l1 = lo.filter(F.col("late"))
+    l2 = lo.select(F.col("l_orderkey").alias("ok2"),
+                   F.col("l_suppkey").alias("sk2"))
+    l3 = l1.select(F.col("l_orderkey").alias("ok3"),
+                   F.col("l_suppkey").alias("sk3"))
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2"))
+        & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    sole = cand.join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3"))
+        & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    n = _tpch(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7").select("n_nationkey")
+    s = (
+        _tpch(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 def q_tpch_nation_volume(spark, sf_dir):
     """TPC-H Q7-style bilateral shipping volume (the two-dimension-
     lookup + symmetric-pair shape): revenue NATION_1 ↔ NATION_2 per
@@ -4134,6 +4192,48 @@ def q_variance_ratio(spark, sf_dir):
     return variance_ratio(ev, q=4, bucket="1h")
 
 
+def q_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall (monitor.py:seasonal_mk): Hirsch-Slack
+    trend test over the hourly count signal with period=24 — only
+    same-phase pairs vote, so the daily cycle contributes S=0 and
+    day-over-day drift keeps full strength; exact-integer S and
+    per-season variance numerators, one /18 + sqrt, 9dp fence."""
+    from traval_spark.operators.monitor import seasonal_mk
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return seasonal_mk(ev, period=24, bucket="1h")
+
+
+def q_seasonal_sen(spark, sf_dir):
+    """Seasonal Sen slope (monitor.py:seasonal_sen): median of the
+    WITHIN-season pairwise slopes (period=24) — the Hirsch-Slack
+    estimator companion to seasonal_mk's verdict; exact-integer
+    slope ratios, DuckDB-median-identical middle averaging."""
+    from traval_spark.operators.monitor import seasonal_sen
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return seasonal_sen(ev, period=24, bucket="1h")
+
+
+def q_dsir_resample(spark, sf_dir):
+    """Gumbel top-k importance resample over the DSIR weights
+    (sampling.py:dsir_resample composing lm.py:dsir_weights): key =
+    logw + standard-Gumbel from the portable (id, seed) md5 uniform,
+    k=100 largest keys (key desc, id asc total order), all in log
+    space — no exp underflow however off-target a doc is."""
+    from traval_spark.operators.lm import dsir_weights
+    from traval_spark.operators.sampling import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                     buckets=1024)
+    return dsir_resample(w, k=100, seed=7)
+
+
 def q_pettitt_change(spark, sf_dir):
     """Pettitt single change-point per series (monitor.py:
     pettitt_change): U_t over every split of the hourly count signal
@@ -4403,6 +4503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_big_orders": q_tpch_big_orders,
         "tpch_disjunct_revenue": q_tpch_disjunct_revenue,
         "tpch_quiet_customers": q_tpch_quiet_customers,
+        "tpch_waiting_supplier": q_tpch_waiting_supplier,
         "tpch_nation_volume": q_tpch_nation_volume,
         "tpch_market_share": q_tpch_market_share,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -4497,6 +4598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_ratio": q_variance_ratio,
         "dsir_weights": q_dsir_weights,
         "pettitt_change": q_pettitt_change,
+        "dsir_resample": q_dsir_resample,
+        "seasonal_mk": q_seasonal_mk,
+        "seasonal_sen": q_seasonal_sen,
         "symbol_transitions": q_symbol_transitions,
         "symbol_entropy": q_symbol_entropy,
         "lead_lag": q_lead_lag,
@@ -6496,6 +6600,32 @@ def oracle_sql() -> dict[str, str]:
     # Q22: the above-average membership test clears the denominator
     # (cents * n > sum_cents on exact integers) so a float-avg last
     # ulp can never flip a customer in or out cross-engine
+    sql["tpch_waiting_supplier"] = """
+    with lo as (
+      select l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + interval 75 day AS late
+      from lineitem join orders on l_orderkey = o_orderkey
+      where o_orderstatus = 'F'),
+    sole as (
+      select l1.l_orderkey, l1.l_suppkey
+      from lo l1
+      where l1.late
+        and exists (select 1 from lo l2
+                    where l2.l_orderkey = l1.l_orderkey
+                      and l2.l_suppkey <> l1.l_suppkey)
+        and not exists (select 1 from lo l3
+                        where l3.l_orderkey = l1.l_orderkey
+                          and l3.l_suppkey <> l1.l_suppkey
+                          and l3.late))
+    select s_name, count(*) AS numwait
+    from sole
+    join supplier on l_suppkey = s_suppkey
+    join nation on s_nationkey = n_nationkey
+    where n_name = 'NATION_7'
+    group by s_name
+    order by numwait desc, s_name
+    limit 100
+    """
     sql["tpch_quiet_customers"] = """
     with t as (select cast(sum(cast(round(c_acctbal * 100) AS bigint))
                            AS hugeint) AS s,
@@ -8123,6 +8253,29 @@ def oracle_sql() -> dict[str, str]:
     select nb.g, nb.n_buckets, med.n_pairs, med.sen_slope
     from nb join med using (g)
     """
+    # Seasonal Sen: theil_sen restricted to same-phase pairs
+    sql["seasonal_sen"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, s.h % 24 AS m, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    slopes as (select a.g,
+                      cast(b.c - a.c AS double)
+                        / cast(b.h - a.h AS double) AS s
+               from sig a join sig b
+                 on a.g = b.g and a.m = b.m and b.h > a.h),
+    nb as (select g, count(*) AS n_buckets from sig group by g),
+    med as (select g, count(*) AS n_pairs, median(s) AS sen_slope
+            from slopes group by g)
+    select nb.g, nb.n_buckets, med.n_pairs, med.sen_slope
+    from nb join med using (g)
+    """
     # PMI: HUGEINT products mirror the engine's decimal(38,0) exactly;
     # one ln of the exact-integer ratio, identical doubles both sides
     sql["pmi_bigrams"] = """
@@ -8520,6 +8673,48 @@ def oracle_sql() -> dict[str, str]:
                     else 0.0 end, 9)
            end AS z
     from nb join s using (g) join tie using (g)
+    """
+    # Seasonal MK (Hirsch-Slack): same-phase pairs only, per-season
+    # exact variance numerators summed before ONE /18
+    sql["seasonal_mk"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, s.h % 24 AS m, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    s as (select a.g, cast(sum(sign(b.c - a.c)) AS bigint) AS s_stat
+          from sig a join sig b
+            on a.g = b.g and a.m = b.m and b.h > a.h
+          group by a.g),
+    per as (select g, m, sum(t) AS n_m,
+                   sum(t * (t - 1) * (2 * t + 5)) AS tt_m
+            from (select g, m, c, count(*) AS t
+                  from sig group by g, m, c)
+            group by g, m),
+    v as (select g,
+                 sum(n_m * (n_m - 1) * (2 * n_m + 5) - tt_m) AS var_num,
+                 cast(sum(n_m) AS bigint) AS n_buckets,
+                 cast(count(*) AS bigint) AS n_seasons
+          from per group by g),
+    fin as (select v.g, n_buckets, n_seasons, s_stat,
+                   var_num / 18.0 AS var_s,
+                   case when var_num > 0 then
+                     case when s_stat > 0
+                          then round((s_stat - 1) / sqrt(var_num / 18.0), 9)
+                          when s_stat < 0
+                          then round((s_stat + 1) / sqrt(var_num / 18.0), 9)
+                          else 0.0 end
+                   end AS z
+            from v join s on v.g = s.g)
+    select g, n_buckets, n_seasons, s_stat, var_s, z,
+           case when z is not null
+                then cast(abs(z) > 1.96 AS int) end AS significant
+    from fin
     """
     # ACF: cleared denominators — d_t = n*c_t - S exact hugeint, one
     # division per (g, lag)
@@ -9540,6 +9735,55 @@ def oracle_sql() -> dict[str, str]:
            case when z is not null
                 then cast(abs(z) <= 1.96 AS int) end AS random_ok
     from zz
+    """
+    # DSIR Gumbel top-k resample: the dsir_weights chain + the
+    # portable-uniform Gumbel key, (key desc, id) total order, k=100
+    sql["dsir_resample"] = """
+    with c as (select doc_id, regexp_split_to_array(text, '\\s+') AS t
+               from documents where text is not null),
+    cg as (select doc_id, unnest(t) AS g from c
+           union all
+           select doc_id, t[i] || ' ' || t[i + 1] AS g
+           from c, unnest(range(1, len(t))) AS r(i)
+           where len(t) >= 2),
+    cb as (select doc_id,
+                  cast(('0x' || substr(md5(g), 1, 8)) as bigint)
+                    % 1024 AS b
+           from cg),
+    db as (select doc_id, b, count(*) AS n_db from cb group by 1, 2),
+    raw as (select b, cast(sum(n_db) AS hugeint) AS r_b
+            from db group by b),
+    tg as (select regexp_split_to_array(text, '\\s+') AS t
+           from documents where text is not null and lang = 'en'),
+    tgg as (select unnest(t) AS g from tg
+            union all
+            select t[i] || ' ' || t[i + 1]
+            from tg, unnest(range(1, len(t))) AS r(i)
+            where len(t) >= 2),
+    tgt as (select cast(('0x' || substr(md5(g), 1, 8)) as bigint)
+                     % 1024 AS b,
+                   cast(count(*) AS hugeint) AS t_b
+            from tgg group by 1),
+    rt as (select sum(r_b) AS rtot from raw),
+    tt as (select cast(coalesce(sum(t_b), 0) AS hugeint) AS ttot
+           from tgt),
+    lr as (select raw.b,
+                  ln(cast((coalesce(t_b, 0) + 1) * (rtot + 1024)
+                          AS double)
+                     / cast((r_b + 1) * (ttot + 1024) AS double)) AS lr
+           from raw left join tgt on raw.b = tgt.b, rt, tt),
+    w as (select db.doc_id, cast(sum(n_db) AS bigint) AS n_grams,
+                 round(sum(n_db * lr), 6) AS logw
+          from db join lr on db.b = lr.b
+          group by db.doc_id)
+    select doc_id, n_grams, logw,
+           round(logw + (-ln(-ln(
+             cast(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) as bigint)
+             / 4294967296.0))), 9) AS gumbel_key
+    from w
+    order by gumbel_key desc, doc_id asc
+    limit 100
     """
     # Pettitt change point: exact midrank identity (2r integer),
     # one rank cumsum, argmax |U_t|, clamped 2exp(-6K^2/(n^3+n^2))

@@ -134,6 +134,7 @@ def main() -> None:
         "dominant_period", "stl_decompose", "stl_anomaly",
         "kruskal_drift", "runs_test", "lead_lag",
         "turning_points", "variance_ratio", "pettitt_change",
+        "seasonal_mk", "seasonal_sen",
         "symbol_transitions", "symbol_entropy", "symbol_mi",
         "swing_reconstruct",
         "acf_lags", "ljung_box",
@@ -181,6 +182,7 @@ def main() -> None:
         "tpch_cust_dist", "tpch_small_qty_revenue", "tpch_big_orders",
         "tpch_disjunct_revenue", "tpch_quiet_customers",
         "tpch_nation_volume", "tpch_market_share", "tpch_top_supplier",
+        "tpch_waiting_supplier", "dsir_resample",
         "tier_routed", "contract_check",
     ]
     for name in headline:

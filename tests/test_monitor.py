@@ -1569,3 +1569,90 @@ def test_pettitt_brute_force_replay_and_counts_parity(spark):
 
     r_tier = pettitt_change(counts=bucket_count_signal(evdf)).collect()[0]
     assert tuple(r) == tuple(r_tier)
+
+
+def test_seasonal_mk_cycle_blind_trend_sensitive(spark):
+    """A pure 12h cycle repeated 4 days: every same-phase pair ties,
+    S=0, Var=0 -> NULL z (plain mann_kendall on the same signal has a
+    huge |S| from cross-phase pairs — the conflation seasonal_mk
+    removes).  The same cycle PLUS +1/day drift: every same-phase
+    pair votes +1, S = n_seasons * C(4,2) = 24*6 = 144, no ties ->
+    Var = 24 * (4*3*13)/18 and z matches the closed form."""
+    import math
+    from traval_spark.operators.monitor import mann_kendall, seasonal_mk
+
+    def mk_rows(drift):
+        rows = []
+        for d in range(4):
+            for hh in range(24):
+                c = (5 if hh < 12 else 1) + drift * d
+                for j in range(c):
+                    rows.append(("x", pd.Timestamp("2024-01-01")
+                                 + pd.Timedelta(days=d, hours=hh,
+                                                minutes=j)))
+        return pd.DataFrame(rows, columns=["source", "ts"])
+
+    flat = seasonal_mk(spark.createDataFrame(mk_rows(0)),
+                       period=24).collect()[0]
+    assert flat["s_stat"] == 0 and flat["z"] is None
+    assert flat["significant"] is None
+    plain = mann_kendall(spark.createDataFrame(mk_rows(0))).collect()[0]
+    assert abs(plain["s_stat"]) > 100  # the cycle pollutes plain MK
+
+    drift = seasonal_mk(spark.createDataFrame(mk_rows(1)),
+                        period=24).collect()[0]
+    assert (drift["n_buckets"], drift["n_seasons"]) == (96, 24)
+    assert drift["s_stat"] == 144
+    var = 24 * (4 * 3 * 13) / 18.0
+    assert abs(drift["var_s"] - var) < 1e-12
+    assert abs(drift["z"] - round(143.0 / math.sqrt(var), 9)) < 1e-12
+    assert drift["significant"] == 1
+
+
+def test_seasonal_mk_counts_parity(spark):
+    """counts=-served seasonal MK equals raw-served bit-for-bit."""
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, seasonal_mk)
+
+    ev = [("x" if i % 3 else "y",
+           pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i, minutes=j))
+          for i in range(72) for j in range((i * 5) % 7)]
+    evdf = spark.createDataFrame(pd.DataFrame(ev,
+                                              columns=["source", "ts"]))
+    raw = seasonal_mk(evdf, period=24).collect()
+    tier = seasonal_mk(counts=bucket_count_signal(evdf),
+                       period=24).collect()
+    assert sorted(map(tuple, raw)) == sorted(map(tuple, tier))
+
+
+def test_seasonal_sen_drift_exact_and_cycle_zero(spark):
+    """12h cycle + 1/day drift: every within-season pair slope is
+    exactly 1/24 (counts rise 1 per 24 buckets), so sen_slope ==
+    1/24 EXACTLY; the driftless cycle gives sen_slope == 0.0; and
+    counts=-served equals raw-served."""
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, seasonal_sen)
+
+    def mk_rows(drift):
+        rows = []
+        for d in range(4):
+            for hh in range(24):
+                c = (5 if hh < 12 else 1) + drift * d
+                for j in range(c):
+                    rows.append(("x", pd.Timestamp("2024-01-01")
+                                 + pd.Timedelta(days=d, hours=hh,
+                                                minutes=j)))
+        return pd.DataFrame(rows, columns=["source", "ts"])
+
+    drift = seasonal_sen(spark.createDataFrame(mk_rows(1)),
+                         period=24).collect()[0]
+    assert (drift["n_buckets"], drift["n_pairs"]) == (96, 144)
+    assert drift["sen_slope"] == 1.0 / 24.0
+
+    flat_df = spark.createDataFrame(mk_rows(0))
+    flat = seasonal_sen(flat_df, period=24).collect()[0]
+    assert flat["sen_slope"] == 0.0
+
+    tier = seasonal_sen(counts=bucket_count_signal(flat_df),
+                        period=24).collect()[0]
+    assert tuple(flat) == tuple(tier)

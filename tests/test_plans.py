@@ -349,3 +349,50 @@ def test_kmv_tier_prunes_scan_and_partials(spark, seq_parquet):
     schema_line = next(ln for ln in plan.splitlines()
                        if ln.startswith("ReadSchema"))
     assert "tokens" not in schema_line and "doc_id" not in schema_line
+
+
+def test_tpch_q21_shape_and_dsir_resample_plans(spark):
+    """Q21-shape: the EXISTS and NOT-EXISTS self-joins must plan as a
+    real LeftSemi and LeftAnti (no duplicate-row inflation), both
+    keyed on l_orderkey, with supplier/nation as broadcast dims and
+    the top-100 as TakeOrderedAndProject; dsir_resample's global
+    top-k must also lower to TakeOrderedAndProject (per-partition
+    heaps, k-bounded driver merge, no global sort)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    plan21 = fmt_plan(em.queries()["tpch_waiting_supplier"](spark, sf))
+    assert "LeftSemi" in plan21, plan21
+    assert "LeftAnti" in plan21, plan21
+    assert "BroadcastHashJoin" in plan21, plan21
+    assert "TakeOrderedAndProject" in plan21, plan21
+
+    planr = fmt_plan(em.queries()["dsir_resample"](spark, sf))
+    assert "TakeOrderedAndProject" in planr, planr
+
+
+def test_dsir_resample_is_gumbel_topk_without_replacement(spark):
+    """The k largest (logw + Gumbel(id,seed)) keys: matches a pure-
+    Python replay on a hand frame (including the key values at the
+    9dp fence), returns min(k, n) distinct rows, and favors heavier
+    logw stochastically — a +inf-dominant weight is always selected."""
+    import hashlib
+    import math
+    from traval_spark.operators.sampling import dsir_resample
+
+    rows = [(i, float((i * 13) % 7) - 3.0) for i in range(50)]
+    rows[17] = (17, 80.0)  # dominant importance weight
+    w = spark.createDataFrame(rows, "doc_id bigint, logw double")
+    got = dsir_resample(w, k=10, seed=3).collect()
+    assert len(got) == 10
+    assert len({r["doc_id"] for r in got}) == 10
+
+    def key(did, lw):
+        u = int(hashlib.md5(f"3|{did}".encode()).hexdigest()[:8],
+                16) / 4294967296.0
+        return round(lw + (-math.log(-math.log(u))), 9)
+
+    exp = sorted(((key(d, lw), d) for d, lw in rows),
+                 key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r["gumbel_key"], r["doc_id"]) for r in got] == exp
+    assert any(r["doc_id"] == 17 for r in got)

@@ -3244,3 +3244,159 @@ def pettitt_change(
         F.when(p_out.isNotNull(),
                (p_out < 0.05).cast("int")).alias("significant"),
     )
+
+
+def seasonal_mk(
+    df: DataFrame | None = None,
+    period: int = 24,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per series (Hirsch & Slack
+    1984 — THE standard monotonic-trend test of the reference's own
+    domain, hydrology): plain :func:`mann_kendall` on a diurnal
+    signal conflates the daily cycle with trend (every morning-vs-
+    afternoon pair votes); the seasonal variant compares ONLY
+    like-with-like phases (season m = h mod ``period``), so a clean
+    24h cycle contributes S = 0 and a genuine day-over-day drift
+    still accumulates full strength.
+
+        S  = sum_m sum_{i<j in season m} sign(c_j - c_i)   (exact)
+        Var = sum_m [n_m(n_m-1)(2n_m+5) - sum_t t(t-1)(2t+5)] / 18
+        z  = (S -/+ 1) / sqrt(Var)      (continuity-corrected; 0 at S=0)
+
+    — the Hirsch-Slack statistic without the cross-season covariance
+    term (the usual field form; independence across seasons is the
+    documented assumption).  S is an integer sum of signs; each
+    season's variance NUMERATOR is an exact integer from n_m and the
+    per-season tie census, summed exactly BEFORE the single /18, so z
+    is doubles-of-exact-integers through one division and one sqrt,
+    ``ndigits``-fenced.  All-seasons-constant series (Var = 0) report
+    NULL z; ``significant`` is the alpha=0.05 two-sided |z| > 1.96.
+
+    Plan shape: mann_kendall's exactly — ONE raw-scale partial-
+    aggregatable groupBy to the signal (or none via ``counts=``); the
+    pair join keys on (g, season) so the quadratic shrinks period-fold
+    to O(m^2/period) rows, tie census and variance assembly on tiny
+    frames.  Output: ``g, n_buckets, n_seasons, s_stat, var_s, z,
+    significant``.
+
+    Reference: traval's docs recommend eyeballing multi-year
+    groundwater trends across seasonal cycles (plots.py); this is
+    that judgment as the field's calibrated test, fleet-wide.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts).withColumn(
+        "m", F.col("h") % period)
+    a = sig.select("g", "m", F.col("h").alias("hi"),
+                   F.col("c").alias("ci"))
+    b = sig.select("g", "m", F.col("h").alias("hj"),
+                   F.col("c").alias("cj"))
+    s = (
+        a.join(b, ["g", "m"])
+        .filter(F.col("hj") > F.col("hi"))
+        .groupBy("g")
+        .agg(F.sum(F.signum(F.col("cj") - F.col("ci")).cast("long"))
+             .alias("s_stat"))
+    )
+    per = (
+        sig.groupBy("g", "m", "c").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g", "m")
+        .agg(
+            F.sum("t").alias("n_m"),
+            F.sum(F.col("t") * (F.col("t") - 1)
+                  * (2 * F.col("t") + 5)).alias("tt_m"),
+        )
+    )
+    nm = F.col("n_m")
+    var_g = per.groupBy("g").agg(
+        F.sum(nm * (nm - 1) * (2 * nm + 5) - F.col("tt_m"))
+         .alias("var_num"),
+        F.sum("n_m").alias("n_buckets"),
+        F.count(F.lit(1)).alias("n_seasons"),
+    )
+    var_s = F.col("var_num").cast("double") / F.lit(18.0)
+    z_raw = F.when(
+        F.col("s_stat") > 0,
+        F.round((F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+                ndigits),
+    ).when(
+        F.col("s_stat") < 0,
+        F.round((F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+                ndigits),
+    ).otherwise(F.lit(0.0))
+    z = F.when(F.col("var_num") > 0, z_raw)
+    return var_g.join(s, "g").select(
+        "g",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_seasons").cast("long").alias("n_seasons"),
+        "s_stat",
+        var_s.alias("var_s"),
+        z.alias("z"),
+        F.when(z.isNotNull(),
+               (F.abs(z) > 1.96).cast("int")).alias("significant"),
+    )
+
+
+def seasonal_sen(
+    df: DataFrame | None = None,
+    period: int = 24,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Seasonal Sen slope per series (the Hirsch-Slack ESTIMATOR next
+    to :func:`seasonal_mk`'s verdict): the median of all WITHIN-season
+    pairwise slopes — :func:`theil_sen` with cross-phase pairs
+    removed, so a clean diurnal cycle (which feeds plain Theil-Sen a
+    symmetric cloud of huge +/- phase slopes and can destabilize the
+    median between them) contributes only zeros, and the reported
+    slope is the day-over-day drift in counts per bucket-step.
+
+    Same determinism argument as theil_sen: each slope is one
+    division of two exact integers (identical IEEE doubles both
+    engines), the even-count median averages the two middle DOUBLES
+    (DuckDB ``median()`` numeric semantics; middle values well-
+    defined under any tie order), pooled across seasons per the
+    standard seasonal-Kendall slope definition.
+
+    Plan shape: seasonal_mk's exactly — ONE raw-scale partial-
+    aggregatable groupBy (or none via ``counts=``); the pair join
+    keys on (g, season), shrinking the quadratic period-fold.
+    Output: ``g, n_buckets, n_pairs, sen_slope``.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts).withColumn(
+        "m", F.col("h") % period)
+    a = sig.select("g", "m", F.col("h").alias("hi"),
+                   F.col("c").alias("ci"))
+    b = sig.select("g", "m", F.col("h").alias("hj"),
+                   F.col("c").alias("cj"))
+    slopes = (
+        a.join(b, ["g", "m"])
+        .filter(F.col("hj") > F.col("hi"))
+        .select(
+            "g",
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("hj") - F.col("hi")).cast("double")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("s")
+    ranked = slopes.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    mid = ranked.filter(
+        (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+    )
+    nb = sig.groupBy("g").agg(F.count(F.lit(1)).alias("n_buckets"))
+    med = mid.groupBy("g").agg(
+        F.max("__n").alias("n_pairs"), F.avg("s").alias("sen_slope")
+    )
+    return nb.join(med, "g")

@@ -561,3 +561,55 @@ def mixture_concentration(
         ).alias("top_share"),
         F.col("__top")["g"].alias("top_g"),
     )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+    seed: int = 0,
+    ndigits: int = 9,
+) -> DataFrame:
+    """Gumbel top-k importance resampling — the SECOND half of the
+    DSIR recipe (lm.py:dsir_weights produces the log weights; this
+    draws the k-document sample with inclusion probability
+    proportional to the importance weight, WITHOUT replacement).
+
+    The Gumbel-max trick on log weights:  key_d = logw_d + g_d with
+    g_d = -ln(-ln(u_d))  a deterministic standard-Gumbel draw from
+    the portable (id, seed) md5 uniform (:func:`hash_uniform`) —
+    taking the k LARGEST keys is exactly the Efraimidis-Spirakis
+    exponential-key reservoir of :func:`weighted_sample_k`, but
+    STAYING IN LOG SPACE: w = exp(logw) for a strongly off-target
+    document underflows to 0.0 (and the E-S key then divides by it);
+    the Gumbel form never exponentiates, so a logw of -10^4 is as
+    well-behaved as 0.  u = 0 (one md5 value in 2^32) degenerates to
+    key = -inf: the row simply never wins, no NaN ever enters the
+    ordering.
+
+    Determinism: keys round to ``ndigits`` and the order is the total
+    (key desc, id asc) — exact ties at the cut (astronomically rare
+    but the fence makes them possible) resolve identically in any
+    engine.  Output: the input row plus ``gumbel_key``, exactly
+    min(k, |weights|) rows.
+
+    Plan shape for 100 TB: global top-k lowers to
+    TakeOrderedAndProject — per-partition k-heaps map-side, a
+    k-bounded merge at the driver; nothing shuffles.  That bounds
+    k to driver memory (fine for eval-set / probe sampling); for
+    corpus-scale selection (k in the millions) prefer the threshold
+    route instead: take the (1 - k/N) quantile of ``gumbel_key`` from
+    a DDSketch tier (hist.py) and keep rows above it — same
+    distribution, one scan, no driver k-merge.
+
+    Reference: Xie et al. 2023 resample with Gumbel noise over the
+    log ratios (public paper, public trick); traval has no analog.
+    """
+    u = hash_uniform(F.col(id_col), seed)
+    key = F.round(F.col(logw_col) + (-F.log(-F.log(u))), ndigits)
+    return (
+        weights.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
