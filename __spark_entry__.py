@@ -4248,6 +4248,20 @@ def q_pettitt_change(spark, sf_dir):
     return pettitt_change(ev, bucket="1h")
 
 
+def q_hurst_rs(spark, sf_dir):
+    """Hurst exponent via rescaled range (monitor.py:hurst_rs):
+    dyadic window sizes 8..n/4, per chunk ONE exact-integer ratio
+    pair (w*Z_t range over sqrt of the cleared variance numerator),
+    per-scale 6dp-fenced mean, zipf_fit-style closed-form OLS of
+    ln(R/S) on ln(w) — H>0.5 long-range persistence."""
+    from traval_spark.operators.monitor import hurst_rs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return hurst_rs(ev, min_w=8, bucket="1h")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (lm.py:dsir_weights): hashed
     unigram+bigram bag log-likelihood ratio of each document under
@@ -4601,6 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "seasonal_mk": q_seasonal_mk,
         "seasonal_sen": q_seasonal_sen,
+        "hurst_rs": q_hurst_rs,
         "symbol_transitions": q_symbol_transitions,
         "symbol_entropy": q_symbol_entropy,
         "lead_lag": q_lead_lag,
@@ -8673,6 +8688,79 @@ def oracle_sql() -> dict[str, str]:
                     else 0.0 end, 9)
            end AS z
     from nb join s using (g) join tie using (g)
+    """
+    # Hurst R/S: dyadic scales, exact-integer chunk ratios, OLS of
+    # ln(mean R/S) on ln(w)
+    sql["hurst_rs"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    pos as (select g, h, c,
+                   h - min(h) over (partition by g) AS pos,
+                   count(*) over (partition by g) AS n
+            from sig),
+    gn as (select g, max(n) AS n from pos group by g),
+    scales as (select g, 8 * (1::bigint << j.j) AS w
+               from gn, unnest(range(0, 41)) AS j(j)
+               where 4 * (8 * (1::bigint << j.j)) <= n),
+    ch as (select p.g, p.h, p.c, s.w,
+                  p.pos // s.w AS chunk,
+                  p.pos % s.w + 1 AS t
+           from pos p join scales s on p.g = s.g
+           where (p.pos // s.w + 1) * s.w <= p.n),
+    win as (select g, w, chunk, t,
+                   sum(c) over (partition by g, w, chunk order by h
+                       rows between unbounded preceding
+                                and current row) AS cum,
+                   sum(c) over (partition by g, w, chunk) AS s,
+                   sum(cast(c AS hugeint) * c)
+                     over (partition by g, w, chunk) AS q
+            from ch),
+    z as (select g, w, chunk, s, q,
+                 cast(w AS hugeint) * cum
+                   - cast(t AS hugeint) * s AS zint
+          from win),
+    pc as (select g, w, chunk,
+                  max(zint) - min(zint) AS rng,
+                  cast(w AS hugeint) * max(q)
+                    - cast(max(s) AS hugeint) * max(s) AS den2
+           from z group by g, w, chunk),
+    rs as (select g, w,
+                  round(cast(rng AS double)
+                        / sqrt(cast(den2 AS double)), 9) AS rs
+           from pc where den2 > 0),
+    ps as (select g, w, round(avg(rs), 6) AS mrs
+           from rs group by g, w),
+    pts as (select g, ln(cast(w AS double)) AS x, ln(mrs) AS y
+            from ps where mrs > 0),
+    nb as (select g, count(*) AS n_buckets from sig group by g),
+    ols as (select g, cast(count(*) AS bigint) AS n_scales,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            from pts group by g)
+    select nb.g, cast(nb.n_buckets AS bigint) AS n_buckets,
+           ols.n_scales,
+           case when cast(n_scales AS double) * sxx - sx * sx > 0
+                then round((cast(n_scales AS double) * sxy - sx * sy)
+                           / (cast(n_scales AS double) * sxx - sx * sx),
+                           6)
+           end AS hurst,
+           case when cast(n_scales AS double) * sxx - sx * sx > 0
+                 and cast(n_scales AS double) * syy - sy * sy > 0
+                then round((cast(n_scales AS double) * sxy - sx * sy)
+                           * (cast(n_scales AS double) * sxy - sx * sy)
+                           / ((cast(n_scales AS double) * sxx - sx * sx)
+                              * (cast(n_scales AS double) * syy
+                                 - sy * sy)), 6)
+           end AS r2
+    from nb join ols using (g)
     """
     # Seasonal MK (Hirsch-Slack): same-phase pairs only, per-season
     # exact variance numerators summed before ONE /18

@@ -134,7 +134,7 @@ def main() -> None:
         "dominant_period", "stl_decompose", "stl_anomaly",
         "kruskal_drift", "runs_test", "lead_lag",
         "turning_points", "variance_ratio", "pettitt_change",
-        "seasonal_mk", "seasonal_sen",
+        "seasonal_mk", "seasonal_sen", "hurst_rs",
         "symbol_transitions", "symbol_entropy", "symbol_mi",
         "swing_reconstruct",
         "acf_lags", "ljung_box",

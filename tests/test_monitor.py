@@ -1656,3 +1656,67 @@ def test_seasonal_sen_drift_exact_and_cycle_zero(spark):
     tier = seasonal_sen(counts=bucket_count_signal(flat_df),
                         period=24).collect()[0]
     assert tuple(flat) == tuple(tier)
+
+
+def test_hurst_rs_python_replay_ramp_and_constant(spark):
+    """Full pure-Python replay of the R/S construction on a
+    deterministic pseudo-random signal matches hurst/r2 at the 6dp
+    fence; a strict ramp (maximal persistence) lands H near 1; a
+    constant signal has zero-variance chunks everywhere and emits
+    nothing; counts=-served equals raw-served."""
+    import math
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, hurst_rs)
+
+    c = [(i * 13) % 7 + (i * 5) % 11 for i in range(128)]
+
+    def build(vals):
+        rows = [("x", pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(hours=i, minutes=j))
+                for i, k in enumerate(vals) for j in range(k + 1)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "ts"]))
+
+    df = build(c)
+    r = hurst_rs(df, min_w=8).collect()[0]
+
+    cc = [k + 1 for k in c]
+    n = len(cc)
+    pts = []
+    w = 8
+    while 4 * w <= n:
+        rss = []
+        for ch in range(n // w):
+            seg = cc[ch * w:(ch + 1) * w]
+            s, q = sum(seg), sum(v * v for v in seg)
+            den2 = w * q - s * s
+            if den2 > 0:
+                cum, zs = 0, []
+                for t, v in enumerate(seg, 1):
+                    cum += v
+                    zs.append(w * cum - t * s)
+                rss.append(round((max(zs) - min(zs))
+                                 / math.sqrt(den2), 9))
+        if rss:
+            mrs = round(sum(rss) / len(rss), 6)
+            if mrs > 0:
+                pts.append((math.log(w), math.log(mrs)))
+        w *= 2
+    k = float(len(pts))
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num, den = k * sxy - sx * sy, k * sxx - sx * sx
+    assert (r["n_buckets"], r["n_scales"]) == (128, len(pts))
+    assert abs(r["hurst"] - round(num / den, 6)) < 1e-9
+    assert abs(r["r2"] - round(num * num
+                               / (den * (k * syy - sy * sy)), 6)) < 1e-9
+
+    ramp = hurst_rs(build(list(range(128))), min_w=8).collect()[0]
+    assert ramp["hurst"] > 0.9
+
+    const = hurst_rs(build([3] * 64), min_w=8)
+    assert const.count() == 0
+
+    tier = hurst_rs(counts=bucket_count_signal(df), min_w=8).collect()[0]
+    assert tuple(r) == tuple(tier)

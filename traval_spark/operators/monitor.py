@@ -3400,3 +3400,129 @@ def seasonal_sen(
         F.max("__n").alias("n_pairs"), F.avg("s").alias("sen_slope")
     )
     return nb.join(med, "g")
+
+
+def hurst_rs(
+    df: DataFrame | None = None,
+    min_w: int = 8,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 6,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Hurst exponent per series via classical rescaled-range (R/S)
+    analysis — the LONG-MEMORY read next to :func:`variance_ratio`
+    (VR aggregates short-lag autocorrelation at ONE scale q; the
+    Hurst slope says how dependence persists ACROSS scales): H ~ 0.5
+    is a memoryless signal, H > 0.5 long-range persistence (load
+    that trends for hours trends for days — capacity planning reads
+    this number), H < 0.5 anti-persistent switching.
+
+    Construction over the zero-filled signal: for each dyadic window
+    size w (min_w, 2*min_w, ... while 4*w <= n — exact integer
+    doubling, no float log2 edge), the signal splits into floor(n/w)
+    full chunks (tail dropped, the classical convention); each chunk
+    reduces to ONE exact-integer ratio pair:
+
+        w*Z_t = w*cum_t - t*s           (exact decimal integers)
+        R/S   = (max_t wZ_t - min_t wZ_t) / sqrt(w*q - s^2)
+
+    — the w and 1/w factors of the textbook R = max(Z)-min(Z),
+    S = sqrt(q/w - (s/w)^2) cancel, so the numerator is an exact
+    integer range and the denominator ONE sqrt of the exact variance
+    numerator (the chi2/kruskal cleared-denominator rule).  Chunks
+    with zero variance drop (R/S undefined).  Per scale, R/S averages
+    over chunks (9dp-fenced terms, 6dp-fenced mean — the one
+    order-dependent reduction); H is the :func:`zipf_fit` closed-form
+    OLS slope of ln(mean R/S) on ln(w), ``ndigits``-fenced, with r2
+    riding along; series with fewer than 2 surviving scales report
+    NULL.
+
+    Plan shape: monitor-family economics — ONE raw-scale partial-
+    aggregatable groupBy (or none via ``counts=``); the scale join
+    replicates the tiny signal frame ~log2(n/4/min_w) times, chunk
+    stats are two windows + one agg on that frame, the OLS runs on
+    |series| x |scales| rows.  Output: ``g, n_buckets, n_scales,
+    hurst, r2``.
+
+    Reference: Hurst 1951 (Nile reservoir design — hydrology again);
+    traval eyeballs persistence from multi-year plots, this is the
+    calibrated exponent as a fleet query.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    wg = Window.partitionBy("g")
+    sig = sig.withColumn("pos", F.col("h") - F.min("h").over(wg)) \
+             .withColumn("n", F.count(F.lit(1)).over(wg))
+    scales = (
+        sig.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(40))).alias("j"),
+            "n",
+        )
+        .withColumn("w", F.lit(min_w)
+                    * F.expr("shiftleft(1L, cast(j as int))"))
+        .filter(4 * F.col("w") <= F.col("n"))
+        .select("g", "w")
+    )
+    ch = (
+        sig.join(F.broadcast(scales), "g")
+        .withColumn("chunk", F.floor(F.col("pos") / F.col("w")))
+        .filter((F.col("chunk") + 1) * F.col("w") <= F.col("n"))
+    )
+    wc = Window.partitionBy("g", "w", "chunk")
+    wrun = wc.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    ch = (
+        ch.withColumn("t", F.col("pos") % F.col("w") + 1)
+        .withColumn("cum", F.sum("c").over(wrun))
+        .withColumn("s", F.sum("c").over(wc))
+        .withColumn("q", F.sum(F.col("c").cast(dec) * F.col("c")).over(wc))
+        .withColumn(
+            "zint",
+            F.col("w").cast(dec) * F.col("cum")
+            - F.col("t").cast(dec) * F.col("s"),
+        )
+    )
+    per_chunk = ch.groupBy("g", "w", "chunk").agg(
+        (F.max("zint") - F.min("zint")).alias("rng"),
+        (F.max("w").cast(dec) * F.max("q")
+         - F.max("s").cast(dec) * F.max("s")).alias("den2"),
+    )
+    rs = per_chunk.filter(F.col("den2") > 0).select(
+        "g", "w",
+        F.round(
+            F.col("rng").cast("double")
+            / F.sqrt(F.col("den2").cast("double")),
+            9,
+        ).alias("rs"),
+    )
+    per_scale = rs.groupBy("g", "w").agg(
+        F.round(F.avg("rs"), 6).alias("mrs"))
+    pts = per_scale.filter(F.col("mrs") > 0).select(
+        "g",
+        F.log(F.col("w").cast("double")).alias("x"),
+        F.log("mrs").alias("y"),
+    )
+    nb = sig.groupBy("g").agg(F.count(F.lit(1)).alias("n_buckets"))
+    ols = pts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_scales"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("n_scales").cast("double")
+    den = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    deny = k * F.col("syy") - F.col("sy") * F.col("sy")
+    return nb.join(ols, "g").select(
+        "g",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_scales").cast("long").alias("n_scales"),
+        F.when(den > 0, F.round(num / den, ndigits)).alias("hurst"),
+        F.when((den > 0) & (deny > 0),
+               F.round(num * num / (den * deny), ndigits)).alias("r2"),
+    )
