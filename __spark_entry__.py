@@ -4248,6 +4248,34 @@ def q_pettitt_change(spark, sf_dir):
     return pettitt_change(ev, bucket="1h")
 
 
+def q_fleet_report(spark, sf_dir):
+    """The fleet health panel (monitor.py:fleet_report): ten
+    counts=-family monitors off ONE persisted signal frame —
+    dispersion, robust trend, seasonality, randomness, persistence,
+    stationarity, change detection — left-joined on g from the
+    always-total fano base (degenerate-series monitors contribute
+    NULLs, absence reported not dropped)."""
+    from traval_spark.operators.monitor import fleet_report
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return fleet_report(ev, bucket="1h")
+
+
+def q_kpss_level(spark, sf_dir):
+    """KPSS level-stationarity test (monitor.py:kpss_level): the
+    inverted null — H0 IS stationarity; one exact-integer ratio
+    sum(n*S_t)^2 / (n^2*(n*q - s^2)) via the cleared-denominator
+    cumsum identity, 0.463 asymptotic gate, l=0 variant."""
+    from traval_spark.operators.monitor import kpss_level
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return kpss_level(ev, bucket="1h")
+
+
 def q_hurst_rs(spark, sf_dir):
     """Hurst exponent via rescaled range (monitor.py:hurst_rs):
     dyadic window sizes 8..n/4, per chunk ONE exact-integer ratio
@@ -4616,6 +4644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mk": q_seasonal_mk,
         "seasonal_sen": q_seasonal_sen,
         "hurst_rs": q_hurst_rs,
+        "kpss_level": q_kpss_level,
+        "fleet_report": q_fleet_report,
         "symbol_transitions": q_symbol_transitions,
         "symbol_entropy": q_symbol_entropy,
         "lead_lag": q_lead_lag,
@@ -8689,6 +8719,49 @@ def oracle_sql() -> dict[str, str]:
            end AS z
     from nb join s using (g) join tie using (g)
     """
+    # KPSS level test: ONE exact-integer ratio via n*S_t = n*cum - t*s
+    sql["kpss_level"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    rows_ as (select g, h, c,
+                     sum(c) over (partition by g order by h
+                         rows between unbounded preceding
+                                  and current row) AS cum,
+                     sum(c) over (partition by g) AS s,
+                     count(*) over (partition by g) AS n,
+                     row_number() over (partition by g
+                                        order by h) AS t
+              from sig),
+    ns as (select g, n, s, c,
+                  cast(n AS hugeint) * cum
+                    - cast(t AS hugeint) * s AS nst
+           from rows_),
+    agg as (select g, cast(max(n) AS hugeint) AS n,
+                   cast(max(s) AS hugeint) AS s,
+                   sum(cast(c AS hugeint) * c) AS q,
+                   sum(nst * nst) AS ss2
+            from ns group by g),
+    fin as (select g, n, ss2,
+                   n * n * (n * q - s * s) AS den
+            from agg)
+    select g, cast(n AS bigint) AS n,
+           case when den > 0 then
+             round(cast(ss2 AS double) / cast(den AS double), 9)
+           end AS kpss,
+           case when den > 0 then
+             cast(round(cast(ss2 AS double) / cast(den AS double), 9)
+                  <= 0.463 AS int)
+           end AS stationary
+    from fin
+    """
     # Hurst R/S: dyadic scales, exact-integer chunk ratios, OLS of
     # ln(mean R/S) on ln(w)
     sql["hurst_rs"] = """
@@ -10266,5 +10339,29 @@ def oracle_sql() -> dict[str, str]:
           from sc)
     select source, tok, cnt, n_src, round(score, 6) AS tfidf
     from r where rn <= 5
+    """
+    # fleet_report: the ten-monitor panel assembled from the
+    # already-verified component oracles as subqueries, left-joined
+    # from the always-total fano base — column-for-column the Spark
+    # fleet_report join
+    sql["fleet_report"] = f"""
+    select f.g, f.n_buckets, f.mean_c, f.fano,
+           t.sen_slope, m.z AS mk_z, s.strength,
+           d.period, d.significant AS period_sig,
+           r.z AS runs_z, r.random_ok,
+           v.vr, v.z AS vr_z,
+           k.kpss, k.stationary,
+           p.p AS pettitt_p, p.significant AS change_sig,
+           hh.hurst
+    from ({sql["fano_dispersion"]}) f
+    left join ({sql["theil_sen"]}) t on f.g = t.g
+    left join ({sql["mann_kendall"]}) m on f.g = m.g
+    left join ({sql["seasonal_strength"]}) s on f.g = s.g
+    left join ({sql["dominant_period"]}) d on f.g = d.g
+    left join ({sql["runs_test"]}) r on f.g = r.g
+    left join ({sql["variance_ratio"]}) v on f.g = v.g
+    left join ({sql["kpss_level"]}) k on f.g = k.g
+    left join ({sql["pettitt_change"]}) p on f.g = p.g
+    left join ({sql["hurst_rs"]}) hh on f.g = hh.g
     """
     return sql

@@ -134,7 +134,8 @@ def main() -> None:
         "dominant_period", "stl_decompose", "stl_anomaly",
         "kruskal_drift", "runs_test", "lead_lag",
         "turning_points", "variance_ratio", "pettitt_change",
-        "seasonal_mk", "seasonal_sen", "hurst_rs",
+        "seasonal_mk", "seasonal_sen", "hurst_rs", "kpss_level",
+        "fleet_report",
         "symbol_transitions", "symbol_entropy", "symbol_mi",
         "swing_reconstruct",
         "acf_lags", "ljung_box",

@@ -1720,3 +1720,71 @@ def test_hurst_rs_python_replay_ramp_and_constant(spark):
 
     tier = hurst_rs(counts=bucket_count_signal(df), min_w=8).collect()[0]
     assert tuple(r) == tuple(tier)
+
+
+def test_kpss_level_replay_ramp_and_constant(spark):
+    """Pure-Python replay of the exact-integer ratio matches at the
+    9dp fence on a noisy-stationary signal (stationary verdict 1); a
+    strict ramp rejects (kpss >> 0.463); a constant signal NULLs;
+    counts=-served equals raw-served."""
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, kpss_level)
+
+    def build(vals):
+        rows = [("x", pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(hours=i, minutes=j))
+                for i, k in enumerate(vals) for j in range(k + 1)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "ts"]))
+
+    c = [(i * 13) % 7 + (i * 5) % 11 for i in range(100)]
+    cc = [k + 1 for k in c]
+    df = build(c)
+    r = kpss_level(df).collect()[0]
+    n, s = len(cc), sum(cc)
+    q = sum(v * v for v in cc)
+    cum, ss2 = 0, 0
+    for t, v in enumerate(cc, 1):
+        cum += v
+        ss2 += (n * cum - t * s) ** 2
+    exp = round(ss2 / float(n * n * (n * q - s * s)), 9)
+    assert abs(r["kpss"] - exp) < 1e-12
+    assert r["stationary"] == 1
+
+    ramp = kpss_level(build(list(range(100)))).collect()[0]
+    assert ramp["kpss"] > 0.463 and ramp["stationary"] == 0
+
+    const = kpss_level(build([4] * 50)).collect()[0]
+    assert const["kpss"] is None and const["stationary"] is None
+
+    tier = kpss_level(counts=bucket_count_signal(df)).collect()[0]
+    assert tuple(r) == tuple(tier)
+
+
+def test_fleet_report_wide_panel_and_null_absence(spark):
+    """One varied series fills every panel column; a constant series
+    keeps its row (fano base is total) with NULLs where the
+    degenerate monitors emit nothing (runs all-tied, hurst
+    zero-variance) — absence reported, not dropped."""
+    from traval_spark.operators.monitor import fleet_report
+
+    rows = []
+    for i in range(128):
+        for j in range(((i * 13) % 7 + (i * 5) % 11) + 1):
+            rows.append(("varied", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=i, minutes=j)))
+        for j in range(3):
+            rows.append(("flat", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=i, minutes=30 + j)))
+    rep = {r["g"]: r for r in fleet_report(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts"]))).collect()}
+    assert set(rep) == {"varied", "flat"}
+    v = rep["varied"]
+    for col in ("fano", "sen_slope", "mk_z", "strength", "runs_z",
+                "vr", "kpss", "pettitt_p", "hurst"):
+        assert v[col] is not None, col
+    f = rep["flat"]
+    assert f["n_buckets"] == 128 and f["fano"] is not None
+    assert f["runs_z"] is None      # all-tied: runs_test emits nothing
+    assert f["hurst"] is None       # zero-variance chunks everywhere
+    assert f["kpss"] is None        # zero residual variance

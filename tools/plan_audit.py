@@ -49,7 +49,8 @@ BROADCAST_CROSS_ALLOWED = {
     "acf_lags", "acf_tiered", "ljung_box", "dominant_period",
     "stl_decompose", "stl_anomaly", "runs_test",
     "turning_points", "variance_ratio", "pettitt_change",
-    "seasonal_mk", "seasonal_sen", "hurst_rs",
+    "seasonal_mk", "seasonal_sen", "hurst_rs", "kpss_level",
+    "fleet_report",
     "symbol_transitions", "symbol_entropy", "symbol_mi",
     "lead_lag",
     "xcorr_lags", "lttb_6h", "lttb_from_m4",

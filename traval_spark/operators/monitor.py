@@ -3526,3 +3526,157 @@ def hurst_rs(
         F.when((den > 0) & (deny > 0),
                F.round(num * num / (den * deny), ndigits)).alias("r2"),
     )
+
+
+def kpss_level(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    ndigits: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """KPSS level-stationarity test per series (Kwiatkowski-Phillips-
+    Schmidt-Shin 1992, the l=0 short-run variant) — the INVERTED null
+    next to every other monitor here: Ljung-Box / runs / Pettitt all
+    assume stability and hunt for structure; KPSS's NULL HYPOTHESIS
+    is "this series is level-stationary" and a LARGE statistic
+    rejects it — the gate a forecasting stage (ewma/holt/backtest)
+    should check before trusting mean-reverting models, and the
+    standard pre-test before differencing.
+
+        e_t = c_t - mean,   S_t = sum_{i<=t} e_i
+        KPSS = (1/n^2) * sum S_t^2 / (sum e_t^2 / n)
+
+    With the cleared-denominator trick (hurst_rs' chunk identity at
+    full span):  n*S_t = n*cum_t - t*s  is an exact decimal integer,
+    and every n^k cancels into ONE exact-integer ratio:
+
+        KPSS = sum_t (n*S_t)^2 / (n^2 * (n*q - s^2))
+
+    — a single division of exact decimals, ``ndigits``-fenced, so
+    the statistic is engine-identical without any float-sum fence.
+    ``stationary`` gates against the 0.463 alpha=0.05 critical value
+    (the published level-case asymptotic table).  The l=0 bandwidth
+    means NO Newey-West autocorrelation correction: exact under
+    iid-ish errors, over-rejecting for strongly autocorrelated
+    residuals (documented — pair with :func:`ljung_box` to know which
+    regime you are in).  Constant series (zero residual variance)
+    report NULL; note S_n = 0 identically (the last term drops out
+    of nothing — it is simply zero).
+
+    Magnitude budget: |n*S_t| <= n^2 * c_max (~1e13 at n=1e4,
+    c_max=1e5), squared ~1e26, summed over n ~1e30 — inside
+    decimal(38,0); the denominator ~1e19.
+
+    Plan shape: monitor-family economics — ONE raw-scale partial-
+    aggregatable groupBy (or none via ``counts=``), one running-sum
+    window, one final agg on the tiny signal frame.  Output: ``g, n,
+    kpss, stationary``.
+
+    Reference: traval models assume stationary residuals around the
+    pastas prediction interval (rulelib.py rule_pastas_outside_pi);
+    this is the test of that assumption as a fleet query.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    wg = Window.partitionBy("g")
+    wrun = wg.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    rows = (
+        sig.withColumn("cum", F.sum("c").over(wrun))
+        .withColumn("s", F.sum("c").over(wg))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "t",
+            F.row_number().over(wg.orderBy("h")),
+        )
+        .withColumn(
+            "ns",
+            F.col("n").cast(dec) * F.col("cum")
+            - F.col("t").cast(dec) * F.col("s"),
+        )
+    )
+    agg = rows.groupBy("g").agg(
+        F.max("n").cast(dec).alias("n"),
+        F.max("s").cast(dec).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("q"),
+        F.sum(F.col("ns") * F.col("ns")).alias("ss2"),
+    )
+    den = F.col("n") * F.col("n") * (F.col("n") * F.col("q")
+                                     - F.col("s") * F.col("s"))
+    kpss = F.when(
+        den > 0,
+        F.round(F.col("ss2").cast("double") / den.cast("double"),
+                ndigits),
+    )
+    return agg.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        kpss.alias("kpss"),
+        F.when(kpss.isNotNull(),
+               (kpss <= 0.463).cast("int")).alias("stationary"),
+    )
+
+
+def fleet_report(
+    df: DataFrame | None = None,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    period: int = 24,
+    period_max_lag: int = 30,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """The fleet owner's one-page health report: every single-row-
+    per-series monitor of the counts= family joined into ONE wide
+    frame — dispersion (:func:`fano_dispersion`), robust trend
+    (:func:`theil_sen` + :func:`mann_kendall`), seasonality
+    (:func:`seasonal_strength`, :func:`dominant_period`), randomness
+    (:func:`runs_test`), persistence (:func:`variance_ratio`,
+    :func:`hurst_rs`), stationarity (:func:`kpss_level`) and change
+    detection (:func:`pettitt_change`).  This is the payoff of the
+    shared ``counts=`` contract: the zero-filled signal is built ONCE
+    (one raw-scale partial-aggregatable groupBy — or ZERO raw work
+    when served off a stored rollup tier) and persisted; all ten
+    monitors then run on the cached (|series| x span) frame and join
+    back on ``g`` — at 100 TB this whole report costs one scan of the
+    tier, never ten scans of raw.
+
+    Monitors that emit nothing for degenerate series (hurst on
+    all-constant, runs on all-tied) contribute NULL columns via left
+    joins from the always-total fano base — absence is reported, not
+    dropped.  Column names are prefixed where ambiguous (``mk_z``,
+    ``runs_z``, ``vr_z``, ``pettitt_p``, ``change_sig``,
+    ``period_sig``).
+
+    Reference: traval's Detector prints per-series rule summaries one
+    series at a time (plots.py overviews); this is the fleet-wide
+    statistical panel a 100k-series deployment actually reads.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts).persist()
+    base = fano_dispersion(counts=sig).select(
+        "g", "n_buckets", "mean_c", "fano")
+    parts = [
+        theil_sen(counts=sig).select("g", "sen_slope"),
+        mann_kendall(counts=sig).select(
+            "g", F.col("z").alias("mk_z")),
+        seasonal_strength(counts=sig, period=period).select(
+            "g", "strength"),
+        dominant_period(counts=sig, max_lag=period_max_lag).select(
+            "g", "period", F.col("significant").alias("period_sig")),
+        runs_test(counts=sig).select(
+            "g", F.col("z").alias("runs_z"), "random_ok"),
+        variance_ratio(counts=sig).select(
+            "g", "vr", F.col("z").alias("vr_z")),
+        kpss_level(counts=sig).select("g", "kpss", "stationary"),
+        pettitt_change(counts=sig).select(
+            "g", F.col("p").alias("pettitt_p"),
+            F.col("significant").alias("change_sig")),
+        hurst_rs(counts=sig).select("g", "hurst"),
+    ]
+    out = base
+    for p in parts:
+        out = out.join(p, "g", "left")
+    return out
