@@ -2896,6 +2896,60 @@ def q_dup_clusters(spark, sf_dir):
     return dup_clusters(d, pairs)
 
 
+def q_unimax_budget(spark, sf_dir):
+    """UniMax waterfilling allocation (sampling.py:unimax_budget):
+    spread a 200k-char budget as uniformly as possible across
+    sources with a 3-epoch repeat cap — capped prefix by the exact
+    integer crossover test, water level ONE exact-integer division,
+    shortfall disclosed when capacity can't fill the budget."""
+    from traval_spark.operators.sampling import unimax_budget
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.col("n_chars").alias("n_tok"))
+    return unimax_budget(d, budget=200_000, max_epochs=3)
+
+
+def q_cluster_cohesion(spark, sf_dir):
+    """Near-dup cluster QA (dedup.py:cluster_cohesion): every
+    non-root member's exact SimHash64 Hamming distance to its
+    cluster root (member-vs-root, linear — never within-cluster
+    all-pairs), per-cluster mean/max, loose flag where transitive
+    chaining pushed a member beyond the pair radius."""
+    from traval_spark.operators.dedup import (
+        cluster_cohesion, dup_clusters, simhash64_dup_pairs)
+
+    d = _docs_with_near_dups(spark, sf_dir)
+    pairs = simhash64_dup_pairs(d, max_hamming=3)
+    clusters = dup_clusters(d, pairs)
+    return cluster_cohesion(d, clusters, max_hamming=3)
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """CCNet-style line-level boilerplate dedup (dedup.py:
+    strip_boilerplate_lines): a synthetic footer on every 3rd doc and
+    header on every 5th cross the min_df=5 census and are stripped
+    from every document; unique body lines survive; reassembly by
+    original position."""
+    from traval_spark.operators.dedup import strip_boilerplate_lines
+
+    d = _docs(spark, sf_dir)
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"),
+                     F.lit("\nsubscribe to our newsletter")),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("breaking news update\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return strip_boilerplate_lines(d, min_df=5)
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition filters: per-row word stats +
     the aggregation-shaped top-bigram character fraction (operators/
@@ -4646,6 +4700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_rs": q_hurst_rs,
         "kpss_level": q_kpss_level,
         "fleet_report": q_fleet_report,
+        "cluster_cohesion": q_cluster_cohesion,
+        "unimax_budget": q_unimax_budget,
+        "strip_boilerplate": q_strip_boilerplate,
         "symbol_transitions": q_symbol_transitions,
         "symbol_entropy": q_symbol_entropy,
         "lead_lag": q_lead_lag,
@@ -6770,6 +6827,119 @@ def oracle_sql() -> dict[str, str]:
            least(nd.doc_id, coalesce(min(r.dst), nd.doc_id)) AS cluster
     from nd left join r on nd.doc_id = r.src
     group by nd.doc_id
+    """
+    # UniMax waterfilling: exact-integer crossover test, one division
+    sql["unimax_budget"] = """
+    with sz as (select source,
+                       cast(sum(n_chars) AS hugeint) AS n_tok
+                from documents group by source),
+    rk as (select source, n_tok, 3 * n_tok AS cap,
+                  row_number() over (order by 3 * n_tok asc,
+                                     source asc) AS i,
+                  count(*) over () AS k,
+                  coalesce(sum(3 * n_tok) over (
+                      order by 3 * n_tok asc, source asc
+                      rows between unbounded preceding
+                               and 1 preceding), 0) AS cum_before
+           from sz),
+    cp as (select *,
+                  cast(cap * (k - i + 1) + cum_before <= 200000
+                       AS int) AS capped
+           from rk),
+    lvl as (select sum(capped) AS m, max(k) AS k,
+                   coalesce(sum(case when capped = 1 then cap end),
+                            0) AS cum_m
+            from cp),
+    lv2 as (select m, k, cum_m,
+                   case when k > m then
+                     cast(200000 - cum_m AS double)
+                     / cast(k - m AS double)
+                   end AS t
+            from lvl),
+    fin as (select c.source, c.n_tok, c.cap, c.capped,
+                   case when c.capped = 1
+                        then cast(c.cap AS double)
+                        else round(l.t, 6) end AS alloc,
+                   l.m, l.k, l.cum_m
+            from cp c, lv2 l)
+    select source, cast(n_tok AS bigint) AS n_tok,
+           cast(cap AS bigint) AS cap, capped, alloc,
+           round(alloc / cast(n_tok AS double), 6) AS epochs,
+           case when m = k
+                then cast(200000 - cum_m AS bigint)
+                else 0 end AS shortfall
+    from fin
+    """
+    # cluster cohesion: the dup_clusters recursive closure + exact
+    # member-vs-root Hamming off the same fp CTE
+    sql["cluster_cohesion"] = f"""
+    with recursive {_ND_DOCS},
+    {_SH64_FP.format(src="nd")},
+    p as (select a.doc_id AS a, b.doc_id AS b
+          from fp a, fp b
+          where a.doc_id < b.doc_id
+            and bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3),
+    e as (select a AS u, b AS v from p union select b, a from p),
+    r(src, dst) as (
+      select u, v from e
+      union
+      select r.src, e.v from r join e on r.dst = e.u
+    ),
+    cl as (select nd.doc_id,
+                  least(nd.doc_id, coalesce(min(r.dst), nd.doc_id))
+                    AS cluster
+           from nd left join r on nd.doc_id = r.src
+           group by nd.doc_id),
+    m as (select c.cluster,
+                 bit_count(xor(mf.fp_lo, rf.fp_lo))
+                   + bit_count(xor(mf.fp_hi, rf.fp_hi)) AS ham
+          from cl c
+          join fp mf on c.doc_id = mf.doc_id
+          join fp rf on c.cluster = rf.doc_id
+          where c.doc_id <> c.cluster)
+    select cluster, cast(count(*) + 1 AS bigint) AS n_members,
+           round(cast(sum(ham) AS double)
+                 / cast(count(*) AS double), 9) AS mean_ham,
+           cast(max(ham) AS int) AS max_ham,
+           cast(max(ham) > 3 AS int) AS loose
+    from m group by cluster
+    """
+    # line-level boilerplate dedup: df census over newline lines,
+    # anti join, positional string_agg reassembly
+    sql["strip_boilerplate"] = """
+    with d0 as (select doc_id,
+                       case when doc_id % 3 = 0
+                            then text || chr(10)
+                                 || 'subscribe to our newsletter'
+                            else text end AS t0
+                from documents),
+    base as (select doc_id,
+                    case when doc_id % 5 = 0
+                         then 'breaking news update' || chr(10) || t0
+                         else t0 end AS text
+             from d0),
+    lines as (select doc_id, r.i AS pos, sp[r.i] AS line
+              from (select doc_id, string_split(text, chr(10)) AS sp
+                    from base where text is not null) s,
+                   unnest(range(1, len(sp) + 1)) AS r(i)),
+    hot as (select line from lines group by line
+            having count(distinct doc_id) >= 5),
+    kept as (select l.doc_id, l.pos, l.line
+             from lines l anti join hot h using (line)),
+    reb as (select doc_id,
+                   string_agg(line, chr(10) order by pos) AS clean,
+                   count(*) AS n_kept
+            from kept group by doc_id),
+    st as (select doc_id, count(*) AS n_lines from lines group by doc_id)
+    select b.doc_id,
+           case when b.text is null then null
+                else coalesce(reb.clean, '') end AS clean_text,
+           cast(coalesce(st.n_lines, 0) AS bigint) AS n_lines,
+           cast(coalesce(reb.n_kept, 0) AS bigint) AS n_kept
+    from base b
+    left join st using (doc_id)
+    left join reb using (doc_id)
     """
     minhash8_cols = ", ".join(
         f"list_min([md5('{b}|' || s) for s in sh]) AS sig_{b}"

@@ -156,9 +156,11 @@ def main() -> None:
         "token_counts", "top_tokens", "quality_score", "doc_entropy",
         "fingerprint",
         "lm_score", "bpe_pairs", "bpe_apply", "bm25", "dsir_weights",
+        "unimax_budget",
         "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",
+        "cluster_cohesion", "strip_boilerplate",
         "token_dedup_exact", "token_lsh_pairs", "lev_verify", "dup_spans",
         "trim_spans",
         "span_coverage", "span_incremental",

@@ -203,3 +203,32 @@ def test_dsir_weights_empty_target_degenerates_to_rarity(spark):
     rows = {r["doc_id"]: r["logw"]
             for r in dsir_weights(corpus, empty, buckets=32).collect()}
     assert set(rows) == {1, 2} and all(v is not None for v in rows.values())
+
+
+def test_unimax_budget_waterfilling_properties(spark):
+    """Hand case: sizes {a:10, b:100, c:1000}, epochs 2, budget 500
+    -> caps {20, 200, 2000}; a caps (20*3+0=60<=500), b caps
+    (200*2+20=420<=500), c uncapped at t=(500-220)/1 = 280.0;
+    allocations sum to the budget, epochs respect the cap; an
+    oversized budget caps everyone and discloses the shortfall."""
+    from traval_spark.operators.sampling import unimax_budget
+
+    rows = [("a", 10), ("b", 100), ("c", 1000)]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    out = {r["source"]: r
+           for r in unimax_budget(df, budget=500, max_epochs=2)
+           .collect()}
+    assert (out["a"]["capped"], out["b"]["capped"],
+            out["c"]["capped"]) == (1, 1, 0)
+    assert out["a"]["alloc"] == 20.0 and out["b"]["alloc"] == 200.0
+    assert out["c"]["alloc"] == 280.0
+    assert abs(sum(r["alloc"] for r in out.values()) - 500.0) < 1e-9
+    assert out["a"]["epochs"] == 2.0  # exactly the cap
+    assert out["c"]["epochs"] == 0.28
+    assert all(r["shortfall"] == 0 for r in out.values())
+
+    big = {r["source"]: r
+           for r in unimax_budget(df, budget=10_000, max_epochs=2)
+           .collect()}
+    assert all(r["capped"] == 1 for r in big.values())
+    assert big["a"]["shortfall"] == 10_000 - 2220

@@ -2390,3 +2390,68 @@ def test_tfidf_top_stopword_suppression_and_ties(spark):
     for r in tfidf_top(df2, k=2).collect():
         o2[r["source"]].append(r["tok"])
     assert o2["A"] == ["x", "y"] and o2["B"] == ["x", "y"]
+
+
+def test_cluster_cohesion_flags_transitive_chain(spark):
+    """A: 'w0..w9', B flips 1 token vs A, C flips 2 more (B~A and
+    C~B within radius 3, C vs A farther): one chain cluster rooted at
+    A with B tight and C looser; a tight exact-dup pair has
+    mean_ham 0; singletons are not reported."""
+    from traval_spark.operators.dedup import (
+        cluster_cohesion, dup_clusters, simhash64_dup_pairs,
+        with_simhash64)
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    b_txt = base.replace("tok7 ", "flip7 ")
+    c_txt = b_txt.replace("tok13 ", "flip13 ").replace(
+        "tok29 ", "flip29 ")
+    docs = spark.createDataFrame(
+        [(1, base), (2, b_txt), (3, c_txt),
+         (10, "solo doc body here"), (20, base), ],
+        "doc_id bigint, text string")
+    pairs = simhash64_dup_pairs(docs, max_hamming=6)
+    clusters = dup_clusters(docs, pairs)
+    out = {r["cluster"]: r for r in cluster_cohesion(
+        docs, clusters, max_hamming=6).collect()}
+    assert 10 not in out  # singleton: nothing to audit
+    chain = out[1]
+    assert chain["n_members"] >= 3  # A root + B + C (+ exact dup 20)
+    # exact dup 20 has ham 0 to root; verify max comes from the chain
+    fp = {r["doc_id"]: (r["fp_lo"], r["fp_hi"])
+          for r in with_simhash64(docs).collect()}
+
+    def ham(a, b):
+        return (bin(fp[a][0] ^ fp[b][0]).count("1")
+                + bin(fp[a][1] ^ fp[b][1]).count("1"))
+
+    assert chain["max_ham"] == max(ham(2, 1), ham(3, 1))
+    exp_members = [2, 3, 20]
+    exp_mean = round(sum(ham(m, 1) for m in exp_members)
+                     / len(exp_members), 9)
+    assert abs(chain["mean_ham"] - exp_mean) < 1e-12
+    assert chain["loose"] == int(chain["max_ham"] > 6)
+
+
+def test_strip_boilerplate_lines_census_and_reassembly(spark):
+    """The shared footer (df=3 >= min_df 2) strips from every doc,
+    unique bodies survive in original order, an all-boilerplate doc
+    keeps its row with clean_text '' and n_kept 0, NULL text passes
+    through NULL."""
+    from traval_spark.operators.dedup import strip_boilerplate_lines
+
+    foot = "subscribe now"
+    docs = spark.createDataFrame(
+        [(1, f"alpha body\nmiddle line\n{foot}"),
+         (2, f"beta body\n{foot}"),
+         (3, foot),
+         (4, "unique only"),
+         (5, None)],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(
+        docs, min_df=2).collect()}
+    assert out[1]["clean_text"] == "alpha body\nmiddle line"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == "beta body"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "unique only"
+    assert out[5]["clean_text"] is None and out[5]["n_lines"] == 0

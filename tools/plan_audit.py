@@ -58,7 +58,7 @@ BROADCAST_CROSS_ALLOWED = {
     # bloom bitmap / mixture weights) crossed into the main frame
     "bm25", "lm_score", "source_entropy", "vocab_coverage",
     "temperature_mix", "pmi_bigrams", "seasonal_strength",
-    "dsir_weights", "dsir_resample",
+    "dsir_weights", "dsir_resample", "unimax_budget",
     "forecast_backtest", "decontaminate_bloom", "remap_tokens",
     # tiny-frame pair enumerations: O(sources^2) / O(m^2) on frames
     # the size of the source list or bucket signal, never the corpus

@@ -1370,3 +1370,147 @@ def lev_verify_pairs(
                  F.round(sim, ndigits).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def cluster_cohesion(
+    docs: DataFrame,
+    clusters: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 9,
+) -> DataFrame:
+    """QA audit over near-dup clusters — the read that catches
+    TRANSITIVE-CLOSURE CHAINING: :func:`dup_clusters` unions every
+    pair within the SimHash radius, so A~B~C links A and C into one
+    cluster even when A and C are far apart; keeping only cluster
+    roots then silently drops documents that were never near the
+    root.  This measures it: every non-root member's 64-bit SimHash
+    Hamming distance TO ITS ROOT (member-vs-root is linear in corpus
+    size — never within-cluster all-pairs, which a viral
+    million-member cluster would turn quadratic), aggregated per
+    cluster; ``loose`` flags clusters whose max root distance exceeds
+    the pair radius ``max_hamming`` — exactly the chained clusters a
+    pipeline owner should re-split or spot-check before deleting
+    members.
+
+    Exactness: Hamming distances are exact integers
+    (bit_count(xor) on the two 32-bit fingerprint halves, the
+    :func:`simhash64_dup_pairs` arithmetic); ``mean_ham`` is one
+    division of exact integers rounded to ``ndigits``.  Singleton
+    clusters (no non-root member) are not reported — there is nothing
+    to audit.
+
+    Plan shape: fingerprints once (the with_simhash64 codegen path),
+    one equi-join of members to root fingerprints on the cluster key,
+    one partial-aggregatable groupBy(cluster).  Output: ``cluster,
+    n_members, mean_ham, max_ham, loose`` (n_members counts the root).
+    """
+    fp = with_simhash64(docs, text_col, id_col)
+    mem = clusters.filter(F.col(id_col) != F.col("cluster"))
+    rfp = fp.select(
+        F.col(id_col).alias("cluster"),
+        F.col("fp_lo").alias("__rlo"),
+        F.col("fp_hi").alias("__rhi"),
+    )
+    ham = (
+        F.bit_count(F.col("fp_lo").bitwiseXOR(F.col("__rlo")))
+        + F.bit_count(F.col("fp_hi").bitwiseXOR(F.col("__rhi")))
+    )
+    j = mem.join(fp, id_col).join(rfp, "cluster").select(
+        "cluster", ham.alias("__ham"))
+    return (
+        j.groupBy("cluster")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_members"),
+            F.round(
+                F.sum("__ham").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                ndigits,
+            ).alias("mean_ham"),
+            F.max("__ham").cast("int").alias("max_ham"),
+        )
+        .withColumn(
+            "loose",
+            (F.col("max_ham") > int(max_hamming)).cast("int"),
+        )
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level cross-document dedup (the CCNet / RefinedWeb
+    boilerplate pass): any line occurring in at least ``min_df``
+    DISTINCT documents is removed from every document — headers,
+    footers, cookie banners, nav menus; the WITHIN-corpus complement
+    of :func:`trim_duplicated_spans` (token spans) at the granularity
+    web boilerplate actually repeats.
+
+    Construction: posexplode on newline split -> line df census
+    (partial-aggregatable groupBy; countDistinct doc over the line) ->
+    anti join of lines against the hot set -> per-doc reassembly by
+    original position (array_sort of (pos, line) structs, the struct
+    order IS pos order).  The anti join keys on the raw line string;
+    a pathologically hot line (the empty string, a universal footer)
+    lands its probe rows on one task, but that task only DROPS rows —
+    work linear in that line's occurrences, and AQE skew-split
+    handles the imbalance; the hot SET itself is df-bounded (lines
+    repeated >= min_df times), typically small enough that Spark's
+    own join-side broadcast kicks in — neither is assumed.
+
+    Every input doc keeps exactly one output row: a doc whose every
+    line was boilerplate comes back with ``clean_text = ''`` and
+    ``n_kept = 0`` (dropping it is the CALLER's policy decision, the
+    operator reports).  NULL-text docs are passed through with NULL
+    clean_text.  Output: ``doc_id, clean_text, n_lines, n_kept``.
+
+    Reference: ArtesiaWater/traval has no text machinery; this is the
+    CCNet fig. 1 line-dedup stage (public recipe) the curation
+    pipeline's quality gates assume has already run.
+    """
+    base = docs.select(id_col, text_col)
+    lines = (
+        base.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("pos", "line"),
+        )
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= int(min_df))
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    stats = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (
+        base.join(stats, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col(text_col).isNull(), F.lit(None))
+             .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+             .alias("clean_text"),
+            F.coalesce(F.col("n_lines"), F.lit(0))
+             .cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+             .cast("long").alias("n_kept"),
+        )
+    )

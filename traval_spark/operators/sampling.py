@@ -613,3 +613,101 @@ def dsir_resample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def unimax_budget(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+    ndigits: int = 6,
+) -> DataFrame:
+    """UniMax budget allocation across sources (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining" — public paper): spread a
+    total token ``budget`` as UNIFORMLY as possible across sources,
+    except no source repeats more than ``max_epochs`` times — the
+    principled answer to "temperature mixing over-samples tiny
+    sources into memorization" (:func:`temperature_mix` has no epoch
+    cap; UniMax IS the cap).
+
+    Waterfilling closed form, no iteration: with per-source capacity
+    c_s = max_epochs * n_s sorted ascending (source-name tie-break,
+    total order), a source is CAPPED iff giving its capacity to every
+    source at or above it still fits:
+
+        c_i * (k - i + 1) + cum_{i-1} <= B        (exact integers)
+
+    — capped sources take c_i epochs' worth exactly; the rest split
+    the remainder at the water level t = (B - cum_m) / (k - m), ONE
+    exact-integer division (``ndigits``-fenced).  If total capacity
+    <= B the budget is unfillable at this epoch cap: every source
+    caps and ``shortfall`` reports the unspent tokens (callers raise
+    max_epochs or accept the smaller corpus — the disclosed choice,
+    never silent over-sampling).
+
+    Output per source: ``source, n_tok, cap, capped, alloc, epochs``
+    (epochs = alloc/n_tok, the number a sampler like
+    :func:`epoch_upsample` consumes; alloc sums to min(B, sum cap)).
+
+    Plan shape: ONE partial-aggregatable groupBy(source) collapses
+    the corpus to |sources| rows; the sort/cumsum/crossover windows
+    and the water-level broadcast all run on that tiny frame — the
+    corpus itself is never re-scanned or shuffled.
+    """
+    sizes = df.groupBy(source_col).agg(
+        F.sum(F.col(n_tok_col)).cast("decimal(38,0)").alias("n_tok"))
+    c = (F.lit(int(max_epochs)).cast("decimal(38,0)")
+         * F.col("n_tok")).alias("cap")
+    w = Window.orderBy(F.col("cap").asc(), F.col(source_col).asc())
+    ranked = (
+        sizes.select(source_col, "n_tok", c)
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("decimal(38,0)"),
+            ),
+        )
+        .withColumn(
+            "capped",
+            (F.col("cap") * (F.col("k") - F.col("i") + 1)
+             + F.col("cum_before") <= F.lit(int(budget))).cast("int"),
+        )
+    )
+    lvl = ranked.groupBy().agg(
+        F.sum("capped").alias("m"),
+        F.max("k").alias("kk"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("cum_m"),
+    ).select(
+        "m", "kk", "cum_m",
+        F.when(
+            F.col("kk") > F.col("m"),
+            (F.lit(int(budget)) - F.col("cum_m")).cast("double")
+            / (F.col("kk") - F.col("m")).cast("double"),
+        ).alias("t"),
+    )
+    out = ranked.crossJoin(F.broadcast(lvl))
+    alloc = F.when(F.col("capped") == 1, F.col("cap").cast("double")) \
+             .otherwise(F.round(F.col("t"), ndigits))
+    return out.select(
+        source_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("cap").cast("long").alias("cap"),
+        "capped",
+        alloc.alias("alloc"),
+        F.round(alloc / F.col("n_tok").cast("double"),
+                ndigits).alias("epochs"),
+        F.when(
+            F.col("m") == F.col("kk"),
+            (F.lit(int(budget)) - F.col("cum_m")).cast("long"),
+        ).otherwise(F.lit(0)).alias("shortfall"),
+    )
