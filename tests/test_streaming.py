@@ -1585,3 +1585,71 @@ def test_stream_threshold_episodes_match_batch(spark, tmp_path):
     assert streamed.filter(
         (F.col("t_start") < mid) & (F.col("t_end") >= mid)
     ).count() == 1
+
+
+def test_new_monitors_off_streaming_tier_equal_raw(spark, tmp_path):
+    """End-to-end tier-timeseries chain for the round-5 monitor family:
+    raw sequences -> STREAMING 1m rollup tier (availableNow drain,
+    watermarked tumbling windows) -> counts_from_tier 1h coarsening ->
+    turning_points / variance_ratio / kpss_level / pettitt_change /
+    seasonal_mk / seasonal_sen / hurst_rs / runs_test — every verdict
+    EQUALS the raw-served one bit-for-bit (integer count sums
+    re-aggregate losslessly through the streamed tier), so the whole
+    fleet panel runs off the stored tier without ever re-scanning
+    raw."""
+    import time as _time
+
+    import pandas as pd
+
+    from traval_spark.operators.monitor import (
+        counts_from_tier, hurst_rs, kpss_level, pettitt_change,
+        runs_test, seasonal_mk, seasonal_sen, turning_points,
+        variance_ratio)
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import stream_rollup_1m
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    seqs = synth_sequences(spark, 4000, seed=21, span_days=6)
+    mid = "2024-01-03 00:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+
+    q = (
+        stream_rollup_1m(spark, inp, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tier = spark.read.parquet(out)
+    counts = counts_from_tier(tier, bucket="1h")
+    # append-mode watermarking withholds the final (pending) windows at
+    # stream end — the documented tail semantics every streaming test
+    # here accounts for; parity is over the EMITTED coverage, so bound
+    # raw at the end of the last closed 1m window
+    bound = tier.agg(F.max("bucket")).collect()[0][0] + pd.Timedelta(
+        minutes=1)
+    raw = seqs.filter(F.col("ts") < F.lit(bound)).select("source", "ts")
+
+    for fn, kw in [
+        (turning_points, {}),
+        (variance_ratio, {"q": 4}),
+        (kpss_level, {}),
+        (pettitt_change, {}),
+        (seasonal_mk, {"period": 24}),
+        (seasonal_sen, {"period": 24}),
+        (hurst_rs, {"min_w": 8}),
+        (runs_test, {}),
+    ]:
+        direct = fn(raw, bucket="1h", **kw)
+        tiered = fn(counts=counts, **kw)
+        assert tiered.exceptAll(direct).count() == 0, fn.__name__
+        assert direct.exceptAll(tiered).count() == 0, fn.__name__
