@@ -4302,6 +4302,32 @@ def q_pettitt_change(spark, sf_dir):
     return pettitt_change(ev, bucket="1h")
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit per source (text.py:
+    heaps_fit): one-pass nested dyadic samples via the portable
+    (id, seed) uniform — a token enters the ladder at fu = min doc
+    u, so V(f) and n(f) fall out of one min-groupBy; OLS of ln V on
+    ln n gives beta (diversity: ~1 fresh vocabulary, ~0 saturated
+    boilerplate)."""
+    from traval_spark.operators.text import heaps_fit
+
+    return heaps_fit(_docs(spark, sf_dir), seed=5)
+
+
+def q_sen_slope_ci(spark, sf_dir):
+    """Rank-based Sen slope CI (monitor.py:sen_slope_ci): Gilbert's
+    order-statistic interval on the pairwise-slope multiset — C =
+    1.96*sqrt(Var(S)) from the exact MK tie-corrected variance,
+    endpoints at floor((N-C)/2)+1 and ceil((N+C)/2) ascending ranks,
+    significant iff the CI excludes zero."""
+    from traval_spark.operators.monitor import sen_slope_ci
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return sen_slope_ci(ev, bucket="1h")
+
+
 def q_fleet_report(spark, sf_dir):
     """The fleet health panel (monitor.py:fleet_report): ten
     counts=-family monitors off ONE persisted signal frame —
@@ -4700,6 +4726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_rs": q_hurst_rs,
         "kpss_level": q_kpss_level,
         "fleet_report": q_fleet_report,
+        "sen_slope_ci": q_sen_slope_ci,
+        "heaps_fit": q_heaps_fit,
         "cluster_cohesion": q_cluster_cohesion,
         "unimax_budget": q_unimax_budget,
         "strip_boilerplate": q_strip_boilerplate,
@@ -8888,6 +8916,113 @@ def oracle_sql() -> dict[str, str]:
                     else 0.0 end, 9)
            end AS z
     from nb join s using (g) join tie using (g)
+    """
+    # Heaps fit: one-pass nested dyadic samples (token enters at
+    # fu = min doc u), zipf-style OLS of ln V on ln n
+    sql["heaps_fit"] = """
+    with d as (select source, doc_id, text,
+                      cast(('0x' || substr(md5('5|'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))
+                           as bigint) / 4294967296.0 AS u
+               from documents where text is not null),
+    toks as (select source, u,
+                    unnest(regexp_split_to_array(text, '\\s+')) AS tok
+             from d),
+    tokmin as (select source, tok, min(u) AS fu
+               from toks group by 1, 2),
+    lad as (select unnest([0.0625, 0.125, 0.25, 0.5, 1.0]) AS f),
+    vf as (select t.source, l.f, count(*) AS v
+           from tokmin t, lad l where t.fu < l.f group by 1, 2),
+    docn as (select source, u,
+                    len(regexp_split_to_array(text, '\\s+')) AS nt
+             from d),
+    nf as (select d2.source, l.f, sum(nt) AS n
+           from docn d2, lad l where d2.u < l.f group by 1, 2),
+    pts as (select vf.source, ln(cast(nf.n AS double)) AS x,
+                   ln(cast(vf.v AS double)) AS y
+            from vf join nf on vf.source = nf.source
+                           and vf.f = nf.f),
+    g as (select source, cast(count(*) AS bigint) AS n_rungs,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          from pts group by source)
+    select source, n_rungs,
+           case when cast(n_rungs AS double) * sxx - sx * sx > 0
+                then round((cast(n_rungs AS double) * sxy - sx * sy)
+                     / (cast(n_rungs AS double) * sxx - sx * sx), 6)
+           end AS beta,
+           case when cast(n_rungs AS double) * sxx - sx * sx > 0
+                then round((sy - ((cast(n_rungs AS double) * sxy
+                                   - sx * sy)
+                                  / (cast(n_rungs AS double) * sxx
+                                     - sx * sx)) * sx)
+                           / cast(n_rungs AS double), 6)
+           end AS ln_k,
+           case when cast(n_rungs AS double) * sxx - sx * sx > 0
+                 and cast(n_rungs AS double) * syy - sy * sy > 0
+                then round((cast(n_rungs AS double) * sxy - sx * sy)
+                           * (cast(n_rungs AS double) * sxy - sx * sy)
+                           / ((cast(n_rungs AS double) * sxx - sx * sx)
+                              * (cast(n_rungs AS double) * syy
+                                 - sy * sy)), 6)
+           end AS r2
+    from g
+    """
+    # Sen slope CI: order statistics of the pairwise-slope multiset at
+    # the MK-variance-derived ranks
+    sql["sen_slope_ci"] = """
+    with src as (select event_type AS g,
+                        epoch_us(ts) // 3600000000 AS h
+                 from events),
+    counts as (select g, h, count(*) AS c from src group by g, h),
+    span as (select min(h) AS h0, max(h) AS h1 from src),
+    spine as (select g, u.h
+              from (select distinct g from src), span,
+                   unnest(generate_series(span.h0, span.h1)) AS u(h)),
+    sig as (select s.g, s.h, coalesce(c.c, 0) AS c
+            from spine s left join counts c on s.g = c.g and s.h = c.h),
+    slopes as (select a.g,
+                      cast(b.c - a.c AS double)
+                        / cast(b.h - a.h AS double) AS s
+               from sig a join sig b on a.g = b.g and b.h > a.h),
+    rk as (select g, s,
+                  row_number() over (partition by g order by s) AS rn
+           from slopes),
+    nb as (select g, cast(count(*) AS hugeint) AS n from sig group by g),
+    tie as (select g, sum(t * (t - 1) * (2 * t + 5)) AS tt
+            from (select g, c, count(*) AS t from sig group by g, c)
+            group by g),
+    med as (select g, count(*) AS np, median(s) AS sen_slope
+            from slopes group by g),
+    ix as (select nb.g,
+                  cast(nb.n * (nb.n - 1) / 2 AS bigint) AS n_pairs,
+                  nb.n * (nb.n - 1) * (2 * nb.n + 5) - tie.tt AS vn,
+                  round(1.96 * sqrt(cast(nb.n * (nb.n - 1)
+                      * (2 * nb.n + 5) - tie.tt AS double) / 18.0),
+                      9) AS ch
+           from nb join tie using (g)),
+    ix2 as (select g, n_pairs, vn,
+                   greatest(1, cast(floor(
+                       (cast(n_pairs AS double) - ch) / 2)
+                       AS bigint) + 1) AS lor,
+                   least(n_pairs, cast(ceil(
+                       (cast(n_pairs AS double) + ch) / 2)
+                       AS bigint)) AS hir
+            from ix),
+    lo as (select r.g, r.s AS lo from rk r
+           join ix2 on r.g = ix2.g and r.rn = ix2.lor),
+    hi as (select r.g, r.s AS hi from rk r
+           join ix2 on r.g = ix2.g and r.rn = ix2.hir)
+    select ix2.g, ix2.n_pairs, med.sen_slope,
+           case when vn > 0 then lo.lo end AS lo,
+           case when vn > 0 then hi.hi end AS hi,
+           case when vn > 0
+                then cast(lo.lo > 0 or hi.hi < 0 AS int)
+           end AS significant
+    from ix2
+    join med on ix2.g = med.g
+    left join lo on ix2.g = lo.g
+    left join hi on ix2.g = hi.g
     """
     # KPSS level test: ONE exact-integer ratio via n*S_t = n*cum - t*s
     sql["kpss_level"] = """

@@ -135,7 +135,7 @@ def main() -> None:
         "kruskal_drift", "runs_test", "lead_lag",
         "turning_points", "variance_ratio", "pettitt_change",
         "seasonal_mk", "seasonal_sen", "hurst_rs", "kpss_level",
-        "fleet_report",
+        "fleet_report", "sen_slope_ci",
         "symbol_transitions", "symbol_entropy", "symbol_mi",
         "swing_reconstruct",
         "acf_lags", "ljung_box",
@@ -156,7 +156,7 @@ def main() -> None:
         "token_counts", "top_tokens", "quality_score", "doc_entropy",
         "fingerprint",
         "lm_score", "bpe_pairs", "bpe_apply", "bm25", "dsir_weights",
-        "unimax_budget",
+        "unimax_budget", "heaps_fit",
         "remap_tokens",
         "minhash_sig", "lsh_buckets", "lsh_banded", "simhash",
         "simhash64_dups", "dedup_incremental", "minhash_incremental",

@@ -232,3 +232,24 @@ def test_unimax_budget_waterfilling_properties(spark):
            .collect()}
     assert all(r["capped"] == 1 for r in big.values())
     assert big["a"]["shortfall"] == 10_000 - 2220
+
+
+def test_heaps_fit_diverse_vs_saturated(spark):
+    """A source whose every doc brings fresh tokens fits beta near 1;
+    a source repeating one template fits beta near 0 — and the rungs
+    are the nested dyadic samples (a token counts from the SMALLEST
+    fraction containing any of its docs)."""
+    from traval_spark.operators.text import heaps_fit
+
+    fresh = [(i, "div", " ".join(f"w{i}_{j}" for j in range(20)))
+             for i in range(64)]
+    tmpl = [(1000 + i, "tpl", "the same old template text again")
+            for i in range(64)]
+    docs = spark.createDataFrame(fresh + tmpl,
+                                 "doc_id bigint, source string, "
+                                 "text string")
+    out = {r["source"]: r for r in heaps_fit(docs, seed=5).collect()}
+    assert out["div"]["n_rungs"] == 5
+    assert out["div"]["beta"] > 0.95  # V grows ~ linearly with n
+    assert out["tpl"]["beta"] < 0.1   # vocabulary saturated at rung 1
+    assert out["div"]["r2"] > 0.99

@@ -1788,3 +1788,54 @@ def test_fleet_report_wide_panel_and_null_absence(spark):
     assert f["runs_z"] is None      # all-tied: runs_test emits nothing
     assert f["hurst"] is None       # zero-variance chunks everywhere
     assert f["kpss"] is None        # zero residual variance
+
+
+def test_sen_slope_ci_python_replay_and_degenerate(spark):
+    """Pure-Python replay of the Gilbert order-statistic CI (slopes,
+    MK tie-corrected variance, rank indices) matches lo/hi/verdict
+    exactly; a strong ramp's CI excludes zero; a constant signal
+    NULLs; counts=-served equals raw-served."""
+    import math
+    from traval_spark.operators.monitor import (
+        bucket_count_signal, sen_slope_ci)
+
+    def build(vals):
+        rows = [("x", pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(hours=i, minutes=j))
+                for i, k in enumerate(vals) for j in range(k + 1)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "ts"]))
+
+    c = [(i * 13) % 7 + (i * 5) % 11 + (i // 8) for i in range(48)]
+    cc = [k + 1 for k in c]
+    df = build(c)
+    r = sen_slope_ci(df).collect()[0]
+
+    n = len(cc)
+    slopes = sorted(
+        (cc[j] - cc[i]) / (j - i)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    npairs = n * (n - 1) // 2
+    ties = {}
+    for v in cc:
+        ties[v] = ties.get(v, 0) + 1
+    vn = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values())
+    ch = round(1.96 * math.sqrt(vn / 18.0), 9)
+    lor = max(1, math.floor((npairs - ch) / 2) + 1)
+    hir = min(npairs, math.ceil((npairs + ch) / 2))
+    assert r["n_pairs"] == npairs
+    assert r["lo"] == slopes[lor - 1]
+    assert r["hi"] == slopes[hir - 1]
+    assert r["significant"] == int(slopes[lor - 1] > 0
+                                   or slopes[hir - 1] < 0)
+
+    ramp = sen_slope_ci(build([3 * i for i in range(40)])).collect()[0]
+    assert ramp["lo"] > 0 and ramp["significant"] == 1
+
+    const = sen_slope_ci(build([5] * 24)).collect()[0]
+    assert const["lo"] is None and const["significant"] is None
+
+    tier = sen_slope_ci(counts=bucket_count_signal(df)).collect()[0]
+    assert tuple(r) == tuple(tier)

@@ -50,7 +50,7 @@ BROADCAST_CROSS_ALLOWED = {
     "stl_decompose", "stl_anomaly", "runs_test",
     "turning_points", "variance_ratio", "pettitt_change",
     "seasonal_mk", "seasonal_sen", "hurst_rs", "kpss_level",
-    "fleet_report",
+    "fleet_report", "sen_slope_ci",
     "symbol_transitions", "symbol_entropy", "symbol_mi",
     "lead_lag",
     "xcorr_lags", "lttb_6h", "lttb_from_m4",
@@ -58,7 +58,7 @@ BROADCAST_CROSS_ALLOWED = {
     # bloom bitmap / mixture weights) crossed into the main frame
     "bm25", "lm_score", "source_entropy", "vocab_coverage",
     "temperature_mix", "pmi_bigrams", "seasonal_strength",
-    "dsir_weights", "dsir_resample", "unimax_budget",
+    "dsir_weights", "dsir_resample", "unimax_budget", "heaps_fit",
     "forecast_backtest", "decontaminate_bloom", "remap_tokens",
     # tiny-frame pair enumerations: O(sources^2) / O(m^2) on frames
     # the size of the source list or bucket signal, never the corpus

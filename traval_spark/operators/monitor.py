@@ -3680,3 +3680,122 @@ def fleet_report(
     for p in parts:
         out = out.join(p, "g", "left")
     return out
+
+
+def sen_slope_ci(
+    df: DataFrame | None = None,
+    z_crit: float = 1.96,
+    bucket: str = "1h",
+    by: str = "source",
+    ts: str = "ts",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Rank-based confidence interval on the Theil-Sen slope (the
+    Gilbert 1987 / Hollander-Wolfe construction the environmental-
+    trend literature reports next to every Sen estimate): the
+    :func:`mann_kendall` variance puts an error bar on the slope
+    WITHOUT any normality assumption on the data — the CI endpoints
+    are ORDER STATISTICS of the same pairwise-slope multiset the
+    median came from:
+
+        C  = z_crit * sqrt(Var(S))        (tie-corrected Var, exact
+                                           integer numerator / 18)
+        lo = slope_(floor((N - C)/2) + 1),  hi = slope_(ceil((N + C)/2))
+
+    with N the pair count and ranks ascending, clamped to [1, N].
+    ``significant`` reports lo > 0 or hi < 0 — a slope whose CI
+    excludes zero, the standard "trend is real" read that agrees
+    with Mann-Kendall's |z| > z_crit verdict asymptotically.
+
+    Determinism: Var(S)'s numerator is an exact integer (the MK tie
+    census), C and the rank indices are one fixed expression chain
+    (sqrt -> 9dp round -> floor/ceil) identical in both engines, and
+    the VALUE at a rank is well-defined under any tie order (the
+    theil_sen median argument).  Series with Var(S) = 0 (all tied)
+    report NULL bounds.
+
+    Plan shape: theil_sen's exactly — ONE raw-scale groupBy (or none
+    via ``counts=``), the O(m^2) slope pairs + rank window on the
+    tiny signal frame, the per-series (lo_rank, hi_rank) scalars
+    broadcast back.  Output: ``g, n_pairs, sen_slope, lo, hi,
+    significant``.
+
+    Reference: traval reports trends from pastas model fits with
+    model-based CIs (rulelib.py); this is the distribution-free CI
+    for series where no model exists.
+    """
+    sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
+                              counts=counts)
+    a = sig.select("g", F.col("h").alias("hi_"), F.col("c").alias("ci"))
+    b = sig.select("g", F.col("h").alias("hj"), F.col("c").alias("cj"))
+    slopes = (
+        a.join(b, "g")
+        .filter(F.col("hj") > F.col("hi_"))
+        .select(
+            "g",
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("hj") - F.col("hi_")).cast("double")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("s")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    # MK variance from the tie census (exact integer numerator)
+    nb = sig.groupBy("g").agg(F.count(F.lit(1)).alias("n_buckets"))
+    tie = (
+        sig.groupBy("g", "c").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                   * (2 * F.col("t") + 5)).alias("tt"))
+    )
+    nn = F.col("n_buckets")
+    var_num = nn * (nn - 1) * (2 * nn + 5) - F.col("tt")
+    npairs = (nn * (nn - 1) / 2).cast("long")
+    c_half = F.round(
+        F.lit(float(z_crit)) * F.sqrt(var_num.cast("double")
+                                      / F.lit(18.0)),
+        9,
+    )
+    idx = (
+        nb.join(tie, "g")
+        .select(
+            "g",
+            npairs.alias("n_pairs"),
+            var_num.alias("__vn"),
+            F.greatest(
+                F.lit(1),
+                (F.floor((npairs.cast("double") - c_half) / 2)
+                 + 1).cast("long"),
+            ).alias("__lor"),
+            F.least(
+                npairs,
+                F.ceil((npairs.cast("double") + c_half) / 2)
+                .cast("long"),
+            ).alias("__hir"),
+        )
+    )
+    med = theil_sen(counts=sig).select("g", "sen_slope")
+    j = ranked.join(F.broadcast(idx), "g")
+    lo = (
+        j.filter(F.col("rn") == F.col("__lor"))
+        .select("g", F.col("s").alias("lo"))
+    )
+    hi = (
+        j.filter(F.col("rn") == F.col("__hir"))
+        .select("g", F.col("s").alias("hi"))
+    )
+    out = (
+        idx.join(med, "g").join(lo, "g", "left").join(hi, "g", "left")
+    )
+    valid = F.col("__vn") > 0
+    lo_o = F.when(valid, F.col("lo"))
+    hi_o = F.when(valid, F.col("hi"))
+    return out.select(
+        "g", "n_pairs", "sen_slope",
+        lo_o.alias("lo"), hi_o.alias("hi"),
+        F.when(
+            valid,
+            ((F.col("lo") > 0) | (F.col("hi") < 0)).cast("int"),
+        ).alias("significant"),
+    )

@@ -1115,3 +1115,94 @@ def tfidf_top(
         .select(by, "tok", "cnt", "n_src",
                 F.round("__score", ndigits).alias("tfidf"))
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    ladder: tuple = (0.0625, 0.125, 0.25, 0.5, 1.0),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Heaps'-law fit per source — the GROWTH companion to
+    :func:`zipf_fit` (Zipf describes the vocabulary you have; Heaps
+    V = K * n^beta predicts how much NEW vocabulary more data buys):
+    beta near 1 means every added document still introduces fresh
+    tokens (diverse, far from saturation — more of this source is
+    worth collecting), beta near 0 means the vocabulary has
+    saturated (template/boilerplate — more data buys repetition).
+    The mixture-design read before spending a crawl budget.
+
+    ONE-PASS nested-sample construction (never k corpus scans): each
+    doc draws the deterministic portable uniform u(id, seed)
+    (:func:`hash_uniform` in sampling.py — retry-stable); the nested
+    prefix samples are {docs : u < f} for the dyadic ``ladder`` (the
+    f literals are exact powers of two).  A token FIRST APPEARS in
+    the sample ladder at fu = min over its docs of u, so
+
+        V(f) = #{tokens : fu < f},    n(f) = sum_{u_doc < f} n_tok
+
+    — the whole ladder falls out of one explode -> min-per-token
+    groupBy (vocab-bounded, partial-aggregatable) and one per-doc
+    count frame, each crossed with the tiny ladder literal.  beta is
+    the :func:`zipf_fit` closed-form OLS slope of ln V on ln n over
+    the ladder points (empty rungs drop; < 2 surviving rungs report
+    NULL), with ln K (the intercept) and r2 riding along, all
+    ``ndigits``-fenced.
+
+    Output: ``by, n_rungs, beta, ln_k, r2``.
+    """
+    from traval_spark.operators.sampling import hash_uniform
+
+    u = hash_uniform(F.col(id_col), seed)
+    lad = F.explode(
+        F.array(*[F.lit(float(f)) for f in ladder])).alias("f")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(by), u.alias("u"),
+        F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+    )
+    tokmin = toks.groupBy(by, "tok").agg(F.min("u").alias("fu"))
+    vf = (
+        tokmin.select(by, "fu", lad)
+        .filter(F.col("fu") < F.col("f"))
+        .groupBy(by, "f")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    docn = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(by), u.alias("u"),
+        F.size(ws_tokens(F.col(text_col))).alias("nt"),
+    )
+    nf = (
+        docn.select(by, "u", "nt", lad)
+        .filter(F.col("u") < F.col("f"))
+        .groupBy(by, "f")
+        .agg(F.sum("nt").alias("n"))
+    )
+    pts = vf.join(nf, [by, "f"]).select(
+        by,
+        F.log(F.col("n").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    g = pts.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_rungs"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("n_rungs").cast("double")
+    den = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    deny = k * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return g.select(
+        by, "n_rungs",
+        F.when(den > 0, F.round(slope, ndigits)).alias("beta"),
+        F.when(den > 0, F.round(
+            (F.col("sy") - slope * F.col("sx")) / k, ndigits)
+        ).alias("ln_k"),
+        F.when((den > 0) & (deny > 0), F.round(
+            num * num / (den * deny), ndigits)).alias("r2"),
+    )
