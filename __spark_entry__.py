@@ -4302,6 +4302,26 @@ def q_pettitt_change(spark, sf_dir):
     return pettitt_change(ev, bucket="1h")
 
 
+def q_cvm_drift(spark, sf_dir):
+    """Cramer-von Mises drift (monitor.py:cvm_drift): integrated
+    squared CDF gap between the first two weeks and the rest per
+    series — KS's integrated companion (catches spread-out
+    deviations that never form one big gap), same hist.py bin
+    discretization so the read also serves from a stored hist tier
+    (cvm_from_hists, parity-tested); exact-integer d_j per bin,
+    chi2-rule squares, one division, 6dp fence."""
+    from traval_spark.operators.monitor import cvm_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return cvm_drift(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        by=("source",), val="value", scale=1,
+    )
+
+
 def q_heaps_fit(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit per source (text.py:
     heaps_fit): one-pass nested dyadic samples via the portable
@@ -4728,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleet_report": q_fleet_report,
         "sen_slope_ci": q_sen_slope_ci,
         "heaps_fit": q_heaps_fit,
+        "cvm_drift": q_cvm_drift,
         "cluster_cohesion": q_cluster_cohesion,
         "unimax_budget": q_unimax_budget,
         "strip_boilerplate": q_strip_boilerplate,
@@ -8781,6 +8802,55 @@ def oracle_sql() -> dict[str, str]:
     """
     # KS drift: exact hugeint CDF-gap numerators; tie rule = largest
     # bin among max numerators (mirrors the engine's struct-max)
+    # CvM drift: exact-integer d_j per pooled bin, chi2-rule squares,
+    # one division, 6dp fence, 0.461 asymptotic gate
+    sql["cvm_drift"] = """
+    with ha as (select event_type AS source,
+                       cast(round(value) AS bigint) AS bin,
+                       count(*) AS ca
+                from events where ts < '2024-01-15' group by 1, 2),
+    hb as (select event_type AS source,
+                  cast(round(value) AS bigint) AS bin,
+                  count(*) AS cb
+           from events where ts >= '2024-01-15' group by 1, 2),
+    j as (select coalesce(ha.source, hb.source) AS source,
+                 coalesce(ha.bin, hb.bin) AS bin,
+                 coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          from ha full outer join hb
+            on ha.source = hb.source and ha.bin = hb.bin),
+    cum as (select source, bin,
+                   cast(ca + cb AS hugeint) AS h,
+                   cast(sum(ca) over (partition by source order by bin)
+                        AS hugeint) AS cca,
+                   cast(sum(cb) over (partition by source order by bin)
+                        AS hugeint) AS ccb
+            from j),
+    tot as (select source, cast(sum(ca) AS bigint) AS n_a,
+                   cast(sum(cb) AS bigint) AS n_b
+            from j group by source),
+    sc as (select c.source,
+                  cast(c.h AS double)
+                    * cast(c.cca * t.n_b - c.ccb * t.n_a AS double)
+                    * cast(c.cca * t.n_b - c.ccb * t.n_a AS double)
+                    AS term,
+                  t.n_a, t.n_b
+           from cum c join tot t using (source)),
+    agg as (select source, max(n_a) AS n_a, max(n_b) AS n_b,
+                   sum(term) AS s
+            from sc group by source),
+    fin as (select source, n_a, n_b,
+                   case when n_a > 0 and n_b > 0 then
+                     round(s / (cast(cast(n_a AS hugeint)
+                                     * n_b AS double)
+                                * cast(cast(n_a + n_b AS hugeint)
+                                       * (n_a + n_b) AS double)), 6)
+                   end AS cvm
+            from agg)
+    select source, n_a, n_b, cvm,
+           case when cvm is not null
+                then cast(cvm > 0.461 AS int) end AS drifted
+    from fin
+    """
     sql["ks_drift"] = """
     with ha as (select event_type AS source,
                        cast(round(value) AS bigint) AS bin,

@@ -1839,3 +1839,53 @@ def test_sen_slope_ci_python_replay_and_degenerate(spark):
 
     tier = sen_slope_ci(counts=bucket_count_signal(df)).collect()[0]
     assert tuple(r) == tuple(tier)
+
+
+def test_cvm_drift_replay_shift_and_tier_parity(spark):
+    """Pure-Python replay of the cleared-denominator CvM sum matches
+    at the 6dp fence on a deterministic pair; a large location shift
+    drifts while identical samples give T == 0.0; hist-tier-served
+    (cvm_from_hists) equals raw-served exactly."""
+    from traval_spark.operators.monitor import cvm_drift, cvm_from_hists
+
+    def build(vals, src="x"):
+        rows = [(src, pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(hours=i), float(v))
+                for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "ts", "value"]))
+
+    a_vals = [(i * 7) % 10 for i in range(60)]
+    b_vals = [(i * 7) % 10 + (1 if i % 3 == 0 else 0)
+              for i in range(50)]
+    da, db = build(a_vals), build(b_vals)
+    r = cvm_drift(da, db).collect()[0]
+
+    bins = sorted(set(a_vals) | set(b_vals))
+    ca = {b: a_vals.count(b) for b in bins}
+    cb = {b: b_vals.count(b) for b in bins}
+    na, nb = len(a_vals), len(b_vals)
+    s, cca, ccb = 0.0, 0, 0
+    for b in bins:
+        cca += ca[b]
+        ccb += cb[b]
+        d = cca * nb - ccb * na
+        s += float(ca[b] + cb[b]) * float(d) * float(d)
+    exp = round(s / (float(na * nb) * float((na + nb) ** 2)), 6)
+    assert abs(r["cvm"] - exp) < 1e-12
+
+    same = cvm_drift(da, da).collect()[0]
+    assert same["cvm"] == 0.0 and same["drifted"] == 0
+
+    shifted = cvm_drift(
+        da, build([v + 6 for v in a_vals])).collect()[0]
+    assert shifted["cvm"] > 0.461 and shifted["drifted"] == 1
+
+    # tier parity: pre-binned counts reproduce the raw verdict
+    from pyspark.sql import functions as SF
+    ha = da.groupBy("source", SF.round("value").cast("long")
+                    .alias("bin")).agg(SF.count("*").alias("ca"))
+    hb = db.groupBy("source", SF.round("value").cast("long")
+                    .alias("bin")).agg(SF.count("*").alias("cb"))
+    tier = cvm_from_hists(ha, hb).collect()[0]
+    assert tuple(r) == tuple(tier)

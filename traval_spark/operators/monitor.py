@@ -3799,3 +3799,109 @@ def sen_slope_ci(
             ((F.col("lo") > 0) | (F.col("hi") < 0)).cast("int"),
         ).alias("significant"),
     )
+
+
+def cvm_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Cramer-von Mises T from two histogram count frames
+    (``*by, bin, ca`` / ``*by, bin, cb``) — the INTEGRATED companion
+    to :func:`ks_from_hists`: KS reports the single worst CDF gap
+    (sharp against one concentrated shift), CvM integrates the
+    SQUARED gap over the whole distribution, so many small
+    everywhere-deviations that never produce one big KS gap still
+    accumulate — the classic power win against scale/spread changes.
+    Same tier-served contract as the KS/PSI/MW family: feed per-period
+    bin counts summed off a stored hist tier and raw is never
+    re-scanned.
+
+    Exactness: over the pooled distinct bins with h_j = ca_j + cb_j
+    and inclusive cumulative counts CA_j, CB_j,
+
+        T = sum_j h_j * (CA_j/n_a - CB_j/n_b)^2 * n_a*n_b / N^2
+          = sum_j h_j * d_j^2 / (n_a * n_b * N^2),
+        d_j = CA_j*n_b - CB_j*n_a          (exact decimal integer)
+
+    — d_j is exact per bin; its square follows the chi2 overflow rule
+    (multiplied AS DOUBLE: 1e24 squared exceeds decimal(38,0) but not
+    the double range), the bin-sum is the one order-dependent
+    reduction, and the single division lands on the ``ndigits``
+    fence.  ``drifted`` gates round(T) against 0.461 — the
+    alpha=0.05 critical value of the LIMITING one-sample omega^2
+    distribution the two-sample statistic converges to (asymptotic;
+    documented, the standard table use).
+
+    Plan shape: ks_from_hists' exactly — one full-outer join on the
+    tiny bin table, one cumsum window, one groupBy.  Output: ``*by,
+    n_a, n_b, cvm, drifted``.
+    """
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by, "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy(*by).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.select(
+        *by, "bin",
+        (F.col("ca") + F.col("cb")).cast("decimal(38,0)").alias("h"),
+        F.sum(F.col("ca").cast("decimal(38,0)")).over(w).alias("cca"),
+        F.sum(F.col("cb").cast("decimal(38,0)")).over(w).alias("ccb"),
+    )
+    tot = j.groupBy(*by).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    t = cum.join(tot, list(by))
+    d = (F.col("cca") * F.col("n_b").cast("decimal(38,0)")
+         - F.col("ccb") * F.col("n_a").cast("decimal(38,0)"))
+    term = (F.col("h").cast("double")
+            * d.cast("double") * d.cast("double"))
+    agg = t.groupBy(*by).agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.sum(term).alias("__s"),
+    )
+    na = F.col("n_a").cast("decimal(38,0)")
+    nb_ = F.col("n_b").cast("decimal(38,0)")
+    nn = ((F.col("n_a") + F.col("n_b"))).cast("decimal(38,0)")
+    den = (na * nb_).cast("double") * (nn * nn).cast("double")
+    cvm = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round(F.col("__s") / den, ndigits),
+    )
+    return agg.select(
+        *by, "n_a", "n_b",
+        cvm.alias("cvm"),
+        F.when(cvm.isNotNull(),
+               (cvm > 0.461).cast("int")).alias("drifted"),
+    )
+
+
+def cvm_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Cramer-von Mises drift between two snapshots of the
+    same measure, binned by the hist.py discretization
+    (``round(v*scale)``) so the identical read serves from raw or
+    from a stored histogram tier (:func:`cvm_from_hists`,
+    parity-tested).  One groupBy per snapshot; everything downstream
+    runs on the tiny bin table."""
+    def hist(d, cname):
+        return d.groupBy(
+            *by, F.round(F.col(val) * scale).cast("long").alias("bin")
+        ).agg(F.count("*").alias(cname))
+
+    return cvm_from_hists(hist(df_a, "ca"), hist(df_b, "cb"), by=by,
+                          ndigits=ndigits)
