@@ -4302,6 +4302,41 @@ def q_pettitt_change(spark, sf_dir):
     return pettitt_change(ev, bucket="1h")
 
 
+def q_drift_report(spark, sf_dir):
+    """The drift panel (monitor.py:drift_report): eight two-sample
+    monitors (KS/CvM/MW/Cliff/PSI/JSD/EMD/chi2+V) off ONE pair of
+    persisted bin tables, joined per series — at 100 TB the panel
+    costs two hist-tier reads, never eight raw scans."""
+    from traval_spark.operators.monitor import drift_report
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return drift_report(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        by=("source",), val="value", scale=1,
+    )
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size (monitor.py:cliffs_delta): how BIG
+    is the first-two-weeks vs rest shift, per series — MW's
+    sample-size-free magnitude companion off the same hist-tier bin
+    table; exact-integer 2U via the midrank identity, one division,
+    Romano magnitude buckets on the fenced value."""
+    from traval_spark.operators.monitor import cliffs_delta
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    cut = "2024-01-15"
+    return cliffs_delta(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        by=("source",), val="value", scale=1,
+    )
+
+
 def q_cvm_drift(spark, sf_dir):
     """Cramer-von Mises drift (monitor.py:cvm_drift): integrated
     squared CDF gap between the first two weeks and the rest per
@@ -4749,6 +4784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sen_slope_ci": q_sen_slope_ci,
         "heaps_fit": q_heaps_fit,
         "cvm_drift": q_cvm_drift,
+        "cliffs_delta": q_cliffs_delta,
+        "drift_report": q_drift_report,
         "cluster_cohesion": q_cluster_cohesion,
         "unimax_budget": q_unimax_budget,
         "strip_boilerplate": q_strip_boilerplate,
@@ -8802,6 +8839,49 @@ def oracle_sql() -> dict[str, str]:
     """
     # KS drift: exact hugeint CDF-gap numerators; tie rule = largest
     # bin among max numerators (mirrors the engine's struct-max)
+    # Cliff's delta: exact 2U midrank identity, one division, Romano
+    # magnitude buckets on the fenced value
+    sql["cliffs_delta"] = """
+    with ha as (select event_type AS source,
+                       cast(round(value) AS bigint) AS bin,
+                       count(*) AS ca
+                from events where ts < '2024-01-15' group by 1, 2),
+    hb as (select event_type AS source,
+                  cast(round(value) AS bigint) AS bin,
+                  count(*) AS cb
+           from events where ts >= '2024-01-15' group by 1, 2),
+    j as (select coalesce(ha.source, hb.source) AS source,
+                 coalesce(ha.bin, hb.bin) AS bin,
+                 cast(coalesce(ca, 0) AS hugeint) AS ca,
+                 cast(coalesce(cb, 0) AS hugeint) AS cb
+          from ha full outer join hb
+            on ha.source = hb.source and ha.bin = hb.bin),
+    pb as (select source, ca, cb, ca + cb AS t,
+                  coalesce(sum(ca + cb) over (
+                      partition by source order by bin
+                      rows between unbounded preceding
+                               and 1 preceding), 0) AS cum_lt
+           from j),
+    g as (select source, sum(ca) AS n_a, sum(cb) AS n_b,
+                 sum(ca * (2 * cum_lt + t + 1)) AS r2
+          from pb group by source),
+    d as (select source, n_a, n_b,
+                 case when n_a * n_b > 0 then
+                   round(cast(r2 - n_a * (n_a + 1) - n_a * n_b
+                              AS double)
+                         / cast(n_a * n_b AS double), 9)
+                 end AS delta
+          from g)
+    select source, cast(n_a AS bigint) AS n_a,
+           cast(n_b AS bigint) AS n_b, delta,
+           case when delta is not null then
+             case when abs(delta) < 0.147 then 'negligible'
+                  when abs(delta) < 0.33 then 'small'
+                  when abs(delta) < 0.474 then 'medium'
+                  else 'large' end
+           end AS magnitude
+    from d
+    """
     # CvM drift: exact-integer d_j per pooled bin, chi2-rule squares,
     # one division, 6dp fence, 0.461 asymptotic gate
     sql["cvm_drift"] = """
@@ -10714,6 +10794,25 @@ def oracle_sql() -> dict[str, str]:
           from sc)
     select source, tok, cnt, n_src, round(score, 6) AS tfidf
     from r where rn <= 5
+    """
+    # drift_report: the eight-monitor two-sample panel assembled from
+    # the already-verified component oracles, joined on source
+    sql["drift_report"] = f"""
+    select k.source, k.n_a, k.n_b, k.ks_d,
+           k.drifted AS ks_drifted,
+           c.cvm, c.drifted AS cvm_drifted,
+           m.z AS mw_z, m.shifted AS mw_shifted,
+           cd.delta, cd.magnitude,
+           p.psi, j.jsd_norm, e.emd,
+           x.cramers_v, x.drifted AS chi2_drifted
+    from ({sql["ks_drift"]}) k
+    left join ({sql["cvm_drift"]}) c on k.source = c.source
+    left join ({sql["mann_whitney"]}) m on k.source = m.source
+    left join ({sql["cliffs_delta"]}) cd on k.source = cd.source
+    left join ({sql["psi_drift"]}) p on k.source = p.source
+    left join ({sql["jsd_drift"]}) j on k.source = j.source
+    left join ({sql["emd_drift"]}) e on k.source = e.source
+    left join ({sql["chi2_drift"]}) x on k.source = x.source
     """
     # fleet_report: the ten-monitor panel assembled from the
     # already-verified component oracles as subqueries, left-joined

@@ -130,7 +130,9 @@ def main() -> None:
         "hysteresis", "series_health", "spearman_pairs", "twa_1h", "psi_drift",
         "key_skew", "slo_burn", "theil_sen", "mann_kendall",
         "fano_dispersion",
-        "ks_drift", "cvm_drift", "mann_whitney", "rollup_sets",
+        "ks_drift", "cvm_drift", "cliffs_delta", "drift_report",
+        "mann_whitney",
+        "rollup_sets",
         "swing_compress",
         "dominant_period", "stl_decompose", "stl_anomaly",
         "kruskal_drift", "runs_test", "lead_lag",

@@ -1889,3 +1889,57 @@ def test_cvm_drift_replay_shift_and_tier_parity(spark):
                     .alias("bin")).agg(SF.count("*").alias("cb"))
     tier = cvm_from_hists(ha, hb).collect()[0]
     assert tuple(r) == tuple(tier)
+
+
+def test_cliffs_delta_hand_values(spark):
+    """A strictly above B ({5,6} vs {1,2}): delta == 1.0 'large';
+    identical samples: 0.0 'negligible'; a tied mix replays the
+    #(a>b) - #(a<b) definition exactly."""
+    from traval_spark.operators.monitor import cliffs_delta
+
+    def build(vals):
+        rows = [("x", pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(hours=i), float(v))
+                for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "ts", "value"]))
+
+    r = cliffs_delta(build([5, 6]), build([1, 2])).collect()[0]
+    assert r["delta"] == 1.0 and r["magnitude"] == "large"
+
+    same = cliffs_delta(build([1, 2, 3]), build([1, 2, 3])).collect()[0]
+    assert same["delta"] == 0.0 and same["magnitude"] == "negligible"
+
+    a, b = [1, 2, 2, 3], [2, 3, 4]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    exp = round((gt - lt) / (len(a) * len(b)), 9)
+    mixed = cliffs_delta(build(a), build(b)).collect()[0]
+    assert mixed["delta"] == exp
+
+
+def test_drift_report_panel_disagrees_informatively(spark):
+    """A pure SPREAD change (same median, wider): CvM/KS see it while
+    MW's location z stays quiet and delta stays small — the exact
+    disagreement the panel exists to show; identical snapshots give
+    an all-quiet row."""
+    from traval_spark.operators.monitor import drift_report
+
+    def build(vals):
+        rows = [("x", pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(hours=i), float(v))
+                for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "ts", "value"]))
+
+    narrow = [5] * 30 + [4, 6] * 15
+    wide = [5] * 10 + [0, 10] * 20 + [4, 6] * 5
+    r = drift_report(build(narrow), build(wide)).collect()[0]
+    assert r["ks_drifted"] == 1 or r["cvm_drifted"] == 1
+    assert r["magnitude"] in ("negligible", "small")
+    assert r["psi"] is not None and r["emd"] is not None
+
+    same = drift_report(build(narrow), build(narrow)).collect()[0]
+    assert (same["ks_drifted"], same["cvm_drifted"],
+            same["mw_shifted"]) == (0, 0, 0)
+    assert same["delta"] == 0.0 and same["cvm"] == 0.0

@@ -3905,3 +3905,162 @@ def cvm_drift(
 
     return cvm_from_hists(hist(df_a, "ca"), hist(df_b, "cb"), by=by,
                           ndigits=ndigits)
+
+
+def cliffs_delta(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+    ndigits: int = 9,
+) -> DataFrame:
+    """Cliff's delta effect size between two snapshots — the
+    MAGNITUDE companion to :func:`mann_whitney`'s significance: at
+    fleet scale n is so large that MW's z flags shifts of no
+    practical size (everything is "significant" at n = 10^9); delta
+    = P(a > b) - P(a < b) in [-1, 1] is sample-size-free and answers
+    "how BIG is the shift?".  Computed off the same hist-tier bin
+    table with the same midrank identity (no per-row ranking):
+
+        delta = (2*U_a - n_a*n_b) / (n_a*n_b)
+
+    where 2*U_a = sum_v ca_v*(2*cum_lt + t_v + 1) - n_a*(n_a+1) is
+    the exact-integer doubled U — with midrank ties this is EXACTLY
+    (#(a>b) - #(a<b))/(n_a*n_b), the textbook tie-consistent Cliff's
+    delta.  One division of exact decimals, ``ndigits``-fenced;
+    ``magnitude`` buckets the ROUNDED |delta| at the standard Romano
+    thresholds (0.147 / 0.33 / 0.474 — negligible, small, medium,
+    large), deterministic because the compare runs on the fenced
+    value.  Groups present in only one sample report NULL.
+
+    Plan shape: mann_whitney's exactly — two tiny bin tables,
+    full-outer join, one cumsum window, one groupBy; serves from a
+    stored hist tier unchanged.  Output: ``*by, n_a, n_b, delta,
+    magnitude``.
+    """
+    def hist(d, cname):
+        return d.groupBy(
+            *by, F.round(F.col(val) * scale).cast("long").alias("bin")
+        ).agg(F.count("*").alias(cname))
+
+    return cliffs_from_hists(hist(df_a, "ca"), hist(df_b, "cb"),
+                             by=by, ndigits=ndigits)
+
+
+def cliffs_from_hists(
+    ha: DataFrame,
+    hb: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    ndigits: int = 9,
+) -> DataFrame:
+    """:func:`cliffs_delta` fed pre-aggregated bin count frames
+    (``*by, bin, ca`` / ``*by, bin, cb``) — the hist-tier-served form,
+    identical arithmetic (see cliffs_delta for the construction)."""
+    j = (
+        ha.join(hb, [*by, "bin"], "full_outer")
+        .select(
+            *by, "bin",
+            F.coalesce("ca", F.lit(0)).cast("decimal(38,0)").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("decimal(38,0)").alias("cb"),
+        )
+    )
+    t = (F.col("ca") + F.col("cb"))
+    w_lt = (
+        Window.partitionBy(*by).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_bin = j.select(
+        *by, "ca", "cb", t.alias("t"),
+        F.coalesce(F.sum(t).over(w_lt), F.lit(0).cast("decimal(38,0)"))
+        .alias("cum_lt"),
+    )
+    g = per_bin.groupBy(*by).agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_lt") + F.col("t") + 1)
+        ).alias("__r2"),
+    )
+    d2 = (F.col("__r2") - F.col("n_a") * (F.col("n_a") + 1)
+          - F.col("n_a") * F.col("n_b"))
+    delta = F.when(
+        F.col("n_a") * F.col("n_b") > 0,
+        F.round(
+            d2.cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            ndigits,
+        ),
+    )
+    mag = F.when(
+        delta.isNotNull(),
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+         .when(F.abs(delta) < 0.33, F.lit("small"))
+         .when(F.abs(delta) < 0.474, F.lit("medium"))
+         .otherwise(F.lit("large")),
+    )
+    return g.select(
+        *by,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        delta.alias("delta"),
+        mag.alias("magnitude"),
+    )
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    val: str = "value",
+    scale: int = 1,
+) -> DataFrame:
+    """The drift owner's one-page panel — every two-sample monitor of
+    the hist-tier family on ONE pair of bin tables: KS (worst CDF
+    gap), Cramer-von Mises (integrated squared gap), Mann-Whitney
+    (signed location z), Cliff's delta (sample-size-free magnitude),
+    PSI (log-odds weighting), Jensen-Shannon (bounded divergence),
+    EMD (Wasserstein-1 in value units) and chi-square with Cramer's V
+    — eight verdicts that disagree EXACTLY when the disagreement is
+    informative (a pure spread change: CvM fires, MW silent; a tiny
+    shift at n=10^9: z fires, delta negligible).
+
+    This is :func:`fleet_report`'s two-snapshot sibling and the same
+    counts-contract payoff: the two histograms are built ONCE
+    (``round(v*scale)`` — the hist.py discretization, so both can
+    come straight off a stored hist tier) and persisted; all eight
+    monitors run on the tiny bin tables and join back on ``by``.  At
+    100 TB the panel costs two tier reads, never eight scans of raw.
+
+    Output: ``*by, n_a, n_b, ks_d, ks_drifted, cvm, cvm_drifted,
+    mw_z, mw_shifted, delta, magnitude, psi, jsd_norm, emd,
+    cramers_v, chi2_drifted``.
+    """
+    def hist(d, cname):
+        return d.groupBy(
+            *by, F.round(F.col(val) * scale).cast("long").alias("bin")
+        ).agg(F.count("*").alias(cname))
+
+    ha = hist(df_a, "ca").persist()
+    hb = hist(df_b, "cb").persist()
+    base = ks_from_hists(ha, hb, by=by).select(
+        *by, "n_a", "n_b", "ks_d",
+        F.col("drifted").alias("ks_drifted"))
+    parts = [
+        cvm_from_hists(ha, hb, by=by).select(
+            *by, "cvm", F.col("drifted").alias("cvm_drifted")),
+        mw_from_hists(ha, hb, by=by).select(
+            *by, F.col("z").alias("mw_z"),
+            F.col("shifted").alias("mw_shifted")),
+        cliffs_from_hists(ha, hb, by=by).select(
+            *by, "delta", "magnitude"),
+        psi_from_hists(ha, hb, by=by).select(*by, "psi"),
+        jsd_from_hists(ha, hb, by=by).select(*by, "jsd_norm"),
+        emd_from_hists(ha, hb, by=by).select(*by, "emd"),
+        chi2_from_hists(ha, hb, by=by).select(
+            *by, "cramers_v", F.col("drifted").alias("chi2_drifted")),
+    ]
+    out = base
+    for p in parts:
+        out = out.join(p, list(by), "left")
+    return out
