@@ -1653,3 +1653,68 @@ def test_new_monitors_off_streaming_tier_equal_raw(spark, tmp_path):
         tiered = fn(counts=counts, **kw)
         assert tiered.exceptAll(direct).count() == 0, fn.__name__
         assert direct.exceptAll(tiered).count() == 0, fn.__name__
+
+
+def test_drift_panel_off_streaming_hist_tier_equal_raw(spark, tmp_path):
+    """The streaming close of the drift story: raw sequences ->
+    STREAMING 1m histogram tier -> per-period bin sums -> every
+    *_from_hists drift monitor (KS/CvM/MW/Cliff/PSI/JSD/EMD/chi2)
+    equals the raw-built verdict exactly over the emitted coverage —
+    histogram counts re-aggregate losslessly through the streamed
+    tier, so the whole drift panel runs off stored tiers."""
+    import time as _time
+
+    import pandas as pd
+
+    from traval_spark.operators.monitor import (
+        chi2_from_hists, cliffs_from_hists, cvm_from_hists,
+        emd_from_hists, jsd_from_hists, ks_from_hists, mw_from_hists,
+        psi_from_hists)
+    from traval_spark.sources.synth import synth_sequences
+    from traval_spark.streaming.rollup_stream import stream_hist_1m
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    seqs = synth_sequences(spark, 6000, seed=33, span_days=2)
+    mid = "2024-01-02 00:00:00"
+    seqs.filter(F.col("ts") < mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+    _time.sleep(1.1)
+    seqs.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append").parquet(inp)
+
+    q = (
+        stream_hist_1m(spark, inp, value_col="n_tok", scale=1,
+                       max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tier = spark.read.parquet(out)
+    bound = tier.agg(F.max("bucket")).collect()[0][0] + pd.Timedelta(
+        minutes=1)
+
+    ha_t = (tier.filter(F.col("bucket") < mid)
+            .groupBy("source", "bin").agg(F.sum("cnt").alias("ca")))
+    hb_t = (tier.filter(F.col("bucket") >= mid)
+            .groupBy("source", "bin").agg(F.sum("cnt").alias("cb")))
+
+    raw = seqs.filter(F.col("ts") < F.lit(bound))
+    bin_c = F.round(F.col("n_tok") * 1).cast("long").alias("bin")
+    ha_r = (raw.filter(F.col("ts") < mid)
+            .groupBy("source", bin_c).agg(F.count("*").alias("ca")))
+    hb_r = (raw.filter(F.col("ts") >= mid)
+            .groupBy("source", bin_c).agg(F.count("*").alias("cb")))
+
+    for fn in (ks_from_hists, cvm_from_hists, mw_from_hists,
+               cliffs_from_hists, psi_from_hists, jsd_from_hists,
+               emd_from_hists, chi2_from_hists):
+        t_out = fn(ha_t, hb_t)
+        r_out = fn(ha_r, hb_r)
+        assert t_out.exceptAll(r_out).count() == 0, fn.__name__
+        assert r_out.exceptAll(t_out).count() == 0, fn.__name__
