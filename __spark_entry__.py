@@ -4302,6 +4302,21 @@ def q_pettitt_change(spark, sf_dir):
     return pettitt_change(ev, bucket="1h")
 
 
+def q_merge_intervals(spark, sf_dir):
+    """Interval union sweep (interval.py:merge_intervals): every
+    event holds a 120s activity lease; overlapping/touching leases
+    consolidate into per-source activity windows — ONE ordered
+    window pass on exact epoch-microsecond longs, no self-join."""
+    from traval_spark.operators.interval import merge_intervals
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias("end"),
+    )
+    return merge_intervals(ev)
+
+
 def q_drift_report(spark, sf_dir):
     """The drift panel (monitor.py:drift_report): eight two-sample
     monitors (KS/CvM/MW/Cliff/PSI/JSD/EMD/chi2+V) off ONE pair of
@@ -4786,6 +4801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_drift": q_cvm_drift,
         "cliffs_delta": q_cliffs_delta,
         "drift_report": q_drift_report,
+        "merge_intervals": q_merge_intervals,
         "cluster_cohesion": q_cluster_cohesion,
         "unimax_budget": q_unimax_budget,
         "strip_boilerplate": q_strip_boilerplate,
@@ -8839,6 +8855,32 @@ def oracle_sql() -> dict[str, str]:
     """
     # KS drift: exact hugeint CDF-gap numerators; tie rule = largest
     # bin among max numerators (mirrors the engine's struct-max)
+    # interval merge: running-max sweep on exact epoch micros
+    sql["merge_intervals"] = """
+    with iv as (select event_type AS source,
+                       epoch_us(ts) AS s,
+                       epoch_us(ts) + 120000000 AS e,
+                       ts AS st,
+                       ts + interval 120 second AS et
+                from events),
+    g as (select source, s, e, st, et,
+                 max(e) over (partition by source order by s, e
+                     rows between unbounded preceding
+                              and 1 preceding) AS mx
+          from iv),
+    f as (select source, s, e, st, et,
+                 case when mx is null or s > mx
+                      then 1 else 0 end AS nw
+          from g),
+    c as (select source, st, et,
+                 sum(nw) over (partition by source order by s, e
+                     rows between unbounded preceding
+                              and current row) AS grp
+          from f)
+    select source, min(st) AS start, max(et) AS "end",
+           cast(count(*) AS bigint) AS n_merged
+    from c group by source, grp
+    """
     # Cliff's delta: exact 2U midrank identity, one division, Romano
     # magnitude buckets on the fenced value
     sql["cliffs_delta"] = """

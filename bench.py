@@ -117,6 +117,7 @@ def main() -> None:
         "robust_outliers",
         "dds_quantiles_1h", "dds_rank_1h", "toptok_1h",
         "sessionize", "burst_dedup", "interval_events", "interval_overlaps",
+        "merge_intervals",
         "asof_join",
         "funnel", "cohort_retention",
         "m4_1h", "lttb_6h", "lttb_from_m4", "counter_rate", "gap_stats",

@@ -92,3 +92,39 @@ def test_interval_join_empty_and_boundary(spark):
     got = interval_join(pts, iv, granularity_s=3600).collect()
     assert [(r["iid"], str(r["ts"])) for r in got] == [
         ("i1", "2024-01-01 10:00:00")]
+
+
+def test_merge_intervals_sweep_semantics(spark):
+    """Overlap merges, touching (half-open) merges, a gap splits,
+    containment absorbs, inverted/NULL rows drop, and keys never
+    mix."""
+    import pandas as pd
+
+    from traval_spark.operators.interval import merge_intervals
+
+    T = pd.Timestamp
+    rows = [
+        # key a: [0,10) + [5,12) overlap; [12,15) touches -> one span
+        ("a", T("2024-01-01 00:00:00"), T("2024-01-01 00:00:10")),
+        ("a", T("2024-01-01 00:00:05"), T("2024-01-01 00:00:12")),
+        ("a", T("2024-01-01 00:00:12"), T("2024-01-01 00:00:15")),
+        # gap -> second span; [20,40) contains [25,30)
+        ("a", T("2024-01-01 00:00:20"), T("2024-01-01 00:00:40")),
+        ("a", T("2024-01-01 00:00:25"), T("2024-01-01 00:00:30")),
+        # inverted and NULL rows: dropped
+        ("a", T("2024-01-01 00:00:50"), T("2024-01-01 00:00:50")),
+        ("a", None, T("2024-01-01 00:00:55")),
+        # key b: its own single span
+        ("b", T("2024-01-01 00:00:00"), T("2024-01-01 00:00:03")),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "start", "end"]))
+    out = sorted(
+        ((r["source"], str(r["start"]), str(r["end"]), r["n_merged"])
+         for r in merge_intervals(df).collect())
+    )
+    assert out == [
+        ("a", "2024-01-01 00:00:00", "2024-01-01 00:00:15", 3),
+        ("a", "2024-01-01 00:00:20", "2024-01-01 00:00:40", 2),
+        ("b", "2024-01-01 00:00:00", "2024-01-01 00:00:03", 1),
+    ]
