@@ -460,8 +460,12 @@ def q_rollup_sets(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 1000).cast("long").alias("v_i"),
     )
-    return rollup_sets(src, dims=("source", "day"), value_col="v_i",
-                       cube=True)
+    out = rollup_sets(src, dims=("source", "day"), value_col="v_i",
+                      cube=True)
+    # DuckDB materializes sum(BIGINT) as HUGEINT -> float64 in pandas;
+    # project the exact long sum to double (values << 2^53, lossless) so
+    # both engines hand the checker the same representation.
+    return out.withColumn("sum_v", F.col("sum_v").cast("double"))
 
 
 def q_swing_compress(spark, sf_dir):

@@ -1361,7 +1361,28 @@ def lev_verify_pairs(
     ta = side.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
     tb = side.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
     j = pairs.join(ta, "id_a").join(tb, "id_b")
-    lev = F.levenshtein("__ta", "__tb")
+    if prefix is not None:
+        # banded DP: any pair the sim filter can keep satisfies
+        #   lev <= mx*(1 - threshold) + rounding slack < floor(prefix*(1
+        #   - threshold)) + 1  (mx <= prefix),
+        # so the 3-arg thresholded levenshtein (exact distance when <=
+        # bound, -1 when above — an O(n*k) banded DP instead of the full
+        # O(n^2) table) returns the exact distance for every surviving
+        # pair; pairs reported -1 could never pass the filter.  An
+        # equality fast path skips the DP for identical prefixes (the
+        # common case in a near-dup corpus).
+        # rounding slack: round(sim, ndigits) can lift sim by at most
+        # 0.5*10^-ndigits, i.e. lev by at most prefix*that — the +1 after
+        # int() then strictly covers the largest keepable distance
+        bound = int(int(prefix) * (1.0 - float(threshold))
+                    + int(prefix) * 0.5 * 10.0 ** (-int(ndigits))) + 1
+        lev = F.when(F.col("__ta") == F.col("__tb"), F.lit(0)).otherwise(
+            F.levenshtein("__ta", "__tb", bound))
+        j = j.select("id_a", "id_b", "__ta", "__tb", lev.alias("__lv")) \
+             .filter(F.col("__lv") >= 0)
+        lev = F.col("__lv")
+    else:
+        lev = F.levenshtein("__ta", "__tb")
     mx = F.greatest(F.length("__ta"), F.length("__tb"))
     sim = F.when(mx > 0, F.lit(1.0) - lev.cast("double") / mx.cast("double")) \
            .otherwise(F.lit(1.0))

@@ -354,7 +354,15 @@ def dsir_weights(
     B = int(buckets)
 
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        t = ws_tokens(F.col(text_col))
+        cols = [F.col(id_col)] if keep_id else []
+        # tokenize ONCE in a projection below the explode: inlining the
+        # split into the generator expression re-runs the regex split
+        # per reference (5x per row — Generate does no subexpression
+        # elimination), measured as the dominant per-row cost
+        base = df.filter(F.col(text_col).isNotNull()).select(
+            *cols, ws_tokens(F.col(text_col)).alias("__t")
+        )
+        t = F.col("__t")
         n = F.size(t)
         bi = F.when(
             n >= 2,
@@ -364,19 +372,25 @@ def dsir_weights(
                                    F.element_at(t, i + 1)),
             ),
         ).otherwise(F.array())
-        cols = [F.col(id_col)] if keep_id else []
-        g = df.filter(F.col(text_col).isNotNull()).select(
-            *cols, F.explode(F.concat(t, bi)).alias("g")
-        )
+        g = base.select(*cols, F.explode(F.concat(t, bi)).alias("g"))
         b = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
         return g.select(*cols, (b.cast("long") % B).alias("b"))
 
+    # the (doc, bucket) count frame feeds THREE consumers (raw bucket
+    # marginal -> its total -> the final weight join) and the target
+    # bucket frame two (log-ratio join + its total); Catalyst cannot
+    # reuse the exchanges across those branches (higher-order lambda
+    # variables defeat subtree canonicalization — verified: the r5 plan
+    # re-scans the parquet 5x), so materialize each ONCE per evaluation
+    # with an explicit persist.  This is within-plan reuse of the
+    # current input, not cross-run result caching; both frames are
+    # bounded (docs x <= B cells, <= B cells).
     db = grams(corpus, True).groupBy(id_col, "b").agg(
-        F.count(F.lit(1)).alias("n_db"))
+        F.count(F.lit(1)).alias("n_db")).persist()
     raw = db.groupBy("b").agg(
         F.sum("n_db").cast("decimal(38,0)").alias("r_b"))
     tgt = grams(target, False).groupBy("b").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("t_b"))
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("t_b")).persist()
     rt = raw.agg(F.sum("r_b").alias("rtot"))
     tt = tgt.agg(F.coalesce(F.sum("t_b"), F.lit(0))
                  .cast("decimal(38,0)").alias("ttot"))

@@ -45,7 +45,59 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
-def _dot(a: Column, b: Column) -> Column:
+# -- codegen-able dot-product kernels ----------------------------------------
+# Spark's higher-order functions (aggregate/zip_with/transform) are
+# CodegenFallback: a projection containing one is evaluated interpreted,
+# element by element, with per-element boxing — and it disables
+# whole-stage codegen for the stage.  For the statically-known embedding
+# dimension the fold unrolls into a left-associated chain
+#     0.0 + a[0]*b[0] + a[1]*b[1] + …
+# which is the SAME float operations in the SAME order (bit-identical
+# results, so every rounded score is unchanged), but plain codegen-able
+# arithmetic.  The chain is built as ONE SQL string parsed by a single
+# F.expr call: building it as nested Column objects costs 3 py4j
+# round-trips per term (~200 per dot), which measured as multi-second
+# driver-side plan-construction overhead per query.
+
+
+def _fmt_lit(x: float) -> str:
+    """A double literal for SQL embedding: repr round-trips exactly
+    through the parser (verified incl. scientific notation)."""
+    return f"({float(x)!r}D)"
+
+
+def _elem(col: str, i: int) -> str:
+    """``col[i]`` widened to double.  Element-level CAST is exact for
+    float32 inputs (widening) and a no-op for double arrays, and it
+    avoids materializing a casted copy of the whole array per access."""
+    return f"CAST(`{col}`[{i}] AS DOUBLE)"
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    terms = "".join(
+        f" + {_elem(a, i)}*{_elem(b, i)}" for i in range(int(dim)))
+    return f"(0.0D{terms})"
+
+
+def _dot_lit_sql(a: str, vals: list[float]) -> str:
+    terms = "".join(
+        f" + {_elem(a, i)}*{_fmt_lit(x)}" for i, x in enumerate(vals))
+    return f"(0.0D{terms})"
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    terms = "".join(
+        f" + {_elem(a, i)}*{_elem(a, i)}" for i in range(int(dim)))
+    return f"SQRT(0.0D{terms})"
+
+
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Generic Column-based dot product (the interpreted higher-order
+    fold).  Kept for callers whose operands are not plain named columns
+    or whose length is unknown at plan time; hot paths use the
+    ``*_sql`` string builders above instead.  ``dim`` is accepted for
+    signature compatibility but the fold ignores it (the fold already
+    covers the full array)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -53,10 +105,11 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            F.transform(a, lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x
         )
     )
 
@@ -69,11 +122,13 @@ def cosine_to_query(
     ndigits: int = 4,
 ) -> DataFrame:
     """Brute-force cosine of every row against a literal query vector."""
-    v = F.col(vec_col).cast("array<double>")
-    q = F.array(*[F.lit(float(x)) for x in query])
     qn = float(sum(x * x for x in query)) ** 0.5
-    cos = _dot(v, q) / (_norm(v) * F.lit(qn))
-    return emb.withColumn(out, F.round(cos, ndigits))
+    cos = F.expr(
+        f"ROUND({_dot_lit_sql(vec_col, [float(x) for x in query])}"
+        f" / ({_norm_sql(vec_col, len(query))} * {_fmt_lit(qn)}),"
+        f" {int(ndigits)})"
+    )
+    return emb.withColumn(out, cos)
 
 
 def cosine_topk(
@@ -101,6 +156,11 @@ def cosine_topk(
 
 def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    # compact higher-order form on purpose: this is a per-ROW expression
+    # (n rows, not n² pairs), and unrolling all n_planes × dim terms into
+    # one codegen expression exceeds the JVM's 8 KB JIT limit — the
+    # generated method then runs in the bytecode interpreter, measured
+    # SLOWER than the higher-order fold (see _dot_sql notes)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
@@ -175,6 +235,8 @@ def ivf_assign_col(
     scale you persist it as a partition column so probes prune at scan
     time.
     """
+    # per-ROW argmax over n_list × dim terms: stays higher-order (see
+    # lsh_bucket_col — the unrolled form blows the JIT method limit)
     v = F.col(vec_col).cast("array<double>")
     vn = _norm(v)
     entries = []
@@ -230,6 +292,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact batch top-k: every QUERY ROW gets its k nearest corpus rows
     by rounded cosine — the retrieval/dedup-pipeline shape the
@@ -243,17 +306,27 @@ def knn_join(
     :func:`ivf_knn_join` is the scale path that bounds the scored set
     by probing, exactly like cos_dup_pairs' bucketed= split.
     """
+    def nrm(name):
+        return (F.expr(_norm_sql(name, dim)) if dim is not None
+                else _norm(F.col(name)))
+
     q = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv")))
+    ).withColumn("qn", nrm("qv"))
     c = corpus.select(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("n", _norm(F.col("v")))
-    cos = F.round(
-        _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), ndigits
-    )
+    ).withColumn("n", nrm("v"))
+    if dim is not None:
+        cos = F.expr(
+            f"ROUND({_dot_sql('v', 'qv', dim)} / (`n` * `qn`),"
+            f" {int(ndigits)})")
+    else:
+        cos = F.round(
+            _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")),
+            ndigits,
+        )
     scored = c.crossJoin(F.broadcast(q)).select(
         "qid", "nn_id", cos.alias("cos")
     )
@@ -294,12 +367,15 @@ def ivf_knn_join(
     """
     if centroids is None:
         centroids = ivf_seed_centroids(corpus, n_list, id_col, vec_col)
+    dim = len(centroids[0][1])
 
     q = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("qn", _norm(F.col("qv")))
-    # per-query probe lists: sort (neg rounded cos, cid) structs, take nprobe
+    # per-query probe lists: sort (neg rounded cos, cid) structs, take
+    # nprobe — per-BATCH-ROW expression, higher-order on purpose (the
+    # unrolled n_list × dim form blows the JIT method limit)
     entries = []
     for cid, c in centroids:
         ce = F.array(*[F.lit(float(x)) for x in c])
@@ -315,9 +391,8 @@ def ivf_knn_join(
     ).withColumn("n", _norm(F.col("v"))).withColumn(
         "cid", ivf_assign_col("v", centroids)
     )
-    cos = F.round(
-        _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), ndigits
-    )
+    cos = F.expr(
+        f"ROUND({_dot_sql('v', 'qv', dim)} / (`n` * `qn`), {int(ndigits)})")
     scored = c.join(F.broadcast(q), on="cid").select(
         "qid", "nn_id", cos.alias("cos")
     )
@@ -363,15 +438,25 @@ def cosine_dup_pairs(
     ContextCleaner once the plan is garbage-collected, or immediately by
     materializing the pairs (``df.localCheckpoint()``) and dropping the
     reference."""
+    # norm stays higher-order: the bucketed path's projection also
+    # carries the HOF bucket expressions, so it is interpreted either
+    # way, and an unrolled chain evaluates SLOWER interpreted than the
+    # fold (per-row cost on n rows, not n² pairs — cheap regardless)
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         _norm(v).alias("n"),
     )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits
-    )
+    if dim is not None:
+        cos = F.expr(
+            f"ROUND({_dot_sql('va', 'vb', dim)} / (`na` * `nb`),"
+            f" {int(ndigits)})")
+    else:
+        cos = F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            ndigits,
+        )
     if not bucketed:
         a = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
                         F.col("n").alias("na"))
@@ -392,30 +477,53 @@ def cosine_dup_pairs(
     for t in range(int(n_tables)):
         planes = hyperplanes(n_planes, dim, seed + t)
         base = base.withColumn(f"bucket_{t}", lsh_bucket_col("v", planes))
-    if n_tables > 1:
-        base = base.persist()
-    per_table = []
-    for t in range(int(n_tables)):
-        key = f"bucket_{t}"
+    if n_tables == 1:
+        # single table: no cross-table dedup, so the vectors ride the
+        # bucket self-join directly (join output feeds filter+cos in the
+        # same stage — no extra shuffle ever touches the payload)
         a = base.select(
-            key, F.col("id").alias("a"), F.col("v").alias("va"),
+            "bucket_0", F.col("id").alias("a"), F.col("v").alias("va"),
             F.col("n").alias("na"),
         )
         b = base.select(
-            key, F.col("id").alias("b"), F.col("v").alias("vb"),
+            "bucket_0", F.col("id").alias("b"), F.col("v").alias("vb"),
             F.col("n").alias("nb"),
         )
+        pairs = a.join(b, on="bucket_0").filter(
+            F.col("a") < F.col("b")).drop("bucket_0")
+        return (
+            pairs.withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("a", "b", "cos")
+        )
+
+    # multi-table: the OR-across-tables dedup would otherwise shuffle
+    # every candidate pair WITH its two 64-double payloads; instead the
+    # self-joins emit (a, b) ids only, the distinct runs on 16-byte
+    # rows, and the vectors are re-attached afterwards from the (small,
+    # persisted) base frame — decide with small rows, move big rows
+    # once (guide §8 / §2.3 "shuffle keys instead of payloads")
+    base = base.persist()
+    per_table = []
+    for t in range(int(n_tables)):
+        key = f"bucket_{t}"
+        a = base.select(key, F.col("id").alias("a"))
+        b = base.select(key, F.col("id").alias("b"))
         per_table.append(
             a.join(b, on=key).filter(F.col("a") < F.col("b")).drop(key)
         )
     pairs = per_table[0]
     for t_pairs in per_table[1:]:
         pairs = pairs.unionByName(t_pairs)
-    if n_tables > 1:
-        # OR across tables: a pair found by several tables counts once
-        pairs = pairs.dropDuplicates(["a", "b"])
+    # OR across tables: a pair found by several tables counts once
+    pairs = pairs.dropDuplicates(["a", "b"])
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                     F.col("n").alias("na"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb"))
     return (
-        pairs.withColumn("cos", cos)
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
@@ -435,6 +543,7 @@ def ivf_assign_struct(
     tie-break (smallest cid); the ccos value is what SemDeDup's keep
     rule ranks duplicates by, so computing it in the same expression
     costs nothing extra."""
+    # per-ROW argmax — higher-order on purpose (see lsh_bucket_col)
     v = F.col(vec_col).cast("array<double>")
     vn = _norm(v)
     entries = []
@@ -511,6 +620,7 @@ def semantic_dup_pairs(
         centroids = ivf_seed_centroids(emb, n_list, id_col, vec_col)
     if lloyd_iters:
         centroids = lloyd_refine(emb, centroids, lloyd_iters, vec_col)
+    dim = len(centroids[0][1])
     v = F.col(vec_col).cast("array<double>")
     asg = ivf_assign_struct(vec_col, centroids)
     base = emb.select(
@@ -525,9 +635,9 @@ def semantic_dup_pairs(
         "cid", F.col("id").alias("b"), F.col("v").alias("vb"),
         F.col("n").alias("nb"), F.col("ccos").alias("b_ccos"),
     )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits
-    )
+    cos = F.expr(
+        f"ROUND({_dot_sql('va', 'vb', dim)} / (`na` * `nb`),"
+        f" {int(ndigits)})")
     return (
         a.join(b, on="cid")
         .filter(F.col("a") < F.col("b"))
@@ -633,10 +743,9 @@ def semantic_incremental_pairs(
         "cid", F.col("id").alias("nb"), F.col("v").alias("vb"),
         F.col("n").alias("nnb"),
     )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("nna") * F.col("nnb")),
-        ndigits,
-    )
+    cos = F.expr(
+        f"ROUND({_dot_sql('va', 'vb', len(centroids[0][1]))}"
+        f" / (`nna` * `nnb`), {int(ndigits)})")
     return (
         probe.join(build, on="cid")
         .filter(F.col("na") != F.col("nb"))
@@ -701,6 +810,8 @@ def pq_code_col(
     cross-engine tie stability, ties to the smallest code). Pure-JVM
     expression — encoding adds NO shuffle and no Python, exactly like
     :func:`ivf_assign_col`."""
+    # per-ROW encode over m × ksub × d terms: stays higher-order (the
+    # unrolled form blows the JIT method limit — see lsh_bucket_col)
     v = F.col(vec_col).cast("array<double>")
     d = len(codebooks[0][0][1])
     codes = []
@@ -1466,13 +1577,10 @@ def embedding_project(
         W = W / np.sqrt(np.maximum(lam, 1e-300))[:, None]
     offs = W @ np.asarray(mean, dtype=float) if mean is not None \
         else np.zeros(W.shape[0])
-    x = F.col(emb).cast("array<double>")
     cols = []
     for r in range(W.shape[0]):
-        wlit = F.array(*[F.lit(float(c)) for c in W[r]])
-        dot = F.aggregate(
-            F.zip_with(x, wlit, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, t: acc + t,
+        cols.append(
+            f"ROUND({_dot_lit_sql(emb, [float(c) for c in W[r]])}"
+            f" - {_fmt_lit(float(offs[r]))}, {int(round_dp)})"
         )
-        cols.append(F.round(dot - F.lit(float(offs[r])), round_dp))
-    return df.withColumn(out, F.array(*cols))
+    return df.withColumn(out, F.expr(f"array({', '.join(cols)})"))

@@ -70,6 +70,14 @@ def get_spark(
         # generous broadcast threshold: params/bounds/manual-obs tables are
         # tiny dimensions and must broadcast, never sort-merge
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # give up whole-stage codegen at HotSpot's DontCompileHugeMethods
+        # threshold (8000 bytecodes) instead of Spark's 64KB default: a
+        # fused stage whose generated method passes 8000 bytecodes is
+        # NEVER JIT-compiled and runs in the bytecode interpreter, which
+        # measured 4-5x slower than the per-operator compiled fallback
+        # on the wide dot-product/join stages (scale-independent JVM
+        # property, not a local-mode tune)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
