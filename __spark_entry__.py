@@ -845,7 +845,10 @@ def q_hist_mad_1h(spark, sf_dir):
         F.col("event_type").alias("source"), "ts",
         F.col("value").alias("n_tok"),
     )
-    t1h = hist_cascade(hist_tier(src, "1m", scale=100), "1h")
+    # hist_mad reads its input tier twice (median pick + deviation
+    # fold); persist the derived tier so raw is binned once per
+    # evaluation — at 100 TB the tier is STORED and this is moot
+    t1h = hist_cascade(hist_tier(src, "1m", scale=100), "1h").persist()
     return hist_mad(t1h, scale=100)
 
 
@@ -860,10 +863,12 @@ def q_robust_outliers(spark, sf_dir):
     src = _events(spark, sf_dir).select(
         "event_id", F.col("event_type").alias("source"), "ts", "value",
     )
+    # the hist_mad stats inside robust_outliers read the tier twice;
+    # persist the derived tier (stored at 100 TB — see q_hist_mad_1h)
     t1h = hist_tier(
         src.withColumnRenamed("value", "n_tok"), "1h", scale=100,
         value_col="n_tok",
-    )
+    ).persist()
     return robust_outliers(src, t1h, tier="1h", k=3.0, scale=100)
 
 
@@ -1042,7 +1047,12 @@ def q_curate(spark, sf_dir):
     )
     kept = nn.join(winner_ids, "doc_id", "left_semi")
     mixed = mixture_sample(kept, MIX_WEIGHTS, seed=7)
-    return assign_packs(mixed, target_tokens=512).select(
+    # the packer's shard-totals pass reads its input twice: hand it the
+    # narrow (id, source, n_tok) projection, persisted, so the
+    # dedup+mixture chain runs once and the second pass re-reads 3
+    # columns from cache (pack assignment never looks at the payload)
+    narrow = mixed.select("doc_id", "source", "n_tok").persist()
+    return assign_packs(narrow, target_tokens=512).select(
         "doc_id", "source",
         F.col("n_tok").cast("long").alias("n_tok"),
         "pack_id",

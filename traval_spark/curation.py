@@ -279,11 +279,21 @@ def curate_corpus(
             n_tok = F.coalesce(F.col(n_tok_col).cast("int"), n_tok)
     else:
         n_tok = token_count_ws(F.col(text_col))
-    pre_pack = note(
-        "pre_pack",
-        cur.withColumn("n_tok", n_tok)
-        .select(id_col, source_col, "split", "n_tok"),
-    )
+    pre = cur.withColumn("n_tok", n_tok).select(
+        id_col, source_col, "split", "n_tok")
+    if metrics is None:
+        # lazy mode previously left this unpersisted, so the packer's
+        # shard-totals pass re-ran the ENTIRE curation chain a second
+        # time (dedup joins, decontamination, mixture — measured as a
+        # doubled plan); the pre-packing projection is the narrowest
+        # frame in the chain (4 columns, one row per surviving doc), so
+        # cache it in both modes. metrics mode already persists it via
+        # note() below.
+        pre = pre.persist()
+        if caches is not None:
+            caches.clear()
+            caches.append(pre)
+    pre_pack = note("pre_pack", pre)
     packed = assign_packs(
         pre_pack, target_tokens, by=["split", source_col], id_col=id_col,
     )

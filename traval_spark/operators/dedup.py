@@ -934,7 +934,11 @@ def duplicated_spans(
       bounded by a single document's length, balanced across docs,
       never a corpus-wide sort.
     """
-    win = _window_grams(seqs, k, tokens_col, id_col)
+    # the window index feeds BOTH the duplicate-gram census and the hit
+    # probe; the window transform's lambda variables defeat exchange
+    # canonicalization (no ReusedExchange), so persist it — one window
+    # explosion + md5 pass instead of two (the dsir_weights finding)
+    win = _window_grams(seqs, k, tokens_col, id_col).persist()
     dup = (
         win.groupBy("gram")
         .agg(F.count("*").alias("__c"))
@@ -1002,7 +1006,9 @@ def duplicated_spans_incremental(
     participates as one semi-join against its persisted gram index
     (:func:`token_gram_index`), never re-shingled — the daily-ingest
     shape of the whole incremental family."""
-    win = _window_grams(new_seqs, k, tokens_col, id_col)
+    # persist: the batch window index feeds the within-batch census AND
+    # the probe join (see duplicated_spans)
+    win = _window_grams(new_seqs, k, tokens_col, id_col).persist()
     batch_dup = (
         win.groupBy("gram")
         .agg(F.count("*").alias("__c"))

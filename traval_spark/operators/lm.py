@@ -107,7 +107,12 @@ def lm_score(
     Higher (less negative) = more typical; rank ascending to find the
     gibberish tail.  Docs with fewer than n tokens get no row."""
     if model is None:
-        model = ngram_counts(seqs, n, tokens_col, id_col)
+        # self-trained model feeds TWO consumers (the occurrence join
+        # and the prefix marginal); the gram-explode subtrees carry
+        # higher-order lambdas that defeat exchange canonicalization,
+        # so without an explicit persist the corpus is re-exploded and
+        # re-counted once per consumer (the dsir_weights finding)
+        model = ngram_counts(seqs, n, tokens_col, id_col).persist()
     prefix_counts = model.groupBy("prefix").agg(
         F.sum("cnt").alias("c_prefix"))
     vocab = (

@@ -3724,8 +3724,13 @@ def sen_slope_ci(
     model-based CIs (rulelib.py); this is the distribution-free CI
     for series where no model exists.
     """
+    # the signal feeds the slope self-join, the bucket count, the tie
+    # census (and previously a theil_sen call that re-derived the whole
+    # O(m^2) pair frame): persist it — the r5 plan re-ran the raw
+    # groupBy per consumer (lambda-carrying subtrees defeat exchange
+    # reuse)
     sig = bucket_count_signal(df, bucket=bucket, by=by, ts=ts,
-                              counts=counts)
+                              counts=counts).persist()
     a = sig.select("g", F.col("h").alias("hi_"), F.col("c").alias("ci"))
     b = sig.select("g", F.col("h").alias("hj"), F.col("c").alias("cj"))
     slopes = (
@@ -3775,19 +3780,29 @@ def sen_slope_ci(
             ).alias("__hir"),
         )
     )
-    med = theil_sen(counts=sig).select("g", "sen_slope")
+    # ONE pass over the ranked slope multiset extracts all four order
+    # statistics (previously: two rank-filter passes here plus a
+    # theil_sen call that rebuilt the identical pair frame and rank
+    # window a third and fourth time).  The median replicates
+    # theil_sen's selection verbatim — avg of the values at ascending
+    # ranks floor((N+1)/2) and floor((N+2)/2) of the SAME multiset
+    # (n_pairs == the slope count: every zero-filled bucket pair has a
+    # distinct h), so sen_slope is value-identical.
+    idx = idx.withColumn(
+        "__m1", F.floor((F.col("n_pairs") + 1) / 2)
+    ).withColumn("__m2", F.floor((F.col("n_pairs") + 2) / 2))
     j = ranked.join(F.broadcast(idx), "g")
-    lo = (
-        j.filter(F.col("rn") == F.col("__lor"))
-        .select("g", F.col("s").alias("lo"))
+    stats = j.groupBy("g").agg(
+        F.max(F.when(F.col("rn") == F.col("__lor"), F.col("s")))
+        .alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("__hir"), F.col("s")))
+        .alias("hi"),
+        F.avg(
+            F.when((F.col("rn") == F.col("__m1"))
+                   | (F.col("rn") == F.col("__m2")), F.col("s"))
+        ).alias("sen_slope"),
     )
-    hi = (
-        j.filter(F.col("rn") == F.col("__hir"))
-        .select("g", F.col("s").alias("hi"))
-    )
-    out = (
-        idx.join(med, "g").join(lo, "g", "left").join(hi, "g", "left")
-    )
+    out = idx.join(stats, "g")
     valid = F.col("__vn") > 0
     lo_o = F.when(valid, F.col("lo"))
     hi_o = F.when(valid, F.col("hi"))

@@ -40,6 +40,27 @@ def hash_uniform(col: Column, seed: int = 0) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
 
 
+def hash_bucket(col: Column, seed: int, width: int) -> Column:
+    """``floor(hash_uniform(col, seed) * width)`` as int — the sketch
+    grid/bit coordinate.  When ``width`` is a power of 16 the first
+    ``log16(width)`` hex digits of the md5 ARE the bucket exactly
+    (v = first 8 hex digits as a 32-bit int; floor(v/2^32 * 16^j) =
+    v >> (32-4j) = the int value of the first j hex digits), so the
+    shortcut parses j characters instead of 8 and skips the double
+    division/multiply/floor — value-identical, just cheaper.  Any
+    other width falls back to the full chain."""
+    w = int(width)
+    j = 0
+    p = 1
+    while p < w:
+        p *= 16
+        j += 1
+    if p == w and 1 <= j <= 8:
+        h = F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string")))
+        return F.conv(F.substring(h, 1, j), 16, 10).cast("int")
+    return F.floor(hash_uniform(col, seed) * F.lit(w)).cast("int")
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,

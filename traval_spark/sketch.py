@@ -259,7 +259,7 @@ def cms_tier(
     the grid (a depth-way explode that collapses map-side — at most
     source x buckets x depth x width reduced rows ever shuffle). NULL
     keys are excluded, matching COUNT(key)."""
-    from traval_spark.operators.sampling import hash_uniform
+    from traval_spark.operators.sampling import hash_bucket
 
     unit, _ = TIERS[tier]
     df = ensure_ntz(df, ts_col)
@@ -268,8 +268,7 @@ def cms_tier(
     cells = F.array(*[
         F.struct(
             F.lit(d).alias("d"),
-            F.floor(hash_uniform(key, seed=d) * F.lit(int(width)))
-            .cast("int").alias("w"),
+            hash_bucket(key, seed=d, width=int(width)).alias("w"),
         )
         for d in range(int(depth))
     ])
@@ -353,11 +352,10 @@ _BLOOM_SEED = 7000
 def bloom_bits(key: Column, nhash: int = 4, nbits: int = 4096) -> Column:
     """Array of the ``nhash`` bit positions for ``key`` (may collide
     with each other — probe logic dedups driver-side)."""
-    from traval_spark.operators.sampling import hash_uniform
+    from traval_spark.operators.sampling import hash_bucket
 
     return F.array(*[
-        F.floor(hash_uniform(key, seed=_BLOOM_SEED + h) * F.lit(int(nbits)))
-        .cast("int")
+        hash_bucket(key, seed=_BLOOM_SEED + h, width=int(nbits))
         for h in range(int(nhash))
     ])
 
