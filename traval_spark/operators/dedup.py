@@ -1433,7 +1433,9 @@ def cluster_cohesion(
     one partial-aggregatable groupBy(cluster).  Output: ``cluster,
     n_members, mean_ham, max_ham, loose`` (n_members counts the root).
     """
-    fp = with_simhash64(docs, text_col, id_col)
+    # the fingerprint frame is joined twice (member side + root side);
+    # persist so the SimHash fold over the corpus text runs once
+    fp = with_simhash64(docs, text_col, id_col).persist()
     mem = clusters.filter(F.col(id_col) != F.col("cluster"))
     rfp = fp.select(
         F.col(id_col).alias("cluster"),

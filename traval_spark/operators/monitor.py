@@ -118,16 +118,26 @@ def bucket_count_signal(
             F.col(by).alias("g"),
             F.floor(unix_us(F.col(ts)) / F.lit(gus)).alias("h"),
         )
-        counts = src.groupBy("g", "h").agg(F.count("*").alias("c"))
+        # the count frame feeds the span scalar, the series spine AND
+        # the zero-fill join below — without a persist the raw-scale
+        # groupBy (the ONLY raw work a monitor does) runs once per
+        # reference, because lambda-free canonicalization can't be
+        # relied on across these branches
+        counts = src.groupBy("g", "h").agg(
+            F.count("*").alias("c")).persist()
     span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (
         counts.select("g").distinct()
         .crossJoin(F.broadcast(span))
         .select("g", F.explode(F.sequence("h0", "h1")).alias("h"))
     )
+    # every monitor references the returned signal several times (lag
+    # windows, tie censuses, pair joins); persist it so the signal is
+    # materialized once per evaluation — it is the tiny (|series| x
+    # span) frame, the design already relies on it being cheap
     return spine.join(counts, ["g", "h"], "left").select(
         "g", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    ).persist()
 
 
 def counts_from_tier(
