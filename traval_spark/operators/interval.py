@@ -165,7 +165,9 @@ def merge_intervals(
     hot key serializes only ITS OWN intervals (disclosed, the
     standard window trade).
 
-    Output: ``*on, start, end, n_merged`` (merged spans, ascending).
+    Output: ``*on, start, end, n_merged`` (merged spans; the final
+    groupBy provides no output ordering guarantee — order with
+    ``.orderBy(*on, "start")`` if presentation needs it).
 
     Reference: traval's rule_keep_comments consolidates flagged
     PERIODS by eye (docs suggest plotting); this is that

@@ -605,9 +605,11 @@ def dsir_resample(
     STAYING IN LOG SPACE: w = exp(logw) for a strongly off-target
     document underflows to 0.0 (and the E-S key then divides by it);
     the Gumbel form never exponentiates, so a logw of -10^4 is as
-    well-behaved as 0.  u = 0 (one md5 value in 2^32) degenerates to
-    key = -inf: the row simply never wins, no NaN ever enters the
-    ordering.
+    well-behaved as 0.  u = 0 (one md5 value in 2^32): Spark's ln(0)
+    returns NULL (not -inf), so ``gumbel_key`` is NULL and the
+    descending order's NULLS-LAST default means the row simply never
+    wins — same outcome as the mathematical key = -inf, but note the
+    stored key differs from DuckDB's -inf representation.
 
     Determinism: keys round to ``ndigits`` and the order is the total
     (key desc, id asc) — exact ties at the cut (astronomically rare
