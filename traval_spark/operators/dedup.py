@@ -1116,14 +1116,21 @@ def contaminated_docs_bloom(
         F.col(id_col),
         F.explode(token_shingles(F.col(tokens_col), k)).alias("shingle"),
     )
+    # unrolled AND of the nhash mask probes instead of a forall over the
+    # bits array: forall is CodegenFallback (the corpus-scale filter ran
+    # interpreted); the unrolled form is identical boolean logic over
+    # the same bit positions, fully codegen-able
+    from traval_spark.operators.sampling import hash_bucket
+    from traval_spark.sketch import _BLOOM_SEED
+
+    probe = F.lit(True)
+    for h in range(int(nhash)):
+        b = hash_bucket(F.col("shingle"), seed=_BLOOM_SEED + h,
+                        width=int(nbits))
+        probe = probe & F.element_at(F.col("__mask"), b + 1)
     cand = (
         csh.crossJoin(F.broadcast(mask_df))
-        .filter(
-            F.forall(
-                bloom_bits(F.col("shingle"), nhash, nbits),
-                lambda b: F.element_at(F.col("__mask"), b + 1),
-            )
-        )
+        .filter(probe)
         .drop("__mask")
     )
     return (
