@@ -913,8 +913,13 @@ def q_tpch_priority_lines(spark, sf_dir):
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_count"),
+            # DuckDB materializes these sums as HUGEINT -> float64 in
+            # pandas (the rollup_sets representation hazard); project
+            # to double so both engines hand the checker one form
+            F.sum(F.when(high, 1).otherwise(0)).cast("double")
+            .alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("double")
+            .alias("low_count"),
         )
     )
 
@@ -1119,7 +1124,10 @@ def q_pack_stats(spark, sf_dir):
     from traval_spark.packing import assign_packs, pack_stats
 
     s = _seqs_from(_docs(spark, sf_dir))
-    return pack_stats(assign_packs(s, target_tokens=512), 512)
+    # tok_total: DuckDB sum(BIGINT) -> HUGEINT -> float64 in pandas;
+    # align the representation (see q_rollup_sets)
+    return pack_stats(assign_packs(s, target_tokens=512), 512).withColumn(
+        "tok_total", F.col("tok_total").cast("double"))
 
 
 def q_dds_quantiles_1h(spark, sf_dir):
@@ -3059,7 +3067,10 @@ def q_cusum_change(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("event_type").alias("source"), "ts", "value", "event_id"
     )
-    return cusum_changepoint(ev)
+    # d_max_scaled: DuckDB HUGEINT -> float64 in pandas; align (see
+    # q_rollup_sets)
+    return cusum_changepoint(ev).withColumn(
+        "d_max_scaled", F.col("d_max_scaled").cast("double"))
 
 
 def q_seasonal_profile(spark, sf_dir):
@@ -4008,7 +4019,10 @@ def q_threshold_episodes(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("event_type").alias("source"), "ts", "value", "event_id"
     )
-    return threshold_episodes(ev, threshold=90.0)
+    # episode: DuckDB HUGEINT -> float64 in pandas; align (see
+    # q_rollup_sets)
+    return threshold_episodes(ev, threshold=90.0).withColumn(
+        "episode", F.col("episode").cast("double"))
 
 
 def q_decayed_topk(spark, sf_dir):
