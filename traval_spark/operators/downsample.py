@@ -237,11 +237,20 @@ def lttb_downsample(
     # NULL values dropped up front (same convention as m4/hist tiers —
     # a NULL would poison the bucket sums and sort first in the argmax)
     df = df.filter(F.col(val).isNotNull())
-    gmin = df.select(F.min(unix_us(F.col(ts))).alias("__g0"))
+    # persist the 1-row global-min scalar: ``src`` is consumed twice
+    # (bucket sums + the join back), and each evaluation would re-run
+    # the full raw min-scan embedded in the cross join
+    gmin = df.select(F.min(unix_us(F.col(ts))).alias("__g0")).persist()
+    # carry the ABSOLUTE microsecond alongside the g0-relative __x: the
+    # final projection then reads t_sel straight off the row
+    # (timestamp_micros(__us) == timestamp_micros(__x + g0), an exact
+    # integer identity) instead of cross-joining gmin a second time —
+    # which re-ran the full raw min-scan per reference
     src = (
         df.crossJoin(F.broadcast(gmin))
         .select(
             *by,
+            unix_us(F.col(ts)).alias("__us"),
             (unix_us(F.col(ts)) - F.col("__g0")).alias("__x"),
             _bucket_start_us(F.col(ts), gus).alias("__bus"),
             F.col(val).alias("__v"),
@@ -278,7 +287,7 @@ def lttb_downsample(
     first = F.col("__na").isNull()
     last = F.col("__nb").isNull()
     ranked = j.select(
-        *by, "__bus", "__n", "__x", "__v",
+        *by, "__bus", "__n", "__x", "__us", "__v",
         F.when(first | last, zero).otherwise(-F.abs(cross)).alias("__o1"),
         F.when(last, -F.col("__x")).otherwise(F.col("__x")).alias("__o2"),
     )
@@ -287,11 +296,11 @@ def lttb_downsample(
         ranked.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") == 1)
     )
-    return sel.crossJoin(F.broadcast(gmin)).select(
+    return sel.select(
         *by,
         F.timestamp_micros(F.col("__bus")).alias("bucket_start"),
         F.col("__n").alias("n_points"),
-        F.timestamp_micros(F.col("__x") + F.col("__g0")).alias("t_sel"),
+        F.timestamp_micros(F.col("__us")).alias("t_sel"),
         F.col("__v").alias("v_sel"),
     )
 
