@@ -664,6 +664,9 @@ def source_overlap(
 
     Output: ``a, b, n_a, n_b, inter, jaccard``.
     """
+    # the distinct shingle frame feeds BOTH self-join sides and the
+    # size census; persist so the corpus is shingled once, not three
+    # times (lambda-bearing subtrees defeat exchange reuse)
     sh = (
         docs.select(
             F.col(by).alias("g"),
@@ -671,6 +674,7 @@ def source_overlap(
         )
         .filter(F.col("sh").isNotNull())
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("g").alias("a"), "sh")
